@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 gate: run graft.Verify output against the
+DuckDB oracle and diff. Dev tooling only — NOT part of the engine (the engine
+is pure Scala/Spark; see the builder contract).
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+(outDir = what `sbt "runMain graft.Verify <sfDir> <outDir>"` produced)
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = Path(out_dir) / name
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.sql(
+                f"SELECT * FROM '{res_dir}/*.parquet' LIMIT 0").description]
+            exp_rel = con.sql(sql)
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {e}")
+            n_bad += 1
+            continue
+        # mimic the driver: sort columns by name, then compare row multisets
+        def norm(rows, cols):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return sorted(tuple(str(r[i]) for i in order) for r in rows)
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_bad += 1
+        elif norm(got, got_cols) != norm(exp, exp_cols):
+            g, e = norm(got, got_cols), norm(exp, exp_cols)
+            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            extra = f" len {len(g)} vs {len(e)}" if len(g) != len(e) else ""
+            print(f"FAIL {name}: value mismatch{extra} sample={diff}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} failed ==")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

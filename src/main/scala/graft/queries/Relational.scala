@@ -296,8 +296,8 @@ object Relational {
         |) ORDER BY which, nationkey""".stripMargin,
     "q12_case_agg" ->
       """SELECT o_orderpriority,
-        | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-        | SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_other
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        | CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_other
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_quantity > 30
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text operators (builder contract: dedup, text
+  * analysis) over the `documents` table, each verified against the DuckDB
+  * oracle.
+  *
+  * Scale notes (100 TB design stance):
+  *  - every operator is a pure hash-partitioned groupBy/join — no driver
+  *    materialization, no cross joins; pairwise work is always *blocked*
+  *    (per-source / per-LSH-band), bounding pair fan-out.
+  *  - MinHash uses lexicographic-min over salted md5 hex strings — a total
+  *    order identical in any engine, no bigint-hex conversion needed.
+  */
+object TextOps {
+  import Relational.t
+
+  private def toks(c: Column): Column = split(c, " ")
+  private val stop = Seq("the", "a", "of", "and", "to")
+
+  /** Documents plus injected exact duplicates (doc_id % 50 == 0 re-emitted
+    * under shifted ids) so dedup semantics are exercised even on a
+    * dup-free synthetic corpus. */
+  private def withDups(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select("doc_id", "text", "source")
+    docs.unionAll(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("source")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + corpus stats per language.
+    "qd01_text_stats" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars"), size(toks(col("text"))).as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy("lang")
+    },
+    // Per-document quality scoring: token counts, type/token, word length,
+    // stopword ratio.
+    "qd02_quality_score" -> { (s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .withColumn("tk", toks(col("text")))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("n_uniq", size(array_distinct(col("tk"))))
+        .withColumn("n_stop", size(filter(col("tk"), x => x.isInCollection(stop))))
+        .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
+          (col("n_uniq").cast("double") / col("n_tokens")).as("type_token_ratio"),
+          ((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens")).as("avg_word_len"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+    // Heuristic language ID by marker-word evidence vs labeled lang.
+    "qd03_langid" -> { (s, d) =>
+      val markers = Map(
+        "en" -> Seq("the", "and", "of"), "fr" -> Seq("le", "la", "et"),
+        "de" -> Seq("der", "und", "die"), "es" -> Seq("el", "los", "y"))
+      val df = t(s, d, "documents").withColumn("tk", toks(col("text")))
+      val scored = markers.foldLeft(df) { case (acc, (l, ws)) =>
+        acc.withColumn(s"hits_$l", size(filter(col("tk"), x => x.isInCollection(ws))))
+      }
+      val best = greatest(col("hits_en"), col("hits_fr"), col("hits_de"), col("hits_es"))
+      scored.withColumn("predicted",
+          when(best === 0, lit("unknown"))
+            .when(col("hits_en") === best, "en").when(col("hits_fr") === best, "fr")
+            .when(col("hits_de") === best, "de").otherwise("es"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+    // Exact dedup: content-hash groups, keeper = min id, copies counted.
+    "qd04_exact_dedup" -> { (s, d) =>
+      withDups(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
+        .filter(col("n_copies") > 1)
+        .orderBy("keeper_id")
+    },
+    // MinHash signatures (4 salted-md5 hash functions, min over token set).
+    "qd05_minhash_sig" -> { (s, d) =>
+      val tok = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      tok.groupBy("doc_id")
+        .agg(
+          min(md5(concat(lit("s0_"), col("tok")))).as("mh0"),
+          min(md5(concat(lit("s1_"), col("tok")))).as("mh1"),
+          min(md5(concat(lit("s2_"), col("tok")))).as("mh2"),
+          min(md5(concat(lit("s3_"), col("tok")))).as("mh3"))
+        .orderBy("doc_id")
+    },
+    // MinHash + LSH banding: near-dup candidate generation via band-bucket
+    // join (10% id-sample keeps the within-band pair fan-out bounded — the
+    // synthetic corpus has a tiny vocabulary, so bands collide heavily).
+    "qd06_lsh_pairs" -> { (s, d) =>
+      val tok = withDups(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      val sig = tok.groupBy("doc_id").agg(
+        min(md5(concat(lit("s0_"), col("tok")))).as("mh0"),
+        min(md5(concat(lit("s1_"), col("tok")))).as("mh1"),
+        min(md5(concat(lit("s2_"), col("tok")))).as("mh2"),
+        min(md5(concat(lit("s3_"), col("tok")))).as("mh3"))
+      val bands = sig.select(col("doc_id"), md5(concat(col("mh0"), col("mh1"))).as("band"))
+        .unionAll(sig.select(col("doc_id"), md5(concat(col("mh2"), col("mh3"))).as("band")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .groupBy("id_a").agg(count(lit(1)).as("n_candidates"), min("id_b").as("min_cand"))
+        .orderBy("id_a")
+    },
+    // Blocked pairwise token-set Jaccard (block = source; pair count bounded
+    // per block, so the join scales linearly in block count).
+    "qd07_jaccard_blocked" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          array_distinct(toks(col("text"))).as("tk"))
+        .withColumn("nt", size(col("tk")))
+      val tok = docs.select(col("source"), col("doc_id"), explode(col("tk")).as("tok"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.source") === col("b.source") && col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.source").as("source"), col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      val sz = docs.select(col("doc_id"), col("nt"))
+      val pairs = docs.as("x").join(docs.as("y"),
+          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.source").as("source"), col("x.doc_id").as("id_a"),
+          col("y.doc_id").as("id_b"), col("x.nt").as("na"), col("y.nt").as("nb"))
+        .join(inter, Seq("source", "id_a", "id_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .withColumn("jacc", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")))
+      pairs.groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          max("jacc").as("max_jacc"),
+          (sum(col("jacc").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("avg_jacc"))
+        .orderBy("source")
+    },
+    // 16-bit SimHash over the token multiset (bits from md5 hex digits).
+    "qd08_simhash" -> { (s, d) =>
+      val hexv = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
+      val tok = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .withColumn("h", md5(col("tok")))
+      val bits = tok.select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("nib", hexv(substring(col("h"), (col("b") / 4).cast("int") + 1, lit(1))))
+        .withColumn("bit", expr("shiftright(nib, CAST(b % 4 AS INT)) % 2"))
+      bits.groupBy("doc_id", "b")
+        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("bal"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("bal") >= 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "qd01_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens,
+        | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "qd02_quality_score" ->
+      """SELECT doc_id,
+        | CAST(len(tk) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(tk)) AS INT) AS n_uniq,
+        | CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS type_token_ratio,
+        | CAST(n_chars - (len(tk) - 1) AS DOUBLE) / len(tk) AS avg_word_len,
+        | CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE) / len(tk) AS stopword_ratio
+        |FROM (SELECT doc_id, n_chars, str_split(text, ' ') AS tk FROM documents WHERE doc_id < 200)
+        |ORDER BY doc_id""".stripMargin,
+    "qd03_langid" ->
+      """WITH scored AS (SELECT lang,
+        |  len(list_filter(tk, x -> list_contains(['the','and','of'], x))) AS hits_en,
+        |  len(list_filter(tk, x -> list_contains(['le','la','et'], x))) AS hits_fr,
+        |  len(list_filter(tk, x -> list_contains(['der','und','die'], x))) AS hits_de,
+        |  len(list_filter(tk, x -> list_contains(['el','los','y'], x))) AS hits_es
+        | FROM (SELECT lang, str_split(text, ' ') AS tk FROM documents)),
+        |pred AS (SELECT lang, CASE
+        |  WHEN GREATEST(hits_en, hits_fr, hits_de, hits_es) = 0 THEN 'unknown'
+        |  WHEN hits_en = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'en'
+        |  WHEN hits_fr = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'fr'
+        |  WHEN hits_de = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'de'
+        |  ELSE 'es' END AS predicted FROM scored)
+        |SELECT lang, predicted, COUNT(*) AS n FROM pred
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "qd04_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+        |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keeper_id""".stripMargin,
+    "qd05_minhash_sig" ->
+      """SELECT doc_id,
+        | MIN(md5('s0_' || tok)) AS mh0, MIN(md5('s1_' || tok)) AS mh1,
+        | MIN(md5('s2_' || tok)) AS mh2, MIN(md5('s3_' || tok)) AS mh3
+        |FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+        |      FROM documents WHERE doc_id < 100)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd06_lsh_pairs" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+        |  FROM all_docs WHERE doc_id % 10 = 0),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('s0_' || tok)) AS mh0, MIN(md5('s1_' || tok)) AS mh1,
+        |  MIN(md5('s2_' || tok)) AS mh2, MIN(md5('s3_' || tok)) AS mh3
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, md5(mh0 || mh1) AS band FROM sig
+        |  UNION ALL SELECT doc_id, md5(mh2 || mh3) AS band FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT id_a, COUNT(*) AS n_candidates, MIN(id_b) AS min_cand
+        |FROM cand GROUP BY id_a ORDER BY id_a""".stripMargin,
+    "qd07_jaccard_blocked" ->
+      """WITH docs AS (SELECT source, doc_id, list_distinct(str_split(text, ' ')) AS tk,
+        |  len(list_distinct(str_split(text, ' '))) AS nt FROM documents),
+        |tok AS (SELECT source, doc_id, unnest(tk) AS tok FROM docs),
+        |inter AS (SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.source, a.doc_id, b.doc_id),
+        |pairs AS (SELECT x.source, x.doc_id AS id_a, y.doc_id AS id_b, x.nt AS na, y.nt AS nb,
+        |  COALESCE(i.inter, 0) AS inter
+        |  FROM docs x JOIN docs y ON x.source = y.source AND x.doc_id < y.doc_id
+        |  LEFT JOIN inter i ON i.source = x.source AND i.id_a = x.doc_id AND i.id_b = y.doc_id),
+        |j AS (SELECT source, CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc FROM pairs)
+        |SELECT source, COUNT(*) AS n_pairs, MAX(jacc) AS max_jacc,
+        | CAST(SUM(CAST(jacc AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS avg_jacc
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "qd08_simhash" ->
+      """WITH tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h
+        |  FROM documents WHERE doc_id < 100),
+        |bits AS (SELECT doc_id, b,
+        |  ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) % 2 AS bit
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+        |bal AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+        |  FROM bits GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

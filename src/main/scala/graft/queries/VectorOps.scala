@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder contract:
+  * brute-force cosine top-k baseline + LSH-bucketed scale path).
+  *
+  * Cross-engine determinism: float elements are quantized to an integer grid
+  * (round(e * 10000) — binary floats can never land on an exact .5 tie at a
+  * power-of-ten scale, so the rounding is engine-independent), making dot
+  * products exact BIGINT arithmetic; the final cosine is then a deterministic
+  * double in any engine.
+  *
+  * Scale notes: the brute-force path broadcasts the (single) query vector;
+  * the LSH path buckets vectors by random-hyperplane sign bits so candidate
+  * generation is a hash-partitioned groupBy, not an all-pairs join.
+  */
+object VectorOps {
+  import Relational.t
+
+  /** embedding -> exact integer grid (array<bigint>). */
+  private def quant(c: Column): Column =
+    transform(c, e => round(e.cast("double") * 10000).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k against a query vector (vec_id = 0),
+    // broadcast nested-loop over the quantized grid.
+    "qv01_knn_cosine" -> { (s, d) =>
+      val emb = t(s, d, "embeddings").select(col("vec_id"), quant(col("embedding")).as("q"))
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("q").as("qv"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(query))
+        .select(col("vec_id"),
+          (dot(col("q"), col("qv")).cast("double") /
+            (sqrt(dot(col("q"), col("q")).cast("double")) *
+              sqrt(dot(col("qv"), col("qv")).cast("double")))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(20)
+    },
+    // Pairwise cosine stats within each label group (blocked all-pairs —
+    // the exact near-dup-by-embedding pattern, block-bounded).
+    "qv02_cosine_blocked" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+        .select(col("label"), col("vec_id"), quant(col("embedding")).as("q"))
+        .withColumn("nrm", sqrt(dot(col("q"), col("q")).cast("double")))
+      val pairs = emb.as("a").join(emb.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("label"),
+          (dot(col("a.q"), col("b.q")).cast("double") /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+      pairs.groupBy("label")
+        .agg(count(lit(1)).as("n_pairs"), max("cos").as("max_cos"),
+          (sum(col("cos").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("avg_cos"),
+          sum(when(col("cos") > 0.8, 1L).otherwise(0L)).as("n_near_dup"))
+        .orderBy("label")
+    },
+    // Random-hyperplane LSH bucketing: 8 sign bits from md5-derived +/-1
+    // hyperplane components; bucket histogram (candidate-generation stage).
+    "qv03_lsh_buckets" -> { (s, d) =>
+      val hexv = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
+      val el = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(quant(col("embedding"))).as(Seq("i", "qe")))
+      val planes = el.crossJoin(spark_rangePlanes(s))
+        .withColumn("comp",
+          when(hexv(substring(md5(concat(col("p"), lit("_"), col("i"))), 1, 1)) < 8, 1L)
+            .otherwise(-1L))
+      val signs = planes.groupBy("vec_id", "p")
+        .agg(sum(col("comp") * col("qe")).as("proj"))
+        .withColumn("bit", when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
+      signs.groupBy("vec_id").agg(sum("bit").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("bucket")
+    }
+  )
+
+  private def spark_rangePlanes(s: SparkSession): DataFrame =
+    s.range(8).select(col("id").cast("int").as("p"))
+
+  val oracleSql: Map[String, String] = Map(
+    "qv01_knn_cosine" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |qv AS (SELECT q AS v FROM emb WHERE vec_id = 0),
+        |scored AS (SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * qv.v[i])) AS DOUBLE) /
+        |   (SQRT(CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * e.q[i])) AS DOUBLE)) *
+        |    SQRT(CAST(list_sum(list_transform(range(1, 65), i -> qv.v[i] * qv.v[i])) AS DOUBLE))) AS cos_sim
+        | FROM emb e, qv WHERE e.vec_id <> 0)
+        |SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "qv02_cosine_blocked" ->
+      """WITH emb AS (SELECT label, vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT label, vec_id, q,
+        |  SQRT(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+        | FROM emb),
+        |pairs AS (SELECT a.label,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+        | FROM nemb a JOIN nemb b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, COUNT(*) AS n_pairs, MAX(cos) AS max_cos,
+        | CAST(SUM(CAST(cos AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS avg_cos,
+        | CAST(SUM(CASE WHEN cos > 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
+        |FROM pairs GROUP BY label ORDER BY label""".stripMargin,
+    "qv03_lsh_buckets" ->
+      """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings), unnest(range(1, 65)) t(i)),
+        |planes AS (SELECT vec_id, p, qe,
+        |  CASE WHEN instr('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 < 8
+        |    THEN 1 ELSE -1 END AS comp
+        | FROM el, (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS p)),
+        |signs AS (SELECT vec_id, p, SUM(comp * qe) AS proj FROM planes GROUP BY vec_id, p),
+        |buckets AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM signs GROUP BY vec_id)
+        |SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}

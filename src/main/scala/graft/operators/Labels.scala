@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.filters.FilterCompiler
+import graft.model.{ClassSpec, MlType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-tile label aggregations (SURVEY §2.3, A1/A2/A4/A5).
+  *
+  * Input feature DataFrame schema (the engine's relational feature form):
+  * `z:int, x:int, y:int, fidx:int, geomType:string, multi:boolean,
+  *  parts:array<array<struct<x:double,y:double>>>,
+  *  props:map<string,string>, id:bigint`.
+  * `tiles` is the full keyspace (z,x,y) — tiles without features must still
+  * emit a record with the empty label (A4, `label.py:99-109` + the implicit
+  * every-tile guarantee of `main.py:90-97`).
+  *
+  * All label math here is built-in Column arithmetic (codegen'd, shuffles
+  * once on the tile key); rasterization (A3) lives in [[Segmentation]].
+  */
+object Labels {
+  private val tileKey = Seq("z", "x", "y")
+
+  /** A1 — classification: slot i+1 = EXISTS(feature matching filter_i),
+    * slot 0 = background (1 iff no class fired), `label.py:15-23`. */
+  def classification(tiles: DataFrame, features: DataFrame, classes: Seq[ClassSpec]): DataFrame = {
+    val preds = classes.map(c => FilterCompiler.compile(c.filter))
+    val agg = features.groupBy(tileKey.map(col): _*)
+      .agg(
+        max(when(preds.head, 1).otherwise(0)).as("c0"),
+        preds.tail.zipWithIndex.map { case (p, i) =>
+          max(when(p, 1).otherwise(0)).as(s"c${i + 1}")
+        }: _*)
+    val cs = classes.indices.map(i => coalesce(col(s"c$i"), lit(0)))
+    val background = when(cs.reduce(_ + _) === 0, 1).otherwise(0)
+    tiles.join(agg, tileKey, "left")
+      .select(col("z"), col("x"), col("y"),
+        array(background +: cs: _*).as("label"))
+  }
+
+  /** Pixel-space bbox for one (feature, class) pair, `label.py:68-96`:
+    * geometry bounds in 0-4096 (expanded by the class `buffer` — for a
+    * non-negative buffer, bounds(buffer(g, d)) == expand(bounds(g), d), so
+    * no geometry op is needed), scaled to 0-255 with banker's rounding
+    * (Python `round` == `bround`), y-flipped, +/-4 px padding, clamped. */
+  private def pixelBboxCols(buffer: Double): Seq[Column] = {
+    val flat = flatten(col("parts"))
+    val minx = array_min(transform(flat, p => p.getField("x"))) - buffer
+    val maxx = array_max(transform(flat, p => p.getField("x"))) + buffer
+    val miny = array_min(transform(flat, p => p.getField("y"))) - buffer
+    val maxy = array_max(transform(flat, p => p.getField("y"))) + buffer
+    def px(c: Column): Column = bround(c * 255.0 / 4096.0, 0).cast("int")
+    def clamp(c: Column): Column = greatest(lit(0), least(lit(255), c))
+    Seq(
+      clamp(px(minx) - 4), // xmin
+      clamp(lit(255) - px(maxy) - 4), // ymin (y-flip + reorder, label.py:71-74)
+      clamp(px(maxx) + 4), // xmax
+      clamp(lit(255) - px(miny) + 4)) // ymax
+  }
+
+  /** A2 — object-detection: per matching (feature, class) one
+    * `[xmin,ymin,xmax,ymax,cls]` row, in feature-then-class order
+    * (`label.py:24-35`); empty tiles get a 0-row label (`label.py:105-106`). */
+  def objectDetection(tiles: DataFrame, features: DataFrame, classes: Seq[ClassSpec]): DataFrame = {
+    val perClass = classes.zipWithIndex.map { case (c, i) =>
+      val Seq(x0, y0, x1, y1) = pixelBboxCols(c.buffer.getOrElse(0.0))
+      features.filter(FilterCompiler.compile(c.filter) && size(flatten(col("parts"))) > 0)
+        .select(col("z"), col("x"), col("y"),
+          struct(
+            col("fidx"), lit(i).as("cidx"),
+            x0.as("xmin"), y0.as("ymin"), x1.as("xmax"), y1.as("ymax"),
+            lit(i + 1).as("cls")).as("bb"))
+    }
+    val all = perClass.reduce(_ unionAll _)
+    val agg = all.groupBy(tileKey.map(col): _*)
+      .agg(sort_array(collect_list(col("bb"))).as("bbs"))
+      // feature-then-class emit order == sort by (fidx, cidx)
+      .select(col("z"), col("x"), col("y"),
+        transform(col("bbs"), b => struct(
+          b.getField("xmin").as("xmin"), b.getField("ymin").as("ymin"),
+          b.getField("xmax").as("xmax"), b.getField("ymax").as("ymax"),
+          b.getField("cls").as("cls"))).as("label"))
+    tiles.join(agg, tileKey, "left")
+      .select(col("z"), col("x"), col("y"),
+        coalesce(col("label"), typedLit(Seq.empty[(Int, Int, Int, Int, Int)])
+          .cast("array<struct<xmin:int,ymin:int,xmax:int,ymax:int,cls:int>>")).as("label"))
+  }
+
+  /** A5 — class_match (`utils.py:32-40`): does a label contain class i. */
+  def classMatch(mlType: String, label: Column, i: Int): Column = mlType match {
+    case MlType.Classification => label.getItem(i) > 0
+    case MlType.ObjectDetection => exists(label, b => b.getField("cls") === i)
+    case MlType.Segmentation =>
+      // label is a 65536-byte raster of class indices; "count_nonzero
+      // (label == i)" as a presence test = does byte value i occur
+      contains(label, lit(Array(i.toByte)))
+    case _ => lit(null)
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.BBox
 import graft.operators.TileEnumeration
-import graft.queries.{FilterQueries, Relational, TextOps, VectorOps}
+import graft.queries.{FilterQueries, LabelQueries, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,11 +16,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ FilterQueries.queries ++ FilterQueries.tileQueries ++
-      TextOps.queries ++ VectorOps.queries
+      TextOps.queries ++ VectorOps.queries ++ LabelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ FilterQueries.oracleSql ++ FilterQueries.tileOracleSql ++
-      TextOps.oracleSql ++ VectorOps.oracleSql
+      TextOps.oracleSql ++ VectorOps.oracleSql ++ LabelQueries.oracleSql
 }

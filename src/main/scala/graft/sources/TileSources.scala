@@ -1,0 +1,180 @@
+package graft.sources
+
+import graft.core.Tiles
+import graft.model.{Coord, FeatureRow}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** HTTP tile sources (SURVEY §2.1 S2/S4/S6/S7).
+  *
+  * Executor-side fetches run in `mapPartitions` with one shared
+  * `HttpClient` per JVM (the reference builds a session per task via
+  * `requests.get`, `main.py:39`/`utils.py:50`); failures follow the
+  * reference's semantics: label fetch/decode errors degrade to an empty
+  * feature set (`main.py:38-44`) — but are counted in an accumulator
+  * instead of silently swallowed.
+  */
+object TileSources {
+
+  /** One pooled client per executor JVM. */
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10))
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  def httpGet(url: String): Array[Byte] = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(30)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
+    resp.body()
+  }
+
+  /** `str.format`-style URL templating (`utils.py:27-29`) with the
+    * SafeDict ACCESS_TOKEN substitution (`utils.py:19-24,46-48`): unknown
+    * placeholders survive; ACCESS_TOKEN comes from the environment. */
+  def fillUrl(template: String, z: Int, x: Int, y: Int): String = {
+    val withToken = sys.env.get("ACCESS_TOKEN")
+      .map(t => template.replace("{ACCESS_TOKEN}", t)).getOrElse(template)
+    withToken
+      .replace("{z}", z.toString).replace("{x}", x.toString).replace("{y}", y.toString)
+  }
+
+  // ---- S2 + S3: vector-tile fetch + MVT decode -> relational features ----
+
+  /** Fetch + decode the label source for every tile; emit the relational
+    * feature rows of the layer the pipeline reads ("osm", `label.py:13`).
+    * Tiles that fail to fetch/decode, or lack the layer, emit no rows (the
+    * downstream left join restores them with empty labels, A4). */
+  def vectorFeatures(tiles: DataFrame, labelSource: String,
+      layer: String = "osm",
+      failures: Option[LongAccumulator] = None): Dataset[FeatureRow] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select(col("z").cast("int"), col("x").cast("int"), col("y").cast("int"))
+      .as[(Int, Int, Int)]
+      .mapPartitions { it =>
+        it.flatMap { case (z, x, y) =>
+          val decoded =
+            try Mvt.decode(httpGet(fillUrl(labelSource, z, x, y)))
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                failures.foreach(_.add(1L))
+                Map.empty[String, Seq[Mvt.MvtFeature]]
+            }
+          decoded.getOrElse(layer, Seq.empty).iterator.zipWithIndex.map { case (f, i) =>
+            FeatureRow(z, x, y, i,
+              geomType = if (f.multi) "Multi" + f.geomType else f.geomType,
+              multi = f.multi,
+              parts = f.parts.map(_.map { case (px, py) => Coord(px, py) }.toSeq).toSeq,
+              props = f.props,
+              id = f.id)
+          }
+        }
+      }
+  }
+
+  // ---- S4/S6: imagery fetch ----
+
+  /** Decoded image: shape + raw interleaved bytes (bands-last, matching the
+    * reference's `np.array(Image.open(...))` layout, `utils.py:52`). */
+  final case class ImageTile(z: Int, x: Int, y: Int,
+      height: Int, width: Int, bands: Int, data: Array[Byte])
+
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) throw new java.io.IOException("undecodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val hasAlpha = img.getColorModel.hasAlpha
+    val bands = if (img.getColorModel.getNumComponents == 1) 1 else if (hasAlpha) 4 else 3
+    val out = new Array[Byte](h * w * bands)
+    var i = 0
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val argb = img.getRGB(xx, yy)
+        if (bands == 1) { out(i) = (argb & 0xff).toByte; i += 1 }
+        else {
+          out(i) = ((argb >> 16) & 0xff).toByte
+          out(i + 1) = ((argb >> 8) & 0xff).toByte
+          out(i + 2) = (argb & 0xff).toByte
+          if (bands == 4) { out(i + 3) = ((argb >> 24) & 0xff).toByte; i += 4 } else i += 3
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    (h, w, bands, out)
+  }
+
+  /** WMS URL construction (`utils.py:65-95`): parse version + crs/srs from
+    * the query string, project the tile bounds, axis-swap for 1.3.0,
+    * substitute `{bbox}`. Supported SRS: EPSG:4326 and EPSG:3857. */
+  def wmsUrl(template: String, z: Int, x: Int, y: Int): String = {
+    val lower = template.toLowerCase
+    def qparam(k: String): Option[String] =
+      lower.split('?').lift(1).flatMap(_.split('&').collectFirst {
+        case kv if kv.startsWith(s"$k=") => kv.substring(k.length + 1)
+      })
+    val version = qparam("version").getOrElse("1.1.1")
+    val srs = (if (version == "1.3.0") qparam("crs") else qparam("srs")).getOrElse("epsg:3857")
+    val b = Tiles.tileBounds(graft.core.TileKey(z, x, y))
+    val (xmin, ymin, xmax, ymax) =
+      if (srs.endsWith("4326")) (b.west, b.south, b.east, b.north)
+      else {
+        val (x0, y0) = Tiles.lonLatTo3857(b.west, b.south)
+        val (x1, y1) = Tiles.lonLatTo3857(b.east, b.north)
+        (x0, y0, x1, y1)
+      }
+    // WMS 1.3.0 flips axis order for geographic CRSes (utils.py:87-89 flips
+    // unconditionally for 1.3.0, mirroring rasterio's bounds tuple).
+    val bbox =
+      if (version == "1.3.0") Seq(ymin, xmin, ymax, xmax) else Seq(xmin, ymin, xmax, ymax)
+    template.replace("{bbox}", bbox.mkString(","))
+  }
+
+  sealed trait ImagerySource
+  case object TmsSource extends ImagerySource
+  case object WmsSource extends ImagerySource
+  case object CogSource extends ImagerySource
+
+  /** S7 dispatch, resolved ONCE at plan time (the reference re-probes the
+    * imagery path on every task, `utils.py:98-127`): `{bbox}` -> WMS;
+    * .tif/.tiff/.vrt suffix -> COG; otherwise TMS. */
+  def dispatch(imagery: String): ImagerySource =
+    if (imagery.contains("{bbox}")) WmsSource
+    else if (imagery.matches("(?i).*\\.(tif|tiff|vrt)(\\?.*)?$")) CogSource
+    else TmsSource
+
+  /** Fetch imagery for every tile (TMS or WMS; COG is S5 — not yet
+    * implemented, SURVEY §7 risk R2). Fetch errors fail the task (Spark
+    * retries), matching the reference's uncaught image-path errors
+    * (`main.py:50-63`) while keeping at-least-once semantics. */
+  def images(tiles: DataFrame, imagery: String): Dataset[ImageTile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val source = dispatch(imagery)
+    require(source != CogSource,
+      "COG/GeoTIFF windowed reads (S5) are not implemented yet; use TMS or WMS imagery")
+    tiles.select(col("z").cast("int"), col("x").cast("int"), col("y").cast("int"))
+      .as[(Int, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (z, x, y) =>
+          val url = source match {
+            case WmsSource => wmsUrl(fillUrl(imagery, z, x, y), z, x, y)
+            case _ => fillUrl(imagery, z, x, y)
+          }
+          val (h, w, bands, data) = decodeImage(httpGet(url))
+          ImageTile(z, x, y, h, w, bands, data)
+        }
+      }
+  }
+}

@@ -1,0 +1,162 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines (builder contract):
+  * image/audio/video as opaque `binary` columns with typed metadata, and
+  * per-partition batch decode / feature-extract / resize / frame-sample
+  * operators.
+  *
+  * Spark-side plumbing (schema, partitioning, batch shape) is real and
+  * tested. Codec coverage in this container: PNG/JPEG decode + resize are
+  * REAL (javax.imageio + Graphics2D); WAV/PCM16 audio parsing is REAL
+  * (plain header parse); compressed audio/video decode is STUBBED with a
+  * deterministic md5-derived fake (no codec libs in the container) behind
+  * the same API, so swapping in a real codec changes one function.
+  */
+object Multimodal {
+
+  final case class ImageMeta(width: Int, height: Int, bands: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+  final case class AudioMeta(sampleRate: Int, channels: Int, nSamples: Long,
+      rms: Double)
+
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("bands", IntegerType), StructField("meanR", DoubleType),
+    StructField("meanG", DoubleType), StructField("meanB", DoubleType)))
+
+  // ---- image ----
+
+  /** REAL decode for PNG/JPEG bytes; null on undecodable input. */
+  def decodeImageMeta(bytes: Array[Byte]): Option[ImageMeta] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        val w = img.getWidth
+        val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Some(ImageMeta(w, h, img.getColorModel.getNumComponents,
+          sr / n, sg / n, sb / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL resize: decode -> bilinear scale -> PNG bytes; null if undecodable. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Adds an `image_meta` struct column decoded per partition-batch from a
+    * binary column. Null-safe: undecodable rows get null meta. */
+  def withImageMeta(df: DataFrame, binaryCol: String, out: String = "image_meta"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(out, imageMetaSchema, nullable = true)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val meta = Option(r.getAs[Array[Byte]](binaryCol)).flatMap(decodeImageMeta)
+          .map(m => Row(m.width, m.height, m.bands, m.meanR, m.meanG, m.meanB)).orNull
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  // ---- audio ----
+
+  /** REAL WAV/PCM16 parse (RIFF header + fmt + data chunks). */
+  def decodeWavMeta(bytes: Array[Byte]): Option[AudioMeta] = {
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bytes.length < 44 || bb.getInt(0) != 0x46464952 /* RIFF */ ) return None
+      var pos = 12
+      var rate = 0
+      var channels = 0
+      var bits = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= bytes.length) {
+        val id = bb.getInt(pos)
+        val len = bb.getInt(pos + 4)
+        if (id == 0x20746d66) { // "fmt "
+          channels = bb.getShort(pos + 10).toInt
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22).toInt
+        } else if (id == 0x61746164) { // "data"
+          dataOff = pos + 8
+          dataLen = math.min(len, bytes.length - dataOff)
+        }
+        pos += 8 + len + (len & 1)
+      }
+      if (rate == 0 || dataOff < 0 || bits != 16) return None
+      val n = dataLen / 2
+      var sum2 = 0.0
+      var i = 0
+      while (i < n) {
+        val s = bb.getShort(dataOff + 2 * i).toDouble / 32768.0
+        sum2 += s * s
+        i += 1
+      }
+      Some(AudioMeta(rate, channels, n.toLong / math.max(1, channels),
+        math.sqrt(sum2 / math.max(1, n))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // ---- video (STUB) ----
+
+  /** STUB — no video codecs in this container. Deterministic fake frame
+    * sampler: emits `n` pseudo-frames whose bytes derive from md5(media ||
+    * frameIdx); shape/partitioning/API match what a real decoder (e.g.
+    * jcodec) would return, so only this function changes when one exists. */
+  def sampleFramesStub(media: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).map { i =>
+      md.reset()
+      md.update(media)
+      md.update(i.toByte)
+      md.digest()
+    }
+  }
+
+  /** Explode a video binary column into (row, frame_idx, frame) rows —
+    * the distributed frame-sampling shape (flatMap preserves partitioning;
+    * no shuffle). */
+  def explodeFrames(df: DataFrame, binaryCol: String, nFrames: Int): DataFrame = {
+    val schema = df.schema
+      .add("frame_idx", IntegerType).add("frame", BinaryType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val media = r.getAs[Array[Byte]](binaryCol)
+        sampleFramesStub(media, nFrames).zipWithIndex.map { case (frame, i) =>
+          Row.fromSeq(r.toSeq :+ i :+ frame)
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing + the streaming windowed aggregation,
+  * both verified against the DuckDB oracle. */
+object MediaQueries {
+  import Relational.t
+
+  private def hexv(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary media columns: text -> utf8 binary payload; byte length plus
+    // md5-derived deterministic "decoded" dimensions and a resize target
+    // (the cross-engine-checkable skeleton of the image-meta pipeline;
+    // the real PNG/JPEG decode path is Multimodal.withImageMeta).
+    "qm01_binary_meta" -> { (s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .withColumn("media", encode(col("text"), "UTF-8"))
+        .withColumn("h", md5(col("media")))
+        .select(
+          col("doc_id"),
+          length(col("media")).as("byte_len"),
+          (hexv(substring(col("h"), 1, 1)) * 16 + hexv(substring(col("h"), 2, 1)) + lit(16)).cast("int").as("width"),
+          (hexv(substring(col("h"), 3, 1)) * 16 + hexv(substring(col("h"), 4, 1)) + lit(16)).cast("int").as("height"))
+        .withColumn("resize_w", (col("width") / 2).cast("int"))
+        .withColumn("resize_h", (col("height") / 2).cast("int"))
+        .orderBy("doc_id")
+    },
+    // The streaming slice's tumbling-window aggregation, batch-planned on
+    // the same code path (EventStream.tumblingCounts) the streaming query
+    // runs, checked against DuckDB date_trunc.
+    "qs01_event_windows" -> { (s, d) =>
+      EventStream.tumblingCounts(t(s, d, "events"))
+        .orderBy("wstart", "event_type")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "qm01_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | CAST((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) + 16 AS INT) AS width,
+        | CAST((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) + 16 AS INT) AS height,
+        | CAST(((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) + 16) // 2 AS INT) AS resize_w,
+        | CAST(((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |   + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) + 16) // 2 AS INT) AS resize_h
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "qs01_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming slice over the `events` table (SURVEY §7.9).
+  *
+  * The reference is batch-only; these operators give the engine the
+  * streaming surface the contract asks for: windowed aggregation with
+  * watermarks, and custom session state via flatMapGroupsWithState. Each
+  * transform is defined against a DataFrame so the same code serves
+  * `spark.read` (batch parity tests) and `spark.readStream`.
+  */
+object EventStream {
+
+  /** events with a proper timestamp column (the driver parquet stores
+    * timestamp[ns], read as long nanos under nanosAsLong). */
+  def withTs(events: DataFrame): DataFrame =
+    events.withColumn("ets", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Tumbling-window counts + sums per event_type with a 10-minute
+    * watermark. Works on a batch or streaming events DataFrame. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    withTs(events)
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class EventIn(user_id: Long, etsMicros: Long, value: Double)
+  final case class SessionOut(user_id: Long, startMicros: Long, endMicros: Long,
+      nEvents: Int, sumValue: Double)
+  private final case class SessionState(startMicros: Long, lastMicros: Long,
+      nEvents: Int, sumValue: Double)
+
+  /** Gap-based sessionization (30-min inactivity) with
+    * flatMapGroupsWithState — emits a session when the gap is exceeded.
+    * In batch mode Spark runs the same state function once per group with
+    * all rows, emitting every closed session plus the open one. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes.toLong * 60 * 1000000
+    val typed = withTs(events).select(
+      col("user_id"), unix_micros(col("ets")).as("etsMicros"), col("value")).as[EventIn]
+
+    def fn(userId: Long, rows: Iterator[EventIn],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.etsMicros)
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(st) if e.etsMicros - st.lastMicros <= gapMicros =>
+            cur = Some(st.copy(lastMicros = e.etsMicros,
+              nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value))
+          case Some(st) =>
+            out += SessionOut(userId, st.startMicros, st.lastMicros, st.nEvents, st.sumValue)
+            cur = Some(SessionState(e.etsMicros, e.etsMicros, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.etsMicros, e.etsMicros, 1, e.value))
+        }
+      }
+      // batch mode: also flush the open session (no further micro-batches)
+      cur.foreach { st =>
+        out += SessionOut(userId, st.startMicros, st.lastMicros, st.nEvents, st.sumValue)
+        state.remove()
+      }
+      out.iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Run `tumblingCounts` as a real streaming query over the parquet dir
+    * (memory sink, processed synchronously); returns the materialized
+    * result for comparison against the batch plan. Complete mode: with a
+    * single micro-batch, append mode would hold every window open behind
+    * the watermark. */
+  def runStreamingCounts(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source needs a directory; glob-filter to the events table
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val q = tumblingCounts(stream).writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: at 100 TB the plan shape IS the performance.
+  * These tests pin the properties that must survive refactoring —
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * joins for dimensions, partial aggregation, whole-stage codegen. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  /** Final plan after AQE re-optimization (codegen marks only appear once
+    * the adaptive plan is finalized by execution). */
+  private def executedPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters push down to the parquet scan") {
+    val p = plan("q02_filtered_revenue")
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"), p.take(800))
+  }
+
+  test("q20: scan prunes to the two projected columns") {
+    val p = plan("q20_sort_limit")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p.take(800))
+  }
+
+  test("q19: dimension chain joins are broadcast, not shuffled") {
+    val p = plan("q19_dim_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("q04: EXISTS compiles to a semi join") {
+    val p = plan("q04_semi_join")
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("q05: NOT EXISTS compiles to an anti join") {
+    assert(plan("q05_anti_join").contains("LeftAnti"))
+  }
+
+  test("q01: aggregation is two-phase (partial before the shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+    assert(p.contains("partial"), "map-side partial aggregation expected")
+  }
+
+  test("q01: hot path stays inside whole-stage codegen") {
+    // codegen'd stages print as "*(n) Operator" in the executed plan
+    assert(executedPlan("q01_pricing_summary").contains("*("))
+  }
+
+  test("qv01: knn scan broadcasts the query vector (no shuffle of the fact side)") {
+    val p = plan("qv01_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("qf02: compiled GL filter participates in codegen") {
+    val p = executedPlan("qf02_gl_any_in_has")
+    assert(p.contains("*("))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"))
+  }
+}

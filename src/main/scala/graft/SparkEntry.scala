@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.BBox
 import graft.plans.LabelMakerJob
-import graft.queries.{FilterQueries, LabelQueries, MediaQueries, Relational, TextOps, VectorOps}
+import graft.queries.{FilterQueries, LabelQueries, MediaQueries, MiscQueries, Relational, TextOps, VectorOps}
 import graft.sources.Mvt
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -49,11 +49,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ FilterQueries.queries ++ FilterQueries.tileQueries ++
-      TextOps.queries ++ VectorOps.queries ++ LabelQueries.queries ++ MediaQueries.queries
+      TextOps.queries ++ VectorOps.queries ++ LabelQueries.queries ++
+      MediaQueries.queries ++ MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ FilterQueries.oracleSql ++ FilterQueries.tileOracleSql ++
-      TextOps.oracleSql ++ VectorOps.oracleSql ++ LabelQueries.oracleSql ++ MediaQueries.oracleSql
+      TextOps.oracleSql ++ VectorOps.oracleSql ++ LabelQueries.oracleSql ++
+      MediaQueries.oracleSql ++ MiscQueries.oracleSql
 }

@@ -17,7 +17,8 @@ object EventStream {
   /** events with a proper timestamp column (the driver parquet stores
     * timestamp[ns], read as long nanos under nanosAsLong). */
   def withTs(events: DataFrame): DataFrame =
-    events.withColumn("ets", timestamp_micros((col("ts") / 1000).cast("long")))
+    // integer `div`, not `/`: int64 nanos exceed double's 53-bit mantissa
+    events.withColumn("ets", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window counts + sums per event_type with a 10-minute
     * watermark. Works on a batch or streaming events DataFrame. */

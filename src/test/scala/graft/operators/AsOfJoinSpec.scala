@@ -1,0 +1,22 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward as-of join picks the latest right row at or before left time") {
+    val left = Seq((1, 10L, "a"), (1, 20L, "b"), (1, 5L, "c"), (2, 10L, "d"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1, 10L, 100.0), (1, 15L, 150.0), (2, 11L, 999.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, 5L, null), // before any right row
+      (1, 10L, 100.0), // exact tie: right row visible
+      (1, 20L, 150.0), // latest preceding
+      (2, 10L, null))) // right row is later
+  }
+}

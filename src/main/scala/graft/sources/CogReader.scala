@@ -1,0 +1,260 @@
+package graft.sources
+
+import graft.core.{TileKey, Tiles}
+
+/** S5 — Cloud-Optimized GeoTIFF windowed reads (SURVEY §2.1, replacing
+  * `get_tile_tif` / rio-tiler's `COGReader.tile`, `utils.py:55-62`).
+  *
+  * Implemented from the public TIFF 6.0 + GeoTIFF specs:
+  *  - little/big-endian classic TIFF, multiple IFDs (full image + overviews)
+  *  - tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts)
+  *  - compression: none (1) and DEFLATE (8 / 32946, via java.util.zip)
+  *  - georeferencing: ModelPixelScale + ModelTiepoint in EPSG:3857
+  *    (the web-mercator COG layout this pipeline consumes)
+  *  - COG access pattern: header + IFD parse from one bounded read, then
+  *    RANGE reads of only the tiles intersecting the window
+  *  - overview selection: the reduced-resolution IFD closest to the target
+  *    resolution without being coarser than 2x (GDAL-style heuristic),
+  *    then nearest-neighbor resample to 256x256
+  *
+  * Not covered (documented divergence, SURVEY §7 R2): JPEG-in-TIFF tiles,
+  * BigTIFF, striped layout, non-3857 CRSes, non-uint8 samples.
+  */
+object CogReader {
+
+  /** Byte source abstraction: COGs need positioned range reads. */
+  trait RangeReader extends java.io.Closeable {
+    def read(offset: Long, length: Int): Array[Byte]
+    def close(): Unit = ()
+  }
+
+  final class FileRangeReader(path: String) extends RangeReader {
+    private val raf = new java.io.RandomAccessFile(path, "r")
+    def read(offset: Long, length: Int): Array[Byte] = {
+      val n = math.min(length.toLong, raf.length() - offset).toInt
+      val buf = new Array[Byte](math.max(0, n))
+      raf.seek(offset)
+      raf.readFully(buf)
+      buf
+    }
+    override def close(): Unit = raf.close()
+  }
+
+  final class HttpRangeReader(url: String) extends RangeReader {
+    def read(offset: Long, length: Int): Array[Byte] = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .header("Range", s"bytes=$offset-${offset + length - 1}")
+        .timeout(java.time.Duration.ofSeconds(30)).GET().build()
+      val resp = java.net.http.HttpClient.newHttpClient()
+        .send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} range read $url")
+      resp.body()
+    }
+  }
+
+  def readerFor(path: String): RangeReader =
+    if (path.startsWith("http://") || path.startsWith("https://")) new HttpRangeReader(path)
+    else new FileRangeReader(path.stripPrefix("file://"))
+
+  // ---- TIFF structures ----
+
+  final case class Ifd(
+      width: Int, height: Int,
+      tileWidth: Int, tileHeight: Int,
+      samplesPerPixel: Int, bitsPerSample: Int, compression: Int,
+      tileOffsets: Array[Long], tileByteCounts: Array[Long],
+      pixelScale: Option[(Double, Double)], // (sx, sy)
+      tiepoint: Option[(Double, Double)]) // model x,y of raster (0,0)
+
+  private final class TiffBuf(bytes: Array[Byte]) {
+    var le: Boolean = true
+    def u16(o: Int): Int =
+      if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long = {
+      val v =
+        if (le) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) | ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+        else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) | ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      v
+    }
+    def f64(o: Int): Double = {
+      var bits = 0L
+      if (le) { var i = 7; while (i >= 0) { bits = (bits << 8) | (bytes(o + i) & 0xffL); i -= 1 } }
+      else { var i = 0; while (i < 8) { bits = (bits << 8) | (bytes(o + i) & 0xffL); i += 1 } }
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    def length: Int = bytes.length
+  }
+
+  /** Parse all IFDs. COGs keep header+IFDs in the first few KiB, so the
+    * common case is one bounded head read; IFDs beyond the prefetched head
+    * (legal TIFF, e.g. written trailing the data) fall back to targeted
+    * range reads per IFD. */
+  def parseIfds(reader: RangeReader, headSize: Int = 1 << 16): Seq[Ifd] = {
+    val head = reader.read(0, headSize)
+    val hb = new TiffBuf(head)
+    hb.le = (head(0) == 'I'.toByte)
+    require((head(0) == 'I'.toByte && head(1) == 'I'.toByte) ||
+      (head(0) == 'M'.toByte && head(1) == 'M'.toByte), "not a TIFF")
+    require(hb.u16(2) == 42, "not a classic TIFF (BigTIFF unsupported)")
+    // window cache: serve absolute-offset reads from the head when
+    // possible, else fetch a dedicated window
+    def window(off: Long, len: Int): (TiffBuf, Int) =
+      if (off + len <= head.length) (hb, off.toInt)
+      else {
+        val buf = new TiffBuf(reader.read(off, len))
+        buf.le = hb.le
+        (buf, 0)
+      }
+    def u16At(off: Long): Int = { val (b, o) = window(off, 2); b.u16(o) }
+    def u32At(off: Long): Long = { val (b, o) = window(off, 4); b.u32(o) }
+    val ifds = scala.collection.mutable.ArrayBuffer[Ifd]()
+    var off = hb.u32(4)
+    while (off != 0) {
+      val n = u16At(off)
+      // materialize this IFD's entry table in one window
+      val (b, base) = window(off, 2 + n * 12 + 4)
+      def entryOff(i: Int): Int = base + 2 + i * 12
+      var width = 0
+      var height = 0
+      var tw = 0
+      var th = 0
+      var spp = 1
+      var bps = 8
+      var comp = 1
+      var tileOffsets = Array.empty[Long]
+      var tileCounts = Array.empty[Long]
+      var scale: Option[(Double, Double)] = None
+      var tie: Option[(Double, Double)] = None
+      var i = 0
+      while (i < n) {
+        val e = entryOff(i)
+        val tag = b.u16(e)
+        val typ = b.u16(e + 2)
+        val count = b.u32(e + 4).toInt
+        val typeSize = typ match {
+          case 1 | 2 | 6 | 7 => 1
+          case 3 => 2
+          case 4 | 9 | 11 => 4
+          case 5 | 10 | 12 => 8
+          case _ => 1
+        }
+        val inline = typeSize * count <= 4
+        // (buf, local offset) where the value bytes live
+        val (vb, vo) =
+          if (inline) (b, e + 8)
+          else window(b.u32(e + 8), typeSize * count)
+        def intAt(j: Int): Long = typ match {
+          case 3 => vb.u16(vo + 2 * j).toLong
+          case _ => vb.u32(vo + 4 * j)
+        }
+        def longs: Array[Long] = Array.tabulate(count)(intAt)
+        tag match {
+          case 256 => width = intAt(0).toInt
+          case 257 => height = intAt(0).toInt
+          case 258 => bps = intAt(0).toInt
+          case 259 => comp = intAt(0).toInt
+          case 277 => spp = intAt(0).toInt
+          case 322 => tw = intAt(0).toInt
+          case 323 => th = intAt(0).toInt
+          case 324 => tileOffsets = longs
+          case 325 => tileCounts = longs
+          case 33550 => scale = Some((vb.f64(vo), vb.f64(vo + 8)))
+          case 33922 => // tiepoint: i,j,k, x,y,z
+            tie = Some((vb.f64(vo + 24), vb.f64(vo + 32)))
+          case _ =>
+        }
+        i += 1
+      }
+      ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts, scale, tie)
+      off = b.u32(base + 2 + n * 12)
+    }
+    ifds.toSeq
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var total = 0
+    while (total < expected && !inf.finished()) {
+      val n = inf.inflate(out, total, expected - total)
+      if (n == 0 && inf.needsInput()) throw new java.io.IOException("truncated deflate tile")
+      total += n
+    }
+    inf.end()
+    out
+  }
+
+  /** Read one internal tile as decoded interleaved bytes. */
+  private def readTile(reader: RangeReader, ifd: Ifd, tx: Int, ty: Int): Array[Byte] = {
+    val tilesAcross = (ifd.width + ifd.tileWidth - 1) / ifd.tileWidth
+    val idx = ty * tilesAcross + tx
+    val raw = reader.read(ifd.tileOffsets(idx), ifd.tileByteCounts(idx).toInt)
+    val expected = ifd.tileWidth * ifd.tileHeight * ifd.samplesPerPixel
+    ifd.compression match {
+      case 1 => raw
+      case 8 | 32946 => inflate(raw, expected)
+      case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
+    }
+  }
+
+  /** The full-res georeference; overviews share it with scaled pixel size. */
+  private def geo(full: Ifd): ((Double, Double), (Double, Double)) =
+    (full.pixelScale.getOrElse(throw new java.io.IOException("no ModelPixelScale")),
+      full.tiepoint.getOrElse(throw new java.io.IOException("no ModelTiepoint")))
+
+  /** `COGReader(path).tile(x, y, z)` equivalent: a 256x256 bands-last
+    * uint8 window for the web-mercator XYZ tile. Pixels outside the
+    * raster are 0 (rio-tiler pads nodata). */
+  def tile(path: String, t: TileKey, tileSize: Int = 256): (Int, Int, Int, Array[Byte]) = {
+    val reader = readerFor(path)
+    try {
+      val ifds = parseIfds(reader)
+      val full = ifds.head
+      val ((sx, _), (ox, oy)) = geo(full)
+      val b = Tiles.tileBounds3857(t)
+      val targetRes = (b.east - b.west) / tileSize
+      // pick the finest IFD whose resolution is <= target (else full res)
+      val withRes = ifds.zipWithIndex.map { case (ifd, i) =>
+        (ifd, sx * full.width / ifd.width)
+      }
+      val chosen = withRes.filter(_._2 <= targetRes + 1e-9)
+        .sortBy(-_._2).headOption.map(_._1).getOrElse(full)
+      val res = sx * full.width / chosen.width
+      val bands = chosen.samplesPerPixel
+      val out = new Array[Byte](tileSize * tileSize * bands)
+      // tile cache for the (few) internal tiles this window touches
+      val cache = scala.collection.mutable.HashMap[(Int, Int), Array[Byte]]()
+      var py = 0
+      while (py < tileSize) {
+        // center-of-pixel sampling in model space
+        val my = b.north - (py + 0.5) * (b.north - b.south) / tileSize
+        // 1e-9 px epsilon: a center landing exactly on a raster-pixel edge
+        // resolves to the next pixel (GDAL-nearest convention) instead of
+        // flip-flopping on float error
+        val ry = ((oy - my) / res + 1e-9).toInt // raster row in chosen IFD
+        var px = 0
+        while (px < tileSize) {
+          val mx = b.west + (px + 0.5) * (b.east - b.west) / tileSize
+          val rx = ((mx - ox) / res + 1e-9).toInt
+          if (rx >= 0 && ry >= 0 && rx < chosen.width && ry < chosen.height) {
+            val tx = rx / chosen.tileWidth
+            val ty = ry / chosen.tileHeight
+            val data = cache.getOrElseUpdate((tx, ty), readTile(reader, chosen, tx, ty))
+            val lx = rx % chosen.tileWidth
+            val ly = ry % chosen.tileHeight
+            val src = (ly * chosen.tileWidth + lx) * bands
+            val dst = (py * tileSize + px) * bands
+            var c = 0
+            while (c < bands) { out(dst + c) = data(src + c); c += 1 }
+          }
+          px += 1
+        }
+        py += 1
+      }
+      (tileSize, tileSize, bands, out)
+    } finally reader.close()
+  }
+}

@@ -154,26 +154,30 @@ object TileSources {
     else if (imagery.matches("(?i).*\\.(tif|tiff|vrt)(\\?.*)?$")) CogSource
     else TmsSource
 
-  /** Fetch imagery for every tile (TMS or WMS; COG is S5 — not yet
-    * implemented, SURVEY §7 risk R2). Fetch errors fail the task (Spark
-    * retries), matching the reference's uncaught image-path errors
-    * (`main.py:50-63`) while keeping at-least-once semantics. */
+  /** Fetch imagery for every tile (S4 TMS / S6 WMS / S5 COG windowed
+    * read). Fetch errors fail the task (Spark retries), matching the
+    * reference's uncaught image-path errors (`main.py:50-63`) while
+    * keeping at-least-once semantics. */
   def images(tiles: DataFrame, imagery: String): Dataset[ImageTile] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val source = dispatch(imagery)
-    require(source != CogSource,
-      "COG/GeoTIFF windowed reads (S5) are not implemented yet; use TMS or WMS imagery")
     tiles.select(col("z").cast("int"), col("x").cast("int"), col("y").cast("int"))
       .as[(Int, Int, Int)]
       .mapPartitions { it =>
         it.map { case (z, x, y) =>
-          val url = source match {
-            case WmsSource => wmsUrl(fillUrl(imagery, z, x, y), z, x, y)
-            case _ => fillUrl(imagery, z, x, y)
+          source match {
+            case CogSource =>
+              val (h, w, bands, data) = CogReader.tile(imagery, graft.core.TileKey(z, x, y))
+              ImageTile(z, x, y, h, w, bands, data)
+            case other =>
+              val url = other match {
+                case WmsSource => wmsUrl(fillUrl(imagery, z, x, y), z, x, y)
+                case _ => fillUrl(imagery, z, x, y)
+              }
+              val (h, w, bands, data) = decodeImage(httpGet(url))
+              ImageTile(z, x, y, h, w, bands, data)
           }
-          val (h, w, bands, data) = decodeImage(httpGet(url))
-          ImageTile(z, x, y, h, w, bands, data)
         }
       }
   }

@@ -127,6 +127,34 @@ class LabelMakerJobSpec extends SparkSpec {
     }
   }
 
+  test("classification e2e with COG imagery (S5 windowed reads)") {
+    withServer { port =>
+      // a COG covering the whole 2x2 job bbox: z10 tile (385,579) spans
+      // z13 x 3080..3087, y 4632..4639
+      val b = graft.core.Tiles.tileBounds3857(graft.core.TileKey(10, 385, 579))
+      val size = 1024
+      val res = (b.east - b.west) / size
+      val dir = java.nio.file.Files.createTempDirectory("cogjob")
+      val cogPath = dir.resolve("imagery.tif").toString
+      graft.sources.TiffWriter.write(cogPath,
+        Seq(graft.sources.TiffWriter.Level(size, size, (x, y) => (42, 84, 126))),
+        tileSize = 128, originX = b.west, originY = b.north, resX = res, resY = res)
+      val job = LabelMakerJob(13, Seq(bbox.west, bbox.south, bbox.east, bbox.north),
+        classesJson,
+        imagery = cogPath,
+        labelSource = s"http://localhost:$port/labels/{z}/{x}/{y}.pbf",
+        mlType = "classification")
+      val rows = job.collect(spark)
+      assert(rows.length == 4)
+      rows.foreach { r =>
+        assert(r.getInt(r.fieldIndex("height")) == 256)
+        val img = r.getAs[Array[Byte]](r.fieldIndex("image"))
+        assert(img.length == 256 * 256 * 3)
+        assert(img(0) == 42.toByte && img(1) == 84.toByte && img(2) == 126.toByte)
+      }
+    }
+  }
+
   test("plan is lazy and explainable (P2 visualize equivalent)") {
     val job = LabelMakerJob(13, Seq(bbox.west, bbox.south, bbox.east, bbox.north),
       classesJson, imagery = null,

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.core.{TileKey, Tiles}
+import org.scalatest.funsuite.AnyFunSuite
+
+class CogReaderSpec extends AnyFunSuite {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("cog").resolve(name).toString
+
+  /** A COG covering exactly the 3857 bounds of `cover`, at `size` px. */
+  private def writeCovering(path: String, cover: TileKey, size: Int,
+      deflate: Boolean, withOverview: Boolean = false): Unit = {
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / size
+    val levels = Seq(TiffWriter.Level(size, size,
+      (x, y) => (x % 256, y % 256, 7))) ++
+      (if (withOverview) Seq(TiffWriter.Level(size / 2, size / 2,
+        (x, y) => (100, 150, 200))) else Nil)
+    TiffWriter.write(path, levels, tileSize = 128,
+      originX = b.west, originY = b.north, resX = res, resY = res,
+      deflate = deflate)
+  }
+
+  test("full-res window read, uncompressed: nearest sampling of the gradient") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("a.tif")
+    writeCovering(p, cover, size = 512, deflate = false)
+    val (h, w, bands, data) = CogReader.tile(p, cover)
+    assert(h == 256 && w == 256 && bands == 3)
+    // out pixel (px,py) samples raster (2*px+1, 2*py+1): r=(2px+1)%256
+    val px = 10
+    val py = 20
+    val i = (py * 256 + px) * 3
+    assert((data(i) & 0xff) == (2 * px + 1) % 256)
+    assert((data(i + 1) & 0xff) == (2 * py + 1) % 256)
+    assert((data(i + 2) & 0xff) == 7)
+  }
+
+  test("deflate tiles decode identically") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("raw.tif")
+    val p2 = tmp("zip.tif")
+    writeCovering(p1, cover, 512, deflate = false)
+    writeCovering(p2, cover, 512, deflate = true)
+    val (_, _, _, a) = CogReader.tile(p1, cover)
+    val (_, _, _, b) = CogReader.tile(p2, cover)
+    assert(a.sameElements(b))
+  }
+
+  test("child XYZ tile reads the right quadrant at full resolution") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("c.tif")
+    writeCovering(p, cover, 512, deflate = false)
+    // NE child: upper-right quadrant of the raster
+    val child = TileKey(11, 601, 800)
+    val (_, _, _, data) = CogReader.tile(p, child)
+    // out pixel (px,py) -> raster ((256 + px) + 0.5ish, py...): rx = 256+px
+    val px = 4
+    val py = 6
+    val i = (py * 256 + px) * 3
+    assert((data(i) & 0xff) == (256 + px) % 256)
+    assert((data(i + 1) & 0xff) == py % 256)
+  }
+
+  test("overview IFD is chosen when the target resolution is coarser") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("ov.tif")
+    writeCovering(p, cover, 512, deflate = false, withOverview = true)
+    // parent tile: target res = 2x the full-res -> overview (solid color)
+    val parent = TileKey(9, 150, 200)
+    val (_, _, _, data) = CogReader.tile(p, parent)
+    // the quadrant covered by our raster is solid (100,150,200); find one
+    // such pixel (cover tile = child of parent at even x, even y -> NW)
+    val i = (10 * 256 + 10) * 3
+    assert((data(i) & 0xff) == 100 && (data(i + 1) & 0xff) == 150 && (data(i + 2) & 0xff) == 200)
+  }
+
+  test("pixels outside the raster pad with zeros") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("pad.tif")
+    writeCovering(p, cover, 512, deflate = false)
+    val neighbor = TileKey(10, 301, 400) // entirely outside
+    val (_, _, _, data) = CogReader.tile(p, neighbor)
+    assert(data.forall(_ == 0))
+  }
+
+  test("dispatch routes .tif to the COG source") {
+    assert(TileSources.dispatch("/data/img.tif") == TileSources.CogSource)
+    assert(TileSources.dispatch("https://x/y.TIFF?a=1") == TileSources.CogSource)
+    assert(TileSources.dispatch("https://x/{z}/{x}/{y}.png") == TileSources.TmsSource)
+    assert(TileSources.dispatch("https://x/wms?bbox={bbox}") == TileSources.WmsSource)
+  }
+}

@@ -47,6 +47,48 @@ object MiscQueries {
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+    },
+    // Pivot (wide conditional aggregation).
+    "qp03_pivot" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        .orderBy("o_orderpriority")
+    },
+    // N-gram (word-bigram) Jaccard near-dup, source-blocked (the bounded
+    // all-pairs pattern; shingles are 2-grams rather than qd07's unigrams).
+    "qd09_ngram_jaccard" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("grams", array_distinct(expr(
+          "transform(sequence(1, size(tk) - 1), j -> concat(element_at(tk, j), ' ', element_at(tk, j + 1)))")))
+        .withColumn("ng", size(col("grams")))
+        .select("source", "doc_id", "grams", "ng")
+      val g = docs.select(col("source"), col("doc_id"), col("ng"), explode(col("grams")).as("gram"))
+      val inter = g.as("a").join(g.as("b"),
+          col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.source").as("source"), col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"), first(col("a.ng")).as("na"), first(col("b.ng")).as("nb"))
+      inter
+        .withColumn("jacc", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_overlapping_pairs"), max("jacc").as("max_jacc"))
+        .orderBy("source")
+    },
+    // Sketch aggregates (approximate - no cross-engine oracle; the driver
+    // records a rows-only check for these by design).
+    "qx01_sketches" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -71,6 +113,26 @@ object MiscQueries {
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+    "qp03_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "qd09_ngram_jaccard" ->
+      """WITH docs AS (SELECT source, doc_id, str_split(text, ' ') AS tk FROM documents),
+        |gd AS (SELECT source, doc_id,
+        |  list_distinct(list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j + 1])) AS grams
+        | FROM docs),
+        |g AS (SELECT source, doc_id, len(grams) AS ng, unnest(grams) AS gram FROM gd),
+        |inter AS (SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  COUNT(*) AS inter, ANY_VALUE(a.ng) AS na, ANY_VALUE(b.ng) AS nb
+        | FROM g a JOIN g b ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+        | GROUP BY a.source, a.doc_id, b.doc_id),
+        |j AS (SELECT source, CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc FROM inter)
+        |SELECT source, COUNT(*) AS n_overlapping_pairs, MAX(jacc) AS max_jacc
+        |FROM j GROUP BY source ORDER BY source""".stripMargin
+    // qx01_sketches intentionally has no oracle entry (approximate).
   )
 }

@@ -23,13 +23,18 @@ object VectorOps {
   private def quant(c: Column): Column =
     transform(c, e => round(e.cast("double") * 10000).cast("long"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Codegen'd native dot product (graft.functions.DotProductLong) — the
+    * composable aggregate(zip_with(...)) form allocates an intermediate
+    * array per row and stays interpreted. Queries call `reg(s)` first;
+    * call_function resolves against the active session at analysis time. */
+  private def reg(s: SparkSession): Unit = graft.functions.DotProductLong.register(s)
+  private def dot(a: Column, b: Column): Column = call_function("dot_long", a, b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k against a query vector (vec_id = 0),
     // broadcast nested-loop over the quantized grid.
     "qv01_knn_cosine" -> { (s, d) =>
+      reg(s)
       val emb = t(s, d, "embeddings").select(col("vec_id"), quant(col("embedding")).as("q"))
       val query = emb.filter(col("vec_id") === 0)
         .select(col("q").as("qv"))
@@ -45,6 +50,7 @@ object VectorOps {
     // Pairwise cosine stats within each label group (blocked all-pairs —
     // the exact near-dup-by-embedding pattern, block-bounded).
     "qv02_cosine_blocked" -> { (s, d) =>
+      reg(s)
       val emb = t(s, d, "embeddings")
         .select(col("label"), col("vec_id"), quant(col("embedding")).as("q"))
         .withColumn("nrm", sqrt(dot(col("q"), col("q")).cast("double")))
@@ -62,6 +68,7 @@ object VectorOps {
     // Random-hyperplane LSH bucketing: 8 sign bits from md5-derived +/-1
     // hyperplane components; bucket histogram (candidate-generation stage).
     "qv03_lsh_buckets" -> { (s, d) =>
+      reg(s)
       val hexv = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
       val el = t(s, d, "embeddings")
         .select(col("vec_id"), posexplode(quant(col("embedding"))).as(Seq("i", "qe")))

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain-join result on skewed data") {
+    // 90% of fact rows hit key 7
+    val fact = (0 until 2000).map(i => (if (i % 10 == 0) i % 5 else 7, i))
+      .toDF("k", "v")
+    val dim = (0 until 10).map(i => (i, s"name_$i")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), nSalts = 8)
+      .select("k", "v", "name").collect().map(_.toString).sorted
+    assert(salted.length == plain.length)
+    assert(salted.sameElements(plain))
+  }
+
+  test("salt spreads a hot key across partitions") {
+    val fact = (0 until 1000).map(i => (7, i)).toDF("k", "v")
+    val salts = fact.withColumn("__salt", pmod(hash(fact.columns.map(col): _*), lit(8)))
+      .select(countDistinct("__salt")).collect()(0).getLong(0)
+    assert(salts >= 6, s"hot key only spread over $salts salts")
+  }
+
+  test("salted aggregation matches direct aggregation") {
+    val df = (0 until 5000).map(i => (if (i % 20 == 0) i % 7 else 3, i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedAgg(df, Seq("k"), 16, Seq(
+      ("s", sum("v"), (c: org.apache.spark.sql.Column) => sum(c)),
+      ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(direct))
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("warehouse")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = spark.read.parquet(s"${sf()}/orders.parquet")
+      val l = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      o.write.mode("overwrite")
+        .option("path", s"$wh/orders_b").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_b")
+      l.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.mode("overwrite")
+        .option("path", s"$wh/lineitem_b").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("lineitem_b")
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n${plan.take(1200)}")
+      assert(joined.count() == l.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

@@ -50,7 +50,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ FilterQueries.queries ++ FilterQueries.tileQueries ++
       TextOps.queries ++ VectorOps.queries ++ LabelQueries.queries ++
-      MediaQueries.queries ++ MiscQueries.queries
+      MediaQueries.queries ++ MiscQueries.queries ++ LabelQueries.segQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

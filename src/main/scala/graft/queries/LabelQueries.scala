@@ -63,6 +63,38 @@ object LabelQueries {
     }
   )
 
+  /** A3 — the segmentation rasterizer under the oracle gate: one axis-
+    * aligned rectangle per "tile" (from orders values), whose center-rule
+    * fill count has a closed form the oracle can compute:
+    * pixels = max(0, min(px1,256)-max(px0,0)) * max(0, min(py1,256)-max(py0,0))
+    * with the same 0-4096 -> 0-255 banker's-round + y-flip conversion. */
+  val segQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qseg01_raster_counts" -> { (s, d) =>
+      import s.implicits._
+      val classes = ClassSpec.parseJson("""[{"name": "R", "filter": []}]""")
+      val o = t(s, d, "orders").filter(col("o_orderkey") < 100)
+      val x0 = (col("o_custkey") % 3000).cast("double")
+      val y0 = ((col("o_totalprice").cast("long")) % 3000).cast("double")
+      val x1 = x0 + 700.0
+      val y1 = y0 + 1100.0
+      val feats = o.select(
+        lit(0).as("z"), col("o_orderkey").cast("int").as("x"), lit(0).as("y"),
+        lit(0).as("fidx"), lit("Polygon").as("geomType"), lit(false).as("multi"),
+        array(array(
+          struct(x0.as("x"), y0.as("y")), struct(x0.as("x"), y1.as("y")),
+          struct(x1.as("x"), y1.as("y")), struct(x1.as("x"), y0.as("y")),
+          struct(x0.as("x"), y0.as("y")))).as("parts"),
+        typedLit(Map.empty[String, String]).as("props"), col("o_orderkey").as("id"))
+        .as[graft.model.FeatureRow]
+      val tiles = o.select(lit(0).as("z"), col("o_orderkey").cast("int").as("x"), lit(0).as("y"))
+      graft.operators.Segmentation.segmentation(tiles, feats, classes)
+        .as[(Int, Int, Int, Array[Byte])]
+        .map { case (z, x, y, label) => (x, label.count(_ == 1.toByte).toLong) }
+        .toDF("x", "n_pixels")
+        .orderBy("x")
+    }
+  )
+
   val oracleSql: Map[String, String] = Map(
     "ql01_classification" ->
       """WITH users AS (
@@ -105,6 +137,21 @@ object LabelQueries {
         |SELECT x, CAST(ROW_NUMBER() OVER (PARTITION BY x
         |   ORDER BY fidx, cidx, xmin, ymin, xmax, ymax, cls) - 1 AS INT) AS pos,
         | xmin, ymin, xmax, ymax, cls
-        |FROM bb ORDER BY x, pos""".stripMargin
+        |FROM bb ORDER BY x, pos""".stripMargin,
+    "qseg01_raster_counts" ->
+      """WITH f AS (SELECT CAST(o_orderkey AS INT) AS x,
+        |  CAST(o_custkey % 3000 AS DOUBLE) AS x0,
+        |  CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 3000 AS DOUBLE) AS y0
+        | FROM orders WHERE o_orderkey < 100),
+        |px AS (SELECT x,
+        |  CAST(ROUND_EVEN(x0 * 255.0 / 4096.0, 0) AS INT) AS px0,
+        |  CAST(ROUND_EVEN((x0 + 700.0) * 255.0 / 4096.0, 0) AS INT) AS px1,
+        |  255 - CAST(ROUND_EVEN((y0 + 1100.0) * 255.0 / 4096.0, 0) AS INT) AS pyt,
+        |  255 - CAST(ROUND_EVEN(y0 * 255.0 / 4096.0, 0) AS INT) AS pyb
+        | FROM f)
+        |SELECT x, CAST(
+        |  GREATEST(0, LEAST(px1, 255) - GREATEST(px0, 0)) *
+        |  GREATEST(0, LEAST(pyb, 255) - GREATEST(pyt, 0)) AS BIGINT) AS n_pixels
+        |FROM px ORDER BY x""".stripMargin
   )
 }

@@ -80,6 +80,20 @@ object MiscQueries {
         .agg(count(lit(1)).as("n_overlapping_pairs"), max("jacc").as("max_jacc"))
         .orderBy("source")
     },
+    // Binned range join: purchase/error event pairs of the same user
+    // within 10 minutes — bounded work per (key, bin) instead of the
+    // quadratic same-key blowup of a raw range predicate.
+    "qr01_range_join" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("ets"))
+      graft.operators.RangeJoin.binnedRangeJoin(
+          purchases, errors, Seq("user_id"), "ts", "ets", 600L * 1000 * 1000 * 1000)
+        .select("user_id", "purchase_id", "error_id")
+        .orderBy("purchase_id", "error_id")
+    },
     // Sketch aggregates (approximate - no cross-engine oracle; the driver
     // records a rows-only check for these by design).
     "qx01_sketches" -> { (s, d) =>
@@ -132,7 +146,14 @@ object MiscQueries {
         | GROUP BY a.source, a.doc_id, b.doc_id),
         |j AS (SELECT source, CAST(inter AS DOUBLE) / (na + nb - inter) AS jacc FROM inter)
         |SELECT source, COUNT(*) AS n_overlapping_pairs, MAX(jacc) AS max_jacc
-        |FROM j GROUP BY source ORDER BY source""".stripMargin
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "qr01_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts + INTERVAL 10 MINUTE
+        |ORDER BY purchase_id, error_id""".stripMargin
     // qx01_sketches intentionally has no oracle entry (approximate).
   )
 }

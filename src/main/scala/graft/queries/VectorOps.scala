@@ -65,6 +65,39 @@ object VectorOps {
           sum(when(col("cos") > 0.8, 1L).otherwise(0L)).as("n_near_dup"))
         .orderBy("label")
     },
+    // IVF-style ANN: coarse centroids (deterministic id-sample), exact-
+    // integer L2 cell assignment, then top-k cosine within the nprobe=2
+    // cells nearest the query. The scale path: search cost is
+    // |cells probed| / |cells| of brute force, and every stage is a
+    // hash-partitioned join/window - no driver-side index.
+    "qv04_ivf_ann" -> { (s, d) =>
+      reg(s)
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings").select(col("vec_id"), quant(col("embedding")).as("q"))
+        .withColumn("qq", dot(col("q"), col("q")))
+      val cents = emb.filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("qq").as("cc"))
+      // assign every vector to its nearest centroid (exact bigint L2)
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("dist2", col("qq") + col("cc") - lit(2) * dot(col("q"), col("cq")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "q", "qq", "cid")
+      // probe the 2 cells nearest the query vector
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("q").as("xq"), col("qq").as("xqq"))
+      val probed = cents.join(broadcast(query))
+        .withColumn("dist2", col("xqq") + col("cc") - lit(2) * dot(col("cq"), col("xq")))
+        .orderBy(col("dist2"), col("cid")).limit(2)
+        .select("cid")
+      assigned.join(broadcast(probed), "cid")
+        .filter(col("vec_id") =!= 0)
+        .join(broadcast(query))
+        .select(col("vec_id"),
+          (dot(col("q"), col("xq")).cast("double") /
+            (sqrt(col("qq").cast("double")) * sqrt(col("xqq").cast("double")))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+    },
     // Random-hyperplane LSH bucketing: 8 sign bits from md5-derived +/-1
     // hyperplane components; bucket histogram (candidate-generation stage).
     "qv03_lsh_buckets" -> { (s, d) =>
@@ -114,6 +147,29 @@ object VectorOps {
         | CAST(SUM(CAST(cos AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS avg_cos,
         | CAST(SUM(CASE WHEN cos > 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
         |FROM pairs GROUP BY label ORDER BY label""".stripMargin,
+    "qv04_ivf_ann" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
+        |cents AS (SELECT vec_id AS cid, q AS cq, qq AS cc FROM nemb WHERE vec_id % 53 = 0),
+        |assigned AS (SELECT vec_id, q, qq, cid FROM (
+        |  SELECT e.vec_id, e.q, e.qq, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      e.qq + c.cc - 2 * list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cq[i])),
+        |      c.cid) AS rn
+        |  FROM nemb e, cents c) WHERE rn = 1),
+        |query AS (SELECT q AS xq, qq AS xqq FROM nemb WHERE vec_id = 0),
+        |probed AS (SELECT cid FROM cents, query
+        |  ORDER BY xqq + cc - 2 * list_sum(list_transform(range(1, 65), i -> cq[i] * xq[i])), cid
+        |  LIMIT 2)
+        |SELECT a.vec_id,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * query.xq[i])) AS DOUBLE) /
+        |   (SQRT(CAST(a.qq AS DOUBLE)) * SQRT(CAST(query.xqq AS DOUBLE))) AS cos_sim
+        |FROM assigned a JOIN probed USING (cid), query
+        |WHERE a.vec_id <> 0
+        |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
     "qv03_lsh_buckets" ->
       """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
         | FROM (SELECT vec_id,

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions: installs the engine's native functions session-wide
+  * (survives `spark.sql(...)` from any thread, unlike temp registration).
+  *
+  * Usage:
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * Kept deliberately small: the engine's operators compose Spark built-ins
+  * (builder-contract preference (a)); the only native expression so far is
+  * the codegen'd `dot_long` (preference (b)). No planner strategies or
+  * optimizer rules are injected because no operator needed one.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[graft.functions.DotProductLong].getName, "dot_long"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.DotProductLong(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("withExtensions installs dot_long session-wide") {
+    // getOrCreate reuses the suite-shared session (and would skip the
+    // extensions), so clear the default/active slots, build a fresh
+    // session over the same SparkContext, and restore afterwards. Never
+    // stop() here - the SparkContext is shared with the other suites.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = spark.sql("SELECT dot_long(array(2L, 3L), array(10L, 100L)) AS d").collect()
+      assert(r(0).getLong(0) == 320L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

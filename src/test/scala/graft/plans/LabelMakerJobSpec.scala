@@ -155,6 +155,18 @@ class LabelMakerJobSpec extends SparkSpec {
     }
   }
 
+  test("imagery fetch failure fails the job (reference parity: uncaught image errors)") {
+    withServer { port =>
+      val job = LabelMakerJob(13, Seq(bbox.west, bbox.south, bbox.east, bbox.north),
+        classesJson,
+        imagery = s"http://localhost:$port/missing/{z}/{x}/{y}.gif", // 404s
+        labelSource = s"http://localhost:$port/labels/{z}/{x}/{y}.pbf",
+        mlType = "classification")
+      val e = intercept[org.apache.spark.SparkException] { job.collect(spark) }
+      assert(e.getMessage != null)
+    }
+  }
+
   test("plan is lazy and explainable (P2 visualize equivalent)") {
     val job = LabelMakerJob(13, Seq(bbox.west, bbox.south, bbox.east, bbox.north),
       classesJson, imagery = null,

@@ -16,6 +16,35 @@ class EventStreamSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("append mode emits watermark-closed windows across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split events into 2 files ordered by time; one file per micro-batch
+    // so the second batch advances the watermark past the first's windows
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    val ev = events.orderBy("ts")
+    val n = ev.count()
+    val first = ev.limit((n / 2).toInt)
+    val rest = ev.exceptAll(first)
+    first.coalesce(1).write.parquet(s"$dir/b1")
+    rest.coalesce(1).write.parquet(s"$dir/b2")
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = EventStream.tumblingCounts(stream).writeStream
+      .outputMode("append").format("memory").queryName("appended").start()
+    q.processAllAvailable()
+    q.stop()
+    val appended = spark.table("appended")
+    // every emitted window must match the batch computation exactly
+    val batch = EventStream.tumblingCounts(events)
+    val joined = appended.as("s").join(batch.as("b"),
+      col("s.wstart") === col("b.wstart") && col("s.event_type") === col("b.event_type"))
+    assert(appended.count() > 0, "append mode emitted nothing")
+    assert(joined.count() == appended.count(), "streamed window disagrees with batch")
+    assert(joined.filter(col("s.n") =!= col("b.n")).count() == 0)
+  }
+
   test("sessionization: sessions respect the inactivity gap and cover all events") {
     val sessions = EventStream.sessionize(events, gapMinutes = 30).collect()
     val nEvents = events.count()

@@ -36,6 +36,43 @@ object TileSources {
     resp.body()
   }
 
+  private def httpGetAsync(url: String): java.util.concurrent.CompletableFuture[Array[Byte]] = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(30)).GET().build()
+    client.sendAsync(req, HttpResponse.BodyHandlers.ofByteArray()).thenApply { resp =>
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
+      resp.body()
+    }
+  }
+
+  /** Windowed async prefetch over a partition's rows: keeps `window`
+    * requests in flight so per-request latency (network RTT, server
+    * stalls) overlaps instead of serializing. Order-preserving. This is
+    * what makes HTTP-bound source stages latency-tolerant at any
+    * partition count — the knob that matters when the fetch, not the
+    * CPU, is the bottleneck. */
+  private[sources] def prefetched[A, B](it: Iterator[A], window: Int)(
+      start: A => java.util.concurrent.CompletableFuture[B]): Iterator[(A, scala.util.Try[B])] = {
+    val queue = scala.collection.mutable.Queue[(A, java.util.concurrent.CompletableFuture[B])]()
+    new Iterator[(A, scala.util.Try[B])] {
+      private def fill(): Unit =
+        while (queue.size < window && it.hasNext) {
+          val a = it.next()
+          queue.enqueue((a, start(a)))
+        }
+      override def hasNext: Boolean = { fill(); queue.nonEmpty }
+      override def next(): (A, scala.util.Try[B]) = {
+        fill()
+        val (a, f) = queue.dequeue()
+        (a, scala.util.Try(f.join()))
+      }
+    }
+  }
+
+  /** In-flight requests per partition for tile fetch stages. */
+  val FetchWindow = 16
+
   /** `str.format`-style URL templating (`utils.py:27-29`) with the
     * SafeDict ACCESS_TOKEN substitution (`utils.py:19-24,46-48`): unknown
     * placeholders survive; ACCESS_TOKEN comes from the environment. */
@@ -60,14 +97,15 @@ object TileSources {
     tiles.select(col("z").cast("int"), col("x").cast("int"), col("y").cast("int"))
       .as[(Int, Int, Int)]
       .mapPartitions { it =>
-        it.flatMap { case (z, x, y) =>
-          val decoded =
-            try Mvt.decode(httpGet(fillUrl(labelSource, z, x, y)))
-            catch {
-              case scala.util.control.NonFatal(_) =>
-                failures.foreach(_.add(1L))
-                Map.empty[String, Seq[Mvt.MvtFeature]]
-            }
+        prefetched(it, FetchWindow) { case (z, x, y) =>
+          httpGetAsync(fillUrl(labelSource, z, x, y))
+        }.flatMap { case ((z, x, y), bytes) =>
+          val decoded = bytes.map(Mvt.decode) match {
+            case scala.util.Success(d) => d
+            case scala.util.Failure(_) =>
+              failures.foreach(_.add(1L))
+              Map.empty[String, Seq[Mvt.MvtFeature]]
+          }
           decoded.getOrElse(layer, Seq.empty).iterator.zipWithIndex.map { case (f, i) =>
             FeatureRow(z, x, y, i,
               geomType = if (f.multi) "Multi" + f.geomType else f.geomType,
@@ -95,22 +133,21 @@ object TileSources {
     val hasAlpha = img.getColorModel.hasAlpha
     val bands = if (img.getColorModel.getNumComponents == 1) 1 else if (hasAlpha) 4 else 3
     val out = new Array[Byte](h * w * bands)
+    // bulk getRGB: one color-model conversion pass, not one call per pixel
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    var p = 0
     var i = 0
-    var yy = 0
-    while (yy < h) {
-      var xx = 0
-      while (xx < w) {
-        val argb = img.getRGB(xx, yy)
-        if (bands == 1) { out(i) = (argb & 0xff).toByte; i += 1 }
-        else {
-          out(i) = ((argb >> 16) & 0xff).toByte
-          out(i + 1) = ((argb >> 8) & 0xff).toByte
-          out(i + 2) = (argb & 0xff).toByte
-          if (bands == 4) { out(i + 3) = ((argb >> 24) & 0xff).toByte; i += 4 } else i += 3
-        }
-        xx += 1
+    val n = h * w
+    while (p < n) {
+      val v = argb(p)
+      if (bands == 1) { out(i) = (v & 0xff).toByte; i += 1 }
+      else {
+        out(i) = ((v >> 16) & 0xff).toByte
+        out(i + 1) = ((v >> 8) & 0xff).toByte
+        out(i + 2) = (v & 0xff).toByte
+        if (bands == 4) { out(i + 3) = ((v >> 24) & 0xff).toByte; i += 4 } else i += 3
       }
-      yy += 1
+      p += 1
     }
     (h, w, bands, out)
   }
@@ -165,19 +202,25 @@ object TileSources {
     tiles.select(col("z").cast("int"), col("x").cast("int"), col("y").cast("int"))
       .as[(Int, Int, Int)]
       .mapPartitions { it =>
-        it.map { case (z, x, y) =>
-          source match {
-            case CogSource =>
+        source match {
+          case CogSource =>
+            it.map { case (z, x, y) =>
               val (h, w, bands, data) = CogReader.tile(imagery, graft.core.TileKey(z, x, y))
               ImageTile(z, x, y, h, w, bands, data)
-            case other =>
+            }
+          case other =>
+            prefetched(it, FetchWindow) { case (z, x, y) =>
               val url = other match {
                 case WmsSource => wmsUrl(fillUrl(imagery, z, x, y), z, x, y)
                 case _ => fillUrl(imagery, z, x, y)
               }
-              val (h, w, bands, data) = decodeImage(httpGet(url))
+              httpGetAsync(url)
+            }.map { case ((z, x, y), bytes) =>
+              // image errors fail the task (Spark retries) — reference
+              // parity for the uncaught image path
+              val (h, w, bands, data) = decodeImage(bytes.get)
               ImageTile(z, x, y, h, w, bands, data)
-          }
+            }
         }
       }
   }

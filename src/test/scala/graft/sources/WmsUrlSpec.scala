@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.core.{TileKey, Tiles}
+import org.scalatest.funsuite.AnyFunSuite
+
+class WmsUrlSpec extends AnyFunSuite {
+
+  private val t = TileKey(13, 3083, 4633)
+
+  test("WMS 1.1.1 with EPSG:3857 keeps x,y order in mercator meters") {
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.1.1&srs=EPSG:3857&bbox={bbox}", t.z, t.x, t.y)
+    val bbox = url.split("bbox=")(1).split(",").map(_.toDouble)
+    val m = Tiles.tileBounds3857(t)
+    assert(math.abs(bbox(0) - m.west) < 1e-6)
+    assert(math.abs(bbox(1) - m.south) < 1e-6)
+    assert(math.abs(bbox(2) - m.east) < 1e-6)
+    assert(math.abs(bbox(3) - m.north) < 1e-6)
+  }
+
+  test("WMS 1.3.0 reads crs= and flips axis order (utils.py:87-89)") {
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.3.0&crs=EPSG:4326&bbox={bbox}", t.z, t.x, t.y)
+    val bbox = url.split("bbox=")(1).split(",").map(_.toDouble)
+    val b = Tiles.tileBounds(t)
+    // 1.3.0: [ymin, xmin, ymax, xmax]
+    assert(math.abs(bbox(0) - b.south) < 1e-9)
+    assert(math.abs(bbox(1) - b.west) < 1e-9)
+    assert(math.abs(bbox(2) - b.north) < 1e-9)
+    assert(math.abs(bbox(3) - b.east) < 1e-9)
+  }
+
+  test("WMS 1.1.1 with EPSG:4326 uses lon/lat in x,y order") {
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.1.1&srs=EPSG:4326&bbox={bbox}", t.z, t.x, t.y)
+    val bbox = url.split("bbox=")(1).split(",").map(_.toDouble)
+    val b = Tiles.tileBounds(t)
+    assert(math.abs(bbox(0) - b.west) < 1e-9)
+    assert(math.abs(bbox(1) - b.south) < 1e-9)
+  }
+
+  test("ACCESS_TOKEN placeholder survives when env var unset (SafeDict parity)") {
+    val filled = TileSources.fillUrl("http://x/{z}/{x}/{y}?t={ACCESS_TOKEN}", 1, 2, 3)
+    assert(filled == "http://x/1/2/3?t={ACCESS_TOKEN}" ||
+      sys.env.contains("ACCESS_TOKEN"))
+  }
+}

@@ -43,7 +43,7 @@ object Labels {
     * non-negative buffer, bounds(buffer(g, d)) == expand(bounds(g), d), so
     * no geometry op is needed), scaled to 0-255 with banker's rounding
     * (Python `round` == `bround`), y-flipped, +/-4 px padding, clamped. */
-  private def pixelBboxCols(buffer: Double): Seq[Column] = {
+  private def pixelBboxCols(buffer: Column): Seq[Column] = {
     val flat = flatten(col("parts"))
     val minx = array_min(transform(flat, p => p.getField("x"))) - buffer
     val maxx = array_max(transform(flat, p => p.getField("x"))) + buffer
@@ -60,18 +60,29 @@ object Labels {
 
   /** A2 — object-detection: per matching (feature, class) one
     * `[xmin,ymin,xmax,ymax,cls]` row, in feature-then-class order
-    * (`label.py:24-35`); empty tiles get a 0-row label (`label.py:105-106`). */
+    * (`label.py:24-35`); empty tiles get a 0-row label (`label.py:105-106`).
+    *
+    * Single pass over the feature source: each feature emits an array of
+    * per-class (matched?, buffer) entries which is filtered and exploded —
+    * a union of per-class branches would re-run the (HTTP-fetching) source
+    * once per class. */
   def objectDetection(tiles: DataFrame, features: DataFrame, classes: Seq[ClassSpec]): DataFrame = {
-    val perClass = classes.zipWithIndex.map { case (c, i) =>
-      val Seq(x0, y0, x1, y1) = pixelBboxCols(c.buffer.getOrElse(0.0))
-      features.filter(FilterCompiler.compile(c.filter) && size(flatten(col("parts"))) > 0)
-        .select(col("z"), col("x"), col("y"),
-          struct(
-            col("fidx"), lit(i).as("cidx"),
-            x0.as("xmin"), y0.as("ymin"), x1.as("xmax"), y1.as("ymax"),
-            lit(i + 1).as("cls")).as("bb"))
-    }
-    val all = perClass.reduce(_ unionAll _)
+    val classEntries = array(classes.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(i).as("cidx"),
+        FilterCompiler.compile(c.filter).as("matched"),
+        lit(c.buffer.getOrElse(0.0)).as("buffer"))
+    }: _*)
+    val exploded = features
+      .filter(size(flatten(col("parts"))) > 0)
+      .select(col("z"), col("x"), col("y"), col("fidx"), col("parts"),
+        explode(filter(classEntries, e => e.getField("matched"))).as("ce"))
+    val Seq(x0, y0, x1, y1) = pixelBboxCols(col("ce.buffer"))
+    val all = exploded.select(col("z"), col("x"), col("y"),
+      struct(
+        col("fidx"), col("ce.cidx").as("cidx"),
+        x0.as("xmin"), y0.as("ymin"), x1.as("xmax"), y1.as("ymax"),
+        (col("ce.cidx") + 1).cast("int").as("cls")).as("bb"))
     val agg = all.groupBy(tileKey.map(col): _*)
       .agg(sort_array(collect_list(col("bb"))).as("bbs"))
       // feature-then-class emit order == sort by (fidx, cidx)

@@ -24,6 +24,8 @@ object Labels {
   /** A1 — classification: slot i+1 = EXISTS(feature matching filter_i),
     * slot 0 = background (1 iff no class fired), `label.py:15-23`. */
   def classification(tiles: DataFrame, features: DataFrame, classes: Seq[ClassSpec]): DataFrame = {
+    if (classes.isEmpty) // label.py:15-22 with no classes: [1] (background)
+      return tiles.select(col("z"), col("x"), col("y"), array(lit(1)).as("label"))
     val preds = classes.map(c => FilterCompiler.compile(c.filter))
     val agg = features.groupBy(tileKey.map(col): _*)
       .agg(
@@ -67,6 +69,10 @@ object Labels {
     * a union of per-class branches would re-run the (HTTP-fetching) source
     * once per class. */
   def objectDetection(tiles: DataFrame, features: DataFrame, classes: Seq[ClassSpec]): DataFrame = {
+    if (classes.isEmpty) // no classes -> every tile gets the 0-row label
+      return tiles.select(col("z"), col("x"), col("y"),
+        typedLit(Seq.empty[(Int, Int, Int, Int, Int)])
+          .cast("array<struct<xmin:int,ymin:int,xmax:int,ymax:int,cls:int>>").as("label"))
     val classEntries = array(classes.zipWithIndex.map { case (c, i) =>
       struct(
         lit(i).as("cidx"),

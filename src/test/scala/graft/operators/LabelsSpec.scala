@@ -75,6 +75,13 @@ class LabelsSpec extends SparkSpec {
     assert(bb == ((58 - 4, 255 - 134 - 4, 134 + 4, 255 - 58 + 4, 1)))
   }
 
+  test("empty class list: background-only / zero-row labels") {
+    val cls = Labels.classification(tilesDf, featuresDf, Seq.empty).orderBy("x").collect()
+    assert(cls(0).getSeq[Int](cls(0).fieldIndex("label")) == Seq(1))
+    val od = Labels.objectDetection(tilesDf, featuresDf, Seq.empty).orderBy("x").collect()
+    assert(od(0).getSeq[org.apache.spark.sql.Row](od(0).fieldIndex("label")).isEmpty)
+  }
+
   test("A5 class_match on classification and object-detection labels") {
     val cls = Labels.classification(tilesDf, featuresDf, classes)
     import org.apache.spark.sql.functions.col

@@ -103,6 +103,7 @@ object Multimodal {
       while (pos + 8 <= bytes.length) {
         val id = bb.getInt(pos)
         val len = bb.getInt(pos + 4)
+        if (len < 0) return None // malformed chunk length: don't loop
         if (id == 0x20746d66) { // "fmt "
           channels = bb.getShort(pos + 10).toInt
           rate = bb.getInt(pos + 12)

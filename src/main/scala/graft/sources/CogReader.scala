@@ -40,13 +40,15 @@ object CogReader {
     override def close(): Unit = raf.close()
   }
 
+  private lazy val httpClient = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
   final class HttpRangeReader(url: String) extends RangeReader {
     def read(offset: Long, length: Int): Array[Byte] = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .header("Range", s"bytes=$offset-${offset + length - 1}")
         .timeout(java.time.Duration.ofSeconds(30)).GET().build()
-      val resp = java.net.http.HttpClient.newHttpClient()
-        .send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      val resp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
       if (resp.statusCode() / 100 != 2)
         throw new java.io.IOException(s"HTTP ${resp.statusCode()} range read $url")
       resp.body()
@@ -191,10 +193,13 @@ object CogReader {
   private def readTile(reader: RangeReader, ifd: Ifd, tx: Int, ty: Int): Array[Byte] = {
     val tilesAcross = (ifd.width + ifd.tileWidth - 1) / ifd.tileWidth
     val idx = ty * tilesAcross + tx
-    val raw = reader.read(ifd.tileOffsets(idx), ifd.tileByteCounts(idx).toInt)
     val expected = ifd.tileWidth * ifd.tileHeight * ifd.samplesPerPixel
+    // sparse COGs mark absent tiles with byteCount 0 -> all-nodata tile
+    if (idx >= ifd.tileByteCounts.length || ifd.tileByteCounts(idx) == 0)
+      return new Array[Byte](expected)
+    val raw = reader.read(ifd.tileOffsets(idx), ifd.tileByteCounts(idx).toInt)
     ifd.compression match {
-      case 1 => raw
+      case 1 => raw // uncompressed
       case 8 | 32946 => inflate(raw, expected)
       case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
     }

@@ -85,9 +85,10 @@ object Mvt {
 
   // ---- decode ----
 
-  /** Decode a full tile: layerName -> features. Empty/invalid input yields
-    * an empty map (the reference treats fetch/decode failure as `{}`,
-    * `main.py:38-44`; the caller handles that). */
+  /** Decode a full tile: layerName -> features. Empty input yields an
+    * empty map; malformed input may throw (like the reference's decoder) —
+    * callers treat any failure as the empty tile `{}` (`main.py:38-44`,
+    * mirrored in TileSources.vectorFeatures). */
   def decode(data: Array[Byte]): Map[String, Seq[MvtFeature]] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Seq[MvtFeature]]()
     val r = new Reader(data, 0, data.length)

@@ -40,17 +40,18 @@ object CogReader {
     override def close(): Unit = raf.close()
   }
 
-  private lazy val httpClient = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
-
   final class HttpRangeReader(url: String) extends RangeReader {
     def read(offset: Long, length: Int): Array[Byte] = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .header("Range", s"bytes=$offset-${offset + length - 1}")
         .timeout(java.time.Duration.ofSeconds(30)).GET().build()
-      val resp = httpClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-      if (resp.statusCode() / 100 != 2)
-        throw new java.io.IOException(s"HTTP ${resp.statusCode()} range read $url")
+      // one pooled client per JVM, shared with the TMS/WMS fetch path
+      val resp = TileSources.client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      // a 200 means the server ignored Range and sent the whole file —
+      // treating that body as the requested slice silently corrupts tiles
+      if (resp.statusCode() != 206)
+        throw new java.io.IOException(
+          s"expected 206 Partial Content for range read, got ${resp.statusCode()} ($url)")
       resp.body()
     }
   }
@@ -194,8 +195,12 @@ object CogReader {
     val tilesAcross = (ifd.width + ifd.tileWidth - 1) / ifd.tileWidth
     val idx = ty * tilesAcross + tx
     val expected = ifd.tileWidth * ifd.tileHeight * ifd.samplesPerPixel
+    if (idx >= ifd.tileByteCounts.length || idx >= ifd.tileOffsets.length)
+      throw new java.io.IOException(
+        s"corrupt TIFF: tile index $idx outside offsets/byteCounts arrays " +
+          s"(${ifd.tileOffsets.length}/${ifd.tileByteCounts.length})")
     // sparse COGs mark absent tiles with byteCount 0 -> all-nodata tile
-    if (idx >= ifd.tileByteCounts.length || ifd.tileByteCounts(idx) == 0)
+    if (ifd.tileByteCounts(idx) == 0)
       return new Array[Byte](expected)
     val raw = reader.read(ifd.tileOffsets(idx), ifd.tileByteCounts(idx).toInt)
     ifd.compression match {
@@ -210,13 +215,21 @@ object CogReader {
     (full.pixelScale.getOrElse(throw new java.io.IOException("no ModelPixelScale")),
       full.tiepoint.getOrElse(throw new java.io.IOException("no ModelTiepoint")))
 
+  /** Per-JVM IFD cache: a COG's header is immutable for a job's lifetime,
+    * and images() calls tile() once per XYZ tile — without the cache a
+    * 10k-tile job re-fetches and re-parses the same 64 KiB head 10k times. */
+  private val ifdCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Ifd]]()
+
+  private def ifdsFor(path: String, reader: RangeReader): Seq[Ifd] =
+    ifdCache.computeIfAbsent(path, _ => parseIfds(reader))
+
   /** `COGReader(path).tile(x, y, z)` equivalent: a 256x256 bands-last
     * uint8 window for the web-mercator XYZ tile. Pixels outside the
     * raster are 0 (rio-tiler pads nodata). */
   def tile(path: String, t: TileKey, tileSize: Int = 256): (Int, Int, Int, Array[Byte]) = {
     val reader = readerFor(path)
     try {
-      val ifds = parseIfds(reader)
+      val ifds = ifdsFor(path, reader)
       val full = ifds.head
       val ((sx, _), (ox, oy)) = geo(full)
       val b = Tiles.tileBounds3857(t)

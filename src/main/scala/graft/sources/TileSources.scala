@@ -21,8 +21,8 @@ import java.time.Duration
   */
 object TileSources {
 
-  /** One pooled client per executor JVM. */
-  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+  /** One pooled client per executor JVM (shared with CogReader). */
+  @transient private[sources] lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10))
     .followRedirects(HttpClient.Redirect.NORMAL)
     .build()

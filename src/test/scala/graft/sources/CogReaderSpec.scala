@@ -85,6 +85,43 @@ class CogReaderSpec extends AnyFunSuite {
     assert(data.forall(_ == 0))
   }
 
+  test("HTTP range reads: 206 slices work, Range-ignoring servers fail loudly") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("http.tif")
+    writeCovering(p, cover, 512, deflate = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    @volatile var honorRange = true
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val range = Option(ex.getRequestHeaders.getFirst("Range"))
+      if (honorRange && range.isDefined) {
+        val Array(a, b) = range.get.stripPrefix("bytes=").split("-").map(_.toLong)
+        val hi = math.min(b, bytes.length - 1)
+        val body = java.util.Arrays.copyOfRange(bytes, a.toInt, hi.toInt + 1)
+        ex.getResponseHeaders.add("Content-Range", s"bytes $a-$hi/${bytes.length}")
+        ex.sendResponseHeaders(206, body.length.toLong)
+        ex.getResponseBody.write(body)
+      } else {
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://localhost:${server.getAddress.getPort}/imagery.tif"
+      val (_, _, _, viaHttp) = CogReader.tile(url, cover)
+      val (_, _, _, viaFile) = CogReader.tile(p, cover)
+      assert(viaHttp.sameElements(viaFile))
+      // Range-ignoring server: must fail, not corrupt
+      honorRange = false
+      val url2 = s"http://localhost:${server.getAddress.getPort}/imagery2.tif"
+      val e = intercept[java.io.IOException] { CogReader.tile(url2, cover) }
+      assert(e.getMessage.contains("206"))
+    } finally server.stop(0)
+  }
+
   test("dispatch routes .tif to the COG source") {
     assert(TileSources.dispatch("/data/img.tif") == TileSources.CogSource)
     assert(TileSources.dispatch("https://x/y.TIFF?a=1") == TileSources.CogSource)

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native text-shingling kernels.
+  *
+  * The composable forms (`transform(sequence(...), j -> xxhash64(concat(...)))`
+  * + `array_distinct`, and nested `transform`/`filter` pair expansion) run
+  * interpreted — Spark's higher-order functions sit outside whole-stage
+  * codegen and allocate per element. Profiling qd09 at sf0.1 put ~2.5 s of a
+  * 4.5 s query in exactly those two spots. These expressions generate a
+  * single static call per row instead (builder contract preference (b):
+  * custom `Expression` with `doGenCode` before any UDF).
+  */
+object TextHashes {
+  private final val Seed = 42L
+
+  /** Distinct xxhash64 values of the word bigrams of a token array.
+    * Each bigram is hashed as hash(hash(tok_i), hash(tok_{i+1})) — tokens
+    * are space-split so the pair hash is equivalent to hashing the joined
+    * "tok_i tok_j" string: no ambiguity, no concat allocation. */
+  def bigramHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - 1)
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    var prev = hashTok(arr, 0)
+    var m = 0
+    var i = 1
+    while (i < n) {
+      val cur = hashTok(arr, i)
+      val h = XXH64.hashLong(cur, prev)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  private def hashTok(arr: ArrayData, i: Int): Long =
+    if (arr.isNullAt(i)) 0L else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+
+  /** All id pairs {a, b} of a bucket, packed (min << 32) | max into one
+    * long per pair. Ids must fit in 31 bits (checked). Output length is
+    * exactly k(k-1)/2 — callers cap bucket size upstream at scale. */
+  def packedPairs(arr: ArrayData): ArrayData = {
+    val k = arr.numElements()
+    if (k < 2) return new GenericArrayData(Array.emptyLongArray)
+    val ids = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val v = arr.getLong(i)
+      if (v < 0 || v > Int.MaxValue)
+        throw new IllegalArgumentException(s"packed_pairs id out of 31-bit range: $v")
+      ids(i) = v
+      i += 1
+    }
+    val out = new Array[Long](k * (k - 1) / 2)
+    var m = 0
+    i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        val a = ids(i); val b = ids(j)
+        if (a != b) { out(m) = if (a < b) (a << 32) | b else (b << 32) | a; m += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == out.length) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Idempotent SQL registration of both kernels. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigram_hashes", exprs => BigramHashes(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "packed_pairs", exprs => PackedPairs(exprs.head), "built-in")
+  }
+}
+
+/** `bigram_hashes(array<string>) -> array<bigint>` (distinct). */
+case class BigramHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.bigramHashes(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.bigramHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `packed_pairs(array<bigint>) -> array<bigint>` of (lo << 32) | hi codes. */
+case class PackedPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<bigint>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.packedPairs(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.packedPairs($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -100,17 +100,20 @@ object VectorOps {
     },
     // Random-hyperplane LSH bucketing: 8 sign bits from md5-derived +/-1
     // hyperplane components; bucket histogram (candidate-generation stage).
+    // The +/-1 component depends only on (plane, dim) — 8x64 values — so
+    // the hyperplanes are materialized ONCE as 8 broadcast rows of
+    // array<bigint> and each projection is a single codegen'd dot_long.
+    // (The naive posexplode x planes cross join re-derived an md5 per
+    // vector x dim x plane row: 512x the hash work and a 64x row blowup.)
     "qv03_lsh_buckets" -> { (s, d) =>
       reg(s)
-      val hexv = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
-      val el = t(s, d, "embeddings")
-        .select(col("vec_id"), posexplode(quant(col("embedding"))).as(Seq("i", "qe")))
-      val planes = el.crossJoin(spark_rangePlanes(s))
-        .withColumn("comp",
-          when(hexv(substring(md5(concat(col("p"), lit("_"), col("i"))), 1, 1)) < 8, 1L)
-            .otherwise(-1L))
-      val signs = planes.groupBy("vec_id", "p")
-        .agg(sum(col("comp") * col("qe")).as("proj"))
+      val planes = spark_rangePlanes(s).withColumn("comp", expr(
+        """transform(sequence(0, 63), i ->
+          |  CASE WHEN instr('0123456789abcdef', substring(md5(concat(p, '_', i)), 1, 1)) - 1 < 8
+          |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)""".stripMargin))
+      val emb = t(s, d, "embeddings").select(col("vec_id"), quant(col("embedding")).as("q"))
+      val signs = emb.crossJoin(broadcast(planes))
+        .select(col("vec_id"), col("p"), dot(col("q"), col("comp")).as("proj"))
         .withColumn("bit", when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
       signs.groupBy("vec_id").agg(sum("bit").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextHashesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("TextHashesSpec")
+    .getOrCreate()
+
+  test("bigram_hashes: distinct count matches the composable string form") {
+    val s = spark
+    TextHashes.register(s)
+    import s.implicits._
+    val df = Seq(
+      "the quick brown fox the quick brown fox",
+      "a b a b a b",
+      "single",
+      "").toDF("text")
+    val got = df.selectExpr("size(bigram_hashes(split(text, ' '))) AS n")
+      .as[Int].collect().toSeq
+    // the composable reference form only works for >= 2 tokens
+    // (sequence(1, 0) counts DOWN), so compare those rows and check the
+    // degenerate rows directly
+    val want = df.filter(size(split(col("text"), " ")) >= 2).selectExpr(
+      """size(array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),
+        |  j -> concat(element_at(split(text, ' '), j), ' ',
+        |              element_at(split(text, ' '), j + 1))))) AS n""".stripMargin)
+      .as[Int].collect().toSeq
+    assert(got.take(2) == want.take(2))
+    assert(got(2) == 0 && got(3) == 0)
+  }
+
+  test("bigram_hashes: shared bigrams hash equal across documents") {
+    val s = spark
+    TextHashes.register(s)
+    import s.implicits._
+    val h = Seq("x y tail", "head x y").toDF("text")
+      .selectExpr("bigram_hashes(split(text, ' ')) AS g")
+      .as[Seq[Long]].collect()
+    assert(h(0).intersect(h(1)).size == 1) // the "x y" bigram
+  }
+
+  test("packed_pairs: emits all k(k-1)/2 ordered pairs, min id high") {
+    val s = spark
+    TextHashes.register(s)
+    import s.implicits._
+    val out = Seq(Seq(5L, 2L, 9L)).toDF("ids")
+      .selectExpr("packed_pairs(ids) AS p").as[Seq[Long]].collect().head
+    assert(out.size == 3)
+    val pairs = out.map(p => ((p >> 32), p & 0xFFFFFFFFL)).toSet
+    assert(pairs == Set((2L, 5L), (2L, 9L), (5L, 9L)))
+  }
+
+  test("packed_pairs: rejects ids beyond 31 bits") {
+    val s = spark
+    TextHashes.register(s)
+    import s.implicits._
+    val e = intercept[Throwable] {
+      Seq(Seq(1L, Long.MaxValue)).toDF("ids")
+        .selectExpr("packed_pairs(ids)").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("31-bit")))
+  }
+}

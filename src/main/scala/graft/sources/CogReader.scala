@@ -17,8 +17,14 @@ import graft.core.{TileKey, Tiles}
   *    resolution without being coarser than 2x (GDAL-style heuristic),
   *    then nearest-neighbor resample to 256x256
   *
-  * Not covered (documented divergence, SURVEY §7 R2): JPEG-in-TIFF tiles,
-  * BigTIFF, striped layout, non-3857 CRSes, non-uint8 samples.
+  *  - BigTIFF (version 43, 8-byte offsets) — the layout GDAL emits for
+  *    rasters past 4 GiB, i.e. the normal case at 100 TB imagery scale
+  *  - JPEG-in-TIFF tiles (compression 7): abbreviated per-tile streams
+  *    merged with the shared JPEGTables (tag 347) and decoded via the
+  *    JDK's ImageIO — no native deps
+  *
+  * Not covered (documented divergence, SURVEY §7 R2): striped layout,
+  * non-3857 CRSes, non-uint8 samples.
   */
 object CogReader {
 
@@ -68,7 +74,8 @@ object CogReader {
       samplesPerPixel: Int, bitsPerSample: Int, compression: Int,
       tileOffsets: Array[Long], tileByteCounts: Array[Long],
       pixelScale: Option[(Double, Double)], // (sx, sy)
-      tiepoint: Option[(Double, Double)]) // model x,y of raster (0,0)
+      tiepoint: Option[(Double, Double)], // model x,y of raster (0,0)
+      jpegTables: Option[Array[Byte]] = None) // tag 347, shared JPEG tables
 
   private final class TiffBuf(bytes: Array[Byte]) {
     var le: Boolean = true
@@ -81,12 +88,14 @@ object CogReader {
         else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) | ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
       v
     }
-    def f64(o: Int): Double = {
-      var bits = 0L
-      if (le) { var i = 7; while (i >= 0) { bits = (bits << 8) | (bytes(o + i) & 0xffL); i -= 1 } }
-      else { var i = 0; while (i < 8) { bits = (bits << 8) | (bytes(o + i) & 0xffL); i += 1 } }
-      java.lang.Double.longBitsToDouble(bits)
+    def u64(o: Int): Long = {
+      var v = 0L
+      if (le) { var i = 7; while (i >= 0) { v = (v << 8) | (bytes(o + i) & 0xffL); i -= 1 } }
+      else { var i = 0; while (i < 8) { v = (v << 8) | (bytes(o + i) & 0xffL); i += 1 } }
+      v
     }
+    def f64(o: Int): Double = java.lang.Double.longBitsToDouble(u64(o))
+    def slice(o: Int, n: Int): Array[Byte] = java.util.Arrays.copyOfRange(bytes, o, o + n)
     def length: Int = bytes.length
   }
 
@@ -100,7 +109,17 @@ object CogReader {
     hb.le = (head(0) == 'I'.toByte)
     require((head(0) == 'I'.toByte && head(1) == 'I'.toByte) ||
       (head(0) == 'M'.toByte && head(1) == 'M'.toByte), "not a TIFF")
-    require(hb.u16(2) == 42, "not a classic TIFF (BigTIFF unsupported)")
+    val version = hb.u16(2)
+    // 42 = classic (4-byte offsets), 43 = BigTIFF (8-byte offsets)
+    val big = version == 43
+    require(version == 42 || big, s"not a TIFF (version $version)")
+    if (big)
+      require(hb.u16(4) == 8 && hb.u16(6) == 0,
+        s"unsupported BigTIFF offset size ${hb.u16(4)}")
+    // layout constants that differ between the two formats
+    val entrySize = if (big) 20 else 12 // tag(2) type(2) count(4|8) value(4|8)
+    val countSize = if (big) 8 else 2 // IFD entry-count field
+    val inlineMax = if (big) 8 else 4 // value fits in the entry itself
     // window cache: serve absolute-offset reads from the head when
     // possible, else fetch a dedicated window
     def window(off: Long, len: Int): (TiffBuf, Int) =
@@ -110,15 +129,15 @@ object CogReader {
         buf.le = hb.le
         (buf, 0)
       }
-    def u16At(off: Long): Int = { val (b, o) = window(off, 2); b.u16(o) }
-    def u32At(off: Long): Long = { val (b, o) = window(off, 4); b.u32(o) }
+    def offAt(b: TiffBuf, o: Int): Long = if (big) b.u64(o) else b.u32(o)
+    def countAtEntry(b: TiffBuf, e: Int): Long = if (big) b.u64(e + 4) else b.u32(e + 4)
     val ifds = scala.collection.mutable.ArrayBuffer[Ifd]()
-    var off = hb.u32(4)
+    var off = if (big) hb.u64(8) else hb.u32(4)
     while (off != 0) {
-      val n = u16At(off)
+      val n = { val (b, o) = window(off, countSize); (if (big) b.u64(o) else b.u16(o).toLong).toInt }
       // materialize this IFD's entry table in one window
-      val (b, base) = window(off, 2 + n * 12 + 4)
-      def entryOff(i: Int): Int = base + 2 + i * 12
+      val (b, base) = window(off, countSize + n * entrySize + (if (big) 8 else 4))
+      def entryOff(i: Int): Int = base + countSize + i * entrySize
       var width = 0
       var height = 0
       var tw = 0
@@ -130,26 +149,30 @@ object CogReader {
       var tileCounts = Array.empty[Long]
       var scale: Option[(Double, Double)] = None
       var tie: Option[(Double, Double)] = None
+      var jpegTables: Option[Array[Byte]] = None
       var i = 0
       while (i < n) {
         val e = entryOff(i)
         val tag = b.u16(e)
         val typ = b.u16(e + 2)
-        val count = b.u32(e + 4).toInt
+        val count = countAtEntry(b, e).toInt
         val typeSize = typ match {
           case 1 | 2 | 6 | 7 => 1
           case 3 => 2
           case 4 | 9 | 11 => 4
           case 5 | 10 | 12 => 8
+          case 16 | 17 | 18 => 8 // BigTIFF LONG8 / SLONG8 / IFD8
           case _ => 1
         }
-        val inline = typeSize * count <= 4
+        val valueField = e + (if (big) 12 else 8)
+        val inline = typeSize * count <= inlineMax
         // (buf, local offset) where the value bytes live
         val (vb, vo) =
-          if (inline) (b, e + 8)
-          else window(b.u32(e + 8), typeSize * count)
+          if (inline) (b, valueField)
+          else window(offAt(b, valueField), typeSize * count)
         def intAt(j: Int): Long = typ match {
           case 3 => vb.u16(vo + 2 * j).toLong
+          case 16 | 17 | 18 => vb.u64(vo + 8 * j)
           case _ => vb.u32(vo + 4 * j)
         }
         def longs: Array[Long] = Array.tabulate(count)(intAt)
@@ -163,6 +186,7 @@ object CogReader {
           case 323 => th = intAt(0).toInt
           case 324 => tileOffsets = longs
           case 325 => tileCounts = longs
+          case 347 => jpegTables = Some(vb.slice(vo, count))
           case 33550 => scale = Some((vb.f64(vo), vb.f64(vo + 8)))
           case 33922 => // tiepoint: i,j,k, x,y,z
             tie = Some((vb.f64(vo + 24), vb.f64(vo + 32)))
@@ -170,8 +194,9 @@ object CogReader {
         }
         i += 1
       }
-      ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts, scale, tie)
-      off = b.u32(base + 2 + n * 12)
+      ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts,
+        scale, tie, jpegTables)
+      off = offAt(b, base + countSize + n * entrySize)
     }
     ifds.toSeq
   }
@@ -206,8 +231,50 @@ object CogReader {
     ifd.compression match {
       case 1 => raw // uncompressed
       case 8 | 32946 => inflate(raw, expected)
+      case 7 => decodeJpegTile(raw, ifd)
       case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
     }
+  }
+
+  /** Decode a compression-7 ("new-style") JPEG tile. Tiles are abbreviated
+    * JPEG streams sharing quant/Huffman tables via tag 347: splice the
+    * tables stream (minus its EOI) ahead of the tile stream (minus its SOI)
+    * — the same merge GDAL performs — then hand the result to ImageIO.
+    * ImageIO performs the YCbCr->RGB conversion for photometric 6. */
+  private def decodeJpegTile(raw: Array[Byte], ifd: Ifd): Array[Byte] = {
+    val stream = ifd.jpegTables match {
+      case Some(tb) if tb.length >= 4 && raw.length >= 2 =>
+        // tables = SOI ... EOI ; tile = SOI SOF/SOS ... EOI
+        val tLen = if ((tb(tb.length - 2) & 0xff) == 0xff &&
+          (tb(tb.length - 1) & 0xff) == 0xd9) tb.length - 2 else tb.length
+        val merged = new Array[Byte](tLen + raw.length - 2)
+        System.arraycopy(tb, 0, merged, 0, tLen)
+        System.arraycopy(raw, 2, merged, tLen, raw.length - 2)
+        merged
+      case _ => raw // self-contained per-tile streams (no tag 347)
+    }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+    if (img == null) throw new java.io.IOException("undecodable JPEG tile")
+    val tw = ifd.tileWidth
+    val th = ifd.tileHeight
+    val spp = ifd.samplesPerPixel
+    val out = new Array[Byte](tw * th * spp)
+    val r = img.getRaster
+    val w = math.min(tw, img.getWidth)
+    val h = math.min(th, img.getHeight)
+    val nb = math.min(spp, r.getNumBands)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val dst = (y * tw + x) * spp
+        var c = 0
+        while (c < nb) { out(dst + c) = r.getSample(x, y, c).toByte; c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** The full-res georeference; overviews share it with scaled pixel size. */

@@ -122,6 +122,43 @@ class CogReaderSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("BigTIFF reads identically to classic TIFF") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("classic.tif")
+    val p2 = tmp("big.tif")
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 512
+    val levels = Seq(TiffWriter.Level(512, 512, (x, y) => (x % 256, y % 256, 7)))
+    TiffWriter.write(p1, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res, deflate = true)
+    TiffWriter.write(p2, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res, deflate = true, bigtiff = true)
+    val (_, _, _, classic) = CogReader.tile(p1, cover)
+    val (_, _, _, big) = CogReader.tile(p2, cover)
+    assert(big.sameElements(classic))
+  }
+
+  test("JPEG tiles with shared JPEGTables decode (solid color, lossy-tolerant)") {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 512
+    val levels = Seq(TiffWriter.Level(512, 512, (_, _) => (100, 150, 200)))
+    for ((shared, name) <- Seq((true, "jt.tif"), (false, "jself.tif"))) {
+      val p = tmp(name)
+      TiffWriter.write(p, levels, tileSize = 128, originX = b.west, originY = b.north,
+        resX = res, resY = res, jpeg = true, jpegSharedTables = shared)
+      val (h, w, bands, data) = CogReader.tile(p, cover)
+      assert(h == 256 && w == 256 && bands == 3)
+      val want = Array(100, 150, 200)
+      var i = 0
+      while (i < data.length) {
+        assert(math.abs((data(i) & 0xff) - want(i % 3)) <= 3,
+          s"pixel byte $i = ${data(i) & 0xff}, want ~${want(i % 3)} (shared=$shared)")
+        i += 1
+      }
+    }
+  }
+
   test("dispatch routes .tif to the COG source") {
     assert(TileSources.dispatch("/data/img.tif") == TileSources.CogSource)
     assert(TileSources.dispatch("https://x/y.TIFF?a=1") == TileSources.CogSource)

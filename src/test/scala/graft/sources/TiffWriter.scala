@@ -1,28 +1,33 @@
 package graft.sources
 
 /** Minimal tiled-GeoTIFF writer for COG reader fixtures (test-only).
-  * Little-endian classic TIFF, RGB uint8, tiled, optional deflate, web-
-  * mercator georeferencing via ModelPixelScale/ModelTiepoint, optional
-  * overview IFDs. */
+  * Little-endian classic TIFF or BigTIFF, RGB uint8, tiled, optional
+  * deflate or JPEG (compression 7 + shared JPEGTables) compression,
+  * web-mercator georeferencing via ModelPixelScale/ModelTiepoint,
+  * optional overview IFDs. */
 object TiffWriter {
 
   final case class Level(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int))
 
   def write(path: String, levels: Seq[Level], tileSize: Int = 128,
       originX: Double = 0, originY: Double = 0, resX: Double = 1, resY: Double = 1,
-      deflate: Boolean = false): Unit = {
+      deflate: Boolean = false, bigtiff: Boolean = false,
+      jpeg: Boolean = false, jpegSharedTables: Boolean = true): Unit = {
+    require(!(deflate && jpeg), "pick one compression")
     val bos = new java.io.ByteArrayOutputStream()
     def pad(): Unit = while (bos.size() % 2 != 0) bos.write(0)
     def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = { var i = 0; while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
-    def w64d(d: Double): Unit = {
-      val bits = java.lang.Double.doubleToLongBits(d)
-      var i = 0
-      while (i < 8) { bos.write(((bits >> (8 * i)) & 0xff).toInt); i += 1 }
-    }
+    def w64(v: Long): Unit = { var i = 0; while (i < 8) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def w64d(d: Double): Unit = w64(java.lang.Double.doubleToLongBits(d))
+    def wOff(v: Long): Unit = if (bigtiff) w64(v) else w32(v)
 
     // header; first IFD offset patched later
-    bos.write('I'); bos.write('I'); w16(42); w32(0)
+    if (bigtiff) { bos.write('I'); bos.write('I'); w16(43); w16(8); w16(0); w64(0) }
+    else { bos.write('I'); bos.write('I'); w16(42); w32(0) }
+
+    // shared JPEG tables captured from the first encoded tile
+    var jpegTables: Option[Array[Byte]] = None
 
     final case class PreparedLevel(tiles: Seq[Array[Byte]], tilesAcross: Int, lv: Level)
     val prepared = levels.map { lv =>
@@ -44,6 +49,18 @@ object TiffWriter {
           val n = d.deflate(buf)
           d.end()
           java.util.Arrays.copyOf(buf, n)
+        } else if (jpeg) {
+          val full = encodeJpeg(raw, tileSize, tileSize)
+          if (!jpegSharedTables) full
+          else {
+            val (tables, image) = splitJpeg(full)
+            jpegTables match {
+              case Some(t) => require(t.sameElements(tables),
+                "encoder emitted differing tables across tiles")
+              case None => jpegTables = Some(tables)
+            }
+            image
+          }
         } else raw
       }
       PreparedLevel(tiles, across, lv)
@@ -55,6 +72,8 @@ object TiffWriter {
     }
 
     // IFDs
+    val entrySize = if (bigtiff) 20 else 12
+    val countSize = if (bigtiff) 8 else 2
     var ifdOffsets = List.empty[Long]
     prepared.zipWithIndex.foreach { case (p, li) =>
       // out-of-line arrays for this IFD
@@ -64,6 +83,8 @@ object TiffWriter {
       val toOff = bos.size().toLong; tileOffsets(li).foreach(w32)
       pad()
       val tcOff = bos.size().toLong; p.tiles.foreach(t => w32(t.length.toLong))
+      pad()
+      val jtOff = bos.size().toLong; jpegTables.foreach(t => bos.write(t))
       pad()
       val scaleOff = bos.size().toLong
       w64d(resX * (levels.head.width.toDouble / p.lv.width)); w64d(resY * (levels.head.height.toDouble / p.lv.height)); w64d(0)
@@ -75,35 +96,101 @@ object TiffWriter {
       val ifdOff = bos.size().toLong
       ifdOffsets ::= ifdOff
       val nTiles = p.tiles.length
-      final case class Tag(code: Int, typ: Int, count: Int, value: Long)
+      val comp = if (deflate) 8L else if (jpeg) 7L else 1L
+      val photometric = if (jpeg) 6L else 2L
+      // `data` = the element values, inlined into the entry whenever they
+      // fit (<= 4 bytes classic, <= 8 BigTIFF — required by spec, and what
+      // the reader expects); `value` = the out-of-line offset fallback.
+      final case class Tag(code: Int, typ: Int, count: Int, value: Long, data: Seq[Long] = Nil)
       val tags = Seq(
-        Tag(256, 3, 1, p.lv.width.toLong), Tag(257, 3, 1, p.lv.height.toLong),
-        Tag(258, 3, 3, bpsOff), Tag(259, 3, 1, if (deflate) 8L else 1L),
-        Tag(262, 3, 1, 2L), Tag(277, 3, 1, 3L), Tag(284, 3, 1, 1L),
-        Tag(322, 3, 1, tileSize.toLong), Tag(323, 3, 1, tileSize.toLong),
-        Tag(324, 4, nTiles, if (nTiles == 1) tileOffsets(li).head else toOff),
-        Tag(325, 4, nTiles, if (nTiles == 1) p.tiles.head.length.toLong else tcOff),
+        Tag(256, 3, 1, 0, Seq(p.lv.width.toLong)), Tag(257, 3, 1, 0, Seq(p.lv.height.toLong)),
+        Tag(258, 3, 3, bpsOff, Seq(8L, 8L, 8L)), Tag(259, 3, 1, 0, Seq(comp)),
+        Tag(262, 3, 1, 0, Seq(photometric)), Tag(277, 3, 1, 0, Seq(3L)), Tag(284, 3, 1, 0, Seq(1L)),
+        Tag(322, 3, 1, 0, Seq(tileSize.toLong)), Tag(323, 3, 1, 0, Seq(tileSize.toLong)),
+        Tag(324, 4, nTiles, toOff, tileOffsets(li)),
+        Tag(325, 4, nTiles, tcOff, p.tiles.map(_.length.toLong))) ++
+        jpegTables.map(t => Tag(347, 7, t.length, jtOff)).toSeq ++ Seq(
         Tag(33550, 12, 3, scaleOff), Tag(33922, 12, 6, tieOff))
-      w16(tags.length)
+      if (bigtiff) w64(tags.length.toLong) else w16(tags.length)
+      val inlineMax = if (bigtiff) 8 else 4
       tags.foreach { t =>
-        w16(t.code); w16(t.typ); w32(t.count.toLong)
-        if (t.typ == 3 && t.count == 1) { w16(t.value.toInt); w16(0) } else w32(t.value)
+        w16(t.code); w16(t.typ)
+        if (bigtiff) w64(t.count.toLong) else w32(t.count.toLong)
+        val tsize = t.typ match { case 3 => 2; case 4 => 4; case 7 => 1; case 12 => 8; case _ => 4 }
+        if (t.data.nonEmpty && tsize * t.count <= inlineMax) {
+          var written = 0
+          t.data.foreach { v =>
+            if (t.typ == 3) { w16(v.toInt); written += 2 } else { w32(v); written += 4 }
+          }
+          while (written < inlineMax) { bos.write(0); written += 1 }
+        } else wOff(t.value)
       }
-      w32(0) // next-IFD placeholder; chained below by patching
+      wOff(0) // next-IFD placeholder; chained below by patching
     }
 
     val bytes = bos.toByteArray
-    def patch32(at: Int, v: Long): Unit = {
+    def patchOff(at: Int, v: Long): Unit = {
+      val n = if (bigtiff) 8 else 4
       var i = 0
-      while (i < 4) { bytes(at + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      while (i < n) { bytes(at + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
     }
+    def entryCountAt(o: Int): Int =
+      if (bigtiff) {
+        var v = 0L; var i = 7
+        while (i >= 0) { v = (v << 8) | (bytes(o + i) & 0xffL); i -= 1 }
+        v.toInt
+      } else (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     val offs = ifdOffsets.reverse
-    patch32(4, offs.head)
-    // chain IFDs: next-pointer sits after 2 + n*12 bytes of each IFD
+    patchOff(if (bigtiff) 8 else 4, offs.head)
+    // chain IFDs: next-pointer sits after countSize + n*entrySize of each IFD
     offs.zip(offs.tail :+ 0L).foreach { case (o, next) =>
-      val n = (bytes(o.toInt) & 0xff) | ((bytes(o.toInt + 1) & 0xff) << 8)
-      patch32(o.toInt + 2 + n * 12, next)
+      val n = entryCountAt(o.toInt)
+      patchOff(o.toInt + countSize + n * entrySize, next)
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
+  /** RGB bytes -> a full JFIF JPEG stream via ImageIO. */
+  private def encodeJpeg(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      raster.setSample(x, y, 0, rgb(i) & 0xff)
+      raster.setSample(x, y, 1, rgb(i + 1) & 0xff)
+      raster.setSample(x, y, 2, rgb(i + 2) & 0xff)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpeg", out), "no JPEG encoder")
+    out.toByteArray
+  }
+
+  /** Split a full JPEG into (tables stream SOI..EOI, abbreviated image
+    * stream SOI..EOI) — DQT/DHT segments go to tables, the rest (SOF,
+    * SOS + entropy data) stays with the image, per the TIFF tag-347
+    * convention. */
+  private def splitJpeg(full: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val tables = new java.io.ByteArrayOutputStream()
+    val image = new java.io.ByteArrayOutputStream()
+    tables.write(0xff); tables.write(0xd8)
+    image.write(0xff); image.write(0xd8)
+    var i = 2
+    var done = false
+    while (!done) {
+      require((full(i) & 0xff) == 0xff, s"bad JPEG marker at $i")
+      val marker = full(i + 1) & 0xff
+      if (marker == 0xd9) done = true // EOI with no scan (shouldn't happen)
+      else if (marker == 0xda) { // SOS: header + entropy data to the end
+        image.write(full, i, full.length - i)
+        done = true
+      } else {
+        val len = ((full(i + 2) & 0xff) << 8) | (full(i + 3) & 0xff)
+        val target = if (marker == 0xdb || marker == 0xc4) tables else image
+        target.write(full, i, 2 + len)
+        i += 2 + len
+      }
+    }
+    tables.write(0xff); tables.write(0xd9)
+    (tables.toByteArray, image.toByteArray)
   }
 }

@@ -14,9 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * Kept deliberately small: the engine's operators compose Spark built-ins
-  * (builder-contract preference (a)); the only native expression so far is
-  * the codegen'd `dot_long` (preference (b)). No planner strategies or
-  * optimizer rules are injected because no operator needed one.
+  * (builder-contract preference (a)); the native expressions are the
+  * codegen'd `dot_long`, `bigram_hashes` and `packed_pairs` kernels
+  * (preference (b)). No planner strategies or optimizer rules are
+  * injected because no operator needed one.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProductLong].getName, "dot_long"),
       (exprs: Seq[Expression]) =>
         graft.functions.DotProductLong(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bigram_hashes"),
+      new ExpressionInfo(classOf[graft.functions.BigramHashes].getName, "bigram_hashes"),
+      (exprs: Seq[Expression]) => graft.functions.BigramHashes(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("packed_pairs"),
+      new ExpressionInfo(classOf[graft.functions.PackedPairs].getName, "packed_pairs"),
+      (exprs: Seq[Expression]) => graft.functions.PackedPairs(exprs.head)))
   }
 }

@@ -106,10 +106,16 @@ object TextOps {
         min(md5(concat(lit("s3_"), col("tok")))).as("mh3"))
       val bands = sig.select(col("doc_id"), md5(concat(col("mh0"), col("mh1"))).as("band"))
         .unionAll(sig.select(col("doc_id"), md5(concat(col("mh2"), col("mh3"))).as("band")))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+      // band-bucket pair generation via the native packed_pairs kernel
+      // (one groupBy + in-row expansion instead of a self-join); pairs
+      // found by both bands dedup on the single packed long
+      graft.functions.TextHashes.register(s)
+      val buckets = bands.groupBy("band")
+        .agg(collect_list(col("doc_id").cast("long")).as("ds"))
+        .filter(size(col("ds")) > 1)
+      buckets.select(explode(expr("packed_pairs(ds)")).as("pair")).distinct()
+        .select(shiftright(col("pair"), 32).as("id_a"),
+          col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
         .groupBy("id_a").agg(count(lit(1)).as("n_candidates"), min("id_b").as("min_cand"))
         .orderBy("id_a")
     },

@@ -22,6 +22,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .getOrCreate()
       val r = spark.sql("SELECT dot_long(array(2L, 3L), array(10L, 100L)) AS d").collect()
       assert(r(0).getLong(0) == 320L)
+      val g = spark.sql(
+        "SELECT size(bigram_hashes(array('a', 'b', 'a', 'b'))) AS n").collect()
+      assert(g(0).getInt(0) == 2) // 'a b' and 'b a'
+      val p = spark.sql("SELECT packed_pairs(array(3L, 1L)) AS p").collect()
+      assert(p(0).getSeq[Long](0) == Seq((1L << 32) | 3L))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -23,8 +23,11 @@ import graft.core.{TileKey, Tiles}
   *    merged with the shared JPEGTables (tag 347) and decoded via the
   *    JDK's ImageIO — no native deps
   *
-  * Not covered (documented divergence, SURVEY §7 R2): striped layout,
-  * non-3857 CRSes, non-uint8 samples.
+  *  - striped layout (StripOffsets/RowsPerStrip): each strip modeled as a
+  *    full-width tile, so legacy non-COG GeoTIFFs read too
+  *
+  * Not covered (documented divergence, SURVEY §7 R2): non-3857 CRSes,
+  * non-uint8 samples, planar configuration 2.
   */
 object CogReader {
 
@@ -150,6 +153,9 @@ object CogReader {
       var scale: Option[(Double, Double)] = None
       var tie: Option[(Double, Double)] = None
       var jpegTables: Option[Array[Byte]] = None
+      var rowsPerStrip = 0
+      var stripOffsets = Array.empty[Long]
+      var stripCounts = Array.empty[Long]
       var i = 0
       while (i < n) {
         val e = entryOff(i)
@@ -182,6 +188,9 @@ object CogReader {
           case 258 => bps = intAt(0).toInt
           case 259 => comp = intAt(0).toInt
           case 277 => spp = intAt(0).toInt
+          case 273 => stripOffsets = longs
+          case 278 => rowsPerStrip = intAt(0).toInt
+          case 279 => stripCounts = longs
           case 322 => tw = intAt(0).toInt
           case 323 => th = intAt(0).toInt
           case 324 => tileOffsets = longs
@@ -193,6 +202,15 @@ object CogReader {
           case _ =>
         }
         i += 1
+      }
+      // striped layout (no tile tags): model each strip as a full-width
+      // tile — the windowed-read path then works unchanged. RowsPerStrip
+      // defaults to "one strip = whole image" per spec.
+      if (tw == 0 && stripOffsets.nonEmpty) {
+        tw = width
+        th = if (rowsPerStrip > 0) rowsPerStrip else height
+        tileOffsets = stripOffsets
+        tileCounts = stripCounts
       }
       ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts,
         scale, tie, jpegTables)

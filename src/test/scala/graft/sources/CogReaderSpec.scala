@@ -159,6 +159,22 @@ class CogReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("striped legacy layout reads identically to tiled") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("tiled.tif")
+    val p2 = tmp("striped.tif")
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 512
+    val levels = Seq(TiffWriter.Level(512, 512, (x, y) => (x % 256, y % 256, 7)))
+    TiffWriter.write(p1, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res, deflate = true)
+    TiffWriter.write(p2, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res, deflate = true, striped = true)
+    val (_, _, _, tiled) = CogReader.tile(p1, cover)
+    val (_, _, _, striped) = CogReader.tile(p2, cover)
+    assert(striped.sameElements(tiled))
+  }
+
   test("dispatch routes .tif to the COG source") {
     assert(TileSources.dispatch("/data/img.tif") == TileSources.CogSource)
     assert(TileSources.dispatch("https://x/y.TIFF?a=1") == TileSources.CogSource)

@@ -12,8 +12,10 @@ object TiffWriter {
   def write(path: String, levels: Seq[Level], tileSize: Int = 128,
       originX: Double = 0, originY: Double = 0, resX: Double = 1, resY: Double = 1,
       deflate: Boolean = false, bigtiff: Boolean = false,
-      jpeg: Boolean = false, jpegSharedTables: Boolean = true): Unit = {
+      jpeg: Boolean = false, jpegSharedTables: Boolean = true,
+      striped: Boolean = false): Unit = {
     require(!(deflate && jpeg), "pick one compression")
+    require(!(striped && jpeg), "striped fixtures are raw/deflate only")
     val bos = new java.io.ByteArrayOutputStream()
     def pad(): Unit = while (bos.size() % 2 != 0) bos.write(0)
     def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
@@ -31,15 +33,17 @@ object TiffWriter {
 
     final case class PreparedLevel(tiles: Seq[Array[Byte]], tilesAcross: Int, lv: Level)
     val prepared = levels.map { lv =>
-      val across = (lv.width + tileSize - 1) / tileSize
+      // striped: one full-width strip of `tileSize` rows per "tile"
+      val chunkW = if (striped) lv.width else tileSize
+      val across = if (striped) 1 else (lv.width + tileSize - 1) / tileSize
       val down = (lv.height + tileSize - 1) / tileSize
       val tiles = for (ty <- 0 until down; tx <- 0 until across) yield {
-        val raw = new Array[Byte](tileSize * tileSize * 3)
-        for (y <- 0 until tileSize; x <- 0 until tileSize) {
-          val gx = tx * tileSize + x
+        val raw = new Array[Byte](chunkW * tileSize * 3)
+        for (y <- 0 until tileSize; x <- 0 until chunkW) {
+          val gx = tx * chunkW + x
           val gy = ty * tileSize + y
           val (r, g, b) = if (gx < lv.width && gy < lv.height) lv.pixel(gx, gy) else (0, 0, 0)
-          val i = (y * tileSize + x) * 3
+          val i = (y * chunkW + x) * 3
           raw(i) = r.toByte; raw(i + 1) = g.toByte; raw(i + 2) = b.toByte
         }
         if (deflate) {
@@ -105,10 +109,15 @@ object TiffWriter {
       val tags = Seq(
         Tag(256, 3, 1, 0, Seq(p.lv.width.toLong)), Tag(257, 3, 1, 0, Seq(p.lv.height.toLong)),
         Tag(258, 3, 3, bpsOff, Seq(8L, 8L, 8L)), Tag(259, 3, 1, 0, Seq(comp)),
-        Tag(262, 3, 1, 0, Seq(photometric)), Tag(277, 3, 1, 0, Seq(3L)), Tag(284, 3, 1, 0, Seq(1L)),
-        Tag(322, 3, 1, 0, Seq(tileSize.toLong)), Tag(323, 3, 1, 0, Seq(tileSize.toLong)),
-        Tag(324, 4, nTiles, toOff, tileOffsets(li)),
-        Tag(325, 4, nTiles, tcOff, p.tiles.map(_.length.toLong))) ++
+        Tag(262, 3, 1, 0, Seq(photometric)), Tag(277, 3, 1, 0, Seq(3L)), Tag(284, 3, 1, 0, Seq(1L))) ++
+        (if (striped) Seq(
+          Tag(273, 4, nTiles, toOff, tileOffsets(li)),
+          Tag(278, 3, 1, 0, Seq(tileSize.toLong)),
+          Tag(279, 4, nTiles, tcOff, p.tiles.map(_.length.toLong)))
+        else Seq(
+          Tag(322, 3, 1, 0, Seq(tileSize.toLong)), Tag(323, 3, 1, 0, Seq(tileSize.toLong)),
+          Tag(324, 4, nTiles, toOff, tileOffsets(li)),
+          Tag(325, 4, nTiles, tcOff, p.tiles.map(_.length.toLong)))) ++
         jpegTables.map(t => Tag(347, 7, t.length, jtOff)).toSeq ++ Seq(
         Tag(33550, 12, 3, scaleOff), Tag(33922, 12, 6, tieOff))
       if (bigtiff) w64(tags.length.toLong) else w16(tags.length)

@@ -31,6 +31,9 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // collect the previous query's garbage before timing this one, so a
+      // GC pause isn't billed to whichever query happens to trigger it
+      if (sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0") System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

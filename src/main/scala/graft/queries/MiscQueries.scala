@@ -61,33 +61,12 @@ object MiscQueries {
     // N-gram (word-bigram) Jaccard near-dup, source-blocked (the bounded
     // all-pairs pattern; shingles are 2-grams rather than qd07's unigrams).
     "qd09_ngram_jaccard" -> { (s, d) =>
-      // Native kernels (graft.functions.TextHashes): bigrams become 64-bit
-      // hashes inside the row, so only longs are exploded/shuffled; bucket
-      // pair expansion packs each (id_a < id_b) pair into ONE long. The
-      // whole mid-pipeline is fixed-width — no strings, no structs. Doc
-      // sizes rejoin at the end via a broadcast of the tiny per-doc dim.
-      // At scale, hot grams would get a bucket-size cap on `ds` (standard
-      // LSH practice); gram-hash collisions are ~n^2/2^64, irrelevant.
-      graft.functions.TextHashes.register(s)
-      val docs = t(s, d, "documents")
-        .select(col("source"), col("doc_id").cast("long").as("doc_id"),
-          expr("bigram_hashes(split(text, ' '))").as("grams"))
-        .withColumn("ng", size(col("grams")))
-      val g = docs.select(col("source"), col("doc_id"), explode(col("grams")).as("gram"))
-      val buckets = g.groupBy("source", "gram")
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) > 1)
-      val pairs = buckets.select(col("source"),
-        explode(expr("packed_pairs(ds)")).as("pair"))
-      val inter = pairs.groupBy("source", "pair").agg(count(lit(1)).as("inter"))
-        .select(col("source"), shiftright(col("pair"), 32).as("id_a"),
-          col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("inter"))
-      val sizes = docs.select(col("doc_id"), col("ng"))
-      inter
-        .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("ng").as("na"))), "id_a")
-        .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("ng").as("nb"))), "id_b")
-        .withColumn("jacc", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .groupBy("source")
+      // Public operator (graft.operators.Dedup.bigramJaccardPairs): native
+      // bigram_hashes/packed_pairs kernels keep the whole mid-pipeline
+      // fixed-width longs; per-doc sizes rejoin via broadcast.
+      graft.operators.Dedup
+        .bigramJaccardPairs(t(s, d, "documents"), "text", "doc_id", "source")
+        .groupBy(col("block").as("source"))
         .agg(count(lit(1)).as("n_overlapping_pairs"), max("jacc").as("max_jacc"))
         .orderBy("source")
     },

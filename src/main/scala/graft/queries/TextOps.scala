@@ -75,47 +75,23 @@ object TextOps {
     },
     // Exact dedup: content-hash groups, keeper = min id, copies counted.
     "qd04_exact_dedup" -> { (s, d) =>
-      withDups(s, d)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
-        .filter(col("n_copies") > 1)
+      graft.operators.Dedup.exactGroups(withDups(s, d), "text", "doc_id")
         .orderBy("keeper_id")
     },
     // MinHash signatures (4 salted-md5 hash functions, min over token set).
     "qd05_minhash_sig" -> { (s, d) =>
-      val tok = t(s, d, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
-      tok.groupBy("doc_id")
-        .agg(
-          min(md5(concat(lit("s0_"), col("tok")))).as("mh0"),
-          min(md5(concat(lit("s1_"), col("tok")))).as("mh1"),
-          min(md5(concat(lit("s2_"), col("tok")))).as("mh2"),
-          min(md5(concat(lit("s3_"), col("tok")))).as("mh3"))
+      graft.operators.Dedup.minhashSignatures(
+          t(s, d, "documents").filter(col("doc_id") < 100), "text", "doc_id", 4)
         .orderBy("doc_id")
     },
     // MinHash + LSH banding: near-dup candidate generation via band-bucket
-    // join (10% id-sample keeps the within-band pair fan-out bounded — the
-    // synthetic corpus has a tiny vocabulary, so bands collide heavily).
+    // pair expansion (10% id-sample keeps the within-band pair fan-out
+    // bounded — the synthetic corpus has a tiny vocabulary, so bands
+    // collide heavily).
     "qd06_lsh_pairs" -> { (s, d) =>
-      val tok = withDups(s, d).filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
-      val sig = tok.groupBy("doc_id").agg(
-        min(md5(concat(lit("s0_"), col("tok")))).as("mh0"),
-        min(md5(concat(lit("s1_"), col("tok")))).as("mh1"),
-        min(md5(concat(lit("s2_"), col("tok")))).as("mh2"),
-        min(md5(concat(lit("s3_"), col("tok")))).as("mh3"))
-      val bands = sig.select(col("doc_id"), md5(concat(col("mh0"), col("mh1"))).as("band"))
-        .unionAll(sig.select(col("doc_id"), md5(concat(col("mh2"), col("mh3"))).as("band")))
-      // band-bucket pair generation via the native packed_pairs kernel
-      // (one groupBy + in-row expansion instead of a self-join); pairs
-      // found by both bands dedup on the single packed long
-      graft.functions.TextHashes.register(s)
-      val buckets = bands.groupBy("band")
-        .agg(collect_list(col("doc_id").cast("long")).as("ds"))
-        .filter(size(col("ds")) > 1)
-      buckets.select(explode(expr("packed_pairs(ds)")).as("pair")).distinct()
-        .select(shiftright(col("pair"), 32).as("id_a"),
-          col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+      graft.operators.Dedup.lshCandidatePairs(
+          withDups(s, d).filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", numHashes = 4, rowsPerBand = 2)
         .groupBy("id_a").agg(count(lit(1)).as("n_candidates"), min("id_b").as("min_cand"))
         .orderBy("id_a")
     },

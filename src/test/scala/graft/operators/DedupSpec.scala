@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "blk", "the quick brown fox jumps over the lazy dog"),
+      (2L, "blk", "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "blk", "the quick brown fox jumps over the sleepy dog"), // near dup
+      (4L, "blk", "completely different text about spark engines here"),
+      (5L, "other", "the quick brown fox jumps over the lazy dog") // other block
+    ).toDF("doc_id", "source", "text")
+  }
+
+  test("exactGroups finds the identical pair with min-id keeper") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_copies") == 3) // ids 1, 2, 5 share text
+    assert(g(0).getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("minhashSignatures: identical docs get identical signatures") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (0 until 4).map(i => r.getAs[String](s"mh$i"))).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("lshCandidatePairs surfaces exact and near dups, not unrelated docs") {
+    val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical -> all bands collide
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
+    pairs.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("bigramJaccardPairs: jacc 1.0 for identical docs, blocked by source") {
+    val pairs = Dedup.bigramJaccardPairs(docs, "text", "doc_id", "source")
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jacc"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // near dup: 8 bigrams each, 6 shared ("the sleepy"/"sleepy dog" differ)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    // doc 5 is in another block: no cross-block pair with 1 or 2
+    assert(!pairs.keySet.exists { case (a, b) => b == 5L || a == 5L })
+  }
+}

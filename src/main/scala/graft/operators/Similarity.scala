@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public similarity-search API over an embedding column (builder
+  * contract: brute-force cosine baseline + LSH / IVF scale paths). All
+  * methods are plain DataFrame plans verified end-to-end by the DuckDB
+  * oracle gate (qv01–qv04 invoke them with the gate's parameters).
+  *
+  * Determinism: float vectors are quantized to an integer grid
+  * (`round(e * 10000)` — binary floats never land on an exact .5 tie at a
+  * power-of-ten scale), so dot products are exact BIGINT arithmetic via
+  * the native codegen'd `dot_long` and the final cosine is a
+  * deterministic double in any engine.
+  *
+  * Scale stance (100 TB): query vectors and centroid tables are broadcast;
+  * candidate generation is hash-partitioned (LSH buckets / IVF cells) —
+  * never an unblocked all-pairs join.
+  */
+object Similarity {
+
+  /** embedding -> exact integer grid (array<bigint>). */
+  def quantize(c: Column): Column =
+    transform(c, e => round(e.cast("double") * 10000).cast("long"))
+
+  private def dot(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.DotProductLong.register(df.sparkSession)
+    call_function("dot_long", a, b)
+  }
+
+  /** Brute-force cosine top-k of `df` against the row with id `queryId`:
+    * (id, cos_sim) ordered desc, deterministic id tie-break. The query
+    * vector is broadcast; one scan over the candidates. */
+  def topKCosine(df: DataFrame, embCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val d = dot(df) _
+    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
+    val query = emb.filter(col(idCol) === queryId).select(col("q").as("qv"))
+    emb.filter(col(idCol) =!= queryId)
+      .join(broadcast(query))
+      .select(col(idCol),
+        (d(col("q"), col("qv")).cast("double") /
+          (sqrt(d(col("q"), col("q")).cast("double")) *
+            sqrt(d(col("qv"), col("qv")).cast("double")))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs cosine within each block: (block, id_a, id_b, cos).
+    * Pair fan-out is bounded per block — the embedding near-dup pattern. */
+  def blockedCosinePairs(df: DataFrame, embCol: String, idCol: String,
+      blockCol: String): DataFrame = {
+    val d = dot(df) _
+    val emb = df
+      .select(col(blockCol).as("block"), col(idCol).as("id"),
+        quantize(col(embCol)).as("q"))
+      .withColumn("nrm", sqrt(d(col("q"), col("q")).cast("double")))
+    emb.as("a").join(emb.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.block").as("block"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        (d(col("a.q"), col("b.q")).cast("double") /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket per vector: (id, bucket). Hyperplane
+    * components are md5-derived +/-1, materialized ONCE as `numPlanes`
+    * broadcast array rows; each projection is a single codegen'd
+    * dot_long. `dim` must match the embedding length. */
+  def lshBuckets(df: DataFrame, embCol: String, idCol: String,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val d = dot(df) _
+    val planes = df.sparkSession.range(numPlanes)
+      .select(col("id").cast("int").as("p"))
+      .withColumn("comp", expr(
+        s"""transform(sequence(0, ${dim - 1}), i ->
+           |  CASE WHEN instr('0123456789abcdef', substring(md5(concat(p, '_', i)), 1, 1)) - 1 < 8
+           |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)""".stripMargin))
+    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
+    emb.crossJoin(broadcast(planes))
+      .select(col(idCol), col("p"), d(col("q"), col("comp")).as("proj"))
+      .withColumn("bit", when(col("proj") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L))
+      .groupBy(idCol).agg(sum("bit").as("bucket"))
+  }
+
+  /** IVF-style ANN top-k: deterministic centroid sample (`id % sampleMod
+    * == 0`), exact-integer L2 cell assignment, then cosine top-k within
+    * the `nprobe` cells nearest the query. Search cost is ~nprobe/cells
+    * of brute force; every stage is a broadcast join or hash partition —
+    * no driver-side index. */
+  def ivfTopK(df: DataFrame, embCol: String, idCol: String, queryId: Long,
+      k: Int, sampleMod: Int = 53, nprobe: Int = 2): DataFrame = {
+    val d = dot(df) _
+    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
+      .withColumn("qq", d(col("q"), col("q")))
+    val cents = emb.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("cid"), col("q").as("cq"), col("qq").as("cc"))
+    val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("q"), col("qq"), col("cid"))
+    val query = emb.filter(col(idCol) === queryId)
+      .select(col("q").as("xq"), col("qq").as("xqq"))
+    val probed = cents.join(broadcast(query))
+      .withColumn("dist2", col("xqq") + col("cc") - lit(2) * d(col("cq"), col("xq")))
+      .orderBy(col("dist2"), col("cid")).limit(nprobe)
+      .select("cid")
+    assigned.join(broadcast(probed), "cid")
+      .filter(col(idCol) =!= queryId)
+      .join(broadcast(query))
+      .select(col(idCol),
+        (d(col("q"), col("xq")).cast("double") /
+          (sqrt(col("qq").cast("double")) * sqrt(col("xqq").cast("double")))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  // tiny 4-dim corpus: 1 ~ query, 2 orthogonal, 3 = scaled copy of 1
+  private lazy val emb = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "a", Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, "a", Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, "a", Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, "b", Seq(0.5f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+  }
+
+  test("topKCosine ranks the near-parallel vector first, scaled copy = 1.0") {
+    val top = Similarity.topKCosine(emb, "embedding", "vec_id", 0L, 3).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 1L, 2L))
+    assert(top(0).getAs[Double]("cos_sim") == 1.0) // scaling preserves cosine
+    assert(top(2).getAs[Double]("cos_sim") == 0.0) // orthogonal
+  }
+
+  test("blockedCosinePairs stays within blocks") {
+    val pairs = Similarity.blockedCosinePairs(emb, "embedding", "vec_id", "label")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L))) // block "b" has 1 vec
+  }
+
+  test("lshBuckets: parallel vectors share a bucket, deterministic across runs") {
+    val b1 = Similarity.lshBuckets(emb, "embedding", "vec_id", 8, 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val b2 = Similarity.lshBuckets(emb, "embedding", "vec_id", 8, 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b1 == b2) // md5-derived hyperplanes: no RNG state
+    assert(b1(0L) == b1(3L)) // exactly parallel -> identical sign bits
+  }
+
+  test("ivfTopK returns the brute-force answer when every cell is probed") {
+    val ivf = Similarity.ivfTopK(emb, "embedding", "vec_id", 0L, 3,
+        sampleMod = 2, nprobe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val brute = Similarity.topKCosine(emb, "embedding", "vec_id", 0L, 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf.toSet.subsetOf(brute.toSet))
+    assert(ivf.nonEmpty)
+  }
+}

@@ -29,13 +29,29 @@ case class DotProductLong(left: Expression, right: Expression)
       s"left side must be array<bigint>, got ${left.dataType}")
   }
 
+  // Matches the composable `aggregate(zip_with(a, b, *), 0, +)` semantics
+  // it replaces: mismatched lengths or a null element yield NULL (zip_with
+  // pads with null, + propagates it) — never garbage from an unchecked
+  // getLong.
+  override def nullable: Boolean = true
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsMayBeNull
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -46,13 +62,22 @@ case class DotProductLong(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val nullCheck =
+        if (elementsMayBeNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long ${ev.value}_acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long ${ev.value}_acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = ${ev.value}_acc;
          |}
-         |${ev.value} = ${ev.value}_acc;
        """.stripMargin
     })
 
@@ -61,10 +86,14 @@ case class DotProductLong(left: Expression, right: Expression)
 }
 
 object DotProductLong {
-  /** SQL registration: `SELECT dot_long(a, b)`. Idempotent. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_long", exprs => DotProductLong(exprs(0), exprs(1)), "built-in")
+  /** SQL registration: `SELECT dot_long(a, b)`. Idempotent (no-op when
+    * already registered — avoids per-query "replaced" warning spam). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_long")))
+      reg.createOrReplaceTempFunction(
+        "dot_long", exprs => DotProductLong(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column API (registers the function on first use per session). */
   def dot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {

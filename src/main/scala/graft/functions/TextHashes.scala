@@ -75,12 +75,18 @@ object TextHashes {
     else new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
-  /** Idempotent SQL registration of both kernels. */
+  /** Idempotent SQL registration of both kernels (no-op — and no
+    * "replaced a previously registered function" warning — when already
+    * registered in the session). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bigram_hashes", exprs => BigramHashes(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "packed_pairs", exprs => PackedPairs(exprs.head), "built-in")
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("bigram_hashes")))
+      reg.createOrReplaceTempFunction(
+        "bigram_hashes", exprs => BigramHashes(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("packed_pairs")))
+      reg.createOrReplaceTempFunction(
+        "packed_pairs", exprs => PackedPairs(exprs.head), "built-in")
   }
 }
 

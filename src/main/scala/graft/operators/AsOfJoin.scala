@@ -30,27 +30,35 @@ object AsOfJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // All right values travel in ONE struct so the fill below picks them
+    // from the SAME most-recent right row — filling each column
+    // independently with last(ignoreNulls) would skip a right row whose
+    // value is NULL and stitch outputs from different rows, which is not
+    // what an as-of match means (DuckDB ASOF JOIN returns the matched
+    // row's values *including its NULLs*, and qa01 checks that).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     // tag and align schemas: side 0 = right (sorts before left on ties so a
     // right row at the exact same time IS visible to the left row)
     val r = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        rightVals.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          struct(rightVals.map(col): _*).as("__r")) ++
         leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
       keyCols.map(col) ++
-        Seq(col(leftTime).cast(right.schema(rightTime).dataType).as("__t"), lit(1).as("__side")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+        Seq(col(leftTime).cast(right.schema(rightTime).dataType).as("__t"), lit(1).as("__side"),
+          lit(null).cast(rStructType).as("__r")) ++
         leftCols.filterNot(keyCols.contains).map(col): _*)
     val unioned = r.unionByName(l)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // the struct itself is non-null for every right row (even when its
+    // fields are null), so ignoreNulls skips only the left-side fillers
+    val filled = unioned.withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightVals.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+        rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -6,14 +6,18 @@ import org.apache.spark.sql.functions._
 /** Public deduplication API over a document table (builder contract:
   * first-class training-data operators). Every method returns a plain
   * DataFrame plan — no driver materialization — and each is verified
-  * end-to-end by the DuckDB oracle gate (qd04/qd05/qd06/qd09 invoke
-  * these with the gate's parameters).
+  * end-to-end by the DuckDB oracle gate (qd04/qd05/qd06/qd07/qd09/qd10
+  * invoke these with the gate's parameters).
   *
   * Scale stance (100 TB): all pairwise work is blocked — by content hash,
   * LSH band bucket, or a caller-supplied block column — so pair fan-out
   * is bounded per bucket and every stage is a hash-partitioned
-  * groupBy/broadcast join. Shuffled keys in the hot paths are fixed-width
-  * longs via the native kernels in [[graft.functions.TextHashes]].
+  * groupBy/shuffle join. Shuffled keys in the hot paths are fixed-width
+  * longs via the native kernels in [[graft.functions.TextHashes]]. Per-doc
+  * size tables are NEVER broadcast (they are O(corpus)); they rejoin via
+  * shuffle-hash joins on long ids. Degenerate LSH buckets (empty docs,
+  * boilerplate) are dropped by a default `maxBucket` cap before the
+  * quadratic in-row pair expansion.
   */
 object Dedup {
 
@@ -41,52 +45,113 @@ object Dedup {
   /** MinHash + LSH banding candidate pairs: (id_a, id_b), id_a < id_b,
     * distinct across bands. Band buckets expand pairs in-row via the
     * native packed_pairs kernel (ids must fit 31 bits) — one groupBy, no
-    * self-join. At larger scale, cap runaway buckets before expansion
-    * with e.g. `.filter(size(col("ds")) < maxBucket)`. */
+    * self-join. The bucket key includes the band index, so equal minhash
+    * runs in *different* bands never merge buckets.
+    *
+    * `maxBucket` caps bucket size BEFORE the k(k-1)/2 in-row pair
+    * expansion: a degenerate band (empty docs, boilerplate headers) would
+    * otherwise produce one giant row and a task OOM. Buckets above the cap
+    * are near-useless for dedup anyway (they pair everything with
+    * everything) — standard LSH practice is to drop them. */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+      numHashes: Int = 4, rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    require(maxBucket >= 2, "maxBucket must be >= 2")
     val spark = df.sparkSession
     graft.functions.TextHashes.register(spark)
     val sig = minhashSignatures(df, textCol, idCol, numHashes)
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      sig.select(col(idCol), md5(concat(cols: _*)).as("band"))
+      sig.select(col(idCol), md5(concat(lit(s"$b") +: cols: _*)).as("band"))
     }.reduce(_ unionAll _)
     bands.groupBy("band")
       .agg(collect_list(col(idCol).cast("long")).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(expr("packed_pairs(ds)")).as("pair")).distinct()
       .select(shiftright(col("pair"), 32).as("id_a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
   }
 
-  /** Word-bigram Jaccard similarity for every overlapping pair within a
-    * block: (block, id_a, id_b, inter, na, nb, jacc). Shingles are 64-bit
-    * hashes inside the row (native bigram_hashes); bucket pair expansion
-    * is packed longs; per-doc sizes rejoin via broadcast. */
-  def bigramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String): DataFrame = {
-    val spark = df.sparkSession
-    graft.functions.TextHashes.register(spark)
-    val docs = df
-      .select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
-        expr(s"bigram_hashes(split($textCol, ' '))").as("grams"))
-      .withColumn("ng", size(col("grams")))
+  /** Shared gram-bucket Jaccard pipeline. Input `docs` must have columns
+    * (block, id: long, grams: array<long> distinct, ng: int). Output one
+    * row per *overlapping* pair: (block, id_a, id_b, inter, na, nb, jacc).
+    *
+    * Per-doc sizes rejoin via shuffle-hash joins on the long id — NOT a
+    * broadcast: the sizes relation is one row per document (O(corpus)),
+    * which at 100 TB would OOM the driver/executors if broadcast. */
+  private def gramJaccardPairs(docs: DataFrame): DataFrame = {
     val g = docs.select(col("block"), col("id"), explode(col("grams")).as("gram"))
-    val buckets = g.groupBy("block", "gram")
+    val inter = g.groupBy("block", "gram")
       .agg(collect_list(col("id")).as("ds"))
       .filter(size(col("ds")) > 1)
-    val inter = buckets
       .select(col("block"), explode(expr("packed_pairs(ds)")).as("pair"))
       .groupBy("block", "pair").agg(count(lit(1)).as("inter"))
       .select(col("block"), shiftright(col("pair"), 32).as("id_a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("inter"))
     val sizes = docs.select(col("id"), col("ng"))
     inter
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("ng").as("na"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("ng").as("nb"))), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("ng").as("na"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("ng").as("nb"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("jacc",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+  }
+
+  /** Word-bigram Jaccard similarity for every overlapping pair within a
+    * block: (block, id_a, id_b, inter, na, nb, jacc). Shingles are 64-bit
+    * hashes inside the row (native bigram_hashes); bucket pair expansion
+    * is packed longs; sizes rejoin via shuffle-hash join (never
+    * broadcast — see [[gramJaccardPairs]]). */
+  def bigramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String): DataFrame = {
+    graft.functions.TextHashes.register(df.sparkSession)
+    val docs = df
+      .select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
+        expr(s"bigram_hashes(split($textCol, ' '))").as("grams"))
+      .withColumn("ng", size(col("grams")))
+    gramJaccardPairs(docs)
+  }
+
+  /** Distinct-token (unigram) Jaccard for every overlapping pair within a
+    * block — same bucket pipeline as [[bigramJaccardPairs]], tokens hashed
+    * to 64-bit via xxhash64. */
+  def tokenJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String): DataFrame = {
+    graft.functions.TextHashes.register(df.sparkSession)
+    val docs = df
+      .select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
+        array_distinct(transform(toks(col(textCol)), t => xxhash64(t))).as("grams"))
+      .withColumn("ng", size(col("grams")))
+    gramJaccardPairs(docs)
+  }
+
+  /** Per-block Jaccard summary — (block, n_pairs, max_jacc, avg_jacc) over
+    * ALL C(n,2) pairs of the block — WITHOUT an all-pairs join. Overlapping
+    * pairs come from the token-bucket pipeline; the (possibly astronomical)
+    * count of zero-overlap pairs enters analytically: they contribute 0 to
+    * the jacc sum and n_pairs = n(n-1)/2 has a closed form. A within-block
+    * `docs × docs` join (the naive form) is quadratic in block size — a
+    * 1 M-doc block would be 5·10¹¹ joined rows; this never materializes a
+    * zero-overlap pair. Blocks with a single document (no pairs) are
+    * omitted, matching the pairwise SQL semantics. */
+  def tokenJaccardBlockSummary(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String): DataFrame = {
+    val pairs = tokenJaccardPairs(df, textCol, idCol, blockCol)
+    val overlap = pairs.groupBy("block").agg(
+      max("jacc").as("max_overlap"),
+      sum(col("jacc").cast("decimal(20,10)")).as("sum_jacc"))
+    val counts = df.groupBy(col(blockCol).as("block"))
+      .agg(count(lit(1)).as("n_docs"))
+    counts.join(overlap, Seq("block"), "left")
+      .select(col("block"),
+        expr("(n_docs * (n_docs - 1)) div 2").as("n_pairs"),
+        // overlap jaccs are strictly positive, so implicit zero pairs
+        // never win the max; absent overlap means the max is exactly 0
+        coalesce(col("max_overlap"), lit(0.0)).as("max_jacc"),
+        (coalesce(col("sum_jacc"), lit(0).cast("decimal(20,10)")).cast("double") /
+          expr("(n_docs * (n_docs - 1)) div 2")).as("avg_jacc"))
+      .filter(col("n_pairs") > 0)
   }
 }

@@ -28,7 +28,14 @@ object LabelQueries {
       val tiles = t(s, d, "events").select(col("user_id").cast("int").as("x")).distinct()
         .unionAll(s.range(2).select((col("id") * -1 - 1).cast("int").as("x")))
         .select(lit(0).as("z"), col("x"), lit(0).as("y"))
-      Labels.classification(tiles, feats, classes).orderBy("x")
+      // label slots projected to scalar int columns (the gate's checker
+      // hashes pandas frames, which can't sort/hash an array column)
+      Labels.classification(tiles, feats, classes)
+        .select(col("z"), col("x"), col("y"),
+          col("label").getItem(0).as("l_bg"),
+          col("label").getItem(1).as("l_purchases"),
+          col("label").getItem(2).as("l_bigk"))
+        .orderBy("x")
     },
     // A2 object-detection bbox math (scale / banker's-round / y-flip /
     // +/-4 pad / clamp) over synthetic geometries from lineitem values.
@@ -105,8 +112,8 @@ object LabelQueries {
         |  MAX(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 80 THEN 1 ELSE 0 END) AS c2
         | FROM events GROUP BY 1)
         |SELECT 0 AS z, u.x AS x, 0 AS y,
-        | [CASE WHEN COALESCE(c1, 0) + COALESCE(c2, 0) = 0 THEN 1 ELSE 0 END,
-        |  COALESCE(c1, 0), COALESCE(c2, 0)] AS label
+        | CASE WHEN COALESCE(c1, 0) + COALESCE(c2, 0) = 0 THEN 1 ELSE 0 END AS l_bg,
+        | COALESCE(c1, 0) AS l_purchases, COALESCE(c2, 0) AS l_bigk
         |FROM users u LEFT JOIN agg a ON u.x = a.x ORDER BY x""".stripMargin,
     "ql02_objdet_bbox" ->
       """WITH f AS (SELECT

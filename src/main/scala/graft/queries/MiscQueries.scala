@@ -63,7 +63,8 @@ object MiscQueries {
     "qd09_ngram_jaccard" -> { (s, d) =>
       // Public operator (graft.operators.Dedup.bigramJaccardPairs): native
       // bigram_hashes/packed_pairs kernels keep the whole mid-pipeline
-      // fixed-width longs; per-doc sizes rejoin via broadcast.
+      // fixed-width longs; per-doc sizes rejoin via shuffle-hash join
+      // (the sizes relation is O(corpus) — never broadcast).
       graft.operators.Dedup
         .bigramJaccardPairs(t(s, d, "documents"), "text", "doc_id", "source")
         .groupBy(col("block").as("source"))

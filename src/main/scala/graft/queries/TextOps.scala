@@ -87,7 +87,8 @@ object TextOps {
     // MinHash + LSH banding: near-dup candidate generation via band-bucket
     // pair expansion (10% id-sample keeps the within-band pair fan-out
     // bounded — the synthetic corpus has a tiny vocabulary, so bands
-    // collide heavily).
+    // collide heavily). Default maxBucket cap (mirrored in the oracle) is
+    // a no-op at this scale but enforced by the operator.
     "qd06_lsh_pairs" -> { (s, d) =>
       graft.operators.Dedup.lshCandidatePairs(
           withDups(s, d).filter(col("doc_id") % 10 === 0),
@@ -95,33 +96,14 @@ object TextOps {
         .groupBy("id_a").agg(count(lit(1)).as("n_candidates"), min("id_b").as("min_cand"))
         .orderBy("id_a")
     },
-    // Blocked pairwise token-set Jaccard (block = source; pair count bounded
-    // per block, so the join scales linearly in block count).
+    // Blocked pairwise token-set Jaccard summary WITHOUT an all-pairs
+    // join: overlap pairs from token buckets, zero-overlap pairs counted
+    // analytically (n_pairs = C(n,2)) — see Dedup.tokenJaccardBlockSummary.
     "qd07_jaccard_blocked" -> { (s, d) =>
-      val docs = t(s, d, "documents")
-        .select(col("source"), col("doc_id"),
-          array_distinct(toks(col("text"))).as("tk"))
-        .withColumn("nt", size(col("tk")))
-      val tok = docs.select(col("source"), col("doc_id"), explode(col("tk")).as("tok"))
-      val inter = tok.as("a").join(tok.as("b"),
-          col("a.source") === col("b.source") && col("a.tok") === col("b.tok") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.source").as("source"), col("a.doc_id").as("id_a"),
-          col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      val sz = docs.select(col("doc_id"), col("nt"))
-      val pairs = docs.as("x").join(docs.as("y"),
-          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.source").as("source"), col("x.doc_id").as("id_a"),
-          col("y.doc_id").as("id_b"), col("x.nt").as("na"), col("y.nt").as("nb"))
-        .join(inter, Seq("source", "id_a", "id_b"), "left")
-        .withColumn("inter", coalesce(col("inter"), lit(0L)))
-        .withColumn("jacc", col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")))
-      pairs.groupBy("source")
-        .agg(count(lit(1)).as("n_pairs"),
-          max("jacc").as("max_jacc"),
-          (sum(col("jacc").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("avg_jacc"))
+      graft.operators.Dedup.tokenJaccardBlockSummary(
+          t(s, d, "documents"), "text", "doc_id", "source")
+        .select(col("block").as("source"), col("n_pairs"),
+          col("max_jacc"), col("avg_jacc"))
         .orderBy("source")
     },
     // 16-bit SimHash over the token multiset (bits from md5 hex digits).
@@ -139,6 +121,16 @@ object TextOps {
         .groupBy("doc_id")
         .agg(sum(when(col("bal") >= 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
         .orderBy("doc_id")
+    },
+    // The maxBucket cap doing real work: cap 8 drops the corpus's
+    // degenerate boilerplate buckets (300-3000 docs per band bucket at
+    // these SFs) before pair expansion; the oracle applies the same cap.
+    "qd10_lsh_capped" -> { (s, d) =>
+      graft.operators.Dedup.lshCandidatePairs(withDups(s, d), "text", "doc_id",
+          numHashes = 4, rowsPerBand = 2, maxBucket = 8)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("id_a").as("sum_a"), sum("id_b").as("sum_b"),
+          min("id_a").as("min_a"), max("id_b").as("max_b"))
     }
   )
 
@@ -196,10 +188,12 @@ object TextOps {
         |  MIN(md5('s0_' || tok)) AS mh0, MIN(md5('s1_' || tok)) AS mh1,
         |  MIN(md5('s2_' || tok)) AS mh2, MIN(md5('s3_' || tok)) AS mh3
         |  FROM tok GROUP BY doc_id),
-        |bands AS (SELECT doc_id, md5(mh0 || mh1) AS band FROM sig
-        |  UNION ALL SELECT doc_id, md5(mh2 || mh3) AS band FROM sig),
+        |bands AS (SELECT doc_id, md5('0' || mh0 || mh1) AS band FROM sig
+        |  UNION ALL SELECT doc_id, md5('1' || mh2 || mh3) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band)
         |SELECT id_a, COUNT(*) AS n_candidates, MIN(id_b) AS min_cand
         |FROM cand GROUP BY id_a ORDER BY id_a""".stripMargin,
     "qd07_jaccard_blocked" ->
@@ -226,6 +220,26 @@ object TextOps {
         |bal AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
         |  FROM bits GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd10_lsh_capped" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+        |  FROM all_docs),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('s0_' || tok)) AS mh0, MIN(md5('s1_' || tok)) AS mh1,
+        |  MIN(md5('s2_' || tok)) AS mh2, MIN(md5('s3_' || tok)) AS mh3
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, md5('0' || mh0 || mh1) AS band FROM sig
+        |  UNION ALL SELECT doc_id, md5('1' || mh2 || mh3) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 8),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band)
+        |SELECT COUNT(*) AS n_pairs,
+        | CAST(SUM(id_a) AS BIGINT) AS sum_a, CAST(SUM(id_b) AS BIGINT) AS sum_b,
+        | MIN(id_a) AS min_a, MAX(id_b) AS max_b
+        |FROM cand""".stripMargin
   )
 }

@@ -12,6 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * transform is defined against a DataFrame so the same code serves
   * `spark.read` (batch parity tests) and `spark.readStream`.
   */
+/** Open-session state for [[EventStream.sessionize]] — top-level (not
+  * nested/private) so the streaming state-store encoder's generated code
+  * can construct and read it. */
+final case class SessionState(startMicros: Long, lastMicros: Long,
+    nEvents: Int, sumValue: Double)
+
 object EventStream {
 
   /** events with a proper timestamp column (the driver parquet stores
@@ -30,25 +36,46 @@ object EventStream {
         sum(col("value").cast("decimal(30,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
 
-  final case class EventIn(user_id: Long, etsMicros: Long, value: Double)
+  // `ets` carries the event-time watermark metadata — it must survive into
+  // the grouped Dataset for EventTimeTimeout to be legal in streaming mode
+  final case class EventIn(user_id: Long, etsMicros: Long, value: Double,
+      ets: java.sql.Timestamp)
   final case class SessionOut(user_id: Long, startMicros: Long, endMicros: Long,
-      nEvents: Int, sumValue: Double)
-  private final case class SessionState(startMicros: Long, lastMicros: Long,
       nEvents: Int, sumValue: Double)
 
   /** Gap-based sessionization (30-min inactivity) with
     * flatMapGroupsWithState — emits a session when the gap is exceeded.
-    * In batch mode Spark runs the same state function once per group with
-    * all rows, emitting every closed session plus the open one. */
+    *
+    * Batch mode: Spark runs the state function once per group with all
+    * rows; every closed session plus the final open one is emitted and no
+    * state survives the call.
+    *
+    * Streaming mode (`events.isStreaming`): the open session is KEPT in
+    * state across micro-batches — emitting it eagerly would split and
+    * double-count sessions that span micro-batches. It is closed either by
+    * a later event beyond the gap, or by an event-time timeout once the
+    * watermark passes `last + gap` (so every session is emitted exactly
+    * once). */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val streaming = events.isStreaming
     val gapMicros = gapMinutes.toLong * 60 * 1000000
-    val typed = withTs(events).select(
-      col("user_id"), unix_micros(col("ets")).as("etsMicros"), col("value")).as[EventIn]
+    val withW =
+      if (streaming) withTs(events).withWatermark("ets", s"$gapMinutes minutes")
+      else withTs(events)
+    val typed = withW.select(
+      col("user_id"), unix_micros(col("ets")).as("etsMicros"), col("value"),
+      col("ets")).as[EventIn]
 
     def fn(userId: Long, rows: Iterator[EventIn],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (streaming && state.hasTimedOut) {
+        // watermark passed last + gap with no new events: close the session
+        val st = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, st.startMicros, st.lastMicros, st.nEvents, st.sumValue))
+      }
       val sorted = rows.toSeq.sortBy(_.etsMicros)
       val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
       var cur = state.getOption
@@ -64,16 +91,26 @@ object EventStream {
             cur = Some(SessionState(e.etsMicros, e.etsMicros, 1, e.value))
         }
       }
-      // batch mode: also flush the open session (no further micro-batches)
-      cur.foreach { st =>
-        out += SessionOut(userId, st.startMicros, st.lastMicros, st.nEvents, st.sumValue)
-        state.remove()
+      if (streaming) {
+        // keep the open session; arm an event-time timeout to close it
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp((st.lastMicros + gapMicros) / 1000)
+        }
+      } else {
+        // batch: flush the open session (no further micro-batches)
+        cur.foreach { st =>
+          out += SessionOut(userId, st.startMicros, st.lastMicros, st.nEvents, st.sumValue)
+          state.remove()
+        }
       }
       out.iterator
     }
 
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
   /** Run `tumblingCounts` as a real streaming query over the parquet dir

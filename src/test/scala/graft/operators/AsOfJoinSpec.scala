@@ -19,4 +19,18 @@ class AsOfJoinSpec extends SparkSpec {
       (1, 20L, 150.0), // latest preceding
       (2, 10L, null))) // right row is later
   }
+
+  test("matched row's NULLs are preserved; multi-value columns come from the SAME right row") {
+    // right row at t=15 has v = NULL but tag = "y": an as-of match at t>=15
+    // must return (NULL, "y") — not stitch v=100.0 from the older row.
+    val left = Seq((1, 20L)).toDF("k", "t")
+    val right = Seq(
+      (1, 10L, Option(100.0), "x"),
+      (1, 15L, Option.empty[Double], "y"))
+      .toDF("k", "rt", "v", "tag")
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "t", "rt", Seq("v", "tag"))
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("asof_v")), "NULL inside the matched row must survive")
+    assert(out.getAs[String]("asof_tag") == "y")
+  }
 }

@@ -40,6 +40,32 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("lshCandidatePairs: maxBucket cap drops degenerate buckets before pair expansion") {
+    val s = spark
+    import s.implicits._
+    // 5 identical docs: every band bucket has all 5 -> k(k-1)/2 = 10 pairs
+    val boiler = (1L to 5L).map(i => (i, "b", "same boilerplate text here")).toDF("doc_id", "source", "text")
+    assert(Dedup.lshCandidatePairs(boiler, "text", "doc_id").count() == 10)
+    // cap 4 < bucket size 5: the bucket is dropped entirely, no task-OOM row
+    assert(Dedup.lshCandidatePairs(boiler, "text", "doc_id", maxBucket = 4).count() == 0)
+  }
+
+  test("tokenJaccardBlockSummary: analytic C(n,2) pairs, zero-overlap pairs included in avg, singleton blocks omitted") {
+    val rows = Dedup.tokenJaccardBlockSummary(docs, "text", "doc_id", "source")
+      .collect().map(r => r.getAs[String]("block") -> r).toMap
+    // block "other" has a single doc -> no pairs -> no row (pairwise semantics)
+    assert(!rows.contains("other"))
+    val b = rows("blk") // docs 1,2,3,4 -> C(4,2) = 6 pairs
+    assert(b.getAs[Long]("n_pairs") == 6L)
+    assert(b.getAs[Double]("max_jacc") == 1.0) // (1,2) identical
+    // overlap: (1,2)=1, (1,3)=(2,3)=7/9; (x,4) pairs are implicit zeros
+    val expectedAvg = (1.0 + 7.0 / 9 + 7.0 / 9) / 6
+    assert(math.abs(b.getAs[Double]("avg_jacc") - expectedAvg) < 1e-9)
+    // and only the 3 overlapping pairs ever materialize
+    assert(Dedup.tokenJaccardPairs(docs, "text", "doc_id", "source")
+      .filter(col("block") === "blk").count() == 3)
+  }
+
   test("bigramJaccardPairs: jacc 1.0 for identical docs, blocked by source") {
     val pairs = Dedup.bigramJaccardPairs(docs, "text", "doc_id", "source")
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),

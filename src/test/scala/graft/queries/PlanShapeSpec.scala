@@ -67,4 +67,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*("))
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"))
   }
+
+  test("qd09: per-doc size rejoin is a shuffle join — the sizes relation is O(corpus) and must never be broadcast") {
+    val p = plan("qd09_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastExchange"), "sizes relation must not be broadcast:\n" + p.take(1500))
+  }
+
+  test("qd07: blocked jaccard summary has no all-pairs join (cartesian or nested-loop)") {
+    val p = plan("qd07_jaccard_blocked")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("BroadcastExchange"), "no corpus-sized broadcast expected:\n" + p.take(1500))
+  }
 }

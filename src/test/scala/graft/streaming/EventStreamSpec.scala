@@ -69,4 +69,37 @@ class EventStreamSpec extends SparkSpec {
     }
     assert(sessions.count(_.user_id == u) == expected)
   }
+
+  test("streaming sessionize keeps open sessions across micro-batches (no split/double-emit)") {
+    // Two time-ordered files = two micro-batches. A session spanning the
+    // file boundary must come out as ONE session, and nothing may be
+    // emitted twice. Sessions still open at the end (watermark never
+    // passes their last + gap) legitimately stay unemitted in append mode,
+    // so compare only CLOSED sessions against the batch run.
+    val dir = java.nio.file.Files.createTempDirectory("evsess").toString
+    val ev = events.orderBy("ts")
+    val n = ev.count()
+    val first = ev.limit((n / 2).toInt)
+    first.coalesce(1).write.parquet(s"$dir/b1")
+    ev.exceptAll(first).coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = EventStream.sessionize(stream, gapMinutes = 30).writeStream
+      .outputMode("append").format("memory").queryName("sessions_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val batchAll = EventStream.sessionize(events, gapMinutes = 30).collect()
+      .map(s => (s.user_id, s.startMicros, s.endMicros, s.nEvents)).toSet
+    assert(streamed.nonEmpty, "no session closed across the micro-batches")
+    // every streamed (closed) session appears verbatim in the batch result:
+    // a session split at the micro-batch boundary would not
+    assert(streamed.subsetOf(batchAll),
+      s"streamed sessions disagree with batch: ${streamed.diff(batchAll).take(3)}")
+    // no double emission of the same (user, start)
+    val keys = spark.table("sessions_stream").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
 }

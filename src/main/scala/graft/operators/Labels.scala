@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.filters.FilterCompiler
-import graft.model.{ClassSpec, MlType}
+import graft.model.{ClassSpec, Coord, MlType}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -40,17 +40,10 @@ object Labels {
         array(background +: cs: _*).as("label"))
   }
 
-  /** Pixel-space bbox for one (feature, class) pair, `label.py:68-96`:
-    * geometry bounds in 0-4096 (expanded by the class `buffer` — for a
-    * non-negative buffer, bounds(buffer(g, d)) == expand(bounds(g), d), so
-    * no geometry op is needed), scaled to 0-255 with banker's rounding
+  /** Pixel-space bbox for one (feature, class) pair from its 0-4096-space
+    * bounds, `label.py:68-96`: scaled to 0-255 with banker's rounding
     * (Python `round` == `bround`), y-flipped, +/-4 px padding, clamped. */
-  private def pixelBboxCols(buffer: Column): Seq[Column] = {
-    val flat = flatten(col("parts"))
-    val minx = array_min(transform(flat, p => p.getField("x"))) - buffer
-    val maxx = array_max(transform(flat, p => p.getField("x"))) + buffer
-    val miny = array_min(transform(flat, p => p.getField("y"))) - buffer
-    val maxy = array_max(transform(flat, p => p.getField("y"))) + buffer
+  private def pixelBboxCols(minx: Column, miny: Column, maxx: Column, maxy: Column): Seq[Column] = {
     def px(c: Column): Column = bround(c * 255.0 / 4096.0, 0).cast("int")
     def clamp(c: Column): Column = greatest(lit(0), least(lit(255), c))
     Seq(
@@ -58,6 +51,27 @@ object Labels {
       clamp(lit(255) - px(maxy) - 4), // ymin (y-flip + reorder, label.py:71-74)
       clamp(px(maxx) + 4), // xmax
       clamp(lit(255) - px(miny) + 4)) // ymax
+  }
+
+  private case class Bounds4096(minx: Double, miny: Double, maxx: Double, maxy: Double)
+
+  /** Bounds of the JTS-buffered geometry in 0-4096 space — the reference
+    * buffers the raw geometry (`label.py:29-32`, shapely `.buffer(d, 4)`,
+    * GEOS == JTS by lineage) and only then takes `.bounds`. Needed only
+    * when the buffer is NEGATIVE: bounds(buffer(g, d)) == expand(bounds(g),
+    * d) exactly for d >= 0, but a shrink depends on the actual shape. A
+    * geometry that shrinks away entirely yields None (the reference would
+    * crash on shapely's empty bounds tuple; we skip the box — documented
+    * divergence). UDF by necessity: a GEOS-style buffer is not expressible
+    * in built-in Column algebra, and this branch only enters the plan when
+    * a negative-buffer class exists. */
+  private val negBufferBounds = udf { (geomType: String, parts: Seq[Seq[Coord]], buffer: Double) =>
+    val g = Segmentation.buildGeometry(geomType, parts).buffer(buffer, 4)
+    if (g.isEmpty) None
+    else {
+      val e = g.getEnvelopeInternal
+      Some(Bounds4096(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+    }
   }
 
   /** A2 — object-detection: per matching (feature, class) one
@@ -79,12 +93,35 @@ object Labels {
         FilterCompiler.compile(c.filter).as("matched"),
         lit(c.buffer.getOrElse(0.0)).as("buffer"))
     }: _*)
+    val hasNegativeBuffer = classes.exists(_.buffer.exists(_ < 0))
     val exploded = features
       .filter(size(flatten(col("parts"))) > 0)
-      .select(col("z"), col("x"), col("y"), col("fidx"), col("parts"),
+      .select(col("z"), col("x"), col("y"), col("fidx"), col("geomType"), col("parts"),
         explode(filter(classEntries, e => e.getField("matched"))).as("ce"))
-    val Seq(x0, y0, x1, y1) = pixelBboxCols(col("ce.buffer"))
-    val all = exploded.select(col("z"), col("x"), col("y"),
+    val flat = flatten(col("parts"))
+    val buf = col("ce.buffer")
+    val bMinx = array_min(transform(flat, p => p.getField("x")))
+    val bMaxx = array_max(transform(flat, p => p.getField("x")))
+    val bMiny = array_min(transform(flat, p => p.getField("y")))
+    val bMaxy = array_max(transform(flat, p => p.getField("y")))
+    // negative buffers need the real (JTS) shrunk geometry's bounds; the
+    // codegen'd columnar expand stays the only path in the plan otherwise
+    val withBounds =
+      if (!hasNegativeBuffer)
+        exploded.withColumn("minx", bMinx - buf).withColumn("miny", bMiny - buf)
+          .withColumn("maxx", bMaxx + buf).withColumn("maxy", bMaxy + buf)
+      else {
+        val nb = negBufferBounds(col("geomType"), col("parts"), buf)
+        exploded.withColumn("nb", when(buf < 0, nb))
+          .filter(buf >= 0 || col("nb").isNotNull) // fully-shrunk: no box
+          .withColumn("minx", when(buf >= 0, bMinx - buf).otherwise(col("nb.minx")))
+          .withColumn("miny", when(buf >= 0, bMiny - buf).otherwise(col("nb.miny")))
+          .withColumn("maxx", when(buf >= 0, bMaxx + buf).otherwise(col("nb.maxx")))
+          .withColumn("maxy", when(buf >= 0, bMaxy + buf).otherwise(col("nb.maxy")))
+      }
+    val Seq(x0, y0, x1, y1) =
+      pixelBboxCols(col("minx"), col("miny"), col("maxx"), col("maxy"))
+    val all = withBounds.select(col("z"), col("x"), col("y"),
       struct(
         col("fidx"), col("ce.cidx").as("cidx"),
         x0.as("xmin"), y0.as("ymin"), x1.as("xmax"), y1.as("ymax"),

@@ -65,19 +65,46 @@ object Render {
     img
   }
 
-  /** R1 — classification card: class name -> presence table as HTML plus a
-    * base64 JPEG of the tile image (`result.py:27-46`). */
-  def classificationHtml(classNames: Seq[String], label: Seq[Int],
-      image: Option[BufferedImage]): String = {
-    val rows = classNames.zipWithIndex.map { case (n, i) =>
-      s"<tr><td>$n</td><td>${label(i + 1) > 0}</td></tr>"
-    }.mkString
-    val imgTag = image.map { im =>
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(im, "jpg", out)
-      val b64 = java.util.Base64.getEncoder.encodeToString(out.toByteArray)
-      s"""<img src="data:image/jpeg;base64,$b64"/>"""
-    }.getOrElse("")
-    s"""<div><table><tr><th>class</th><th>present</th></tr>$rows</table>$imgTag</div>"""
+  // ---- result cards (`result.py`'s `_repr_html_` equivalents) ----
+
+  private val styleHelper = "display:inline-block;vertical-align:middle;margin-left:1em;"
+
+  private def jpegB64(im: BufferedImage): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", out)
+    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
   }
+
+  private def imgTag(im: BufferedImage): String =
+    s"<img style=$styleHelper src='data:image/jpeg;base64,${jpegB64(im)}'/>"
+
+  private def card(tile: String, inner: String): String =
+    s"<div style='border-radius:5px;background-color:#eee;padding:2em;'><span>$tile</span>$inner</div>"
+
+  /** R1 — classification card (`result.py:27-46`): Background + class
+    * presence table plus the tile image as base64 JPEG. */
+  def classificationHtml(classNames: Seq[String], label: Seq[Int],
+      image: Option[BufferedImage], tile: String = ""): String = {
+    val rows = ("Background" +: classNames).zipWithIndex.map { case (n, i) =>
+      s"<tr><td>$n</td><td>${label(i) > 0}</td></tr>"
+    }.mkString
+    val table =
+      s"<table style=$styleHelper><tr><th>Class</th><th>Value</th></tr>$rows</table>"
+    card(tile, table + image.map(imgTag).getOrElse(""))
+  }
+
+  /** R2 — object-detection card (`result.py:81-89`): the tile image (or a
+    * blank 256 canvas, `result.py:72-75`) with the class-colored bboxes
+    * drawn over it, as one combined base64 JPEG. */
+  def objectDetectionHtml(boxes: Seq[(Int, Int, Int, Int, Int)],
+      image: Option[BufferedImage], tile: String = ""): String = {
+    val canvas = image.getOrElse(new BufferedImage(256, 256, BufferedImage.TYPE_INT_RGB))
+    card(tile, imgTag(drawBoxes(canvas, boxes)))
+  }
+
+  /** R3 — segmentation card (`result.py:110-128`): the palette-rendered
+    * label raster next to the tile image, each a base64 JPEG. */
+  def segmentationHtml(label: Array[Byte], image: Option[BufferedImage],
+      tile: String = ""): String =
+    card(tile, imgTag(renderSegmentation(label)) + image.map(imgTag).getOrElse(""))
 }

@@ -26,8 +26,16 @@ import graft.core.{TileKey, Tiles}
   *  - striped layout (StripOffsets/RowsPerStrip): each strip modeled as a
   *    full-width tile, so legacy non-COG GeoTIFFs read too
   *
-  * Not covered (documented divergence, SURVEY §7 R2): non-3857 CRSes,
-  * non-uint8 samples, planar configuration 2.
+  *  - Predictor tag 317: horizontal differencing (2) is reversed for 8- and
+  *    16-bit samples; other predictor values throw instead of silently
+  *    decoding corrupted pixels
+  *  - uint16 samples (BitsPerSample 16): decoded then downconverted to the
+  *    engine's uint8 tile contract by taking the high byte (v >> 8 — the
+  *    same linear 16->8 window GDAL's default Byte translation applies)
+  *  - PlanarConfiguration 2: per-plane tiles (plane-major order per the
+  *    TIFF 6.0 spec) are read and interleaved to the chunky layout
+  *
+  * Not covered (documented divergence, SURVEY §7 R2): non-3857 CRSes.
   */
 object CogReader {
 
@@ -78,7 +86,10 @@ object CogReader {
       tileOffsets: Array[Long], tileByteCounts: Array[Long],
       pixelScale: Option[(Double, Double)], // (sx, sy)
       tiepoint: Option[(Double, Double)], // model x,y of raster (0,0)
-      jpegTables: Option[Array[Byte]] = None) // tag 347, shared JPEG tables
+      jpegTables: Option[Array[Byte]] = None, // tag 347, shared JPEG tables
+      predictor: Int = 1, // tag 317 (1 = none, 2 = horizontal differencing)
+      planarConfig: Int = 1, // tag 284 (1 = chunky, 2 = per-plane tiles)
+      littleEndian: Boolean = true) // file byte order (for 16-bit samples)
 
   private final class TiffBuf(bytes: Array[Byte]) {
     var le: Boolean = true
@@ -156,6 +167,8 @@ object CogReader {
       var rowsPerStrip = 0
       var stripOffsets = Array.empty[Long]
       var stripCounts = Array.empty[Long]
+      var predictor = 1
+      var planarConfig = 1
       var i = 0
       while (i < n) {
         val e = entryOff(i)
@@ -191,6 +204,8 @@ object CogReader {
           case 273 => stripOffsets = longs
           case 278 => rowsPerStrip = intAt(0).toInt
           case 279 => stripCounts = longs
+          case 284 => planarConfig = intAt(0).toInt
+          case 317 => predictor = intAt(0).toInt
           case 322 => tw = intAt(0).toInt
           case 323 => th = intAt(0).toInt
           case 324 => tileOffsets = longs
@@ -213,7 +228,7 @@ object CogReader {
         tileCounts = stripCounts
       }
       ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts,
-        scale, tie, jpegTables)
+        scale, tie, jpegTables, predictor, planarConfig, hb.le)
       off = offAt(b, base + countSize + n * entrySize)
     }
     ifds.toSeq
@@ -233,24 +248,112 @@ object CogReader {
     out
   }
 
-  /** Read one internal tile as decoded interleaved bytes. */
+  /** Reverse Predictor=2 (horizontal differencing) in place: each stored
+    * sample is the delta to the previous pixel's same-band sample in the
+    * row; accumulate left-to-right, mod 2^bits (TIFF 6.0 §14). */
+  private def undoPredictor2(data: Array[Byte], tw: Int, rows: Int, spp: Int,
+      bytesPer: Int, le: Boolean): Unit = {
+    val rowBytes = tw * spp * bytesPer
+    var row = 0
+    while (row < rows) {
+      val ro = row * rowBytes
+      if (bytesPer == 1) {
+        var i = spp
+        while (i < rowBytes) {
+          data(ro + i) = (data(ro + i) + data(ro + i - spp)).toByte
+          i += 1
+        }
+      } else { // 16-bit: accumulate in the file's byte order
+        val (lo, hi) = if (le) (0, 1) else (1, 0)
+        var i = spp * 2
+        while (i < rowBytes) {
+          val o = ro + i
+          val p = o - spp * 2
+          val v = (((data(o + lo) & 0xff) | ((data(o + hi) & 0xff) << 8)) +
+            ((data(p + lo) & 0xff) | ((data(p + hi) & 0xff) << 8))) & 0xffff
+          data(o + lo) = (v & 0xff).toByte
+          data(o + hi) = ((v >> 8) & 0xff).toByte
+          i += 2
+        }
+      }
+      row += 1
+    }
+  }
+
+  /** Read one internal tile as decoded interleaved (chunky) uint8 bytes,
+    * tileWidth*tileHeight*samplesPerPixel — whatever the on-disk layout:
+    * predictor is reversed, uint16 is downconverted (high byte), planar
+    * planes are interleaved. */
   private def readTile(reader: RangeReader, ifd: Ifd, tx: Int, ty: Int): Array[Byte] = {
     val tilesAcross = (ifd.width + ifd.tileWidth - 1) / ifd.tileWidth
+    val tilesDown = (ifd.height + ifd.tileHeight - 1) / ifd.tileHeight
     val idx = ty * tilesAcross + tx
-    val expected = ifd.tileWidth * ifd.tileHeight * ifd.samplesPerPixel
-    if (idx >= ifd.tileByteCounts.length || idx >= ifd.tileOffsets.length)
+    val spp = ifd.samplesPerPixel
+    val pixelsPerTile = ifd.tileWidth * ifd.tileHeight
+
+    if (ifd.compression == 7) { // JPEG: always 8-bit chunky (predictor n/a)
+      if (ifd.planarConfig != 1)
+        throw new java.io.IOException("JPEG tiles with PlanarConfiguration=2 unsupported")
+      if (idx >= ifd.tileByteCounts.length || idx >= ifd.tileOffsets.length)
+        throw new java.io.IOException(s"corrupt TIFF: tile index $idx outside arrays")
+      if (ifd.tileByteCounts(idx) == 0) return new Array[Byte](pixelsPerTile * spp)
+      return decodeJpegTile(reader.read(ifd.tileOffsets(idx), ifd.tileByteCounts(idx).toInt), ifd)
+    }
+
+    val bytesPer = ifd.bitsPerSample match {
+      case 8 => 1
+      case 16 => 2
+      case b => throw new java.io.IOException(s"unsupported TIFF bitsPerSample $b (8/16 only)")
+    }
+    if (ifd.predictor != 1 && ifd.predictor != 2)
       throw new java.io.IOException(
-        s"corrupt TIFF: tile index $idx outside offsets/byteCounts arrays " +
-          s"(${ifd.tileOffsets.length}/${ifd.tileByteCounts.length})")
-    // sparse COGs mark absent tiles with byteCount 0 -> all-nodata tile
-    if (ifd.tileByteCounts(idx) == 0)
-      return new Array[Byte](expected)
-    val raw = reader.read(ifd.tileOffsets(idx), ifd.tileByteCounts(idx).toInt)
-    ifd.compression match {
-      case 1 => raw // uncompressed
-      case 8 | 32946 => inflate(raw, expected)
-      case 7 => decodeJpegTile(raw, ifd)
-      case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
+        s"unsupported TIFF predictor ${ifd.predictor} (1 or 2 only) — refusing to decode corrupted pixels")
+
+    // one decoded chunk = one on-disk tile: all bands (chunky) or one plane
+    def loadChunk(chunkIdx: Int, chunkSpp: Int): Array[Byte] = {
+      val expected = pixelsPerTile * chunkSpp * bytesPer
+      if (chunkIdx >= ifd.tileByteCounts.length || chunkIdx >= ifd.tileOffsets.length)
+        throw new java.io.IOException(
+          s"corrupt TIFF: tile index $chunkIdx outside offsets/byteCounts arrays " +
+            s"(${ifd.tileOffsets.length}/${ifd.tileByteCounts.length})")
+      // sparse COGs mark absent tiles with byteCount 0 -> all-nodata tile
+      if (ifd.tileByteCounts(chunkIdx) == 0) return new Array[Byte](expected)
+      val raw = reader.read(ifd.tileOffsets(chunkIdx), ifd.tileByteCounts(chunkIdx).toInt)
+      val data = ifd.compression match {
+        case 1 => raw // uncompressed
+        case 8 | 32946 => inflate(raw, expected)
+        case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
+      }
+      if (ifd.predictor == 2)
+        undoPredictor2(data, ifd.tileWidth, ifd.tileHeight, chunkSpp, bytesPer, ifd.littleEndian)
+      data
+    }
+
+    // uint16 -> uint8: take the high byte (linear 16->8 downscale)
+    val hiOff = if (ifd.littleEndian) 1 else 0
+    def sample8(data: Array[Byte], sampleIdx: Int): Byte =
+      if (bytesPer == 1) data(sampleIdx) else data(sampleIdx * 2 + hiOff)
+
+    ifd.planarConfig match {
+      case 1 =>
+        val data = loadChunk(idx, spp)
+        if (bytesPer == 1) data
+        else Array.tabulate(pixelsPerTile * spp)(i => sample8(data, i))
+      case 2 => // plane-major tile order (TIFF 6.0, PlanarConfiguration=2)
+        val tilesPerPlane = tilesAcross * tilesDown
+        val out = new Array[Byte](pixelsPerTile * spp)
+        var p = 0
+        while (p < spp) {
+          val plane = loadChunk(p * tilesPerPlane + idx, 1)
+          var i = 0
+          while (i < pixelsPerTile) {
+            out(i * spp + p) = sample8(plane, i)
+            i += 1
+          }
+          p += 1
+        }
+        out
+      case pc => throw new java.io.IOException(s"unsupported PlanarConfiguration $pc")
     }
   }
 

@@ -183,13 +183,38 @@ object TileSources {
   case object WmsSource extends ImagerySource
   case object CogSource extends ImagerySource
 
+  /** TIFF magic bytes: classic `II*\0` / `MM\0*`, BigTIFF `II+\0` / `MM\0+`. */
+  private[sources] def isTiffMagic(b: Array[Byte]): Boolean =
+    b.length >= 4 && {
+      val le = b(0) == 'I'.toByte && b(1) == 'I'.toByte
+      val be = b(0) == 'M'.toByte && b(1) == 'M'.toByte
+      (le && b(3) == 0 && (b(2) == 42 || b(2) == 43)) ||
+        (be && b(2) == 0 && (b(3) == 42 || b(3) == 43))
+    }
+
   /** S7 dispatch, resolved ONCE at plan time (the reference re-probes the
     * imagery path on every task, `utils.py:98-127`): `{bbox}` -> WMS;
-    * .tif/.tiff/.vrt suffix -> COG; otherwise TMS. */
-  def dispatch(imagery: String): ImagerySource =
+    * .tif/.tiff/.vrt suffix -> COG; otherwise TMS.
+    *
+    * With `probeContent` (what [[images]] passes), a concrete (placeholder-
+    * free) path with no recognizable extension is probed by its first 4
+    * bytes via one ranged read — the reference checks file CONTENT
+    * (rasterio driver in {GTiff, VRT}, `utils.py:98-113`), so a COG behind
+    * a signed URL or API endpoint without a `.tif` suffix must still
+    * dispatch to the COG source. Probe failures (unreachable, no range
+    * support) fall back to the extension answer — such a source couldn't
+    * be range-read as a COG anyway. */
+  def dispatch(imagery: String, probeContent: Boolean = false): ImagerySource =
     if (imagery.contains("{bbox}")) WmsSource
     else if (imagery.matches("(?i).*\\.(tif|tiff|vrt)(\\?.*)?$")) CogSource
-    else TmsSource
+    else if (probeContent && !Seq("{z}", "{x}", "{y}").exists(imagery.contains)) {
+      val magic =
+        try {
+          val r = CogReader.readerFor(imagery)
+          try Some(r.read(0, 4)) finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      if (magic.exists(isTiffMagic)) CogSource else TmsSource
+    } else TmsSource
 
   /** Fetch imagery for every tile (S4 TMS / S6 WMS / S5 COG windowed
     * read). Fetch errors fail the task (Spark retries), matching the
@@ -198,7 +223,7 @@ object TileSources {
   def images(tiles: DataFrame, imagery: String): Dataset[ImageTile] = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val source = dispatch(imagery)
+    val source = dispatch(imagery, probeContent = true)
     tiles.select(col("z").cast("int"), col("x").cast("int"), col("y").cast("int"))
       .as[(Int, Int, Int)]
       .mapPartitions { it =>

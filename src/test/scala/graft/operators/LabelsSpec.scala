@@ -75,6 +75,34 @@ class LabelsSpec extends SparkSpec {
     assert(bb == ((58 - 4, 255 - 134 - 4, 134 + 4, 255 - 58 + 4, 1)))
   }
 
+  test("A2 negative class buffer shrinks via real geometry (JTS), not bounds arithmetic") {
+    val cls = ClassSpec.parseJson(
+      """[{"name": "B", "filter": ["has", "building"], "buffer": -500.0},
+        |  {"name": "P", "filter": ["has", "building"], "buffer": 100.0}]""".stripMargin)
+    val tiles = Seq((13, 0, 0)).toDF("z", "x", "y")
+    val f = Seq(FeatureRow(13, 0, 0, 0, "Polygon", multi = false,
+      square(1000, 1000, 3000, 3000), Map("building" -> "yes"), None)).toDF()
+    val out = Labels.objectDetection(tiles, f, cls).collect()
+    val bbs = out(0).getSeq[Row](out(0).fieldIndex("label"))
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    // shrink -500: bounds 1500..2500 -> round(93.38..)=93, round(155.63..)=156
+    // (reference formula: shapely .buffer(-500, 4).bounds then _pixel_bbox)
+    val shrunk = (93 - 4, 255 - 156 - 4, 156 + 4, 255 - 93 + 4, 1)
+    // expand +100: bounds 900..3100 -> round(56.03..)=56, round(192.99..)=193
+    val grown = (56 - 4, 255 - 193 - 4, 193 + 4, 255 - 56 + 4, 2)
+    assert(bbs == Seq(shrunk, grown))
+  }
+
+  test("A2 negative buffer that consumes the geometry emits no box") {
+    val cls = ClassSpec.parseJson(
+      """[{"name": "B", "filter": ["has", "building"], "buffer": -2000.0}]""")
+    val tiles = Seq((13, 0, 0)).toDF("z", "x", "y")
+    val f = Seq(FeatureRow(13, 0, 0, 0, "Polygon", multi = false,
+      square(1000, 1000, 3000, 3000), Map("building" -> "yes"), None)).toDF()
+    val out = Labels.objectDetection(tiles, f, cls).collect()
+    assert(out(0).getSeq[Row](out(0).fieldIndex("label")).isEmpty)
+  }
+
   test("empty class list: background-only / zero-row labels") {
     val cls = Labels.classification(tilesDf, featuresDf, Seq.empty).orderBy("x").collect()
     assert(cls(0).getSeq[Int](cls(0).fieldIndex("label")) == Seq(1))

@@ -175,10 +175,124 @@ class CogReaderSpec extends AnyFunSuite {
     assert(striped.sameElements(tiled))
   }
 
+  private def gradientLevels = Seq(TiffWriter.Level(512, 512, (x, y) => (x % 256, y % 256, 7)))
+
+  private def writeGradient(path: String, cover: TileKey, bps: Int = 8,
+      predictor: Int = 1, planar: Boolean = false, deflate: Boolean = true): Unit = {
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 512
+    // for bps=16, emit v*257 = (v<<8)|v so the high byte equals the 8-bit value
+    val levels =
+      if (bps == 16) Seq(TiffWriter.Level(512, 512, (x, y) => ((x % 256) * 257, (y % 256) * 257, 7 * 257)))
+      else gradientLevels
+    TiffWriter.write(path, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res, deflate = deflate, bps = bps, predictor = predictor,
+      planar = planar)
+  }
+
+  test("predictor=2 (horizontal differencing) deflate decodes identically to no-predictor") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("nopred.tif")
+    val p2 = tmp("pred2.tif")
+    writeGradient(p1, cover)
+    writeGradient(p2, cover, predictor = 2)
+    val (_, _, _, a) = CogReader.tile(p1, cover)
+    val (_, _, _, b) = CogReader.tile(p2, cover)
+    assert(b.sameElements(a))
+  }
+
+  test("unsupported predictor value fails loudly instead of decoding corrupt pixels") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("pred3.tif")
+    writeGradient(p, cover, predictor = 3) // floating-point predictor: not supported
+    val e = intercept[java.io.IOException] { CogReader.tile(p, cover) }
+    assert(e.getMessage.contains("predictor"))
+  }
+
+  test("uint16 samples downconvert to uint8 via the high byte") {
+    val cover = TileKey(10, 300, 400)
+    val p8 = tmp("u8.tif")
+    val p16 = tmp("u16.tif")
+    writeGradient(p8, cover, bps = 8)
+    writeGradient(p16, cover, bps = 16)
+    val (_, _, _, a) = CogReader.tile(p8, cover)
+    val (_, _, bands, b) = CogReader.tile(p16, cover)
+    assert(bands == 3)
+    assert(b.sameElements(a)) // (v*257) >> 8 == v
+  }
+
+  test("planar configuration 2 interleaves to the same chunky result") {
+    val cover = TileKey(10, 300, 400)
+    val pc = tmp("chunky.tif")
+    val pp = tmp("planar.tif")
+    writeGradient(pc, cover)
+    writeGradient(pp, cover, planar = true)
+    val (_, _, _, a) = CogReader.tile(pc, cover)
+    val (_, _, _, b) = CogReader.tile(pp, cover)
+    assert(b.sameElements(a))
+  }
+
+  test("uint16 + planar + predictor=2 combined decode matches the 8-bit chunky reference") {
+    val cover = TileKey(10, 300, 400)
+    val pref = tmp("ref8.tif")
+    val pall = tmp("all16.tif")
+    writeGradient(pref, cover)
+    writeGradient(pall, cover, bps = 16, planar = true, predictor = 2)
+    val (_, _, _, a) = CogReader.tile(pref, cover)
+    val (_, _, _, b) = CogReader.tile(pall, cover)
+    assert(b.sameElements(a))
+  }
+
   test("dispatch routes .tif to the COG source") {
     assert(TileSources.dispatch("/data/img.tif") == TileSources.CogSource)
     assert(TileSources.dispatch("https://x/y.TIFF?a=1") == TileSources.CogSource)
     assert(TileSources.dispatch("https://x/{z}/{x}/{y}.png") == TileSources.TmsSource)
     assert(TileSources.dispatch("https://x/wms?bbox={bbox}") == TileSources.WmsSource)
+  }
+
+  test("content probe dispatches a suffix-less COG URL to the COG source") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("probe.tif")
+    writeCovering(p, cover, 512, deflate = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body: Array[Byte] = ex.getRequestURI.getPath match {
+        case "/signed-imagery" => // COG behind an extension-less signed URL
+          val range = Option(ex.getRequestHeaders.getFirst("Range"))
+          range match {
+            case Some(r) =>
+              val Array(a, b) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+              val hi = math.min(b, bytes.length - 1)
+              val slice = java.util.Arrays.copyOfRange(bytes, a.toInt, hi.toInt + 1)
+              ex.sendResponseHeaders(206, slice.length.toLong)
+              slice
+            case None =>
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              bytes
+          }
+        case _ => // a PNG endpoint, also extension-less
+          val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          ex.sendResponseHeaders(200, png.length.toLong)
+          png
+      }
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      // extension regex says TMS; the magic-byte probe corrects it
+      assert(TileSources.dispatch(s"$base/signed-imagery?sig=abc") == TileSources.TmsSource)
+      assert(TileSources.dispatch(s"$base/signed-imagery?sig=abc", probeContent = true) == TileSources.CogSource)
+      assert(TileSources.dispatch(s"$base/png-endpoint", probeContent = true) == TileSources.TmsSource)
+      // unreachable host: probe degrades to the extension answer, no throw
+      assert(TileSources.dispatch("http://localhost:1/none", probeContent = true) == TileSources.TmsSource)
+      // and the probed COG actually reads end-to-end through images()
+      val (_, _, _, viaProbe) = CogReader.tile(s"$base/signed-imagery?sig=abc", cover)
+      val (_, _, _, viaFile) = CogReader.tile(p, cover)
+      assert(viaProbe.sameElements(viaFile))
+    } finally server.stop(0)
   }
 }

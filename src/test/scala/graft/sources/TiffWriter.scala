@@ -1,10 +1,12 @@
 package graft.sources
 
 /** Minimal tiled-GeoTIFF writer for COG reader fixtures (test-only).
-  * Little-endian classic TIFF or BigTIFF, RGB uint8, tiled, optional
-  * deflate or JPEG (compression 7 + shared JPEGTables) compression,
-  * web-mercator georeferencing via ModelPixelScale/ModelTiepoint,
-  * optional overview IFDs. */
+  * Little-endian classic TIFF or BigTIFF, RGB uint8 or uint16, tiled,
+  * chunky or planar (PlanarConfiguration 2), optional horizontal-
+  * differencing predictor (tag 317), optional deflate or JPEG
+  * (compression 7 + shared JPEGTables) compression, web-mercator
+  * georeferencing via ModelPixelScale/ModelTiepoint, optional overview
+  * IFDs. For bps=16 the `pixel` function returns 0-65535 band values. */
 object TiffWriter {
 
   final case class Level(width: Int, height: Int, pixel: (Int, Int) => (Int, Int, Int))
@@ -13,9 +15,14 @@ object TiffWriter {
       originX: Double = 0, originY: Double = 0, resX: Double = 1, resY: Double = 1,
       deflate: Boolean = false, bigtiff: Boolean = false,
       jpeg: Boolean = false, jpegSharedTables: Boolean = true,
-      striped: Boolean = false): Unit = {
+      striped: Boolean = false,
+      predictor: Int = 1, bps: Int = 8, planar: Boolean = false): Unit = {
     require(!(deflate && jpeg), "pick one compression")
     require(!(striped && jpeg), "striped fixtures are raw/deflate only")
+    require(!jpeg || (predictor == 1 && bps == 8 && !planar),
+      "jpeg fixtures are 8-bit chunky, no predictor")
+    require(!(striped && planar), "striped fixtures are chunky-only")
+    require(bps == 8 || bps == 16, "bps 8 or 16")
     val bos = new java.io.ByteArrayOutputStream()
     def pad(): Unit = while (bos.size() % 2 != 0) bos.write(0)
     def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
@@ -37,14 +44,46 @@ object TiffWriter {
       val chunkW = if (striped) lv.width else tileSize
       val across = if (striped) 1 else (lv.width + tileSize - 1) / tileSize
       val down = (lv.height + tileSize - 1) / tileSize
-      val tiles = for (ty <- 0 until down; tx <- 0 until across) yield {
-        val raw = new Array[Byte](chunkW * tileSize * 3)
+      // chunky sample values per chunk (0-255 or 0-65535)
+      val chunky: Seq[Array[Int]] = for (ty <- 0 until down; tx <- 0 until across) yield {
+        val s = new Array[Int](chunkW * tileSize * 3)
         for (y <- 0 until tileSize; x <- 0 until chunkW) {
           val gx = tx * chunkW + x
           val gy = ty * tileSize + y
           val (r, g, b) = if (gx < lv.width && gy < lv.height) lv.pixel(gx, gy) else (0, 0, 0)
           val i = (y * chunkW + x) * 3
-          raw(i) = r.toByte; raw(i + 1) = g.toByte; raw(i + 2) = b.toByte
+          s(i) = r; s(i + 1) = g; s(i + 2) = b
+        }
+        s
+      }
+      // planar: split each chunky chunk into 3 plane chunks, PLANE-major
+      // order (all plane-0 tiles, then plane-1, ...) per TIFF 6.0
+      val sampleChunks: Seq[(Array[Int], Int)] =
+        if (planar)
+          for (p <- 0 until 3; c <- chunky)
+            yield (Array.tabulate(chunkW * tileSize)(i => c(i * 3 + p)), 1)
+        else chunky.map((_, 3))
+      def store(samples0: Array[Int], spp: Int): Array[Byte] = {
+        val samples = samples0.clone()
+        if (predictor == 2) { // horizontal differencing, right-to-left
+          val rowSamples = chunkW * spp
+          val mask = (1 << bps) - 1
+          for (row <- 0 until tileSize) {
+            val ro = row * rowSamples
+            var i = rowSamples - 1
+            while (i >= spp) {
+              samples(ro + i) = (samples(ro + i) - samples(ro + i - spp)) & mask
+              i -= 1
+            }
+          }
+        }
+        val raw = new Array[Byte](samples.length * (bps / 8))
+        var i = 0
+        if (bps == 8) while (i < samples.length) { raw(i) = samples(i).toByte; i += 1 }
+        else while (i < samples.length) { // little-endian uint16
+          raw(2 * i) = (samples(i) & 0xff).toByte
+          raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+          i += 1
         }
         if (deflate) {
           val d = new java.util.zip.Deflater()
@@ -67,7 +106,7 @@ object TiffWriter {
           }
         } else raw
       }
-      PreparedLevel(tiles, across, lv)
+      PreparedLevel(sampleChunks.map { case (s, spp) => store(s, spp) }, across, lv)
     }
 
     // write tile data first, remember offsets
@@ -82,7 +121,7 @@ object TiffWriter {
     prepared.zipWithIndex.foreach { case (p, li) =>
       // out-of-line arrays for this IFD
       pad()
-      val bpsOff = bos.size().toLong; w16(8); w16(8); w16(8)
+      val bpsOff = bos.size().toLong; w16(bps); w16(bps); w16(bps)
       pad()
       val toOff = bos.size().toLong; tileOffsets(li).foreach(w32)
       pad()
@@ -108,8 +147,10 @@ object TiffWriter {
       final case class Tag(code: Int, typ: Int, count: Int, value: Long, data: Seq[Long] = Nil)
       val tags = Seq(
         Tag(256, 3, 1, 0, Seq(p.lv.width.toLong)), Tag(257, 3, 1, 0, Seq(p.lv.height.toLong)),
-        Tag(258, 3, 3, bpsOff, Seq(8L, 8L, 8L)), Tag(259, 3, 1, 0, Seq(comp)),
-        Tag(262, 3, 1, 0, Seq(photometric)), Tag(277, 3, 1, 0, Seq(3L)), Tag(284, 3, 1, 0, Seq(1L))) ++
+        Tag(258, 3, 3, bpsOff, Seq(bps.toLong, bps.toLong, bps.toLong)), Tag(259, 3, 1, 0, Seq(comp)),
+        Tag(262, 3, 1, 0, Seq(photometric)), Tag(277, 3, 1, 0, Seq(3L)),
+        Tag(284, 3, 1, 0, Seq(if (planar) 2L else 1L))) ++
+        (if (predictor != 1) Seq(Tag(317, 3, 1, 0, Seq(predictor.toLong))) else Nil) ++
         (if (striped) Seq(
           Tag(273, 4, nTiles, toOff, tileOffsets(li)),
           Tag(278, 3, 1, 0, Seq(tileSize.toLong)),

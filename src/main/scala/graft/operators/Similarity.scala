@@ -86,18 +86,14 @@ object Similarity {
       .groupBy(idCol).agg(sum("bit").as("bucket"))
   }
 
-  /** IVF-style ANN top-k: deterministic centroid sample (`id % sampleMod
-    * == 0`), exact-integer L2 cell assignment, then cosine top-k within
-    * the `nprobe` cells nearest the query. Search cost is ~nprobe/cells
-    * of brute force; every stage is a broadcast join or hash partition —
-    * no driver-side index. */
-  def ivfTopK(df: DataFrame, embCol: String, idCol: String, queryId: Long,
-      k: Int, sampleMod: Int = 53, nprobe: Int = 2): DataFrame = {
-    val d = dot(df) _
-    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
-      .withColumn("qq", d(col("q"), col("q")))
-    val cents = emb.filter(col(idCol) % sampleMod === 0)
-      .select(col(idCol).as("cid"), col("q").as("cq"), col("qq").as("cc"))
+  /** Shared IVF search given a centroid table `cents` (cid, cq: quantized
+    * array<bigint>, cc = cq·cq): exact-integer L2 cell assignment (window
+    * rn=1, cid tie-break), then cosine top-k within the `nprobe` cells
+    * nearest the query. Every stage is a broadcast join (centroids/query
+    * are tiny) or hash partition — no driver-side index. */
+  private def ivfSearch(emb: DataFrame, cents: DataFrame, idCol: String,
+      queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val d = dot(emb) _
     val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
     val assigned = emb.join(broadcast(cents))
       .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
@@ -116,5 +112,49 @@ object Similarity {
         (d(col("q"), col("xq")).cast("double") /
           (sqrt(col("qq").cast("double")) * sqrt(col("xqq").cast("double")))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+  }
+
+  private def quantized(df: DataFrame, embCol: String, idCol: String): DataFrame = {
+    val d = dot(df) _
+    df.select(col(idCol), quantize(col(embCol)).as("q"))
+      .withColumn("qq", d(col("q"), col("q")))
+  }
+
+  /** IVF-style ANN top-k with a deterministic centroid sample (`id %
+    * sampleMod == 0`). Search cost is ~nprobe/cells of brute force. The
+    * sample is cheap and oracle-reproducible but untrained — see
+    * [[ivfTopKTrained]] for the recall-bearing variant. */
+  def ivfTopK(df: DataFrame, embCol: String, idCol: String, queryId: Long,
+      k: Int, sampleMod: Int = 53, nprobe: Int = 2): DataFrame = {
+    val emb = quantized(df, embCol, idCol)
+    val cents = emb.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("cid"), col("q").as("cq"), col("qq").as("cc"))
+    ivfSearch(emb, cents, idCol, queryId, k, nprobe)
+  }
+
+  /** IVF ANN with MLlib-KMeans-trained coarse centroids (fixed seed —
+    * same data + partitioning reproduces the same model). Training is an
+    * action (KMeans iterates over the data); the returned DataFrame is the
+    * usual lazy search plan against the learned cells. Centroids snap back
+    * to the integer grid so cell assignment stays exact bigint arithmetic.
+    * With `nprobe >= nCells` the search provably equals brute-force top-k
+    * regardless of centroid quality (every cell probed, each vector scored
+    * exactly once) — the invariant the qv05 oracle checks; partial-probe
+    * recall is what training buys and is spec-tested on clustered data. */
+  def ivfTopKTrained(df: DataFrame, embCol: String, idCol: String, queryId: Long,
+      k: Int, nCells: Int = 8, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val emb = quantized(df, embCol, idCol)
+    val feats = emb.select(
+      org.apache.spark.ml.functions.array_to_vector(col("q").cast("array<double>")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(10).fit(feats)
+    val d = dot(df) _
+    val cents = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray.map(math.round).toSeq) }
+      .toDF("cid", "cq")
+      .withColumn("cc", d(col("cq"), col("cq")))
+    ivfSearch(emb, cents, idCol, queryId, k, nprobe)
   }
 }

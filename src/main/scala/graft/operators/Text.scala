@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public text-analysis API over a document table (builder contract:
+  * token counting, quality scoring, language ID, fingerprinting) —
+  * the library face of the qd01/qd02/qd03/qd08 oracle queries, mirroring
+  * the Dedup/Similarity facades.
+  *
+  * Scale stance (100 TB): every operator is per-row Column algebra or one
+  * hash-partitioned groupBy — no joins, no driver materialization, nothing
+  * quadratic. All built-ins (codegen'd); the only higher-order functions
+  * are bounded by per-document token counts.
+  */
+object Text {
+
+  /** Whitespace tokenization — the engine's standard token stream. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Corpus stats per group: (groupCol, n_docs, sum_tokens, min_chars,
+    * max_chars, avg_chars). One partial-aggregated shuffle. */
+  def corpusStats(df: DataFrame, textCol: String, ncharsCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol), col(ncharsCol).as("n_chars"),
+        size(tokens(col(textCol))).as("n_tokens"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+
+  /** Per-document quality heuristics: token count, distinct-token count,
+    * type/token ratio, average word length (chars net of separators),
+    * stopword ratio. Pure per-row expressions. */
+  def qualityScores(df: DataFrame, textCol: String, ncharsCol: String,
+      idCol: String, stopwords: Seq[String]): DataFrame =
+    df.withColumn("tk", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("n_uniq", size(array_distinct(col("tk"))))
+      .withColumn("n_stop", size(filter(col("tk"), x => x.isInCollection(stopwords))))
+      .select(col(idCol), col("n_tokens"), col("n_uniq"),
+        (col("n_uniq").cast("double") / col("n_tokens")).as("type_token_ratio"),
+        ((col(ncharsCol) - (col("n_tokens") - 1)).cast("double") / col("n_tokens")).as("avg_word_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
+
+  /** Marker-word language ID: appends hits_<lang> evidence columns and a
+    * `predicted` column (first language in `markers` order wins ties;
+    * zero evidence -> "unknown"). N-gram-heuristic langid at its simplest,
+    * per-row only. */
+  def languageId(df: DataFrame, textCol: String,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    require(markers.nonEmpty, "need at least one language's markers")
+    val withHits = markers.foldLeft(df.withColumn("tk", tokens(col(textCol)))) {
+      case (acc, (l, ws)) =>
+        acc.withColumn(s"hits_$l", size(filter(col("tk"), x => x.isInCollection(ws))))
+    }.drop("tk")
+    val hitCols = markers.map { case (l, _) => col(s"hits_$l") }
+    val best = if (hitCols.length == 1) hitCols.head else greatest(hitCols: _*)
+    val predicted = markers.init.foldLeft(when(best === 0, lit("unknown"))) {
+      case (acc, (l, _)) => acc.when(col(s"hits_$l") === best, l)
+    }.otherwise(markers.last._1)
+    withHits.withColumn("predicted", predicted)
+  }
+
+  /** 16-bit SimHash over the token multiset: per-token md5, one bit per
+    * nibble-derived position, majority vote per bit. (doc_id, simhash).
+    * Two partial-aggregated groupBys on the id — scale-safe. */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hexv = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bits = tok.select(col(idCol), col("h"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("nib", hexv(substring(col("h"), (col("b") / 4).cast("int") + 1, lit(1))))
+      .withColumn("bit", expr("shiftright(nib, CAST(b % 4 AS INT)) % 2"))
+    bits.groupBy(col(idCol), col("b"))
+      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("bal"))
+      .groupBy(idCol)
+      .agg(sum(when(col("bal") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Rolling-window document fingerprint (winnowing-style): the
+    * lexicographic MIN of the md5 of every `window` consecutive tokens —
+    * one stable id per document that survives local edits outside the
+    * minimizing window. md5-over-joined-tokens (not xxhash) so the result
+    * is reproducible in any engine (the oracle-stability rule the minhash
+    * path also follows); documents shorter than `window` hash what they
+    * have. Per-row only. */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 3): DataFrame = {
+    require(window >= 1, "window >= 1")
+    val tk = tokens(col(textCol))
+    val windowHashes = transform(
+      sequence(lit(1), greatest(size(tk) - (window - 1), lit(1))),
+      j => md5(array_join(slice(tk, j, lit(window)), " ")))
+    df.select(col(idCol), array_min(windowHashes).as("fingerprint"))
+  }
+}

@@ -31,45 +31,25 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Token counting + corpus stats per language.
+    // Token counting + corpus stats per language (public Text facade).
     "qd01_text_stats" -> { (s, d) =>
-      t(s, d, "documents")
-        .select(col("lang"), col("n_chars"), size(toks(col("text"))).as("n_tokens"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens").cast("long")).as("sum_tokens"),
-          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
-          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"))
+      graft.operators.Text.corpusStats(t(s, d, "documents"), "text", "n_chars", "lang")
         .orderBy("lang")
     },
     // Per-document quality scoring: token counts, type/token, word length,
     // stopword ratio.
     "qd02_quality_score" -> { (s, d) =>
-      t(s, d, "documents").filter(col("doc_id") < 200)
-        .withColumn("tk", toks(col("text")))
-        .withColumn("n_tokens", size(col("tk")))
-        .withColumn("n_uniq", size(array_distinct(col("tk"))))
-        .withColumn("n_stop", size(filter(col("tk"), x => x.isInCollection(stop))))
-        .select(col("doc_id"), col("n_tokens"), col("n_uniq"),
-          (col("n_uniq").cast("double") / col("n_tokens")).as("type_token_ratio"),
-          ((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens")).as("avg_word_len"),
-          (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
+      graft.operators.Text.qualityScores(
+          t(s, d, "documents").filter(col("doc_id") < 200),
+          "text", "n_chars", "doc_id", stop)
         .orderBy("doc_id")
     },
     // Heuristic language ID by marker-word evidence vs labeled lang.
     "qd03_langid" -> { (s, d) =>
-      val markers = Map(
+      val markers = Seq(
         "en" -> Seq("the", "and", "of"), "fr" -> Seq("le", "la", "et"),
         "de" -> Seq("der", "und", "die"), "es" -> Seq("el", "los", "y"))
-      val df = t(s, d, "documents").withColumn("tk", toks(col("text")))
-      val scored = markers.foldLeft(df) { case (acc, (l, ws)) =>
-        acc.withColumn(s"hits_$l", size(filter(col("tk"), x => x.isInCollection(ws))))
-      }
-      val best = greatest(col("hits_en"), col("hits_fr"), col("hits_de"), col("hits_es"))
-      scored.withColumn("predicted",
-          when(best === 0, lit("unknown"))
-            .when(col("hits_en") === best, "en").when(col("hits_fr") === best, "fr")
-            .when(col("hits_de") === best, "de").otherwise("es"))
+      graft.operators.Text.languageId(t(s, d, "documents"), "text", markers)
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     },
@@ -108,18 +88,15 @@ object TextOps {
     },
     // 16-bit SimHash over the token multiset (bits from md5 hex digits).
     "qd08_simhash" -> { (s, d) =>
-      val hexv = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
-      val tok = t(s, d, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .withColumn("h", md5(col("tok")))
-      val bits = tok.select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(15))).as("b"))
-        .withColumn("nib", hexv(substring(col("h"), (col("b") / 4).cast("int") + 1, lit(1))))
-        .withColumn("bit", expr("shiftright(nib, CAST(b % 4 AS INT)) % 2"))
-      bits.groupBy("doc_id", "b")
-        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("bal"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("bal") >= 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+      graft.operators.Text.simhash16(
+          t(s, d, "documents").filter(col("doc_id") < 100), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    // Winnowing-style rolling fingerprint: min-md5 over 3-token windows.
+    // Injected dups share their original's fingerprint by construction.
+    "qd11_fingerprint" -> { (s, d) =>
+      graft.operators.Text.fingerprint(
+          withDups(s, d).filter(col("doc_id") % 25 === 0), "text", "doc_id", window = 3)
         .orderBy("doc_id")
     },
     // The maxBucket cap doing real work: cap 8 drops the corpus's
@@ -221,6 +198,14 @@ object TextOps {
         |  FROM bits GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd11_fingerprint" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |d AS (SELECT doc_id, str_split(text, ' ') AS tk FROM all_docs WHERE doc_id % 25 = 0),
+        |w AS (SELECT doc_id, tk, unnest(generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1))) AS j FROM d)
+        |SELECT doc_id, MIN(md5(array_to_string(tk[j:j+2], ' '))) AS fingerprint
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qd10_lsh_capped" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -37,6 +37,15 @@ object VectorOps {
       graft.operators.Similarity.ivfTopK(t(s, d, "embeddings"),
         "embedding", "vec_id", queryId = 0L, k = 10, sampleMod = 53, nprobe = 2)
     },
+    // IVF with MLlib-KMeans-TRAINED centroids (seed 42). Probing ALL
+    // nCells makes the result provably equal to brute-force top-k
+    // whatever the learned centroids are — the oracle checks that
+    // invariant (engine-independent), while partial-probe recall is
+    // covered by SimilaritySpec on clustered data.
+    "qv05_ivf_trained" -> { (s, d) =>
+      graft.operators.Similarity.ivfTopKTrained(t(s, d, "embeddings"),
+        "embedding", "vec_id", queryId = 0L, k = 10, nCells = 8, nprobe = 8)
+    },
     // Random-hyperplane LSH bucketing: 8 sign bits from md5-derived +/-1
     // hyperplane components; bucket histogram (candidate-generation stage).
     "qv03_lsh_buckets" -> { (s, d) =>
@@ -97,6 +106,17 @@ object VectorOps {
         |FROM assigned a JOIN probed USING (cid), query
         |WHERE a.vec_id <> 0
         |ORDER BY cos_sim DESC, a.vec_id LIMIT 10""".stripMargin,
+    "qv05_ivf_trained" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |qv AS (SELECT q AS v FROM emb WHERE vec_id = 0),
+        |scored AS (SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * qv.v[i])) AS DOUBLE) /
+        |   (SQRT(CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * e.q[i])) AS DOUBLE)) *
+        |    SQRT(CAST(list_sum(list_transform(range(1, 65), i -> qv.v[i] * qv.v[i])) AS DOUBLE))) AS cos_sim
+        | FROM emb e, qv WHERE e.vec_id <> 0)
+        |SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "qv03_lsh_buckets" ->
       """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
         | FROM (SELECT vec_id,

@@ -48,4 +48,42 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.toSet.subsetOf(brute.toSet))
     assert(ivf.nonEmpty)
   }
+
+  // 3 well-separated clusters in 4-d; 10 vectors each, query = id 0
+  private lazy val clustered = {
+    val s = spark
+    import s.implicits._
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 10
+    } yield {
+      val base = Array(0.0f, 0.0f, 0.0f, 0.0f)
+      base(c) = 10.0f
+      base((c + 1) % 4) = 0.1f * i // small deterministic spread
+      ((c * 10 + i).toLong, base.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("ivfTopKTrained: full probe == brute force; 1-cell probe finds the query's own cluster") {
+    val brute = Similarity.topKCosine(clustered, "embedding", "vec_id", 0L, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val full = Similarity.ivfTopKTrained(clustered, "embedding", "vec_id", 0L, 5,
+        nCells = 3, nprobe = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full == brute) // the qv05 invariant, exactly
+    // partial probe: trained cells align with the true clusters, so the
+    // single probed cell holds the query's 9 cluster-mates
+    val partial = Similarity.ivfTopKTrained(clustered, "embedding", "vec_id", 0L, 5,
+        nCells = 3, nprobe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(partial.toSet.subsetOf((1L to 9L).toSet),
+      s"probed cell should be the query's cluster, got $partial")
+    assert(partial.size == 5)
+    // determinism: same seed + data -> same model -> same result
+    val again = Similarity.ivfTopKTrained(clustered, "embedding", "vec_id", 0L, 5,
+        nCells = 3, nprobe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(again == partial)
+  }
 }

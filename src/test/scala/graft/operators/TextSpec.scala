@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "en", "the cat sat on the mat", 22),
+      (2L, "en", "a dog", 5),
+      (3L, "fr", "le chat et la souris", 20)
+    ).toDF("doc_id", "lang", "text", "n_chars")
+  }
+
+  test("corpusStats aggregates token and char stats per group") {
+    val m = Text.corpusStats(docs, "text", "n_chars", "lang")
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(m("en").getAs[Long]("n_docs") == 2)
+    assert(m("en").getAs[Long]("sum_tokens") == 6 + 2)
+    assert(m("en").getAs[Int]("min_chars") == 5)
+    assert(m("en").getAs[Int]("max_chars") == 22)
+    assert(m("en").getAs[Double]("avg_chars") == 13.5)
+    assert(m("fr").getAs[Long]("n_docs") == 1)
+  }
+
+  test("qualityScores: type/token, word length, stopword ratio") {
+    val r = Text.qualityScores(docs.filter(col("doc_id") === 1), "text", "n_chars",
+        "doc_id", Seq("the", "a", "of", "and", "to")).collect().head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_uniq") == 5) // "the" twice
+    assert(r.getAs[Double]("type_token_ratio") == 5.0 / 6)
+    // 22 chars - 5 separators = 17 letters over 6 tokens
+    assert(r.getAs[Double]("avg_word_len") == 17.0 / 6)
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 6)
+  }
+
+  test("languageId: evidence columns, first-marker tie-break, unknown on zero evidence") {
+    val markers = Seq("en" -> Seq("the", "and"), "fr" -> Seq("le", "et"))
+    val out = Text.languageId(docs, "text", markers)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("hits_en"), r.getAs[Int]("hits_fr"), r.getAs[String]("predicted"))).toMap
+    assert(out(1L) == ((2, 0, "en")))
+    assert(out(3L) == ((0, 2, "fr")))
+    assert(out(2L) == ((0, 0, "unknown")))
+  }
+
+  test("simhash16: identical docs collide, 16-bit range, deterministic") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x y z"))
+      .toDF("id", "text")
+    val h = Text.simhash16(d, "text", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(1L) == h(2L))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 16)))
+    val again = Text.simhash16(d, "text", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(again == h)
+  }
+
+  test("fingerprint: stable under edits away from the minimizing window, short docs covered") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "aardvark zebra yak xylophone wombat"),
+      (2L, "aardvark zebra yak xylophone CHANGED"), // edit outside min window?
+      (3L, "hi")) // shorter than the window
+      .toDF("id", "text")
+    val f = Text.fingerprint(d, "text", "id", window = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("fingerprint")).toMap
+    // doc 3: single window = the whole (short) token list
+    val expectShort = java.security.MessageDigest.getInstance("MD5")
+      .digest("hi".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(f(3L) == expectShort)
+    // docs 1/2 share windows "aardvark zebra yak" and "zebra yak xylophone";
+    // equal iff one of those is the minimum for both — verify directly
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w1 = Seq("aardvark zebra yak", "zebra yak xylophone", "yak xylophone wombat").map(md5hex)
+    assert(f(1L) == w1.min)
+  }
+}

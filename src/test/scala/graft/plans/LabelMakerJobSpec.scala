@@ -155,6 +155,37 @@ class LabelMakerJobSpec extends SparkSpec {
     }
   }
 
+  test("classification e2e with a JPEG-compressed COG (shared JPEGTables)") {
+    withServer { port =>
+      val b = graft.core.Tiles.tileBounds3857(graft.core.TileKey(10, 385, 579))
+      val size = 1024
+      val res = (b.east - b.west) / size
+      val dir = java.nio.file.Files.createTempDirectory("jpegcogjob")
+      val cogPath = dir.resolve("imagery.tif").toString
+      graft.sources.TiffWriter.write(cogPath,
+        Seq(graft.sources.TiffWriter.Level(size, size, (x, y) => (42, 84, 126))),
+        tileSize = 128, originX = b.west, originY = b.north, resX = res, resY = res,
+        jpeg = true)
+      val job = LabelMakerJob(13, Seq(bbox.west, bbox.south, bbox.east, bbox.north),
+        classesJson,
+        imagery = cogPath,
+        labelSource = s"http://localhost:$port/labels/{z}/{x}/{y}.pbf",
+        mlType = "classification")
+      val rows = job.collect(spark)
+      assert(rows.length == 4)
+      rows.foreach { r =>
+        assert(r.getSeq[Int](r.fieldIndex("label")) == Seq(0, 1, 1))
+        val img = r.getAs[Array[Byte]](r.fieldIndex("image"))
+        assert(img.length == 256 * 256 * 3)
+        // lossy codec: solid color within a small tolerance
+        val want = Array(42, 84, 126)
+        for (i <- 0 until 9)
+          assert(math.abs((img(i) & 0xff) - want(i % 3)) <= 3,
+            s"byte $i = ${img(i) & 0xff}, want ~${want(i % 3)}")
+      }
+    }
+  }
+
   test("imagery fetch failure fails the job (reference parity: uncaught image errors)") {
     withServer { port =>
       val job = LabelMakerJob(13, Seq(bbox.west, bbox.south, bbox.east, bbox.north),

@@ -127,6 +127,39 @@ object Dedup {
     gramJaccardPairs(docs)
   }
 
+  /** SimHash near-duplicate pairs: (id_a, id_b, hd) with Hamming distance
+    * `hd <= maxHamming` between 16-bit SimHashes. Banding on the two
+    * 8-bit halves guarantees full recall for maxHamming <= 1 (pigeonhole:
+    * a pair differing in <= 1 bit matches exactly on at least one half);
+    * candidate verification is an exact bit_count(xor). Same bucket-cap /
+    * shuffle-join scale discipline as [[lshCandidatePairs]] /
+    * [[gramJaccardPairs]]. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 1, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 1,
+      "2-half banding guarantees recall only for maxHamming <= 1")
+    val spark = df.sparkSession
+    graft.functions.TextHashes.register(spark)
+    val sig = Text.simhash16(df, textCol, idCol)
+      .select(col(idCol).cast("long").as("id"), col("simhash"))
+    val bands = sig.select(col("id"), concat(lit("l"), col("simhash") % 256).as("band"))
+      .unionAll(sig.select(col("id"), concat(lit("h"), shiftright(col("simhash"), 8)).as("band")))
+    val pairs = bands.groupBy("band")
+      .agg(collect_list(col("id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(expr("packed_pairs(ds)")).as("pair")).distinct()
+      .select(shiftright(col("pair"), 32).as("id_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("simhash").as("sa"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("simhash").as("sb"))
+        .hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hd"))
+      .filter(col("hd") <= maxHamming)
+  }
+
   /** Per-block Jaccard summary — (block, n_pairs, max_jacc, avg_jacc) over
     * ALL C(n,2) pairs of the block — WITHOUT an all-pairs join. Overlapping
     * pairs come from the token-bucket pipeline; the (possibly astronomical)

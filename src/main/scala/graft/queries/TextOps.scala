@@ -92,6 +92,14 @@ object TextOps {
           t(s, d, "documents").filter(col("doc_id") < 100), "text", "doc_id")
         .orderBy("doc_id")
     },
+    // SimHash near-dup pairs: half-banded candidates (full recall for
+    // hamming <= 1), exact bit_count verification. 20% sample keeps the
+    // 256-bucket band space from saturating on the tiny-vocab corpus.
+    "qd12_simhash_neardup" -> { (s, d) =>
+      graft.operators.Dedup.simhashNearDupPairs(
+          withDups(s, d).filter(col("doc_id") % 5 === 0), "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    },
     // Winnowing-style rolling fingerprint: min-md5 over 3-token windows.
     // Injected dups share their original's fingerprint by construction.
     "qd11_fingerprint" -> { (s, d) =>
@@ -198,6 +206,29 @@ object TextOps {
         |  FROM bits GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd12_simhash_neardup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
+        |bits AS (SELECT doc_id, b,
+        |  ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) % 2 AS bit
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+        |bal AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+        |  FROM bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bal GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 'l' || CAST(simhash % 256 AS VARCHAR) AS band FROM sig
+        |  UNION ALL SELECT doc_id, 'h' || CAST(simhash // 256 AS VARCHAR) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band)
+        |SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hd
+        |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "qd11_fingerprint" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -153,8 +153,11 @@ object TileSources {
   }
 
   /** WMS URL construction (`utils.py:65-95`): parse version + crs/srs from
-    * the query string, project the tile bounds, axis-swap for 1.3.0,
-    * substitute `{bbox}`. Supported SRS: EPSG:4326 and EPSG:3857. */
+    * the query string, project the tile bounds (edges densified with 21
+    * points like the reference's `transform_bounds(..., densify_pts=21)`),
+    * axis-swap for 1.3.0, substitute `{bbox}`. Supported SRS families (see
+    * [[graft.core.Proj]]): EPSG:4326, 3857/900913, 3395, UTM 326xx/327xx.
+    * Unknown codes throw (reference parity: pyproj would too, just later). */
   def wmsUrl(template: String, z: Int, x: Int, y: Int): String = {
     val lower = template.toLowerCase
     def qparam(k: String): Option[String] =
@@ -163,14 +166,11 @@ object TileSources {
       })
     val version = qparam("version").getOrElse("1.1.1")
     val srs = (if (version == "1.3.0") qparam("crs") else qparam("srs")).getOrElse("epsg:3857")
+    val proj = graft.core.Proj.forward(srs).getOrElse(
+      throw new java.io.IOException(s"unsupported WMS SRS '$srs'"))
     val b = Tiles.tileBounds(graft.core.TileKey(z, x, y))
     val (xmin, ymin, xmax, ymax) =
-      if (srs.endsWith("4326")) (b.west, b.south, b.east, b.north)
-      else {
-        val (x0, y0) = Tiles.lonLatTo3857(b.west, b.south)
-        val (x1, y1) = Tiles.lonLatTo3857(b.east, b.north)
-        (x0, y0, x1, y1)
-      }
+      graft.core.Proj.transformBounds(proj, b.west, b.south, b.east, b.north)
     // WMS 1.3.0 flips axis order for geographic CRSes (utils.py:87-89 flips
     // unconditionally for 1.3.0, mirroring rasterio's bounds tuple).
     val bbox =

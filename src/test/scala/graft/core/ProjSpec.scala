@@ -1,0 +1,95 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Krüger-series transverse Mercator is validated against two
+  * INDEPENDENT public formulations: the meridian-arc integral (numerical
+  * quadrature of Snyder eq. 3-21's integrand) for northings on the central
+  * meridian, and Redfearn's series (Snyder eq. 8-9) for eastings near it.
+  * Agreement of unrelated derivations to sub-mm/cm is strong evidence both
+  * are right. */
+class ProjSpec extends AnyFunSuite {
+
+  private val a = 6378137.0
+  private val f = 1.0 / 298.257223563
+  private val e2 = f * (2 - f)
+
+  /** Meridian arc length 0..latDeg by Simpson quadrature (independent of
+    * any series used in Proj). */
+  private def meridianArc(latDeg: Double): Double = {
+    val phi = math.toRadians(latDeg)
+    val n = 20000
+    val h = phi / n
+    def g(t: Double) = a * (1 - e2) / math.pow(1 - e2 * math.sin(t) * math.sin(t), 1.5)
+    var s = g(0) + g(phi)
+    var i = 1
+    while (i < n) { s += (if (i % 2 == 1) 4 else 2) * g(i * h); i += 1 }
+    s * h / 3
+  }
+
+  test("UTM northing on the central meridian = k0 * meridian arc (independent quadrature)") {
+    for (lat <- Seq(0.0, 15.0, 33.3, 45.0, 60.0, 75.0)) {
+      val (e, n) = Proj.toUtm(31, north = true)(3.0, lat) // lon0 of zone 31 = 3°
+      assert(e == 500000.0, s"central meridian easting at lat $lat")
+      val expected = 0.9996 * meridianArc(lat)
+      assert(math.abs(n - expected) < 1e-3, s"lat $lat: n=$n expected=$expected")
+    }
+  }
+
+  test("UTM easting near the central meridian matches Redfearn's series (independent)") {
+    // Redfearn/Snyder eq. 8-9 truncated to the Δλ^5 term (~mm at Δλ=1°)
+    def redfearnE(lat: Double, dlamDeg: Double): Double = {
+      val phi = math.toRadians(lat)
+      val dl = math.toRadians(dlamDeg)
+      val ep2 = e2 / (1 - e2)
+      val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val t = math.tan(phi)
+      val c = ep2 * math.cos(phi) * math.cos(phi)
+      val aa = dl * math.cos(phi)
+      0.9996 * nu * (aa + (1 - t * t + c) * math.pow(aa, 3) / 6 +
+        (5 - 18 * t * t + t * t * t * t + 72 * c - 58 * ep2) * math.pow(aa, 5) / 120) + 500000.0
+    }
+    for ((lat, dlam) <- Seq((0.0, 1.0), (30.0, 1.5), (52.0, -2.0), (70.0, 0.5))) {
+      val (e, _) = Proj.toUtm(31, north = true)(3.0 + dlam, lat)
+      val expected = redfearnE(lat, dlam)
+      assert(math.abs(e - expected) < 0.02, s"lat $lat dlam $dlam: e=$e expected=$expected")
+    }
+  }
+
+  test("UTM southern hemisphere adds the 10,000,000 false northing, symmetric with north") {
+    val (en, nn) = Proj.toUtm(33, north = true)(16.0, 40.0)
+    val (es, ns) = Proj.toUtm(33, north = false)(16.0, -40.0)
+    assert(en == es) // east-west symmetric across the equator
+    assert(math.abs((10000000.0 - ns) - nn) < 1e-6)
+  }
+
+  test("3395 reduces to spherical mercator when e -> 0 behavior: equator equality and ordering") {
+    val (x95, y95) = Proj.to3395(10.0, 0.0)
+    val (x57, y57) = Proj.to3857(10.0, 0.0)
+    assert(x95 == x57)
+    assert(math.abs(y95) < 1e-8 && math.abs(y57) < 1e-8)
+    // ellipsoidal northing is smaller than spherical at mid latitudes
+    assert(Proj.to3395(0, 45)._2 < Proj.to3857(0, 45)._2)
+  }
+
+  test("forward: code parsing and unsupported codes") {
+    assert(Proj.forward("EPSG:4326").get(12.5, -30.0) == ((12.5, -30.0)))
+    assert(Proj.forward("epsg:900913").isDefined)
+    assert(Proj.forward("epsg:32601").isDefined && Proj.forward("epsg:32760").isDefined)
+    assert(Proj.forward("epsg:32661").isEmpty) // zone 61 does not exist
+    assert(Proj.forward("epsg:2154").isEmpty) // Lambert-93: unsupported
+  }
+
+  test("transformBounds: densified UTM bbox covers the corner-only bbox (curved edges)") {
+    val proj = Proj.forward("epsg:32631").get
+    // a wide box straddling the zone: the projected bottom edge bows
+    val (xmin, ymin, xmax, ymax) = Proj.transformBounds(proj, -1.0, 40.0, 7.0, 48.0)
+    val corners = Seq((-1.0, 40.0), (7.0, 40.0), (-1.0, 48.0), (7.0, 48.0)).map { case (lo, la) => proj(lo, la) }
+    assert(xmin <= corners.map(_._1).min && xmax >= corners.map(_._1).max)
+    assert(ymin <= corners.map(_._2).min && ymax >= corners.map(_._2).max)
+    // and it genuinely differs: parallels bow upward away from the central
+    // meridian, so the south edge's true minimum (at the CM, inside the
+    // box) sits well below the south corners — corners alone under-cover
+    assert(ymin < corners.map(_._2).min - 1.0)
+  }
+}

@@ -66,6 +66,14 @@ class DedupSpec extends SparkSpec {
       .filter(col("block") === "blk").count() == 3)
   }
 
+  test("simhashNearDupPairs: identical docs pair at hamming 0, unrelated docs don't pair") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hd")).toMap
+    assert(pairs((1L, 2L)) == 0) // identical text -> identical simhash
+    assert(pairs((1L, 5L)) == 0) // simhash ignores the block column
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("bigramJaccardPairs: jacc 1.0 for identical docs, blocked by source") {
     val pairs = Dedup.bigramJaccardPairs(docs, "text", "doc_id", "source")
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),

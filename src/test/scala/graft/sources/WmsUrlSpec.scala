@@ -39,6 +39,28 @@ class WmsUrlSpec extends AnyFunSuite {
     assert(math.abs(bbox(1) - b.south) < 1e-9)
   }
 
+  test("WMS with a UTM SRS projects through the transverse-Mercator path") {
+    // Rio tile (~ -44.47W, -23S) falls in UTM zone 23 south (EPSG:32723)
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.1.1&srs=EPSG:32723&bbox={bbox}", t.z, t.x, t.y)
+    val bbox = url.split("bbox=")(1).split(",").map(_.toDouble)
+    val b = Tiles.tileBounds(t)
+    val proj = graft.core.Proj.forward("epsg:32723").get
+    val (xmin, ymin, xmax, ymax) =
+      graft.core.Proj.transformBounds(proj, b.west, b.south, b.east, b.north)
+    assert(bbox.toSeq == Seq(xmin, ymin, xmax, ymax))
+    // sane UTM magnitudes: easting within the zone, southern false northing
+    assert(xmin > 100000 && xmax < 900000)
+    assert(ymin > 7000000 && ymax < 8000000)
+  }
+
+  test("unsupported WMS SRS fails loudly at URL construction") {
+    val e = intercept[java.io.IOException] {
+      TileSources.wmsUrl("http://w/wms?version=1.1.1&srs=EPSG:2154&bbox={bbox}", t.z, t.x, t.y)
+    }
+    assert(e.getMessage.contains("2154"))
+  }
+
   test("ACCESS_TOKEN placeholder survives when env var unset (SafeDict parity)") {
     val filled = TileSources.fillUrl("http://x/{z}/{x}/{y}?t={ACCESS_TOKEN}", 1, 2, 3)
     assert(filled == "http://x/1/2/3?t={ACCESS_TOKEN}" ||

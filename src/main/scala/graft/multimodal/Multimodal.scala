@@ -87,6 +87,65 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL patch-mean image embedding: decode, partition the image into a
+    * `grid`×`grid` cell lattice, average RGB per cell → float vector of
+    * length grid²·3. The classic codec-only baseline embedding — feeds
+    * straight into [[graft.operators.Similarity]] (cosine top-k, blocked
+    * near-dup, LSH, IVF) for image-dedup pipelines. */
+  def imageEmbedding(bytes: Array[Byte], grid: Int = 4): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](grid * grid * 3)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(grid - 1, y * grid / h)
+          var x = 0
+          while (x < w) {
+            val cx = math.min(grid - 1, x * grid / w)
+            val cell = cy * grid + cx
+            val p = img.getRGB(x, y)
+            sums(cell * 3) += (p >> 16) & 0xff
+            sums(cell * 3 + 1) += (p >> 8) & 0xff
+            sums(cell * 3 + 2) += p & 0xff
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val out = new Array[Float](grid * grid * 3)
+        var c = 0
+        while (c < grid * grid) {
+          val n = math.max(1L, counts(c)).toDouble
+          out(c * 3) = (sums(c * 3) / n).toFloat
+          out(c * 3 + 1) = (sums(c * 3 + 1) / n).toFloat
+          out(c * 3 + 2) = (sums(c * 3 + 2) / n).toFloat
+          c += 1
+        }
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Adds an `embedding: array<float>` column (patch-mean, see
+    * [[imageEmbedding]]) decoded per partition-batch — the binary-column →
+    * embedding-column step of an image near-dup pipeline. */
+  def withImageEmbedding(df: DataFrame, binaryCol: String,
+      out: String = "embedding", grid: Int = 4): DataFrame = {
+    val schema = df.schema.add(out, ArrayType(FloatType), nullable = true)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val emb = Option(r.getAs[Array[Byte]](binaryCol))
+          .flatMap(b => imageEmbedding(b, grid)).map(_.toSeq).orNull
+        Row.fromSeq(r.toSeq :+ emb)
+      }
+    }(enc)
+  }
+
   // ---- audio ----
 
   /** REAL WAV/PCM16 parse (RIFF header + fmt + data chunks). */

@@ -8,7 +8,8 @@ import graft.core.{TileKey, Tiles}
   * Implemented from the public TIFF 6.0 + GeoTIFF specs:
   *  - little/big-endian classic TIFF, multiple IFDs (full image + overviews)
   *  - tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts)
-  *  - compression: none (1) and DEFLATE (8 / 32946, via java.util.zip)
+  *  - compression: none (1), LZW (5, native early-change decoder) and
+  *    DEFLATE (8 / 32946, via java.util.zip)
   *  - georeferencing: ModelPixelScale + ModelTiepoint in EPSG:3857
   *    (the web-mercator COG layout this pipeline consumes)
   *  - COG access pattern: header + IFD parse from one bounded read, then
@@ -234,6 +235,76 @@ object CogReader {
     ifds.toSeq
   }
 
+  /** TIFF LZW decompression (TIFF 6.0 §13): MSB-first variable-width codes
+    * 9..12 bits with the "early change" convention (width grows when the
+    * NEXT entry would be 511/1023/2047), ClearCode=256, EOI=257. The
+    * GDAL-default COG compression (usually paired with Predictor=2). */
+  private def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    // dictionary: up to 4096 entries; each entry = (prefix code, last byte)
+    val prefix = new Array[Int](4096)
+    val last = new Array[Byte](4096)
+    val length = new Array[Int](4096)
+    var next = 258
+    var width = 9
+    var bitPos = 0
+    val nBits = data.length * 8
+    def readCode(): Int = {
+      if (bitPos + width > nBits) return 257 // truncated: treat as EOI
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = data(bitPos >> 3) & 0xff
+        v = (v << 1) | ((b >> (7 - (bitPos & 7))) & 1)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    def emit(code: Int): Unit = {
+      // write entry bytes (stored in reverse via prefix chain)
+      val n = if (code < 256) 1 else length(code)
+      var c = code
+      var p = outPos + n - 1
+      while (c >= 256) {
+        if (p < expected) out(p) = last(c)
+        p -= 1
+        c = prefix(c)
+      }
+      if (p < expected) out(p) = c.toByte
+      outPos += n
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= 256) c = prefix(c)
+      c.toByte
+    }
+    var prev = -1
+    var done = false
+    while (!done && outPos < expected) {
+      val code = readCode()
+      if (code == 257) done = true
+      else if (code == 256) { next = 258; width = 9; prev = -1 }
+      else {
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          last(next) = if (code < next) firstByte(code) else firstByte(prev)
+          length(next) = (if (prev < 256) 1 else length(prev)) + 1
+          next += 1
+        }
+        if (code < next || prev < 0) emit(code)
+        else emit(next - 1) // the KwKwK case: entry just added
+        prev = code
+        // early change: grow when the next code to be ADDED hits the limit
+        if (next == (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    if (outPos < expected)
+      throw new java.io.IOException(s"truncated LZW tile: $outPos of $expected bytes")
+    out
+  }
+
   private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
@@ -321,6 +392,7 @@ object CogReader {
       val raw = reader.read(ifd.tileOffsets(chunkIdx), ifd.tileByteCounts(chunkIdx).toInt)
       val data = ifd.compression match {
         case 1 => raw // uncompressed
+        case 5 => lzwDecode(raw, expected)
         case 8 | 32946 => inflate(raw, expected)
         case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
       }

@@ -113,6 +113,19 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Exact dedup over a stream: watermark-bounded duplicate drop on the id
+    * column (`dropDuplicatesWithinWatermark` — state for ids older than
+    * the watermark is evicted, so state size is bounded by the watermark
+    * window rather than the stream's lifetime; the non-streaming path is a
+    * plain `dropDuplicates`). The streaming face of
+    * [[graft.operators.Dedup.exactGroups]]'s batch semantics. */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "10 minutes"): DataFrame = {
+    val t = withTs(events).withWatermark("ets", watermark)
+    if (events.isStreaming) t.dropDuplicatesWithinWatermark(idCol)
+    else t.dropDuplicates(idCol)
+  }
+
   /** Run `tumblingCounts` as a real streaming query over the parquet dir
     * (memory sink, processed synchronously); returns the materialized
     * result for comparison against the batch plan. Complete mode: with a

@@ -37,6 +37,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("image_meta"))) // undecodable -> null
   }
 
+  private def patternPng(left: java.awt.Color, right: java.awt.Color): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gr = img.createGraphics()
+    gr.setColor(left); gr.fillRect(0, 0, 8, 16)
+    gr.setColor(right); gr.fillRect(8, 0, 8, 16)
+    gr.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image embedding feeds similarity search: near-identical image ranks first") {
+    import java.awt.Color
+    val a = patternPng(new Color(200, 0, 0), new Color(0, 0, 200)) // query
+    val a2 = patternPng(new Color(190, 10, 0), new Color(0, 10, 190)) // near-dup
+    val b = patternPng(new Color(0, 200, 0), new Color(0, 200, 0)) // different
+    val df = Seq((0L, a), (1L, a2), (2L, b)).toDF("id", "media")
+    val emb = Multimodal.withImageEmbedding(df, "media")
+    // embedding shape: grid^2 * 3 floats, non-null for decodable rows
+    val e0 = emb.orderBy("id").collect()(0).getSeq[Float](2)
+    assert(e0.length == 4 * 4 * 3)
+    val top = graft.operators.Similarity.topKCosine(emb, "embedding", "id", 0L, 2)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(top.head == 1L, s"near-dup should rank first, got $top")
+  }
+
   test("real resize round-trips through ImageIO") {
     val resized = Multimodal.resizeImage(png(50, 100, 150, 16, 16), 4, 4).get
     val meta = Multimodal.decodeImageMeta(resized).get

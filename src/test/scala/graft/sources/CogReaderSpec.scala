@@ -178,7 +178,8 @@ class CogReaderSpec extends AnyFunSuite {
   private def gradientLevels = Seq(TiffWriter.Level(512, 512, (x, y) => (x % 256, y % 256, 7)))
 
   private def writeGradient(path: String, cover: TileKey, bps: Int = 8,
-      predictor: Int = 1, planar: Boolean = false, deflate: Boolean = true): Unit = {
+      predictor: Int = 1, planar: Boolean = false, deflate: Boolean = true,
+      lzw: Boolean = false): Unit = {
     val b = Tiles.tileBounds3857(cover)
     val res = (b.east - b.west) / 512
     // for bps=16, emit v*257 = (v<<8)|v so the high byte equals the 8-bit value
@@ -186,8 +187,8 @@ class CogReaderSpec extends AnyFunSuite {
       if (bps == 16) Seq(TiffWriter.Level(512, 512, (x, y) => ((x % 256) * 257, (y % 256) * 257, 7 * 257)))
       else gradientLevels
     TiffWriter.write(path, levels, tileSize = 128, originX = b.west, originY = b.north,
-      resX = res, resY = res, deflate = deflate, bps = bps, predictor = predictor,
-      planar = planar)
+      resX = res, resY = res, deflate = deflate && !lzw, bps = bps, predictor = predictor,
+      planar = planar, lzw = lzw)
   }
 
   test("predictor=2 (horizontal differencing) deflate decodes identically to no-predictor") {
@@ -240,6 +241,39 @@ class CogReaderSpec extends AnyFunSuite {
     writeGradient(pall, cover, bps = 16, planar = true, predictor = 2)
     val (_, _, _, a) = CogReader.tile(pref, cover)
     val (_, _, _, b) = CogReader.tile(pall, cover)
+    assert(b.sameElements(a))
+  }
+
+  test("LZW tiles decode identically to raw (9->12-bit width growth + clears on the full gradient)") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("raw2.tif")
+    val p2 = tmp("lzw.tif")
+    writeGradient(p1, cover, deflate = false)
+    writeGradient(p2, cover, lzw = true)
+    val (_, _, _, a) = CogReader.tile(p1, cover)
+    val (_, _, _, b) = CogReader.tile(p2, cover)
+    assert(b.sameElements(a))
+  }
+
+  test("LZW + predictor=2 (the GDAL-default COG combo) decodes identically") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("plain2.tif")
+    val p2 = tmp("lzwpred.tif")
+    writeGradient(p1, cover)
+    writeGradient(p2, cover, lzw = true, predictor = 2)
+    val (_, _, _, a) = CogReader.tile(p1, cover)
+    val (_, _, _, b) = CogReader.tile(p2, cover)
+    assert(b.sameElements(a))
+  }
+
+  test("LZW + uint16 + planar + predictor=2 combined matches the 8-bit reference") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("ref8b.tif")
+    val p2 = tmp("lzwall.tif")
+    writeGradient(p1, cover)
+    writeGradient(p2, cover, lzw = true, bps = 16, planar = true, predictor = 2)
+    val (_, _, _, a) = CogReader.tile(p1, cover)
+    val (_, _, _, b) = CogReader.tile(p2, cover)
     assert(b.sameElements(a))
   }
 

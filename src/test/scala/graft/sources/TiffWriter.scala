@@ -16,8 +16,9 @@ object TiffWriter {
       deflate: Boolean = false, bigtiff: Boolean = false,
       jpeg: Boolean = false, jpegSharedTables: Boolean = true,
       striped: Boolean = false,
-      predictor: Int = 1, bps: Int = 8, planar: Boolean = false): Unit = {
-    require(!(deflate && jpeg), "pick one compression")
+      predictor: Int = 1, bps: Int = 8, planar: Boolean = false,
+      lzw: Boolean = false): Unit = {
+    require(Seq(deflate, jpeg, lzw).count(identity) <= 1, "pick one compression")
     require(!(striped && jpeg), "striped fixtures are raw/deflate only")
     require(!jpeg || (predictor == 1 && bps == 8 && !planar),
       "jpeg fixtures are 8-bit chunky, no predictor")
@@ -92,7 +93,8 @@ object TiffWriter {
           val n = d.deflate(buf)
           d.end()
           java.util.Arrays.copyOf(buf, n)
-        } else if (jpeg) {
+        } else if (lzw) lzwEncode(raw)
+        else if (jpeg) {
           val full = encodeJpeg(raw, tileSize, tileSize)
           if (!jpegSharedTables) full
           else {
@@ -139,7 +141,7 @@ object TiffWriter {
       val ifdOff = bos.size().toLong
       ifdOffsets ::= ifdOff
       val nTiles = p.tiles.length
-      val comp = if (deflate) 8L else if (jpeg) 7L else 1L
+      val comp = if (deflate) 8L else if (jpeg) 7L else if (lzw) 5L else 1L
       val photometric = if (jpeg) 6L else 2L
       // `data` = the element values, inlined into the entry whenever they
       // fit (<= 4 bytes classic, <= 8 BigTIFF — required by spec, and what
@@ -198,6 +200,52 @@ object TiffWriter {
       patchOff(o.toInt + countSize + n * entrySize, next)
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
+  /** TIFF 6.0 §13 LZW encoder (MSB-first 9..12-bit codes, "early change":
+    * width grows when the table size EXCEEDS (1<<width)-1, matching the
+    * decoder that grows when ITS lagged table size EQUALS it — the
+    * libtiff-compatible pairing). Clears at 4093 entries. */
+  private def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code.toLong
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    put(256) // initial ClearCode
+    var prev = -1
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i) & 0xff
+      if (prev < 0) prev = b
+      else {
+        val key = (prev.toLong << 8) | b
+        val e = dict.get(key)
+        if (e != null) prev = e.intValue()
+        else {
+          put(prev)
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          if (next > (1 << width) - 1 && width < 12) width += 1
+          if (next == 4093) { put(256); dict.clear(); next = 258; width = 9 }
+          prev = b
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    put(257) // EOI
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
   }
 
   /** RGB bytes -> a full JFIF JPEG stream via ImageIO. */

@@ -70,6 +70,26 @@ class EventStreamSpec extends SparkSpec {
     assert(sessions.count(_.user_id == u) == expected)
   }
 
+  test("streaming dedup: duplicated micro-batch collapses to the distinct id set") {
+    val dir = java.nio.file.Files.createTempDirectory("evdedup").toString
+    val ev = events.filter(col("event_id") < 500)
+    ev.coalesce(1).write.parquet(s"$dir/b1")
+    ev.coalesce(1).write.parquet(s"$dir/b2") // the same rows again
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = EventStream.dedupEvents(stream).writeStream
+      .outputMode("append").format("memory").queryName("deduped").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("deduped").select("event_id")
+      .collect().map(_.getLong(0))
+    assert(streamed.length == streamed.distinct.length, "stream emitted a duplicate id")
+    assert(streamed.toSet == ev.select("event_id").collect().map(_.getLong(0)).toSet)
+    // batch path: plain distinct-by-id
+    assert(EventStream.dedupEvents(ev.unionAll(ev)).count() == ev.count())
+  }
+
   test("streaming sessionize keeps open sessions across micro-batches (no split/double-emit)") {
     // Two time-ordered files = two micro-batches. A session spanning the
     // file boundary must come out as ONE session, and nothing may be

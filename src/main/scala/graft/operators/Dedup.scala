@@ -160,6 +160,40 @@ object Dedup {
       .filter(col("hd") <= maxHamming)
   }
 
+  /** Duplicate-cluster resolution: connected components over a candidate-
+    * pair edge list — (id, component) with component = the MIN id reachable
+    * through any chain of pairs, i.e. the cluster keeper every dedup
+    * pipeline needs after candidate generation. Iterative min-label
+    * propagation: each round one shuffle join + min-agg, `localCheckpoint`
+    * truncating the lineage per round (an iterative DataFrame loop
+    * otherwise accretes an unbounded plan). Rounds needed = cluster
+    * diameter — tiny for dup clusters; `maxIters` is a safety cap and the
+    * loop exits early on convergence (one cheap count action per round,
+    * the unavoidable price of a data-dependent fixpoint). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val viaEdges = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val updated = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = updated.join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
   /** Per-block Jaccard summary — (block, n_pairs, max_jacc, avg_jacc) over
     * ALL C(n,2) pairs of the block — WITHOUT an all-pairs join. Overlapping
     * pairs come from the token-bucket pipeline; the (possibly astronomical)

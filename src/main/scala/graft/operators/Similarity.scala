@@ -148,8 +148,11 @@ object Similarity {
     val emb = quantized(df, embCol, idCol)
     val feats = emb.select(
       org.apache.spark.ml.functions.array_to_vector(col("q").cast("array<double>")).as("features"))
+    // random init (seeded): one data pass instead of k-means||'s ~5 — the
+    // Lloyd iterations do the real work and coarse IVF cells don't need a
+    // careful seeding; measured min 2.62 s -> 2.15 s on the sf0.1 bench
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(10).fit(feats)
+      .setK(nCells).setSeed(seed).setInitMode("random").setMaxIter(10).fit(feats)
     val d = dot(df) _
     val cents = model.clusterCenters.toSeq.zipWithIndex
       .map { case (v, i) => (i.toLong, v.toArray.map(math.round).toSeq) }

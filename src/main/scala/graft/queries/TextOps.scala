@@ -100,6 +100,17 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 5 === 0), "text", "doc_id")
         .orderBy("id_a", "id_b")
     },
+    // Duplicate-cluster resolution: connected components (min-label
+    // propagation) over the SimHash near-dup pair graph — every id maps
+    // to its cluster keeper (min reachable id). Oracle = recursive
+    // transitive closure.
+    "qd13_dup_clusters" -> { (s, d) =>
+      val pairs = graft.operators.Dedup.simhashNearDupPairs(
+        withDups(s, d).filter(col("doc_id") % 5 === 0), "text", "doc_id")
+      graft.operators.Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
     // Winnowing-style rolling fingerprint: min-md5 over 3-token windows.
     // Injected dups share their original's fingerprint by construction.
     "qd11_fingerprint" -> { (s, d) =>
@@ -206,6 +217,35 @@ object TextOps {
         |  FROM bits GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd13_dup_clusters" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
+        |bits AS (SELECT doc_id, b,
+        |  ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) % 2 AS bit
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+        |bal AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+        |  FROM bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bal GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 'l' || CAST(simhash % 256 AS VARCHAR) AS band FROM sig
+        |  UNION ALL SELECT doc_id, 'h' || CAST(simhash // 256 AS VARCHAR) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band),
+        |nd AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+        |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1),
+        |und AS (SELECT id_a AS a, id_b AS b FROM nd UNION SELECT id_b, id_a FROM nd),
+        |reach AS (
+        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM und)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS doc_id, MIN(b) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "qd12_simhash_neardup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -239,7 +239,7 @@ object CogReader {
     * 9..12 bits with the "early change" convention (width grows when the
     * NEXT entry would be 511/1023/2047), ClearCode=256, EOI=257. The
     * GDAL-default COG compression (usually paired with Predictor=2). */
-  private def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+  private[sources] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
     val out = new Array[Byte](expected)
     var outPos = 0
     // dictionary: up to 4096 entries; each entry = (prefix code, last byte)

@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
       .filter(col("block") === "blk").count() == 3)
   }
 
+  test("duplicateClusters: chained pairs collapse to the min-id keeper, components stay separate") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3} via chain, {5,6}, and a 5-node chain {10..14}
+    // (several propagation rounds needed — 14's label walks to 10)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id_a", "id_b")
+    val comp = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+  }
+
   test("simhashNearDupPairs: identical docs pair at hamming 0, unrelated docs don't pair") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hd")).toMap

@@ -206,7 +206,7 @@ object TiffWriter {
     * width grows when the table size EXCEEDS (1<<width)-1, matching the
     * decoder that grows when ITS lagged table size EQUALS it — the
     * libtiff-compatible pairing). Clears at 4093 entries. */
-  private def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+  private[sources] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var bitBuf = 0L
     var bitCnt = 0

@@ -218,6 +218,34 @@ object Relational {
         .select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(25)
+    },
+    // Lateral explode (generator) + frequency top-k with tie-break.
+    "q21_explode_tokens" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(25)
+    },
+    // Distribution window functions: ntile / percent_rank / cume_dist.
+    "q22_distribution_windows" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").filter(col("o_orderkey") < 800)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    },
+    // Regex scalar functions: extract + global replace.
+    "q23_regex_funcs" -> { (s, d) =>
+      t(s, d, "part").filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+          length(regexp_replace(col("p_name"), "[^ ]", "")).as("n_spaces"))
+        .orderBy("p_partkey")
     }
   )
 
@@ -339,6 +367,24 @@ object Relational {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q20_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q21_explode_tokens" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 25""".stripMargin,
+    "q22_distribution_windows" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(NTILE(4) OVER w AS INT) AS quartile,
+        | PERCENT_RANK() OVER w AS pct_rank,
+        | CUME_DIST() OVER w AS cume
+        |FROM orders WHERE o_orderkey < 800
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q23_regex_funcs" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        | CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) AS INT) AS n_spaces
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin
   )
 }

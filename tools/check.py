@@ -3,8 +3,9 @@
 DuckDB oracle and diff. Dev tooling only — NOT part of the engine (the engine
 is pure Scala/Spark; see the builder contract).
 
-Usage: python3 tools/check.py <sfDir> <outDir>
-(outDir = what `sbt "runMain graft.Verify <sfDir> <outDir>"` produced)
+Usage: python3 tools/check.py <sfDir> <outDir> [querySubstr ...]
+(outDir = what `sbt "runMain graft.Verify <sfDir> <outDir>"` produced;
+ optional substrings restrict the check to matching query names)
 """
 import json
 import sys
@@ -16,13 +17,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=()) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if only:
+        oracle = {k: v for k, v in oracle.items()
+                  if any(s in k for s in only)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir) / name
@@ -59,4 +63,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))

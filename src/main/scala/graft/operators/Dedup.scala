@@ -181,14 +181,19 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
+      // one shuffle per round: the previous label rides along as `old`
+      // (present only on the self row; min ignores the nulls), so the
+      // convergence test is a filter on the checkpointed result — no
+      // extra join. Dup graphs are clique-heavy (identical docs pair
+      // all-to-all), so diameters — and rounds — stay tiny.
       val viaEdges = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .select(col("src").as("id"), col("comp"))
-      val updated = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("src").as("id"), col("comp"), lit(null).cast("long").as("old"))
+      val updated = labels.select(col("id"), col("comp"), col("comp").as("old"))
+        .unionByName(viaEdges)
+        .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
         .localCheckpoint()
-      converged = updated.join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated.filter(col("comp") =!= col("old")).isEmpty
+      labels = updated.select("id", "comp")
       i += 1
     }
     labels

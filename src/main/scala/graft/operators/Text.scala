@@ -81,6 +81,45 @@ object Text {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
   }
 
+  private def hexVal(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
+
+  /** Deterministic 0..99 bucket from the id's md5 (first two hex chars) —
+    * the engine-portable hash for splits/sampling: identical in any engine
+    * with md5, unlike xxhash/rand. */
+  def hashBucket100(idCol: Column): Column = {
+    val h = md5(idCol.cast("string"))
+    (hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))) % 100
+  }
+
+  /** Deterministic train/val/test split: every row gets a `split` label
+    * from its id's hash bucket, stable across runs/engines/partitionings —
+    * the reproducible alternative to randomSplit for training data.
+    * `weights` are integer percents summing to 100, assigned in order. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
+    require(weights.map(_._2).sum == 100, "weights must sum to 100")
+    require(weights.nonEmpty)
+    val bucket = hashBucket100(col(idCol))
+    val cums = weights.scanLeft(0)(_ + _._2).tail
+    val split = weights.init.zip(cums).foldLeft(when(lit(false), lit(null: String))) {
+      case (acc, ((name, _), cum)) => acc.when(bucket < cum, name)
+    }.otherwise(weights.last._1)
+    df.withColumn("split", split)
+  }
+
+  /** Class-balanced cap: keep at most `cap` rows per group, chosen by the
+    * deterministic md5-of-id order (not arrival order — stable under any
+    * partitioning). The majority-class downsampling step of a balanced
+    * training set; one window shuffle on the group key. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Rolling-window document fingerprint (winnowing-style): the
     * lexicographic MIN of the md5 of every `window` consecutive tokens —
     * one stable id per document that survives local edits outside the

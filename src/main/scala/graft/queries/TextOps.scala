@@ -100,6 +100,21 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 5 === 0), "text", "doc_id")
         .orderBy("id_a", "id_b")
     },
+    // Deterministic (engine-portable, md5-bucket) train/val/test split —
+    // per-(lang, split) counts prove the assignment is stable.
+    "qd14_det_split" -> { (s, d) =>
+      graft.operators.Text.deterministicSplit(t(s, d, "documents"), "doc_id")
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+    // Class-balanced cap: at most 120 docs per lang, chosen by the
+    // deterministic md5 order; survivors summarized per lang.
+    "qd15_balanced_cap" -> { (s, d) =>
+      graft.operators.Text.capPerGroup(t(s, d, "documents"), "lang", "doc_id", 120)
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("doc_id").as("sum_ids"), min("doc_id").as("min_id"))
+        .orderBy("lang")
+    },
     // Duplicate-cluster resolution: connected components (min-label
     // propagation) over the SimHash near-dup pair graph — every id maps
     // to its cluster keeper (min reachable id). Oracle = recursive
@@ -217,6 +232,23 @@ object TextOps {
         |  FROM bits GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd14_det_split" ->
+      """WITH b AS (SELECT lang,
+        |  ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS bucket
+        | FROM documents)
+        |SELECT lang,
+        | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        | COUNT(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "qd15_balanced_cap" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |SELECT lang, COUNT(*) AS n,
+        | CAST(SUM(doc_id) AS BIGINT) AS sum_ids, MIN(doc_id) AS min_id
+        |FROM r WHERE rn <= 120 GROUP BY lang ORDER BY lang""".stripMargin,
     "qd13_dup_clusters" ->
       """WITH RECURSIVE all_docs AS (
         |  SELECT doc_id, text FROM documents

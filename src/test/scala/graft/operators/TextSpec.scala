@@ -61,6 +61,38 @@ class TextSpec extends SparkSpec {
     assert(again == h)
   }
 
+  test("deterministicSplit: stable, exhaustive, and roughly proportional") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 1000L).toDF("id")
+    val once = Text.deterministicSplit(d, "id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once.values.sum == 1000)
+    assert(once("train") > 700 && once("train") < 900) // hash-proportional
+    assert(once.keySet == Set("train", "val", "test"))
+    // same ids -> same assignment, regardless of partitioning
+    val again = Text.deterministicSplit(d.repartition(7), "id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == once)
+    val custom = Text.deterministicSplit(d, "id", Seq("a" -> 50, "b" -> 50))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(custom.keySet == Set("a", "b"))
+  }
+
+  test("capPerGroup keeps exactly cap rows per group, deterministically") {
+    val s = spark
+    import s.implicits._
+    val d = Seq.tabulate(10)(i => (i.toLong, if (i < 7) "big" else "small"))
+      .toDF("id", "grp")
+    val kept = Text.capPerGroup(d, "grp", "id", 3)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id")))
+    assert(kept.count(_._1 == "big") == 3)
+    assert(kept.count(_._1 == "small") == 3) // under the cap: all kept
+    val kept2 = Text.capPerGroup(d.repartition(5), "grp", "id", 3)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id")))
+    assert(kept2.toSet == kept.toSet) // choice independent of partitioning
+  }
+
   test("fingerprint: stable under edits away from the minimizing window, short docs covered") {
     val s = spark
     import s.implicits._

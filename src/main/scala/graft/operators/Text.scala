@@ -18,6 +18,14 @@ object Text {
   /** Whitespace tokenization — the engine's standard token stream. */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** BPE-style regex tokenization: letter runs, single digits, and single
+    * punctuation marks as separate tokens (the shape of GPT-2's pre-
+    * tokenizer, minus unicode classes — the pattern is deliberately
+    * engine-portable). */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  def regexTokens(c: Column): Column = regexp_extract_all(c, lit(BpeishPattern), lit(0))
+
   /** Corpus stats per group: (groupCol, n_docs, sum_tokens, min_chars,
     * max_chars, avg_chars). One partial-aggregated shuffle. */
   def corpusStats(df: DataFrame, textCol: String, ncharsCol: String,

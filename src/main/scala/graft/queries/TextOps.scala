@@ -100,6 +100,19 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 5 === 0), "text", "doc_id")
         .orderBy("id_a", "id_b")
     },
+    // Token counting both ways the contract names: whitespace vs BPE-ish
+    // regex (letters / single digits / single punctuation), per lang.
+    "qd16_token_counting" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          size(graft.operators.Text.tokens(col("text"))).as("ws"),
+          size(graft.operators.Text.regexTokens(col("text"))).as("re"))
+        .groupBy("lang")
+        .agg(sum(col("ws").cast("long")).as("ws_tokens"),
+          sum(col("re").cast("long")).as("re_tokens"),
+          max("re").as("max_re_doc"))
+        .orderBy("lang")
+    },
     // Deterministic (engine-portable, md5-bucket) train/val/test split —
     // per-(lang, split) counts prove the assignment is stable.
     "qd14_det_split" -> { (s, d) =>
@@ -232,6 +245,12 @@ object TextOps {
         |  FROM bits GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd16_token_counting" ->
+      """SELECT lang,
+        | CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT) AS ws_tokens,
+        | CAST(SUM(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT) AS re_tokens,
+        | CAST(MAX(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS INT) AS max_re_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "qd14_det_split" ->
       """WITH b AS (SELECT lang,
         |  ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +

@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Blanket plan-hygiene net over EVERY registered query: the failure modes
+  * that silently kill a 100 TB run must never enter any plan.
+  *
+  *  - `CartesianProduct`: unbounded pair blowup — never acceptable.
+  *  - `BatchEvalPython` / `ScalaUDF`: interpreted rows outside codegen —
+  *    this engine's hot paths are built-ins + native Catalyst expressions.
+  *  - `BroadcastNestedLoopJoin`: only legal where a provably tiny relation
+  *    is broadcast on purpose (a scalar subquery's 1 row, a query vector,
+  *    8 hyperplane rows) — whitelisted explicitly so a new query can't
+  *    sneak one in unreviewed.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private val bnljWhitelist = Set(
+    "q16_scalar_subquery", // scalar subquery: 1-row broadcast
+    "qv01_knn_cosine", // broadcast query vector (1 row)
+    "qv03_lsh_buckets", // broadcast hyperplanes (8 rows)
+    "qv04_ivf_ann", // broadcast query vector + probed cells
+    "qv05_ivf_trained") // same shape, trained centroids
+
+  test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
+    val dir = sf("sf0.001")
+    val problems = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      Seq(
+        Option.when(p.contains("CartesianProduct"))(s"$name: CartesianProduct"),
+        Option.when(p.contains("BatchEvalPython"))(s"$name: python UDF"),
+        Option.when(p.contains("ScalaUDF"))(s"$name: ScalaUDF"),
+        Option.when(p.contains("BroadcastNestedLoopJoin") && !bnljWhitelist(name))(
+          s"$name: unapproved BroadcastNestedLoopJoin")
+      ).flatten
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+}

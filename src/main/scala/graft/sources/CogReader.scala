@@ -305,6 +305,36 @@ object CogReader {
     out
   }
 
+  /** PackBits decompression (TIFF 6.0 §9): n in 0..127 -> copy n+1 literal
+    * bytes; n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op.
+    * The legacy scanned-GeoTIFF codec. */
+  private[sources] def packBitsDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = 0
+    var o = 0
+    while (i < data.length && o < expected) {
+      val n = data(i)
+      i += 1
+      if (n >= 0) { // literal run of n+1 bytes
+        val len = math.min(n + 1, math.min(expected - o, data.length - i))
+        System.arraycopy(data, i, out, o, len)
+        i += n + 1
+        o += len
+      } else if (n != -128) { // repeat next byte 1-n times
+        if (i < data.length) {
+          val b = data(i)
+          i += 1
+          val len = math.min(1 - n, expected - o)
+          java.util.Arrays.fill(out, o, o + len, b)
+          o += len
+        }
+      }
+    }
+    if (o < expected)
+      throw new java.io.IOException(s"truncated PackBits tile: $o of $expected bytes")
+    out
+  }
+
   private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
@@ -394,6 +424,7 @@ object CogReader {
         case 1 => raw // uncompressed
         case 5 => lzwDecode(raw, expected)
         case 8 | 32946 => inflate(raw, expected)
+        case 32773 => packBitsDecode(raw, expected)
         case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
       }
       if (ifd.predictor == 2)

@@ -266,6 +266,24 @@ class CogReaderSpec extends AnyFunSuite {
     assert(b.sameElements(a))
   }
 
+  test("PackBits tiles decode identically to raw (solid regions = long runs)") {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 512
+    // blocky pattern: long repeat runs AND literal stretches
+    val levels = Seq(TiffWriter.Level(512, 512,
+      (x, y) => if ((x / 64 + y / 64) % 2 == 0) (200, 10, 10) else (x % 256, y % 256, 3)))
+    val p1 = tmp("pbraw.tif")
+    val p2 = tmp("pb.tif")
+    TiffWriter.write(p1, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res)
+    TiffWriter.write(p2, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res, packbits = true)
+    val (_, _, _, a) = CogReader.tile(p1, cover)
+    val (_, _, _, c) = CogReader.tile(p2, cover)
+    assert(c.sameElements(a))
+  }
+
   test("LZW + uint16 + planar + predictor=2 combined matches the 8-bit reference") {
     val cover = TileKey(10, 300, 400)
     val p1 = tmp("ref8b.tif")

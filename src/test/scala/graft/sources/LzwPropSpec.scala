@@ -41,4 +41,22 @@ class LzwPropSpec extends AnyFunSuite {
   test("empty input round-trips") {
     assert(roundTrip(Array.emptyByteArray).isEmpty)
   }
+
+  private def pbRoundTrip(raw: Array[Byte]): Array[Byte] =
+    CogReader.packBitsDecode(TiffWriter.packBitsEncode(raw), raw.length)
+
+  test("PackBits: random arrays, runs at every length, and 128-boundary chunks round-trip") {
+    for (_ <- 0 until 100) {
+      val n = rnd.nextInt(5000)
+      val raw = new Array[Byte](n)
+      rnd.nextBytes(raw)
+      assert(pbRoundTrip(raw).sameElements(raw), s"random length $n")
+    }
+    for (n <- Seq(1, 2, 3, 127, 128, 129, 200, 10000)) {
+      val run = Array.fill[Byte](n)(9)
+      assert(pbRoundTrip(run).sameElements(run), s"run length $n")
+      val lit = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+      assert(pbRoundTrip(lit).sameElements(lit), s"literal length $n")
+    }
+  }
 }

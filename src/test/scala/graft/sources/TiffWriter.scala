@@ -17,8 +17,8 @@ object TiffWriter {
       jpeg: Boolean = false, jpegSharedTables: Boolean = true,
       striped: Boolean = false,
       predictor: Int = 1, bps: Int = 8, planar: Boolean = false,
-      lzw: Boolean = false): Unit = {
-    require(Seq(deflate, jpeg, lzw).count(identity) <= 1, "pick one compression")
+      lzw: Boolean = false, packbits: Boolean = false): Unit = {
+    require(Seq(deflate, jpeg, lzw, packbits).count(identity) <= 1, "pick one compression")
     require(!(striped && jpeg), "striped fixtures are raw/deflate only")
     require(!jpeg || (predictor == 1 && bps == 8 && !planar),
       "jpeg fixtures are 8-bit chunky, no predictor")
@@ -94,6 +94,7 @@ object TiffWriter {
           d.end()
           java.util.Arrays.copyOf(buf, n)
         } else if (lzw) lzwEncode(raw)
+        else if (packbits) packBitsEncode(raw)
         else if (jpeg) {
           val full = encodeJpeg(raw, tileSize, tileSize)
           if (!jpegSharedTables) full
@@ -141,7 +142,9 @@ object TiffWriter {
       val ifdOff = bos.size().toLong
       ifdOffsets ::= ifdOff
       val nTiles = p.tiles.length
-      val comp = if (deflate) 8L else if (jpeg) 7L else if (lzw) 5L else 1L
+      val comp =
+        if (deflate) 8L else if (jpeg) 7L else if (lzw) 5L
+        else if (packbits) 32773L else 1L
       val photometric = if (jpeg) 6L else 2L
       // `data` = the element values, inlined into the entry whenever they
       // fit (<= 4 bytes classic, <= 8 BigTIFF — required by spec, and what
@@ -245,6 +248,32 @@ object TiffWriter {
     if (prev >= 0) put(prev)
     put(257) // EOI
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** TIFF 6.0 §9 PackBits encoder: repeat runs >= 3 become (1-len, byte),
+    * everything else literal chunks of <= 128. */
+  private[sources] def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < raw.length) {
+      var run = 1
+      while (i + run < raw.length && run < 128 && raw(i + run) == raw(i)) run += 1
+      if (run >= 3) {
+        out.write(1 - run)
+        out.write(raw(i))
+        i += run
+      } else {
+        // extend the literal until a >= 3 repeat run starts (or 128 bytes)
+        var j = i
+        while (j < raw.length && j - i < 128 &&
+          !(j + 2 < raw.length && raw(j) == raw(j + 1) && raw(j) == raw(j + 2))) j += 1
+        if (j == i) j = i + 1
+        out.write(j - i - 1)
+        out.write(raw, i, j - i)
+        i = j
+      }
+    }
     out.toByteArray
   }
 

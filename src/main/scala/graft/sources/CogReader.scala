@@ -90,7 +90,8 @@ object CogReader {
       jpegTables: Option[Array[Byte]] = None, // tag 347, shared JPEG tables
       predictor: Int = 1, // tag 317 (1 = none, 2 = horizontal differencing)
       planarConfig: Int = 1, // tag 284 (1 = chunky, 2 = per-plane tiles)
-      littleEndian: Boolean = true) // file byte order (for 16-bit samples)
+      littleEndian: Boolean = true, // file byte order (for 16-bit samples)
+      striped: Boolean = false) // strips modeled as tiles; last one may be SHORT
 
   private final class TiffBuf(bytes: Array[Byte]) {
     var le: Boolean = true
@@ -222,14 +223,15 @@ object CogReader {
       // striped layout (no tile tags): model each strip as a full-width
       // tile — the windowed-read path then works unchanged. RowsPerStrip
       // defaults to "one strip = whole image" per spec.
-      if (tw == 0 && stripOffsets.nonEmpty) {
+      val striped = tw == 0 && stripOffsets.nonEmpty
+      if (striped) {
         tw = width
         th = if (rowsPerStrip > 0) rowsPerStrip else height
         tileOffsets = stripOffsets
         tileCounts = stripCounts
       }
       ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts,
-        scale, tie, jpegTables, predictor, planarConfig, hb.le)
+        scale, tie, jpegTables, predictor, planarConfig, hb.le, striped)
       off = offAt(b, base + countSize + n * entrySize)
     }
     ifds.toSeq
@@ -390,7 +392,12 @@ object CogReader {
     val tilesDown = (ifd.height + ifd.tileHeight - 1) / ifd.tileHeight
     val idx = ty * tilesAcross + tx
     val spp = ifd.samplesPerPixel
-    val pixelsPerTile = ifd.tileWidth * ifd.tileHeight
+    // edge TILES are padded to full size per spec; edge STRIPS are not —
+    // a short final strip holds only its real rows
+    val rowsInChunk =
+      if (ifd.striped) math.min(ifd.tileHeight, ifd.height - ty * ifd.tileHeight)
+      else ifd.tileHeight
+    val pixelsPerTile = ifd.tileWidth * rowsInChunk
 
     if (ifd.compression == 7) { // JPEG: always 8-bit chunky (predictor n/a)
       if (ifd.planarConfig != 1)
@@ -428,7 +435,7 @@ object CogReader {
         case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
       }
       if (ifd.predictor == 2)
-        undoPredictor2(data, ifd.tileWidth, ifd.tileHeight, chunkSpp, bytesPer, ifd.littleEndian)
+        undoPredictor2(data, ifd.tileWidth, rowsInChunk, chunkSpp, bytesPer, ifd.littleEndian)
       data
     }
 

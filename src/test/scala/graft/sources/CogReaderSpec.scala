@@ -295,6 +295,28 @@ class CogReaderSpec extends AnyFunSuite {
     assert(b.sameElements(a))
   }
 
+  test("striped file with a SHORT final strip (height % RowsPerStrip != 0) reads like tiled") {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 512
+    // 500 rows -> strips of 128,128,128,116: real strips are not padded
+    val levels = Seq(TiffWriter.Level(512, 500, (x, y) => (x % 256, y % 256, 7)))
+    val p1 = tmp("shorttiled.tif")
+    val p2 = tmp("shortstrips.tif")
+    val p3 = tmp("shortstripsraw.tif")
+    TiffWriter.write(p1, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res, deflate = true)
+    TiffWriter.write(p2, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res, deflate = true, striped = true)
+    TiffWriter.write(p3, levels, tileSize = 128, originX = b.west, originY = b.north,
+      resX = res, resY = res, striped = true)
+    val (_, _, _, tiled) = CogReader.tile(p1, cover)
+    val (_, _, _, striped) = CogReader.tile(p2, cover)
+    val (_, _, _, stripedRaw) = CogReader.tile(p3, cover)
+    assert(striped.sameElements(tiled))
+    assert(stripedRaw.sameElements(tiled))
+  }
+
   test("dispatch routes .tif to the COG source") {
     assert(TileSources.dispatch("/data/img.tif") == TileSources.CogSource)
     assert(TileSources.dispatch("https://x/y.TIFF?a=1") == TileSources.CogSource)

@@ -45,10 +45,12 @@ object TiffWriter {
       val chunkW = if (striped) lv.width else tileSize
       val across = if (striped) 1 else (lv.width + tileSize - 1) / tileSize
       val down = (lv.height + tileSize - 1) / tileSize
-      // chunky sample values per chunk (0-255 or 0-65535)
+      // chunky sample values per chunk (0-255 or 0-65535). Edge TILES pad
+      // to full size (spec); a short final STRIP holds only its real rows.
       val chunky: Seq[Array[Int]] = for (ty <- 0 until down; tx <- 0 until across) yield {
-        val s = new Array[Int](chunkW * tileSize * 3)
-        for (y <- 0 until tileSize; x <- 0 until chunkW) {
+        val rows = if (striped) math.min(tileSize, lv.height - ty * tileSize) else tileSize
+        val s = new Array[Int](chunkW * rows * 3)
+        for (y <- 0 until rows; x <- 0 until chunkW) {
           val gx = tx * chunkW + x
           val gy = ty * tileSize + y
           val (r, g, b) = if (gx < lv.width && gy < lv.height) lv.pixel(gx, gy) else (0, 0, 0)
@@ -62,14 +64,14 @@ object TiffWriter {
       val sampleChunks: Seq[(Array[Int], Int)] =
         if (planar)
           for (p <- 0 until 3; c <- chunky)
-            yield (Array.tabulate(chunkW * tileSize)(i => c(i * 3 + p)), 1)
+            yield (Array.tabulate(c.length / 3)(i => c(i * 3 + p)), 1)
         else chunky.map((_, 3))
       def store(samples0: Array[Int], spp: Int): Array[Byte] = {
         val samples = samples0.clone()
         if (predictor == 2) { // horizontal differencing, right-to-left
           val rowSamples = chunkW * spp
           val mask = (1 << bps) - 1
-          for (row <- 0 until tileSize) {
+          for (row <- 0 until samples.length / rowSamples) {
             val ro = row * rowSamples
             var i = rowSamples - 1
             while (i >= spp) {

@@ -192,7 +192,9 @@ object Dedup {
         .unionByName(viaEdges)
         .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
         .localCheckpoint()
-      converged = updated.filter(col("comp") =!= col("old")).isEmpty
+      // round 1 always changes something (every edge endpoint adopts its
+      // neighborhood min) — skip the pointless convergence job
+      converged = i > 0 && updated.filter(col("comp") =!= col("old")).isEmpty
       labels = updated.select("id", "comp")
       i += 1
     }

@@ -41,6 +41,9 @@ class SkewJoinSpec extends SparkSpec {
   test("AQE splits the skewed partition of a sort-merge join (runtime skew tool)") {
     // aggressive thresholds so local-scale data counts as skewed; restore after
     val keys = Seq(
+      // pinned: another suite's getOrCreate can leak a different value
+      // into the shared session's runtime conf
+      "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",

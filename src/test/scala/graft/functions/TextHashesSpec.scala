@@ -1,17 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
-class TextHashesSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .appName("TextHashesSpec")
-    .getOrCreate()
+class TextHashesSpec extends graft.SparkSpec {
+  // NOTE: uses the shared TestSpark session — a private builder with its
+  // own configs would silently rewrite the shared session's runtime conf
+  // via getOrCreate (it bit the AQE skew spec once).
 
   test("bigram_hashes: distinct count matches the composable string form") {
     val s = spark

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Public deduplication API over a document table (builder contract:
@@ -29,6 +30,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(idCol).as("keeper_id"))
       .filter(col("n_copies") > 1)
+
+  /** The deduped corpus itself: keep exactly one row (the min id) per
+    * distinct content — what a pipeline actually feeds downstream, vs
+    * [[exactGroups]]'s report. One window shuffle on the content hash,
+    * schema preserved. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   /** MinHash signatures: `numHashes` salted-md5 min-hashes over the
     * distinct token set, columns mh0..mh{n-1}. Lexicographic min over hex

@@ -89,6 +89,19 @@ object Text {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
   }
 
+  /** Scrub common PII-ish spans from text: emails, then URLs, then long
+    * digit runs (phone/ids), each replaced with a fixed tag token. ASCII
+    * regexes only (identical RE semantics in any engine — no \\w, no
+    * unicode classes). Order matters: an email inside a URL query string
+    * is scrubbed as part of the URL it sits in only if the URL pattern
+    * fires first — here emails win on purpose (the tag survives inside
+    * the URL tag's place). */
+  def scrub(c: Column): Column = {
+    val noEmail = regexp_replace(c, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, "https?://[^ ]+", "<URL>")
+    regexp_replace(noUrl, "[0-9]{6,}", "<NUM>")
+  }
+
   private def hexVal(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
 
   /** Deterministic 0..99 bucket from the id's md5 (first two hex chars) —

@@ -100,6 +100,30 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 5 === 0), "text", "doc_id")
         .orderBy("id_a", "id_b")
     },
+    // Keep-first exact dedup: the deduped corpus itself (one row per
+    // distinct content, min id wins), summarized per source.
+    "qd17_dedup_keep_first" -> { (s, d) =>
+      graft.operators.Dedup.dropExactDuplicates(withDups(s, d), "text", "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    },
+    // PII/URL scrubbing over synthetically-injected spans (the corpus
+    // itself is clean): emails -> <EMAIL>, URLs -> <URL>, long digit
+    // runs -> <NUM>; per-doc replacement counts + final length.
+    "qd18_scrub" -> { (s, d) =>
+      def occurrences(c: Column, tag: String) = size(split(c, tag, -1)) - 1
+      val df = t(s, d, "documents").filter(col("doc_id") < 150)
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via https://ex.com/p?id="),
+          col("doc_id"), lit(" ref 1234567"), col("doc_id")))
+        .withColumn("scrubbed", graft.operators.Text.scrub(col("txt")))
+      df.select(col("doc_id"),
+          occurrences(col("scrubbed"), "<EMAIL>").as("n_email"),
+          occurrences(col("scrubbed"), "<URL>").as("n_url"),
+          occurrences(col("scrubbed"), "<NUM>").as("n_num"),
+          length(col("scrubbed")).as("scrub_len"))
+        .orderBy("doc_id")
+    },
     // Token counting both ways the contract names: whitespace vs BPE-ish
     // regex (letters / single digits / single punctuation), per lang.
     "qd16_token_counting" -> { (s, d) =>
@@ -245,6 +269,30 @@ object TextOps {
         |  FROM bits GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd17_dedup_keep_first" ->
+      """WITH all_docs AS (
+        |  SELECT source, doc_id, text FROM documents
+        |  UNION ALL SELECT source, doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM all_docs)
+        |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM r WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
+    "qd18_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com via https://ex.com/p?id=' || CAST(doc_id AS VARCHAR) ||
+        |  ' ref 1234567' || CAST(doc_id AS VARCHAR) AS txt
+        | FROM documents WHERE doc_id < 150),
+        |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(txt,
+        |  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |  'https?://[^ ]+', '<URL>', 'g'),
+        |  '[0-9]{6,}', '<NUM>', 'g') AS scrubbed FROM t)
+        |SELECT doc_id,
+        | CAST(len(str_split(scrubbed, '<EMAIL>')) - 1 AS INT) AS n_email,
+        | CAST(len(str_split(scrubbed, '<URL>')) - 1 AS INT) AS n_url,
+        | CAST(len(str_split(scrubbed, '<NUM>')) - 1 AS INT) AS n_num,
+        | CAST(length(scrubbed) AS INT) AS scrub_len
+        |FROM s ORDER BY doc_id""".stripMargin,
     "qd16_token_counting" ->
       """SELECT lang,
         | CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT) AS ws_tokens,

@@ -58,7 +58,7 @@ object AsOfJoin {
     // fields are null), so ignoreNulls skips only the left-side fillers
     val filled = unioned.withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
+      .select(leftCols.toIndexedSeq.map(col) ++
         rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -27,7 +27,7 @@ object SkewJoin {
     // deterministic per-row salt: hash of the full fact row spreads rows of
     // the same key uniformly without an RNG (replayable under task retry)
     val factSalted = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(nSalts)))
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
     val dimSalted = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     factSalted.join(dimSalted, keys :+ "__salt", joinType).drop("__salt")
@@ -39,7 +39,7 @@ object SkewJoin {
   def saltedAgg(df: DataFrame, keys: Seq[String], nSalts: Int,
       partials: Seq[(String, Column, Column => Column)]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(nSalts)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._2.as(s"__p_${partials.head._1}"),
         partials.tail.map(p => p._2.as(s"__p_${p._1}")): _*)

@@ -93,6 +93,24 @@ class TextSpec extends SparkSpec {
     assert(kept2.toSet == kept.toSet) // choice independent of partitioning
   }
 
+  test("scrub replaces emails, URLs, and long digit runs with tag tokens") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "see https://a.example.com/p?q=1 and http://b.io/x"),
+      (3L, "id 1234567890 ok 12345 short"),
+      (4L, "clean text stays put"))
+      .toDF("id", "text")
+    val out = Text.scrub(org.apache.spark.sql.functions.col("text"))
+    val m = d.select($"id", out.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "mail <EMAIL> now")
+    assert(m(2L) == "see <URL> and <URL>")
+    assert(m(3L) == "id <NUM> ok 12345 short") // < 6 digits untouched
+    assert(m(4L) == "clean text stays put")
+  }
+
   test("fingerprint: stable under edits away from the minimizing window, short docs covered") {
     val s = spark
     import s.implicits._

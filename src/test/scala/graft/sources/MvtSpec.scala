@@ -49,4 +49,42 @@ class MvtSpec extends AnyFunSuite {
     val tile = decode(encode(Seq(z)))
     assert(tile("osm").head.parts.head.toSeq == Seq((4000.0, 4000.0), (10.0, 20.0), (3000.0, 1.0)))
   }
+
+  test("randomized round-trip fuzz: 200 random feature sets survive encode/decode") {
+    val rnd = new scala.util.Random(20260812L)
+    def randCoord() = (rnd.nextLong(4097), rnd.nextLong(4097))
+    def randProps() = (0 until rnd.nextInt(4))
+      .map(i => s"k$i" -> (rnd.alphanumeric.take(rnd.nextInt(8) + 1).mkString)).toMap
+    for (trial <- 0 until 200) {
+      val feats = (0 until rnd.nextInt(5) + 1).map { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            EncFeature("Point", (0 until rnd.nextInt(3) + 1).map(_ => Seq(randCoord())),
+              randProps(), if (rnd.nextBoolean()) Some(rnd.nextLong(1L << 40)) else None)
+          case 1 =>
+            EncFeature("LineString",
+              (0 until rnd.nextInt(2) + 1).map(_ => (0 until rnd.nextInt(6) + 2).map(_ => randCoord())),
+              randProps())
+          case _ => // ring with >= 3 distinct-ish points; encoder closes it
+            EncFeature("Polygon",
+              Seq((0 until rnd.nextInt(4) + 3).map(i => (100L * i + rnd.nextLong(50), 70L * i + rnd.nextLong(50)))),
+              randProps())
+        }
+      }
+      val decoded = decode(encode(feats))("osm")
+      assert(decoded.length == feats.length, s"trial $trial: feature count")
+      feats.zip(decoded).foreach { case (e, d) =>
+        assert(d.geomType == e.geomType || (e.parts.length > 1 && d.multi), s"trial $trial: type")
+        assert(d.props == e.props.map { case (k, v) => k -> v.toString }, s"trial $trial: props")
+        assert(d.id == e.id, s"trial $trial: id")
+        // coordinates survive exactly (polygons may gain the closing point)
+        e.parts.zip(d.parts).foreach { case (ep, dp) =>
+          val dpTrim = if (e.geomType == "Polygon" && dp.length == ep.length + 1 &&
+            dp.last == dp.head) dp.toSeq.dropRight(1) else dp.toSeq
+          assert(dpTrim.map(c => (c._1.toLong, c._2.toLong)) == ep,
+            s"trial $trial: coords $ep vs ${dp.toSeq}")
+        }
+      }
+    }
+  }
 }

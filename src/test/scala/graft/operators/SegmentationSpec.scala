@@ -110,4 +110,43 @@ class SegmentationSpec extends SparkSpec {
     assert(out(0).getAs[Array[Byte]]("label").count(_ == 2) == 255 * 255)
     assert(out(1).getAs[Array[Byte]]("label").forall(_ == 0))
   }
+
+  test("rasterizer fuzz: painted cells == JTS point-in-polygon at pixel centers (50 random hulls)") {
+    // independent oracle for the scanline fill: a cell must be painted iff
+    // its CENTER lies inside the polygon (GDAL all_touched=False). Random
+    // convex hulls; vertices carry irrational-ish fractional offsets so no
+    // pixel center lands exactly on an edge (where tie-break conventions
+    // legitimately differ).
+    val factory = new org.locationtech.jts.geom.GeometryFactory()
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 50) {
+      val pts = Array.fill(rnd.nextInt(8) + 3)(
+        new org.locationtech.jts.geom.Coordinate(
+          rnd.nextInt(240) + 5 + 0.137 + rnd.nextInt(3) * 0.211,
+          rnd.nextInt(240) + 5 + 0.173 + rnd.nextInt(3) * 0.197))
+      val hull = new org.locationtech.jts.algorithm.ConvexHull(pts, factory).getConvexHull
+      if (hull.getDimension == 2) { // skip degenerate (collinear) draws
+        val shell = hull.asInstanceOf[org.locationtech.jts.geom.Polygon]
+          .getExteriorRing.getCoordinates.map(c => Coord(c.x, c.y)).toSeq
+        val geo = Segmentation.buildGeometry("Polygon", Seq(shell))
+        val canvas = Segmentation.rasterize(Seq((geo, 1)))
+        val env = hull.getEnvelopeInternal
+        var mismatches = List.empty[(Int, Int)]
+        var r = math.max(0, env.getMinY.toInt - 2)
+        while (r <= math.min(255, env.getMaxY.toInt + 2)) {
+          var c = math.max(0, env.getMinX.toInt - 2)
+          while (c <= math.min(255, env.getMaxX.toInt + 2)) {
+            val painted = canvas(r * 256 + c) == 1.toByte
+            val inside = hull.contains(factory.createPoint(
+              new org.locationtech.jts.geom.Coordinate(c + 0.5, r + 0.5)))
+            if (painted != inside) mismatches ::= ((c, r))
+            c += 1
+          }
+          r += 1
+        }
+        assert(mismatches.isEmpty,
+          s"trial $trial: ${mismatches.take(5)} disagree (painted vs JTS contains)")
+      }
+    }
+  }
 }

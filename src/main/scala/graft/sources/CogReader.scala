@@ -515,11 +515,26 @@ object CogReader {
 
   /** Per-JVM IFD cache: a COG's header is immutable for a job's lifetime,
     * and images() calls tile() once per XYZ tile — without the cache a
-    * 10k-tile job re-fetches and re-parses the same 64 KiB head 10k times. */
-  private val ifdCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Ifd]]()
+    * 10k-tile job re-fetches and re-parses the same 64 KiB head 10k times.
+    * LRU-bounded: a long-lived executor that touches many thousands of
+    * distinct COG paths must not accrete header metadata forever. A racy
+    * double-parse under contention is harmless (idempotent). */
+  private val IfdCacheMax = 1024
+  private val ifdCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[Ifd]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Seq[Ifd]]): Boolean =
+        size() > IfdCacheMax
+    })
 
-  private def ifdsFor(path: String, reader: RangeReader): Seq[Ifd] =
-    ifdCache.computeIfAbsent(path, _ => parseIfds(reader))
+  private def ifdsFor(path: String, reader: RangeReader): Seq[Ifd] = {
+    val cached = ifdCache.get(path)
+    if (cached != null) cached
+    else {
+      val parsed = parseIfds(reader)
+      ifdCache.put(path, parsed)
+      parsed
+    }
+  }
 
   /** `COGReader(path).tile(x, y, z)` equivalent: a 256x256 bands-last
     * uint8 window for the web-mercator XYZ tile. Pixels outside the

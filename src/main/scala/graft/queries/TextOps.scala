@@ -100,6 +100,24 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 5 === 0), "text", "doc_id")
         .orderBy("id_a", "id_b")
     },
+    // CAPSTONE: the whole training-data pipeline composed from the public
+    // operators — exact dedup -> SimHash near-dup pairs -> duplicate
+    // clusters -> keeper selection (cluster min or untouched) ->
+    // deterministic split -> per-(source, split) corpus accounting. One
+    // oracle checks the full composition end-to-end.
+    "qd19_pipeline_e2e" -> { (s, d) =>
+      val base = graft.operators.Dedup.dropExactDuplicates(withDups(s, d), "text", "doc_id")
+        .filter(col("doc_id") % 5 === 0)
+      val pairs = graft.operators.Dedup.simhashNearDupPairs(base, "text", "doc_id")
+      val comps = graft.operators.Dedup.duplicateClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val keepers = base.join(comps, Seq("doc_id"), "left")
+        .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      graft.operators.Text.deterministicSplit(keepers, "doc_id")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+        .orderBy("source", "split")
+    },
     // Keep-first exact dedup: the deduped corpus itself (one row per
     // distinct content, min id wins), summarized per source.
     "qd17_dedup_keep_first" -> { (s, d) =>
@@ -269,6 +287,46 @@ object TextOps {
         |  FROM bits GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd19_pipeline_e2e" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT source, doc_id, text FROM documents
+        |  UNION ALL SELECT source, doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |kf AS (SELECT source, doc_id, text,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM all_docs),
+        |sub AS (SELECT source, doc_id, text FROM kf WHERE rn = 1 AND doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
+        |bits AS (SELECT doc_id, b,
+        |  ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) % 2 AS bit
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+        |bal AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+        |  FROM bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bal GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 'l' || CAST(simhash % 256 AS VARCHAR) AS band FROM sig
+        |  UNION ALL SELECT doc_id, 'h' || CAST(simhash // 256 AS VARCHAR) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band),
+        |nd AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+        |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1),
+        |und AS (SELECT id_a AS a, id_b AS b FROM nd UNION SELECT id_b, id_a FROM nd),
+        |reach AS (
+        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM und)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+        |keepers AS (SELECT s.source, s.doc_id FROM sub s LEFT JOIN comp c ON c.doc_id = s.doc_id
+        |  WHERE c.component IS NULL OR c.component = s.doc_id),
+        |bk AS (SELECT source, doc_id,
+        |  ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS bucket
+        | FROM keepers)
+        |SELECT source,
+        | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        | COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM bk GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
     "qd17_dedup_keep_first" ->
       """WITH all_docs AS (
         |  SELECT source, doc_id, text FROM documents

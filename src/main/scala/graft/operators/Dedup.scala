@@ -193,16 +193,25 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      // one shuffle per round: the previous label rides along as `old`
-      // (present only on the self row; min ignores the nulls), so the
-      // convergence test is a filter on the checkpointed result — no
-      // extra join. Dup graphs are clique-heavy (identical docs pair
-      // all-to-all), so diameters — and rounds — stay tiny.
+      // one edge shuffle per round: the previous label rides along as
+      // `old` (present only on the self row; min ignores the nulls), so
+      // the convergence test is a filter on the checkpointed result — no
+      // extra join.
       val viaEdges = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .select(col("src").as("id"), col("comp"), lit(null).cast("long").as("old"))
-      val updated = labels.select(col("id"), col("comp"), col("comp").as("old"))
+      val propagated = labels.select(col("id"), col("comp"), col("comp").as("old"))
         .unionByName(viaEdges)
         .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
+        .localCheckpoint()
+      // pointer jump: comp := comp(comp) over the label table itself
+      // (self-join across the checkpoint boundary is unambiguous). Near-dup
+      // graphs contain long CHAINS (a~b~c~... at hamming 1 each), so plain
+      // propagation needs diameter rounds — measured 14 at sf0.1;
+      // alternating propagate+jump doubles reach per round (O(log d)).
+      val updated = propagated
+        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"))
+        .select(col("id"), col("ccomp").as("comp"), col("old"))
         .localCheckpoint()
       // round 1 always changes something (every edge endpoint adopts its
       // neighborhood min) — skip the pointless convergence job

@@ -317,6 +317,28 @@ class CogReaderSpec extends AnyFunSuite {
     assert(stripedRaw.sameElements(tiled))
   }
 
+  test("single-band (grayscale) COG: masks/DEM layout reads with bands=1") {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 512
+    val levels = Seq(TiffWriter.Level(512, 512, (x, y) => ((x + y) % 256, 0, 0)))
+    for ((opts, name) <- Seq(
+      ((false, false, 1), "gray.tif"), // raw
+      ((true, false, 1), "graylzwp.tif"), // lzw + predictor
+      ((false, true, 1), "graydef.tif"))) { // deflate
+      val p = tmp(name)
+      TiffWriter.write(p, levels, tileSize = 128, originX = b.west, originY = b.north,
+        resX = res, resY = res, samplesPerPixel = 1,
+        lzw = opts._1, predictor = if (opts._1) 2 else 1, deflate = opts._2)
+      val (h, w, bands, data) = CogReader.tile(p, cover)
+      assert(h == 256 && w == 256 && bands == 1, s"$name shape")
+      // out pixel (px,py) samples raster (2px+1, 2py+1)
+      val px = 33
+      val py = 47
+      assert((data(py * 256 + px) & 0xff) == ((2 * px + 1) + (2 * py + 1)) % 256, name)
+    }
+  }
+
   test("dispatch routes .tif to the COG source") {
     assert(TileSources.dispatch("/data/img.tif") == TileSources.CogSource)
     assert(TileSources.dispatch("https://x/y.TIFF?a=1") == TileSources.CogSource)

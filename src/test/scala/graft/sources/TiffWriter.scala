@@ -17,8 +17,12 @@ object TiffWriter {
       jpeg: Boolean = false, jpegSharedTables: Boolean = true,
       striped: Boolean = false,
       predictor: Int = 1, bps: Int = 8, planar: Boolean = false,
-      lzw: Boolean = false, packbits: Boolean = false): Unit = {
+      lzw: Boolean = false, packbits: Boolean = false,
+      samplesPerPixel: Int = 3): Unit = {
     require(Seq(deflate, jpeg, lzw, packbits).count(identity) <= 1, "pick one compression")
+    require(samplesPerPixel == 1 || samplesPerPixel == 3, "1 (gray) or 3 (RGB) samples")
+    require(!jpeg || samplesPerPixel == 3, "jpeg fixtures are RGB")
+    val spp0 = samplesPerPixel
     require(!(striped && jpeg), "striped fixtures are raw/deflate only")
     require(!jpeg || (predictor == 1 && bps == 8 && !planar),
       "jpeg fixtures are 8-bit chunky, no predictor")
@@ -49,13 +53,14 @@ object TiffWriter {
       // to full size (spec); a short final STRIP holds only its real rows.
       val chunky: Seq[Array[Int]] = for (ty <- 0 until down; tx <- 0 until across) yield {
         val rows = if (striped) math.min(tileSize, lv.height - ty * tileSize) else tileSize
-        val s = new Array[Int](chunkW * rows * 3)
+        val s = new Array[Int](chunkW * rows * spp0)
         for (y <- 0 until rows; x <- 0 until chunkW) {
           val gx = tx * chunkW + x
           val gy = ty * tileSize + y
           val (r, g, b) = if (gx < lv.width && gy < lv.height) lv.pixel(gx, gy) else (0, 0, 0)
-          val i = (y * chunkW + x) * 3
-          s(i) = r; s(i + 1) = g; s(i + 2) = b
+          val i = (y * chunkW + x) * spp0
+          s(i) = r // gray fixtures use the pixel fn's first channel
+          if (spp0 == 3) { s(i + 1) = g; s(i + 2) = b }
         }
         s
       }
@@ -63,9 +68,9 @@ object TiffWriter {
       // order (all plane-0 tiles, then plane-1, ...) per TIFF 6.0
       val sampleChunks: Seq[(Array[Int], Int)] =
         if (planar)
-          for (p <- 0 until 3; c <- chunky)
-            yield (Array.tabulate(c.length / 3)(i => c(i * 3 + p)), 1)
-        else chunky.map((_, 3))
+          for (p <- 0 until spp0; c <- chunky)
+            yield (Array.tabulate(c.length / spp0)(i => c(i * spp0 + p)), 1)
+        else chunky.map((_, spp0))
       def store(samples0: Array[Int], spp: Int): Array[Byte] = {
         val samples = samples0.clone()
         if (predictor == 2) { // horizontal differencing, right-to-left
@@ -126,7 +131,7 @@ object TiffWriter {
     prepared.zipWithIndex.foreach { case (p, li) =>
       // out-of-line arrays for this IFD
       pad()
-      val bpsOff = bos.size().toLong; w16(bps); w16(bps); w16(bps)
+      val bpsOff = bos.size().toLong; (0 until spp0).foreach(_ => w16(bps))
       pad()
       val toOff = bos.size().toLong; tileOffsets(li).foreach(w32)
       pad()
@@ -147,15 +152,15 @@ object TiffWriter {
       val comp =
         if (deflate) 8L else if (jpeg) 7L else if (lzw) 5L
         else if (packbits) 32773L else 1L
-      val photometric = if (jpeg) 6L else 2L
+      val photometric = if (jpeg) 6L else if (spp0 == 1) 1L else 2L
       // `data` = the element values, inlined into the entry whenever they
       // fit (<= 4 bytes classic, <= 8 BigTIFF — required by spec, and what
       // the reader expects); `value` = the out-of-line offset fallback.
       final case class Tag(code: Int, typ: Int, count: Int, value: Long, data: Seq[Long] = Nil)
       val tags = Seq(
         Tag(256, 3, 1, 0, Seq(p.lv.width.toLong)), Tag(257, 3, 1, 0, Seq(p.lv.height.toLong)),
-        Tag(258, 3, 3, bpsOff, Seq(bps.toLong, bps.toLong, bps.toLong)), Tag(259, 3, 1, 0, Seq(comp)),
-        Tag(262, 3, 1, 0, Seq(photometric)), Tag(277, 3, 1, 0, Seq(3L)),
+        Tag(258, 3, spp0, bpsOff, Seq.fill(spp0)(bps.toLong)), Tag(259, 3, 1, 0, Seq(comp)),
+        Tag(262, 3, 1, 0, Seq(photometric)), Tag(277, 3, 1, 0, Seq(spp0.toLong)),
         Tag(284, 3, 1, 0, Seq(if (planar) 2L else 1L))) ++
         (if (predictor != 1) Seq(Tag(317, 3, 1, 0, Seq(predictor.toLong))) else Nil) ++
         (if (striped) Seq(

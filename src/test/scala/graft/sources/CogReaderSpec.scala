@@ -317,6 +317,28 @@ class CogReaderSpec extends AnyFunSuite {
     assert(stripedRaw.sameElements(tiled))
   }
 
+  test("big-endian (MM) TIFFs read identically: raw, deflate+predictor, uint16") {
+    val cover = TileKey(10, 300, 400)
+    val ref = tmp("le-ref.tif")
+    writeGradient(ref, cover, deflate = false)
+    val (_, _, _, a) = CogReader.tile(ref, cover)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 512
+    for ((name, bps, pred, defl) <- Seq(
+      ("be-raw.tif", 8, 1, false),
+      ("be-defl-pred.tif", 8, 2, true),
+      ("be-u16.tif", 16, 1, false))) {
+      val p = tmp(name)
+      val levels =
+        if (bps == 16) Seq(TiffWriter.Level(512, 512, (x, y) => ((x % 256) * 257, (y % 256) * 257, 7 * 257)))
+        else gradientLevels
+      TiffWriter.write(p, levels, tileSize = 128, originX = b.west, originY = b.north,
+        resX = res, resY = res, bigendian = true, bps = bps, predictor = pred, deflate = defl)
+      val (_, _, _, got) = CogReader.tile(p, cover)
+      assert(got.sameElements(a), name)
+    }
+  }
+
   test("single-band (grayscale) COG: masks/DEM layout reads with bands=1") {
     val cover = TileKey(10, 300, 400)
     val b = Tiles.tileBounds3857(cover)

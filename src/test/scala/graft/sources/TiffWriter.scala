@@ -18,7 +18,7 @@ object TiffWriter {
       striped: Boolean = false,
       predictor: Int = 1, bps: Int = 8, planar: Boolean = false,
       lzw: Boolean = false, packbits: Boolean = false,
-      samplesPerPixel: Int = 3): Unit = {
+      samplesPerPixel: Int = 3, bigendian: Boolean = false): Unit = {
     require(Seq(deflate, jpeg, lzw, packbits).count(identity) <= 1, "pick one compression")
     require(samplesPerPixel == 1 || samplesPerPixel == 3, "1 (gray) or 3 (RGB) samples")
     require(!jpeg || samplesPerPixel == 3, "jpeg fixtures are RGB")
@@ -28,17 +28,27 @@ object TiffWriter {
       "jpeg fixtures are 8-bit chunky, no predictor")
     require(!(striped && planar), "striped fixtures are chunky-only")
     require(bps == 8 || bps == 16, "bps 8 or 16")
+    require(!(bigtiff && bigendian), "BE fixtures are classic-TIFF only (keeps the patching simple)")
     val bos = new java.io.ByteArrayOutputStream()
     def pad(): Unit = while (bos.size() % 2 != 0) bos.write(0)
-    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
-    def w32(v: Long): Unit = { var i = 0; while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
-    def w64(v: Long): Unit = { var i = 0; while (i < 8) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def wN(v: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        val shift = if (bigendian) 8 * (n - 1 - i) else 8 * i
+        bos.write(((v >> shift) & 0xff).toInt)
+        i += 1
+      }
+    }
+    def w16(v: Int): Unit = wN(v.toLong, 2)
+    def w32(v: Long): Unit = wN(v, 4)
+    def w64(v: Long): Unit = wN(v, 8)
     def w64d(d: Double): Unit = w64(java.lang.Double.doubleToLongBits(d))
     def wOff(v: Long): Unit = if (bigtiff) w64(v) else w32(v)
 
     // header; first IFD offset patched later
-    if (bigtiff) { bos.write('I'); bos.write('I'); w16(43); w16(8); w16(0); w64(0) }
-    else { bos.write('I'); bos.write('I'); w16(42); w32(0) }
+    val bom = if (bigendian) 'M' else 'I'
+    if (bigtiff) { bos.write(bom); bos.write(bom); w16(43); w16(8); w16(0); w64(0) }
+    else { bos.write(bom); bos.write(bom); w16(42); w32(0) }
 
     // shared JPEG tables captured from the first encoded tile
     var jpegTables: Option[Array[Byte]] = None
@@ -88,9 +98,10 @@ object TiffWriter {
         val raw = new Array[Byte](samples.length * (bps / 8))
         var i = 0
         if (bps == 8) while (i < samples.length) { raw(i) = samples(i).toByte; i += 1 }
-        else while (i < samples.length) { // little-endian uint16
-          raw(2 * i) = (samples(i) & 0xff).toByte
-          raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        else while (i < samples.length) { // uint16 in the file's byte order
+          val (lo, hi) = if (bigendian) (1, 0) else (0, 1)
+          raw(2 * i + lo) = (samples(i) & 0xff).toByte
+          raw(2 * i + hi) = ((samples(i) >> 8) & 0xff).toByte
           i += 1
         }
         if (deflate) {
@@ -194,14 +205,19 @@ object TiffWriter {
     def patchOff(at: Int, v: Long): Unit = {
       val n = if (bigtiff) 8 else 4
       var i = 0
-      while (i < n) { bytes(at + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      while (i < n) {
+        val shift = if (bigendian) 8 * (n - 1 - i) else 8 * i
+        bytes(at + i) = ((v >> shift) & 0xff).toByte
+        i += 1
+      }
     }
     def entryCountAt(o: Int): Int =
       if (bigtiff) {
         var v = 0L; var i = 7
         while (i >= 0) { v = (v << 8) | (bytes(o + i) & 0xffL); i -= 1 }
         v.toInt
-      } else (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      } else if (bigendian) ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      else (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     val offs = ifdOffsets.reverse
     patchOff(if (bigtiff) 8 else 4, offs.head)
     // chain IFDs: next-pointer sits after countSize + n*entrySize of each IFD

@@ -238,6 +238,19 @@ object Relational {
           cume_dist().over(w).as("cume"))
         .orderBy("o_orderkey")
     },
+    // Time-series gap-fill resample: zero-filled hourly buckets per user
+    // between each user's first and last event (sequence + explode — the
+    // distributed densify pattern; no driver-side calendar).
+    "q24_gap_fill" -> { (s, d) =>
+      val ev = t(s, d, "events").filter(col("user_id") < 40)
+        .withColumn("bkt", expr("ts div 3600000000000"))
+      val per = ev.groupBy("user_id", "bkt").agg(count(lit(1)).as("n"))
+      val span = ev.groupBy("user_id").agg(min("bkt").as("b0"), max("bkt").as("b1"))
+      span.select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bkt"))
+        .join(per, Seq("user_id", "bkt"), "left")
+        .na.fill(0L, Seq("n"))
+        .orderBy("user_id", "bkt")
+    },
     // Regex scalar functions: extract + global replace.
     "q23_regex_funcs" -> { (s, d) =>
       t(s, d, "part").filter(col("p_partkey") < 300)
@@ -380,6 +393,15 @@ object Relational {
         |FROM orders WHERE o_orderkey < 800
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q24_gap_fill" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bkt
+        |  FROM events WHERE user_id < 40),
+        |per AS (SELECT user_id, bkt, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(bkt) AS b0, MAX(bkt) AS b1 FROM ev GROUP BY 1),
+        |al AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bkt FROM span)
+        |SELECT a.user_id, a.bkt, COALESCE(p.n, 0) AS n
+        |FROM al a LEFT JOIN per p ON p.user_id = a.user_id AND p.bkt = a.bkt
+        |ORDER BY a.user_id, a.bkt""".stripMargin,
     "q23_regex_funcs" ->
       """SELECT p_partkey,
         | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,

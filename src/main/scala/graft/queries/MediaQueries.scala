@@ -35,6 +35,16 @@ object MediaQueries {
     "qs01_event_windows" -> { (s, d) =>
       EventStream.tumblingCounts(t(s, d, "events"))
         .orderBy("wstart", "event_type")
+    },
+    // The sessionizer itself under the oracle: gap-based sessions from the
+    // stateful operator vs DuckDB's break-flag + running-sum window SQL.
+    // (sumValue is omitted — a sequential double sum is order-sensitive
+    // across engines; boundaries and counts are the semantics.)
+    "qs02_sessions" -> { (s, d) =>
+      EventStream.sessionize(t(s, d, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("startMicros").as("start_us"),
+          col("endMicros").as("end_us"), col("nEvents").as("n_events"))
+        .orderBy("user_id", "start_us")
     }
   )
 
@@ -54,6 +64,18 @@ object MediaQueries {
     "qs01_event_windows" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "qs02_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT user_id, us,
+        |  CASE WHEN LAG(us) OVER w IS NULL
+        |         OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM d)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+        | CAST(COUNT(*) AS INT) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
   )
 }

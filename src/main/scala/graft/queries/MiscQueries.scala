@@ -26,6 +26,16 @@ object MiscQueries {
           expr("asof_rts div 1000").as("err_ts_us"))
         .orderBy("event_id")
     },
+    // Salted skew join under the oracle: the salt fan-out/fan-in must be
+    // invisible in the result — checked against a plain SQL join/agg.
+    "qa02_salted_join" -> { (s, d) =>
+      val ev = t(s, d, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), (col("user_id") % 7).as("k"))
+      val dim = s.range(7).select(col("id").as("k"), (col("id") * 100).as("w"))
+      graft.operators.SkewJoin.saltedJoin(ev, dim, Seq("k"), nSalts = 8)
+        .groupBy("k", "w").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
     // Exact interpolated percentiles (sort-based, per group).
     "qp01_percentiles" -> { (s, d) =>
       t(s, d, "lineitem")
@@ -105,6 +115,10 @@ object MiscQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    "qa02_salted_join" ->
+      """SELECT (user_id % 7) AS k, (user_id % 7) * 100 AS w, COUNT(*) AS n
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY k""".stripMargin,
     "qp01_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS median_qty,

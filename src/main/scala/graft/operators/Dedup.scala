@@ -174,6 +174,27 @@ object Dedup {
       .filter(col("hd") <= maxHamming)
   }
 
+  /** Exact-Jaccard verification of candidate pairs — the VERIFY step after
+    * LSH/SimHash candidate generation: each (id_a, id_b) rejoins the two
+    * distinct-token sets (shuffle-hash joins on the long ids) and the
+    * exact |A∩B| / |A∪B| is computed in-row. Cost scales with the
+    * candidate count, never corpus² — the whole point of
+    * candidates-then-verify. Returns (id_a, id_b, jacc) for pairs with
+    * `jacc >= minJaccard`. */
+  def verifyCandidatePairs(pairs: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, minJaccard: Double = 0.0): DataFrame = {
+    val tk = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(toks(col(textCol))).as("tk"))
+    pairs
+      .join(tk.select(col("id").as("id_a"), col("tk").as("ta")).hint("shuffle_hash"), "id_a")
+      .join(tk.select(col("id").as("id_b"), col("tk").as("tb")).hint("shuffle_hash"), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jacc", col("inter").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("inter")))
+      .filter(col("jacc") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jacc"))
+  }
+
   /** Duplicate-cluster resolution: connected components over a candidate-
     * pair edge list — (id, component) with component = the MIN id reachable
     * through any chain of pairs, i.e. the cluster keeper every dedup

@@ -100,6 +100,19 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 5 === 0), "text", "doc_id")
         .orderBy("id_a", "id_b")
     },
+    // LSH quality accounting: exact-Jaccard VERIFY over the generated
+    // candidates (cost scales with candidates, not corpus²) — how many
+    // candidates are real near-dups at tau = 0.5.
+    "qd20_lsh_verify" -> { (s, d) =>
+      val docs = withDups(s, d).filter(col("doc_id") % 10 === 0)
+      val cand = graft.operators.Dedup.lshCandidatePairs(docs, "text", "doc_id",
+        numHashes = 4, rowsPerBand = 2)
+      graft.operators.Dedup.verifyCandidatePairs(cand, docs, "text", "doc_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)).as("n_accepted"),
+          max("jacc").as("max_jacc"),
+          (sum(col("jacc").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("avg_jacc"))
+    },
     // CAPSTONE: the whole training-data pipeline composed from the public
     // operators — exact dedup -> SimHash near-dup pairs -> duplicate
     // clusters -> keeper selection (cluster min or untouched) ->
@@ -291,6 +304,32 @@ object TextOps {
         |  FROM bits GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd20_lsh_verify" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM sub),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('s0_' || tok)) AS mh0, MIN(md5('s1_' || tok)) AS mh1,
+        |  MIN(md5('s2_' || tok)) AS mh2, MIN(md5('s3_' || tok)) AS mh3
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, md5('0' || mh0 || mh1) AS band FROM sig
+        |  UNION ALL SELECT doc_id, md5('1' || mh2 || mh3) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band),
+        |tks AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS tk FROM sub),
+        |v AS (SELECT c.id_a, c.id_b,
+        |  CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+        |   (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) AS jacc
+        | FROM cand c JOIN tks ta ON ta.doc_id = c.id_a JOIN tks tb ON tb.doc_id = c.id_b)
+        |SELECT COUNT(*) AS n_candidates,
+        | CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+        | MAX(jacc) AS max_jacc,
+        | CAST(SUM(CAST(jacc AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS avg_jacc
+        |FROM v""".stripMargin,
     "qd19_pipeline_e2e" ->
       """WITH RECURSIVE all_docs AS (
         |  SELECT source, doc_id, text FROM documents

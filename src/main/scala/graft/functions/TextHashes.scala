@@ -75,7 +75,50 @@ object TextHashes {
     else new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
-  /** Idempotent SQL registration of both kernels (no-op — and no
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 16-bit SimHash of a token multiset: per-token MD5, one bit per hex
+    * digit of the first four (= first two digest bytes), majority vote per
+    * bit position. Bit b of a token's contribution is
+    * `(hexval(hexchar(b div 4)) >> (b % 4)) & 1` — byte-identical to the
+    * composable `md5()`/`substring`/`instr` formula the qd08 oracle mirrors
+    * (hex char 2j is the high nibble of digest byte j). The composable form
+    * runs 16 interpreted string ops per token inside nested higher-order
+    * functions; this is one digest + 16 integer ops per token, codegen'd. */
+  def simhash16(arr: ArrayData): Long = {
+    val md = Md5.get()
+    val bal = new Array[Int](16)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(
+        if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes)
+      // v16 = nib0 | nib1<<4 | nib2<<8 | nib3<<12 where nib_j = hexval of
+      // hex char j+1: chars (1,2) are the (high, low) nibbles of byte 0,
+      // chars (3,4) of byte 1
+      val v16 = ((digest(0) >> 4) & 0xF) | ((digest(0) & 0xF) << 4) |
+        (((digest(1) >> 4) & 0xF) << 8) | ((digest(1) & 0xF) << 12)
+      var b = 0
+      while (b < 16) {
+        bal(b) += (if (((v16 >> b) & 1) == 1) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (bal(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Idempotent SQL registration of the kernels (no-op — and no
     * "replaced a previously registered function" warning — when already
     * registered in the session). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -87,6 +130,9 @@ object TextHashes {
     if (!reg.functionExists(FunctionIdentifier("packed_pairs")))
       reg.createOrReplaceTempFunction(
         "packed_pairs", exprs => PackedPairs(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("simhash16_long")))
+      reg.createOrReplaceTempFunction(
+        "simhash16_long", exprs => Simhash16(exprs.head), "built-in")
   }
 }
 
@@ -101,6 +147,21 @@ case class BigramHashes(child: Expression) extends UnaryExpression {
     TextHashes.bigramHashes(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.bigramHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash16_long(array<string>) -> bigint` 16-bit SimHash. */
+case class Simhash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.simhash16(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash16($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -46,14 +46,17 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` salted-md5 min-hashes over the
     * distinct token set, columns mh0..mh{n-1}. Lexicographic min over hex
-    * strings is a total order identical in any engine (oracle-stable). */
+    * strings is a total order identical in any engine (oracle-stable).
+    *
+    * Per-row only (array_min over the hashed token array) — ZERO shuffles.
+    * The explode-then-groupBy form would push |distinct tokens| rows per
+    * document through a shuffle for a value each row computes alone. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 4): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(array_distinct(toks(col(textCol)))).as("tok"))
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"s${i}_"), col("tok")))).as(s"mh$i"))
-    tok.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val tk = array_distinct(toks(col(textCol)))
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(tk, t => md5(concat(lit(s"s${i}_"), t)))).as(s"mh$i"))
+    df.select(col(idCol) +: sigs: _*)
   }
 
   /** MinHash + LSH banding candidate pairs: (id_a, id_b), id_a < id_b,
@@ -228,16 +231,24 @@ object Dedup {
       val propagated = labels.select(col("id"), col("comp"), col("comp").as("old"))
         .unionByName(viaEdges)
         .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
-        .localCheckpoint()
-      // pointer jump: comp := comp(comp) over the label table itself
-      // (self-join across the checkpoint boundary is unambiguous). Near-dup
-      // graphs contain long CHAINS (a~b~c~... at hamming 1 each), so plain
-      // propagation needs diameter rounds — measured 14 at sf0.1;
-      // alternating propagate+jump doubles reach per round (O(log d)).
-      val updated = propagated
+      // pointer jump, twice: comp := comp(comp(comp(comp))) over the label
+      // table itself. Near-dup graphs contain long CHAINS (a~b~c~... at
+      // hamming 1 each), so plain propagation needs diameter rounds —
+      // measured 14 at sf0.1; one jump per round doubles reach (O(log2 d)
+      // edge passes), two jumps quadruple it (O(log4 d)). The jumps join
+      // only the label table — tiny next to the edge relation, whose passes
+      // are the cost that matters at corpus scale. All three steps stay in
+      // ONE checkpointed job: the propagated subtree appears three times in
+      // the self-join plan, but its shuffle is planned once (ReuseExchange),
+      // so each round is one edge pass + two label-table shuffles.
+      val jumped = propagated
         .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("comp") === col("cid"))
         .select(col("id"), col("ccomp").as("comp"), col("old"))
+      val updated = jumped
+        .join(propagated.select(col("id").as("cid2"), col("comp").as("ccomp2")),
+          col("comp") === col("cid2"))
+        .select(col("id"), col("ccomp2").as("comp"), col("old"))
         .localCheckpoint()
       // round 1 always changes something (every edge endpoint adopts its
       // neighborhood min) — skip the pointless convergence job

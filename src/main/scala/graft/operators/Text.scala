@@ -73,20 +73,18 @@ object Text {
 
   /** 16-bit SimHash over the token multiset: per-token md5, one bit per
     * nibble-derived position, majority vote per bit. (doc_id, simhash).
-    * Two partial-aggregated groupBys on the id — scale-safe. */
+    *
+    * Computed entirely per-row by the native codegen'd `simhash16_long`
+    * kernel (one MD5 digest + 16 integer ops per token) — ZERO shuffles.
+    * The explode-then-groupBy form pushes |tokens| x 16 rows through two
+    * shuffles at corpus scale for a value each row computes alone; the
+    * composable per-row form (nested aggregate over md5 hex substrings)
+    * runs 16 interpreted string ops per token. Semantics are byte-identical
+    * to both (the qd08 oracle checks the formula end-to-end). */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hexv = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val bits = tok.select(col(idCol), col("h"),
-        explode(sequence(lit(0), lit(15))).as("b"))
-      .withColumn("nib", hexv(substring(col("h"), (col("b") / 4).cast("int") + 1, lit(1))))
-      .withColumn("bit", expr("shiftright(nib, CAST(b % 4 AS INT)) % 2"))
-    bits.groupBy(col(idCol), col("b"))
-      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("bal"))
-      .groupBy(idCol)
-      .agg(sum(when(col("bal") >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+    graft.functions.TextHashes.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("simhash16_long", tokens(col(textCol))).as("simhash"))
   }
 
   /** Scrub common PII-ish spans from text: emails, then URLs, then long

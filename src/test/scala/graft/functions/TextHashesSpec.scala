@@ -63,4 +63,29 @@ class TextHashesSpec extends graft.SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
     assert(msgs.exists(_.contains("31-bit")))
   }
+
+  test("simhash16_long: byte-identical to the composable md5 hex-digit formula") {
+    val s = spark
+    TextHashes.register(s)
+    import s.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a b", "single", "", "répété unicode tokens répété").toDF("text")
+    val got = df.selectExpr("simhash16_long(split(text, ' ')) AS h")
+      .as[Long].collect().toSeq
+    // the reference formula: per-token md5 hex, bit b from hex digit
+    // (b div 4) of the hash, majority vote per bit — exactly the qd08
+    // oracle SQL and the pre-kernel composable form
+    val want = df.selectExpr(
+      """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+        |  acc + IF(aggregate(transform(split(text, ' '), t -> md5(t)), 0, (bal, h) ->
+        |      bal + IF(shiftright(instr('0123456789abcdef',
+        |          substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1,
+        |        CAST(b % 4 AS INT)) % 2 = 1, 1, -1)) >= 0,
+        |    shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)), CAST(0 AS BIGINT))) AS h"""
+        .stripMargin)
+      .as[Long].collect().toSeq
+    assert(got == want)
+    assert(got.forall(h => h >= 0 && h < (1L << 16)))
+  }
 }

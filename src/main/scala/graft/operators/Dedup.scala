@@ -259,6 +259,38 @@ object Dedup {
     labels
   }
 
+  /** Benchmark-contamination check: which corpus documents share at least
+    * `minShared` distinct `n`-token shingles with any document of an
+    * evaluation/benchmark set. Returns (doc_id, n_bench_hits = benchmark
+    * docs overlapped, max_shared = most shingles shared with a single
+    * benchmark doc), one row per contaminated corpus doc.
+    *
+    * Scale shape: an inverted-index join on the shingle — never corpus x
+    * bench. Shingles whose corpus document frequency exceeds `maxDf`
+    * (boilerplate headers, the n-grams every document contains) are
+    * dropped BEFORE the join: they carry no contamination signal and are
+    * exactly the postings whose fan-out would blow the join up. Join keys
+    * are xxhash64 longs, not gram strings (fixed-width shuffle). */
+  def crossCorpusContamination(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, maxDf: Int = 50,
+      minShared: Int = 2): DataFrame = {
+    require(maxDf >= 1 && minShared >= 1)
+    def postings(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(Text.shingles(col(textCol), n)).as("gram"))
+        .select(col(as), xxhash64(col("gram")).as("g"))
+    val cg = postings(corpus, "cid")
+    val ok = cg.groupBy("g").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") <= maxDf).select("g")
+    val bg = postings(bench, "bid")
+    cg.join(ok.hint("shuffle_hash"), "g")
+      .join(bg.hint("shuffle_hash"), "g")
+      .groupBy("cid", "bid").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("cid").as(idCol))
+      .agg(count(lit(1)).as("n_bench_hits"), max("shared").as("max_shared"))
+  }
+
   /** Per-block Jaccard summary — (block, n_pairs, max_jacc, avg_jacc) over
     * ALL C(n,2) pairs of the block — WITHOUT an all-pairs join. Overlapping
     * pairs come from the token-bucket pipeline; the (possibly astronomical)

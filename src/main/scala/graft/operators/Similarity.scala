@@ -86,6 +86,54 @@ object Similarity {
       .groupBy(idCol).agg(sum("bit").as("bucket"))
   }
 
+  /** Doc-frequency-weighted (TF-IDF-style, binary TF) cosine similarity
+    * for every overlapping document pair within a block: (block, id_a,
+    * id_b, cos). Token weight is the integer-rational IDF
+    * `w = (N * scale) div df` — deliberately NOT `ln(N/df)`: the weights,
+    * dot products, and norms stay exact BIGINT arithmetic (reproducible in
+    * any engine), and only the final `num / (sqrt(n2a) * sqrt(n2b))` is a
+    * double. Same monotone-in-1/df shape as log-IDF; rare tokens dominate.
+    *
+    * Scale shape: an inverted-index pipeline, never an all-pairs join —
+    * tokens with corpus df > `maxDf` are dropped from the vectors (both
+    * numerator and norms, the standard stopword cut) BEFORE the k(k-1)/2
+    * per-token pair expansion, which bounds posting-list fan-out; per-doc
+    * norms rejoin via shuffle-hash joins on the long id (never broadcast —
+    * O(corpus)). The corpus count N is a 1-row broadcast.
+    *
+    * Overflow: w <= N * scale must fit well under sqrt(Long.Max /
+    * max-doc-tokens) ~ 3e8 — for corpora beyond ~1e5 docs pass a smaller
+    * `scale` (the weights are ratios; only their relative size matters). */
+  def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, scale: Int = 1000, maxDf: Int = 100): DataFrame = {
+    graft.functions.TextHashes.register(df.sparkSession)
+    val docs = df.select(col(blockCol).as("block"), col(idCol).cast("long").as("id"),
+      array_distinct(split(col(textCol), " ")).as("tk"))
+    val postings = docs.select(col("block"), col("id"), explode(col("tk")).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val weights = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .join(broadcast(nDocs))
+      .select(col("tok"), expr(s"(nd * $scale) div df").as("w"))
+    val pw = postings.join(weights.hint("shuffle_hash"), "tok")
+    val norms = pw.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    val pairs = pw.groupBy("block", "tok")
+      .agg(collect_list(col("id")).as("ds"), first(col("w") * col("w")).as("w2"))
+      .filter(size(col("ds")) > 1)
+      .select(col("block"), explode(expr("packed_pairs(ds)")).as("pair"), col("w2"))
+      .groupBy("block", "pair").agg(sum("w2").as("num"))
+      .select(col("block"), shiftright(col("pair"), 32).as("id_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("num"))
+    pairs
+      .join(norms.select(col("id").as("id_a"), col("n2").as("n2a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("n2b"))
+        .hint("shuffle_hash"), "id_b")
+      .select(col("block"), col("id_a"), col("id_b"),
+        (col("num").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))).as("cos"))
+  }
+
   /** Shared IVF search given a centroid table `cents` (cid, cq: quantized
     * array<bigint>, cc = cq·cq): exact-integer L2 cell assignment (window
     * rn=1, cid tie-break), then cosine top-k within the `nprobe` cells

@@ -139,6 +139,49 @@ object Text {
       .drop("__rn")
   }
 
+  /** Distinct `n`-token shingles of the token array, each joined with a
+    * single space — the gram unit for contamination checks and n-gram
+    * dedup. Documents shorter than `n` shingle what they have (slice
+    * truncates), matching [[fingerprint]]'s window semantics. Per-row. */
+  def shingles(c: Column, n: Int): Column = {
+    require(n >= 1)
+    val tk = tokens(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+      i => array_join(slice(tk, i, lit(n)), " ")))
+  }
+
+  /** Gopher-style repetition / quality signals, entirely per-row (zero
+    * shuffles — every signal is a function of the document's own token
+    * array): token count, duplicate-token fraction, adjacent-repeat
+    * fraction ("the the"), and the fraction of bigram occurrences taken by
+    * the single most frequent bigram (boilerplate/loop detector). The
+    * top-bigram count is O(distinct-bigrams x bigrams) per row — bounded
+    * by document length, not corpus size. */
+  def repetitionScores(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    df.withColumn("tk", tk)
+      .withColumn("n", size(col("tk")))
+      .withColumn("bg", when(col("n") >= 2, transform(
+        sequence(lit(1), greatest(col("n") - 1, lit(1))),
+        i => array_join(slice(col("tk"), i, lit(2)), " ")))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("adj", when(col("n") >= 2, size(filter(
+        sequence(lit(1), greatest(col("n") - 1, lit(1))),
+        i => element_at(col("tk"), i) === element_at(col("tk"), i + 1))))
+        .otherwise(0))
+      .withColumn("top_bg", when(col("n") >= 2, array_max(transform(
+        array_distinct(col("bg")),
+        x => size(filter(col("bg"), y => y === x))))).otherwise(0))
+      .select(col(idCol), col("n").as("n_tokens"),
+        ((col("n") - size(array_distinct(col("tk")))).cast("double") / col("n"))
+          .as("dup_token_frac"),
+        when(col("n") >= 2, col("adj").cast("double") / (col("n") - 1))
+          .otherwise(0.0).as("adj_dup_frac"),
+        when(col("n") >= 2, col("top_bg").cast("double") / (col("n") - 1))
+          .otherwise(0.0).as("top_bigram_frac"))
+  }
+
   /** Rolling-window document fingerprint (winnowing-style): the
     * lexicographic MIN of the md5 of every `window` consecutive tokens —
     * one stable id per document that survives local edits outside the

@@ -205,6 +205,34 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 25 === 0), "text", "doc_id", window = 3)
         .orderBy("doc_id")
     },
+    // Gopher-style per-document repetition signals — duplicate-token,
+    // adjacent-repeat, and top-bigram fractions, all per-row (no shuffle).
+    "qd21_repetition" -> { (s, d) =>
+      graft.operators.Text.repetitionScores(
+          t(s, d, "documents").filter(col("doc_id") < 300), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    // Benchmark-contamination check: corpus docs sharing >= 2 distinct
+    // trigrams with the held-out "benchmark" slice (doc_id % 97 == 0),
+    // via an inverted-index join with a df cap — never corpus x bench.
+    "qd22_contamination" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.crossCorpusContamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 3, maxDf = 50, minShared = 2)
+        .orderBy("doc_id")
+    },
+    // Doc-frequency-weighted (TF-IDF-style) cosine pairs within each
+    // source block — integer-rational IDF weights so everything up to the
+    // final division is exact BIGINT arithmetic (no cross-engine ln()).
+    "qv06_tfidf_cosine" -> { (s, d) =>
+      graft.operators.Similarity.tfidfCosinePairs(
+          t(s, d, "documents").filter(col("doc_id") < 400),
+          "text", "doc_id", "source", scale = 1000, maxDf = 100)
+        .select(col("block").as("source"), col("id_a"), col("id_b"), col("cos"))
+        .orderBy("source", "id_a", "id_b")
+    },
     // The maxBucket cap doing real work: cap 8 drops the corpus's
     // degenerate boilerplate buckets (300-3000 docs per band bucket at
     // these SFs) before pair expansion; the oracle applies the same cap.
@@ -477,6 +505,64 @@ object TextOps {
         |w AS (SELECT doc_id, tk, unnest(generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1))) AS j FROM d)
         |SELECT doc_id, MIN(md5(array_to_string(tk[j:j+2], ' '))) AS fingerprint
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd21_repetition" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS tk
+        |  FROM documents WHERE doc_id < 300),
+        |b AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS n,
+        |  CASE WHEN len(tk) >= 2 THEN list_transform(
+        |    generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 1, 1)),
+        |    i -> array_to_string(tk[i:i+1], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END AS bg FROM d),
+        |m AS (SELECT doc_id, n,
+        |  CAST(len(list_distinct(tk)) AS INT) AS n_uniq,
+        |  CASE WHEN n >= 2 THEN CAST(len(list_filter(
+        |    generate_series(1, GREATEST(CAST(n AS BIGINT) - 1, 1)),
+        |    i -> tk[i] = tk[i+1])) AS INT) ELSE 0 END AS adj,
+        |  CASE WHEN n >= 2 THEN CAST(list_max(list_transform(list_distinct(bg),
+        |    x -> len(list_filter(bg, y -> y = x)))) AS INT) ELSE 0 END AS top_bg
+        | FROM b)
+        |SELECT doc_id, n AS n_tokens,
+        | CAST(n - n_uniq AS DOUBLE) / n AS dup_token_frac,
+        | CASE WHEN n >= 2 THEN CAST(adj AS DOUBLE) / (n - 1) ELSE 0.0 END AS adj_dup_frac,
+        | CASE WHEN n >= 2 THEN CAST(top_bg AS DOUBLE) / (n - 1) ELSE 0.0 END AS top_bigram_frac
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "qd22_contamination" ->
+      """WITH cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS g
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 97 <> 0)),
+        |okg AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= 50),
+        |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS g
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 97 = 0)),
+        |sh AS (SELECT c.doc_id AS cid, b.doc_id AS bid, COUNT(*) AS shared
+        |  FROM cg c JOIN okg o ON o.g = c.g JOIN bg b ON b.g = c.g
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT cid AS doc_id, COUNT(*) AS n_bench_hits, MAX(shared) AS max_shared
+        |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "qv06_tfidf_cosine" ->
+      """WITH docs AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS tk
+        |  FROM documents WHERE doc_id < 400),
+        |p AS (SELECT doc_id, source, unnest(tk) AS tok FROM docs),
+        |nd AS (SELECT COUNT(*) AS nd FROM docs),
+        |w AS (SELECT tok, CAST((nd.nd * 1000) // df AS BIGINT) AS w
+        |  FROM (SELECT tok, COUNT(*) AS df FROM p GROUP BY tok
+        |        HAVING COUNT(*) <= 100) d, nd),
+        |pw AS (SELECT p.doc_id, p.source, p.tok, w.w FROM p JOIN w USING (tok)),
+        |norm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM pw GROUP BY doc_id),
+        |pairs AS (SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(SUM(a.w * a.w) AS BIGINT) AS num
+        |  FROM pw a JOIN pw b ON a.source = b.source AND a.tok = b.tok
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT p.source, p.id_a, p.id_b,
+        |  CAST(p.num AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |FROM pairs p JOIN norm na ON na.doc_id = p.id_a
+        |  JOIN norm nb ON nb.doc_id = p.id_b
+        |ORDER BY source, id_a, id_b""".stripMargin,
     "qd10_lsh_capped" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -97,4 +97,39 @@ class DedupSpec extends SparkSpec {
     // doc 5 is in another block: no cross-block pair with 1 or 2
     assert(!pairs.keySet.exists { case (a, b) => b == 5L || a == 5L })
   }
+
+  test("crossCorpusContamination: flags shared trigrams, df cap drops boilerplate") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "unique alpha beta gamma delta epsilon"), // shares 2 trigrams w/ bench
+      (2L, "totally different words in this row"),
+      (3L, "unique alpha beta gamma other stuff")) // shares 1 trigram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "unique alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val hits = Dedup.crossCorpusContamination(corpus, bench, "text", "doc_id",
+        n = 3, maxDf = 50, minShared = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bench_hits"), r.getAs[Long]("max_shared"))).toMap
+    // doc 1 shares "unique alpha beta", "alpha beta gamma", "beta gamma delta"
+    assert(hits(1L) == ((1L, 3L)))
+    assert(!hits.contains(2L)) // nothing shared
+    // doc 3 shares "unique alpha beta" + "alpha beta gamma" = exactly minShared
+    assert(hits(3L) == ((1L, 2L)))
+  }
+
+  test("crossCorpusContamination: maxDf=1 drops every shared gram") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "common phrase here tail one"),
+      (2L, "common phrase here tail two")).toDF("doc_id", "text")
+    val bench = Seq((100L, "common phrase here tail three")).toDF("doc_id", "text")
+    // "common phrase here" has corpus df 2 > 1 -> dropped before the join
+    val out = Dedup.crossCorpusContamination(corpus, bench, "text", "doc_id",
+      n = 3, maxDf = 1, minShared = 1).collect()
+    // each doc still shares its df-1 grams ("phrase here tail" also df 2;
+    // "here tail one"/"here tail two" are unique but unshared with bench)
+    assert(out.isEmpty)
+  }
 }

@@ -86,4 +86,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSeq
     assert(again == partial)
   }
+
+  test("tfidfCosinePairs: identical docs cos 1.0, df cap drops common tokens") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "blk", "rare tokens appear here"),
+      (2L, "blk", "rare tokens appear here"), // identical -> cos 1.0
+      (3L, "blk", "rare words somewhere else"), // shares only "rare"
+      (4L, "blk", "unrelated content entirely different"),
+      (5L, "oth", "rare tokens appear here")) // other block: no pair
+      .toDF("doc_id", "source", "text")
+    val out = Similarity.tfidfCosinePairs(docs, "text", "doc_id", "source",
+        scale = 1000, maxDf = 100)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("cos"))).toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12)
+    assert(out((1L, 3L)) > 0 && out((1L, 3L)) < 0.5) // one shared token
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    assert(!out.keySet.exists { case (a, b) => a == 5L || b == 5L }) // blocked
+    // df cap: "rare" is in 4 docs; with maxDf = 3 it is cut and the only
+    // cross-doc similarity left is the identical pairs' remaining tokens
+    val capped = Similarity.tfidfCosinePairs(docs, "text", "doc_id", "source",
+        scale = 1000, maxDf = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
 }

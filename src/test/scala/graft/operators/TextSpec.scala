@@ -132,4 +132,38 @@ class TextSpec extends SparkSpec {
     val w1 = Seq("aardvark zebra yak", "zebra yak xylophone", "yak xylophone wombat").map(md5hex)
     assert(f(1L) == w1.min)
   }
+
+  test("shingles: distinct n-grams, short docs shingle what they have") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c a b c"), (2L, "xy")).toDF("id", "text")
+    val out = d.select(col("id"), Text.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[String](1).toSet).toMap
+    assert(out(1L) == Set("a b c", "b c a", "c a b")) // distinct across repeats
+    assert(out(2L) == Set("xy")) // shorter than n -> the whole doc
+  }
+
+  test("repetitionScores: dup/adjacent/top-bigram fractions") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "go go go stop"), // adjacent repeats + dominant bigram
+      (2L, "all words fully distinct"),
+      (3L, "solo")).toDF("id", "text")
+    val m = Text.repetitionScores(d, "text", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getAs[Int]("n_tokens") == 4)
+    assert(r1.getAs[Double]("dup_token_frac") == 2.0 / 4) // "go" x3 -> 2 dups
+    assert(r1.getAs[Double]("adj_dup_frac") == 2.0 / 3) // go|go, go|go
+    assert(r1.getAs[Double]("top_bigram_frac") == 2.0 / 3) // "go go" twice of 3
+    val r2 = m(2L)
+    assert(r2.getAs[Double]("dup_token_frac") == 0.0)
+    assert(r2.getAs[Double]("adj_dup_frac") == 0.0)
+    assert(r2.getAs[Double]("top_bigram_frac") == 1.0 / 3) // all bigrams unique
+    val r3 = m(3L) // single token: no bigrams, guarded divisions
+    assert(r3.getAs[Int]("n_tokens") == 1)
+    assert(r3.getAs[Double]("adj_dup_frac") == 0.0)
+    assert(r3.getAs[Double]("top_bigram_frac") == 0.0)
+  }
 }

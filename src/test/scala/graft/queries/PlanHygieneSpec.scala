@@ -20,7 +20,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qv01_knn_cosine", // broadcast query vector (1 row)
     "qv03_lsh_buckets", // broadcast hyperplanes (8 rows)
     "qv04_ivf_ann", // broadcast query vector + probed cells
-    "qv05_ivf_trained") // same shape, trained centroids
+    "qv05_ivf_trained", // same shape, trained centroids
+    "qv06_tfidf_cosine") // broadcast corpus count N (1 row)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -45,6 +45,14 @@ object MediaQueries {
         .select(col("user_id"), col("startMicros").as("start_us"),
           col("endMicros").as("end_us"), col("nEvents").as("n_events"))
         .orderBy("user_id", "start_us")
+    },
+    // The same session semantics through Spark's BUILT-IN session_window
+    // aggregation (declarative merge planned by Catalyst) — checked against
+    // the identical gap-islands oracle as qs02, so the custom stateful
+    // operator and the built-in agree with the oracle AND each other.
+    "qs03_session_window" -> { (s, d) =>
+      EventStream.sessionWindows(t(s, d, "events"), gapMinutes = 30)
+        .orderBy("user_id", "start_us")
     }
   )
 
@@ -76,6 +84,18 @@ object MediaQueries {
         | FROM d)
         |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
         | CAST(COUNT(*) AS INT) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "qs03_session_window" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT user_id, us,
+        |  CASE WHEN LAG(us) OVER w IS NULL
+        |         OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM d)
+        |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+        | CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
   )
 }

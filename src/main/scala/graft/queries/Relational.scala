@@ -251,6 +251,32 @@ object Relational {
         .na.fill(0L, Seq("n"))
         .orderBy("user_id", "bkt")
     },
+    // Statistical aggregates (corr / covar_samp / stddev_samp) computed
+    // from EXACT decimal component sums (n, sum x, sum y, sum xy, sum x2,
+    // sum y2): the only floating point is the final scalar formula over
+    // exact components, which is a fixed IEEE expression tree identical in
+    // any engine — unlike built-in corr()/stddev(), whose running-state
+    // accumulation is order-dependent and engine-specific.
+    "q25_exact_stats" -> { (s, d) =>
+      val x = col("l_quantity").cast("decimal(14,2)")
+      val y = col("l_extendedprice").cast("decimal(14,2)")
+      def dd(n: String) = col(n).cast("double")
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+            (dd("n") * (dd("n") - 1))).as("covar_samp"),
+          sqrt((dd("n") * dd("sxx") - dd("sx") * dd("sx")) /
+            (dd("n") * (dd("n") - 1))).as("stddev_qty"),
+          sqrt((dd("n") * dd("syy") - dd("sy") * dd("sy")) /
+            (dd("n") * (dd("n") - 1))).as("stddev_price"),
+          ((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+            (sqrt(dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
+              sqrt(dd("n") * dd("syy") - dd("sy") * dd("sy")))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
     // Regex scalar functions: extract + global replace.
     "q23_regex_funcs" -> { (s, d) =>
       t(s, d, "part").filter(col("p_partkey") < 300)
@@ -402,6 +428,26 @@ object Relational {
         |SELECT a.user_id, a.bkt, COALESCE(p.n, 0) AS n
         |FROM al a LEFT JOIN per p ON p.user_id = a.user_id AND p.bkt = a.bkt
         |ORDER BY a.user_id, a.bkt""".stripMargin,
+    "q25_exact_stats" ->
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+        |  SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
+        |  SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS sxx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS syy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS covar_samp,
+        | sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_qty,
+        | sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_price,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |   (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "q23_regex_funcs" ->
       """SELECT p_partkey,
         | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,

@@ -91,7 +91,8 @@ object CogReader {
       predictor: Int = 1, // tag 317 (1 = none, 2 = horizontal differencing)
       planarConfig: Int = 1, // tag 284 (1 = chunky, 2 = per-plane tiles)
       littleEndian: Boolean = true, // file byte order (for 16-bit samples)
-      striped: Boolean = false) // strips modeled as tiles; last one may be SHORT
+      striped: Boolean = false, // strips modeled as tiles; last one may be SHORT
+      sampleFormat: Int = 1) // tag 339 (1 = unsigned, 2 = signed, 3 = IEEE float)
 
   private final class TiffBuf(bytes: Array[Byte]) {
     var le: Boolean = true
@@ -171,6 +172,7 @@ object CogReader {
       var stripCounts = Array.empty[Long]
       var predictor = 1
       var planarConfig = 1
+      var sampleFormat = 1
       var i = 0
       while (i < n) {
         val e = entryOff(i)
@@ -212,6 +214,7 @@ object CogReader {
           case 323 => th = intAt(0).toInt
           case 324 => tileOffsets = longs
           case 325 => tileCounts = longs
+          case 339 => sampleFormat = intAt(0).toInt
           case 347 => jpegTables = Some(vb.slice(vo, count))
           case 33550 => scale = Some((vb.f64(vo), vb.f64(vo + 8)))
           case 33922 => // tiepoint: i,j,k, x,y,z
@@ -231,7 +234,7 @@ object CogReader {
         tileCounts = stripCounts
       }
       ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts,
-        scale, tie, jpegTables, predictor, planarConfig, hb.le, striped)
+        scale, tie, jpegTables, predictor, planarConfig, hb.le, striped, sampleFormat)
       off = offAt(b, base + countSize + n * entrySize)
     }
     ifds.toSeq
@@ -408,6 +411,11 @@ object CogReader {
       return decodeJpegTile(reader.read(ifd.tileOffsets(idx), ifd.tileByteCounts(idx).toInt), ifd)
     }
 
+    if (ifd.sampleFormat != 1)
+      throw new java.io.IOException(
+        s"unsupported SampleFormat ${ifd.sampleFormat} for uint8 reads " +
+          "(1 = unsigned only; float32 rasters go through tileFloat) — " +
+          "refusing to silently misinterpret sample bytes")
     val bytesPer = ifd.bitsPerSample match {
       case 8 => 1
       case 16 => 2
@@ -417,27 +425,8 @@ object CogReader {
       throw new java.io.IOException(
         s"unsupported TIFF predictor ${ifd.predictor} (1 or 2 only) — refusing to decode corrupted pixels")
 
-    // one decoded chunk = one on-disk tile: all bands (chunky) or one plane
-    def loadChunk(chunkIdx: Int, chunkSpp: Int): Array[Byte] = {
-      val expected = pixelsPerTile * chunkSpp * bytesPer
-      if (chunkIdx >= ifd.tileByteCounts.length || chunkIdx >= ifd.tileOffsets.length)
-        throw new java.io.IOException(
-          s"corrupt TIFF: tile index $chunkIdx outside offsets/byteCounts arrays " +
-            s"(${ifd.tileOffsets.length}/${ifd.tileByteCounts.length})")
-      // sparse COGs mark absent tiles with byteCount 0 -> all-nodata tile
-      if (ifd.tileByteCounts(chunkIdx) == 0) return new Array[Byte](expected)
-      val raw = reader.read(ifd.tileOffsets(chunkIdx), ifd.tileByteCounts(chunkIdx).toInt)
-      val data = ifd.compression match {
-        case 1 => raw // uncompressed
-        case 5 => lzwDecode(raw, expected)
-        case 8 | 32946 => inflate(raw, expected)
-        case 32773 => packBitsDecode(raw, expected)
-        case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
-      }
-      if (ifd.predictor == 2)
-        undoPredictor2(data, ifd.tileWidth, rowsInChunk, chunkSpp, bytesPer, ifd.littleEndian)
-      data
-    }
+    def loadChunk(chunkIdx: Int, chunkSpp: Int): Array[Byte] =
+      loadChunkBytes(reader, ifd, chunkIdx, chunkSpp, rowsInChunk, bytesPer)
 
     // uint16 -> uint8: take the high byte (linear 16->8 downscale)
     val hiOff = if (ifd.littleEndian) 1 else 0
@@ -458,6 +447,86 @@ object CogReader {
           var i = 0
           while (i < pixelsPerTile) {
             out(i * spp + p) = sample8(plane, i)
+            i += 1
+          }
+          p += 1
+        }
+        out
+      case pc => throw new java.io.IOException(s"unsupported PlanarConfiguration $pc")
+    }
+  }
+
+  /** One decoded on-disk chunk (tile, strip, or plane): range-read,
+    * decompressed, predictor-reversed. Shared by the uint8 and float32
+    * read paths. Sparse COGs mark absent chunks with byteCount 0 ->
+    * all-zero chunk. */
+  private def loadChunkBytes(reader: RangeReader, ifd: Ifd, chunkIdx: Int,
+      chunkSpp: Int, rowsInChunk: Int, bytesPer: Int): Array[Byte] = {
+    val expected = ifd.tileWidth * rowsInChunk * chunkSpp * bytesPer
+    if (chunkIdx >= ifd.tileByteCounts.length || chunkIdx >= ifd.tileOffsets.length)
+      throw new java.io.IOException(
+        s"corrupt TIFF: tile index $chunkIdx outside offsets/byteCounts arrays " +
+          s"(${ifd.tileOffsets.length}/${ifd.tileByteCounts.length})")
+    if (ifd.tileByteCounts(chunkIdx) == 0) return new Array[Byte](expected)
+    val raw = reader.read(ifd.tileOffsets(chunkIdx), ifd.tileByteCounts(chunkIdx).toInt)
+    val data = ifd.compression match {
+      case 1 => raw // uncompressed
+      case 5 => lzwDecode(raw, expected)
+      case 8 | 32946 => inflate(raw, expected)
+      case 32773 => packBitsDecode(raw, expected)
+      case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
+    }
+    if (ifd.predictor == 2)
+      undoPredictor2(data, ifd.tileWidth, rowsInChunk, chunkSpp, bytesPer, ifd.littleEndian)
+    data
+  }
+
+  /** Read one internal tile of a float32 raster (SampleFormat 3, 32-bit
+    * samples — the DEM/elevation layout) as interleaved floats,
+    * tileWidth*rowsInChunk*samplesPerPixel. Predictor must be 1 (the
+    * floating-point predictor 3 is not supported — throws rather than
+    * decode corrupted pixels); any byte-level compression works. */
+  private def readTileFloat(reader: RangeReader, ifd: Ifd, tx: Int, ty: Int): Array[Float] = {
+    if (ifd.sampleFormat != 3 || ifd.bitsPerSample != 32)
+      throw new java.io.IOException(
+        s"tileFloat needs SampleFormat 3 / 32-bit samples, got " +
+          s"format ${ifd.sampleFormat} / ${ifd.bitsPerSample}-bit")
+    if (ifd.predictor != 1)
+      throw new java.io.IOException(
+        s"unsupported predictor ${ifd.predictor} for float32 samples (1 only) — " +
+          "refusing to decode corrupted pixels")
+    val tilesAcross = (ifd.width + ifd.tileWidth - 1) / ifd.tileWidth
+    val tilesDown = (ifd.height + ifd.tileHeight - 1) / ifd.tileHeight
+    val idx = ty * tilesAcross + tx
+    val spp = ifd.samplesPerPixel
+    val rowsInChunk =
+      if (ifd.striped) math.min(ifd.tileHeight, ifd.height - ty * ifd.tileHeight)
+      else ifd.tileHeight
+    val pixelsPerTile = ifd.tileWidth * rowsInChunk
+    def floatAt(data: Array[Byte], i: Int): Float = {
+      val o = i * 4
+      val bits =
+        if (ifd.littleEndian)
+          (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8) |
+            ((data(o + 2) & 0xff) << 16) | ((data(o + 3) & 0xff) << 24)
+        else
+          ((data(o) & 0xff) << 24) | ((data(o + 1) & 0xff) << 16) |
+            ((data(o + 2) & 0xff) << 8) | (data(o + 3) & 0xff)
+      java.lang.Float.intBitsToFloat(bits)
+    }
+    ifd.planarConfig match {
+      case 1 =>
+        val data = loadChunkBytes(reader, ifd, idx, spp, rowsInChunk, 4)
+        Array.tabulate(pixelsPerTile * spp)(i => floatAt(data, i))
+      case 2 =>
+        val tilesPerPlane = tilesAcross * tilesDown
+        val out = new Array[Float](pixelsPerTile * spp)
+        var p = 0
+        while (p < spp) {
+          val plane = loadChunkBytes(reader, ifd, p * tilesPerPlane + idx, 1, rowsInChunk, 4)
+          var i = 0
+          while (i < pixelsPerTile) {
+            out(i * spp + p) = floatAt(plane, i)
             i += 1
           }
           p += 1
@@ -574,6 +643,53 @@ object CogReader {
             val tx = rx / chosen.tileWidth
             val ty = ry / chosen.tileHeight
             val data = cache.getOrElseUpdate((tx, ty), readTile(reader, chosen, tx, ty))
+            val lx = rx % chosen.tileWidth
+            val ly = ry % chosen.tileHeight
+            val src = (ly * chosen.tileWidth + lx) * bands
+            val dst = (py * tileSize + px) * bands
+            var c = 0
+            while (c < bands) { out(dst + c) = data(src + c); c += 1 }
+          }
+          px += 1
+        }
+        py += 1
+      }
+      (tileSize, tileSize, bands, out)
+    } finally reader.close()
+  }
+
+  /** Windowed float32 read: the web-mercator tile `t` resampled (nearest,
+    * center-of-pixel — same conventions as [[tile]]) from a SampleFormat-3
+    * raster (DEM/elevation COGs). Pixels outside the raster are Float.NaN
+    * (the conventional "no data here" for continuous rasters, where 0 is a
+    * perfectly valid elevation). Returns (w, h, bands, interleaved floats). */
+  def tileFloat(path: String, t: TileKey, tileSize: Int = 256): (Int, Int, Int, Array[Float]) = {
+    val reader = readerFor(path)
+    try {
+      val ifds = ifdsFor(path, reader)
+      val full = ifds.head
+      val ((sx, _), (ox, oy)) = geo(full)
+      val b = Tiles.tileBounds3857(t)
+      val targetRes = (b.east - b.west) / tileSize
+      val chosen = ifds.map(ifd => (ifd, sx * full.width / ifd.width))
+        .filter(_._2 <= targetRes + 1e-9)
+        .sortBy(-_._2).headOption.map(_._1).getOrElse(full)
+      val res = sx * full.width / chosen.width
+      val bands = chosen.samplesPerPixel
+      val out = Array.fill(tileSize * tileSize * bands)(Float.NaN)
+      val cache = scala.collection.mutable.HashMap[(Int, Int), Array[Float]]()
+      var py = 0
+      while (py < tileSize) {
+        val my = b.north - (py + 0.5) * (b.north - b.south) / tileSize
+        val ry = ((oy - my) / res + 1e-9).toInt
+        var px = 0
+        while (px < tileSize) {
+          val mx = b.west + (px + 0.5) * (b.east - b.west) / tileSize
+          val rx = ((mx - ox) / res + 1e-9).toInt
+          if (rx >= 0 && ry >= 0 && rx < chosen.width && ry < chosen.height) {
+            val tx = rx / chosen.tileWidth
+            val ty = ry / chosen.tileHeight
+            val data = cache.getOrElseUpdate((tx, ty), readTileFloat(reader, chosen, tx, ty))
             val lx = rx % chosen.tileWidth
             val ly = ry % chosen.tileHeight
             val src = (ly * chosen.tileWidth + lx) * bands

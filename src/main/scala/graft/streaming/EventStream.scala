@@ -113,6 +113,32 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Gap-based sessionization via Spark's built-in `session_window`
+    * aggregation — the declarative face of [[sessionize]]: same 30-min-gap
+    * session semantics, but expressed as a groupBy so Catalyst plans the
+    * merge (UpdatingSessionsExec + partial aggregation) instead of custom
+    * state code. Emits (user_id, start_us, end_us, n_events) with event-
+    * time bounds (min/max event, NOT window end = last + gap). Works on a
+    * batch or (watermarked, append-mode) streaming DataFrame; on batch the
+    * result is row-identical to [[sessionize]] — both are oracle-checked
+    * against the same gap-islands SQL (qs02/qs03).
+    *
+    * Boundary note: session_window's end is EXCLUSIVE (an event at exactly
+    * `last + gap` opens a new session) while [[sessionize]] continues on
+    * `diff <= gap`; the two differ only for events landing on the exact
+    * microsecond boundary (none exist in the test data at any SF — checked
+    * before wiring both to the same oracle). */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val t0 = withTs(events)
+    val t = if (events.isStreaming)
+      t0.withWatermark("ets", s"$gapMinutes minutes") else t0
+    t.groupBy(col("user_id"), session_window(col("ets"), s"$gapMinutes minutes"))
+      .agg(min(unix_micros(col("ets"))).as("start_us"),
+        max(unix_micros(col("ets"))).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+
   /** Exact dedup over a stream: watermark-bounded duplicate drop on the id
     * column (`dropDuplicatesWithinWatermark` — state for ids older than
     * the watermark is evicted, so state size is bounded by the watermark

@@ -413,4 +413,68 @@ class CogReaderSpec extends AnyFunSuite {
       assert(viaProbe.sameElements(viaFile))
     } finally server.stop(0)
   }
+
+  /** A single-band float32 "DEM" covering `cover`: value = x + y / 1000. */
+  private def writeFloatDem(path: String, cover: TileKey, size: Int,
+      deflate: Boolean = false, bigendian: Boolean = false): Unit = {
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / size
+    val demBits = (x: Int, y: Int) =>
+      (java.lang.Float.floatToIntBits(x + y / 1000.0f), 0, 0)
+    TiffWriter.write(path, Seq(TiffWriter.Level(size, size, demBits)),
+      tileSize = 128, originX = b.west, originY = b.north, resX = res, resY = res,
+      deflate = deflate, bps = 32, sampleFormat = 3, samplesPerPixel = 1,
+      bigendian = bigendian)
+  }
+
+  test("float32 DEM: tileFloat reads exact elevations, uint8 tile() refuses") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("dem.tif")
+    writeFloatDem(p, cover, size = 512)
+    val (w, h, bands, data) = CogReader.tileFloat(p, cover)
+    assert(w == 256 && h == 256 && bands == 1)
+    // out pixel (px,py) samples raster (2*px+1, 2*py+1), exact IEEE value
+    val px = 10; val py = 20
+    assert(data(py * 256 + px) == (2 * px + 1) + (2 * py + 1) / 1000.0f)
+    assert(data(0) == 1 + 1 / 1000.0f)
+    // the uint8 path must refuse a float raster, not misread its bytes
+    val e = intercept[java.io.IOException](CogReader.tile(p, cover))
+    assert(e.getMessage.contains("SampleFormat"))
+  }
+
+  test("float32 DEM: deflate and big-endian variants decode identically") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("dem_raw.tif"); val p2 = tmp("dem_zip.tif"); val p3 = tmp("dem_be.tif")
+    writeFloatDem(p1, cover, 512)
+    writeFloatDem(p2, cover, 512, deflate = true)
+    writeFloatDem(p3, cover, 512, bigendian = true)
+    val (_, _, _, a) = CogReader.tileFloat(p1, cover)
+    val (_, _, _, b) = CogReader.tileFloat(p2, cover)
+    val (_, _, _, c) = CogReader.tileFloat(p3, cover)
+    assert(a.sameElements(b) && a.sameElements(c))
+  }
+
+  test("float32 DEM: pixels outside the raster are NaN, not 0 (0 is a valid elevation)") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("dem_pad.tif")
+    // raster covers only the NW child -> the parent window's other
+    // quadrants fall outside
+    val child = TileKey(11, 600, 800)
+    writeFloatDem(p, child, 256)
+    val (_, _, _, data) = CogReader.tileFloat(p, cover)
+    assert(!data(0).isNaN) // NW corner: inside
+    assert(data(255 * 256 + 255).isNaN) // SE corner: outside the raster
+  }
+
+  test("signed-int SampleFormat is refused rather than misread") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("signed.tif")
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 256
+    TiffWriter.write(p, Seq(TiffWriter.Level(256, 256, (x, y) => (x % 256, 0, 0))),
+      tileSize = 128, originX = b.west, originY = b.north, resX = res, resY = res,
+      samplesPerPixel = 1, sampleFormat = 2)
+    val e = intercept[java.io.IOException](CogReader.tile(p, cover))
+    assert(e.getMessage.contains("SampleFormat"))
+  }
 }

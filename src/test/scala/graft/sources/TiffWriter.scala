@@ -18,7 +18,8 @@ object TiffWriter {
       striped: Boolean = false,
       predictor: Int = 1, bps: Int = 8, planar: Boolean = false,
       lzw: Boolean = false, packbits: Boolean = false,
-      samplesPerPixel: Int = 3, bigendian: Boolean = false): Unit = {
+      samplesPerPixel: Int = 3, bigendian: Boolean = false,
+      sampleFormat: Int = 1): Unit = {
     require(Seq(deflate, jpeg, lzw, packbits).count(identity) <= 1, "pick one compression")
     require(samplesPerPixel == 1 || samplesPerPixel == 3, "1 (gray) or 3 (RGB) samples")
     require(!jpeg || samplesPerPixel == 3, "jpeg fixtures are RGB")
@@ -27,7 +28,11 @@ object TiffWriter {
     require(!jpeg || (predictor == 1 && bps == 8 && !planar),
       "jpeg fixtures are 8-bit chunky, no predictor")
     require(!(striped && planar), "striped fixtures are chunky-only")
-    require(bps == 8 || bps == 16, "bps 8 or 16")
+    // float32 (sampleFormat 3): `pixel`'s channel values carry the raw
+    // IEEE-754 bits (floatToIntBits) — store() writes them as 4-byte words
+    require(bps == 8 || bps == 16 || (bps == 32 && sampleFormat == 3),
+      "bps 8/16 (int) or 32 (float)")
+    require(bps != 32 || (predictor == 1 && !jpeg), "float fixtures: no predictor/jpeg")
     require(!(bigtiff && bigendian), "BE fixtures are classic-TIFF only (keeps the patching simple)")
     val bos = new java.io.ByteArrayOutputStream()
     def pad(): Unit = while (bos.size() % 2 != 0) bos.write(0)
@@ -98,10 +103,19 @@ object TiffWriter {
         val raw = new Array[Byte](samples.length * (bps / 8))
         var i = 0
         if (bps == 8) while (i < samples.length) { raw(i) = samples(i).toByte; i += 1 }
-        else while (i < samples.length) { // uint16 in the file's byte order
+        else if (bps == 16) while (i < samples.length) { // uint16 in the file's byte order
           val (lo, hi) = if (bigendian) (1, 0) else (0, 1)
           raw(2 * i + lo) = (samples(i) & 0xff).toByte
           raw(2 * i + hi) = ((samples(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        else while (i < samples.length) { // float32: sample int IS the bits
+          var j = 0
+          while (j < 4) {
+            val shift = if (bigendian) 8 * (3 - j) else 8 * j
+            raw(4 * i + j) = ((samples(i) >> shift) & 0xff).toByte
+            j += 1
+          }
           i += 1
         }
         if (deflate) {
@@ -174,6 +188,7 @@ object TiffWriter {
         Tag(262, 3, 1, 0, Seq(photometric)), Tag(277, 3, 1, 0, Seq(spp0.toLong)),
         Tag(284, 3, 1, 0, Seq(if (planar) 2L else 1L))) ++
         (if (predictor != 1) Seq(Tag(317, 3, 1, 0, Seq(predictor.toLong))) else Nil) ++
+        (if (sampleFormat != 1) Seq(Tag(339, 3, 1, 0, Seq(sampleFormat.toLong))) else Nil) ++
         (if (striped) Seq(
           Tag(273, 4, nTiles, toOff, tileOffsets(li)),
           Tag(278, 3, 1, 0, Seq(tileSize.toLong)),

@@ -122,4 +122,35 @@ class EventStreamSpec extends SparkSpec {
     val keys = spark.table("sessions_stream").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("sessionWindows (built-in session_window) matches the stateful sessionize on batch") {
+    val viaBuiltin = EventStream.sessionWindows(events, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaState = EventStream.sessionize(events, gapMinutes = 30).collect()
+      .map(s => (s.user_id, s.startMicros, s.endMicros, s.nEvents.toLong)).toSet
+    assert(viaBuiltin == viaState)
+  }
+
+  test("sessionWindows runs as a streaming query and closed sessions match batch") {
+    val dir = java.nio.file.Files.createTempDirectory("evsessw").toString
+    val ev = events.orderBy("ts")
+    val n = ev.count()
+    val first = ev.limit((n / 2).toInt)
+    first.coalesce(1).write.parquet(s"$dir/b1")
+    ev.exceptAll(first).coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = EventStream.sessionWindows(stream, gapMinutes = 30).writeStream
+      .outputMode("append").format("memory").queryName("sessw_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessw_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchAll = EventStream.sessionWindows(events, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "no session closed behind the watermark")
+    assert(streamed.subsetOf(batchAll),
+      s"streamed session_window disagrees with batch: ${streamed.diff(batchAll).take(3)}")
+  }
 }

@@ -146,6 +146,64 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL 64-bit average-hash (aHash) perceptual image fingerprint:
+    * decode, average grayscale per cell of an 8x8 lattice, one bit per
+    * cell = cell-mean > image-mean. Robust to resizing/re-encoding (the
+    * lattice averages survive), so near-identical images land within a
+    * few bits — pair them with [[graft.operators.Dedup.hammingNearDupPairs]]. */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(7, y * 8 / h)
+          var x = 0
+          while (x < w) {
+            val cx = math.min(7, x * 8 / w)
+            val p = img.getRGB(x, y)
+            // integer luma (BT.601 weights scaled by 1000) — deterministic
+            val gray = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114)
+            sums(cy * 8 + cx) += gray
+            counts(cy * 8 + cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var total = 0.0
+        val means = Array.tabulate(64)(c => sums(c).toDouble / math.max(1L, counts(c)))
+        means.foreach(total += _)
+        val mean = total / 64
+        var bits = 0L
+        var c = 0
+        while (c < 64) {
+          if (means(c) > mean) bits |= (1L << c)
+          c += 1
+        }
+        Some(bits)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Adds an `ahash: bigint` perceptual-hash column decoded per
+    * partition-batch (null for undecodable rows) — the image analogue of
+    * [[graft.operators.Text.simhash16]]'s text fingerprint. */
+  def withImageAHash(df: DataFrame, binaryCol: String, out: String = "ahash"): DataFrame = {
+    val schema = df.schema.add(out, LongType, nullable = true)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val hsh = Option(r.getAs[Array[Byte]](binaryCol)).flatMap(aHash64)
+          .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ hsh)
+      }
+    }(enc)
+  }
+
   // ---- audio ----
 
   /** REAL WAV/PCM16 parse (RIFF header + fmt + data chunks). */

@@ -177,6 +177,46 @@ object Dedup {
       .filter(col("hd") <= maxHamming)
   }
 
+  /** Near-duplicate pairs over an arbitrary-width hash column (SimHash,
+    * image aHash, any Hamming-space fingerprint): (id_a, id_b, hd) with
+    * `hd <= maxHamming`. The hash is cut into `numBands` equal bit bands;
+    * pigeonhole gives FULL recall whenever `maxHamming < numBands` (a pair
+    * within distance d < numBands matches exactly on at least one band).
+    * Same bucket-cap / packed-pair / shuffle-join discipline as
+    * [[simhashNearDupPairs]] (which keeps its own legacy band-key scheme
+    * for oracle stability); ids must fit 31 bits. */
+  def hammingNearDupPairs(df: DataFrame, hashCol: String, idCol: String,
+      hashBits: Int = 64, numBands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(hashBits % numBands == 0, "numBands must divide hashBits")
+    require(maxHamming < numBands,
+      s"banding guarantees recall only for maxHamming < numBands ($numBands)")
+    val spark = df.sparkSession
+    graft.functions.TextHashes.register(spark)
+    val bandBits = hashBits / numBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val sig = df.select(col(idCol).cast("long").as("id"), col(hashCol).as("hh"))
+      .filter(col("hh").isNotNull)
+    val bands = (0 until numBands).map { b =>
+      sig.select(col("id"), concat(lit(s"$b/"),
+        shiftright(col("hh"), b * bandBits).bitwiseAND(lit(mask))).as("band"))
+    }.reduce(_ unionAll _)
+    val pairs = bands.groupBy("band")
+      .agg(collect_list(col("id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(expr("packed_pairs(ds)")).as("pair")).distinct()
+      .select(shiftright(col("pair"), 32).as("id_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("hh").as("ha"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("hh").as("hb"))
+        .hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hd"))
+      .filter(col("hd") <= maxHamming)
+  }
+
   /** Exact-Jaccard verification of candidate pairs — the VERIFY step after
     * LSH/SimHash candidate generation: each (id_a, id_b) rejoins the two
     * distinct-token sets (shuffle-hash joins on the long ids) and the

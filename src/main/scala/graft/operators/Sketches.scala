@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sketch operators.
+  *
+  * Spark's built-in sketches (`approx_count_distinct` = HLL++,
+  * `approx_percentile`) are implementation-specific: no other engine
+  * reproduces their estimates bit-for-bit, so they can never be
+  * oracle-checked (qx01 is a rows-only gate by design). KMV ("k minimum
+  * values", Bar-Yossef et al. 2002) is different: its estimate is a pure
+  * function of the k lexicographically smallest md5 hashes of the distinct
+  * values — any engine with md5 computes the identical estimate, so the
+  * qx02 oracle hash-matches a DuckDB reimplementation of the same formula.
+  */
+object Sketches {
+
+  /** Per-group KMV distinct-count estimate alongside the exact count:
+    * (groupCol, exact_distinct, est_distinct). Estimate = (k-1) / U(k)
+    * where U(k) is the k-th smallest hash mapped to [0,1) via its first 13
+    * hex digits (52 bits — exact in BIGINT and DOUBLE alike); groups with
+    * fewer than k distinct values report the exact cardinality (the sketch
+    * IS exact below k).
+    *
+    * Scale shape: the distinct pass is a partial-aggregated shuffle; the
+    * k-smallest selection is a per-group window sort (rank <= k) — never a
+    * driver-side structure. At corpus scale the window input is the
+    * distinct relation, the same cost class as the exact countDistinct it
+    * estimates; the sketch's value is its O(k) mergeable summary (ship the
+    * k hashes, not the values), which this plan preserves by discarding
+    * everything but the k-th hash per group immediately after the rank. */
+  def kmvDistinct(df: DataFrame, valueCol: String, groupCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val dist = df.select(col(groupCol).as("grp"),
+      md5(col(valueCol).cast("string")).as("h")).distinct()
+    val w = Window.partitionBy("grp").orderBy("h")
+    // first 13 hex digits as an exact 52-bit integer (Horner) — string
+    // order on the full hash equals numeric order on any shared prefix
+    val hashInt = expr(
+      """aggregate(sequence(1, 13), CAST(0 AS BIGINT), (acc, j) ->
+        |  acc * 16 + CAST(instr('0123456789abcdef',
+        |    substring(h, CAST(j AS INT), 1)) - 1 AS BIGINT))""".stripMargin)
+    val sketch = dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .withColumn("hi", hashInt)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), max("hi").as("hk"))
+      .select(col("grp"),
+        when(col("cnt") < k, col("cnt").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) / // 16^13
+            col("hk").cast("double")).as("est_distinct"))
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+    exact.join(sketch, "grp")
+      .select(col("grp").as(groupCol), col("exact_distinct"), col("est_distinct"))
+  }
+}

@@ -104,6 +104,15 @@ object MiscQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
         .orderBy("l_returnflag")
+    },
+    // KMV distinct sketch — the ORACLE-CHECKABLE approximate distinct
+    // count (unlike HLL++ above, the estimate is a pure function of md5
+    // hashes, reproduced exactly by DuckDB): per returnflag, the exact
+    // distinct part count alongside the k=64 KMV estimate.
+    "qx02_kmv_distinct" -> { (s, d) =>
+      graft.operators.Sketches.kmvDistinct(
+          t(s, d, "lineitem"), "l_partkey", "l_returnflag", k = 64)
+        .orderBy("l_returnflag")
     }
   )
 
@@ -158,7 +167,24 @@ object MiscQueries {
         |JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON p.user_id = e.user_id
         | AND e.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts + INTERVAL 10 MINUTE
-        |ORDER BY purchase_id, error_id""".stripMargin
+        |ORDER BY purchase_id, error_id""".stripMargin,
     // qx01_sketches intentionally has no oracle entry (approximate).
+    "qx02_kmv_distinct" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag AS grp,
+        |  md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+        |r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d),
+        |kk AS (SELECT grp, CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |    CAST(instr('0123456789abcdef', substr(h, CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) AS hi
+        |  FROM r WHERE rn <= 64),
+        |sk AS (SELECT grp, CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |    ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(MAX(hi) AS DOUBLE)
+        |  END AS est_distinct
+        |  FROM kk GROUP BY grp),
+        |ex AS (SELECT l_returnflag AS grp,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ex.grp AS l_returnflag, ex.exact_distinct, sk.est_distinct
+        |FROM ex JOIN sk ON sk.grp = ex.grp ORDER BY l_returnflag""".stripMargin
   )
 }

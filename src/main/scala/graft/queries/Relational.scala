@@ -277,6 +277,34 @@ object Relational {
               sqrt(dd("n") * dd("syy") - dd("sy") * dd("sy")))).as("corr_qty_price"))
         .orderBy("l_returnflag")
     },
+    // Rolling 30-day time-RANGE window per customer (value-based frame,
+    // not row-based): every order sees the count/sum of that customer's
+    // orders in the preceding 30 days. Integer-millisecond frame bounds so
+    // both engines compare the identical quantity.
+    "q26_rolling_window" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("ms"))
+        .rangeBetween(-30L * 86400 * 1000, 0)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          // o_orderdate reads as TIMESTAMP_NTZ; cast through TIMESTAMP in
+          // the UTC session so unix_millis == DuckDB epoch_ms
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+          col("o_totalprice").cast("decimal(14,2)").as("p"))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .withColumn("sum_30d", sum(col("p")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "ms", "n_30d", "sum_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    // Unpivot/melt: wide measure columns -> (measure, val) long format via
+    // stack() — the transpose half of qp03's pivot.
+    "q27_unpivot" -> { (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 300)
+        .selectExpr("l_orderkey", "l_linenumber",
+          """stack(3, 'qty', l_quantity, 'price', l_extendedprice,
+            |  'disc', l_discount) AS (measure, val)""".stripMargin)
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
     // Regex scalar functions: extract + global replace.
     "q23_regex_funcs" -> { (s, d) =>
       t(s, d, "part").filter(col("p_partkey") < 300)
@@ -428,6 +456,24 @@ object Relational {
         |SELECT a.user_id, a.bkt, COALESCE(p.n, 0) AS n
         |FROM al a LEFT JOIN per p ON p.user_id = a.user_id AND p.bkt = a.bkt
         |ORDER BY a.user_id, a.bkt""".stripMargin,
+    "q26_rolling_window" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ms,
+        | COUNT(*) OVER w AS n_30d,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sum_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+        |  RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q27_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS val
+        |FROM lineitem WHERE l_orderkey < 300
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 300
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'disc', l_discount
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q25_exact_stats" ->
       """WITH c AS (SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) AS n,

@@ -88,4 +88,37 @@ class MultimodalSpec extends SparkSpec {
     // flatMap within partitions: no exchange in the plan
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("aHash64: re-encoded/resized image hashes within a few bits, different image far") {
+    import java.awt.Color
+    val a = patternPng(new Color(230, 230, 230), new Color(20, 20, 20))
+    // same pattern, slightly shifted colors -> near-identical hash
+    val a2 = patternPng(new Color(215, 215, 215), new Color(35, 35, 35))
+    val b = patternPng(new Color(20, 20, 20), new Color(230, 230, 230)) // inverted
+    val Some(ha) = Multimodal.aHash64(a)
+    val Some(ha2) = Multimodal.aHash64(a2)
+    val Some(hb) = Multimodal.aHash64(b)
+    // resize survives the lattice average
+    val Some(resized) = Multimodal.resizeImage(a, 64, 64)
+    val Some(har) = Multimodal.aHash64(resized)
+    assert(java.lang.Long.bitCount(ha ^ ha2) <= 3)
+    assert(java.lang.Long.bitCount(ha ^ har) <= 3)
+    assert(java.lang.Long.bitCount(ha ^ hb) > 30) // inverted pattern flips bits
+    assert(Multimodal.aHash64(Array.emptyByteArray).isEmpty)
+  }
+
+  test("image near-dup pipeline: withImageAHash + hammingNearDupPairs pairs only the dup") {
+    import java.awt.Color
+    val a = patternPng(new Color(230, 230, 230), new Color(20, 20, 20))
+    val a2 = patternPng(new Color(215, 215, 215), new Color(35, 35, 35))
+    val b = patternPng(new Color(20, 20, 20), new Color(230, 230, 230))
+    val df = Seq((1L, a), (2L, a2), (3L, b), (4L, Array.emptyByteArray))
+      .toDF("id", "media")
+    val hashed = Multimodal.withImageAHash(df, "media")
+    assert(hashed.filter($"id" === 4L).collect()(0).isNullAt(2)) // undecodable
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(
+        hashed, "ahash", "id", hashBits = 64, numBands = 4, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }

@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("packed_pairs"),
       new ExpressionInfo(classOf[graft.functions.PackedPairs].getName, "packed_pairs"),
       (exprs: Seq[Expression]) => graft.functions.PackedPairs(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16_long"),
+      new ExpressionInfo(classOf[graft.functions.Simhash16].getName, "simhash16_long"),
+      (exprs: Seq[Expression]) => graft.functions.Simhash16(exprs.head)))
   }
 }

@@ -27,6 +27,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(g(0).getInt(0) == 2) // 'a b' and 'b a'
       val p = spark.sql("SELECT packed_pairs(array(3L, 1L)) AS p").collect()
       assert(p(0).getSeq[Long](0) == Seq((1L << 32) | 3L))
+      val sh = spark.sql(
+        "SELECT simhash16_long(array('a', 'b')) = simhash16_long(array('b', 'a')) AS eq").collect()
+      assert(sh(0).getBoolean(0)) // order-insensitive multiset hash
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

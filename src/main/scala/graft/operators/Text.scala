@@ -100,6 +100,12 @@ object Text {
     regexp_replace(noUrl, "[0-9]{6,}", "<NUM>")
   }
 
+  /** All URL host names in the text (ASCII regex, engine-portable) — the
+    * per-domain accounting step of web-corpus curation (domain mix,
+    * per-domain caps via [[capPerGroup]], blocklists). Per-row only. */
+  def extractDomains(c: Column): Column =
+    regexp_extract_all(c, lit("https?://([a-z0-9.-]+)"), lit(1))
+
   private def hexVal(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
 
   /** Deterministic 0..99 bucket from the id's md5 (first two hex chars) —

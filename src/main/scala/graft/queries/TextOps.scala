@@ -205,6 +205,22 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 25 === 0), "text", "doc_id", window = 3)
         .orderBy("doc_id")
     },
+    // Per-domain corpus accounting over extracted URL hosts (synthetically
+    // injected — the corpus itself has no URLs): url count + distinct-doc
+    // count per domain, the curation view behind domain caps/blocklists.
+    "qd23_url_domains" -> { (s, d) =>
+      val withUrls = t(s, d, "documents").filter(col("doc_id") < 250)
+        .withColumn("txt", concat(col("text"),
+          lit(" see https://site"), col("doc_id") % 7,
+          lit(".example.com/page?x=1 and http://cdn"), col("doc_id") % 3,
+          lit(".host.net/a")))
+      withUrls
+        .select(col("doc_id"),
+          explode(graft.operators.Text.extractDomains(col("txt"))).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    },
     // Gopher-style per-document repetition signals — duplicate-token,
     // adjacent-repeat, and top-bigram fractions, all per-row (no shuffle).
     "qd21_repetition" -> { (s, d) =>
@@ -505,6 +521,17 @@ object TextOps {
         |w AS (SELECT doc_id, tk, unnest(generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1))) AS j FROM d)
         |SELECT doc_id, MIN(md5(array_to_string(tk[j:j+2], ' '))) AS fingerprint
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd23_url_domains" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.example.com/page?x=1 and http://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+        |  '.host.net/a' AS txt
+        | FROM documents WHERE doc_id < 250),
+        |d AS (SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://([a-z0-9.-]+)', 1)) AS domain
+        | FROM t)
+        |SELECT domain, COUNT(*) AS n_urls,
+        | CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
     "qd21_repetition" ->
       """WITH d AS (SELECT doc_id, str_split(text, ' ') AS tk
         |  FROM documents WHERE doc_id < 300),

@@ -80,4 +80,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
     assert(!p.contains("BroadcastExchange"), "no corpus-sized broadcast expected:\n" + p.take(1500))
   }
+
+  test("qd22: contamination join is inverted-index shaped — no corpus-sized broadcast, no all-pairs join") {
+    val p = plan("qd22_contamination")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the postings/df-filter relations are O(corpus x grams): never broadcast
+    assert(!p.contains("BroadcastExchange"), "postings must not be broadcast:\n" + p.take(1500))
+  }
+
+  test("qv06: tfidf weights/norms rejoin via shuffle joins; only the 1-row N is broadcast") {
+    val p = plan("qv06_tfidf_cosine")
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastHashJoin"),
+      "postings/weights/norms must shuffle-join, not broadcast:\n" + p.take(2000))
+    // every broadcast in the plan must be the 1-row corpus count N
+    // (IdentityBroadcastMode cross join) — pw appears three times, so up
+    // to three instances of the SAME 1-row broadcast are fine
+    assert("BroadcastExchange".r.findAllIn(p).length ==
+      "BroadcastExchange IdentityBroadcastMode".r.findAllIn(p).length,
+      "only the 1-row N may broadcast:\n" + p.take(2000))
+  }
 }

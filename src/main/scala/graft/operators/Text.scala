@@ -188,6 +188,31 @@ object Text {
           .otherwise(0.0).as("top_bigram_frac"))
   }
 
+  /** Contiguous sequence packing: assign each document a training-shard
+    * bin so every bin holds ~`budget` tokens — the packing step before
+    * writing fixed-size training sequences. Documents are laid out in
+    * deterministic `orderCol` order within each `partCol` partition and a
+    * running token total assigns `bin = floor(prefix_sum_before / budget)`
+    * (documents may straddle a boundary, as real sequence packing does
+    * with its EOD-concatenated token stream).
+    *
+    * Scale shape: one window shuffle on the partition column — packing is
+    * inherently sequential, so the sequential unit is the PARTITION
+    * (source/shard), never the whole corpus: each partition's prefix sum
+    * sorts only its own rows. Emits (partCol, orderCol, n_tokens, bin). */
+  def packSequences(df: DataFrame, partCol: String, orderCol: String,
+      textCol: String, budget: Int): DataFrame = {
+    require(budget >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol).orderBy(orderCol)
+    df.select(col(partCol), col(orderCol),
+        size(tokens(col(textCol))).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens").cast("long")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $budget")) // integer div, not double
+      .drop("cum_before")
+  }
+
   /** Rolling-window document fingerprint (winnowing-style): the
     * lexicographic MIN of the md5 of every `window` consecutive tokens —
     * one stable id per document that survives local edits outside the

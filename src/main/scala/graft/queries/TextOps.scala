@@ -205,6 +205,16 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 25 === 0), "text", "doc_id", window = 3)
         .orderBy("doc_id")
     },
+    // Sequence packing: per-source training-shard bins of ~500 tokens
+    // (prefix-sum layout in doc order), summarized per (source, bin).
+    "qd24_seq_packing" -> { (s, d) =>
+      graft.operators.Text.packSequences(
+          t(s, d, "documents"), "source", "doc_id", "text", budget = 500)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source", "bin")
+    },
     // Per-domain corpus accounting over extracted URL hosts (synthetically
     // injected — the corpus itself has no URLs): url count + distinct-doc
     // count per domain, the curation view behind domain caps/blocklists.
@@ -521,6 +531,17 @@ object TextOps {
         |w AS (SELECT doc_id, tk, unnest(generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1))) AS j FROM d)
         |SELECT doc_id, MIN(md5(array_to_string(tk[j:j+2], ' '))) AS fingerprint
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd24_seq_packing" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(len(str_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |  CAST(SUM(CAST(n_tokens AS BIGINT)) OVER w - n_tokens AS BIGINT) AS cum_before
+        | FROM d WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        |b AS (SELECT source, doc_id, n_tokens, cum_before // 500 AS bin FROM p)
+        |SELECT source, bin, COUNT(*) AS n_docs,
+        | CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS bin_tokens,
+        | MIN(doc_id) AS first_doc
+        |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "qd23_url_domains" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||

@@ -166,4 +166,22 @@ class TextSpec extends SparkSpec {
     assert(r3.getAs[Double]("adj_dup_frac") == 0.0)
     assert(r3.getAs[Double]("top_bigram_frac") == 0.0)
   }
+
+  test("packSequences: per-partition prefix-sum bins at the token budget") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a", "one two three"), // 3 tokens, cum_before 0 -> bin 0
+      (2L, "a", "four five"), // cum_before 3 -> bin 0
+      (3L, "a", "six seven eight"), // cum_before 5 -> bin 1 (budget 5)
+      (4L, "b", "x")) // other partition restarts at bin 0
+      .toDF("id", "src", "text")
+    val out = Text.packSequences(d, "src", "id", "text", budget = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Long]("bin"))).toMap
+    assert(out(1L) == ((3, 0L)))
+    assert(out(2L) == ((2, 0L)))
+    assert(out(3L) == ((3, 1L)))
+    assert(out(4L) == ((1, 0L)))
+  }
 }

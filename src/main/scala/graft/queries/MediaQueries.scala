@@ -46,6 +46,12 @@ object MediaQueries {
           col("endMicros").as("end_us"), col("nEvents").as("n_events"))
         .orderBy("user_id", "start_us")
     },
+    // Sliding windows: 1-hour windows every 30 minutes — each event lands
+    // in two windows; oracle enumerates both epoch-aligned starts.
+    "qs04_sliding_windows" -> { (s, d) =>
+      EventStream.slidingCounts(t(s, d, "events"))
+        .orderBy("ws_ms", "event_type")
+    },
     // The same session semantics through Spark's BUILT-IN session_window
     // aggregation (declarative merge planned by Catalyst) — checked against
     // the identical gap-islands oracle as qs02, so the custom stateful
@@ -85,6 +91,14 @@ object MediaQueries {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
         | CAST(COUNT(*) AS INT) AS n_events
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "qs04_sliding_windows" ->
+      """WITH ev AS (SELECT event_type, value, epoch_ms(ts) AS ms FROM events),
+        |w AS (SELECT event_type, value,
+        |  ((ms // 1800000) - o) * 1800000 AS ws_ms
+        | FROM ev, (SELECT unnest(generate_series(0, 1)) AS o))
+        |SELECT ws_ms, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY ws_ms, event_type""".stripMargin,
     "qs03_session_window" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |d AS (SELECT user_id, us,

@@ -100,6 +100,16 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 5 === 0), "text", "doc_id")
         .orderBy("id_a", "id_b")
     },
+    // The GENERIC banded-Hamming near-dup operator under the oracle (the
+    // image-aHash pair path, here driven by the 16-bit text simhash):
+    // 4 nibble bands give full recall for hamming <= 3; verify keeps <= 2.
+    "qd25_hamming_pairs" -> { (s, d) =>
+      val sig = graft.operators.Text.simhash16(
+        withDups(s, d).filter(col("doc_id") % 10 === 0), "text", "doc_id")
+      graft.operators.Dedup.hammingNearDupPairs(sig, "simhash", "doc_id",
+          hashBits = 16, numBands = 4, maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    },
     // LSH quality accounting: exact-Jaccard VERIFY over the generated
     // candidates (cost scales with candidates, not corpus²) — how many
     // candidates are real near-dups at tau = 0.5.
@@ -531,6 +541,30 @@ object TextOps {
         |w AS (SELECT doc_id, tk, unnest(generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1))) AS j FROM d)
         |SELECT doc_id, MIN(md5(array_to_string(tk[j:j+2], ' '))) AS fingerprint
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd25_hamming_pairs" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
+        |bits AS (SELECT doc_id, b,
+        |  ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) % 2 AS bit
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+        |bal AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+        |  FROM bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bal GROUP BY doc_id),
+        |bands AS (SELECT doc_id,
+        |  CAST(b AS VARCHAR) || '/' || CAST((simhash >> CAST(4 * b AS INT)) & 15 AS VARCHAR) AS band
+        | FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band)
+        |SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hd
+        |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "qd24_seq_packing" ->
       """WITH d AS (SELECT source, doc_id,
         |  CAST(len(str_split(text, ' ')) AS INT) AS n_tokens FROM documents),

@@ -113,6 +113,20 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Sliding-window counts: every event lands in window_/slide overlapping
+    * windows (1 h / 30 min -> 2). Same watermark/decimal-sum discipline as
+    * [[tumblingCounts]]; windows are epoch-aligned, so the oracle can
+    * enumerate each event's `window/slide` start offsets in integer ms. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    withTs(events)
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("ws_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Gap-based sessionization via Spark's built-in `session_window`
     * aggregation — the declarative face of [[sessionize]]: same 30-min-gap
     * session semantics, but expressed as a groupBy so Catalyst plans the

@@ -328,12 +328,16 @@ object Dedup {
       df.select(col(idCol).as(as),
           explode(Text.shingles(col(textCol), n)).as("gram"))
         .select(col(as), xxhash64(col("gram")).as("g"))
+    // df cap via a window count over the SAME shuffle the join needs —
+    // a groupBy-then-rejoin would recompute the whole shingle-explode
+    // subtree a second time (the partial-agg child defeats ReuseExchange)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val cg = postings(corpus, "cid")
-    val ok = cg.groupBy("g").agg(count(lit(1)).as("gdf"))
-      .filter(col("gdf") <= maxDf).select("g")
+      .withColumn("gdf", count(lit(1)).over(w))
+      .filter(col("gdf") <= maxDf)
+      .drop("gdf")
     val bg = postings(bench, "bid")
-    cg.join(ok.hint("shuffle_hash"), "g")
-      .join(bg.hint("shuffle_hash"), "g")
+    cg.join(bg.hint("shuffle_hash"), "g")
       .groupBy("cid", "bid").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .groupBy(col("cid").as(idCol))

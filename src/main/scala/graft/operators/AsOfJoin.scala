@@ -26,9 +26,15 @@ object AsOfJoin {
     * @param leftTime  left ordering column name
     * @param rightTime right ordering column name
     * @param rightVals right value columns to carry (null when no match)
+    * @param tolerance max allowed `leftTime - rightTime` in the time
+    *                  column's own units; a most-recent match OLDER than
+    *                  this yields nulls (pandas merge_asof semantics —
+    *                  the match is still the most recent row, tolerance
+    *                  only decides whether it counts)
     */
   def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
     // All right values travel in ONE struct so the fill below picks them
     // from the SAME most-recent right row — filling each column
@@ -36,14 +42,17 @@ object AsOfJoin {
     // value is NULL and stitch outputs from different rows, which is not
     // what an as-of match means (DuckDB ASOF JOIN returns the matched
     // row's values *including its NULLs*, and qa01 checks that).
+    // the matched row's own time rides along as __rt so a tolerance can be
+    // applied against the SAME row the values came from
     val rStructType = org.apache.spark.sql.types.StructType(
-      rightVals.map(c => right.schema(c)))
+      rightVals.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rt", right.schema(rightTime).dataType))
     // tag and align schemas: side 0 = right (sorts before left on ties so a
     // right row at the exact same time IS visible to the left row)
     val r = right.select(
       keyCols.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-          struct(rightVals.map(col): _*).as("__r")) ++
+          struct(rightVals.map(col) :+ col(rightTime).as("__rt"): _*).as("__r")) ++
         leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
       keyCols.map(col) ++
@@ -57,8 +66,15 @@ object AsOfJoin {
     // the struct itself is non-null for every right row (even when its
     // fields are null), so ignoreNulls skips only the left-side fillers
     val filled = unioned.withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", tolerance match {
+        // beyond-tolerance matches null out whole (all fields from the one
+        // matched row, so they vanish together)
+        case Some(tol) =>
+          when(col("__t") - col("__asof").getField("__rt") <= tol, col("__asof"))
+        case None => col("__asof")
+      })
     filled.filter(col("__side") === 1)
       .select(leftCols.toIndexedSeq.map(col) ++
-        rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
+        rightVals.map(c => col("__m").getField(c).as(s"asof_$c")): _*)
   }
 }

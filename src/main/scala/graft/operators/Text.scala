@@ -100,6 +100,22 @@ object Text {
     regexp_replace(noUrl, "[0-9]{6,}", "<NUM>")
   }
 
+  /** Corpus vocabulary: (token, df = documents containing it, rank by df
+    * desc with token tie-break) filtered to `minDf <= df <= maxDf` — the
+    * tokenizer-building / stopword-cutting view of a corpus. One
+    * distinct-postings shuffle + one groupBy; the rank window sorts only
+    * the (vocabulary-sized) df table. */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String,
+      minDf: Int = 1, maxDf: Int = Int.MaxValue): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("token"))
+    df.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** All URL host names in the text (ASCII regex, engine-portable) — the
     * per-domain accounting step of web-corpus curation (domain mix,
     * per-domain caps via [[capPerGroup]], blocklists). Per-row only. */

@@ -95,6 +95,24 @@ object MiscQueries {
         .select("user_id", "purchase_id", "error_id")
         .orderBy("purchase_id", "error_id")
     },
+    // As-of join WITH TOLERANCE (pandas merge_asof semantics): the match
+    // is still the most recent error, but one older than 5 minutes
+    // doesn't count — its values null out as a unit.
+    "qa03_asof_tolerance" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("rts"), col("value").as("err_value"))
+      graft.operators.AsOfJoin.asofBackward(purchases, errors, Seq("user_id"),
+          "ts", "rts", Seq("err_value", "rts"),
+          tolerance = Some(300L * 1000 * 1000 * 1000)) // 5 min in ns
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          col("asof_err_value").as("err_value"),
+          expr("asof_rts div 1000").as("err_ts_us"))
+        .orderBy("event_id")
+    },
     // Sketch aggregates (approximate - no cross-engine oracle; the driver
     // records a rows-only check for these by design).
     "qx01_sketches" -> { (s, d) =>
@@ -120,6 +138,14 @@ object MiscQueries {
     "qa01_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
         | r.value AS err_value, epoch_us(r.ts) AS err_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "qa03_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        | CASE WHEN l.ts - r.ts <= INTERVAL 5 MINUTE THEN r.value END AS err_value,
+        | CASE WHEN l.ts - r.ts <= INTERVAL 5 MINUTE THEN epoch_us(r.ts) END AS err_ts_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts

@@ -215,6 +215,12 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 25 === 0), "text", "doc_id", window = 3)
         .orderBy("doc_id")
     },
+    // Corpus vocabulary with df bounds — the tokenizer-building view.
+    "qd26_vocabulary" -> { (s, d) =>
+      graft.operators.Text.vocabulary(t(s, d, "documents"), "text", "doc_id",
+          minDf = 2)
+        .orderBy("rank")
+    },
     // Sequence packing: per-source training-shard bins of ~500 tokens
     // (prefix-sum layout in doc order), summarized per (source, bin).
     "qd24_seq_packing" -> { (s, d) =>
@@ -541,6 +547,13 @@ object TextOps {
         |w AS (SELECT doc_id, tk, unnest(generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1))) AS j FROM d)
         |SELECT doc_id, MIN(md5(array_to_string(tk[j:j+2], ' '))) AS fingerprint
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd26_vocabulary" ->
+      """WITH p AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS token
+        |  FROM documents),
+        |v AS (SELECT token, COUNT(*) AS df FROM p GROUP BY token HAVING COUNT(*) >= 2)
+        |SELECT token, df,
+        | CAST(ROW_NUMBER() OVER (ORDER BY df DESC, token) AS INT) AS rank
+        |FROM v ORDER BY rank""".stripMargin,
     "qd25_hamming_pairs" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

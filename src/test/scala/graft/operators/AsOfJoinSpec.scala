@@ -33,4 +33,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("asof_v")), "NULL inside the matched row must survive")
     assert(out.getAs[String]("asof_tag") == "y")
   }
+
+  test("tolerance: a too-old most-recent match nulls out as a unit") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1, 100L), (1, 300L)).toDF("k", "t")
+    val right = Seq((1, 95L, 1.0, "a"), (1, 110L, 2.0, "b")).toDF("k", "rt", "v", "tag")
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "t", "rt",
+        Seq("v", "tag"), tolerance = Some(50L))
+      .orderBy("t").collect()
+    // t=100: match rt=95, age 5 <= 50 -> kept
+    assert(out(0).getDouble(out(0).fieldIndex("asof_v")) == 1.0)
+    // t=300: most recent is rt=110, age 190 > 50 -> BOTH values null
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_v")))
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_tag")))
+  }
 }

@@ -16,6 +16,22 @@ class EventStreamSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming sliding counts equal the batch plan") {
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf())
+    val q = EventStream.slidingCounts(stream).writeStream
+      .outputMode("complete").format("memory").queryName("slide_counts").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slide_counts")
+      .orderBy("ws_ms", "event_type").collect()
+    val batch = EventStream.slidingCounts(events)
+      .orderBy("ws_ms", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("append mode emits watermark-closed windows across micro-batches") {
     import org.apache.spark.sql.functions._
     // split events into 2 files ordered by time; one file per micro-batch

@@ -44,6 +44,24 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental dedup: the rows of a NEW batch that survive against an
+    * already-deduped corpus — drops delta rows whose content already
+    * exists in the corpus (hash anti-join), then keeps one row per
+    * distinct content within the delta itself (min id). The
+    * ingest-time shape of [[dropExactDuplicates]]: the corpus is never
+    * rewritten, only probed, so daily/hourly batches stay O(delta) work
+    * plus one shuffle against the corpus hash set. */
+  def dropDuplicatesIncremental(corpus: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    val fresh = delta.withColumn("__h", md5(col(textCol)))
+      .join(corpusHashes.hint("shuffle_hash"), Seq("__h"), "left_anti")
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__h")
+  }
+
   /** MinHash signatures: `numHashes` salted-md5 min-hashes over the
     * distinct token set, columns mh0..mh{n-1}. Lexicographic min over hex
     * strings is a total order identical in any engine (oracle-stable).

@@ -48,6 +48,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch top-k cosine: the k nearest corpus vectors for EVERY query in
+    * a (small) query set at once — (query_id, id, cos_sim, rank). The
+    * query batch is broadcast (it is the small side by construction; the
+    * corpus is never replicated), one corpus scan scores all queries, and
+    * the per-query top-k is a rank window partitioned by query id. The
+    * serving-time shape of [[topKCosine]]: amortize the scan across a
+    * request batch instead of rescanning per query. */
+  def batchTopKCosine(df: DataFrame, queries: DataFrame, embCol: String,
+      idCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val d = dot(df) _
+    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
+      .withColumn("qq", d(col("q"), col("q")))
+    val qs = queries.select(col(queryIdCol).as("query_id"),
+        quantize(col(embCol)).as("xq"))
+      .withColumn("xqq", d(col("xq"), col("xq")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col(idCol))
+    emb.join(broadcast(qs), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        (d(col("q"), col("xq")).cast("double") /
+          (sqrt(col("qq").cast("double")) * sqrt(col("xqq").cast("double")))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** All-pairs cosine within each block: (block, id_a, id_b, cos).
     * Pair fan-out is bounded per block — the embedding near-dup pattern. */
   def blockedCosinePairs(df: DataFrame, embCol: String, idCol: String,

@@ -215,6 +215,29 @@ object TextOps {
           withDups(s, d).filter(col("doc_id") % 25 === 0), "text", "doc_id", window = 3)
         .orderBy("doc_id")
     },
+    // Incremental (ingest-time) dedup: a delta batch probed against the
+    // existing corpus's content hashes — corpus dups dropped, within-delta
+    // dups collapse to the min id, genuinely new rows survive.
+    "qd27_incremental_dedup" -> { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text", "source")
+      val dupOfCorpus = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("source"))
+      def freshPart(off: Long) = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"), col("source"))
+      val delta = dupOfCorpus.unionAll(freshPart(3000000)).unionAll(freshPart(4000000))
+      graft.operators.Dedup.dropDuplicatesIncremental(docs, delta, "text", "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    },
+    // Batch top-k cosine: 5 query vectors answered in ONE corpus scan
+    // (broadcast query batch + per-query rank window).
+    "qv07_batch_knn" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.batchTopKCosine(
+          emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", "vec_id", k = 3)
+        .orderBy("query_id", "rank")
+    },
     // Corpus vocabulary with df bounds — the tokenizer-building view.
     "qd26_vocabulary" -> { (s, d) =>
       graft.operators.Text.vocabulary(t(s, d, "documents"), "text", "doc_id",
@@ -547,6 +570,34 @@ object TextOps {
         |w AS (SELECT doc_id, tk, unnest(generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1))) AS j FROM d)
         |SELECT doc_id, MIN(md5(array_to_string(tk[j:j+2], ' '))) AS fingerprint
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd27_incremental_dedup" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text, source FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 3000000, text || ' fresh', source
+        |    FROM documents WHERE doc_id >= 50 AND doc_id < 100
+        |  UNION ALL SELECT doc_id + 4000000, text || ' fresh', source
+        |    FROM documents WHERE doc_id >= 50 AND doc_id < 100),
+        |fresh AS (SELECT d.* FROM delta d
+        |  WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE md5(c.text) = md5(d.text))),
+        |r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM fresh)
+        |SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM r WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
+    "qv07_batch_knn" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, q AS xq FROM emb WHERE vec_id < 5),
+        |scored AS (SELECT qs.query_id, e.vec_id,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * qs.xq[i])) AS DOUBLE) /
+        |   (SQRT(CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * e.q[i])) AS DOUBLE)) *
+        |    SQRT(CAST(list_sum(list_transform(range(1, 65), i -> qs.xq[i] * qs.xq[i])) AS DOUBLE))) AS cos_sim
+        | FROM emb e, qs WHERE e.vec_id <> qs.query_id),
+        |r AS (SELECT query_id, vec_id, cos_sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        | FROM scored)
+        |SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "qd26_vocabulary" ->
       """WITH p AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS token
         |  FROM documents),

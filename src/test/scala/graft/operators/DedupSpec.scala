@@ -118,6 +118,21 @@ class DedupSpec extends SparkSpec {
     assert(hits(3L) == ((1L, 2L)))
   }
 
+  test("dropDuplicatesIncremental: corpus dups dropped, delta dups collapse, new rows survive") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "existing content here")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "existing content here"), // dup of corpus -> dropped
+      (11L, "genuinely new content"), // new -> kept
+      (12L, "genuinely new content"), // dup WITHIN delta -> min id 11 wins
+      (13L, "another new row")) // new -> kept
+      .toDF("doc_id", "text")
+    val out = Dedup.dropDuplicatesIncremental(corpus, delta, "text", "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(11L, 13L))
+  }
+
   test("crossCorpusContamination: maxDf=1 drops every shared gram") {
     val s = spark
     import s.implicits._

@@ -87,6 +87,26 @@ class SimilaritySpec extends SparkSpec {
     assert(again == partial)
   }
 
+  test("batchTopKCosine: each query's per-query ranking equals the single-query operator") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    val emb = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val batch = Similarity.batchTopKCosine(emb, emb.filter($"vec_id" < 3),
+        "embedding", "vec_id", "vec_id", k = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      }
+    (0L until 3L).foreach { q =>
+      val single = Similarity.topKCosine(emb, "embedding", "vec_id", q, 4)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(batch(q) == single, s"query $q")
+    }
+  }
+
   test("tfidfCosinePairs: identical docs cos 1.0, df cap drops common tokens") {
     val s = spark
     import s.implicits._

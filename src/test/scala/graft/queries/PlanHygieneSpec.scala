@@ -21,7 +21,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qv03_lsh_buckets", // broadcast hyperplanes (8 rows)
     "qv04_ivf_ann", // broadcast query vector + probed cells
     "qv05_ivf_trained", // same shape, trained centroids
-    "qv06_tfidf_cosine") // broadcast corpus count N (1 row)
+    "qv06_tfidf_cosine", // broadcast corpus count N (1 row)
+    "qv07_batch_knn") // broadcast query batch (5 rows)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -258,20 +258,33 @@ object Relational {
     // any engine — unlike built-in corr()/stddev(), whose running-state
     // accumulation is order-dependent and engine-specific.
     "q25_exact_stats" -> { (s, d) =>
-      val x = col("l_quantity").cast("decimal(14,2)")
-      val y = col("l_extendedprice").cast("decimal(14,2)")
+      // INTEGER-scaled inputs (x100: both measures have <= 2 true decimal
+      // digits) so every component sum is an exact INTEGER. The sums go to
+      // double via one correctly-rounded int->double conversion in both
+      // engines — a decimal-with-scale -> double cast instead would
+      // double-round in DuckDB (exact-int conversion already rounds past
+      // 2^53, then the 10^-scale division rounds again) and came out 1 ulp
+      // off Spark's correctly-rounded BigDecimal cast at sf0.001. The
+      // constant 100/10000 descale divisions happen LAST, on identical
+      // doubles in both engines.
+      val x = (col("l_quantity").cast("decimal(14,2)") * 100).cast("long")
+      val y = (col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
       def dd(n: String) = col(n).cast("double")
-      t(s, d, "lineitem").groupBy("l_returnflag")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), x.as("xs"), y.as("ys"))
+        .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(x).as("sx"), sum(y).as("sy"),
-          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+          sum(col("xs")).as("sx"), sum(col("ys")).as("sy"),
+          sum((col("xs") * col("ys")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("xs") * col("xs")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("ys") * col("ys")).cast("decimal(38,0)")).as("syy"))
         .select(col("l_returnflag"), col("n"),
           ((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
-            (dd("n") * (dd("n") - 1))).as("covar_samp"),
-          sqrt((dd("n") * dd("sxx") - dd("sx") * dd("sx")) /
-            (dd("n") * (dd("n") - 1))).as("stddev_qty"),
-          sqrt((dd("n") * dd("syy") - dd("sy") * dd("sy")) /
-            (dd("n") * (dd("n") - 1))).as("stddev_price"),
+            (dd("n") * (dd("n") - 1)) / 10000.0).as("covar_samp"),
+          (sqrt((dd("n") * dd("sxx") - dd("sx") * dd("sx")) /
+            (dd("n") * (dd("n") - 1))) / 100.0).as("stddev_qty"),
+          (sqrt((dd("n") * dd("syy") - dd("sy") * dd("sy")) /
+            (dd("n") * (dd("n") - 1))) / 100.0).as("stddev_price"),
           ((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
             (sqrt(dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
               sqrt(dd("n") * dd("syy") - dd("sy") * dd("sy")))).as("corr_qty_price"))
@@ -475,21 +488,22 @@ object Relational {
         |FROM lineitem WHERE l_orderkey < 300
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q25_exact_stats" ->
-      """WITH c AS (SELECT l_returnflag,
+      """WITH s AS (SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT) AS xs,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS ys
+        | FROM lineitem),
+        |c AS (SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sx,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
-        |  SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
-        |  SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS sxx,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS syy
-        | FROM lineitem GROUP BY l_returnflag)
+        |  SUM(xs) AS sx, SUM(ys) AS sy,
+        |  SUM(xs * ys) AS sxy, SUM(xs * xs) AS sxx, SUM(ys * ys) AS syy
+        | FROM s GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS covar_samp,
+        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 10000.0 AS covar_samp,
         | sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
-        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_qty,
+        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100.0 AS stddev_qty,
         | sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_price,
+        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100.0 AS stddev_price,
         | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |   (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         |    sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price

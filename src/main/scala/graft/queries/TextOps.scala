@@ -238,6 +238,31 @@ object TextOps {
           emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", "vec_id", k = 3)
         .orderBy("query_id", "rank")
     },
+    // Characteristic terms per source: integer-rational IDF weight x
+    // within-source doc frequency, top-3 tokens per source by score —
+    // the "what is this domain about" corpus-analysis view. Exact BIGINT
+    // scores; rank ties broken by token.
+    "qd28_characteristic_terms" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("tk"))
+      val postings = docs.select(col("doc_id"), col("source"),
+        explode(col("tk")).as("token"))
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val weights = postings.groupBy("token").agg(count(lit(1)).as("df"))
+        .join(broadcast(nDocs))
+        .select(col("token"), expr("(nd * 1000) div df").as("w"))
+      val perSource = postings.groupBy("source", "token")
+        .agg(count(lit(1)).as("sdf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("token"))
+      perSource.join(weights.hint("shuffle_hash"), "token")
+        .withColumn("score", col("sdf") * col("w"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("source", "rank", "token", "score")
+        .orderBy("source", "rank")
+    },
     // Corpus vocabulary with df bounds — the tokenizer-building view.
     "qd26_vocabulary" -> { (s, d) =>
       graft.operators.Text.vocabulary(t(s, d, "documents"), "text", "doc_id",
@@ -570,6 +595,21 @@ object TextOps {
         |w AS (SELECT doc_id, tk, unnest(generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1))) AS j FROM d)
         |SELECT doc_id, MIN(md5(array_to_string(tk[j:j+2], ' '))) AS fingerprint
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd28_characteristic_terms" ->
+      """WITH docs AS (SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, unnest(tk) AS token FROM docs),
+        |nd AS (SELECT COUNT(*) AS nd FROM docs),
+        |w AS (SELECT token, CAST((nd.nd * 1000) // df AS BIGINT) AS w
+        |  FROM (SELECT token, COUNT(*) AS df FROM p GROUP BY token) d, nd),
+        |ps AS (SELECT source, token, COUNT(*) AS sdf FROM p GROUP BY source, token),
+        |sc AS (SELECT ps.source, ps.token, CAST(ps.sdf * w.w AS BIGINT) AS score
+        |  FROM ps JOIN w USING (token)),
+        |r AS (SELECT source, token, score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, token) AS INT) AS rank
+        | FROM sc)
+        |SELECT source, rank, token, score FROM r WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
     "qd27_incremental_dedup" ->
       """WITH delta AS (
         |  SELECT doc_id + 2000000 AS doc_id, text, source FROM documents WHERE doc_id < 50

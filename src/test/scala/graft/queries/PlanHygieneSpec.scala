@@ -22,7 +22,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qv04_ivf_ann", // broadcast query vector + probed cells
     "qv05_ivf_trained", // same shape, trained centroids
     "qv06_tfidf_cosine", // broadcast corpus count N (1 row)
-    "qv07_batch_knn") // broadcast query batch (5 rows)
+    "qv07_batch_knn", // broadcast query batch (5 rows)
+    "qd28_characteristic_terms") // broadcast corpus count N (1 row)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -10,6 +10,10 @@ package graft.core
   *    the Krüger series in the Karney 2011 formulation ("Transverse
   *    Mercator with an accuracy of a few nanometers", §3; 4th-order in the
   *    third flattening n, sub-mm over a UTM zone)
+  *  - Lambert Conformal Conic 2SP national grids (EPSG:2154 Lambert-93,
+  *    EPSG:3347 Statistics Canada, EPSG:3034 ETRS89 Europe) — EPSG method
+  *    9802 / Snyder eq. 15-1..15-11, validated by the standard-parallel
+  *    unit-scale property
   *
   * The reference reprojects tile bounds to ANY WMS CRS through pyproj
   * (`utils.py:81-84`, `transform_bounds(..., densify_pts=21)`);
@@ -85,6 +89,42 @@ object Proj {
     (x + 500000.0, if (north) y else y + 10000000.0)
   }
 
+  /** Lambert Conformal Conic, 2 standard parallels (EPSG method 9802 —
+    * public formulas: EPSG Guidance Note 7-2 / Snyder eq. 14-15..15-11).
+    * All parameters in degrees/metres. Ellipsoid constants are WGS84;
+    * the national grids below are defined on GRS80, whose flattening
+    * differs from WGS84 in the 11th digit — sub-mm here. */
+  final case class LccParams(lat0: Double, lon0: Double, sp1: Double,
+      sp2: Double, fe: Double, fn: Double)
+
+  def toLcc(p: LccParams)(lon: Double, lat: Double): (Double, Double) = {
+    def m(phi: Double) =
+      math.cos(phi) / math.sqrt(1 - E2 * math.sin(phi) * math.sin(phi))
+    def t(phi: Double) = {
+      val esin = E * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - esin) / (1 + esin), E / 2)
+    }
+    val (phi0, phi1, phi2) =
+      (math.toRadians(p.lat0), math.toRadians(p.sp1), math.toRadians(p.sp2))
+    val n = (math.log(m(phi1)) - math.log(m(phi2))) /
+      (math.log(t(phi1)) - math.log(t(phi2)))
+    val bigF = m(phi1) / (n * math.pow(t(phi1), n))
+    val rho0 = A * bigF * math.pow(t(phi0), n)
+    val phi = math.toRadians(lat)
+    val rho = A * bigF * math.pow(t(phi), n)
+    val theta = n * math.toRadians(lon - p.lon0)
+    (p.fe + rho * math.sin(theta), p.fn + rho0 - rho * math.cos(theta))
+  }
+
+  /** Published parameters of common LCC national grids (EPSG registry —
+    * public data): Lambert-93 (France), Statistics Canada Lambert,
+    * ETRS89-extended LCC Europe. */
+  private val LccCodes = Map(
+    "2154" -> LccParams(46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),
+    "3347" -> LccParams(63.390675, -91.8666666667, 49.0, 77.0, 6200000.0, 3000000.0),
+    "3034" -> LccParams(52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0))
+
   /** Forward projection for an `epsg:NNNN`-style code (case-insensitive),
     * None for unsupported codes. */
   def forward(srs: String): Option[(Double, Double) => (Double, Double)] = {
@@ -93,6 +133,7 @@ object Proj {
       case "4326" => Some((lon, lat) => (lon, lat))
       case "3857" | "900913" => Some(to3857)
       case "3395" => Some(to3395)
+      case c if LccCodes.contains(c) => Some(toLcc(LccCodes(c)))
       case c if c.length == 5 && c.startsWith("326") =>
         c.substring(3).toIntOption.filter(z => z >= 1 && z <= 60)
           .map(z => toUtm(z, north = true))

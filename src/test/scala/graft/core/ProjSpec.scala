@@ -77,7 +77,54 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.forward("epsg:900913").isDefined)
     assert(Proj.forward("epsg:32601").isDefined && Proj.forward("epsg:32760").isDefined)
     assert(Proj.forward("epsg:32661").isEmpty) // zone 61 does not exist
-    assert(Proj.forward("epsg:2154").isEmpty) // Lambert-93: unsupported
+    assert(Proj.forward("epsg:2154").isDefined) // Lambert-93 LCC
+    assert(Proj.forward("epsg:27572").isEmpty) // Lambert zone II: unsupported
+  }
+
+  test("LCC: scale factor is 1 on both standard parallels, >1 outside, <1 between") {
+    // local scale along a parallel = projected distance / ellipsoidal
+    // distance for a small delta-lon step; on the standard parallels of a
+    // conformal conic it must be exactly 1
+    val p2154 = Proj.LccParams(46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0)
+    def scaleAt(lat: Double): Double = {
+      val dLon = 1e-4
+      val (x1, y1) = Proj.toLcc(p2154)(3.0, lat)
+      val (x2, y2) = Proj.toLcc(p2154)(3.0 + dLon, lat)
+      val proj = math.hypot(x2 - x1, y2 - y1)
+      val phi = math.toRadians(lat)
+      val e2 = 0.0066943799901413165 // WGS84 first eccentricity squared
+      val nu = 6378137.0 / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val truth = math.toRadians(dLon) * nu * math.cos(phi)
+      proj / truth
+    }
+    assert(math.abs(scaleAt(44.0) - 1) < 1e-9, s"sp1 scale ${scaleAt(44.0)}")
+    assert(math.abs(scaleAt(49.0) - 1) < 1e-9, s"sp2 scale ${scaleAt(49.0)}")
+    assert(scaleAt(46.5) < 1.0) // between the parallels
+    assert(scaleAt(42.0) > 1.0 && scaleAt(51.0) > 1.0) // outside
+  }
+
+  test("LCC: Lambert-93 origin maps to the false origin; Paris lands where it should") {
+    val f = Proj.forward("EPSG:2154").get
+    val (x0, y0) = f(3.0, 46.5)
+    assert(math.abs(x0 - 700000.0) < 1e-6 && math.abs(y0 - 6600000.0) < 1e-6)
+    // Paris (2.3522 E, 48.8566 N) is ~652 km E / ~6862 km N in Lambert-93
+    // (public ballpark; the exact-digit goldens live in pyproj, which this
+    // container doesn't have — the standard-parallel scale test above is
+    // the precise check)
+    val (px, py) = f(2.3522, 48.8566)
+    assert(math.abs(px - 652000) < 5000, s"Paris x $px")
+    assert(math.abs(py - 6862000) < 5000, s"Paris y $py")
+    // central meridian stays at constant easting
+    val (cx1, _) = f(3.0, 43.0)
+    val (cx2, _) = f(3.0, 50.0)
+    assert(math.abs(cx1 - 700000.0) < 1e-6 && math.abs(cx2 - 700000.0) < 1e-6)
+  }
+
+  test("LCC: 3347 and 3034 project finite, in-range coordinates over their domains") {
+    for ((code, lon, lat) <- Seq(("EPSG:3347", -75.7, 45.4), ("epsg:3034", 10.0, 52.0))) {
+      val (x, y) = Proj.forward(code).get(lon, lat)
+      assert(!x.isNaN && !y.isNaN && math.abs(x) < 2e7 && math.abs(y) < 2e7, s"$code -> ($x, $y)")
+    }
   }
 
   test("transformBounds: densified UTM bbox covers the corner-only bbox (curved edges)") {

@@ -56,9 +56,20 @@ class WmsUrlSpec extends AnyFunSuite {
 
   test("unsupported WMS SRS fails loudly at URL construction") {
     val e = intercept[java.io.IOException] {
-      TileSources.wmsUrl("http://w/wms?version=1.1.1&srs=EPSG:2154&bbox={bbox}", t.z, t.x, t.y)
+      TileSources.wmsUrl("http://w/wms?version=1.1.1&srs=EPSG:27572&bbox={bbox}", t.z, t.x, t.y)
     }
-    assert(e.getMessage.contains("2154"))
+    assert(e.getMessage.contains("27572"))
+  }
+
+  test("Lambert-93 (EPSG:2154) WMS bbox: projected metres in the French grid's range") {
+    // a tile over France
+    val (fx, fy) = graft.core.Tiles.lonLatToTile(2.35, 48.85, 13)
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.1.1&srs=EPSG:2154&bbox={bbox}", 13, fx.toInt, fy.toInt)
+    val bbox = url.split("bbox=")(1).split("&")(0).split(",").map(_.toDouble)
+    assert(bbox(0) > 500000 && bbox(2) < 900000, bbox.mkString(",")) // easting range
+    assert(bbox(1) > 6700000 && bbox(3) < 7000000, bbox.mkString(",")) // northing range
+    assert(bbox(0) < bbox(2) && bbox(1) < bbox(3))
   }
 
   test("ACCESS_TOKEN placeholder survives when env var unset (SafeDict parity)") {

@@ -14,6 +14,9 @@ package graft.core
   *    EPSG:3347 Statistics Canada, EPSG:3034 ETRS89 Europe) — EPSG method
   *    9802 / Snyder eq. 15-1..15-11, validated by the standard-parallel
   *    unit-scale property
+  *  - Albers Equal-Area (EPSG:5070 NAD83 Conus Albers, the US federal WMS
+  *    grid) — EPSG method 9822 / Snyder eq. 14-12..14-13, validated by the
+  *    equal-area Jacobian property
   *
   * The reference reprojects tile bounds to ANY WMS CRS through pyproj
   * (`utils.py:81-84`, `transform_bounds(..., densify_pts=21)`);
@@ -125,6 +128,31 @@ object Proj {
     "3347" -> LccParams(63.390675, -91.8666666667, 49.0, 77.0, 6200000.0, 3000000.0),
     "3034" -> LccParams(52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0))
 
+  /** Albers Equal-Area conic, 2 standard parallels (EPSG method 9822 —
+    * Snyder eq. 14-12/14-13, 3-1/3-2). Same parameter shape as LCC. */
+  def toAlbers(p: LccParams)(lon: Double, lat: Double): (Double, Double) = {
+    def m(phi: Double) =
+      math.cos(phi) / math.sqrt(1 - E2 * math.sin(phi) * math.sin(phi))
+    // authalic q (Snyder eq. 3-12)
+    def q(phi: Double) = {
+      val s = math.sin(phi)
+      (1 - E2) * (s / (1 - E2 * s * s) -
+        (1 / (2 * E)) * math.log((1 - E * s) / (1 + E * s)))
+    }
+    val (phi0, phi1, phi2) =
+      (math.toRadians(p.lat0), math.toRadians(p.sp1), math.toRadians(p.sp2))
+    val n = (m(phi1) * m(phi1) - m(phi2) * m(phi2)) / (q(phi2) - q(phi1))
+    val c = m(phi1) * m(phi1) + n * q(phi1)
+    def rho(phi: Double) = A * math.sqrt(c - n * q(phi)) / n
+    val theta = n * math.toRadians(lon - p.lon0)
+    val r = rho(math.toRadians(lat))
+    (p.fe + r * math.sin(theta), p.fn + rho(phi0) - r * math.cos(theta))
+  }
+
+  /** EPSG:5070 — NAD83 / Conus Albers (the US federal WMS grid). */
+  private val AlbersCodes = Map(
+    "5070" -> LccParams(23.0, -96.0, 29.5, 45.5, 0.0, 0.0))
+
   /** Forward projection for an `epsg:NNNN`-style code (case-insensitive),
     * None for unsupported codes. */
   def forward(srs: String): Option[(Double, Double) => (Double, Double)] = {
@@ -134,6 +162,7 @@ object Proj {
       case "3857" | "900913" => Some(to3857)
       case "3395" => Some(to3395)
       case c if LccCodes.contains(c) => Some(toLcc(LccCodes(c)))
+      case c if AlbersCodes.contains(c) => Some(toAlbers(AlbersCodes(c)))
       case c if c.length == 5 && c.startsWith("326") =>
         c.substring(3).toIntOption.filter(z => z >= 1 && z <= 60)
           .map(z => toUtm(z, north = true))

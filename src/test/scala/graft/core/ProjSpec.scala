@@ -120,6 +120,33 @@ class ProjSpec extends AnyFunSuite {
     assert(math.abs(cx1 - 700000.0) < 1e-6 && math.abs(cx2 - 700000.0) < 1e-6)
   }
 
+  test("Albers 5070: equal-area by construction — projected quad area equals ellipsoid area") {
+    // the defining property: the Jacobian of an equal-area projection is 1,
+    // so a small lat/lon quad's projected area equals its ellipsoidal area
+    // (M * N cos(phi) * dphi * dlam) EVERYWHERE, not just on the parallels
+    val f = Proj.forward("EPSG:5070").get
+    val e2 = 0.0066943799901413165
+    val a = 6378137.0
+    for ((lon, lat) <- Seq((-96.0, 23.0), (-120.0, 48.0), (-75.0, 28.0), (-96.0, 45.5))) {
+      val d = 1e-4
+      val Seq(p00, p10, p01, p11) = Seq(
+        (lon, lat), (lon + d, lat), (lon, lat + d), (lon + d, lat + d)).map(Function.tupled(f))
+      // shoelace area of the projected quad
+      val quad = Seq(p00, p10, p11, p01)
+      val proj = math.abs(quad.zip(quad.tail :+ quad.head)
+        .map { case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum / 2)
+      val phi = math.toRadians(lat + d / 2)
+      val sin2 = math.sin(phi) * math.sin(phi)
+      val mRad = a * (1 - e2) / math.pow(1 - e2 * sin2, 1.5) // meridional radius
+      val nRad = a / math.sqrt(1 - e2 * sin2) // prime vertical radius
+      val truth = mRad * nRad * math.cos(phi) * math.toRadians(d) * math.toRadians(d)
+      assert(math.abs(proj / truth - 1) < 1e-6, s"($lon,$lat): ratio ${proj / truth}")
+    }
+    // projection origin maps to the (zero) false origin
+    val (x0, y0) = f(-96.0, 23.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+  }
+
   test("LCC: 3347 and 3034 project finite, in-range coordinates over their domains") {
     for ((code, lon, lat) <- Seq(("EPSG:3347", -75.7, 45.4), ("epsg:3034", 10.0, 52.0))) {
       val (x, y) = Proj.forward(code).get(lon, lat)

@@ -1,177 +1,514 @@
 package graft.core
 
 /** Map projections for WMS bbox construction (SURVEY §2.1 S6), from public
-  * formulas only:
-  *
-  *  - EPSG:4326 passthrough, EPSG:3857 spherical web-mercator
-  *  - EPSG:3395 ellipsoidal (world) Mercator — Snyder, "Map Projections: A
-  *    Working Manual", eq. 7-7
-  *  - EPSG:326xx / 327xx UTM zones — ellipsoidal Transverse Mercator via
-  *    the Krüger series in the Karney 2011 formulation ("Transverse
-  *    Mercator with an accuracy of a few nanometers", §3; 4th-order in the
-  *    third flattening n, sub-mm over a UTM zone)
-  *  - Lambert Conformal Conic 2SP national grids (EPSG:2154 Lambert-93,
-  *    EPSG:3347 Statistics Canada, EPSG:3034 ETRS89 Europe) — EPSG method
-  *    9802 / Snyder eq. 15-1..15-11, validated by the standard-parallel
-  *    unit-scale property
-  *  - Albers Equal-Area (EPSG:5070 NAD83 Conus Albers, the US federal WMS
-  *    grid) — EPSG method 9822 / Snyder eq. 14-12..14-13, validated by the
-  *    equal-area Jacobian property
+  * formulas only (EPSG Guidance Note 7-2 methods, Snyder "Map Projections:
+  * A Working Manual", Karney 2011 "Transverse Mercator with an accuracy of
+  * a few nanometers").
   *
   * The reference reprojects tile bounds to ANY WMS CRS through pyproj
-  * (`utils.py:81-84`, `transform_bounds(..., densify_pts=21)`);
-  * [[transformBounds]] mirrors that contract — each bbox edge is densified
-  * with 21 intermediate points before projecting so curved images of the
-  * edges are bounded correctly — for the CRS families above, which cover
-  * the web-mapping + national-grid WMS servers this pipeline meets.
-  * Unknown codes still throw (hard error, reference parity). */
+  * (`/root/reference/label_maker_dask/utils.py:81-84`,
+  * `transform_bounds(..., densify_pts=21)`). This engine mirrors that
+  * contract with a parameterized EPSG -> (kernel, ellipsoid, datum) table
+  * [[Proj.crs]] over six projection kernels:
+  *
+  *  - geographic passthrough (EPSG:4326)
+  *  - spherical web mercator (EPSG:3857/900913)
+  *  - ellipsoidal Mercator (EPSG:3395) — Snyder eq. 7-7
+  *  - transverse Mercator, Krüger series 4th order in the third flattening
+  *    n (Karney 2011 §3; sub-mm over a UTM zone) — UTM 326xx/327xx,
+  *    ETRS89 UTM 258xx, British National Grid 27700 (Airy 1830 +
+  *    7-parameter Helmert datum shift)
+  *  - Lambert Conformal Conic 2SP (EPSG method 9802) — 2154/3347/3034
+  *  - Albers Equal-Area (EPSG method 9822) — 5070
+  *  - Polar Stereographic variant B (EPSG method 9829, Snyder eq.
+  *    21-33/34) — NSIDC Sea Ice grids 3413/3976, Antarctic 3031, Arctic
+  *    3995
+  *
+  * Every kernel has an exact inverse ([[Proj.inverse]]); round-trip
+  * forward∘inverse ≡ id to <1e-9 degrees is property-tested in ProjSpec.
+  * Datum shifts use the position-vector 7-parameter Helmert (EPSG method
+  * 9606) through ECEF, with the reverse direction inverted exactly (3x3
+  * solve, not parameter negation) so round-trips stay at machine
+  * precision. Unknown codes still throw in the WMS reader (hard error,
+  * reference parity). */
 object Proj {
-  // WGS84
-  private val A = 6378137.0
-  private val F = 1.0 / 298.257223563
-  private val E2 = F * (2 - F) // first eccentricity squared
-  private val E = math.sqrt(E2)
 
-  /** Spherical web mercator (EPSG:3857). */
-  def to3857(lon: Double, lat: Double): (Double, Double) = {
-    val x = A * math.toRadians(lon)
-    val y = A * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
-    (x, y)
+  // ---------------------------------------------------------------- ellipsoids
+
+  /** Reference ellipsoid with derived constants, including the Krüger
+    * alpha/beta series coefficients (Karney 2011 eq. 12/25, 4th order in
+    * the third flattening). */
+  final case class Ellipsoid(a: Double, invF: Double) {
+    val f: Double = 1.0 / invF
+    val e2: Double = f * (2 - f)
+    val e: Double = math.sqrt(e2)
+    val n3: Double = f / (2 - f) // third flattening
+    /** rectifying radius A (Karney eq. 14) */
+    val ka: Double = a / (1 + n3) * (1 + n3 * n3 / 4 + math.pow(n3, 4) / 64)
+    /** forward series (Karney eq. 12) */
+    val alpha: Array[Double] = Array(
+      n3 / 2 - 2.0 / 3 * n3 * n3 + 5.0 / 16 * math.pow(n3, 3) + 41.0 / 180 * math.pow(n3, 4),
+      13.0 / 48 * n3 * n3 - 3.0 / 5 * math.pow(n3, 3) + 557.0 / 1440 * math.pow(n3, 4),
+      61.0 / 240 * math.pow(n3, 3) - 103.0 / 140 * math.pow(n3, 4),
+      49561.0 / 161280 * math.pow(n3, 4))
+    /** inverse series (Karney eq. 25) */
+    val beta: Array[Double] = Array(
+      n3 / 2 - 2.0 / 3 * n3 * n3 + 37.0 / 96 * math.pow(n3, 3) - 1.0 / 360 * math.pow(n3, 4),
+      1.0 / 48 * n3 * n3 + 1.0 / 15 * math.pow(n3, 3) - 437.0 / 1440 * math.pow(n3, 4),
+      17.0 / 480 * math.pow(n3, 3) - 37.0 / 840 * math.pow(n3, 4),
+      4397.0 / 161280 * math.pow(n3, 4))
   }
 
-  /** Ellipsoidal Mercator (EPSG:3395), Snyder eq. 7-7. */
-  def to3395(lon: Double, lat: Double): (Double, Double) = {
-    val phi = math.toRadians(lat)
-    val x = A * math.toRadians(lon)
-    val esin = E * math.sin(phi)
-    val y = A * math.log(math.tan(math.Pi / 4 + phi / 2) *
-      math.pow((1 - esin) / (1 + esin), E / 2))
-    (x, y)
-  }
+  val WGS84: Ellipsoid = Ellipsoid(6378137.0, 298.257223563)
+  val GRS80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
+  val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
 
-  // Krüger series constants (third flattening n), Karney 2011 §3
-  private val N3 = F / (2 - F)
-  private val KA = A / (1 + N3) *
-    (1 + N3 * N3 / 4 + math.pow(N3, 4) / 64) // rectifying radius A
-  private val Alpha = Array(
-    N3 / 2 - 2.0 / 3 * N3 * N3 + 5.0 / 16 * math.pow(N3, 3) + 41.0 / 180 * math.pow(N3, 4),
-    13.0 / 48 * N3 * N3 - 3.0 / 5 * math.pow(N3, 3) + 557.0 / 1440 * math.pow(N3, 4),
-    61.0 / 240 * math.pow(N3, 3) - 103.0 / 140 * math.pow(N3, 4),
-    49561.0 / 161280 * math.pow(N3, 4))
+  // ------------------------------------------------------------- datum shifts
 
-  /** Ellipsoidal transverse Mercator forward (k0-scaled, no false
-    * offsets): returns (easting-from-central-meridian, northing). */
-  private def tmerc(lon0Deg: Double, k0: Double)(lon: Double, lat: Double): (Double, Double) = {
-    val phi = math.toRadians(lat)
-    val dlam = math.toRadians(lon - lon0Deg)
-    // conformal latitude, Karney eq. (7)-(9)
-    val sphi = math.sin(phi)
-    val c = 2 * math.sqrt(N3) / (1 + N3)
-    val t = math.sinh(atanh(sphi) - c * atanh(c * sphi))
-    val xip = math.atan2(t, math.cos(dlam))
-    val etap = atanh(math.sin(dlam) / math.sqrt(1 + t * t))
-    var xi = xip
-    var eta = etap
-    var j = 1
-    while (j <= 4) {
-      xi += Alpha(j - 1) * math.sin(2 * j * xip) * math.cosh(2 * j * etap)
-      eta += Alpha(j - 1) * math.cos(2 * j * xip) * math.sinh(2 * j * etap)
-      j += 1
+  /** Position-vector 7-parameter Helmert transformation (EPSG method
+    * 9606): WGS84 geodetic -> target-datum geodetic via ECEF. Rotations in
+    * arc-seconds, scale in ppm, translations in metres. The reverse
+    * direction inverts the affine exactly (solve, not negated params) so
+    * forward∘inverse is machine-precision. */
+  final case class Helmert(tx: Double, ty: Double, tz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, ppm: Double) {
+    private val s = 1.0 + ppm * 1e-6
+    private val rx = math.toRadians(rxSec / 3600)
+    private val ry = math.toRadians(rySec / 3600)
+    private val rz = math.toRadians(rzSec / 3600)
+    // M = (1+s)(I + R), position-vector small-angle rotation
+    private val m = Array(
+      Array(s, -s * rz, s * ry),
+      Array(s * rz, s, -s * rx),
+      Array(-s * ry, s * rx, s))
+    private val mInv = invert3(m)
+
+    def apply(x: Double, y: Double, z: Double): (Double, Double, Double) =
+      (tx + m(0)(0) * x + m(0)(1) * y + m(0)(2) * z,
+        ty + m(1)(0) * x + m(1)(1) * y + m(1)(2) * z,
+        tz + m(2)(0) * x + m(2)(1) * y + m(2)(2) * z)
+
+    def unapply3(x: Double, y: Double, z: Double): (Double, Double, Double) = {
+      val (dx, dy, dz) = (x - tx, y - ty, z - tz)
+      (mInv(0)(0) * dx + mInv(0)(1) * dy + mInv(0)(2) * dz,
+        mInv(1)(0) * dx + mInv(1)(1) * dy + mInv(1)(2) * dz,
+        mInv(2)(0) * dx + mInv(2)(1) * dy + mInv(2)(2) * dz)
     }
-    (k0 * KA * eta, k0 * KA * xi)
+  }
+
+  private def invert3(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val det =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    val inv = Array.ofDim[Double](3, 3)
+    inv(0)(0) = (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) / det
+    inv(0)(1) = (m(0)(2) * m(2)(1) - m(0)(1) * m(2)(2)) / det
+    inv(0)(2) = (m(0)(1) * m(1)(2) - m(0)(2) * m(1)(1)) / det
+    inv(1)(0) = (m(1)(2) * m(2)(0) - m(1)(0) * m(2)(2)) / det
+    inv(1)(1) = (m(0)(0) * m(2)(2) - m(0)(2) * m(2)(0)) / det
+    inv(1)(2) = (m(0)(2) * m(1)(0) - m(0)(0) * m(1)(2)) / det
+    inv(2)(0) = (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0)) / det
+    inv(2)(1) = (m(0)(1) * m(2)(0) - m(0)(0) * m(2)(1)) / det
+    inv(2)(2) = (m(0)(0) * m(1)(1) - m(0)(1) * m(1)(0)) / det
+    inv
+  }
+
+  /** WGS84 -> OSGB36 (reverse of EPSG transformation 1314, the published
+    * OSGB36 -> WGS84 Helmert; ~5 m national accuracy, same as pyproj
+    * without NTv2 grids). */
+  private val Wgs84ToOsgb36 =
+    Helmert(-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894)
+
+  /** geodetic (degrees, h=0) -> ECEF on `ell`. */
+  private def toEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg)
+    val nu = ell.a / math.sqrt(1 - ell.e2 * math.sin(phi) * math.sin(phi))
+    (nu * math.cos(phi) * math.cos(lam),
+      nu * math.cos(phi) * math.sin(lam),
+      nu * (1 - ell.e2) * math.sin(phi))
+  }
+
+  /** ECEF -> geodetic (degrees) on `ell`, fixed-point in latitude. */
+  private def fromEcef(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+    val p = math.hypot(x, y)
+    var phi = math.atan2(z, p * (1 - ell.e2))
+    var i = 0
+    while (i < 12) {
+      val nu = ell.a / math.sqrt(1 - ell.e2 * math.sin(phi) * math.sin(phi))
+      val next = math.atan2(z + ell.e2 * nu * math.sin(phi), p)
+      if (math.abs(next - phi) < 1e-14) { phi = next; i = 12 } else { phi = next; i += 1 }
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+  }
+
+  // ------------------------------------------------------- projection kernels
+
+  /** Projection kernel parameters. Angles in degrees, offsets in metres. */
+  sealed trait Kernel
+  case object Geographic extends Kernel
+  case object SphericalMercator extends Kernel
+  /** ellipsoidal Mercator, natural origin at the equator (EPSG:3395) */
+  case object Mercator extends Kernel
+  /** transverse Mercator (Krüger); northing referenced to `lat0` */
+  final case class Tmerc(lat0: Double, lon0: Double, k0: Double,
+      fe: Double, fn: Double) extends Kernel
+  final case class Lcc2sp(lat0: Double, lon0: Double, sp1: Double,
+      sp2: Double, fe: Double, fn: Double) extends Kernel
+  final case class AlbersK(lat0: Double, lon0: Double, sp1: Double,
+      sp2: Double, fe: Double, fn: Double) extends Kernel
+  /** polar stereographic variant B: `latTs` the latitude of true scale
+    * (negative => south aspect) */
+  final case class PolarStereo(latTs: Double, lon0: Double,
+      fe: Double, fn: Double) extends Kernel
+
+  /** A CRS: kernel + ellipsoid + optional datum shift from WGS84. Forward
+    * maps WGS84 (lon, lat) degrees to projected (x, y) metres. */
+  final case class Crs(kernel: Kernel, ell: Ellipsoid,
+      datum: Option[Helmert] = None) {
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (lo, la) = datum match {
+        case None => (lon, lat)
+        case Some(h) =>
+          val (x, y, z) = toEcef(WGS84, lon, lat)
+          val (x2, y2, z2) = h(x, y, z)
+          fromEcef(ell, x2, y2, z2)
+      }
+      kernel match {
+        case Geographic => (lo, la)
+        case SphericalMercator =>
+          (ell.a * math.toRadians(lo),
+            ell.a * math.log(math.tan(math.Pi / 4 + math.toRadians(la) / 2)))
+        case Mercator =>
+          val phi = math.toRadians(la)
+          val esin = ell.e * math.sin(phi)
+          (ell.a * math.toRadians(lo),
+            ell.a * math.log(math.tan(math.Pi / 4 + phi / 2) *
+              math.pow((1 - esin) / (1 + esin), ell.e / 2)))
+        case t: Tmerc => tmercFwd(t, lo, la)
+        case l: Lcc2sp => lccFwd(l, lo, la)
+        case al: AlbersK => albersFwd(al, lo, la)
+        case p: PolarStereo => psFwd(p, lo, la)
+      }
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (lo, la) = kernel match {
+        case Geographic => (x, y)
+        case SphericalMercator =>
+          (math.toDegrees(x / ell.a),
+            math.toDegrees(2 * math.atan(math.exp(y / ell.a)) - math.Pi / 2))
+        case Mercator =>
+          (math.toDegrees(x / ell.a),
+            math.toDegrees(phiFromTs(ell, math.exp(-y / ell.a))))
+        case t: Tmerc => tmercInv(t, x, y)
+        case l: Lcc2sp => lccInv(l, x, y)
+        case al: AlbersK => albersInv(al, x, y)
+        case p: PolarStereo => psInv(p, x, y)
+      }
+      datum match {
+        case None => (lo, la)
+        case Some(h) =>
+          // abridged inverse (h=0 both sides) is ~mm off because the
+          // forward drops the post-shift ellipsoidal height; refine with a
+          // fixed point on the forward geodetic datum map so inverse is an
+          // exact inverse of forward (round-trips < 1e-12 deg)
+          def datumFwd(lon0: Double, lat0: Double): (Double, Double) = {
+            val (x0, y0, z0) = toEcef(WGS84, lon0, lat0)
+            val (x1, y1, z1) = h(x0, y0, z0)
+            fromEcef(ell, x1, y1, z1)
+          }
+          val (ex, ey, ez) = toEcef(ell, lo, la)
+          val (x2, y2, z2) = h.unapply3(ex, ey, ez)
+          var (glo, gla) = fromEcef(WGS84, x2, y2, z2)
+          var k = 0
+          while (k < 3) {
+            val (flo, fla) = datumFwd(glo, gla)
+            glo += lo - flo
+            gla += la - fla
+            k += 1
+          }
+          (glo, gla)
+      }
+    }
+
+    // ---- transverse Mercator (Karney 2011)
+
+    /** rectifying "latitude" xi of the Krüger mapping at dlam=0 — i.e.
+      * meridian distance / KA — used to reference northings to lat0. */
+    private def xiAtMeridian(latDeg: Double): Double = {
+      val sphi = math.sin(math.toRadians(latDeg))
+      val c = 2 * math.sqrt(ell.n3) / (1 + ell.n3)
+      val t = math.sinh(atanh(sphi) - c * atanh(c * sphi))
+      val xip = math.atan(t)
+      var xi = xip
+      var j = 1
+      while (j <= 4) { xi += ell.alpha(j - 1) * math.sin(2 * j * xip); j += 1 }
+      xi
+    }
+
+    private def tmercFwd(p: Tmerc, lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dlam = math.toRadians(lon - p.lon0)
+      val sphi = math.sin(phi)
+      val c = 2 * math.sqrt(ell.n3) / (1 + ell.n3)
+      val t = math.sinh(atanh(sphi) - c * atanh(c * sphi))
+      val xip = math.atan2(t, math.cos(dlam))
+      val etap = atanh(math.sin(dlam) / math.sqrt(1 + t * t))
+      var xi = xip
+      var eta = etap
+      var j = 1
+      while (j <= 4) {
+        xi += ell.alpha(j - 1) * math.sin(2 * j * xip) * math.cosh(2 * j * etap)
+        eta += ell.alpha(j - 1) * math.cos(2 * j * xip) * math.sinh(2 * j * etap)
+        j += 1
+      }
+      val xi0 = if (p.lat0 == 0) 0.0 else xiAtMeridian(p.lat0)
+      (p.fe + p.k0 * ell.ka * eta, p.fn + p.k0 * ell.ka * (xi - xi0))
+    }
+
+    private def tmercInv(p: Tmerc, x: Double, y: Double): (Double, Double) = {
+      val xi0 = if (p.lat0 == 0) 0.0 else xiAtMeridian(p.lat0)
+      val xi = (y - p.fn) / (p.k0 * ell.ka) + xi0
+      val eta = (x - p.fe) / (p.k0 * ell.ka)
+      var xip = xi
+      var etap = eta
+      var j = 1
+      while (j <= 4) {
+        xip -= ell.beta(j - 1) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        etap -= ell.beta(j - 1) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        j += 1
+      }
+      val dlam = math.atan2(math.sinh(etap), math.cos(xip))
+      // conformal latitude chi -> geodetic via the shared ts iteration
+      val chi = math.atan2(math.sin(xip),
+        math.hypot(math.sinh(etap), math.cos(xip)))
+      val phi = phiFromTs(ell, math.tan(math.Pi / 4 - chi / 2))
+      (p.lon0 + math.toDegrees(dlam), math.toDegrees(phi))
+    }
+
+    // ---- Lambert Conformal Conic 2SP (EPSG method 9802)
+
+    private def mFn(phi: Double) =
+      math.cos(phi) / math.sqrt(1 - ell.e2 * math.sin(phi) * math.sin(phi))
+    private def tFn(phi: Double) = {
+      val esin = ell.e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), ell.e / 2)
+    }
+
+    private def lccConsts(p: Lcc2sp): (Double, Double, Double) = {
+      val (phi0, phi1, phi2) =
+        (math.toRadians(p.lat0), math.toRadians(p.sp1), math.toRadians(p.sp2))
+      val n = (math.log(mFn(phi1)) - math.log(mFn(phi2))) /
+        (math.log(tFn(phi1)) - math.log(tFn(phi2)))
+      val bigF = mFn(phi1) / (n * math.pow(tFn(phi1), n))
+      val rho0 = ell.a * bigF * math.pow(tFn(phi0), n)
+      (n, bigF, rho0)
+    }
+
+    private def lccFwd(p: Lcc2sp, lon: Double, lat: Double): (Double, Double) = {
+      val (n, bigF, rho0) = lccConsts(p)
+      val rho = ell.a * bigF * math.pow(tFn(math.toRadians(lat)), n)
+      val theta = n * math.toRadians(lon - p.lon0)
+      (p.fe + rho * math.sin(theta), p.fn + rho0 - rho * math.cos(theta))
+    }
+
+    private def lccInv(p: Lcc2sp, x: Double, y: Double): (Double, Double) = {
+      val (n, bigF, rho0) = lccConsts(p)
+      val dx = x - p.fe
+      val dy = rho0 - (y - p.fn)
+      val rho = math.signum(n) * math.hypot(dx, dy)
+      val theta = math.atan2(dx, dy) // valid for n > 0; all table grids have n > 0
+      val ts = math.pow(rho / (ell.a * bigF), 1 / n)
+      (p.lon0 + math.toDegrees(theta / n), math.toDegrees(phiFromTs(ell, ts)))
+    }
+
+    // ---- Albers Equal-Area (EPSG method 9822)
+
+    /** authalic q (Snyder eq. 3-12) */
+    private def qFn(phi: Double) = {
+      val s = math.sin(phi)
+      (1 - ell.e2) * (s / (1 - ell.e2 * s * s) -
+        (1 / (2 * ell.e)) * math.log((1 - ell.e * s) / (1 + ell.e * s)))
+    }
+
+    private def albersConsts(p: AlbersK): (Double, Double, Double) = {
+      val (phi0, phi1, phi2) =
+        (math.toRadians(p.lat0), math.toRadians(p.sp1), math.toRadians(p.sp2))
+      val n = (mFn(phi1) * mFn(phi1) - mFn(phi2) * mFn(phi2)) / (qFn(phi2) - qFn(phi1))
+      val c = mFn(phi1) * mFn(phi1) + n * qFn(phi1)
+      val rho0 = ell.a * math.sqrt(c - n * qFn(phi0)) / n
+      (n, c, rho0)
+    }
+
+    private def albersFwd(p: AlbersK, lon: Double, lat: Double): (Double, Double) = {
+      val (n, c, rho0) = albersConsts(p)
+      val rho = ell.a * math.sqrt(c - n * qFn(math.toRadians(lat))) / n
+      val theta = n * math.toRadians(lon - p.lon0)
+      (p.fe + rho * math.sin(theta), p.fn + rho0 - rho * math.cos(theta))
+    }
+
+    private def albersInv(p: AlbersK, x: Double, y: Double): (Double, Double) = {
+      val (n, c, rho0) = albersConsts(p)
+      val dx = x - p.fe
+      val dy = rho0 - (y - p.fn)
+      val rho = math.hypot(dx, dy)
+      val theta = math.atan2(dx, dy)
+      val q = (c - math.pow(rho * n / ell.a, 2)) / n
+      // authalic -> geodetic, Snyder eq. 3-16 fixed point
+      var phi = math.asin(math.min(1.0, math.max(-1.0, q / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val om = 1 - ell.e2 * s * s
+        val next = phi + om * om / (2 * math.cos(phi)) *
+          (q / (1 - ell.e2) - s / om +
+            1 / (2 * ell.e) * math.log((1 - ell.e * s) / (1 + ell.e * s)))
+        if (math.abs(next - phi) < 1e-13) { phi = next; i = 15 } else { phi = next; i += 1 }
+      }
+      (p.lon0 + math.toDegrees(theta / n), math.toDegrees(phi))
+    }
+
+    // ---- Polar Stereographic variant B (EPSG method 9829)
+
+    /** north-aspect t(phi) (Snyder eq. 15-9) */
+    private def psT(phi: Double) = {
+      val esin = ell.e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) * math.pow((1 + esin) / (1 - esin), ell.e / 2)
+    }
+
+    private def psFwd(p: PolarStereo, lon: Double, lat: Double): (Double, Double) = {
+      val south = p.latTs < 0
+      val phiTs = math.toRadians(math.abs(p.latTs))
+      val tc = psT(phiTs)
+      val mc = mFn(phiTs)
+      val phi = math.toRadians(if (south) -lat else lat)
+      val rho = ell.a * mc * psT(phi) / tc
+      val theta = math.toRadians(lon - p.lon0)
+      if (south) (p.fe + rho * math.sin(theta), p.fn + rho * math.cos(theta))
+      else (p.fe + rho * math.sin(theta), p.fn - rho * math.cos(theta))
+    }
+
+    private def psInv(p: PolarStereo, x: Double, y: Double): (Double, Double) = {
+      val south = p.latTs < 0
+      val phiTs = math.toRadians(math.abs(p.latTs))
+      val tc = psT(phiTs)
+      val mc = mFn(phiTs)
+      val dx = x - p.fe
+      val dy = y - p.fn
+      val rho = math.hypot(dx, dy)
+      val ts = rho * tc / (ell.a * mc)
+      val phiN = phiFromTs(ell, ts)
+      val theta = if (south) math.atan2(dx, dy) else math.atan2(dx, -dy)
+      // atan2 puts lon in (lon0-180, lon0+180]; wrap to (-180, 180]
+      val lon = p.lon0 + math.toDegrees(theta)
+      val wrapped = if (lon <= -180) lon + 360 else if (lon > 180) lon - 360 else lon
+      (wrapped, math.toDegrees(if (south) -phiN else phiN))
+    }
   }
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+
+  /** Invert the isometric `ts = tan(pi/4 - phi/2) / ((1-e sin)/(1+e sin))
+    * ^(e/2)` relation (Snyder eq. 7-9 fixed point); shared by the
+    * Mercator, LCC, TM, and polar-stereo inverses. */
+  private def phiFromTs(ell: Ellipsoid, ts: Double): Double = {
+    var phi = math.Pi / 2 - 2 * math.atan(ts)
+    var i = 0
+    while (i < 15) {
+      val esin = ell.e * math.sin(phi)
+      val next = math.Pi / 2 -
+        2 * math.atan(ts * math.pow((1 - esin) / (1 + esin), ell.e / 2))
+      if (math.abs(next - phi) < 1e-13) { phi = next; i = 15 } else { phi = next; i += 1 }
+    }
+    phi
+  }
+
+  // ------------------------------------------------------------ the EPSG table
+
+  /** Published parameters (EPSG registry — public data). */
+  private val Table: Map[String, Crs] = Map(
+    "4326" -> Crs(Geographic, WGS84),
+    "3857" -> Crs(SphericalMercator, WGS84),
+    "900913" -> Crs(SphericalMercator, WGS84),
+    "3395" -> Crs(Mercator, WGS84),
+    // LCC national grids: Lambert-93 (France), Statistics Canada, ETRS89 Europe
+    "2154" -> Crs(Lcc2sp(46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0), GRS80),
+    "3347" -> Crs(Lcc2sp(63.390675, -91.8666666667, 49.0, 77.0, 6200000.0, 3000000.0), GRS80),
+    "3034" -> Crs(Lcc2sp(52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0), GRS80),
+    // NAD83 / Conus Albers (US federal WMS grid)
+    "5070" -> Crs(AlbersK(23.0, -96.0, 29.5, 45.5, 0.0, 0.0), GRS80),
+    // British National Grid: Airy 1830 + Helmert (reverse of EPSG:1314)
+    "27700" -> Crs(Tmerc(49.0, -2.0, 0.9996012717, 400000.0, -100000.0),
+      Airy1830, Some(Wgs84ToOsgb36)),
+    // Polar stereographic: NSIDC Sea Ice North/South, Arctic/Antarctic PS
+    "3413" -> Crs(PolarStereo(70.0, -45.0, 0.0, 0.0), WGS84),
+    "3976" -> Crs(PolarStereo(-70.0, 0.0, 0.0, 0.0), WGS84),
+    "3031" -> Crs(PolarStereo(-71.0, 0.0, 0.0, 0.0), WGS84),
+    "3995" -> Crs(PolarStereo(71.0, 0.0, 0.0, 0.0), WGS84))
+
+  /** Resolve an `epsg:NNNN`-style code (case-insensitive) to its CRS:
+    * the static table plus the parameterized UTM families 326xx/327xx
+    * (WGS84) and 258xx (ETRS89/GRS80, zones 28-38). */
+  def crs(srs: String): Option[Crs] = {
+    val code = srs.toLowerCase.stripPrefix("epsg:")
+    Table.get(code).orElse {
+      def utm(zone: Int, north: Boolean, ell: Ellipsoid) =
+        Crs(Tmerc(0.0, zone * 6 - 183, 0.9996, 500000.0,
+          if (north) 0.0 else 10000000.0), ell)
+      code match {
+        case c if c.length == 5 && c.startsWith("326") =>
+          c.substring(3).toIntOption.filter(z => z >= 1 && z <= 60)
+            .map(z => utm(z, north = true, WGS84))
+        case c if c.length == 5 && c.startsWith("327") =>
+          c.substring(3).toIntOption.filter(z => z >= 1 && z <= 60)
+            .map(z => utm(z, north = false, WGS84))
+        case c if c.length == 5 && c.startsWith("258") =>
+          c.substring(3).toIntOption.filter(z => z >= 28 && z <= 38)
+            .map(z => utm(z, north = true, GRS80))
+        case _ => None
+      }
+    }
+  }
+
+  /** Forward projection (WGS84 lon/lat degrees -> metres) for an
+    * `epsg:NNNN` code, None for unsupported codes. */
+  def forward(srs: String): Option[(Double, Double) => (Double, Double)] =
+    crs(srs).map(c => c.forward _)
+
+  /** Inverse projection (metres -> WGS84 lon/lat degrees). */
+  def inverse(srs: String): Option[(Double, Double) => (Double, Double)] =
+    crs(srs).map(c => c.inverse _)
+
+  // ------------------------------------------- legacy direct-kernel entry points
+
+  /** Spherical web mercator (EPSG:3857). */
+  def to3857(lon: Double, lat: Double): (Double, Double) =
+    Crs(SphericalMercator, WGS84).forward(lon, lat)
+
+  /** Ellipsoidal Mercator (EPSG:3395), Snyder eq. 7-7. */
+  def to3395(lon: Double, lat: Double): (Double, Double) =
+    Crs(Mercator, WGS84).forward(lon, lat)
 
   /** UTM (EPSG:326zz north / 327zz south): k0=0.9996, FE=500000,
     * FN=10000000 in the south. */
   def toUtm(zone: Int, north: Boolean)(lon: Double, lat: Double): (Double, Double) = {
     require(zone >= 1 && zone <= 60, s"UTM zone $zone")
-    val lon0 = zone * 6 - 183
-    val (x, y) = tmerc(lon0, 0.9996)(lon, lat)
-    (x + 500000.0, if (north) y else y + 10000000.0)
+    Crs(Tmerc(0.0, zone * 6 - 183, 0.9996, 500000.0,
+      if (north) 0.0 else 10000000.0), WGS84).forward(lon, lat)
   }
 
-  /** Lambert Conformal Conic, 2 standard parallels (EPSG method 9802 —
-    * public formulas: EPSG Guidance Note 7-2 / Snyder eq. 14-15..15-11).
-    * All parameters in degrees/metres. Ellipsoid constants are WGS84;
-    * the national grids below are defined on GRS80, whose flattening
-    * differs from WGS84 in the 11th digit — sub-mm here. */
+  /** LCC/Albers parameter bundle kept for existing call sites/specs. */
   final case class LccParams(lat0: Double, lon0: Double, sp1: Double,
       sp2: Double, fe: Double, fn: Double)
 
-  def toLcc(p: LccParams)(lon: Double, lat: Double): (Double, Double) = {
-    def m(phi: Double) =
-      math.cos(phi) / math.sqrt(1 - E2 * math.sin(phi) * math.sin(phi))
-    def t(phi: Double) = {
-      val esin = E * math.sin(phi)
-      math.tan(math.Pi / 4 - phi / 2) /
-        math.pow((1 - esin) / (1 + esin), E / 2)
-    }
-    val (phi0, phi1, phi2) =
-      (math.toRadians(p.lat0), math.toRadians(p.sp1), math.toRadians(p.sp2))
-    val n = (math.log(m(phi1)) - math.log(m(phi2))) /
-      (math.log(t(phi1)) - math.log(t(phi2)))
-    val bigF = m(phi1) / (n * math.pow(t(phi1), n))
-    val rho0 = A * bigF * math.pow(t(phi0), n)
-    val phi = math.toRadians(lat)
-    val rho = A * bigF * math.pow(t(phi), n)
-    val theta = n * math.toRadians(lon - p.lon0)
-    (p.fe + rho * math.sin(theta), p.fn + rho0 - rho * math.cos(theta))
-  }
+  def toLcc(p: LccParams)(lon: Double, lat: Double): (Double, Double) =
+    Crs(Lcc2sp(p.lat0, p.lon0, p.sp1, p.sp2, p.fe, p.fn), WGS84).forward(lon, lat)
 
-  /** Published parameters of common LCC national grids (EPSG registry —
-    * public data): Lambert-93 (France), Statistics Canada Lambert,
-    * ETRS89-extended LCC Europe. */
-  private val LccCodes = Map(
-    "2154" -> LccParams(46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),
-    "3347" -> LccParams(63.390675, -91.8666666667, 49.0, 77.0, 6200000.0, 3000000.0),
-    "3034" -> LccParams(52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0))
-
-  /** Albers Equal-Area conic, 2 standard parallels (EPSG method 9822 —
-    * Snyder eq. 14-12/14-13, 3-1/3-2). Same parameter shape as LCC. */
-  def toAlbers(p: LccParams)(lon: Double, lat: Double): (Double, Double) = {
-    def m(phi: Double) =
-      math.cos(phi) / math.sqrt(1 - E2 * math.sin(phi) * math.sin(phi))
-    // authalic q (Snyder eq. 3-12)
-    def q(phi: Double) = {
-      val s = math.sin(phi)
-      (1 - E2) * (s / (1 - E2 * s * s) -
-        (1 / (2 * E)) * math.log((1 - E * s) / (1 + E * s)))
-    }
-    val (phi0, phi1, phi2) =
-      (math.toRadians(p.lat0), math.toRadians(p.sp1), math.toRadians(p.sp2))
-    val n = (m(phi1) * m(phi1) - m(phi2) * m(phi2)) / (q(phi2) - q(phi1))
-    val c = m(phi1) * m(phi1) + n * q(phi1)
-    def rho(phi: Double) = A * math.sqrt(c - n * q(phi)) / n
-    val theta = n * math.toRadians(lon - p.lon0)
-    val r = rho(math.toRadians(lat))
-    (p.fe + r * math.sin(theta), p.fn + rho(phi0) - r * math.cos(theta))
-  }
-
-  /** EPSG:5070 — NAD83 / Conus Albers (the US federal WMS grid). */
-  private val AlbersCodes = Map(
-    "5070" -> LccParams(23.0, -96.0, 29.5, 45.5, 0.0, 0.0))
-
-  /** Forward projection for an `epsg:NNNN`-style code (case-insensitive),
-    * None for unsupported codes. */
-  def forward(srs: String): Option[(Double, Double) => (Double, Double)] = {
-    val code = srs.toLowerCase.stripPrefix("epsg:")
-    code match {
-      case "4326" => Some((lon, lat) => (lon, lat))
-      case "3857" | "900913" => Some(to3857)
-      case "3395" => Some(to3395)
-      case c if LccCodes.contains(c) => Some(toLcc(LccCodes(c)))
-      case c if AlbersCodes.contains(c) => Some(toAlbers(AlbersCodes(c)))
-      case c if c.length == 5 && c.startsWith("326") =>
-        c.substring(3).toIntOption.filter(z => z >= 1 && z <= 60)
-          .map(z => toUtm(z, north = true))
-      case c if c.length == 5 && c.startsWith("327") =>
-        c.substring(3).toIntOption.filter(z => z >= 1 && z <= 60)
-          .map(z => toUtm(z, north = false))
-      case _ => None
-    }
-  }
+  def toAlbers(p: LccParams)(lon: Double, lat: Double): (Double, Double) =
+    Crs(AlbersK(p.lat0, p.lon0, p.sp1, p.sp2, p.fe, p.fn), WGS84).forward(lon, lat)
 
   /** rasterio `transform_bounds(..., densify_pts=21)` equivalent: project
     * `densify + 2` points along each bbox edge and take the min/max — the

@@ -156,8 +156,11 @@ object TileSources {
     * the query string, project the tile bounds (edges densified with 21
     * points like the reference's `transform_bounds(..., densify_pts=21)`),
     * axis-swap for 1.3.0, substitute `{bbox}`. Supported SRS families (see
-    * [[graft.core.Proj]]): EPSG:4326, 3857/900913, 3395, UTM 326xx/327xx.
-    * Unknown codes throw (reference parity: pyproj would too, just later). */
+    * the EPSG table in [[graft.core.Proj]]): EPSG:4326, 3857/900913, 3395,
+    * UTM 326xx/327xx/258xx, LCC 2154/3347/3034, Albers 5070, British
+    * National Grid 27700 (Airy + Helmert datum), polar stereographic
+    * 3413/3995/3031/3976. Unknown codes throw (reference parity: pyproj
+    * would too, just later). */
   def wmsUrl(template: String, z: Int, x: Int, y: Int): String = {
     val lower = template.toLowerCase
     def qparam(k: String): Option[String] =

@@ -131,8 +131,14 @@ class ProjSpec extends AnyFunSuite {
       val d = 1e-4
       val Seq(p00, p10, p01, p11) = Seq(
         (lon, lat), (lon + d, lat), (lon, lat + d), (lon + d, lat + d)).map(Function.tupled(f))
-      // shoelace area of the projected quad
-      val quad = Seq(p00, p10, p11, p01)
+      // shoelace area of the projected quad, centered first: raw
+      // coordinates are ~3e6 m while the area is ~100 m², so uncentered
+      // x1*y2 products lose 12 digits to cancellation (~1e-6 relative
+      // noise, swamping the property being tested)
+      val raw = Seq(p00, p10, p11, p01)
+      val cx = raw.map(_._1).sum / 4
+      val cy = raw.map(_._2).sum / 4
+      val quad = raw.map { case (x, y) => (x - cx, y - cy) }
       val proj = math.abs(quad.zip(quad.tail :+ quad.head)
         .map { case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum / 2)
       val phi = math.toRadians(lat + d / 2)
@@ -152,6 +158,128 @@ class ProjSpec extends AnyFunSuite {
       val (x, y) = Proj.forward(code).get(lon, lat)
       assert(!x.isNaN && !y.isNaN && math.abs(x) < 2e7 && math.abs(y) < 2e7, s"$code -> ($x, $y)")
     }
+  }
+
+  test("round-trip: forward∘inverse ≡ id to <1e-9 degrees for every table CRS") {
+    // per-CRS sampling domain (lonMin, lonMax, latMin, latMax)
+    val domains = Seq(
+      "epsg:4326" -> (-180.0, 180.0, -89.0, 89.0),
+      "epsg:3857" -> (-179.0, 179.0, -85.0, 85.0),
+      "epsg:3395" -> (-179.0, 179.0, -85.0, 85.0),
+      "epsg:32631" -> (0.0, 6.0, -80.0, 84.0),
+      "epsg:32723" -> (-54.0, -48.0, -80.0, 0.0),
+      "epsg:25832" -> (6.0, 12.0, 35.0, 72.0),
+      "epsg:2154" -> (-5.0, 10.0, 41.0, 51.0),
+      "epsg:3347" -> (-140.0, -50.0, 42.0, 84.0),
+      "epsg:3034" -> (-10.0, 35.0, 35.0, 70.0),
+      "epsg:5070" -> (-125.0, -66.0, 24.0, 49.0),
+      "epsg:27700" -> (-8.0, 2.0, 49.5, 60.8),
+      "epsg:3413" -> (-180.0, 180.0, 60.0, 89.9),
+      "epsg:3995" -> (-180.0, 180.0, 60.0, 89.9),
+      "epsg:3031" -> (-180.0, 180.0, -89.9, -55.0),
+      "epsg:3976" -> (-180.0, 180.0, -89.9, -55.0))
+    val rnd = new scala.util.Random(42)
+    for ((code, (loMin, loMax, laMin, laMax)) <- domains) {
+      val fwd = Proj.forward(code).get
+      val inv = Proj.inverse(code).get
+      for (_ <- 1 to 50) {
+        val lon = loMin + rnd.nextDouble() * (loMax - loMin)
+        val lat = laMin + rnd.nextDouble() * (laMax - laMin)
+        val (x, y) = fwd(lon, lat)
+        val (lon2, lat2) = inv(x, y)
+        assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+          s"$code ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+      }
+    }
+  }
+
+  test("27700 kernel: OS worked example on Airy 1830 (datum-free TM check)") {
+    // Ordnance Survey, "A guide to coordinate systems in Great Britain",
+    // worked example: OSGB36 lat 52°39'27.2531\"N lon 1°43'4.5177\"E
+    // -> E 651409.903, N 313177.270 (public document, Airy 1830 ellipsoid)
+    val kernelOnly = Proj.Crs(
+      Proj.Tmerc(49.0, -2.0, 0.9996012717, 400000.0, -100000.0), Proj.Airy1830)
+    val lat = 52 + 39.0 / 60 + 27.2531 / 3600
+    val lon = 1 + 43.0 / 60 + 4.5177 / 3600
+    val (e, n) = kernelOnly.forward(lon, lat)
+    assert(math.abs(e - 651409.903) < 0.005, s"easting $e")
+    assert(math.abs(n - 313177.270) < 0.005, s"northing $n")
+    // and the kernel inverse recovers the input
+    val (lon2, lat2) = kernelOnly.inverse(651409.903, 313177.270)
+    assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8)
+  }
+
+  test("27700 datum: Helmert matches the published OSGB36->WGS84 params, and shifts ~100 m") {
+    // independent check of the rotation-sign convention: applying this
+    // engine's WGS84->OSGB36 then the textbook EPSG:1314 forward
+    // (position-vector, +446.448 etc.) must return to the start
+    val h = Proj.Helmert(-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894)
+    def epsg1314Forward(x: Double, y: Double, z: Double): (Double, Double, Double) = {
+      val s = 1.0 - 20.4894e-6
+      val rx = math.toRadians(0.1502 / 3600)
+      val ry = math.toRadians(0.2470 / 3600)
+      val rz = math.toRadians(0.8421 / 3600)
+      (446.448 + s * (x - rz * y + ry * z),
+        -125.157 + s * (rz * x + y - rx * z),
+        542.060 + s * (-ry * x + rx * y + z))
+    }
+    val (x0, y0, z0) = (3980581.0, -100.0, 4966825.0) // near London, ECEF
+    val (x1, y1, z1) = h(x0, y0, z0)
+    val (x2, y2, z2) = epsg1314Forward(x1, y1, z1)
+    // params are mutually negated small-angle transforms: agreement to cm
+    assert(math.hypot(math.hypot(x2 - x0, y2 - y0), z2 - z0) < 0.05)
+    // the full 27700 CRS applies a genuine datum shift: projecting WGS84
+    // coordinates with vs without the shift differs by the ~50-180 m
+    // OSGB36<->WGS84 separation over Great Britain
+    val withDatum = Proj.forward("epsg:27700").get
+    val kernelOnly = Proj.Crs(
+      Proj.Tmerc(49.0, -2.0, 0.9996012717, 400000.0, -100000.0), Proj.Airy1830)
+    val (gx, gy) = withDatum(-0.1276, 51.5074) // London
+    val (kx, ky) = kernelOnly.forward(-0.1276, 51.5074)
+    val shift = math.hypot(gx - kx, gy - ky)
+    assert(shift > 50 && shift < 180, s"datum shift $shift m")
+    // London lands in the right national-grid ballpark (Charing Cross ~ TQ303805)
+    assert(math.abs(gx - 530300) < 1500 && math.abs(gy - 180500) < 1500, s"($gx,$gy)")
+  }
+
+  test("polar stereographic variant B: EPSG GN7-2 worked example and pole/scale properties") {
+    // EPSG Guidance Note 7-2, method 9829 example (Australian Antarctic
+    // Polar Stereographic parameters): latTs=-71, lon0=70E, FE=FN=6000000;
+    // phi=75°S lam=120°E -> E 7255380.79, N 7053389.56
+    val crs = Proj.Crs(Proj.PolarStereo(-71.0, 70.0, 6000000.0, 6000000.0), Proj.WGS84)
+    val (e, n) = crs.forward(120.0, -75.0)
+    assert(math.abs(e - 7255380.79) < 0.02, s"easting $e")
+    assert(math.abs(n - 7053389.56) < 0.02, s"northing $n")
+    val (lon2, lat2) = crs.inverse(7255380.79, 7053389.56)
+    assert(math.abs(lon2 - 120.0) < 1e-7 && math.abs(lat2 + 75.0) < 1e-7)
+    // poles map to the false origin
+    val n3413 = Proj.forward("epsg:3413").get(-45.0, 90.0)
+    assert(math.hypot(n3413._1, n3413._2) < 1e-6)
+    val s3031 = Proj.forward("epsg:3031").get(0.0, -90.0)
+    assert(math.hypot(s3031._1, s3031._2) < 1e-6)
+    // scale is 1 at the latitude of true scale: projected length of a small
+    // east-west step equals the ellipsoidal parallel arc
+    for ((code, latTs) <- Seq("epsg:3413" -> 70.0, "epsg:3031" -> -71.0, "epsg:3995" -> 71.0)) {
+      val fwd = Proj.forward(code).get
+      val d = 1e-4
+      val (x1, y1) = fwd(10.0, latTs)
+      val (x2, y2) = fwd(10.0 + d, latTs)
+      val proj = math.hypot(x2 - x1, y2 - y1)
+      val phi = math.toRadians(latTs)
+      val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      val truth = math.toRadians(d) * nu * math.cos(phi)
+      assert(math.abs(proj / truth - 1) < 1e-7, s"$code scale ${proj / truth}")
+    }
+  }
+
+  test("ETRS89 UTM (258xx): zone range enforced, agrees with WGS84 UTM to <1 mm") {
+    assert(Proj.forward("epsg:25832").isDefined)
+    assert(Proj.forward("epsg:25827").isEmpty && Proj.forward("epsg:25839").isEmpty)
+    // GRS80 vs WGS84 differ in the 11th digit of flattening: same point,
+    // same zone params -> sub-mm difference
+    val (xe, ye) = Proj.forward("epsg:25832").get(9.0, 50.0)
+    val (xw, yw) = Proj.forward("epsg:32632").get(9.0, 50.0)
+    assert(math.hypot(xe - xw, ye - yw) < 1e-3)
   }
 
   test("transformBounds: densified UTM bbox covers the corner-only bbox (curved edges)") {

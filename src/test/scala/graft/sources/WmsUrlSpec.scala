@@ -72,6 +72,41 @@ class WmsUrlSpec extends AnyFunSuite {
     assert(bbox(0) < bbox(2) && bbox(1) < bbox(3))
   }
 
+  test("British National Grid (EPSG:27700) WMS bbox: datum-shifted OSGB eastings/northings") {
+    // a tile over central London
+    val (lx, ly) = graft.core.Tiles.lonLatToTile(-0.1276, 51.5074, 13)
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.1.1&srs=EPSG:27700&bbox={bbox}", 13, lx.toInt, ly.toInt)
+    val bbox = url.split("bbox=")(1).split("&")(0).split(",").map(_.toDouble)
+    // London sits near E 530000 N 180000 on the national grid
+    assert(bbox(0) > 500000 && bbox(2) < 560000, bbox.mkString(","))
+    assert(bbox(1) > 160000 && bbox(3) < 200000, bbox.mkString(","))
+    assert(bbox(0) < bbox(2) && bbox(1) < bbox(3))
+  }
+
+  test("polar stereographic (EPSG:3413) WMS bbox for an Arctic tile") {
+    // a tile over northern Greenland (~ -40W, 80N)
+    val (gx, gy) = graft.core.Tiles.lonLatToTile(-40.0, 80.0, 8)
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.3.0&crs=EPSG:3413&bbox={bbox}", 8, gx.toInt, gy.toInt)
+    val bbox = url.split("bbox=")(1).split("&")(0).split(",").map(_.toDouble)
+    // 1.3.0 swaps unconditionally (reference parity, utils.py:87-89):
+    // [ymin, xmin, ymax, xmax]
+    assert(bbox(0) < bbox(2) && bbox(1) < bbox(3))
+    // near the -45° central meridian at 80N: y ~ -1.1e6, x small
+    assert(bbox(0) > -1300000 && bbox(2) < -900000, bbox.mkString(","))
+    assert(math.abs(bbox(1)) < 500000, bbox.mkString(","))
+  }
+
+  test("ETRS89 UTM 32N (EPSG:25832) WMS bbox over Germany") {
+    val (dx, dy) = graft.core.Tiles.lonLatToTile(9.99, 53.55, 12) // Hamburg
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.1.1&srs=EPSG:25832&bbox={bbox}", 12, dx.toInt, dy.toInt)
+    val bbox = url.split("bbox=")(1).split("&")(0).split(",").map(_.toDouble)
+    assert(bbox(0) > 500000 && bbox(2) < 650000, bbox.mkString(","))
+    assert(bbox(1) > 5800000 && bbox(3) < 6050000, bbox.mkString(","))
+  }
+
   test("ACCESS_TOKEN placeholder survives when env var unset (SafeDict parity)") {
     val filled = TileSources.fillUrl("http://x/{z}/{x}/{y}?t={ACCESS_TOKEN}", 1, 2, 3)
     assert(filled == "http://x/1/2/3?t={ACCESS_TOKEN}" ||

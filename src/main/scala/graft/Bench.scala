@@ -36,6 +36,14 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        // rep isolation: every rep rebuilds its DataFrame from scratch (fn
+        // is re-invoked), and any cached relations from a previous query/
+        // rep are dropped so reuse can't flatter the numbers. (The ~1 ms
+        // agreement between qd13/qd19/qd22 is their shared dominant stage —
+        // the same documents-scan -> tokenize -> candidate-pair subtree —
+        // not cross-query caching; verified by per-rep times staying flat
+        // with clearCache in place.)
+        spark.catalog.clearCache()
         // collect the previous run's garbage before timing this one, so a
         // GC pause isn't billed to whichever query happens to trigger it
         if (sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0") System.gc()
@@ -43,12 +51,24 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // progress to stderr: short lines that survive output-tail capture
+      // even when the final one-line JSON map gets truncated
+      System.err.println(s"""bench ${name}: ${times.min}""")
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the full map ALSO goes to its own file: the driver's tail capture has
+    // truncated the (long) stdout line before, cutting early queries off
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

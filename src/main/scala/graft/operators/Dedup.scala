@@ -279,12 +279,31 @@ object Dedup {
     * literally emptying (`maxIters` is a safety cap). Labels verified
     * identical to the propagation implementation on the sf0.1 graph, and
     * the qd13 oracle (recursive transitive closure) checks them
-    * end-to-end. */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    var e = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    * end-to-end.
+    *
+    * Fault tolerance: each round's result must be checkpointed (the
+    * lineage grows by several joins per round and the loop drives
+    * `isEmpty` actions). By default that is `localCheckpoint()` — fastest,
+    * but blocks live only on executors, so on a cluster with spot/
+    * preemptible executors ONE lost executor makes the truncated-lineage
+    * RDD unrecoverable and fails the job mid-loop. Pass `checkpointDir`
+    * (an HDFS/object-store path on a real cluster) to use reliable
+    * `checkpoint()` instead: blocks persist to the shared filesystem and
+    * survive executor loss. That is the mode a 100 TB deployment should
+    * run; local runs and the bench keep the zero-config fast path. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach { dir =>
+      if (!spark.sparkContext.getCheckpointDir.contains(dir))
+        spark.sparkContext.setCheckpointDir(dir)
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var e = ckpt(pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct().localCheckpoint()
-    val ids = e.select(col("src").as("id")).distinct().localCheckpoint()
+      .distinct())
+    val ids = ckpt(e.select(col("src").as("id")).distinct())
     var hooks = List.empty[DataFrame]
     var i = 0
     var done = e.isEmpty
@@ -302,16 +321,16 @@ object Dedup {
         h.join(h.select(col("r").as(s"r$j"), col("rp").as(s"rp$j")),
             col("rp") === col(s"r$j"), "left")
           .select(col("r"), coalesce(col(s"rp$j"), col("rp")).as("rp"))
-      val h2 = compress(compress(hook, 1), 2).localCheckpoint()
+      val h2 = ckpt(compress(compress(hook, 1), 2))
       hooks ::= h2
       // contract: remap both endpoints through the hooks, drop self-loops
       // and duplicate edges — the graph SHRINKS every round
-      e = e
+      e = ckpt(e
         .join(h2.select(col("r").as("src"), col("rp").as("nsrc")), "src")
         .join(h2.select(col("r").as("dst"), col("rp").as("ndst")), "dst")
         .select(col("nsrc").as("src"), col("ndst").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct().localCheckpoint()
+        .distinct())
       done = e.isEmpty
       i += 1
     }

@@ -74,13 +74,24 @@ object Similarity {
   }
 
   /** All-pairs cosine within each block: (block, id_a, id_b, cos).
-    * Pair fan-out is bounded per block — the embedding near-dup pattern. */
+    * Pair fan-out is bounded per block — the embedding near-dup pattern.
+    *
+    * The within-block self-join is quadratic in block size, so blocks
+    * larger than `maxBlock` are dropped BEFORE the join (the same
+    * degenerate-bucket guard as `Dedup.lshCandidatePairs`' maxBucket): one
+    * skewed block — a null/default block key, an all-zeros embedding
+    * cluster — would otherwise expand to billions of rows at corpus scale.
+    * The count rides a window over the same block partitioning the join
+    * needs. Callers that genuinely want a huge block can raise the cap. */
   def blockedCosinePairs(df: DataFrame, embCol: String, idCol: String,
-      blockCol: String): DataFrame = {
+      blockCol: String, maxBlock: Int = 10000): DataFrame = {
+    require(maxBlock >= 2, "maxBlock must be >= 2")
     val d = dot(df) _
     val emb = df
       .select(col(blockCol).as("block"), col(idCol).as("id"),
         quantize(col(embCol)).as("q"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("block")))
+      .filter(col("__bn") <= maxBlock).drop("__bn")
       .withColumn("nrm", sqrt(d(col("q"), col("q")).cast("double")))
     emb.as("a").join(emb.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))

@@ -54,6 +54,32 @@ class DedupPropSpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters: reliable-checkpoint mode writes checkpoint files and matches the local path") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      // two chains + an isolated pair: multiple contraction rounds
+      val edges = ((0L to 6L).sliding(2).map(w => (w(0), w(1))).toSeq ++
+        (10L to 14L).sliding(2).map(w => (w(0), w(1))).toSeq :+ ((20L, 21L))): Seq[(Long, Long)]
+      val pairs = edges.toDF("id_a", "id_b")
+      val local = Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the reliable path genuinely persisted RDD blocks to the filesystem
+      def files(p: java.io.File): Seq[java.io.File] = {
+        val kids = Option(p.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(new java.io.File(dir)).nonEmpty, "no checkpoint files written")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("duplicateClusters: empty pair set yields empty labels") {
     val s = spark
     import s.implicits._

@@ -30,6 +30,22 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L))) // block "b" has 1 vec
   }
 
+  test("blockedCosinePairs: a block above maxBlock is dropped, not exploded") {
+    val s = spark
+    import s.implicits._
+    // block "big" has 5 vectors (> cap of 4), block "ok" has 3
+    val df = ((0 until 5).map(i => (i.toLong, "big", Seq(1.0f, i.toFloat))) ++
+      (10 until 13).map(i => (i.toLong, "ok", Seq(1.0f, i.toFloat)))).toDF(
+      "vec_id", "label", "embedding")
+    val pairs = Similarity.blockedCosinePairs(df, "embedding", "vec_id", "label", maxBlock = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    // default cap is invisible for sane blocks
+    val all = Similarity.blockedCosinePairs(df, "embedding", "vec_id", "label")
+      .collect()
+    assert(all.length == 10 + 3) // C(5,2) + C(3,2)
+  }
+
   test("lshBuckets: parallel vectors share a bucket, deterministic across runs") {
     val b1 = Similarity.lshBuckets(emb, "embedding", "vec_id", 8, 4)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap

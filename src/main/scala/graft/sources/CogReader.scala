@@ -27,9 +27,11 @@ import graft.core.{TileKey, Tiles}
   *  - striped layout (StripOffsets/RowsPerStrip): each strip modeled as a
   *    full-width tile, so legacy non-COG GeoTIFFs read too
   *
-  *  - Predictor tag 317: horizontal differencing (2) is reversed for 8- and
-  *    16-bit samples; other predictor values throw instead of silently
+  *  - Predictor tag 317: horizontal differencing (2) is reversed for 8-
+  *    and 16-bit samples; the TechNote-3 floating-point predictor (3) for
+  *    float32 samples; other predictor values throw instead of silently
   *    decoding corrupted pixels
+  *  - ZSTD tiles (GDAL compression 50000) via the zstd-jni Spark ships
   *  - uint16 samples (BitsPerSample 16): decoded then downconverted to the
   *    engine's uint8 tile contract by taking the high byte (v >> 8 — the
   *    same linear 16->8 window GDAL's default Byte translation applies)
@@ -474,27 +476,81 @@ object CogReader {
       case 5 => lzwDecode(raw, expected)
       case 8 | 32946 => inflate(raw, expected)
       case 32773 => packBitsDecode(raw, expected)
+      case 50000 => zstdDecompress(raw, expected)
       case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
     }
     if (ifd.predictor == 2)
       undoPredictor2(data, ifd.tileWidth, rowsInChunk, chunkSpp, bytesPer, ifd.littleEndian)
+    else if (ifd.predictor == 3) {
+      if (bytesPer != 4)
+        throw new java.io.IOException(
+          s"TIFF predictor 3 (floating point) with $bytesPer-byte samples — 4-byte float32 only")
+      undoPredictor3(data, ifd.tileWidth, rowsInChunk, chunkSpp, ifd.littleEndian)
+    }
     data
+  }
+
+  /** GDAL's registered ZSTD TIFF compression (tag value 50000), via the
+    * zstd-jni library Spark already ships for shuffle compression. */
+  private[sources] def zstdDecompress(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val out = com.github.luben.zstd.Zstd.decompress(raw, expected)
+    if (out.length != expected)
+      throw new java.io.IOException(
+        s"ZSTD tile decompressed to ${out.length} bytes, expected $expected")
+    out
+  }
+
+  /** Reverse Predictor=3 (TIFF Technical Note 3 floating-point predictor)
+    * in place, matching libtiff's fpAcc: each row's bytes were split into
+    * byte planes (plane 0 = most-significant byte of every sample,
+    * ALWAYS MSB-first regardless of the file's byte order) and then
+    * horizontally differenced at byte level with stride = samples-per-
+    * pixel. Decode = cumulative-sum the row bytes, then reassemble each
+    * sample from its plane bytes — emitted here in the FILE's byte order
+    * so the float-parsing path stays uniform. */
+  private[sources] def undoPredictor3(data: Array[Byte], tw: Int, rows: Int,
+      spp: Int, le: Boolean): Unit = {
+    val n = tw * spp // samples per row
+    val rowBytes = n * 4
+    val tmp = new Array[Byte](rowBytes)
+    var row = 0
+    while (row < rows) {
+      val ro = row * rowBytes
+      var i = spp
+      while (i < rowBytes) {
+        data(ro + i) = ((data(ro + i) + data(ro + i - spp)) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(data, ro, tmp, 0, rowBytes)
+      var s = 0
+      while (s < n) {
+        var k = 0
+        while (k < 4) {
+          val dst = if (le) 3 - k else k
+          data(ro + s * 4 + dst) = tmp(k * n + s)
+          k += 1
+        }
+        s += 1
+      }
+      row += 1
+    }
   }
 
   /** Read one internal tile of a float32 raster (SampleFormat 3, 32-bit
     * samples — the DEM/elevation layout) as interleaved floats,
-    * tileWidth*rowsInChunk*samplesPerPixel. Predictor must be 1 (the
-    * floating-point predictor 3 is not supported — throws rather than
-    * decode corrupted pixels); any byte-level compression works. */
+    * tileWidth*rowsInChunk*samplesPerPixel. Predictor 1 (none) or 3 (the
+    * TIFF TechNote-3 floating-point predictor GDAL writes for DEM COGs)
+    * are supported; predictor 2 is integer-only and throws. Any
+    * byte-level compression works, including ZSTD (50000). */
   private def readTileFloat(reader: RangeReader, ifd: Ifd, tx: Int, ty: Int): Array[Float] = {
     if (ifd.sampleFormat != 3 || ifd.bitsPerSample != 32)
       throw new java.io.IOException(
         s"tileFloat needs SampleFormat 3 / 32-bit samples, got " +
           s"format ${ifd.sampleFormat} / ${ifd.bitsPerSample}-bit")
-    if (ifd.predictor != 1)
+    if (ifd.predictor != 1 && ifd.predictor != 3)
       throw new java.io.IOException(
-        s"unsupported predictor ${ifd.predictor} for float32 samples (1 only) — " +
-          "refusing to decode corrupted pixels")
+        s"unsupported predictor ${ifd.predictor} for float32 samples (1 or 3 only; " +
+          "2 is integer horizontal differencing) — refusing to decode corrupted pixels")
     val tilesAcross = (ifd.width + ifd.tileWidth - 1) / ifd.tileWidth
     val tilesDown = (ifd.height + ifd.tileHeight - 1) / ifd.tileHeight
     val idx = ty * tilesAcross + tx

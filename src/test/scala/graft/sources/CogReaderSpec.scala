@@ -179,7 +179,7 @@ class CogReaderSpec extends AnyFunSuite {
 
   private def writeGradient(path: String, cover: TileKey, bps: Int = 8,
       predictor: Int = 1, planar: Boolean = false, deflate: Boolean = true,
-      lzw: Boolean = false): Unit = {
+      lzw: Boolean = false, zstd: Boolean = false): Unit = {
     val b = Tiles.tileBounds3857(cover)
     val res = (b.east - b.west) / 512
     // for bps=16, emit v*257 = (v<<8)|v so the high byte equals the 8-bit value
@@ -187,8 +187,8 @@ class CogReaderSpec extends AnyFunSuite {
       if (bps == 16) Seq(TiffWriter.Level(512, 512, (x, y) => ((x % 256) * 257, (y % 256) * 257, 7 * 257)))
       else gradientLevels
     TiffWriter.write(path, levels, tileSize = 128, originX = b.west, originY = b.north,
-      resX = res, resY = res, deflate = deflate && !lzw, bps = bps, predictor = predictor,
-      planar = planar, lzw = lzw)
+      resX = res, resY = res, deflate = deflate && !lzw && !zstd, bps = bps,
+      predictor = predictor, planar = planar, lzw = lzw, zstd = zstd)
   }
 
   test("predictor=2 (horizontal differencing) deflate decodes identically to no-predictor") {
@@ -204,10 +204,21 @@ class CogReaderSpec extends AnyFunSuite {
 
   test("unsupported predictor value fails loudly instead of decoding corrupt pixels") {
     val cover = TileKey(10, 300, 400)
-    val p = tmp("pred3.tif")
-    writeGradient(p, cover, predictor = 3) // floating-point predictor: not supported
+    val p = tmp("pred4.tif")
+    writeGradient(p, cover, predictor = 4) // no such predictor
     val e = intercept[java.io.IOException] { CogReader.tile(p, cover) }
     assert(e.getMessage.contains("predictor"))
+  }
+
+  test("ZSTD tiles (compression 50000) decode identically to raw") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("raw_for_zstd.tif")
+    val p2 = tmp("zstd.tif")
+    writeGradient(p1, cover)
+    writeGradient(p2, cover, zstd = true)
+    val (_, _, _, a) = CogReader.tile(p1, cover)
+    val (_, _, _, b) = CogReader.tile(p2, cover)
+    assert(b.sameElements(a))
   }
 
   test("uint16 samples downconvert to uint8 via the high byte") {
@@ -416,7 +427,8 @@ class CogReaderSpec extends AnyFunSuite {
 
   /** A single-band float32 "DEM" covering `cover`: value = x + y / 1000. */
   private def writeFloatDem(path: String, cover: TileKey, size: Int,
-      deflate: Boolean = false, bigendian: Boolean = false): Unit = {
+      deflate: Boolean = false, bigendian: Boolean = false,
+      predictor: Int = 1, zstd: Boolean = false): Unit = {
     val b = Tiles.tileBounds3857(cover)
     val res = (b.east - b.west) / size
     val demBits = (x: Int, y: Int) =>
@@ -424,7 +436,7 @@ class CogReaderSpec extends AnyFunSuite {
     TiffWriter.write(path, Seq(TiffWriter.Level(size, size, demBits)),
       tileSize = 128, originX = b.west, originY = b.north, resX = res, resY = res,
       deflate = deflate, bps = 32, sampleFormat = 3, samplesPerPixel = 1,
-      bigendian = bigendian)
+      bigendian = bigendian, predictor = predictor, zstd = zstd)
   }
 
   test("float32 DEM: tileFloat reads exact elevations, uint8 tile() refuses") {
@@ -452,6 +464,45 @@ class CogReaderSpec extends AnyFunSuite {
     val (_, _, _, b) = CogReader.tileFloat(p2, cover)
     val (_, _, _, c) = CogReader.tileFloat(p3, cover)
     assert(a.sameElements(b) && a.sameElements(c))
+  }
+
+  test("float32 DEM: predictor 3 (raw/deflate/zstd/big-endian) decodes identically to predictor 1") {
+    val cover = TileKey(10, 300, 400)
+    val p0 = tmp("dem_p1.tif")
+    writeFloatDem(p0, cover, 512)
+    val (_, _, _, want) = CogReader.tileFloat(p0, cover)
+    for ((name, write) <- Seq[(String, String => Unit)](
+      ("raw", p => writeFloatDem(p, cover, 512, predictor = 3)),
+      ("deflate", p => writeFloatDem(p, cover, 512, deflate = true, predictor = 3)),
+      ("zstd", p => writeFloatDem(p, cover, 512, zstd = true, predictor = 3)),
+      ("be", p => writeFloatDem(p, cover, 512, bigendian = true, predictor = 3)))) {
+      val p = tmp(s"dem_p3_$name.tif")
+      write(p)
+      val (_, _, _, got) = CogReader.tileFloat(p, cover)
+      assert(got.sameElements(want), s"variant $name")
+    }
+  }
+
+  test("float32 DEM: integer predictor 2 is refused (float needs predictor 1 or 3)") {
+    val cover = TileKey(10, 300, 400)
+    // TiffWriter refuses to create float+predictor-2; write predictor 3 and
+    // patch its tag value (tag 317 = 0x013d, type SHORT=3, LE inline value)
+    val p = tmp("dem_p2_patched.tif")
+    writeFloatDem(p, cover, 256, predictor = 3)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    var i = 0
+    var patched = false
+    while (i < bytes.length - 12 && !patched) {
+      if ((bytes(i) & 0xff) == 0x3d && (bytes(i + 1) & 0xff) == 0x01 &&
+        (bytes(i + 2) & 0xff) == 3 && (bytes(i + 8) & 0xff) == 3) {
+        bytes(i + 8) = 2; patched = true
+      }
+      i += 1
+    }
+    assert(patched, "could not locate predictor tag to patch")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[java.io.IOException](CogReader.tileFloat(p, cover))
+    assert(e.getMessage.contains("predictor"))
   }
 
   test("float32 DEM: pixels outside the raster are NaN, not 0 (0 is a valid elevation)") {

@@ -19,8 +19,8 @@ object TiffWriter {
       predictor: Int = 1, bps: Int = 8, planar: Boolean = false,
       lzw: Boolean = false, packbits: Boolean = false,
       samplesPerPixel: Int = 3, bigendian: Boolean = false,
-      sampleFormat: Int = 1): Unit = {
-    require(Seq(deflate, jpeg, lzw, packbits).count(identity) <= 1, "pick one compression")
+      sampleFormat: Int = 1, zstd: Boolean = false): Unit = {
+    require(Seq(deflate, jpeg, lzw, packbits, zstd).count(identity) <= 1, "pick one compression")
     require(samplesPerPixel == 1 || samplesPerPixel == 3, "1 (gray) or 3 (RGB) samples")
     require(!jpeg || samplesPerPixel == 3, "jpeg fixtures are RGB")
     val spp0 = samplesPerPixel
@@ -32,7 +32,8 @@ object TiffWriter {
     // IEEE-754 bits (floatToIntBits) — store() writes them as 4-byte words
     require(bps == 8 || bps == 16 || (bps == 32 && sampleFormat == 3),
       "bps 8/16 (int) or 32 (float)")
-    require(bps != 32 || (predictor == 1 && !jpeg), "float fixtures: no predictor/jpeg")
+    require(bps != 32 || (predictor != 2 && !jpeg), "float fixtures: predictor 1/3, no jpeg")
+    require(predictor != 3 || bps == 32, "predictor 3 is float32-only")
     require(!(bigtiff && bigendian), "BE fixtures are classic-TIFF only (keeps the patching simple)")
     val bos = new java.io.ByteArrayOutputStream()
     def pad(): Unit = while (bos.size() % 2 != 0) bos.write(0)
@@ -118,6 +119,21 @@ object TiffWriter {
           }
           i += 1
         }
+        if (predictor == 3) { // TIFF TechNote 3: byte planes (MSB first) + delta
+          val n = chunkW * spp // samples per row
+          val rowBytes = n * 4
+          val tmp = new Array[Byte](rowBytes)
+          for (row <- 0 until raw.length / rowBytes) {
+            val ro = row * rowBytes
+            System.arraycopy(raw, ro, tmp, 0, rowBytes)
+            for (s <- 0 until n; k <- 0 until 4) {
+              val srcByte = if (bigendian) k else 3 - k // plane 0 = MSB
+              raw(ro + k * n + s) = tmp(s * 4 + srcByte)
+            }
+            var i = rowBytes - 1
+            while (i >= spp) { raw(ro + i) = (raw(ro + i) - raw(ro + i - spp)).toByte; i -= 1 }
+          }
+        }
         if (deflate) {
           val d = new java.util.zip.Deflater()
           d.setInput(raw); d.finish()
@@ -126,6 +142,7 @@ object TiffWriter {
           d.end()
           java.util.Arrays.copyOf(buf, n)
         } else if (lzw) lzwEncode(raw)
+        else if (zstd) com.github.luben.zstd.Zstd.compress(raw)
         else if (packbits) packBitsEncode(raw)
         else if (jpeg) {
           val full = encodeJpeg(raw, tileSize, tileSize)
@@ -176,7 +193,7 @@ object TiffWriter {
       val nTiles = p.tiles.length
       val comp =
         if (deflate) 8L else if (jpeg) 7L else if (lzw) 5L
-        else if (packbits) 32773L else 1L
+        else if (zstd) 50000L else if (packbits) 32773L else 1L
       val photometric = if (jpeg) 6L else if (spp0 == 1) 1L else 2L
       // `data` = the element values, inlined into the entry whenever they
       // fit (<= 4 bytes classic, <= 8 BigTIFF — required by spec, and what

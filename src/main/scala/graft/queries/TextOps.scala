@@ -30,7 +30,34 @@ object TextOps {
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("source")))
   }
 
+  /** Unique memory-sink names across reps (Bench runs each query twice). */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The INGEST-TIME near-dup operator under the oracle: the same banded
+    // simhash pairs as qd25, but found by StreamingDedup probing corpus
+    // state across a 3-micro-batch replay (MemoryStream). The oracle SQL
+    // is qd25's batch formula — the lowest-equal-band exactly-once
+    // emission is invisible to a DISTINCT-pairs oracle, so cross-batch
+    // state probing is what's actually being verified.
+    "qd29_streaming_neardup" -> { (s, d) =>
+      import s.implicits._
+      val docs = withDups(s, d).filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val name = s"qd29_sink_${sinkSeq.incrementAndGet()}"
+      val q = graft.streaming.StreamingDedup.nearDupPairs(
+          graft.operators.Text.simhash16(
+            mem.toDF.toDF("doc_id", "text"), "text", "doc_id"),
+          "simhash", "doc_id", hashBits = 16, numBands = 4, maxHamming = 2)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      val n = docs.length
+      Seq(docs.slice(0, n / 3), docs.slice(n / 3, 2 * n / 3), docs.slice(2 * n / 3, n))
+        .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+      q.stop()
+      s.table(name).orderBy("id_a", "id_b")
+    },
     // Token counting + corpus stats per language (public Text facade).
     "qd01_text_stats" -> { (s, d) =>
       graft.operators.Text.corpusStats(t(s, d, "documents"), "text", "n_chars", "lang")
@@ -336,6 +363,32 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical formula to qd25 — the streaming operator must land on the
+    // batch answer (see the qd29 query comment)
+    "qd29_streaming_neardup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
+        |bits AS (SELECT doc_id, b,
+        |  ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) % 2 AS bit
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+        |bal AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+        |  FROM bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bal GROUP BY doc_id),
+        |bands AS (SELECT doc_id,
+        |  CAST(b AS VARCHAR) || '/' || CAST((simhash >> CAST(4 * b AS INT)) & 15 AS VARCHAR) AS band
+        | FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band)
+        |SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hd
+        |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "qd01_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens,

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Parity of the ingest-time near-dup operators with their batch
+  * counterparts: identical output run as one batch, and identical output
+  * (as a set, with cross-batch pairs present) run as a 3-micro-batch
+  * stream — the corpus-state probing the VERDICT backlog asks for. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** documents with injected near-dups under shifted ids (same recipe as
+    * the qd* gate queries) — collected so MemoryStream can replay them. */
+  private lazy val docs: Array[(Long, String)] = {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    d.unionAll(
+        d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .as[(Long, String)].collect().sortBy(_._1)
+  }
+
+  private def docsDf: DataFrame = docs.toSeq.toDF("doc_id", "text")
+
+  private def runStream[T](chunks: Seq[Seq[(Long, String)]],
+      build: DataFrame => org.apache.spark.sql.Dataset[T], name: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = build(mem.toDF.toDF("doc_id", "text")).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  private def chunks3: Seq[Seq[(Long, String)]] = {
+    val n = docs.length
+    // split so the injected dups (ids >= 1000000) land in a LATER batch
+    // than their originals — cross-batch pairs must still be found
+    Seq(docs.slice(0, n / 3).toSeq, docs.slice(n / 3, 2 * n / 3).toSeq,
+      docs.slice(2 * n / 3, n).toSeq)
+  }
+
+  test("hamming nearDupPairs on batch equals the batch operator") {
+    val sig = graft.operators.Text.simhash16(docsDf, "text", "doc_id")
+    val streaming = StreamingDedup.nearDupPairs(sig, "simhash", "doc_id",
+        hashBits = 16, numBands = 4, maxHamming = 2)
+      .collect().map(p => (p.id_a, p.id_b, p.hd)).toSet
+    val batch = graft.operators.Dedup.hammingNearDupPairs(sig, "simhash", "doc_id",
+        hashBits = 16, numBands = 4, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "batch operator found no pairs — test data defect")
+    assert(streaming == batch)
+  }
+
+  test("hamming nearDupPairs across 3 micro-batches equals the batch operator") {
+    val res = runStream[StreamingDedup.PairOut](chunks3,
+      df => StreamingDedup.nearDupPairs(
+        graft.operators.Text.simhash16(df, "text", "doc_id"), "simhash", "doc_id",
+        hashBits = 16, numBands = 4, maxHamming = 2), "sd_ham")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val batch = graft.operators.Dedup.hammingNearDupPairs(
+        graft.operators.Text.simhash16(docsDf, "text", "doc_id"), "simhash", "doc_id",
+        hashBits = 16, numBands = 4, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.length == got.distinct.length, "a pair was emitted twice")
+    assert(got.toSet == batch)
+    // the injected dups (shifted ids) arrive 1-2 batches after their
+    // originals: at least one pair must span micro-batches
+    assert(got.exists { case (a, b, _) => b >= 1000000 && a < 1000000 },
+      "no cross-micro-batch pair found — corpus state was not probed")
+  }
+
+  test("streaming simhashNearDupPairs face matches batch simhashNearDupPairs") {
+    val res = runStream[StreamingDedup.PairOut](chunks3,
+      df => StreamingDedup.simhashNearDupPairs(df, "text", "doc_id"), "sd_sh")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val batch = graft.operators.Dedup.simhashNearDupPairs(docsDf, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty)
+    assert(got.length == got.distinct.length)
+    assert(got.toSet == batch)
+  }
+
+  test("lsh candidate pairs on batch and across 3 micro-batches equal the batch operator") {
+    val batch = graft.operators.Dedup.lshCandidatePairs(docsDf, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "no LSH candidates — test data defect")
+    val oneShot = StreamingDedup.lshCandidatePairs(docsDf, "text", "doc_id")
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(oneShot == batch)
+    val res = runStream[StreamingDedup.CandOut](chunks3,
+      df => StreamingDedup.lshCandidatePairs(df, "text", "doc_id"), "sd_lsh")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "a candidate was emitted twice")
+    assert(got.toSet == batch)
+    assert(got.exists { case (a, b) => b >= 1000000 && a < 1000000 },
+      "no cross-micro-batch candidate — corpus state was not probed")
+  }
+
+  test("replayed rows (at-least-once upstream) do not double-emit") {
+    val c = chunks3
+    // replay chunk 2 verbatim as a 4th micro-batch
+    val res = runStream[StreamingDedup.PairOut](c :+ c(1),
+      df => StreamingDedup.simhashNearDupPairs(df, "text", "doc_id"), "sd_replay")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == got.distinct.length, "replay double-emitted a pair")
+    val batch = graft.operators.Dedup.simhashNearDupPairs(docsDf, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == batch)
+  }
+
+  test("a bucket past maxBucket saturates: stops emitting instead of exploding") {
+    // 30 identical docs -> every band bucket holds all 30; cap at 10
+    val same = (1L to 30L).map(i => (i, "the same exact text every time")).toDF("doc_id", "text")
+    val pairs = StreamingDedup.simhashNearDupPairs(same, "text", "doc_id", maxBucket = 10)
+      .collect()
+    // only pairs among the first 11 arrivals (cap hits when the 11th joins)
+    assert(pairs.nonEmpty && pairs.forall(p => p.id_b <= 11))
+    assert(pairs.length <= 11 * 10 / 2)
+  }
+}

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * Spark-side plumbing (schema, partitioning, batch shape) is real and
   * tested. Codec coverage in this container: PNG/JPEG decode + resize are
   * REAL (javax.imageio + Graphics2D); WAV/PCM16 audio parsing is REAL
-  * (plain header parse); compressed audio/video decode is STUBBED with a
-  * deterministic md5-derived fake (no codec libs in the container) behind
-  * the same API, so swapping in a real codec changes one function.
+  * (plain header parse); video frame sampling is REAL for AVI/MJPEG
+  * (RIFF walk + the JVM's JPEG decoder — [[sampleFramesAvi]]); other
+  * video containers are refused loudly by [[sampleFrames]], with a
+  * deterministic md5-derived stub ([[sampleFramesStub]]) available for
+  * plumbing tests, so swapping in a real codec changes one function.
   */
 object Multimodal {
 
@@ -78,9 +80,12 @@ object Multimodal {
     val spark = df.sparkSession
     val schema = df.schema.add(out, imageMetaSchema, nullable = true)
     val enc = org.apache.spark.sql.Encoders.row(schema)
+    // index-based access: a chained mapPartitions (e.g. after
+    // explodeFrames) hands over schema-less rows within the fused stage
+    val bin = df.schema.fieldIndex(binaryCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val meta = Option(r.getAs[Array[Byte]](binaryCol)).flatMap(decodeImageMeta)
+        val meta = Option(r.get(bin).asInstanceOf[Array[Byte]]).flatMap(decodeImageMeta)
           .map(m => Row(m.width, m.height, m.bands, m.meanR, m.meanG, m.meanB)).orNull
         Row.fromSeq(r.toSeq :+ meta)
       }
@@ -137,9 +142,10 @@ object Multimodal {
       out: String = "embedding", grid: Int = 4): DataFrame = {
     val schema = df.schema.add(out, ArrayType(FloatType), nullable = true)
     val enc = org.apache.spark.sql.Encoders.row(schema)
+    val bin = df.schema.fieldIndex(binaryCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val emb = Option(r.getAs[Array[Byte]](binaryCol))
+        val emb = Option(r.get(bin).asInstanceOf[Array[Byte]])
           .flatMap(b => imageEmbedding(b, grid)).map(_.toSeq).orNull
         Row.fromSeq(r.toSeq :+ emb)
       }
@@ -195,9 +201,10 @@ object Multimodal {
   def withImageAHash(df: DataFrame, binaryCol: String, out: String = "ahash"): DataFrame = {
     val schema = df.schema.add(out, LongType, nullable = true)
     val enc = org.apache.spark.sql.Encoders.row(schema)
+    val bin = df.schema.fieldIndex(binaryCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val hsh = Option(r.getAs[Array[Byte]](binaryCol)).flatMap(aHash64)
+        val hsh = Option(r.get(bin).asInstanceOf[Array[Byte]]).flatMap(aHash64)
           .map(java.lang.Long.valueOf).orNull
         Row.fromSeq(r.toSeq :+ hsh)
       }
@@ -245,12 +252,99 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  // ---- video (STUB) ----
+  // ---- video ----
 
-  /** STUB — no video codecs in this container. Deterministic fake frame
-    * sampler: emits `n` pseudo-frames whose bytes derive from md5(media ||
-    * frameIdx); shape/partitioning/API match what a real decoder (e.g.
-    * jcodec) would return, so only this function changes when one exists. */
+  private def cc(b: Array[Byte], off: Int): String =
+    if (off + 4 <= b.length) new String(b, off, 4, "ISO-8859-1") else ""
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Is this binary an AVI container (RIFF/'AVI ' magic)? */
+  def isAvi(media: Array[Byte]): Boolean =
+    media.length >= 12 && cc(media, 0) == "RIFF" && cc(media, 8) == "AVI "
+
+  /** REAL AVI/MJPEG frame sampling (public RIFF-AVI container spec +
+    * the JVM's own JPEG decoder — MJPEG video frames ARE standalone JPEG
+    * images in '##dc' chunks). Walks the RIFF tree to the 'movi' LIST
+    * (recursing into 'rec ' groups), collects the video-frame chunks, and
+    * returns `min(n, frames)` of them uniformly strided — each element is
+    * a complete JPEG, so it feeds [[withImageAHash]] /
+    * [[withImageEmbedding]] / [[withImageMeta]] unchanged.
+    *
+    * Honest refusals (IOException, never silent garbage): a video stream
+    * whose strh fccHandler is not MJPG/mjpg/dmb1, a movi LIST with no
+    * video chunks, or a structurally broken RIFF tree. Non-AVI containers
+    * are refused by [[sampleFrames]] before this is called. */
+  def sampleFramesAvi(media: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (!isAvi(media)) throw new java.io.IOException("not a RIFF/AVI container")
+    var codec: String = null
+    var moviOff = -1L
+    var moviEnd = -1L
+    // top-level walk: LIST 'hdrl' (stream headers), LIST 'movi' (frames)
+    def walk(off: Long, end: Long): Unit = {
+      var pos = off
+      while (pos + 8 <= end) {
+        val id = cc(media, pos.toInt)
+        val len = u32le(media, pos.toInt + 4)
+        if (id == "LIST" && pos + 12 <= end) {
+          val ltype = cc(media, pos.toInt + 8)
+          if (ltype == "movi") { moviOff = pos + 12; moviEnd = math.min(end, pos + 8 + len) }
+          else walk(pos + 12, math.min(end, pos + 8 + len))
+        } else if (id == "strh" && pos + 8 + 8 <= end) {
+          // fccType at +8, fccHandler at +12 (first video stream wins)
+          if (cc(media, pos.toInt + 8) == "vids" && codec == null)
+            codec = cc(media, pos.toInt + 12)
+        }
+        if (len < 0 || len > media.length) throw new java.io.IOException("malformed RIFF chunk length")
+        pos += 8 + len + (len & 1)
+      }
+    }
+    walk(12, math.min(media.length.toLong, 8 + u32le(media, 4)))
+    if (moviOff < 0) throw new java.io.IOException("AVI has no movi LIST")
+    if (codec != null && !Seq("MJPG", "mjpg", "dmb1").contains(codec))
+      throw new java.io.IOException(
+        s"AVI video codec '$codec' is not MJPEG — no decoder in this JVM, refusing")
+    // collect video frame chunks ('##dc' compressed / '##db' uncompressed),
+    // recursing into 'rec ' interleave groups
+    val frames = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (off, len)
+    def scanMovi(off: Long, end: Long): Unit = {
+      var pos = off
+      while (pos + 8 <= end) {
+        val id = cc(media, pos.toInt)
+        val len = u32le(media, pos.toInt + 4)
+        if (len < 0 || len > media.length) throw new java.io.IOException("malformed RIFF chunk length")
+        if (id == "LIST" && cc(media, pos.toInt + 8) == "rec ")
+          scanMovi(pos + 12, math.min(end, pos + 8 + len))
+        else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db")) && len > 0)
+          frames += ((pos + 8, len))
+        pos += 8 + len + (len & 1)
+      }
+    }
+    scanMovi(moviOff, moviEnd)
+    if (frames.isEmpty) throw new java.io.IOException("AVI movi LIST has no video frames")
+    val m = math.min(n, frames.length)
+    (0 until m).map { j =>
+      val (off, len) = frames((j.toLong * frames.length / m).toInt)
+      java.util.Arrays.copyOfRange(media, off.toInt, (off + len).toInt)
+    }
+  }
+
+  /** Frame sampling over a video binary: REAL for AVI/MJPEG
+    * ([[sampleFramesAvi]]); every other container is refused loudly — no
+    * other codec exists in this JVM, and silently faking frames for real
+    * video bytes would poison a pipeline. For plumbing tests without real
+    * video, use [[sampleFramesStub]] explicitly. */
+  def sampleFrames(media: Array[Byte], n: Int): Seq[Array[Byte]] =
+    if (isAvi(media)) sampleFramesAvi(media, n)
+    else throw new java.io.IOException(
+      "unsupported video container (AVI/MJPEG only — no other codecs in this JVM)")
+
+  /** STUB — deterministic fake frame sampler for non-AVI containers:
+    * emits `n` pseudo-frames whose bytes derive from md5(media ||
+    * frameIdx); shape/partitioning/API match the real
+    * [[sampleFramesAvi]], so plumbing can be exercised without codecs. */
   def sampleFramesStub(media: Array[Byte], n: Int): Seq[Array[Byte]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until n).map { i =>
@@ -263,18 +357,28 @@ object Multimodal {
 
   /** Explode a video binary column into (row, frame_idx, frame) rows —
     * the distributed frame-sampling shape (flatMap preserves partitioning;
-    * no shuffle). */
-  def explodeFrames(df: DataFrame, binaryCol: String, nFrames: Int): DataFrame = {
+    * no shuffle). The default sampler decodes AVI/MJPEG rows for REAL
+    * (frames are standalone JPEGs, ready for [[withImageAHash]] etc.) and
+    * falls back to the deterministic stub for other containers so mixed
+    * corpora keep flowing; pass `sampler = Multimodal.sampleFrames` to
+    * refuse non-AVI rows loudly instead. */
+  def explodeFrames(df: DataFrame, binaryCol: String, nFrames: Int,
+      sampler: (Array[Byte], Int) => Seq[Array[Byte]] = autoSampler): DataFrame = {
     val schema = df.schema
       .add("frame_idx", IntegerType).add("frame", BinaryType)
     val enc = org.apache.spark.sql.Encoders.row(schema)
+    val bin = df.schema.fieldIndex(binaryCol)
     df.mapPartitions { it =>
       it.flatMap { r =>
-        val media = r.getAs[Array[Byte]](binaryCol)
-        sampleFramesStub(media, nFrames).zipWithIndex.map { case (frame, i) =>
+        val media = r.get(bin).asInstanceOf[Array[Byte]]
+        sampler(media, nFrames).zipWithIndex.map { case (frame, i) =>
           Row.fromSeq(r.toSeq :+ i :+ frame)
         }
       }
     }(enc)
   }
+
+  /** Real decode for AVI/MJPEG, deterministic stub for anything else. */
+  def autoSampler(media: Array[Byte], n: Int): Seq[Array[Byte]] =
+    if (isAvi(media)) sampleFramesAvi(media, n) else sampleFramesStub(media, n)
 }

@@ -121,4 +121,112 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  // ---- AVI/MJPEG fixtures ----
+
+  private def jpegFrame(r: Int, g: Int, b: Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gr = img.createGraphics()
+    gr.setColor(new java.awt.Color(r, g, b))
+    gr.fillRect(0, 0, w, h)
+    gr.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 != 0) Array(0.toByte) else Array.emptyByteArray
+    id.getBytes("ISO-8859-1") ++ le32(data.length) ++ data ++ pad
+  }
+
+  private def list(ltype: String, children: Array[Byte]): Array[Byte] =
+    chunk("LIST", ltype.getBytes("ISO-8859-1") ++ children)
+
+  /** Minimal spec-shaped AVI: hdrl (avih + strl(strh,strf)) + movi with
+    * one '00dc' chunk per frame, optionally 'rec '-grouped. */
+  private def mjpegAvi(frames: Seq[Array[Byte]], codec: String = "MJPG",
+      recGroups: Boolean = false): Array[Byte] = {
+    val strh = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("ISO-8859-1")).put(codec.getBytes("ISO-8859-1"))
+    strh.putInt(0).putInt(0).putInt(0).putInt(1).putInt(25) // flags/prio/frames.. scale/rate
+    val strf = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(32).putInt(32).putShort(1).putShort(24)
+    strf.put(codec.getBytes("ISO-8859-1"))
+    val avih = new Array[Byte](56)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+    val frameChunks = frames.map(f => chunk("00dc", f))
+    val moviBody =
+      if (recGroups) frameChunks.map(fc => list("rec ", fc)).fold(Array.emptyByteArray)(_ ++ _)
+      else frameChunks.fold(Array.emptyByteArray)(_ ++ _)
+    val movi = list("movi", moviBody)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  test("AVI/MJPEG: real frame sampling decodes uniformly-strided JPEG frames") {
+    // 10 frames, red ramp 0,25,..,225
+    val avi = mjpegAvi((0 until 10).map(i => jpegFrame(25 * i, 0, 0)))
+    val got = Multimodal.sampleFramesAvi(avi, 5)
+    assert(got.length == 5)
+    got.zipWithIndex.foreach { case (f, j) =>
+      val m = Multimodal.decodeImageMeta(f).getOrElse(fail(s"frame $j not a decodable JPEG"))
+      assert(m.width == 32 && m.height == 32)
+      val want = 25 * (j * 10 / 5) // uniform stride: source frames 0,2,4,6,8
+      assert(math.abs(m.meanR - want) < 8, s"frame $j meanR ${m.meanR} != ~$want")
+    }
+    // n beyond frame count returns every frame once
+    assert(Multimodal.sampleFramesAvi(avi, 99).length == 10)
+    // 'rec '-grouped interleave is walked too
+    val rec = mjpegAvi((0 until 4).map(i => jpegFrame(0, 60 * i, 0)), recGroups = true)
+    assert(Multimodal.sampleFramesAvi(rec, 4).length == 4)
+  }
+
+  test("AVI refusals are loud: non-MJPEG codec, frameless movi, non-AVI container") {
+    val frames = Seq(jpegFrame(10, 10, 10))
+    val h264 = intercept[java.io.IOException] {
+      Multimodal.sampleFramesAvi(mjpegAvi(frames, codec = "H264"), 1)
+    }
+    assert(h264.getMessage.contains("codec"))
+    val empty = intercept[java.io.IOException] {
+      Multimodal.sampleFramesAvi(mjpegAvi(Nil), 1)
+    }
+    assert(empty.getMessage.contains("no video frames"))
+    val notAvi = intercept[java.io.IOException] {
+      Multimodal.sampleFrames("definitely not a video".getBytes, 1)
+    }
+    assert(notAvi.getMessage.contains("container"))
+  }
+
+  test("video near-dup pipeline end-to-end: AVI frames -> aHash -> hamming pairs") {
+    import java.awt.Color
+    def pattern(l: Color, r: Color): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(l); gr.fillRect(0, 0, 16, 32)
+      gr.setColor(r); gr.fillRect(16, 0, 16, 32)
+      gr.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    // video 2 re-encodes video 1's scene slightly brighter; video 3 differs
+    val v1 = mjpegAvi(Seq(pattern(new Color(230, 230, 230), new Color(20, 20, 20))))
+    val v2 = mjpegAvi(Seq(pattern(new Color(218, 218, 218), new Color(32, 32, 32))))
+    val v3 = mjpegAvi(Seq(pattern(new Color(20, 20, 20), new Color(230, 230, 230))))
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("id", "media")
+    val frames = Multimodal.explodeFrames(df, "media", 1) // real path (AVI)
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+    val hashed = Multimodal.withImageAHash(frames, "frame")
+      .withColumn("fid", $"id" * 10 + $"frame_idx")
+    val pairs = graft.operators.Dedup.hammingNearDupPairs(
+        hashed, "ahash", "fid", hashBits = 64, numBands = 4, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((10L, 20L)), s"expected the near-dup videos' frames paired, got $pairs")
+  }
 }

@@ -168,6 +168,29 @@ object Proj {
   final case class Crs(kernel: Kernel, ell: Ellipsoid,
       datum: Option[Helmert] = None) {
 
+    // per-kernel constants cached once per Crs instance — the COG warp
+    // path calls forward() per output pixel (65k/tile), and recomputing
+    // the LCC/Albers log-pow constants or the Krüger xi(lat0) series
+    // every call would dominate the loop
+    private lazy val tmercXi0: Double = kernel match {
+      case t: Tmerc if t.lat0 != 0 => xiAtMeridian(t.lat0)
+      case _ => 0.0
+    }
+    private lazy val lccC: (Double, Double, Double) = kernel match {
+      case l: Lcc2sp => lccConstsOf(l)
+      case _ => (0.0, 0.0, 0.0)
+    }
+    private lazy val albersC: (Double, Double, Double) = kernel match {
+      case a: AlbersK => albersConstsOf(a)
+      case _ => (0.0, 0.0, 0.0)
+    }
+    private lazy val psC: (Double, Double) = kernel match {
+      case p: PolarStereo =>
+        val phiTs = math.toRadians(math.abs(p.latTs))
+        (psT(phiTs), mFn(phiTs))
+      case _ => (0.0, 0.0)
+    }
+
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val (lo, la) = datum match {
         case None => (lon, lat)
@@ -265,13 +288,11 @@ object Proj {
         eta += ell.alpha(j - 1) * math.cos(2 * j * xip) * math.sinh(2 * j * etap)
         j += 1
       }
-      val xi0 = if (p.lat0 == 0) 0.0 else xiAtMeridian(p.lat0)
-      (p.fe + p.k0 * ell.ka * eta, p.fn + p.k0 * ell.ka * (xi - xi0))
+      (p.fe + p.k0 * ell.ka * eta, p.fn + p.k0 * ell.ka * (xi - tmercXi0))
     }
 
     private def tmercInv(p: Tmerc, x: Double, y: Double): (Double, Double) = {
-      val xi0 = if (p.lat0 == 0) 0.0 else xiAtMeridian(p.lat0)
-      val xi = (y - p.fn) / (p.k0 * ell.ka) + xi0
+      val xi = (y - p.fn) / (p.k0 * ell.ka) + tmercXi0
       val eta = (x - p.fe) / (p.k0 * ell.ka)
       var xip = xi
       var etap = eta
@@ -298,7 +319,7 @@ object Proj {
       math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), ell.e / 2)
     }
 
-    private def lccConsts(p: Lcc2sp): (Double, Double, Double) = {
+    private def lccConstsOf(p: Lcc2sp): (Double, Double, Double) = {
       val (phi0, phi1, phi2) =
         (math.toRadians(p.lat0), math.toRadians(p.sp1), math.toRadians(p.sp2))
       val n = (math.log(mFn(phi1)) - math.log(mFn(phi2))) /
@@ -309,14 +330,14 @@ object Proj {
     }
 
     private def lccFwd(p: Lcc2sp, lon: Double, lat: Double): (Double, Double) = {
-      val (n, bigF, rho0) = lccConsts(p)
+      val (n, bigF, rho0) = lccC
       val rho = ell.a * bigF * math.pow(tFn(math.toRadians(lat)), n)
       val theta = n * math.toRadians(lon - p.lon0)
       (p.fe + rho * math.sin(theta), p.fn + rho0 - rho * math.cos(theta))
     }
 
     private def lccInv(p: Lcc2sp, x: Double, y: Double): (Double, Double) = {
-      val (n, bigF, rho0) = lccConsts(p)
+      val (n, bigF, rho0) = lccC
       val dx = x - p.fe
       val dy = rho0 - (y - p.fn)
       val rho = math.signum(n) * math.hypot(dx, dy)
@@ -334,7 +355,7 @@ object Proj {
         (1 / (2 * ell.e)) * math.log((1 - ell.e * s) / (1 + ell.e * s)))
     }
 
-    private def albersConsts(p: AlbersK): (Double, Double, Double) = {
+    private def albersConstsOf(p: AlbersK): (Double, Double, Double) = {
       val (phi0, phi1, phi2) =
         (math.toRadians(p.lat0), math.toRadians(p.sp1), math.toRadians(p.sp2))
       val n = (mFn(phi1) * mFn(phi1) - mFn(phi2) * mFn(phi2)) / (qFn(phi2) - qFn(phi1))
@@ -344,14 +365,14 @@ object Proj {
     }
 
     private def albersFwd(p: AlbersK, lon: Double, lat: Double): (Double, Double) = {
-      val (n, c, rho0) = albersConsts(p)
+      val (n, c, rho0) = albersC
       val rho = ell.a * math.sqrt(c - n * qFn(math.toRadians(lat))) / n
       val theta = n * math.toRadians(lon - p.lon0)
       (p.fe + rho * math.sin(theta), p.fn + rho0 - rho * math.cos(theta))
     }
 
     private def albersInv(p: AlbersK, x: Double, y: Double): (Double, Double) = {
-      val (n, c, rho0) = albersConsts(p)
+      val (n, c, rho0) = albersC
       val dx = x - p.fe
       val dy = rho0 - (y - p.fn)
       val rho = math.hypot(dx, dy)
@@ -381,9 +402,7 @@ object Proj {
 
     private def psFwd(p: PolarStereo, lon: Double, lat: Double): (Double, Double) = {
       val south = p.latTs < 0
-      val phiTs = math.toRadians(math.abs(p.latTs))
-      val tc = psT(phiTs)
-      val mc = mFn(phiTs)
+      val (tc, mc) = psC
       val phi = math.toRadians(if (south) -lat else lat)
       val rho = ell.a * mc * psT(phi) / tc
       val theta = math.toRadians(lon - p.lon0)
@@ -393,9 +412,7 @@ object Proj {
 
     private def psInv(p: PolarStereo, x: Double, y: Double): (Double, Double) = {
       val south = p.latTs < 0
-      val phiTs = math.toRadians(math.abs(p.latTs))
-      val tc = psT(phiTs)
-      val mc = mFn(phiTs)
+      val (tc, mc) = psC
       val dx = x - p.fe
       val dy = y - p.fn
       val rho = math.hypot(dx, dy)

@@ -10,8 +10,14 @@ import graft.core.{TileKey, Tiles}
   *  - tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts)
   *  - compression: none (1), LZW (5, native early-change decoder) and
   *    DEFLATE (8 / 32946, via java.util.zip)
-  *  - georeferencing: ModelPixelScale + ModelTiepoint in EPSG:3857
-  *    (the web-mercator COG layout this pipeline consumes)
+  *  - georeferencing: ModelPixelScale + ModelTiepoint; the CRS comes from
+  *    the GeoKey directory (tag 34735, ProjectedCSTypeGeoKey /
+  *    GeographicTypeGeoKey). Web-mercator (3857/900913, or no GeoKeys)
+  *    reads directly; any other EPSG code in [[graft.core.Proj]]'s table
+  *    (4326, 3395, UTM, 27700, LCC, Albers, polar stereo) is warped
+  *    per-pixel to the 3857 tile grid (inverse-mercator -> forward-native
+  *    nearest-neighbor, the rio-tiler/WarpedVRT behavior); unknown codes
+  *    throw
   *  - COG access pattern: header + IFD parse from one bounded read, then
   *    RANGE reads of only the tiles intersecting the window
   *  - overview selection: the reduced-resolution IFD closest to the target
@@ -38,7 +44,6 @@ import graft.core.{TileKey, Tiles}
   *  - PlanarConfiguration 2: per-plane tiles (plane-major order per the
   *    TIFF 6.0 spec) are read and interleaved to the chunky layout
   *
-  * Not covered (documented divergence, SURVEY §7 R2): non-3857 CRSes.
   */
 object CogReader {
 
@@ -94,7 +99,8 @@ object CogReader {
       planarConfig: Int = 1, // tag 284 (1 = chunky, 2 = per-plane tiles)
       littleEndian: Boolean = true, // file byte order (for 16-bit samples)
       striped: Boolean = false, // strips modeled as tiles; last one may be SHORT
-      sampleFormat: Int = 1) // tag 339 (1 = unsigned, 2 = signed, 3 = IEEE float)
+      sampleFormat: Int = 1, // tag 339 (1 = unsigned, 2 = signed, 3 = IEEE float)
+      epsg: Option[Int] = None) // GeoKey 3072 (projected) or 2048 (geographic)
 
   private final class TiffBuf(bytes: Array[Byte]) {
     var le: Boolean = true
@@ -175,6 +181,7 @@ object CogReader {
       var predictor = 1
       var planarConfig = 1
       var sampleFormat = 1
+      var geoKeys = Array.empty[Long]
       var i = 0
       while (i < n) {
         val e = entryOff(i)
@@ -221,6 +228,7 @@ object CogReader {
           case 33550 => scale = Some((vb.f64(vo), vb.f64(vo + 8)))
           case 33922 => // tiepoint: i,j,k, x,y,z
             tie = Some((vb.f64(vo + 24), vb.f64(vo + 32)))
+          case 34735 => geoKeys = longs // GeoKeyDirectory (SHORT quadruples)
           case _ =>
         }
         i += 1
@@ -235,8 +243,31 @@ object CogReader {
         tileOffsets = stripOffsets
         tileCounts = stripCounts
       }
+      // GeoKey directory (GeoTIFF 1.0 §4.2): header quadruple then
+      // (KeyID, TIFFTagLocation, Count, Value) entries; location 0 means
+      // the value is inline. ProjectedCSTypeGeoKey (3072) wins over
+      // GeographicTypeGeoKey (2048); 32767 = user-defined (no EPSG code).
+      var epsg: Option[Int] = None
+      if (geoKeys.length >= 4) {
+        var proj = -1
+        var geog = -1
+        var k = 0
+        val nk = geoKeys(3).toInt
+        while (k < nk) {
+          val o = 4 + 4 * k
+          if (o + 3 < geoKeys.length && geoKeys(o + 1) == 0L) {
+            val v = geoKeys(o + 3).toInt
+            if (geoKeys(o) == 3072L) proj = v
+            else if (geoKeys(o) == 2048L) geog = v
+          }
+          k += 1
+        }
+        epsg = if (proj > 0 && proj != 32767) Some(proj)
+          else if (geog > 0 && geog != 32767) Some(geog) else None
+      }
       ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts,
-        scale, tie, jpegTables, predictor, planarConfig, hb.le, striped, sampleFormat)
+        scale, tie, jpegTables, predictor, planarConfig, hb.le, striped, sampleFormat,
+        epsg)
       off = offAt(b, base + countSize + n * entrySize)
     }
     ifds.toSeq
@@ -638,6 +669,46 @@ object CogReader {
     (full.pixelScale.getOrElse(throw new java.io.IOException("no ModelPixelScale")),
       full.tiepoint.getOrElse(throw new java.io.IOException("no ModelTiepoint")))
 
+  /** EPSG:3857 model coords -> the COG's native CRS, or null for the
+    * identity fast path (web-mercator COGs, or no GeoKeys = assumed 3857,
+    * the engine's historical contract). Any OTHER GeoKey-declared CRS in
+    * [[graft.core.Proj]]'s table gets a true per-pixel inverse-mercator ->
+    * forward-native warp (rio-tiler/WarpedVRT parity); unknown codes throw
+    * rather than render a raster in the wrong place. */
+  private def warpMap(full: Ifd): (Double, Double) => (Double, Double) =
+    full.epsg match {
+      case None | Some(3857) | Some(900913) => null
+      case Some(code) =>
+        val crs = graft.core.Proj.crs(code.toString).getOrElse(
+          throw new java.io.IOException(
+            s"unsupported COG CRS EPSG:$code (see graft.core.Proj for the supported table) — " +
+              "refusing to place pixels in the wrong CRS"))
+        val r = 6378137.0
+        (mx: Double, my: Double) => {
+          val lon = math.toDegrees(mx / r)
+          val lat = math.toDegrees(2 * math.atan(math.exp(my / r)) - math.Pi / 2)
+          crs.forward(lon, lat)
+        }
+    }
+
+  /** Target resolution in NATIVE units/pixel for overview selection: the
+    * native-space distance covered by one target pixel at the tile
+    * centre (exact for the identity map). */
+  private def nativeRes(map: (Double, Double) => (Double, Double),
+      west: Double, south: Double, east: Double, north: Double,
+      targetRes: Double): Double =
+    if (map == null) targetRes
+    else {
+      val cx = (west + east) / 2
+      val cy = (south + north) / 2
+      val (x0, y0) = map(cx, cy)
+      val (x1, y1) = map(cx + targetRes, cy)
+      val (x2, y2) = map(cx, cy + targetRes)
+      // anisotropic CRSs (geographic especially): use the smaller axis so
+      // the chosen overview is never coarser than the target anywhere
+      math.min(math.hypot(x1 - x0, y1 - y0), math.hypot(x2 - x0, y2 - y0))
+    }
+
   /** Per-JVM IFD cache: a COG's header is immutable for a job's lifetime,
     * and images() calls tile() once per XYZ tile — without the cache a
     * 10k-tile job re-fetches and re-parses the same 64 KiB head 10k times.
@@ -670,8 +741,10 @@ object CogReader {
       val ifds = ifdsFor(path, reader)
       val full = ifds.head
       val ((sx, _), (ox, oy)) = geo(full)
+      val m = warpMap(full) // null = native 3857, no per-pixel reprojection
       val b = Tiles.tileBounds3857(t)
-      val targetRes = (b.east - b.west) / tileSize
+      val targetRes = nativeRes(m, b.west, b.south, b.east, b.north,
+        (b.east - b.west) / tileSize)
       // pick the finest IFD whose resolution is <= target (else full res)
       val withRes = ifds.zipWithIndex.map { case (ifd, i) =>
         (ifd, sx * full.width / ifd.width)
@@ -690,11 +763,18 @@ object CogReader {
         // 1e-9 px epsilon: a center landing exactly on a raster-pixel edge
         // resolves to the next pixel (GDAL-nearest convention) instead of
         // flip-flopping on float error
-        val ry = ((oy - my) / res + 1e-9).toInt // raster row in chosen IFD
+        val ryFast = if (m == null) ((oy - my) / res + 1e-9).toInt else 0
         var px = 0
         while (px < tileSize) {
           val mx = b.west + (px + 0.5) * (b.east - b.west) / tileSize
-          val rx = ((mx - ox) / res + 1e-9).toInt
+          var rx = 0
+          var ry = ryFast
+          if (m == null) rx = ((mx - ox) / res + 1e-9).toInt
+          else {
+            val (nx, ny) = m(mx, my)
+            rx = ((nx - ox) / res + 1e-9).toInt
+            ry = ((oy - ny) / res + 1e-9).toInt
+          }
           if (rx >= 0 && ry >= 0 && rx < chosen.width && ry < chosen.height) {
             val tx = rx / chosen.tileWidth
             val ty = ry / chosen.tileHeight
@@ -725,8 +805,10 @@ object CogReader {
       val ifds = ifdsFor(path, reader)
       val full = ifds.head
       val ((sx, _), (ox, oy)) = geo(full)
+      val m = warpMap(full)
       val b = Tiles.tileBounds3857(t)
-      val targetRes = (b.east - b.west) / tileSize
+      val targetRes = nativeRes(m, b.west, b.south, b.east, b.north,
+        (b.east - b.west) / tileSize)
       val chosen = ifds.map(ifd => (ifd, sx * full.width / ifd.width))
         .filter(_._2 <= targetRes + 1e-9)
         .sortBy(-_._2).headOption.map(_._1).getOrElse(full)
@@ -737,11 +819,18 @@ object CogReader {
       var py = 0
       while (py < tileSize) {
         val my = b.north - (py + 0.5) * (b.north - b.south) / tileSize
-        val ry = ((oy - my) / res + 1e-9).toInt
+        val ryFast = if (m == null) ((oy - my) / res + 1e-9).toInt else 0
         var px = 0
         while (px < tileSize) {
           val mx = b.west + (px + 0.5) * (b.east - b.west) / tileSize
-          val rx = ((mx - ox) / res + 1e-9).toInt
+          var rx = 0
+          var ry = ryFast
+          if (m == null) rx = ((mx - ox) / res + 1e-9).toInt
+          else {
+            val (nx, ny) = m(mx, my)
+            rx = ((nx - ox) / res + 1e-9).toInt
+            ry = ((oy - ny) / res + 1e-9).toInt
+          }
           if (rx >= 0 && ry >= 0 && rx < chosen.width && ry < chosen.height) {
             val tx = rx / chosen.tileWidth
             val ty = ry / chosen.tileHeight

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.core.{TileKey, Tiles}
+import graft.core.{Proj, TileKey, Tiles}
 import org.scalatest.funsuite.AnyFunSuite
 
 class CogReaderSpec extends AnyFunSuite {
@@ -527,5 +527,150 @@ class CogReaderSpec extends AnyFunSuite {
       samplesPerPixel = 1, sampleFormat = 2)
     val e = intercept[java.io.IOException](CogReader.tile(p, cover))
     assert(e.getMessage.contains("SampleFormat"))
+  }
+
+  // ---- non-3857 CRS warp reads ----
+
+  /** z10 tile over lon ~15.1E, lat ~50.1N — inside UTM zone 33N. */
+  private val warpTile = TileKey(10, 554, 347)
+
+  /** geographic bbox of warpTile, via the exact 3857 inverse. */
+  private def warpLonLat: (Double, Double, Double, Double) = {
+    val merc = Proj.crs("3857").get
+    val b = Tiles.tileBounds3857(warpTile)
+    val (lonW, latS) = merc.inverse(b.west, b.south)
+    val (lonE, latN) = merc.inverse(b.east, b.north)
+    (lonW, latS, lonE, latN)
+  }
+
+  /** The shared world scene, defined in geography so every CRS renders
+    * the same thing: red = lon ramp, green = lat ramp across warpTile. */
+  private def worldRgb(lon: Double, lat: Double): (Int, Int, Int) = {
+    val (lonW, latS, lonE, latN) = warpLonLat
+    def clamp(v: Double) = math.max(0, math.min(255, v.toInt))
+    (clamp((lon - lonW) / (lonE - lonW) * 255),
+      clamp((lat - latS) / (latN - latS) * 255), 7)
+  }
+
+  /** Write the world scene as a `size`² COG in `epsg`, padded ~10% past
+    * the tile so warped edge pixels stay inside the raster. */
+  private def writeWorldCog(path: String, epsg: Int, size: Int): Unit = {
+    val crs = Proj.crs(epsg.toString).get
+    val (lonW, latS, lonE, latN) = warpLonLat
+    val padLon = (lonE - lonW) * 0.1
+    val padLat = (latN - latS) * 0.1
+    val (minX, minY, maxX, maxY) = Proj.transformBounds(crs.forward _,
+      lonW - padLon, latS - padLat, lonE + padLon, latN + padLat)
+    val res = math.max(maxX - minX, maxY - minY) / size
+    TiffWriter.write(path, Seq(TiffWriter.Level(size, size, (x, y) => {
+      val (lon, lat) = crs.inverse(minX + (x + 0.5) * res, maxY - (y + 0.5) * res)
+      worldRgb(lon, lat)
+    })), tileSize = 128, originX = minX, originY = maxY, resX = res, resY = res,
+      deflate = true, epsg = Some(epsg))
+  }
+
+  test("UTM 33N COG warps onto the 3857 tile grid (same scene as a native-3857 COG)") {
+    val p3857 = tmp("world_3857.tif")
+    val pUtm = tmp("world_utm33.tif")
+    writeWorldCog(p3857, 3857, 640)
+    writeWorldCog(pUtm, 32633, 640)
+    val (_, _, _, a) = CogReader.tile(p3857, warpTile)
+    val (_, _, _, b) = CogReader.tile(pUtm, warpTile)
+    // nearest-neighbor resample from two differently-gridded sources of
+    // the same smooth scene: small per-pixel error, tiny mean error
+    var sumDiff = 0L
+    var maxDiff = 0
+    var i = 0
+    while (i < a.length) {
+      val d = math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      sumDiff += d
+      maxDiff = math.max(maxDiff, d)
+      i += 1
+    }
+    assert(maxDiff <= 4, s"max per-pixel diff $maxDiff")
+    assert(sumDiff.toDouble / a.length < 1.0, s"mean diff ${sumDiff.toDouble / a.length}")
+    // and the scene is the expected ramp, not just self-consistent: red
+    // increases left->right, green decreases top->bottom (lat ramp)
+    assert((b((128 * 256 + 250) * 3) & 0xff) > (b((128 * 256 + 5) * 3) & 0xff) + 200)
+    assert((b((5 * 256 + 128) * 3 + 1) & 0xff) > (b((250 * 256 + 128) * 3 + 1) & 0xff) + 200)
+  }
+
+  test("EPSG:4326 geographic COG warps onto the 3857 tile grid") {
+    val p3857 = tmp("world2_3857.tif")
+    val pGeo = tmp("world_4326.tif")
+    writeWorldCog(p3857, 3857, 640)
+    writeWorldCog(pGeo, 4326, 640)
+    val (_, _, _, a) = CogReader.tile(p3857, warpTile)
+    val (_, _, _, b) = CogReader.tile(pGeo, warpTile)
+    var sumDiff = 0L
+    var maxDiff = 0
+    var i = 0
+    while (i < a.length) {
+      val d = math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      sumDiff += d
+      maxDiff = math.max(maxDiff, d)
+      i += 1
+    }
+    assert(maxDiff <= 4, s"max per-pixel diff $maxDiff")
+    assert(sumDiff.toDouble / a.length < 1.0, s"mean diff ${sumDiff.toDouble / a.length}")
+  }
+
+  test("an explicit 3857 GeoKey reads byte-identically to a GeoKey-less COG") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("nogk.tif")
+    val p2 = tmp("gk3857.tif")
+    writeGradient(p1, cover)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 512
+    TiffWriter.write(p2, gradientLevels, tileSize = 128, originX = b.west,
+      originY = b.north, resX = res, resY = res, deflate = true, epsg = Some(3857))
+    val (_, _, _, a) = CogReader.tile(p1, cover)
+    val (_, _, _, c) = CogReader.tile(p2, cover)
+    assert(a.sameElements(c))
+  }
+
+  test("float DEM in UTM warps: elevations match the native-3857 DEM") {
+    // world elevation = lon*1000 + lat (smooth, CRS-independent)
+    val (lonW, latS, lonE, latN) = warpLonLat
+    def writeDem(path: String, epsg: Int): Unit = {
+      val crs = Proj.crs(epsg.toString).get
+      val padLon = (lonE - lonW) * 0.1
+      val padLat = (latN - latS) * 0.1
+      val (minX, minY, maxX, maxY) = Proj.transformBounds(crs.forward _,
+        lonW - padLon, latS - padLat, lonE + padLon, latN + padLat)
+      val res = math.max(maxX - minX, maxY - minY) / 640
+      TiffWriter.write(path, Seq(TiffWriter.Level(640, 640, (x, y) => {
+        val (lon, lat) = crs.inverse(minX + (x + 0.5) * res, maxY - (y + 0.5) * res)
+        (java.lang.Float.floatToIntBits((lon * 1000 + lat).toFloat), 0, 0)
+      })), tileSize = 128, originX = minX, originY = maxY, resX = res, resY = res,
+        bps = 32, sampleFormat = 3, samplesPerPixel = 1, epsg = Some(epsg))
+    }
+    val pa = tmp("dem_3857w.tif")
+    val pb = tmp("dem_utm33.tif")
+    writeDem(pa, 3857)
+    writeDem(pb, 32633)
+    val (_, _, _, a) = CogReader.tileFloat(pa, warpTile)
+    val (_, _, _, b) = CogReader.tileFloat(pb, warpTile)
+    var maxDiff = 0.0
+    var i = 0
+    while (i < a.length) {
+      assert(!a(i).isNaN && !b(i).isNaN, s"NaN at $i")
+      maxDiff = math.max(maxDiff, math.abs(a(i) - b(i)))
+      i += 1
+    }
+    // one source pixel ≈ 0.0006° of lon ≈ 0.6 elevation units
+    assert(maxDiff < 2.0, s"max elevation diff $maxDiff")
+  }
+
+  test("an unsupported GeoKey CRS is refused rather than misplaced") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("nzgd.tif")
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 256
+    TiffWriter.write(p, Seq(TiffWriter.Level(256, 256, (x, y) => (1, 2, 3))),
+      tileSize = 128, originX = b.west, originY = b.north, resX = res, resY = res,
+      epsg = Some(2193)) // NZGD2000 / NZTM — not in the Proj table
+    val e = intercept[java.io.IOException](CogReader.tile(p, cover))
+    assert(e.getMessage.contains("EPSG:2193"))
   }
 }

@@ -19,7 +19,8 @@ object TiffWriter {
       predictor: Int = 1, bps: Int = 8, planar: Boolean = false,
       lzw: Boolean = false, packbits: Boolean = false,
       samplesPerPixel: Int = 3, bigendian: Boolean = false,
-      sampleFormat: Int = 1, zstd: Boolean = false): Unit = {
+      sampleFormat: Int = 1, zstd: Boolean = false,
+      epsg: Option[Int] = None): Unit = {
     require(Seq(deflate, jpeg, lzw, packbits, zstd).count(identity) <= 1, "pick one compression")
     require(samplesPerPixel == 1 || samplesPerPixel == 3, "1 (gray) or 3 (RGB) samples")
     require(!jpeg || samplesPerPixel == 3, "jpeg fixtures are RGB")
@@ -186,6 +187,18 @@ object TiffWriter {
       pad()
       val tieOff = bos.size().toLong
       Seq(0.0, 0.0, 0.0, originX, originY, 0.0).foreach(w64d)
+      // GeoKey directory (tag 34735): header + ModelType + CS-type key
+      val geoShorts: Seq[Long] = epsg match {
+        case Some(code) =>
+          val geographic = code == 4326
+          Seq(1L, 1L, 0L, 2L,
+            1024L, 0L, 1L, if (geographic) 2L else 1L,
+            if (geographic) 2048L else 3072L, 0L, 1L, code.toLong)
+        case None => Nil
+      }
+      pad()
+      val gkOff = bos.size().toLong
+      geoShorts.foreach(v => w16(v.toInt))
 
       pad()
       val ifdOff = bos.size().toLong
@@ -215,7 +228,8 @@ object TiffWriter {
           Tag(324, 4, nTiles, toOff, tileOffsets(li)),
           Tag(325, 4, nTiles, tcOff, p.tiles.map(_.length.toLong)))) ++
         jpegTables.map(t => Tag(347, 7, t.length, jtOff)).toSeq ++ Seq(
-        Tag(33550, 12, 3, scaleOff), Tag(33922, 12, 6, tieOff))
+        Tag(33550, 12, 3, scaleOff), Tag(33922, 12, 6, tieOff)) ++
+        (if (geoShorts.nonEmpty) Seq(Tag(34735, 3, geoShorts.length, gkOff)) else Nil)
       if (bigtiff) w64(tags.length.toLong) else w16(tags.length)
       val inlineMax = if (bigtiff) 8 else 4
       tags.foreach { t =>

@@ -235,6 +235,40 @@ object Dedup {
       .filter(col("hd") <= maxHamming)
   }
 
+  /** Substring-level verbatim-copy pairs (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * their signal is a shared >= n-token span, not whole-doc similarity):
+    * documents sharing at least one n-token window, as (id_a, id_b,
+    * shared) where `shared` counts the DISTINCT shared windows. Catches
+    * partial copies — a quoted paragraph, boilerplate header — that
+    * whole-document MinHash dilutes below any Jaccard threshold.
+    *
+    * Scale shape: every window hashes per-row to a fixed-width xxhash64
+    * long (the n-token strings are never shuffled); the bucket join is
+    * keyed by window hash with the [[lshCandidatePairs]] maxBucket
+    * discipline — a boilerplate window shared by thousands of documents
+    * is dropped BEFORE the k(k-1)/2 in-bucket expansion — and pairs pack
+    * into one long (ids must fit 31 bits, as everywhere in this file). */
+  def sharedWindowPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val spark = df.sparkSession
+    graft.functions.TextHashes.register(spark)
+    val tk = split(col(textCol), " ")
+    val wins = when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(1), size(tk) - n + 1),
+        i => xxhash64(concat_ws(" ", slice(tk, i, lit(n)))))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol).cast("long").as("id"), explode(wins).as("wh"))
+      .groupBy("wh")
+      .agg(collect_list(col("id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(expr("packed_pairs(ds)")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("shared"))
+      .select(shiftright(col("pair"), 32).as("id_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("shared"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs — the VERIFY step after
     * LSH/SimHash candidate generation: each (id_a, id_b) rejoins the two
     * distinct-token sets (shuffle-hash joins on the long ids) and the

@@ -247,4 +247,75 @@ object Similarity {
       .withColumn("cc", d(col("cq"), col("cq")))
     ivfSearch(emb, cents, idCol, queryId, k, nprobe)
   }
+
+  /** Embedding -> 64-bit sign sketch: bit i set iff component i > 0
+    * (embeddings longer than 64 dims fold via i % 64 XOR accumulation).
+    * Binary quantization: 64 dims of float32 compress to ONE bigint per
+    * row — a 32x storage cut that turns ANN into integer Hamming ops and
+    * makes the whole index for a 100 TB corpus small enough to sit in a
+    * single fixed-width column. Per-row, zero shuffles. */
+  def signSketch(c: Column, dim: Int = 64): Column = {
+    require(dim >= 1, "dim must be >= 1")
+    aggregate(
+      zip_with(c, sequence(lit(0), lit(dim - 1)),
+        (e, i) => when(e.cast("double") > 0d,
+          call_function("shiftleft", lit(1L), (i % 64).cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseXOR(bit))
+  }
+
+  /** Binary-quantized ANN: top-k nearest corpus vectors to `queryId` by
+    * Hamming distance between [[signSketch]]es — (id, hamming),
+    * deterministic (hamming, id) order. The serving-scale shape: the
+    * index is one bigint per row, the query sketch is a 1-row broadcast,
+    * and scoring is a codegen'd `bit_count(xor)` scan — no float math at
+    * all. Pairs-style near-dup over the same sketch is
+    * [[Dedup.hammingNearDupPairs]]; this is the query-time face. */
+  def hammingTopK(df: DataFrame, embCol: String, idCol: String,
+      queryId: Long, k: Int, dim: Int = 64): DataFrame = {
+    val sk = df.select(col(idCol), signSketch(col(embCol), dim).as("sk"))
+    val q = sk.filter(col(idCol) === queryId).select(col("sk").as("qsk"))
+    sk.filter(col(idCol) =!= queryId)
+      .join(broadcast(q))
+      .select(col(idCol),
+        bit_count(col("sk").bitwiseXOR(col("qsk"))).cast("long").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings into coarse cells, then call
+    * any within-cell pair with cosine >= `tau` a semantic duplicate and
+    * drop all but the lowest id of each pair. Returns the DROPPED rows:
+    * (id, rep_id) where rep_id is the lowest-id retained neighbor that
+    * evicted it; `df.join(result, anti)` is the deduplicated corpus.
+    *
+    * Scale shape: centroids are the deterministic `id % sampleMod == 0`
+    * sample (oracle-reproducible, like [[ivfTopK]]) and broadcast; cell
+    * assignment is exact BIGINT L2 on the quantized grid; the quadratic
+    * within-cell self-join is guarded by `maxCell` (cells above it are
+    * dropped before the join — the [[blockedCosinePairs]] maxBlock
+    * discipline), so one degenerate cell can never expand to corpus².
+    * Everything downstream of assignment shuffles on the cell id only. */
+  def semanticDedup(df: DataFrame, embCol: String, idCol: String,
+      sampleMod: Int = 53, tau: Double = 0.7, maxCell: Int = 10000): DataFrame = {
+    require(maxCell >= 2, "maxCell must be >= 2")
+    val d = dot(df) _
+    val emb = quantized(df, embCol, idCol)
+    val cents = emb.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("cid"), col("q").as("cq"), col("qq").as("cc"))
+    val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol).as("id"), col("q"), col("qq"), col("cid"))
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cid")))
+      .filter(col("__cn") <= maxCell).drop("__cn")
+      .withColumn("nrm", sqrt(col("qq").cast("double")))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter((d(col("a.q"), col("b.q")).cast("double") /
+        (col("a.nrm") * col("b.nrm"))) >= tau)
+      .groupBy(col("b.id").as("id"))
+      .agg(min(col("a.id")).as("rep_id"))
+  }
 }

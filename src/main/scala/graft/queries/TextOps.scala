@@ -137,6 +137,16 @@ object TextOps {
           hashBits = 16, numBands = 4, maxHamming = 2)
         .orderBy("id_a", "id_b")
     },
+    // Substring-level verbatim-copy pairs: docs sharing >= one 8-token
+    // window (the Lee et al. span-dedup signal — catches partial copies
+    // whole-doc MinHash misses). 25% sample of the dup-injected corpus;
+    // windows hash to xxhash64 longs, never shuffled as strings.
+    "qd30_shared_windows" -> { (s, d) =>
+      graft.operators.Dedup.sharedWindowPairs(
+          withDups(s, d).filter(col("doc_id") % 4 === 0),
+          "text", "doc_id", n = 8, maxBucket = 1000)
+        .orderBy("id_a", "id_b")
+    },
     // LSH quality accounting: exact-Jaccard VERIFY over the generated
     // candidates (cost scales with candidates, not corpus²) — how many
     // candidates are real near-dups at tau = 0.5.
@@ -722,6 +732,20 @@ object TextOps {
         |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    "qd30_shared_windows" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |docs AS (SELECT doc_id AS id, str_split(text, ' ') AS w
+        |  FROM all_docs WHERE doc_id % 4 = 0),
+        |wins AS (SELECT DISTINCT id, array_to_string(list_slice(w, i, i + 7), ' ') AS win
+        |  FROM docs, unnest(range(1, len(w) - 8 + 2)) t(i)),
+        |ok AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM wins a JOIN wins b ON a.win = b.win AND a.id < b.id
+        |  JOIN ok o ON o.win = a.win)
+        |SELECT id_a, id_b, COUNT(*) AS shared FROM p
+        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
     "qd24_seq_packing" ->
       """WITH d AS (SELECT source, doc_id,
         |  CAST(len(str_split(text, ' ')) AS INT) AS n_tokens FROM documents),

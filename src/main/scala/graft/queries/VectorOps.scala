@@ -54,6 +54,21 @@ object VectorOps {
           numPlanes = 8, dim = 64)
         .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
         .orderBy("bucket")
+    },
+    // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
+    // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
+    // in the hot path; the index is 32x smaller than the vectors).
+    "qv08_hamming_ann" -> { (s, d) =>
+      graft.operators.Similarity.hammingTopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 7L, k = 15)
+    },
+    // SemDeDup semantic dedup: coarse cells from the deterministic
+    // id-sample centroids, within-cell cosine >= tau evicts the higher
+    // id. Output = dropped rows with their retained representative.
+    "qv09_semantic_dedup" -> { (s, d) =>
+      graft.operators.Similarity.semanticDedup(
+        t(s, d, "embeddings"), "embedding", "vec_id",
+        sampleMod = 53, tau = 0.4, maxCell = 10000)
     }
   )
 
@@ -130,6 +145,37 @@ object VectorOps {
         |buckets AS (SELECT vec_id,
         |  CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
         | FROM signs GROUP BY vec_id)
-        |SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin
+        |SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "qv08_hamming_ann" ->
+      """WITH sk AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > 0
+        |      THEN (CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |            ELSE (CAST(1 AS BIGINT) << i) END)
+        |      ELSE 0 END)) AS BIGINT) AS s
+        | FROM embeddings),
+        |q AS (SELECT s AS qs FROM sk WHERE vec_id = 7)
+        |SELECT vec_id, CAST(bit_count(xor(s, qs)) AS BIGINT) AS hamming
+        |FROM sk, q WHERE vec_id <> 7
+        |ORDER BY hamming, vec_id LIMIT 15""".stripMargin,
+    "qv09_semantic_dedup" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
+        |cents AS (SELECT vec_id AS cid, q AS cq FROM nemb WHERE vec_id % 53 = 0),
+        |assigned AS (SELECT vec_id AS id, q, SQRT(CAST(qq AS DOUBLE)) AS nrm, cid FROM (
+        |  SELECT e.vec_id, e.q, e.qq, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      e.qq + list_sum(list_transform(range(1, 65), i -> c.cq[i] * c.cq[i]))
+        |        - 2 * list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cq[i])),
+        |      c.cid) AS rn
+        |  FROM nemb e, cents c) WHERE rn = 1),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        | FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+        | WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |    / (a.nrm * b.nrm) >= 0.4)
+        |SELECT id_b AS id, MIN(id_a) AS rep_id FROM pairs GROUP BY id_b""".stripMargin
   )
 }

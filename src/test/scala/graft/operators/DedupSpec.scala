@@ -147,4 +147,34 @@ class DedupSpec extends SparkSpec {
     // "here tail one"/"here tail two" are unique but unshared with bench)
     assert(out.isEmpty)
   }
+
+  test("sharedWindowPairs: counts distinct shared n-token windows, cap drops boilerplate") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e tail one"), //     shares "a b c d e"... windows w/ 2
+      (2L, "prefix a b c d e tail one"), // ...and "tail one" spans
+      (3L, "x y z q r s t"), //           unrelated
+      (4L, "a b c d e tail one")) //      identical to 1
+      .toDF("doc_id", "text")
+    val out = Dedup.sharedWindowPairs(docs, "text", "doc_id", n = 5)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("shared")))
+      .toMap
+    // doc 1 has windows [abcde, bcde t, cde to, de ton(e)...]: 3 windows of 5
+    // tokens: "a b c d e", "b c d e tail", "c d e tail one"; doc 2 contains
+    // all of them (plus "prefix a b c d"); doc 4 is identical to doc 1
+    assert(out((1L, 2L)) == 3L && out((1L, 4L)) == 3L && out((2L, 4L)) == 3L)
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // short docs (< n tokens) produce no windows, and a window shared by
+    // more than maxBucket docs is dropped before pair expansion
+    val shorty = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.sharedWindowPairs(shorty, "text", "doc_id", n = 5).count() == 0)
+    val boiler = (1L to 5L).map(i => (i, "same exact boiler plate text here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedWindowPairs(boiler, "text", "doc_id", n = 6,
+      maxBucket = 4).count() == 0) // bucket of 5 > cap
+    assert(Dedup.sharedWindowPairs(boiler, "text", "doc_id", n = 6,
+      maxBucket = 5).count() == 10) // C(5,2) under the cap
+  }
 }

@@ -148,4 +148,65 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(capped == Set((1L, 2L)))
   }
+
+  test("signSketch packs sign bits; bit 63 wraps to Long.MinValue") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, -1.0f, 0.5f, 0.0f)), // bits 0,2 -> 5
+      (1L, Seq(-1.0f, -1.0f, -1.0f, -1.0f)) // no bits -> 0
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        Similarity.signSketch(col("embedding"), dim = 4).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 5L, 1L -> 0L)) // 0.0f is NOT > 0
+    // dim 64 with only the last component positive = the sign bit
+    val hi = Seq((0L, Seq.fill(63)(-1.0f) :+ 1.0f)).toDF("vec_id", "embedding")
+      .select(Similarity.signSketch(col("embedding")).as("sk"))
+      .head().getLong(0)
+    assert(hi == Long.MinValue)
+  }
+
+  test("hammingTopK matches a driver-side brute-force Hamming ranking") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.fill(64)((rnd.nextFloat() - 0.5f))))
+    val df = rows.toDF("vec_id", "embedding")
+    def sketch(v: Seq[Float]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (acc, (e, i)) =>
+        if (e > 0) acc | (1L << i) else acc }
+    val qs = sketch(rows(7)._2)
+    val expected = rows.filter(_._1 != 7L)
+      .map { case (id, v) => (id, java.lang.Long.bitCount(sketch(v) ^ qs).toLong) }
+      .sortBy { case (id, h) => (h, id) }.take(5)
+    val got = Similarity.hammingTopK(df, "embedding", "vec_id", 7L, 5)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("hamming"))).toSeq
+    assert(got == expected)
+  }
+
+  test("semanticDedup: near-dups evicted to lowest-id representative, cap guards cells") {
+    val s = spark
+    import s.implicits._
+    // centroids are the even ids (sampleMod 2); each odd id is a near-dup
+    // of one centroid and lands in that centroid's cell
+    val df = Seq(
+      (0L, Seq(1.0f, 0.01f, 0f, 0f)), // centroid, x-direction
+      (1L, Seq(0.99f, 0.0f, 0f, 0f)), // near-dup of 0
+      (2L, Seq(0f, 1.0f, 0f, 0f)), //    centroid, y-direction
+      (3L, Seq(0.01f, 0.98f, 0f, 0f)), // near-dup of 2
+      (5L, Seq(0.98f, 0.03f, 0f, 0f)) // second near-dup of 0
+    ).toDF("vec_id", "embedding")
+    val dropped = Similarity.semanticDedup(df, "embedding", "vec_id",
+        sampleMod = 2, tau = 0.95)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rep_id"))).toMap
+    // 1 and 5 evicted by representative 0; 3 evicted by 2
+    assert(dropped == Map(1L -> 0L, 5L -> 0L, 3L -> 2L))
+    // a cell above maxCell is dropped before the quadratic join
+    val capped = Similarity.semanticDedup(df, "embedding", "vec_id",
+        sampleMod = 2, tau = 0.95, maxCell = 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rep_id"))).toMap
+    assert(capped == Map(3L -> 2L)) // 0's 3-vec cell dropped, 2's survives
+  }
 }

@@ -23,6 +23,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qv05_ivf_trained", // same shape, trained centroids
     "qv06_tfidf_cosine", // broadcast corpus count N (1 row)
     "qv07_batch_knn", // broadcast query batch (5 rows)
+    "qv08_hamming_ann", // broadcast query sketch (1 row)
+    "qv09_semantic_dedup", // broadcast centroid sample (corpus/sampleMod rows)
     "qd28_characteristic_terms") // broadcast corpus count N (1 row)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {

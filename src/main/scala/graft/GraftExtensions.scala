@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash16_long"),
       new ExpressionInfo(classOf[graft.functions.Simhash16].getName, "simhash16_long"),
       (exprs: Seq[Expression]) => graft.functions.Simhash16(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
   }
 }

@@ -118,6 +118,21 @@ object TextHashes {
     out
   }
 
+  /** Unicode NFC normalization (canonical composition). Spark has no
+    * built-in for this — `lower`/`trim` treat "é" (U+00E9) and
+    * "é" (e + combining acute) as different strings, so any dedup
+    * or token count over multi-source web text splits on encoding
+    * accidents. DuckDB's `nfc_normalize` is the oracle-side twin.
+    * Fast path: already-normalized text (the overwhelming case — ASCII
+    * and most UTF-8 in the wild is NFC) returns the input UTF8String
+    * without copying. */
+  def nfcNormalize(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Idempotent SQL registration of the kernels (no-op — and no
     * "replaced a previously registered function" warning — when already
     * registered in the session). */
@@ -133,6 +148,9 @@ object TextHashes {
     if (!reg.functionExists(FunctionIdentifier("simhash16_long")))
       reg.createOrReplaceTempFunction(
         "simhash16_long", exprs => Simhash16(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("nfc_normalize")))
+      reg.createOrReplaceTempFunction(
+        "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
   }
 }
 
@@ -177,6 +195,21 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
     TextHashes.packedPairs(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.packedPairs($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `nfc_normalize(string) -> string` Unicode canonical composition. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected string, got $t")
+  }
+  override def nullSafeEval(s: Any): Any =
+    TextHashes.nfcNormalize(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.nfcNormalize($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -100,6 +100,19 @@ object Text {
     regexp_replace(noUrl, "[0-9]{6,}", "<NUM>")
   }
 
+  /** Canonical text form for dedup keys and token counts: Unicode NFC
+    * (composed "é" == e + combining acute — the native codegen'd
+    * `nfc_normalize` kernel; Spark has no built-in), lowercased,
+    * whitespace runs collapsed to single spaces, trimmed. Two crawls of
+    * the same page that differ only in encoding form or spacing now hash
+    * identically — run BEFORE [[graft.operators.Dedup]] keys. Per-row,
+    * zero shuffles. DuckDB twin: `trim(regexp_replace(lower(
+    * nfc_normalize(x)), '\s+', ' ', 'g'))`. */
+  def normalizeText(c: Column): Column = {
+    val nfc = call_function("nfc_normalize", c)
+    trim(regexp_replace(lower(nfc), "\\s+", " "))
+  }
+
   /** Corpus vocabulary: (token, df = documents containing it, rank by df
     * desc with token tie-break) filtered to `minDf <= df <= maxDf` — the
     * tokenizer-building / stopword-cutting view of a corpus. One

@@ -226,6 +226,18 @@ object TextOps {
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")
     },
+    // Canonical text form (native codegen'd nfc_normalize kernel + lower
+    // + whitespace collapse + trim). The input is deliberately roughed up
+    // (uppercased, padded, tabbed) so the normalization does real work in
+    // both engines; norm_md5 is the resulting dedup key.
+    "qd31_normalize_text" -> { (s, d) =>
+      graft.functions.TextHashes.register(s)
+      t(s, d, "documents").select(col("doc_id"),
+          graft.operators.Text.normalizeText(
+            concat(lit("  "), upper(col("text")), lit(" \t"))).as("norm_text"))
+        .withColumn("norm_md5", md5(col("norm_text")))
+        .orderBy("doc_id")
+    },
     // Class-balanced cap: at most 120 docs per lang, chosen by the
     // deterministic md5 order; survivors summarized per lang.
     "qd15_balanced_cap" -> { (s, d) =>
@@ -590,6 +602,13 @@ object TextOps {
         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         | COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "qd31_normalize_text" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(lower(nfc_normalize('  ' || upper(text) || ' ' || chr(9))),
+        |   '\s+', ' ', 'g')) AS norm_text,
+        | md5(trim(regexp_replace(lower(nfc_normalize('  ' || upper(text) || ' ' || chr(9))),
+        |   '\s+', ' ', 'g'))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "qd15_balanced_cap" ->
       """WITH r AS (SELECT lang, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY lang

@@ -88,4 +88,33 @@ class TextHashesSpec extends graft.SparkSpec {
     assert(got == want)
     assert(got.forall(h => h >= 0 && h < (1L << 16)))
   }
+
+  test("nfc_normalize: composed and decomposed forms converge; ASCII fast path is identity") {
+    val s = spark
+    TextHashes.register(s)
+    import s.implicits._
+    val composed = "caf\u00e9" //   e-acute as one code point
+    val decomposed = "cafe\u0301" // e + combining acute
+    val df = Seq(composed, decomposed, "plain ascii", "").toDF("text")
+    val out = df.selectExpr("nfc_normalize(text) AS n").as[String].collect().toSeq
+    assert(out(0) == composed)
+    assert(out(1) == composed) // decomposed input composes to U+00E9
+    assert(out(2) == "plain ascii" && out(3) == "")
+    // normalizeText: same convergence end-to-end plus case/space folding
+    val norm = Seq(("  CAFÉ   x\t", 1), ("café x", 2)).toDF("text", "i")
+      .select(graft.operators.Text.normalizeText(col("text")).as("n"))
+      .as[String].collect().toSeq
+    assert(norm == Seq("café x", "café x"))
+  }
+
+  test("nfc_normalize participates in whole-stage codegen") {
+    val s = spark
+    TextHashes.register(s)
+    import s.implicits._
+    val df = spark.range(10)
+      .selectExpr("nfc_normalize(CAST(id AS STRING)) AS n")
+    assert(df.collect().map(_.getString(0)).toSeq == (0 until 10).map(_.toString))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
 }

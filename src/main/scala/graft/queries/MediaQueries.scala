@@ -29,6 +29,25 @@ object MediaQueries {
         .withColumn("resize_h", (col("height") / 2).cast("int"))
         .orderBy("doc_id")
     },
+    // WebDataset tar-shard round trip UNDER THE ORACLE: documents ->
+    // writeShards (4 tars, one per partition, pure-JVM ustar writer) ->
+    // samples (streamed parse, one task per shard) -> byte length + md5
+    // of every payload. The oracle computes the same from the table
+    // directly, so a single corrupted header/offset/padding byte in the
+    // tar plumbing flips a hash and fails the gate.
+    "qm02_tar_shards" -> { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_qm02").toString
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select(format_string("doc%08d", col("doc_id")).as("key"),
+          map(lit("txt"), encode(col("text"), "UTF-8")).as("files"))
+        .repartition(4)
+      graft.sources.TarShards.writeShards(docs, "key", "files", dir)
+      graft.sources.TarShards.samples(s, s"$dir/*.tar")
+        .select(col("key"),
+          length(col("files").getItem("txt")).cast("int").as("byte_len"),
+          md5(col("files").getItem("txt")).as("payload_md5"))
+        .orderBy("key")
+    },
     // The streaming slice's tumbling-window aggregation, batch-planned on
     // the same code path (EventStream.tumblingCounts) the streaming query
     // runs, checked against DuckDB date_trunc.
@@ -75,6 +94,11 @@ object MediaQueries {
         | CAST(((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
         |   + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) + 16) // 2 AS INT) AS resize_h
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "qm02_tar_shards" ->
+      """SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+        | CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        | md5(text) AS payload_md5
+        |FROM documents WHERE doc_id < 300 ORDER BY key""".stripMargin,
     "qs01_event_windows" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value

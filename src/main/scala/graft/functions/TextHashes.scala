@@ -151,6 +151,21 @@ object TextHashes {
     if (!reg.functionExists(FunctionIdentifier("nfc_normalize")))
       reg.createOrReplaceTempFunction(
         "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    // Spark ships these two only as internal expressions (the optimizer's
+    // runtime row-level filtering uses them); surfacing them makes the
+    // broadcast-Bloom pre-filter pattern (Dedup.crossCorpusContaminationBloom)
+    // expressible without any custom sketch code.
+    if (!reg.functionExists(FunctionIdentifier("bloom_filter_agg")))
+      reg.createOrReplaceTempFunction(
+        "bloom_filter_agg", exprs =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+            .toAggregateExpression(), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("might_contain")))
+      reg.createOrReplaceTempFunction(
+        "might_contain", exprs =>
+          org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }
 

@@ -395,20 +395,63 @@ object Dedup {
       textCol: String, idCol: String, n: Int = 3, maxDf: Int = 50,
       minShared: Int = 2): DataFrame = {
     require(maxDf >= 1 && minShared >= 1)
-    def postings(df: DataFrame, as: String) =
-      df.select(col(idCol).as(as),
-          explode(Text.shingles(col(textCol), n)).as("gram"))
-        .select(col(as), xxhash64(col("gram")).as("g"))
+    contaminationJoin(
+      contaminationPostings(corpus, textCol, idCol, n, "cid"),
+      bench, textCol, idCol, n, maxDf, minShared)
+  }
+
+  /** [[crossCorpusContamination]] with a broadcast Bloom pre-filter of the
+    * benchmark grams — IDENTICAL results (Bloom filters have no false
+    * negatives; false positives die in the exact join), radically better
+    * 100 TB shape: the corpus posting stream (O(corpus tokens) rows — the
+    * dominant shuffle of the plain operator) is cut MAP-SIDE to just the
+    * postings whose gram might appear in the benchmark, so shuffle volume
+    * scales with the contamination overlap, not the corpus. The filter
+    * itself is `numBits/8` bytes however big the corpus is (the benchmark
+    * side is small by definition), built with one aggregate over the
+    * bench grams and broadcast once.
+    *
+    * The df cap stays exact: the Bloom test is deterministic per gram, so
+    * a surviving gram keeps ALL its corpus postings and its window count
+    * still equals the full-corpus df. */
+  def crossCorpusContaminationBloom(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, maxDf: Int = 50,
+      minShared: Int = 2, numBits: Long = 1L << 22): DataFrame = {
+    require(maxDf >= 1 && minShared >= 1)
+    graft.functions.TextHashes.register(corpus.sparkSession)
+    // built eagerly (one aggregate over the small bench side — the qv05
+    // KMeans precedent) and inlined as a constant: `might_contain`
+    // requires a constant/scalar-subquery filter, and a literal ships
+    // with the task binary exactly like the optimizer's own injected
+    // runtime filters
+    val bf = contaminationPostings(bench, textCol, idCol, n, "bid")
+      .agg(expr(s"bloom_filter_agg(g, ${numBits / 10}L, ${numBits}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val cg = contaminationPostings(corpus, textCol, idCol, n, "cid")
+      .filter(if (bf == null) lit(false) // empty bench: nothing can match
+        else call_function("might_contain", lit(bf), col("g")))
+    contaminationJoin(cg, bench, textCol, idCol, n, maxDf, minShared)
+  }
+
+  private def contaminationPostings(df: DataFrame, textCol: String,
+      idCol: String, n: Int, as: String): DataFrame =
+    df.select(col(idCol).as(as),
+        explode(Text.shingles(col(textCol), n)).as("gram"))
+      .select(col(as), xxhash64(col("gram")).as("g"))
+
+  private def contaminationJoin(cg: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int, maxDf: Int,
+      minShared: Int): DataFrame = {
     // df cap via a window count over the SAME shuffle the join needs —
     // a groupBy-then-rejoin would recompute the whole shingle-explode
     // subtree a second time (the partial-agg child defeats ReuseExchange)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val cg = postings(corpus, "cid")
+    val capped = cg
       .withColumn("gdf", count(lit(1)).over(w))
       .filter(col("gdf") <= maxDf)
       .drop("gdf")
-    val bg = postings(bench, "bid")
-    cg.join(bg.hint("shuffle_hash"), "g")
+    val bg = contaminationPostings(bench, textCol, idCol, n, "bid")
+    capped.join(bg.hint("shuffle_hash"), "g")
       .groupBy("cid", "bid").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .groupBy(col("cid").as(idCol))

@@ -362,6 +362,18 @@ object TextOps {
           "text", "doc_id", n = 3, maxDf = 50, minShared = 2)
         .orderBy("doc_id")
     },
+    // qd22 with a broadcast Bloom pre-filter of the bench grams: the
+    // corpus posting stream is cut map-side BEFORE its shuffle (no false
+    // negatives, so the result — and the oracle SQL — is byte-identical
+    // to qd22; the shuffle now scales with the overlap, not the corpus).
+    "qd32_contamination_bloom" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.crossCorpusContaminationBloom(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 3, maxDf = 50, minShared = 2)
+        .orderBy("doc_id")
+    },
     // Doc-frequency-weighted (TF-IDF-style) cosine pairs within each
     // source block — integer-rational IDF weights so everything up to the
     // final division is exact BIGINT arithmetic (no cross-engine ln()).
@@ -809,6 +821,23 @@ object TextOps {
         | CASE WHEN n >= 2 THEN CAST(top_bg AS DOUBLE) / (n - 1) ELSE 0.0 END AS top_bigram_frac
         |FROM m ORDER BY doc_id""".stripMargin,
     "qd22_contamination" ->
+      """WITH cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS g
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 97 <> 0)),
+        |okg AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= 50),
+        |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS g
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id % 97 = 0)),
+        |sh AS (SELECT c.doc_id AS cid, b.doc_id AS bid, COUNT(*) AS shared
+        |  FROM cg c JOIN okg o ON o.g = c.g JOIN bg b ON b.g = c.g
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT cid AS doc_id, COUNT(*) AS n_bench_hits, MAX(shared) AS max_shared
+        |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "qd32_contamination_bloom" ->
       """WITH cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1)),
         |    i -> array_to_string(tk[i:i+2], ' ')))) AS g

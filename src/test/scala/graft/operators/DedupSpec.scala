@@ -148,6 +148,27 @@ class DedupSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("crossCorpusContaminationBloom: identical results to the exact operator, bloom filters map-side") {
+    val s = spark
+    import s.implicits._
+    val corpus = (1L to 60L).map(i =>
+      (i, s"common lead in tokens doc$i unique tail ${i % 7} ${i % 5} more words here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "common lead in tokens doc3 unique tail 3 3 more words here"),
+      (101L, "totally different benchmark content nothing shared at all")).toDF("doc_id", "text")
+    val exact = Dedup.crossCorpusContamination(corpus, bench, "text", "doc_id",
+      n = 3, maxDf = 50, minShared = 2).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = Dedup.crossCorpusContaminationBloom(corpus, bench, "text", "doc_id",
+      n = 3, maxDf = 50, minShared = 2).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty && bloomed == exact)
+    // the bloom test sits in the plan before the corpus postings shuffle
+    val plan = Dedup.crossCorpusContaminationBloom(corpus, bench, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("sharedWindowPairs: counts distinct shared n-token windows, cap drops boilerplate") {
     val s = spark
     import s.implicits._

@@ -131,10 +131,32 @@ object MiscQueries {
       graft.operators.Sketches.kmvDistinct(
           t(s, d, "lineitem"), "l_partkey", "l_returnflag", k = 64)
         .orderBy("l_returnflag")
+    },
+    // Z-order clustering value under the oracle: Morton-interleave
+    // (l_partkey, l_suppkey) quantized to 8 bits each, histogram the
+    // top-8-bit cells — the layout key zorderByRange partitions on so
+    // parquet min/max prunes on EITHER column.
+    "qx03_zorder" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .select(graft.operators.Layout.zValue2(
+          col("l_partkey"), col("l_suppkey"), aMax = 1999, bMax = 99,
+          bits = 8).as("z"))
+        .groupBy(shiftright(col("z"), 8).as("zbucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("zbucket")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "qx03_zorder" ->
+      """WITH q AS (SELECT (l_partkey * 255) // 1999 AS qa,
+        |  (l_suppkey * 255) // 99 AS qb FROM lineitem),
+        |z AS (SELECT CAST(list_sum(list_transform(range(0, 8), i ->
+        |    ((qa >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+        |    + ((qb >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1)))) AS BIGINT) AS z
+        | FROM q)
+        |SELECT z >> 8 AS zbucket, COUNT(*) AS n FROM z
+        |GROUP BY 1 ORDER BY zbucket""".stripMargin,
     "qa01_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
         | r.value AS err_value, epoch_us(r.ts) AS err_ts_us

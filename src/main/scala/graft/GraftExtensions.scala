@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.PqEncode(exprs(0), exprs(1), exprs(2))))
   }
 }

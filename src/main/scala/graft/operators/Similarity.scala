@@ -282,6 +282,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011): each vector compresses
+    * to `m` small codes — one nearest-centroid id per subvector — and
+    * query time scores candidates with an asymmetric-distance lookup
+    * table (ADC) instead of touching the vectors. Memory per vector drops
+    * from `dim` floats to `m` ints; the scan is per-row arithmetic over
+    * the codes.
+    *
+    * Codebook: the deterministic `idCol % sampleMod == 0` sample's
+    * quantized vectors, ordered by id (oracle-reproducible, the
+    * [[ivfTopK]] convention), collected once (tiny by construction) and
+    * inlined as a literal — encoding is the native codegen'd `pq_encode`
+    * kernel, zero shuffles over the corpus. The query's per-subspace LUT
+    * to every centroid is computed driver-side (m × K longs) and inlined
+    * the same way; the approximate distance is an in-row sum of `m`
+    * lookups. Exact BIGINT arithmetic end to end; only ordering uses it.
+    *
+    * Invariant (spec-checked, the qv05 trick): with `sampleMod = 1`
+    * every vector is its own centroid, codes identify each subvector
+    * exactly, and the ADC distance equals the exact L2 distance — the
+    * result IS brute-force L2 top-k. Returns (id, adist) ordered
+    * (adist, id). */
+  def pqTopK(df: DataFrame, embCol: String, idCol: String, queryId: Long,
+      k: Int, m: Int = 8, sampleMod: Int = 53): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    graft.functions.TextHashes.register(df.sparkSession)
+    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
+    val cents: Array[Array[Long]] = emb.filter(col(idCol) % sampleMod === 0)
+      .orderBy(idCol).select("q").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cents.nonEmpty, "empty codebook sample")
+    val dim = cents(0).length
+    require(dim % m == 0, s"m=$m must divide dim $dim")
+    val sub = dim / m
+    val query: Array[Long] = emb.filter(col(idCol) === queryId)
+      .select("q").head().getSeq[Long](0).toArray
+    // lut(j)(c) = exact L2² between the query's j-th subvector and
+    // centroid c's — m × K longs, computed once on the driver
+    val lut: Seq[Seq[Long]] = (0 until m).map { j =>
+      cents.toSeq.map { row =>
+        var d2 = 0L
+        var t = j * sub
+        while (t < (j + 1) * sub) {
+          val d = query(t) - row(t)
+          d2 += d * d
+          t += 1
+        }
+        d2
+      }
+    }
+    val cb = typedLit(cents.map(_.toSeq).toSeq)
+    val lutLit = typedLit(lut)
+    emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        call_function("pq_encode", col("q"), cb, lit(m)).as("codes"))
+      .select(col(idCol),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+          acc + element_at(element_at(lutLit, (j + 1).cast("int")),
+            element_at(col("codes"), (j + 1).cast("int")) + 1)).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings into coarse cells, then call
     * any within-cell pair with cosine >= `tau` a semantic duplicate and

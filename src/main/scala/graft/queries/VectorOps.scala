@@ -62,6 +62,15 @@ object VectorOps {
       graft.operators.Similarity.hammingTopK(
         t(s, d, "embeddings"), "embedding", "vec_id", queryId = 7L, k = 15)
     },
+    // Product-quantization ANN: vectors compress to 8 codes (nearest
+    // id-sample centroid per 8-dim subvector, native pq_encode kernel);
+    // query scored via an inlined asymmetric-distance LUT — per-row
+    // arithmetic over codes, no vector touched at query time.
+    "qv10_pq_ann" -> { (s, d) =>
+      graft.operators.Similarity.pqTopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
+        k = 12, m = 8, sampleMod = 53)
+    },
     // SemDeDup semantic dedup: coarse cells from the deterministic
     // id-sample centroids, within-cell cosine >= tau evicts the higher
     // id. Output = dropped rows with their retained representative.
@@ -158,6 +167,28 @@ object VectorOps {
         |SELECT vec_id, CAST(bit_count(xor(s, qs)) AS BIGINT) AS hamming
         |FROM sk, q WHERE vec_id <> 7
         |ORDER BY hamming, vec_id LIMIT 15""".stripMargin,
+    "qv10_pq_ann" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, q AS cq
+        |  FROM emb WHERE vec_id % 53 = 0),
+        |codes AS (SELECT vec_id, j, c AS code FROM (
+        |  SELECT e.vec_id, s.j, ct.c,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.j ORDER BY
+        |      list_sum(list_transform(range(1, 9), t ->
+        |        (e.q[s.j*8 + t] - ct.cq[s.j*8 + t]) * (e.q[s.j*8 + t] - ct.cq[s.j*8 + t]))), ct.c) AS rn
+        |  FROM emb e, (SELECT unnest(range(0, 8)) AS j) s, cents ct) WHERE rn = 1),
+        |query AS (SELECT q AS xq FROM emb WHERE vec_id = 0),
+        |lut AS (SELECT s.j, ct.c,
+        |    CAST(list_sum(list_transform(range(1, 9), t ->
+        |      (query.xq[s.j*8 + t] - ct.cq[s.j*8 + t]) * (query.xq[s.j*8 + t] - ct.cq[s.j*8 + t]))) AS BIGINT) AS d2
+        |  FROM (SELECT unnest(range(0, 8)) AS j) s, cents ct, query),
+        |adist AS (SELECT cd.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+        |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+        |  GROUP BY cd.vec_id)
+        |SELECT vec_id, adist FROM adist WHERE vec_id <> 0
+        |ORDER BY adist, vec_id LIMIT 12""".stripMargin,
     "qv09_semantic_dedup" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

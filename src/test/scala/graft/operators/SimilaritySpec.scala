@@ -149,6 +149,50 @@ class SimilaritySpec extends SparkSpec {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("pqTopK: with every vector its own centroid, ADC distance IS exact L2 top-k") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 30L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(e => math.round(e.toDouble * 10000))
+    val q0 = quant(rows.head._2)
+    val exact = rows.drop(1).map { case (id, v) =>
+      (id, quant(v).zip(q0).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    // sampleMod = 1: codebook = all vectors, codes locate each subvector
+    // exactly, ADC == exact L2
+    val got = Similarity.pqTopK(df, "embedding", "vec_id", 0L, 5,
+        m = 2, sampleMod = 1)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adist"))).toSeq
+    assert(got == exact)
+    // coarse codebook (4 centroids): still returns k rows, adist >= 0
+    val coarse = Similarity.pqTopK(df, "embedding", "vec_id", 0L, 5,
+        m = 2, sampleMod = 8)
+      .collect()
+    assert(coarse.length == 5 && coarse.forall(_.getAs[Long]("adist") >= 0))
+  }
+
+  test("pq_encode picks the nearest centroid per subspace, lowest index on ties") {
+    val s = spark
+    import s.implicits._
+    graft.functions.TextHashes.register(s)
+    val cb = typedLit(Seq(Seq(0L, 0L, 10L, 10L), Seq(10L, 10L, 0L, 0L),
+      Seq(10L, 10L, 10L, 10L)))
+    val got = Seq((Seq(1L, 1L, 9L, 9L), 1)).toDF("v", "i")
+      .select(call_function("pq_encode", col("v"), cb, lit(2)).as("c"))
+      .as[Seq[Int]].head()
+    // subspace 0 = (1,1): nearest of (0,0)/(10,10)/(10,10) is centroid 0;
+    // subspace 1 = (9,9): nearest of (10,10)/(0,0)/(10,10) is 0 vs 2 tie
+    // broken low -> 0
+    assert(got == Seq(0, 0))
+    val tie = Seq((Seq(5L, 5L, 5L, 5L), 1)).toDF("v", "i")
+      .select(call_function("pq_encode", col("v"), cb, lit(2)).as("c"))
+      .as[Seq[Int]].head()
+    assert(tie == Seq(0, 0)) // equidistant everywhere: lowest index wins
+  }
+
   test("signSketch packs sign bits; bit 63 wraps to Long.MinValue") {
     val s = spark
     import s.implicits._

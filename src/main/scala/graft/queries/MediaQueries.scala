@@ -71,6 +71,13 @@ object MediaQueries {
       EventStream.slidingCounts(t(s, d, "events"))
         .orderBy("ws_ms", "event_type")
     },
+    // Ordered conversion funnel view -> click -> purchase (2-day step
+    // window): per-user min-timestamp chain, every stage keyed on
+    // user_id so the whole plan reuses one partitioning.
+    "qs05_funnel" -> { (s, d) =>
+      EventStream.funnel(t(s, d, "events"),
+        Seq("view", "click", "purchase"), windowMinutes = 2880)
+    },
     // The same session semantics through Spark's BUILT-IN session_window
     // aggregation (declarative merge planned by Catalyst) — checked against
     // the identical gap-islands oracle as qs02, so the custom stateful
@@ -123,6 +130,17 @@ object MediaQueries {
         |SELECT ws_ms, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY ws_ms, event_type""".stripMargin,
+    "qs05_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(us) AS t FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s1.t AND e.us <= s1.t + 172800000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(us) AS t FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.t AND e.us <= s2.t + 172800000000 GROUP BY e.user_id)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS stage, COUNT(*) AS users FROM s1
+        |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+        |ORDER BY step""".stripMargin,
     "qs03_session_window" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |d AS (SELECT user_id, us,

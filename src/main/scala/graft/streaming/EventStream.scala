@@ -159,6 +159,39 @@ object EventStream {
     * window rather than the stream's lifetime; the non-streaming path is a
     * plain `dropDuplicates`). The streaming face of
     * [[graft.operators.Dedup.exactGroups]]'s batch semantics. */
+  /** Ordered conversion funnel over N stages: stage 1 anchors at each
+    * user's earliest stage-1 event; every later stage matches its
+    * earliest event STRICTLY after the previous stage's match and within
+    * `windowMinutes` of it. Returns one row per stage:
+    * (step, stage, users).
+    *
+    * Scale shape: each stage is filter + groupBy(user_id) min + an
+    * equi-join back on user_id — the entire chain hash-partitions on the
+    * same key, so Catalyst plans one exchange layout end to end and the
+    * per-stage relations shrink monotonically (a stage never has more
+    * rows than the one before). No window function ever scans the raw
+    * event stream. */
+  def funnel(events: DataFrame, stages: Seq[String],
+      windowMinutes: Long = 2880): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    val winUs = windowMinutes * 60L * 1000000L
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("us"))
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    val reached = stages.tail.scanLeft(first) { (prev, st) =>
+      ev.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+        .filter(col("us") > col("pt") && col("us") <= col("pt") + winUs)
+        .groupBy("user_id").agg(min("us").as("t"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(st).as("stage"), col("users"))
+    }.reduce(_ unionAll _).orderBy("step")
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

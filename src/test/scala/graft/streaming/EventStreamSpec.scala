@@ -169,4 +169,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.subsetOf(batchAll),
       s"streamed session_window disagrees with batch: ${streamed.diff(batchAll).take(3)}")
   }
+
+  test("funnel: strict ordering, per-step window, monotone narrowing") {
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000L // a minute in micros; ts column is nanos
+    def ev(user: Long, typ: String, minute: Long) = (user, typ, minute * m * 1000)
+    val events = Seq(
+      ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20), // full convert
+      ev(2, "view", 0), ev(2, "click", 10), //                        no purchase
+      ev(3, "click", 0), ev(3, "view", 10), //                        click BEFORE view: not step 2
+      ev(4, "view", 0), ev(4, "click", 200), //                       click outside 60-min window
+      ev(5, "purchase", 0) //                                         never entered
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventStream.funnel(events, Seq("view", "click", "purchase"),
+        windowMinutes = 60)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
 }

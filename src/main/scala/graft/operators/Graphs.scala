@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over plain edge DataFrames. Connected
+  * components (duplicate clustering) live in [[Dedup.duplicateClusters]];
+  * this file holds the counting side.
+  */
+object Graphs {
+
+  /** Exact triangle statistics via degree-ordered edge orientation (Suri
+    * & Vassilvitskii 2011, "Counting triangles and the curse of the last
+    * reducer", WWW '11): orient every edge from its lower (degree, id)
+    * endpoint, enumerate wedges only from each vertex's OUT-edges, close
+    * them against the canonical edge set. Returns one row
+    * (n_edges, n_wedges, n_triangles).
+    *
+    * Why the orientation matters at 100 TB: the naive wedge join fans out
+    * as Σ deg(v)² — one celebrity hub with 10M neighbors generates 10¹⁴
+    * wedges on a single key ("the last reducer"). Degree-ordering bounds
+    * every out-degree by O(√E), so total wedges are at most E^1.5 and no
+    * single join key is a hot spot; every stage is a hash join on vertex
+    * ids (the O(V) degree relation rejoins via shuffle-hash, never
+    * broadcast). Self-loops are dropped; input edges may be listed in
+    * either direction and repeatedly. */
+  def triangleStats(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du"))
+        .hint("shuffle_hash"), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv"))
+        .hint("shuffle_hash"), "v")
+    val fromU = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = withDeg.select(
+      when(fromU, col("u")).otherwise(col("v")).as("s"),
+      when(fromU, col("v")).otherwise(col("u")).as("t"))
+    // wedges from out-edges only: (s; x < y) — already canonical, so the
+    // closing lookup is a single equi-join against the u<v edge set
+    val wedge = ori.as("a").join(ori.as("b"),
+        col("a.s") === col("b.s") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("x"), col("b.t").as("y"))
+    val nTri = wedge.join(edges,
+        col("x") === col("u") && col("y") === col("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(nTri)
+  }
+}

@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("z_interleave"),
+      new ExpressionInfo(classOf[graft.functions.ZInterleave].getName, "z_interleave"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ZInterleave(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
       (exprs: Seq[Expression]) =>

@@ -50,6 +50,43 @@ object PqEncode {
   }
 }
 
+/** Native bit interleave for Z-ordering: `z_interleave(a, b, bits) ->
+  * bigint` — bit i of `a` lands at position 2i, of `b` at 2i+1. The
+  * composable `aggregate(sequence(...))` form runs interpreted per row
+  * (measured 1.9 s for 600 k rows at sf0.1); this is `bits` shift-or
+  * pairs inside whole-stage codegen. */
+object ZInterleave {
+  def interleave(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+}
+
+case class ZInterleave(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, LongType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"expected (bigint, bigint, int), got $t")
+    }
+  override def nullSafeEval(a: Any, b: Any, bits: Any): Any =
+    ZInterleave.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      bits.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, m) =>
+      s"graft.functions.ZInterleave.interleave($a, $b, $m)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 case class PqEncode(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

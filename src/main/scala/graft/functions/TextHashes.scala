@@ -161,6 +161,9 @@ object TextHashes {
           new org.apache.spark.sql.catalyst.expressions.aggregate
             .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
             .toAggregateExpression(), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("z_interleave")))
+      reg.createOrReplaceTempFunction(
+        "z_interleave", exprs => ZInterleave(exprs(0), exprs(1), exprs(2)), "built-in")
     if (!reg.functionExists(FunctionIdentifier("pq_encode")))
       reg.createOrReplaceTempFunction(
         "pq_encode", exprs => PqEncode(exprs(0), exprs(1), exprs(2)), "built-in")

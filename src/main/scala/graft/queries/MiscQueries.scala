@@ -150,6 +150,7 @@ object MiscQueries {
     // top-8-bit cells — the layout key zorderByRange partitions on so
     // parquet min/max prunes on EITHER column.
     "qx03_zorder" -> { (s, d) =>
+      graft.functions.TextHashes.register(s)
       t(s, d, "lineitem")
         .select(graft.operators.Layout.zValue2(
           col("l_partkey"), col("l_suppkey"), aMax = 1999, bMax = 99,

@@ -8,6 +8,7 @@ class LayoutSpec extends SparkSpec {
   test("zValue2 matches a driver-side Morton reference") {
     val s = spark
     import s.implicits._
+    graft.functions.TextHashes.register(s)
     val rows = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
     val got = rows.toDF("a", "b")
       .select(col("a"), col("b"),

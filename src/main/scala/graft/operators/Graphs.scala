@@ -25,6 +25,43 @@ object Graphs {
     * broadcast). Self-loops are dropped; input edges may be listed in
     * either direction and repeatedly. */
   def triangleStats(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val (edges, _, wedge) = orientedWedges(edges0, aCol, bCol)
+    val nTri = wedge.join(edges,
+        col("x") === col("u") && col("y") === col("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(nTri)
+  }
+
+  /** Per-vertex triangle participation and local clustering coefficient
+    * `2T(v) / (d(v)·(d(v)−1))` — (n, degree, triangles, coeff), every
+    * vertex included (isolated-in-triangle vertices at coeff 0; degree-1
+    * vertices at 0 by convention). Same oriented-wedge plan as
+    * [[triangleStats]]; each closed triangle is attributed to its three
+    * vertices by an explode, so the extra cost over the count is one
+    * 3×-triangles shuffle — triangles, not wedges, and triangle counts
+    * are sparse in real graphs. */
+  def clusteringCoefficients(edges0: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val (edges, deg, wedge) = orientedWedges(edges0, aCol, bCol)
+    val tri = wedge.join(edges,
+      col("x") === col("u") && col("y") === col("v"))
+    val perVertex = tri
+      .select(explode(array(col("s"), col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    deg.join(perVertex.hint("shuffle_hash"), Seq("n"), "left")
+      .select(col("n"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff",
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1))))
+  }
+
+  /** Shared skeleton: canonical u<v edges, the degree table, and the
+    * degree-ordered oriented wedges carrying their apex `s`. */
+  private def orientedWedges(edges0: DataFrame, aCol: String,
+      bCol: String): (DataFrame, DataFrame, DataFrame) = {
     val edges = edges0
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
@@ -47,12 +84,7 @@ object Graphs {
     // closing lookup is a single equi-join against the u<v edge set
     val wedge = ori.as("a").join(ori.as("b"),
         col("a.s") === col("b.s") && col("a.t") < col("b.t"))
-      .select(col("a.t").as("x"), col("b.t").as("y"))
-    val nTri = wedge.join(edges,
-        col("x") === col("u") && col("y") === col("v"))
-      .agg(count(lit(1)).as("n_triangles"))
-    edges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(wedge.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(nTri)
+      .select(col("a.s").as("s"), col("a.t").as("x"), col("b.t").as("y"))
+    (edges, deg, wedge)
   }
 }

@@ -145,6 +145,20 @@ object MiscQueries {
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
       graft.operators.Graphs.triangleStats(edges, "pa", "pb")
     },
+    // Per-vertex local clustering coefficients over the same graph —
+    // triangle attribution via a 3-way explode of the closed wedges
+    // (cost ∝ triangles, not wedges).
+    "qg02_clustering_coeff" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.clusteringCoefficients(edges, "pa", "pb")
+        .orderBy("n")
+    },
     // Z-order clustering value under the oracle: Morton-interleave
     // (l_partkey, l_suppkey) quantized to 8 bits each, histogram the
     // top-8-bit cells — the layout key zorderByRange partitions on so
@@ -178,6 +192,25 @@ object MiscQueries {
         |SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
         |       (SELECT COUNT(*) FROM wedge) AS n_wedges,
         |       (SELECT nt FROM tri) AS n_triangles""".stripMargin,
+    "qg02_clustering_coeff" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+        |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x AS n, COUNT(*) AS d FROM (
+        |  SELECT u AS x FROM edges UNION ALL SELECT v FROM edges) GROUP BY x),
+        |ori AS (SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS s,
+        |               CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS t
+        |  FROM edges e JOIN deg da ON da.n = e.u JOIN deg db ON db.n = e.v),
+        |wedge AS (SELECT a.s, a.t AS x, b.t AS y
+        |  FROM ori a JOIN ori b ON a.s = b.s AND a.t < b.t),
+        |tri AS (SELECT w.s, w.x, w.y FROM wedge w JOIN edges e ON e.u = w.x AND e.v = w.y),
+        |perv AS (SELECT z, COUNT(*) AS triangles FROM (
+        |  SELECT s AS z FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri) GROUP BY z)
+        |SELECT deg.n, deg.d AS degree, COALESCE(perv.triangles, 0) AS triangles,
+        |  CASE WHEN deg.d < 2 THEN 0.0
+        |       ELSE 2.0 * COALESCE(perv.triangles, 0) / (deg.d * (deg.d - 1)) END AS coeff
+        |FROM deg LEFT JOIN perv ON perv.z = deg.n ORDER BY deg.n""".stripMargin,
     "qx03_zorder" ->
       """WITH q AS (SELECT (l_partkey * 255) // 1999 AS qa,
         |  (l_suppkey * 255) // 99 AS qb FROM lineitem),

@@ -20,6 +20,24 @@ class GraphsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_wedges") >= 4)
   }
 
+  test("clusteringCoefficients: K4 vertices at 1.0, pendant at 0, bridge diluted") {
+    val s = spark
+    import s.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val df = (k4 ++ Seq((4L, 5L))).toDF("a", "b")
+    val out = Graphs.clusteringCoefficients(df, "a", "b")
+      .collect()
+      .map(r => r.getAs[Long]("n") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("triangles"), r.getAs[Double]("coeff")))
+      .toMap
+    // vertices 1-3: degree 3, in 3 triangles each -> coeff 2*3/(3*2) = 1
+    Seq(1L, 2L, 3L).foreach(v => assert(out(v) == ((3L, 3L, 1.0)), s"v$v"))
+    // vertex 4 gains the pendant edge: degree 4, still 3 triangles -> 0.5
+    assert(out(4L) == ((4L, 3L, 0.5)))
+    // the pendant has degree 1: coeff 0 by convention
+    assert(out(5L) == ((1L, 0L, 0.0)))
+  }
+
   test("triangleStats: triangle-free graph (star + path) counts zero") {
     val s = spark
     import s.implicits._

@@ -78,6 +78,15 @@ object MediaQueries {
       EventStream.funnel(t(s, d, "events"),
         Seq("view", "click", "purchase"), windowMinutes = 2880)
     },
+    // The funnel's stateful (flatMapGroupsWithState) face under the
+    // oracle: one row per user-stage advancement. Same state function
+    // runs batch and streaming (in-order replay parity is spec-checked).
+    "qs06_funnel_transitions" -> { (s, d) =>
+      EventStream.funnelTransitions(t(s, d, "events"),
+          Seq("view", "click", "purchase"), windowMinutes = 2880)
+        .toDF()
+        .orderBy("user_id", "step")
+    },
     // The same session semantics through Spark's BUILT-IN session_window
     // aggregation (declarative merge planned by Catalyst) — checked against
     // the identical gap-islands oracle as qs02, so the custom stateful
@@ -141,6 +150,17 @@ object MediaQueries {
         |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
         |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
         |ORDER BY step""".stripMargin,
+    "qs06_funnel_transitions" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(us) AS t FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s1.t AND e.us <= s1.t + 172800000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(us) AS t FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.t AND e.us <= s2.t + 172800000000 GROUP BY e.user_id)
+        |SELECT user_id, CAST(1 AS INT) AS step, 'view' AS stage, t AS us FROM s1
+        |UNION ALL SELECT user_id, 2, 'click', t FROM s2
+        |UNION ALL SELECT user_id, 3, 'purchase', t FROM s3
+        |ORDER BY user_id, step""".stripMargin,
     "qs03_session_window" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |d AS (SELECT user_id, us,

@@ -159,6 +159,62 @@ object EventStream {
     * window rather than the stream's lifetime; the non-streaming path is a
     * plain `dropDuplicates`). The streaming face of
     * [[graft.operators.Dedup.exactGroups]]'s batch semantics. */
+  final case class FunnelEvent(user_id: Long, event_type: String,
+    etsMicros: Long, ets: java.sql.Timestamp)
+  final case class FunnelState(step: Int, anchorUs: Long)
+  final case class FunnelTransition(user_id: Long, step: Int, stage: String,
+    us: Long)
+
+  /** Per-user funnel TRANSITIONS — the streaming face of [[funnel]]: a
+    * row (user_id, step, stage, us) the moment a user advances to a
+    * stage, emitted in append mode. Same semantics as the batch chain
+    * (anchor at the first stage-1 event; each later stage needs its
+    * event strictly after the previous match and within
+    * `windowMinutes`); the same state function runs both modes, so an
+    * in-order micro-batch replay emits exactly the batch result
+    * (spec-checked). Late events older than the user's current anchor
+    * are ignored — the documented streaming approximation (exact under
+    * in-order delivery); state is one (step, anchor) pair per user that
+    * completed step 1 but not the funnel.
+    *
+    * `funnel`'s per-stage counts are `groupBy(step) count` over this. */
+  def funnelTransitions(events: DataFrame, stages: Seq[String],
+      windowMinutes: Long = 2880): Dataset[FunnelTransition] = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowMinutes * 60L * 1000000L
+    val stageIdx = stages.zipWithIndex.toMap
+    val typed = withTs(events)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ets")).as("etsMicros"), col("ets"))
+      .as[FunnelEvent]
+
+    def fn(userId: Long, rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelTransition] = {
+      val out = scala.collection.mutable.ArrayBuffer[FunnelTransition]()
+      var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+      rows.toSeq.sortBy(e => (e.etsMicros, stageIdx(e.event_type))).foreach { e =>
+        if (cur.step < stages.size) {
+          val want = stages(cur.step)
+          if (e.event_type == want &&
+              (cur.step == 0 ||
+                (e.etsMicros > cur.anchorUs && e.etsMicros <= cur.anchorUs + winUs))) {
+            cur = FunnelState(cur.step + 1, e.etsMicros)
+            out += FunnelTransition(userId, cur.step, want, e.etsMicros)
+          }
+        }
+      }
+      if (cur.step > 0) state.update(cur) else state.remove()
+      out.iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Ordered conversion funnel over N stages: stage 1 anchors at each
     * user's earliest stage-1 event; every later stage matches its
     * earliest event STRICTLY after the previous stage's match and within

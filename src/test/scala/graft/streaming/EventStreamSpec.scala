@@ -170,6 +170,39 @@ class EventStreamSpec extends SparkSpec {
       s"streamed session_window disagrees with batch: ${streamed.diff(batchAll).take(3)}")
   }
 
+  test("funnelTransitions: batch counts == funnel; in-order streaming replay == batch") {
+    // batch: transitions grouped by step reproduce the funnel counts
+    val batchTrans = EventStream.funnelTransitions(events,
+        Seq("view", "click", "purchase"), windowMinutes = 2880)
+      .collect().map(t => (t.user_id, t.step, t.stage, t.us)).toSet
+    val funnelCounts = EventStream.funnel(events,
+        Seq("view", "click", "purchase"), windowMinutes = 2880)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val transCounts = batchTrans.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(transCounts == funnelCounts.filter(_._2 > 0))
+    // streaming: two time-ordered micro-batches, same state function ->
+    // identical transition set
+    val dir = java.nio.file.Files.createTempDirectory("evfunnel").toString
+    val ev = events.orderBy("ts")
+    val n = ev.count()
+    val first = ev.limit((n / 2).toInt)
+    first.coalesce(1).write.parquet(s"$dir/b1")
+    ev.exceptAll(first).coalesce(1).write.parquet(s"$dir/b2")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true").parquet(dir)
+    val q = EventStream.funnelTransitions(stream,
+        Seq("view", "click", "purchase"), windowMinutes = 2880)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(streamed == batchTrans,
+      s"stream/batch diverge: ${streamed.diff(batchTrans).take(3)} / ${batchTrans.diff(streamed).take(3)}")
+  }
+
   test("funnel: strict ordering, per-step window, monotone narrowing") {
     val s = spark
     import s.implicits._

@@ -225,6 +225,40 @@ object TarShards {
     h(off + len - 1) = 0
   }
 
+  /** [[writeShards]] with byte-targeted bin packing: samples are packed
+    * into shards of ~`targetBytes` of ON-TAR size (512-byte header +
+    * 512-padded payload per file), in key order. The prefix-sum bin
+    * assignment runs on the (key, size) PROJECTION — ~16 bytes per
+    * sample, metadata scale, never the binaries (the [[
+    * graft.operators.Text.packSequences]] discipline); the binaries then
+    * shuffle exactly once, to their bin. A single sample larger than
+    * `targetBytes` gets its own shard rather than failing. */
+  def writeShardsBySize(df: DataFrame, keyCol: String, filesCol: String,
+      dir: String, targetBytes: Long): Seq[String] = {
+    require(targetBytes >= 1024, "targetBytes must be >= 1024")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sized = df.select(col(keyCol).as("__k"), col(filesCol).as("__f"))
+      .withColumn("__sz",
+        aggregate(map_values(col("__f")), lit(0L), (acc, b) =>
+          acc + lit(512L) +
+            (floor((length(b) + lit(511L)) / lit(512L)) * lit(512L)).cast("long")))
+    // running total over key order on the metadata projection; the
+    // single-partition window holds (key, size) pairs only
+    val meta = sized.select(col("__k"), col("__sz"))
+      .withColumn("__cum", sum("__sz").over(
+        Window.orderBy("__k").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__bin",
+        floor((col("__cum") - col("__sz")) / lit(targetBytes)).cast("long"))
+      .select(col("__k"), col("__bin"))
+    val nBins = 1 + meta.agg(max("__bin")).head().getLong(0).toInt
+    val binned = sized.join(meta.hint("shuffle_hash"), "__k")
+      .repartitionByRange(nBins, col("__bin"))
+      .sortWithinPartitions("__k")
+      .select(col("__k").as(keyCol), col("__f").as(filesCol))
+    writeShards(binned, keyCol, filesCol, dir)
+  }
+
   /** Write a DataFrame of (key, files: map<ext, binary>) rows as one tar
     * per partition under `dir` (`part-%05d.tar`) — the sink face:
     * `df.repartition(n)` chooses the shard count/size upstream. Returns

@@ -119,6 +119,38 @@ class TarShardsSpec extends SparkSpec {
     assert(back == (0 until 6).map(i => f"k$i%03d" -> s"payload $i").toMap)
   }
 
+  test("writeShardsBySize: byte-targeted bins, oversized sample isolated, all samples survive") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft_sized").toString
+    // 8 samples of ~1.5 KiB on-tar (512 hdr + 1024 padded payload) and one
+    // 10 KiB whopper; target 4 KiB -> ~2 samples per shard, whopper alone
+    val rows = (0 until 8).map { i =>
+      Row(f"k$i%03d", Map("bin" -> Array.fill[Byte](900)(i.toByte)))
+    } :+ Row("k008_big", Map("bin" -> Array.fill[Byte](10000)(9.toByte)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("files",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.BinaryType))))
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows, 3), schema)
+    val shards = TarShards.writeShardsBySize(df, "key", "files", dir,
+      targetBytes = 4096)
+    assert(shards.size >= 3, s"expected several shards, got $shards")
+    // every shard except possibly boundary-crossers stays near target:
+    // no shard holds more than 3 small samples (3 * 1436 > 4096)
+    val perShard = shards.map { p =>
+      TarShards.entries(Files.newInputStream(Paths.get(
+        p.stripPrefix("file:")))).size
+    }
+    assert(perShard.forall(_ <= 3), s"shard sample counts: $perShard")
+    val back = TarShards.samples(s, s"$dir/*.tar")
+    assert(back.count() == 9)
+    assert(back.select("key").collect().map(_.getString(0)).sorted.toSeq ==
+      rows.map(_.getString(0)).sorted)
+  }
+
   test("entries: corrupt size field refuses loudly instead of allocating") {
     val tar = fixtureTar(1)
     // blow up the octal size field of the first header

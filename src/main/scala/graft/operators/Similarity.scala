@@ -344,6 +344,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage retrieval: a cheap binary-sketch Hamming scan proposes
+    * `candidates` ids, exact integer-cosine re-ranks them to the final
+    * top-k — the standard serving architecture (coarse filter + precise
+    * re-rank). ONE corpus scan computes sketch and quantized vector
+    * together; the candidate set (size `candidates`, tiny) carries its
+    * vectors into the re-rank, so the corpus is never touched twice.
+    * Returns (id, cos_sim) ordered (cos_sim desc, id). */
+  def rerankTopK(df: DataFrame, embCol: String, idCol: String,
+      queryId: Long, k: Int, candidates: Int = 100, dim: Int = 64): DataFrame = {
+    require(candidates >= k, "candidates must be >= k")
+    val d = dot(df) _
+    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"),
+      signSketch(col(embCol), dim).as("sk"))
+    val query = emb.filter(col(idCol) === queryId)
+      .select(col("q").as("xq"), col("sk").as("xsk"))
+    val cands = emb.filter(col(idCol) =!= queryId)
+      .join(broadcast(query))
+      .withColumn("hamming", bit_count(col("sk").bitwiseXOR(col("xsk"))))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(candidates)
+    cands.select(col(idCol),
+        (d(col("q"), col("xq")).cast("double") /
+          (sqrt(d(col("q"), col("q")).cast("double")) *
+            sqrt(d(col("xq"), col("xq")).cast("double")))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings into coarse cells, then call
     * any within-cell pair with cosine >= `tau` a semantic duplicate and

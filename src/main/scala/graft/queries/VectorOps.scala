@@ -71,6 +71,14 @@ object VectorOps {
         t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
         k = 12, m = 8, sampleMod = 53)
     },
+    // Two-stage retrieval: binary-sketch Hamming scan proposes 60
+    // candidates, exact integer-cosine re-ranks to top-10 — coarse
+    // filter + precise re-rank in one corpus scan.
+    "qv11_rerank" -> { (s, d) =>
+      graft.operators.Similarity.rerankTopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 3L,
+        k = 10, candidates = 60)
+    },
     // SemDeDup semantic dedup: coarse cells from the deterministic
     // id-sample centroids, within-cell cosine >= tau evicts the higher
     // id. Output = dropped rows with their retained representative.
@@ -189,6 +197,25 @@ object VectorOps {
         |  GROUP BY cd.vec_id)
         |SELECT vec_id, adist FROM adist WHERE vec_id <> 0
         |ORDER BY adist, vec_id LIMIT 12""".stripMargin,
+    "qv11_rerank" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > 0
+        |      THEN (CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |            ELSE (CAST(1 AS BIGINT) << i) END)
+        |      ELSE 0 END)) AS BIGINT) AS sk
+        | FROM embeddings),
+        |query AS (SELECT q AS xq, sk AS xsk FROM emb WHERE vec_id = 3),
+        |cands AS (SELECT e.vec_id, e.q FROM emb e, query
+        |  WHERE e.vec_id <> 3
+        |  ORDER BY bit_count(xor(e.sk, query.xsk)), e.vec_id LIMIT 60)
+        |SELECT c.vec_id,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * query.xq[i])) AS DOUBLE) /
+        |   (SQRT(CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * c.q[i])) AS DOUBLE)) *
+        |    SQRT(CAST(list_sum(list_transform(range(1, 65), i -> query.xq[i] * query.xq[i])) AS DOUBLE))) AS cos_sim
+        |FROM cands c, query
+        |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin,
     "qv09_semantic_dedup" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -193,6 +193,24 @@ class SimilaritySpec extends SparkSpec {
     assert(tie == Seq(0, 0)) // equidistant everywhere: lowest index wins
   }
 
+  test("rerankTopK: with candidates == corpus, equals brute-force cosine top-k") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 25L).map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.topKCosine(df, "embedding", "vec_id", 3L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reranked = Similarity.rerankTopK(df, "embedding", "vec_id", 3L, 5,
+        candidates = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reranked == exact) // full candidate set -> re-rank IS brute force
+    // narrow candidates still return k rows with descending scores
+    val narrow = Similarity.rerankTopK(df, "embedding", "vec_id", 3L, 5,
+        candidates = 8).collect().map(_.getDouble(1)).toSeq
+    assert(narrow.size == 5 && narrow == narrow.sorted.reverse)
+  }
+
   test("signSketch packs sign bits; bit 63 wraps to Long.MinValue") {
     val s = spark
     import s.implicits._

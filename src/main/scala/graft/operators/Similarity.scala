@@ -372,6 +372,69 @@ object Similarity {
       .limit(k)
   }
 
+  private def sliceDist2(a: Array[Long], b: Array[Long], from: Int,
+      until: Int): Long = {
+    var d2 = 0L
+    var t = from
+    while (t < until) {
+      val d = a(t) - b(t)
+      d2 += d * d
+      t += 1
+    }
+    d2
+  }
+
+  /** IVF + PQ composition (the FAISS IVFPQ architecture, deterministic
+    * variant): the coarse id-sample cells of [[ivfTopK]] restrict
+    * candidates to the `nprobe` cells nearest the query, and PQ ADC
+    * ([[pqTopK]]) scores ONLY those — the serving shape where the index
+    * holds (cell id, m codes) per vector and search cost is
+    * `nprobe/cells` of the ADC scan. Encodes raw vectors, not residuals
+    * (residual encoding needs trained codebooks; this variant is exactly
+    * reproducible by the oracle — [[ivfTopKTrained]] shows the trained
+    * pattern). Returns (id, adist) ordered (adist, id). */
+  def ivfPqTopK(df: DataFrame, embCol: String, idCol: String, queryId: Long,
+      k: Int, m: Int = 8, sampleMod: Int = 53, nprobe: Int = 3): DataFrame = {
+    require(m >= 1 && nprobe >= 1, "m and nprobe must be >= 1")
+    graft.functions.TextHashes.register(df.sparkSession)
+    val d = dot(df) _
+    val emb = quantized(df, embCol, idCol)
+    val cents = emb.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("cid"), col("q").as("cq"), col("qq").as("cc"))
+    val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("q"), col("cid"))
+    // driver side, all tiny: ordered codebook, query, probed cells, LUT
+    val centRows = cents.orderBy("cid").select("cid", "cq").collect()
+    require(centRows.nonEmpty, "empty centroid sample")
+    val cids = centRows.map(_.getLong(0))
+    val cb: Array[Array[Long]] = centRows.map(_.getSeq[Long](1).toArray)
+    val dim = cb(0).length
+    require(dim % m == 0, s"m=$m must divide dim $dim")
+    val sub = dim / m
+    val query = emb.filter(col(idCol) === queryId)
+      .select("q").head().getSeq[Long](0).toArray
+    val probed = cids.zip(cb)
+      .map { case (cid, cv) => (sliceDist2(query, cv, 0, dim), cid) }
+      .sorted.take(nprobe).map(_._2)
+    val lut: Seq[Seq[Long]] = (0 until m).map(j =>
+      cb.toSeq.map(cv => sliceDist2(query, cv, j * sub, (j + 1) * sub)))
+    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    val lutLit = typedLit(lut)
+    assigned
+      .filter(col("cid").isin(probed.map(Long.box): _*) && col(idCol) =!= queryId)
+      .select(col(idCol),
+        call_function("pq_encode", col("q"), cbLit, lit(m)).as("codes"))
+      .select(col(idCol),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+          acc + element_at(element_at(lutLit, (j + 1).cast("int")),
+            element_at(col("codes"), (j + 1).cast("int")) + 1)).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings into coarse cells, then call
     * any within-cell pair with cosine >= `tau` a semantic duplicate and

@@ -145,6 +145,21 @@ object MiscQueries {
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
       graft.operators.Graphs.triangleStats(edges, "pa", "pb")
     },
+    // The connected-components operator REUSED beyond dedup: components
+    // of a (sparser) co-purchase graph via the same Boruvka contraction
+    // that resolves duplicate clusters; oracle = recursive closure.
+    "qg03_graph_components" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("id_a"), col("b.p").as("id_b")).distinct()
+      graft.operators.Dedup.duplicateClusters(edges)
+        .select(col("id").as("n"), col("comp").as("component"))
+        .orderBy("n")
+    },
     // Per-vertex local clustering coefficients over the same graph —
     // triangle attribution via a 3-way explode of the closed wedges
     // (cost ∝ triangles, not wedges).
@@ -192,6 +207,17 @@ object MiscQueries {
         |SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
         |       (SELECT COUNT(*) FROM wedge) AS n_wedges,
         |       (SELECT nt FROM tri) AS n_triangles""".stripMargin,
+    "qg03_graph_components" ->
+      """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 50 = 0),
+        |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+        |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+        |und AS (SELECT u AS a, v AS b FROM edges UNION SELECT v, u FROM edges),
+        |reach AS (
+        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM und)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS n, MIN(b) AS component FROM reach GROUP BY a ORDER BY n""".stripMargin,
     "qg02_clustering_coeff" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         |  WHERE l_orderkey % 20 = 0),

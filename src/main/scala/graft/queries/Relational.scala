@@ -318,6 +318,23 @@ object Relational {
             |  'disc', l_discount) AS (measure, val)""".stripMargin)
         .orderBy("l_orderkey", "l_linenumber", "measure")
     },
+    // The remaining rank-family window functions: percent_rank, cume_dist,
+    // ntile, nth_value — rank-arithmetic doubles, engine-identical.
+    "q28_rank_functions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).as("quartile"),
+          nth_value(col("l_quantity"), 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("third_qty"))
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    },
     // Regex scalar functions: extract + global replace.
     "q23_regex_funcs" -> { (s, d) =>
       t(s, d, "part").filter(col("p_partkey") < 300)
@@ -477,6 +494,17 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
         |  RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q28_rank_functions" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cdist,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | nth_value(l_quantity, 3) OVER (PARTITION BY l_returnflag
+        |   ORDER BY l_quantity, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_qty
+        |FROM lineitem WHERE l_orderkey < 2000
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin,
     "q27_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS val
         |FROM lineitem WHERE l_orderkey < 300

@@ -79,6 +79,13 @@ object VectorOps {
         t(s, d, "embeddings"), "embedding", "vec_id", queryId = 3L,
         k = 10, candidates = 60)
     },
+    // IVF+PQ (FAISS IVFPQ shape): coarse cells filter to nprobe=3,
+    // PQ ADC scores only the probed cells — index = (cell, 8 codes)/vec.
+    "qv12_ivfpq" -> { (s, d) =>
+      graft.operators.Similarity.ivfPqTopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
+        k = 10, m = 8, sampleMod = 53, nprobe = 3)
+    },
     // SemDeDup semantic dedup: coarse cells from the deterministic
     // id-sample centroids, within-cell cosine >= tau evicts the higher
     // id. Output = dropped rows with their retained representative.
@@ -197,6 +204,39 @@ object VectorOps {
         |  GROUP BY cd.vec_id)
         |SELECT vec_id, adist FROM adist WHERE vec_id <> 0
         |ORDER BY adist, vec_id LIMIT 12""".stripMargin,
+    "qv12_ivfpq" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
+        |cents AS (SELECT vec_id AS cid, q AS cq, qq AS cc,
+        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+        |  FROM nemb WHERE vec_id % 53 = 0),
+        |assigned AS (SELECT vec_id AS id, q, cid FROM (
+        |  SELECT e.vec_id, e.q, ct.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      e.qq + ct.cc - 2 * list_sum(list_transform(range(1, 65), i -> e.q[i] * ct.cq[i])),
+        |      ct.cid) AS rn
+        |  FROM nemb e, cents ct) WHERE rn = 1),
+        |query AS (SELECT q AS xq, qq AS xqq FROM nemb WHERE vec_id = 0),
+        |probed AS (SELECT cid FROM cents, query
+        |  ORDER BY xqq + cc - 2 * list_sum(list_transform(range(1, 65), i -> cq[i] * xq[i])), cid
+        |  LIMIT 3),
+        |codes AS (SELECT id, j, c AS code FROM (
+        |  SELECT a.id, s.j, ct.c,
+        |    ROW_NUMBER() OVER (PARTITION BY a.id, s.j ORDER BY
+        |      list_sum(list_transform(range(1, 9), t ->
+        |        (a.q[s.j*8 + t] - ct.cq[s.j*8 + t]) * (a.q[s.j*8 + t] - ct.cq[s.j*8 + t]))), ct.c) AS rn
+        |  FROM assigned a JOIN probed USING (cid), (SELECT unnest(range(0, 8)) AS j) s, cents ct) WHERE rn = 1),
+        |lut AS (SELECT s.j, ct.c,
+        |    CAST(list_sum(list_transform(range(1, 9), t ->
+        |      (query.xq[s.j*8 + t] - ct.cq[s.j*8 + t]) * (query.xq[s.j*8 + t] - ct.cq[s.j*8 + t]))) AS BIGINT) AS d2
+        |  FROM (SELECT unnest(range(0, 8)) AS j) s, cents ct, query)
+        |SELECT cd.id AS vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+        |FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+        |WHERE cd.id <> 0
+        |GROUP BY cd.id ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "qv11_rerank" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q,

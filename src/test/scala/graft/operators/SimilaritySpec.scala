@@ -174,6 +174,26 @@ class SimilaritySpec extends SparkSpec {
     assert(coarse.length == 5 && coarse.forall(_.getAs[Long]("adist") >= 0))
   }
 
+  test("ivfPqTopK: probing every cell equals the full PQ ADC scan") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val df = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.pqTopK(df, "embedding", "vec_id", 0L, 6,
+        m = 2, sampleMod = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val probedAll = Similarity.ivfPqTopK(df, "embedding", "vec_id", 0L, 6,
+        m = 2, sampleMod = 7, nprobe = 6) // 6 cells (ids 0,7,...,35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probedAll == full)
+    // partial probe returns k rows with non-decreasing adist
+    val partial = Similarity.ivfPqTopK(df, "embedding", "vec_id", 0L, 6,
+        m = 2, sampleMod = 7, nprobe = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(partial.size == 6 && partial == partial.sorted)
+  }
+
   test("pq_encode picks the nearest centroid per subspace, lowest index on ties") {
     val s = spark
     import s.implicits._

@@ -25,6 +25,7 @@ class PlanHygieneSpec extends SparkSpec {
     "qv07_batch_knn", // broadcast query batch (5 rows)
     "qv08_hamming_ann", // broadcast query sketch (1 row)
     "qv11_rerank", // broadcast query sketch+vector (1 row)
+    "qv12_ivfpq", // broadcast centroid sample (corpus/sampleMod rows)
     "qv09_semantic_dedup", // broadcast centroid sample (corpus/sampleMod rows)
     "qg01_triangles", // cross of three 1-row count aggregates
     "qd28_characteristic_terms") // broadcast corpus count N (1 row)

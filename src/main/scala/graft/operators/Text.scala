@@ -52,6 +52,42 @@ object Text {
         ((col(ncharsCol) - (col("n_tokens") - 1)).cast("double") / col("n_tokens")).as("avg_word_len"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
 
+  /** Per-document n-gram novelty: what fraction of a doc's DISTINCT
+    * n-token grams appear in no other document — (id, n_grams, n_novel,
+    * novelty). Low novelty flags template/memorized/boilerplate-heavy
+    * docs the way per-doc repetition scores can't (the repeats live in
+    * OTHER documents). Shape: one distinct-postings shuffle on xxhash64
+    * gram keys; df counts ride a window over the same shuffle the
+    * re-aggregation needs (the qd22 discipline — no subtree recompute). */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val g = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("g"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    g.withColumn("df", count(lit(1)).over(w))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+  }
+
+  /** Keep only documents above the `minPct` quality percentile WITHIN
+    * their group (per-source/per-language cuts — an absolute threshold
+    * over mixed sources throws away whole domains): ranks `scoreCol`
+    * ascending by percent_rank per group, keeps rank >= minPct. Returns
+    * the surviving rows plus the rank. One window shuffle on the group
+    * key. */
+  def qualityPercentileFilter(df: DataFrame, scoreCol: String,
+      groupCol: String, idCol: String, minPct: Double): DataFrame = {
+    require(minPct >= 0 && minPct < 1, "minPct must be in [0, 1)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol), col(idCol))
+    df.withColumn("q_rank", percent_rank().over(w))
+      .filter(col("q_rank") >= minPct)
+  }
+
   /** Marker-word language ID: appends hits_<lang> evidence columns and a
     * `predicted` column (first language in `markers` order wins ties;
     * zero evidence -> "unknown"). N-gram-heuristic langid at its simplest,

@@ -87,6 +87,10 @@ object MediaQueries {
         .toDF()
         .orderBy("user_id", "step")
     },
+    // Weekly retention cohorts: first-activity week x offset matrix.
+    "qs07_retention" -> { (s, d) =>
+      EventStream.retentionCohorts(t(s, d, "events"))
+    },
     // The same session semantics through Spark's BUILT-IN session_window
     // aggregation (declarative merge planned by Catalyst) — checked against
     // the identical gap-islands oracle as qs02, so the custom stateful
@@ -150,6 +154,13 @@ object MediaQueries {
         |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
         |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
         |ORDER BY step""".stripMargin,
+    "qs07_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        |SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset,
+        | COUNT(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN f ON f.user_id = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "qs06_funnel_transitions" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |s1 AS (SELECT user_id, MIN(us) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id),

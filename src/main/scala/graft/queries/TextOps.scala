@@ -238,6 +238,28 @@ object TextOps {
         .withColumn("norm_md5", md5(col("norm_text")))
         .orderBy("doc_id")
     },
+    // Per-doc n-gram novelty: fraction of a doc's distinct trigrams
+    // appearing in NO other document — flags boilerplate/template docs
+    // whose repeats live in other documents.
+    "qd33_ngram_novelty" -> { (s, d) =>
+      graft.operators.Text.ngramNovelty(
+          t(s, d, "documents").filter(col("doc_id") < 300), "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    },
+    // Per-source quality-percentile cut: keep docs at or above the 20th
+    // type-token-ratio percentile WITHIN their source (absolute cuts
+    // across mixed sources throw away whole domains).
+    "qd34_quality_cut" -> { (s, d) =>
+      val scored = graft.operators.Text.qualityScores(
+          t(s, d, "documents"), "text", "n_chars", "doc_id",
+          stopwords = Seq("the", "a"))
+        .join(t(s, d, "documents").select("doc_id", "source"), "doc_id")
+      graft.operators.Text.qualityPercentileFilter(
+          scored, "type_token_ratio", "source", "doc_id", minPct = 0.2)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          min("type_token_ratio").as("min_ttr"), max("q_rank").as("max_rank"))
+        .orderBy("source")
+    },
     // Class-balanced cap: at most 120 docs per lang, chosen by the
     // deterministic md5 order; survivors summarized per lang.
     "qd15_balanced_cap" -> { (s, d) =>
@@ -621,6 +643,26 @@ object TextOps {
         | md5(trim(regexp_replace(lower(nfc_normalize('  ' || upper(text) || ' ' || chr(9))),
         |   '\s+', ' ', 'g'))) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "qd33_ngram_novelty" ->
+      """WITH g AS (SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS gram
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id < 300)),
+        |dfs AS (SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+        |FROM dfs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "qd34_quality_cut" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  len(list_distinct(str_split(text, ' '))) * 1.0 / len(str_split(text, ' ')) AS ttr
+        | FROM documents),
+        |r AS (SELECT doc_id, source, ttr,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY ttr, doc_id) AS q_rank
+        | FROM q)
+        |SELECT source, COUNT(*) AS n_kept, MIN(ttr) AS min_ttr, MAX(q_rank) AS max_rank
+        |FROM r WHERE q_rank >= 0.2 GROUP BY source ORDER BY source""".stripMargin,
     "qd15_balanced_cap" ->
       """WITH r AS (SELECT lang, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY lang

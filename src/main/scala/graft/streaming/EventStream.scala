@@ -248,6 +248,24 @@ object EventStream {
     }.reduce(_ unionAll _).orderBy("step")
   }
 
+  /** Weekly retention cohorts — the product-analytics matrix: cohort =
+    * each user's first-activity epoch-week; cell (cohort_wk, week_offset)
+    * counts that cohort's users active `offset` weeks later. Shape: both
+    * the first-seen aggregate and the distinct-activity relation key on
+    * user_id, so the join reuses one partitioning; weeks are integer
+    * epoch arithmetic (identical in any engine). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"),
+        expr("(ts div 1000) div 604800000000").as("wk"))
+      .distinct()
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

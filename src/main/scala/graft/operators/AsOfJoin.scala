@@ -77,4 +77,45 @@ object AsOfJoin {
       .select(leftCols.toIndexedSeq.map(col) ++
         rightVals.map(c => col("__m").getField(c).as(s"asof_$c")): _*)
   }
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` (pandas `merge_asof(direction='forward')`):
+    * the same one-shuffle union/window shape as [[asofBackward]], with
+    * `first(ignoreNulls)` over rows-FOLLOWING and the right side sorting
+    * AFTER the left on time ties so a right row at the exact same time is
+    * visible. Tolerance nulls out matches farther than
+    * `rightTime - leftTime > tolerance`, as a unit. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rt", right.schema(rightTime).dataType))
+    // side 1 = right: sorts AFTER left on ties, so an equal-time right row
+    // falls inside the forward window (>= semantics)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(1).as("__side"),
+          struct(rightVals.map(col) :+ col(rightTime).as("__rt"): _*).as("__r")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).cast(right.schema(rightTime).dataType).as("__t"), lit(0).as("__side"),
+          lit(null).cast(rStructType).as("__r")) ++
+        leftCols.filterNot(keyCols.contains).map(col): _*)
+    val unioned = r.unionByName(l)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = unioned.withColumn("__asof", first(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", tolerance match {
+        case Some(tol) =>
+          when(col("__asof").getField("__rt") - col("__t") <= tol, col("__asof"))
+        case None => col("__asof")
+      })
+    filled.filter(col("__side") === 0)
+      .select(leftCols.toIndexedSeq.map(col) ++
+        rightVals.map(c => col("__m").getField(c).as(s"asof_$c")): _*)
+  }
 }

@@ -113,6 +113,23 @@ object MiscQueries {
           expr("asof_rts div 1000").as("err_ts_us"))
         .orderBy("event_id")
     },
+    // FORWARD as-of join (pandas merge_asof direction='forward'): the
+    // EARLIEST error at-or-after each purchase, vs DuckDB's native
+    // forward ASOF (l.ts <= r.ts).
+    "qa04_asof_forward" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("rts"), col("value").as("err_value"))
+      AsOfJoin.asofForward(purchases, errors, Seq("user_id"), "ts", "rts",
+          Seq("err_value", "rts"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          col("asof_err_value").as("err_value"),
+          expr("asof_rts div 1000").as("err_ts_us"))
+        .orderBy("event_id")
+    },
     // Sketch aggregates (approximate - no cross-engine oracle; the driver
     // records a rows-only check for these by design).
     "qx01_sketches" -> { (s, d) =>
@@ -252,6 +269,13 @@ object MiscQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "qa04_asof_forward" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        | r.value AS err_value, epoch_us(r.ts) AS err_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
     "qa03_asof_tolerance" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,

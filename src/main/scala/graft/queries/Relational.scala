@@ -318,6 +318,21 @@ object Relational {
             |  'disc', l_discount) AS (measure, val)""".stripMargin)
         .orderBy("l_orderkey", "l_linenumber", "measure")
     },
+    // Correlated LATERAL subquery (top lineitem per order) — exercises
+    // Catalyst's lateral-join decorrelation; DuckDB runs the identical
+    // SQL shape.
+    "q29_lateral" -> { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders_lat")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_lat")
+      s.sql(
+        """SELECT o.o_orderkey, o.o_totalprice, l.top_qty, l.top_part
+          |FROM orders_lat o, LATERAL (
+          |  SELECT l_quantity AS top_qty, l_partkey AS top_part
+          |  FROM lineitem_lat WHERE l_orderkey = o.o_orderkey
+          |  ORDER BY l_quantity DESC, l_linenumber, l_partkey LIMIT 1) l
+          |WHERE o.o_orderkey < 500
+          |ORDER BY o.o_orderkey""".stripMargin)
+    },
     // The remaining rank-family window functions: percent_rank, cume_dist,
     // ntile, nth_value — rank-arithmetic doubles, engine-identical.
     "q28_rank_functions" -> { (s, d) =>
@@ -494,6 +509,14 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
         |  RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q29_lateral" ->
+      """SELECT o.o_orderkey, o.o_totalprice, l.top_qty, l.top_part
+        |FROM orders o, LATERAL (
+        |  SELECT l_quantity AS top_qty, l_partkey AS top_part
+        |  FROM lineitem WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_quantity DESC, l_linenumber, l_partkey LIMIT 1) l
+        |WHERE o.o_orderkey < 500
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q28_rank_functions" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         | percent_rank() OVER w AS pct_rank,

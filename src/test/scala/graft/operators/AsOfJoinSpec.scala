@@ -48,4 +48,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("asof_v")))
     assert(out(1).isNullAt(out(1).fieldIndex("asof_tag")))
   }
+
+  test("forward as-of join picks the earliest right row at or after left time") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1, 10L, "a"), (1, 20L, "b"), (1, 16L, "c"), (2, 12L, "d"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1, 10L, 100.0), (1, 15L, 150.0), (2, 11L, 999.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asofForward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, 10L, 100.0), // exact tie: right row at the same time counts
+      (1, 16L, null), //  nothing at or after 16
+      (1, 20L, null), //  nothing at or after 20
+      (2, 12L, null))) // right row is earlier
+    // tolerance: a match farther ahead than tol nulls out as a unit
+    val tol = AsOfJoin.asofForward(
+        Seq((1, 8L)).toDF("k", "t"), right, Seq("k"), "t", "rt", Seq("v"),
+        tolerance = Some(1L))
+      .collect().head
+    assert(tol.isNullAt(tol.fieldIndex("asof_v"))) // rt=10 is 2 > 1 ahead
+  }
 }

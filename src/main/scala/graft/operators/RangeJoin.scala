@@ -33,4 +33,33 @@ object RangeJoin {
       .filter(abs(col(rightTime) - col(leftTime)) <= window)
       .drop("__bin")
   }
+
+  /** Interval OVERLAP join: all (left, right) row pairs whose
+    * `[start, end]` intervals intersect (`ls <= re && rs <= le` —
+    * closed-interval semantics). The temporal/genomics staple Spark
+    * plans as a broadcast-nested-loop or a post-filtered cartesian.
+    *
+    * Bin trick, interval edition: each side explodes into every
+    * `binSize`-wide bin its interval touches, the join key is the bin
+    * (plus `keys`), and each surviving pair is attributed to exactly ONE
+    * bin — the bin containing the overlap's start `max(ls, rs)` — so no
+    * distinct/dedup shuffle is needed. Work per task is bounded by
+    * rows-per-bin; replication is `span/binSize + 1` per row, so pick
+    * `binSize` near the typical interval span. Column names must be
+    * disjoint across sides (the binnedRangeJoin convention). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String, rightStart: String, rightEnd: String,
+      binSize: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binSize > 0)
+    def binned(df: DataFrame, s: String, e: String) =
+      df.filter(col(s) <= col(e)).withColumn("__bin",
+        explode(expr(s"sequence($s DIV ${binSize}L, $e DIV ${binSize}L)")))
+    val pairs = binned(left, leftStart, leftEnd)
+      .join(binned(right, rightStart, rightEnd), keys :+ "__bin")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+    pairs
+      .filter(col("__bin") ===
+        expr(s"GREATEST($leftStart, $rightStart) DIV ${binSize}L"))
+      .drop("__bin")
+  }
 }

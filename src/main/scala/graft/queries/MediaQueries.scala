@@ -91,6 +91,23 @@ object MediaQueries {
     "qs07_retention" -> { (s, d) =>
       EventStream.retentionCohorts(t(s, d, "events"))
     },
+    // Interval OVERLAP join: cross-user pairs of concurrent sessions —
+    // each side explodes into the 1-hour bins its interval touches, each
+    // surviving pair attributed to the bin of its overlap start (no
+    // dedup shuffle). Work per task ∝ rows-per-bin, never sessions².
+    "qr02_interval_overlap" -> { (s, d) =>
+      val sess = EventStream.sessionize(t(s, d, "events"), gapMinutes = 30).toDF()
+      val a = sess.select(col("user_id").as("ua"),
+        col("startMicros").as("sa"), col("endMicros").as("ea"))
+      val b = sess.select(col("user_id").as("ub"),
+        col("startMicros").as("sb"), col("endMicros").as("eb"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          a, b, "sa", "ea", "sb", "eb", binSize = 3600000000L)
+        .filter(col("ua") < col("ub"))
+        .select(col("ua"), col("sa"), col("ub"), col("sb"),
+          (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("overlap_us"))
+        .orderBy("ua", "sa", "ub", "sb")
+    },
     // The same session semantics through Spark's BUILT-IN session_window
     // aggregation (declarative merge planned by Catalyst) — checked against
     // the identical gap-islands oracle as qs02, so the custom stateful
@@ -154,6 +171,21 @@ object MediaQueries {
         |UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
         |UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
         |ORDER BY step""".stripMargin,
+    "qr02_interval_overlap" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT user_id, us,
+        |  CASE WHEN LAG(us) OVER w IS NULL
+        |         OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM d),
+        |sess AS (SELECT user_id, MIN(us) AS s, MAX(us) AS e FROM g GROUP BY user_id, sid)
+        |SELECT a.user_id AS ua, a.s AS sa, b.user_id AS ub, b.s AS sb,
+        | LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY ua, sa, ub, sb""".stripMargin,
     "qs07_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)

@@ -57,4 +57,46 @@ object Sketches {
     exact.join(sketch, "grp")
       .select(col("grp").as(groupCol), col("exact_distinct"), col("est_distinct"))
   }
+
+  /** KMV set-operation estimates for two value sets — one row:
+    * (union_exact, union_est, inter_exact, inter_est, jaccard_est).
+    * The union sketch is the bottom-k of the MERGED hash sets (KMV
+    * sketches are trivially mergeable — the whole point at scale: ship
+    * two k-hash summaries, not the sets); Jaccard is estimated as the
+    * fraction of the union's bottom-k present in BOTH sides (Bar-Yossef
+    * et al.'s coordinated-sample argument), and the intersection estimate
+    * is `jaccard_est * union_est`. Everything is a pure function of md5
+    * hashes, so the oracle reproduces every digit. The bottom-k selection
+    * is a TakeOrdered (no global sort materializes); exact counts ride
+    * the same distinct relation. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "k >= 2")
+    def hashes(df: DataFrame, tag: String) =
+      df.select(md5(col(valueCol).cast("string")).as("h")).distinct()
+        .withColumn("inA", lit(if (tag == "a") 1 else 0))
+        .withColumn("inB", lit(if (tag == "b") 1 else 0))
+    val merged = hashes(a, "a").unionAll(hashes(b, "b"))
+      .groupBy("h").agg(max("inA").as("inA"), max("inB").as("inB"))
+    val hashInt = expr(
+      """aggregate(sequence(1, 13), CAST(0 AS BIGINT), (acc, j) ->
+        |  acc * 16 + CAST(instr('0123456789abcdef',
+        |    substring(h, CAST(j AS INT), 1)) - 1 AS BIGINT))""".stripMargin)
+    val bottom = merged.orderBy("h").limit(k).withColumn("hi", hashInt)
+    val est = bottom.agg(
+      count(lit(1)).as("cnt"), max("hi").as("hk"),
+      sum(col("inA") * col("inB")).as("nboth"))
+      .select(
+        when(col("cnt") < k, col("cnt").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) /
+            col("hk").cast("double")).as("union_est"),
+        (col("nboth").cast("double") / col("cnt")).as("jaccard_est"))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+    val exact = merged.agg(
+      count(lit(1)).as("union_exact"),
+      sum(col("inA") * col("inB")).as("inter_exact"))
+    exact.crossJoin(est)
+      .select(col("union_exact"), col("union_est"),
+        col("inter_exact"), col("inter_est"), col("jaccard_est"))
+  }
 }

@@ -149,6 +149,30 @@ object MiscQueries {
           t(s, d, "lineitem"), "l_partkey", "l_returnflag", k = 64)
         .orderBy("l_returnflag")
     },
+    // Robust per-group statistics: median, MAD (median absolute
+    // deviation), interquartile range — exact interpolated percentiles,
+    // two passes sharing one partitioning on the group key.
+    "qp04_robust_stats" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"))
+      li.join(med, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(first("med_qty").as("median_qty"),
+          expr("percentile(abs(l_quantity - med_qty), 0.5)").as("mad_qty"),
+          expr("percentile(l_extendedprice, 0.75) - percentile(l_extendedprice, 0.25)").as("iqr_price"))
+        .orderBy("l_returnflag")
+    },
+    // KMV set-operation estimates: union/intersection/Jaccard of the
+    // part sets bought under returnflag A vs R, from two mergeable
+    // bottom-k hash summaries (pure md5 functions — oracle-exact).
+    "qx04_kmv_setops" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      graft.operators.Sketches.kmvSetOps(
+        li.filter(col("l_returnflag") === "A").select("l_partkey"),
+        li.filter(col("l_returnflag") === "R").select("l_partkey"),
+        "l_partkey", k = 64)
+    },
     // Exact triangle count over the co-purchase graph (parts sharing an
     // order), degree-ordered orientation bounding wedge fan-out — the
     // "curse of the last reducer" fix, under the oracle.
@@ -235,6 +259,37 @@ object MiscQueries {
         |  UNION
         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
         |SELECT a AS n, MIN(b) AS component FROM reach GROUP BY a ORDER BY n""".stripMargin,
+    "qp04_robust_stats" ->
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, MIN(m.med_qty) AS median_qty,
+        | quantile_cont(abs(l.l_quantity - m.med_qty), 0.5) AS mad_qty,
+        | quantile_cont(l.l_extendedprice, 0.75) - quantile_cont(l.l_extendedprice, 0.25) AS iqr_price
+        |FROM lineitem l JOIN med m USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qx04_kmv_setops" ->
+      """WITH ha AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+        |  FROM lineitem WHERE l_returnflag = 'A'),
+        |hb AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |merged AS (SELECT h, MAX(inA) AS inA, MAX(inB) AS inB FROM (
+        |  SELECT h, 1 AS inA, 0 AS inB FROM ha
+        |  UNION ALL SELECT h, 0, 1 FROM hb) GROUP BY h),
+        |bottom AS (SELECT h, inA, inB,
+        |  (SELECT CAST(SUM(CAST(instr('0123456789abcdef', substr(b2.h, CAST(j AS INT), 1)) - 1 AS DOUBLE)
+        |     * (CAST(16 AS DOUBLE) ** CAST(13 - j AS INT))) AS BIGINT)
+        |   FROM unnest(generate_series(1, 13)) t(j)) AS hi
+        |  FROM (SELECT * FROM merged ORDER BY h LIMIT 64) b2),
+        |est AS (SELECT
+        |  CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |       ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(MAX(hi) AS DOUBLE) END AS union_est,
+        |  CAST(SUM(inA * inB) AS DOUBLE) / COUNT(*) AS jaccard_est
+        | FROM bottom),
+        |ex AS (SELECT COUNT(*) AS union_exact,
+        |  CAST(SUM(inA * inB) AS BIGINT) AS inter_exact FROM merged)
+        |SELECT ex.union_exact, est.union_est, ex.inter_exact,
+        | est.jaccard_est * est.union_est AS inter_est, est.jaccard_est
+        |FROM ex, est""".stripMargin,
     "qg02_clustering_coeff" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         |  WHERE l_orderkey % 20 = 0),

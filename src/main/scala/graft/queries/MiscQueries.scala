@@ -149,6 +149,22 @@ object MiscQueries {
           t(s, d, "lineitem"), "l_partkey", "l_returnflag", k = 64)
         .orderBy("l_returnflag")
     },
+    // Declarative data-quality audit (Deequ-style contract checks):
+    // row-local rules fold into ONE aggregate pass; uniqueness rides its
+    // key's own shuffle; referential integrity is a distinct-keys
+    // anti-join. The unique rule genuinely fires on this data (duplicate
+    // (orderkey, linenumber) pairs exist).
+    "qq01_quality_audit" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      graft.operators.Quality.audit(li,
+          notNull = Seq("l_orderkey"),
+          nonNegative = Seq("l_quantity"),
+          inSet = Map("l_returnflag" -> Seq("A", "N", "R")),
+          unique = Seq(Seq("l_orderkey", "l_linenumber")))
+        .unionAll(graft.operators.Quality.refIntegrity(
+          li, "l_orderkey", t(s, d, "orders"), "o_orderkey"))
+        .orderBy("rule", "target")
+    },
     // Robust per-group statistics: median, MAD (median absolute
     // deviation), interquartile range — exact interpolated percentiles,
     // two passes sharing one partitioning on the group key.
@@ -259,6 +275,22 @@ object MiscQueries {
         |  UNION
         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
         |SELECT a AS n, MIN(b) AS component FROM reach GROUP BY a ORDER BY n""".stripMargin,
+    "qq01_quality_audit" ->
+      """SELECT 'not_null' AS rule, 'l_orderkey' AS target,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  COUNT(*) AS checked FROM lineitem
+        |UNION ALL SELECT 'non_negative', 'l_quantity',
+        |  CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'in_set', 'l_returnflag',
+        |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM lineitem
+        |UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber',
+        |  CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT) FROM (
+        |    SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL SELECT 'ref_integrity', 'l_orderkey->o_orderkey',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey)),
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+        |ORDER BY rule, target""".stripMargin,
     "qp04_robust_stats" ->
       """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
         |  FROM lineitem GROUP BY 1)

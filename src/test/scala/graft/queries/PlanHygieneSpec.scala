@@ -29,6 +29,7 @@ class PlanHygieneSpec extends SparkSpec {
     "qv09_semantic_dedup", // broadcast centroid sample (corpus/sampleMod rows)
     "qg01_triangles", // cross of three 1-row count aggregates
     "qx04_kmv_setops", // cross of two 1-row estimate/exact aggregates
+    "qq01_quality_audit", // cross of 1-row checked/orphan count aggregates
     "qd28_characteristic_terms") // broadcast corpus count N (1 row)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {

@@ -27,6 +27,27 @@ class MultimodalSpec extends SparkSpec {
     bb.array()
   }
 
+  test("GIF and BMP decode through the same image path (ImageIO dispatch)") {
+    def encoded(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 6).foreach(x => img.setRGB(x, y, 0x336699)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val df = Seq(("gif", encoded("gif")), ("bmp", encoded("bmp")))
+      .toDF("fmt", "img")
+    val metas = graft.multimodal.Multimodal.withImageMeta(df, "img")
+      .select("fmt", "image_meta.width", "image_meta.height").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(metas == Map("gif" -> ((6, 4)), "bmp" -> ((6, 4))))
+    // perceptual hash works on both — flat-color images hash identically
+    val hashes = graft.multimodal.Multimodal.withImageAHash(df, "img")
+      .select("ahash").collect().map(_.getLong(0))
+    assert(hashes.distinct.length == 1)
+  }
+
   test("real PNG decode: meta and mean channels via partitioned batch op") {
     val df = Seq((1L, png(200, 10, 30)), (2L, png(0, 0, 0)), (3L, Array.emptyByteArray))
       .toDF("id", "media")

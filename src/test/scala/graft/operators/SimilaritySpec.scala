@@ -231,6 +231,28 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.size == 5 && narrow == narrow.sorted.reverse)
   }
 
+  test("MLlib HashingTF featurizes text into the similarity suite (duplicate ranks first)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "spark shuffles partition the keyspace across executors"),
+      (1L, "spark shuffles partition the keyspace across executors"), // dup of 0
+      (2L, "completely different words about cooking pasta tonight"),
+      (3L, "spark partitions and shuffles keyspace executor work")) //    related
+      .toDF("doc_id", "text")
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("tokens").setOutputCol("tf").setNumFeatures(64)
+    val feats = tf.transform(docs.withColumn("tokens", split(col("text"), " ")))
+      .select(col("doc_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("tf"), "float32")
+          .as("embedding"))
+    val top = Similarity.topKCosine(feats, "embedding", "doc_id", 0L, 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("cos_sim")))
+    assert(top.head._1 == 1L && math.abs(top.head._2 - 1.0) < 1e-12)
+    assert(top.map(_._1).contains(3L)) // related doc in top-3
+    assert(top.last._2 < top.head._2)
+  }
+
   test("signSketch packs sign bits; bit 63 wraps to Long.MinValue") {
     val s = spark
     import s.implicits._

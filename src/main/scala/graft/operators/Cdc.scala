@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application — the incremental half of a 100 TB
+  * corpus: snapshots are rewritten only by applying a (small) keyed
+  * changelog, never recomputed (the `MERGE INTO` pattern, as plain
+  * operators — no table format required). Complements
+  * [[Dedup.dropDuplicatesIncremental]] (content identity) with KEY
+  * identity: inserts/updates/deletes with latest-wins ordering.
+  */
+object Cdc {
+
+  /** Apply a changelog to a snapshot: `opCol` in {I, U, D}, the
+    * highest-`seqCol` op per key wins (ties break toward D — a delete
+    * and an update at the same sequence must not resurrect the row).
+    * Output schema = snapshot schema; I/U rows take the delta's values,
+    * unmentioned keys pass through, D keys disappear.
+    *
+    * Shape: the delta collapses to one row per key via a window over its
+    * OWN shuffle (delta-sized, tiny by definition), then one full-outer
+    * join against the snapshot on the key — the snapshot is never
+    * re-sorted or re-aggregated. */
+  def applyChangelog(snapshot: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val valueCols = snapshot.columns.filterNot(keyCols.contains).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, when(col(opCol) === "D", 0).otherwise(1))
+    val latest = delta
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select((keyCols.map(col) :+ col(opCol).as("__op")) ++
+        valueCols.map(c => col(c).as(s"__d_$c")): _*)
+    snapshot.join(latest, keyCols, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(keyCols.map(col) ++ valueCols.map(c =>
+        when(col("__op").isNotNull, col(s"__d_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
+
+  /** SCD-type-2 history from a changelog: one validity interval per
+    * change — (keys..., values..., valid_from, valid_to, is_current),
+    * `valid_to` = the next change's sequence (null while current); a D op
+    * closes the key's history without opening a row. One window over the
+    * changelog's key shuffle; nothing touches a snapshot. */
+  def scd2History(delta: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    delta
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed(seqCol, "valid_from")
+      .drop(opCol)
+  }
+}

@@ -108,6 +108,37 @@ object MediaQueries {
           (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("overlap_us"))
         .orderBy("ua", "sa", "ub", "sb")
     },
+    // CDC MERGE: apply the event stream as a keyed changelog (signup=I,
+    // error=D, anything else=U; latest ts wins, D beats same-seq U) onto
+    // a synthetic snapshot — the incremental-corpus update path with no
+    // table format. The delta collapses on ITS OWN shuffle; the snapshot
+    // is only full-outer joined, never re-aggregated.
+    "qc01_cdc_merge" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val snapshot = ev.filter(col("user_id") % 2 === 0)
+        .select(col("user_id")).distinct()
+        .withColumn("value", lit(0.0))
+      val delta = ev.select(col("user_id"),
+        expr("ts div 1000").as("seq"), col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+      graft.operators.Cdc.applyChangelog(snapshot, delta,
+          Seq("user_id"), "seq", "op")
+        .orderBy("user_id")
+    },
+    // SCD-type-2 history: one validity interval per change, closed by
+    // the next change's sequence; deletes close without opening.
+    "qc02_scd2_history" -> { (s, d) =>
+      val delta = t(s, d, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), expr("ts div 1000").as("seq"),
+          col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      graft.operators.Cdc.scd2History(delta, Seq("user_id"), "seq", "op")
+        .select(col("user_id"), col("value"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
     // The same session semantics through Spark's BUILT-IN session_window
     // aggregation (declarative merge planned by Catalyst) — checked against
     // the identical gap-islands oracle as qs02, so the custom stateful
@@ -186,6 +217,30 @@ object MediaQueries {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
         |ORDER BY ua, sa, ub, sb""".stripMargin,
+    "qc01_cdc_merge" ->
+      """WITH snap AS (SELECT DISTINCT user_id, CAST(0.0 AS DOUBLE) AS value
+        |  FROM events WHERE user_id % 2 = 0),
+        |dl AS (SELECT user_id, epoch_us(ts) AS seq, value,
+        |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op
+        | FROM events),
+        |latest AS (SELECT user_id, op, value FROM (
+        |  SELECT user_id, op, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC,
+        |      CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn FROM dl) WHERE rn = 1)
+        |SELECT COALESCE(s.user_id, l.user_id) AS user_id,
+        | CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE s.value END AS value
+        |FROM snap s FULL OUTER JOIN latest l ON l.user_id = s.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+    "qc02_scd2_history" ->
+      """WITH dl AS (SELECT user_id, epoch_us(ts) AS seq, value,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        | FROM events WHERE user_id < 50)
+        |SELECT user_id, value, seq AS valid_from,
+        | LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to,
+        | LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) IS NULL AS is_current
+        |FROM dl QUALIFY op <> 'D'
+        |ORDER BY user_id, valid_from""".stripMargin,
     "qs07_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)

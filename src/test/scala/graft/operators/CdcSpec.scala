@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val snapshot = Seq(
+    (1L, "old-a", 10), (2L, "old-b", 20), (3L, "old-c", 30))
+    .toDF("k", "name", "v")
+
+  test("applyChangelog: latest wins, deletes drop, inserts appear, untouched pass through") {
+    val delta = Seq(
+      (1L, 5L, "U", "mid-a", 11), //  superseded update
+      (1L, 9L, "U", "new-a", 12), //  the winning update
+      (2L, 7L, "D", null, 0), //      delete key 2
+      (4L, 3L, "I", "ins-d", 40) //   brand-new key
+    ).toDF("k", "seq", "op", "name", "v")
+    val out = Cdc.applyChangelog(snapshot, delta, Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out == Map(
+      1L -> ("new-a", 12), //  latest update applied
+      3L -> ("old-c", 30), //  untouched snapshot row
+      4L -> ("ins-d", 40))) // insert; key 2 deleted
+  }
+
+  test("applyChangelog: a delete tied with an update at the same seq does not resurrect") {
+    val delta = Seq(
+      (1L, 9L, "U", "zombie", 99),
+      (1L, 9L, "D", null, 0)).toDF("k", "seq", "op", "name", "v")
+    val out = Cdc.applyChangelog(snapshot, delta, Seq("k"), "seq", "op")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L)) // key 1 gone, not zombied
+  }
+
+  test("scd2History: intervals chain, delete closes without opening, last row is current") {
+    val delta = Seq(
+      (1L, 10L, "U", "v1"), (1L, 20L, "U", "v2"), (1L, 30L, "D", null),
+      (2L, 15L, "U", "w1")).toDF("k", "seq", "op", "name")
+    val out = Cdc.scd2History(delta, Seq("k"), "seq", "op")
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("name"),
+        r.getAs[Long]("valid_from"),
+        if (r.isNullAt(r.fieldIndex("valid_to"))) -1L else r.getAs[Long]("valid_to"),
+        r.getAs[Boolean]("is_current")))
+    assert(out.toSeq == Seq(
+      (1L, "v1", 10L, 20L, false),
+      (1L, "v2", 20L, 30L, false), // closed BY the delete, no row for it
+      (2L, "w1", 15L, -1L, true)))
+  }
+}

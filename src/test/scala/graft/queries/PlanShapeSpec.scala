@@ -101,4 +101,35 @@ class PlanShapeSpec extends SparkSpec {
       "BroadcastExchange IdentityBroadcastMode".r.findAllIn(p).length,
       "only the 1-row N may broadcast:\n" + p.take(2000))
   }
+
+  test("qd32: the Bloom probe sits in the plan as a constant filter (no second shuffle)") {
+    val p = plan("qd32_contamination_bloom")
+    // might_contain over the inlined literal — the map-side cut the
+    // operator exists for
+    assert(p.contains("might_contain"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("qc01: CDC merge windows only the DELTA; the snapshot side carries no Window") {
+    val p = plan("qc01_cdc_merge")
+    // exactly one Window node: the delta's latest-per-key row_number —
+    // a second one would mean the snapshot is being re-sorted
+    assert("\\bWindow\\b".r.findAllIn(p).length == 1,
+      "expected exactly one Window (the delta's):\n" + p.take(2000))
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("SortMergeJoin FullOuter"),
+      "merge must be a full-outer join:\n" + p.take(2000))
+  }
+
+  test("qr02: interval overlap join plans with no distinct/dedup after the pair join") {
+    val p = plan("qr02_interval_overlap")
+    // overlap-start bin attribution replaces dedup: no HashAggregate for
+    // a distinct over the joined pairs (the only aggregates allowed are
+    // the sessionizer's upstream ones — there are none; sessionize is
+    // flatMapGroupsWithState)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(!"HashAggregate.*distinct".r.findAllIn(p).hasNext, p.take(1500))
+  }
 }

@@ -62,4 +62,30 @@ class TilesSpec extends AnyFunSuite {
     assert(math.abs(wx - m.west) < 1e-6)
     assert(math.abs(ny - m.north) < 1e-6)
   }
+
+  test("quadkey: parent key prefixes every child; matches the Bing reference example") {
+    val s = graft.TestSpark.spark
+    import s.implicits._
+    // learn.microsoft.com Bing tile system worked example:
+    // tile (x=3, y=5, z=3) -> quadkey "213"
+    val qk = Seq((3, 5)).toDF("x", "y")
+      .select(graft.operators.TileEnumeration.quadkey(3, org.apache.spark.sql.functions.col("x"), org.apache.spark.sql.functions.col("y")))
+      .head().getString(0)
+    assert(qk == "213")
+    // child (2x, 2y+1) at z+1 extends the parent's key by one digit
+    val child = Seq((6, 11)).toDF("x", "y")
+      .select(graft.operators.TileEnumeration.quadkey(4, org.apache.spark.sql.functions.col("x"), org.apache.spark.sql.functions.col("y")))
+      .head().getString(0)
+    assert(child.startsWith("213"))
+  }
+
+  test("parentRollup: interior z11 parents cover 16 z13 children, borders fewer") {
+    val s = graft.TestSpark.spark
+    val tiles = graft.operators.TileEnumeration.tiles(
+      s, BBox(-44.4836, -23.0266, -43.4127, -22.5856), 13)
+    val roll = graft.operators.TileEnumeration.parentRollup(tiles, 2)
+      .collect().map(_.getAs[Long]("n_children"))
+    assert(roll.sum == 312) // every child accounted for exactly once
+    assert(roll.max == 16 && roll.min >= 1)
+  }
 }

@@ -269,6 +269,21 @@ object Dedup {
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("shared"))
   }
 
+  /** Pick the BEST representative of each duplicate cluster instead of
+    * the lowest id: given cluster labels (id, comp — [[duplicateClusters]]
+    * output) and per-doc scores, keeps the highest-scoring member (id
+    * tie-break) — what a production dedup actually ships: the cleanest
+    * copy, not the first-crawled one. Returns (id, comp, score, keep).
+    * One rank window over the cluster partitioning. */
+  def keepBestPerCluster(clusters: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+      .orderBy(col(scoreCol).desc, col("id"))
+    clusters.join(scores.select(col(idCol).cast("long").as("id"),
+        col(scoreCol)).hint("shuffle_hash"), "id")
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Exact-Jaccard verification of candidate pairs — the VERIFY step after
     * LSH/SimHash candidate generation: each (id_a, id_b) rejoins the two
     * distinct-token sets (shuffle-hash joins on the long ids) and the

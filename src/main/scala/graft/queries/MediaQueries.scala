@@ -87,6 +87,18 @@ object MediaQueries {
         .toDF()
         .orderBy("user_id", "step")
     },
+    // Windowed heavy hitters: top-3 event types per hour by count —
+    // the "trending" pattern, a rank window over the tumbling
+    // aggregation's (already tiny) output, never the raw stream.
+    "qw01_trending" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("wstart").orderBy(col("n").desc, col("event_type"))
+      EventStream.tumblingCounts(t(s, d, "events"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("wstart", "event_type", "n", "rank")
+        .orderBy("wstart", "rank")
+    },
     // Weekly retention cohorts: first-activity week x offset matrix.
     "qs07_retention" -> { (s, d) =>
       EventStream.retentionCohorts(t(s, d, "events"))
@@ -241,6 +253,14 @@ object MediaQueries {
         | LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) IS NULL AS is_current
         |FROM dl QUALIFY op <> 'D'
         |ORDER BY user_id, valid_from""".stripMargin,
+    "qw01_trending" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS wstart, event_type,
+        |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT wstart, event_type, n,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY wstart ORDER BY n DESC, event_type) AS INT) AS rank
+        | FROM hourly)
+        |SELECT wstart, event_type, n, rank FROM r WHERE rank <= 3
+        |ORDER BY wstart, rank""".stripMargin,
     "qs07_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)

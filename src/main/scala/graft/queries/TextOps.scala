@@ -238,6 +238,22 @@ object TextOps {
         .withColumn("norm_md5", md5(col("norm_text")))
         .orderBy("doc_id")
     },
+    // Keep-BEST dedup: the qd13 duplicate clusters re-resolved to the
+    // highest-quality member (type-token ratio, id tie-break) — the
+    // production rule: ship the cleanest copy, not the lowest id.
+    "qd35_keep_best" -> { (s, d) =>
+      val docs = withDups(s, d).filter(col("doc_id") % 5 === 0)
+      val pairs = graft.operators.Dedup.simhashNearDupPairs(docs, "text", "doc_id")
+      val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+      val scores = graft.operators.Text.qualityScores(
+        docs.withColumn("n_chars", length(col("text"))),
+        "text", "n_chars", "doc_id", stopwords = Seq("the", "a"))
+      graft.operators.Dedup.keepBestPerCluster(
+          clusters, scores, "doc_id", "type_token_ratio")
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          col("type_token_ratio").as("ttr"), col("keep"))
+        .orderBy("doc_id")
+    },
     // Per-doc n-gram novelty: fraction of a doc's distinct trigrams
     // appearing in NO other document — flags boilerplate/template docs
     // whose repeats live in other documents.
@@ -671,6 +687,42 @@ object TextOps {
         |SELECT lang, COUNT(*) AS n,
         | CAST(SUM(doc_id) AS BIGINT) AS sum_ids, MIN(doc_id) AS min_id
         |FROM r WHERE rn <= 120 GROUP BY lang ORDER BY lang""".stripMargin,
+    "qd35_keep_best" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
+        |bits AS (SELECT doc_id, b,
+        |  ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) % 2 AS bit
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+        |bal AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+        |  FROM bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bal GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 'l' || CAST(simhash % 256 AS VARCHAR) AS band FROM sig
+        |  UNION ALL SELECT doc_id, 'h' || CAST(simhash // 256 AS VARCHAR) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band),
+        |nd AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+        |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1),
+        |und AS (SELECT id_a AS a, id_b AS b FROM nd UNION SELECT id_b, id_a FROM nd),
+        |reach AS (
+        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM und)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+        |ttr AS (SELECT doc_id,
+        |  CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')) AS t
+        | FROM sub),
+        |ranked AS (SELECT c.doc_id, c.component, t.t,
+        |  ROW_NUMBER() OVER (PARTITION BY c.component ORDER BY t.t DESC, c.doc_id) AS rn
+        | FROM comp c JOIN ttr t USING (doc_id))
+        |SELECT doc_id, component, t AS ttr, rn = 1 AS keep
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "qd13_dup_clusters" ->
       """WITH RECURSIVE all_docs AS (
         |  SELECT doc_id, text FROM documents

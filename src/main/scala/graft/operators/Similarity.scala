@@ -204,15 +204,33 @@ object Similarity {
       .withColumn("qq", d(col("q"), col("q")))
   }
 
+  /** Deterministic SIZE-CAPPED centroid sample: the `id % sampleMod == 0`
+    * rows in id order, capped at `maxCentroids` — (cid, cq, cc). The cap
+    * is the scale invariant: the centroid relation is at most
+    * `maxCentroids` rows NO MATTER the corpus size, so broadcasting it (or
+    * collecting it as a PQ codebook) is O(1) in the input — a mod-filter
+    * alone grows as corpus/sampleMod and becomes a driver/broadcast blowup
+    * at 10⁹ rows. Still oracle-reproducible: ids are unique, so
+    * `ORDER BY id LIMIT n` is deterministic in any engine. */
+  private[graft] def centroidSample(emb: DataFrame, idCol: String,
+      sampleMod: Int, maxCentroids: Int): DataFrame = {
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(maxCentroids >= 1, "maxCentroids must be >= 1")
+    emb.filter(col(idCol) % sampleMod === 0)
+      .orderBy(col(idCol)).limit(maxCentroids)
+      .select(col(idCol).as("cid"), col("q").as("cq"), col("qq").as("cc"))
+  }
+
   /** IVF-style ANN top-k with a deterministic centroid sample (`id %
-    * sampleMod == 0`). Search cost is ~nprobe/cells of brute force. The
+    * sampleMod == 0`, id order, capped at `maxCentroids` — see
+    * [[centroidSample]]). Search cost is ~nprobe/cells of brute force. The
     * sample is cheap and oracle-reproducible but untrained — see
     * [[ivfTopKTrained]] for the recall-bearing variant. */
   def ivfTopK(df: DataFrame, embCol: String, idCol: String, queryId: Long,
-      k: Int, sampleMod: Int = 53, nprobe: Int = 2): DataFrame = {
+      k: Int, sampleMod: Int = 53, nprobe: Int = 2,
+      maxCentroids: Int = 64): DataFrame = {
     val emb = quantized(df, embCol, idCol)
-    val cents = emb.filter(col(idCol) % sampleMod === 0)
-      .select(col(idCol).as("cid"), col("q").as("cq"), col("qq").as("cc"))
+    val cents = centroidSample(emb, idCol, sampleMod, maxCentroids)
     ivfSearch(emb, cents, idCol, queryId, k, nprobe)
   }
 
@@ -290,13 +308,14 @@ object Similarity {
     * the codes.
     *
     * Codebook: the deterministic `idCol % sampleMod == 0` sample's
-    * quantized vectors, ordered by id (oracle-reproducible, the
-    * [[ivfTopK]] convention), collected once (tiny by construction) and
-    * inlined as a literal — encoding is the native codegen'd `pq_encode`
-    * kernel, zero shuffles over the corpus. The query's per-subspace LUT
-    * to every centroid is computed driver-side (m × K longs) and inlined
-    * the same way; the approximate distance is an in-row sum of `m`
-    * lookups. Exact BIGINT arithmetic end to end; only ordering uses it.
+    * quantized vectors, ordered by id and CAPPED at `maxCentroids`
+    * ([[centroidSample]] — at most `maxCentroids` rows whatever the corpus
+    * size, so the one driver collect here is O(1) in the input), inlined
+    * as a literal — encoding is the native codegen'd `pq_encode` kernel,
+    * zero shuffles over the corpus. The query's per-subspace LUT to every
+    * centroid is computed driver-side (m × K longs) and inlined the same
+    * way; the approximate distance is an in-row sum of `m` lookups. Exact
+    * BIGINT arithmetic end to end; only ordering uses it.
     *
     * Invariant (spec-checked, the qv05 trick): with `sampleMod = 1`
     * every vector is its own centroid, codes identify each subvector
@@ -304,13 +323,15 @@ object Similarity {
     * result IS brute-force L2 top-k. Returns (id, adist) ordered
     * (adist, id). */
   def pqTopK(df: DataFrame, embCol: String, idCol: String, queryId: Long,
-      k: Int, m: Int = 8, sampleMod: Int = 53): DataFrame = {
+      k: Int, m: Int = 8, sampleMod: Int = 53,
+      maxCentroids: Int = 64): DataFrame = {
     require(m >= 1, "m must be >= 1")
     graft.functions.TextHashes.register(df.sparkSession)
     val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
-    val cents: Array[Array[Long]] = emb.filter(col(idCol) % sampleMod === 0)
-      .orderBy(idCol).select("q").collect()
-      .map(_.getSeq[Long](0).toArray)
+    val cents: Array[Array[Long]] =
+      centroidSample(quantized(df, embCol, idCol), idCol, sampleMod, maxCentroids)
+        .orderBy("cid").select("cq").collect()
+        .map(_.getSeq[Long](0).toArray)
     require(cents.nonEmpty, "empty codebook sample")
     val dim = cents(0).length
     require(dim % m == 0, s"m=$m must divide dim $dim")
@@ -394,13 +415,13 @@ object Similarity {
     * reproducible by the oracle — [[ivfTopKTrained]] shows the trained
     * pattern). Returns (id, adist) ordered (adist, id). */
   def ivfPqTopK(df: DataFrame, embCol: String, idCol: String, queryId: Long,
-      k: Int, m: Int = 8, sampleMod: Int = 53, nprobe: Int = 3): DataFrame = {
+      k: Int, m: Int = 8, sampleMod: Int = 53, nprobe: Int = 3,
+      maxCentroids: Int = 64): DataFrame = {
     require(m >= 1 && nprobe >= 1, "m and nprobe must be >= 1")
     graft.functions.TextHashes.register(df.sparkSession)
     val d = dot(df) _
     val emb = quantized(df, embCol, idCol)
-    val cents = emb.filter(col(idCol) % sampleMod === 0)
-      .select(col(idCol).as("cid"), col("q").as("cq"), col("qq").as("cc"))
+    val cents = centroidSample(emb, idCol, sampleMod, maxCentroids)
     val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
     val assigned = emb.join(broadcast(cents))
       .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
@@ -438,24 +459,31 @@ object Similarity {
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings into coarse cells, then call
     * any within-cell pair with cosine >= `tau` a semantic duplicate and
-    * drop all but the lowest id of each pair. Returns the DROPPED rows:
-    * (id, rep_id) where rep_id is the lowest-id retained neighbor that
-    * evicted it; `df.join(result, anti)` is the deduplicated corpus.
+    * drop the higher id of each pair. Returns the DROPPED rows: (id,
+    * rep_id) where rep_id is the LOWEST-ID EVICTING PAIR-NEIGHBOR — note
+    * rep_id may itself be dropped by an earlier neighbor in a similarity
+    * chain (a~b, b~c, a!~c maps c -> b while b -> a), so rep_id is an
+    * eviction witness, not a guaranteed-retained cluster representative;
+    * callers needing a retained representative per cluster should run
+    * [[Dedup.duplicateClusters]] over the pair set instead.
+    * `df.join(result, anti)` is the deduplicated corpus (every pair loses
+    * its higher id, so no two surviving rows are within-cell `tau`-close).
     *
-    * Scale shape: centroids are the deterministic `id % sampleMod == 0`
-    * sample (oracle-reproducible, like [[ivfTopK]]) and broadcast; cell
+    * Scale shape: centroids are the deterministic, SIZE-CAPPED
+    * `id % sampleMod == 0` sample ([[centroidSample]] — at most
+    * `maxCentroids` rows whatever the corpus size) and broadcast; cell
     * assignment is exact BIGINT L2 on the quantized grid; the quadratic
     * within-cell self-join is guarded by `maxCell` (cells above it are
     * dropped before the join — the [[blockedCosinePairs]] maxBlock
     * discipline), so one degenerate cell can never expand to corpus².
     * Everything downstream of assignment shuffles on the cell id only. */
   def semanticDedup(df: DataFrame, embCol: String, idCol: String,
-      sampleMod: Int = 53, tau: Double = 0.7, maxCell: Int = 10000): DataFrame = {
+      sampleMod: Int = 53, tau: Double = 0.7, maxCell: Int = 10000,
+      maxCentroids: Int = 64): DataFrame = {
     require(maxCell >= 2, "maxCell must be >= 2")
     val d = dot(df) _
     val emb = quantized(df, embCol, idCol)
-    val cents = emb.filter(col(idCol) % sampleMod === 0)
-      .select(col(idCol).as("cid"), col("q").as("cq"), col("qq").as("cc"))
+    val cents = centroidSample(emb, idCol, sampleMod, maxCentroids)
     val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
     val assigned = emb.join(broadcast(cents))
       .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))

@@ -28,14 +28,16 @@ object VectorOps {
           sum(when(col("cos") > 0.8, 1L).otherwise(0L)).as("n_near_dup"))
         .orderBy("label")
     },
-    // IVF-style ANN: coarse centroids (deterministic id-sample), exact-
+    // IVF-style ANN: coarse centroids (deterministic id-sample, SIZE-
+    // CAPPED at 64 so the broadcast is O(1) in the corpus), exact-
     // integer L2 cell assignment, then top-k cosine within the nprobe=2
     // cells nearest the query. The scale path: search cost is
     // |cells probed| / |cells| of brute force, and every stage is a
     // hash-partitioned join/window - no driver-side index.
     "qv04_ivf_ann" -> { (s, d) =>
       graft.operators.Similarity.ivfTopK(t(s, d, "embeddings"),
-        "embedding", "vec_id", queryId = 0L, k = 10, sampleMod = 53, nprobe = 2)
+        "embedding", "vec_id", queryId = 0L, k = 10, sampleMod = 53, nprobe = 2,
+        maxCentroids = 64)
     },
     // IVF with MLlib-KMeans-TRAINED centroids (seed 42). Probing ALL
     // nCells makes the result provably equal to brute-force top-k
@@ -69,7 +71,7 @@ object VectorOps {
     "qv10_pq_ann" -> { (s, d) =>
       graft.operators.Similarity.pqTopK(
         t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
-        k = 12, m = 8, sampleMod = 53)
+        k = 12, m = 8, sampleMod = 53, maxCentroids = 64)
     },
     // Two-stage retrieval: binary-sketch Hamming scan proposes 60
     // candidates, exact integer-cosine re-ranks to top-10 — coarse
@@ -84,7 +86,7 @@ object VectorOps {
     "qv12_ivfpq" -> { (s, d) =>
       graft.operators.Similarity.ivfPqTopK(
         t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
-        k = 10, m = 8, sampleMod = 53, nprobe = 3)
+        k = 10, m = 8, sampleMod = 53, nprobe = 3, maxCentroids = 64)
     },
     // SemDeDup semantic dedup: coarse cells from the deterministic
     // id-sample centroids, within-cell cosine >= tau evicts the higher
@@ -92,7 +94,7 @@ object VectorOps {
     "qv09_semantic_dedup" -> { (s, d) =>
       graft.operators.Similarity.semanticDedup(
         t(s, d, "embeddings"), "embedding", "vec_id",
-        sampleMod = 53, tau = 0.4, maxCell = 10000)
+        sampleMod = 53, tau = 0.4, maxCell = 10000, maxCentroids = 64)
     }
   )
 
@@ -128,7 +130,8 @@ object VectorOps {
         | FROM embeddings),
         |nemb AS (SELECT vec_id, q,
         |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
-        |cents AS (SELECT vec_id AS cid, q AS cq, qq AS cc FROM nemb WHERE vec_id % 53 = 0),
+        |cents AS (SELECT vec_id AS cid, q AS cq, qq AS cc FROM nemb
+        |  WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 64),
         |assigned AS (SELECT vec_id, q, qq, cid FROM (
         |  SELECT e.vec_id, e.q, e.qq, c.cid,
         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -187,7 +190,8 @@ object VectorOps {
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
         | FROM embeddings),
         |cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, q AS cq
-        |  FROM emb WHERE vec_id % 53 = 0),
+        |  FROM (SELECT vec_id, q FROM emb WHERE vec_id % 53 = 0
+        |        ORDER BY vec_id LIMIT 64)),
         |codes AS (SELECT vec_id, j, c AS code FROM (
         |  SELECT e.vec_id, s.j, ct.c,
         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.j ORDER BY
@@ -210,9 +214,9 @@ object VectorOps {
         | FROM embeddings),
         |nemb AS (SELECT vec_id, q,
         |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
-        |cents AS (SELECT vec_id AS cid, q AS cq, qq AS cc,
-        |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
-        |  FROM nemb WHERE vec_id % 53 = 0),
+        |cents AS (SELECT cid, cq, cc, ROW_NUMBER() OVER (ORDER BY cid) - 1 AS c
+        |  FROM (SELECT vec_id AS cid, q AS cq, qq AS cc FROM nemb
+        |        WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 64)),
         |assigned AS (SELECT vec_id AS id, q, cid FROM (
         |  SELECT e.vec_id, e.q, ct.cid,
         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -262,7 +266,8 @@ object VectorOps {
         | FROM embeddings),
         |nemb AS (SELECT vec_id, q,
         |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
-        |cents AS (SELECT vec_id AS cid, q AS cq FROM nemb WHERE vec_id % 53 = 0),
+        |cents AS (SELECT vec_id AS cid, q AS cq FROM nemb
+        |  WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 64),
         |assigned AS (SELECT vec_id AS id, q, SQRT(CAST(qq AS DOUBLE)) AS nrm, cid FROM (
         |  SELECT e.vec_id, e.q, e.qq, c.cid,
         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY

@@ -65,6 +65,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("centroidSample is size-capped: codebook size is constant as the corpus doubles") {
+    val s = spark
+    import s.implicits._
+    def cents(n: Int) = {
+      val df = (0 until n).map(i => (i.toLong, Seq(i.toFloat, 1.0f)))
+        .toDF("vec_id", "embedding")
+      val e = df.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+        .withColumn("qq", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      Similarity.centroidSample(e, "vec_id", 3, 16)
+    }
+    // the cap binds: 100 then 200 mod-sample hits, both clamp to 16
+    assert(cents(300).count() == 16L)
+    assert(cents(600).count() == 16L)
+    // deterministic: the FIRST 16 sampled ids in id order
+    val ids = cents(600).orderBy("cid").collect().map(_.getAs[Long]("cid")).toSeq
+    assert(ids == (0L until 48L by 3L).toSeq)
+    // below the cap the sample passes through untouched
+    assert(cents(30).count() == 10L)
+  }
+
   // 3 well-separated clusters in 4-d; 10 vectors each, query = id 0
   private lazy val clustered = {
     val s = spark

@@ -170,23 +170,36 @@ object EventStream {
     * stage, emitted in append mode. Same semantics as the batch chain
     * (anchor at the first stage-1 event; each later stage needs its
     * event strictly after the previous match and within
-    * `windowMinutes`); the same state function runs both modes, so an
-    * in-order micro-batch replay emits exactly the batch result
-    * (spec-checked). Late events older than the user's current anchor
-    * are ignored — the documented streaming approximation (exact under
-    * in-order delivery); state is one (step, anchor) pair per user that
-    * completed step 1 but not the funnel.
+    * `windowMinutes`); the same state function runs both modes. Late
+    * events older than the user's current anchor are ignored — the
+    * documented streaming approximation (exact under in-order delivery).
+    *
+    * State is BOUNDED in streaming mode: one (step, anchor) pair per
+    * user currently mid-funnel, evicted by an event-time timeout once
+    * the watermark (`lateness` behind max event time) passes
+    * `anchor + window` — a lapsed attempt can never advance (every
+    * in-window event is behind the watermark), so keeping it would grow
+    * state monotonically with distinct users. Completed users' state is
+    * removed immediately. Consequence: after a lapsed attempt is
+    * evicted, a LATER stage-1 event starts a NEW attempt — so an
+    * in-order replay emits the batch transitions (per-user prefixes are
+    * identical) PLUS possibly new-attempt transitions that batch's
+    * single-anchor pass doesn't model; both properties are spec-checked.
     *
     * `funnel`'s per-stage counts are `groupBy(step) count` over this. */
   def funnelTransitions(events: DataFrame, stages: Seq[String],
-      windowMinutes: Long = 2880): Dataset[FunnelTransition] = {
+      windowMinutes: Long = 2880,
+      lateness: String = "10 minutes"): Dataset[FunnelTransition] = {
     require(stages.size >= 2, "a funnel needs at least 2 stages")
     require(stages.distinct.size == stages.size, "stages must be distinct")
     val spark = events.sparkSession
     import spark.implicits._
+    val streaming = events.isStreaming
     val winUs = windowMinutes * 60L * 1000000L
     val stageIdx = stages.zipWithIndex.toMap
-    val typed = withTs(events)
+    val base = withTs(events)
+    val withW = if (streaming) base.withWatermark("ets", lateness) else base
+    val typed = withW
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ets")).as("etsMicros"), col("ets"))
@@ -194,6 +207,11 @@ object EventStream {
 
     def fn(userId: Long, rows: Iterator[FunnelEvent],
         state: GroupState[FunnelState]): Iterator[FunnelTransition] = {
+      if (streaming && state.hasTimedOut) {
+        // watermark passed anchor + window: the attempt is dead weight
+        state.remove()
+        return Iterator.empty
+      }
       val out = scala.collection.mutable.ArrayBuffer[FunnelTransition]()
       var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
       rows.toSeq.sortBy(e => (e.etsMicros, stageIdx(e.event_type))).foreach { e =>
@@ -207,12 +225,21 @@ object EventStream {
           }
         }
       }
-      if (cur.step > 0) state.update(cur) else state.remove()
+      if (cur.step > 0 && cur.step < stages.size) {
+        state.update(cur)
+        if (streaming)
+          // evict once the watermark passes the attempt's window; clamp
+          // above the current watermark (arming at-or-behind it throws)
+          state.setTimeoutTimestamp(math.max(
+            (cur.anchorUs + winUs) / 1000, state.getCurrentWatermarkMs() + 1))
+      } else state.remove() // never anchored, or funnel complete
       out.iterator
     }
 
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
   /** Ordered conversion funnel over N stages: stage 1 anchors at each

@@ -199,8 +199,53 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
     val streamed = spark.table("funnel_stream")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
-    assert(streamed == batchTrans,
-      s"stream/batch diverge: ${streamed.diff(batchTrans).take(3)} / ${batchTrans.diff(streamed).take(3)}")
+    // in-order replay reproduces every batch transition ...
+    assert(batchTrans.subsetOf(streamed),
+      s"stream lost batch transitions: ${batchTrans.diff(streamed).take(3)}")
+    // ... and anything extra is a NEW attempt: state eviction after a
+    // lapsed window lets a later stage-1 event re-anchor, which batch's
+    // single-anchor pass doesn't model — every extra row postdates the
+    // user's batch anchor by more than the window
+    val winUs = 2880L * 60L * 1000000L
+    val anchor = batchTrans.filter(_._2 == 1).map(t => t._1 -> t._4).toMap
+    val extra = streamed.diff(batchTrans)
+    assert(extra.forall { case (u, _, _, us) =>
+      anchor.get(u).exists(a => us > a + winUs) },
+      s"extra transition inside a live batch window: ${extra.take(3)}")
+  }
+
+  test("funnelTransitions streaming: lapsed mid-funnel state is evicted after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val h = 3600L * 1000000000L // an hour in nanos (ts column is nanos)
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = EventStream.funnelTransitions(
+        mem.toDF.toDF("user_id", "event_type", "ts"),
+        Seq("view", "click"), windowMinutes = 60, lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_evict").start()
+    def feed(rows: (Long, String, Long)*): Unit = {
+      mem.addData(rows: _*); q.processAllAvailable()
+    }
+    // b1: user 7 anchors (view at t=1h — off epoch 0, which the INITIAL
+    // watermark would drop as late), never clicks
+    feed((7L, "view", 1L * h), (99L, "view", 1L * h))
+    // b2: far-future filler advances the watermark way past 1h + 60min
+    feed((99L, "click", 100L * h))
+    // b3: another filler batch so user 7's expired timeout FIRES
+    feed((99L, "view", 101L * h))
+    // b4: user 7 views again — only possible to emit if the lapsed state
+    // was evicted (kept state would demand "click" and ignore a view)
+    feed((7L, "view", 102L * h))
+    q.stop()
+    val user7 = spark.table("funnel_evict")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+      .filter(_._1 == 7L).sortBy(_._3)
+    val us = 3600L * 1000000L // an hour in micros (output `us` column)
+    assert(user7.toSeq == Seq((7L, 1, 1L * us), (7L, 1, 102L * us)),
+      s"expected re-anchor after eviction, got ${user7.toSeq}")
   }
 
   test("funnel: strict ordering, per-step window, monotone narrowing") {

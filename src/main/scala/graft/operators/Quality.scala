@@ -24,11 +24,23 @@ object Quality {
     * @param inSet        column -> allowed values
     * @param unique       key sets that must be duplicate-free (a key set
     *                     with n occurrences of a key counts n-1 violations)
-    */
+    * @param bounds       column -> inclusive (min, max) numeric range
+    * @param matches      column -> regex the value must match (Spark
+    *                     `rlike` / DuckDB `regexp_matches` semantics:
+    *                     unanchored — anchor with ^...$ for a full match)
+    *
+    * Null discipline for bounds/matches/inSet/nonNegative: a NULL value
+    * is NOT a violation (null comparisons fall to the otherwise-0 branch)
+    * — nullability is `notNull`'s job, so one bad row doesn't double-count
+    * across rules. An empty input (or zero rules) reports zero violations
+    * (empty result for zero rules), never an error — an ingest gate must
+    * pass a legitimately empty snapshot. */
   def audit(df: DataFrame, notNull: Seq[String] = Nil,
       nonNegative: Seq[String] = Nil,
       inSet: Map[String, Seq[String]] = Map.empty,
-      unique: Seq[Seq[String]] = Nil): DataFrame = {
+      unique: Seq[Seq[String]] = Nil,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      matches: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rowLocal: Seq[(String, String, Column)] =
@@ -38,6 +50,12 @@ object Quality {
         sum(when(col(c) < 0, 1L).otherwise(0L)))) ++
       inSet.toSeq.sortBy(_._1).map { case (c, allowed) =>
         ("in_set", c, sum(when(!col(c).isin(allowed: _*), 1L).otherwise(0L)))
+      } ++
+      bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        ("bounds", c, sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)))
+      } ++
+      matches.toSeq.sortBy(_._1).map { case (c, re) =>
+        ("regex", c, sum(when(!col(c).rlike(re), 1L).otherwise(0L)))
       }
     val locals: Seq[DataFrame] =
       if (rowLocal.isEmpty) Nil
@@ -45,19 +63,26 @@ object Quality {
         val aggs = rowLocal.map { case (r, c, e) => e.as(s"${r}__$c") } :+
           count(lit(1)).as("__checked")
         val row = df.agg(aggs.head, aggs.tail: _*).head()
+        // sum(...) over zero rows is NULL; count is 0 — report 0 violations
+        val checked = row.getLong(rowLocal.size)
         rowLocal.zipWithIndex.map { case ((r, c, _), i) =>
-          Seq((r, c, row.getLong(i), row.getLong(rowLocal.size)))
+          Seq((r, c, if (row.isNullAt(i)) 0L else row.getLong(i), checked))
             .toDF("rule", "target", "violations", "checked")
         }
       }
     val uniques: Seq[DataFrame] = unique.map { keys =>
       df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-        .agg(sum(col("n") - 1).as("violations"), sum("n").as("checked"))
+        .agg(coalesce(sum(col("n") - 1), lit(0L)).as("violations"),
+          coalesce(sum("n"), lit(0L)).as("checked"))
         .select(lit("unique").as("rule"),
           lit(keys.mkString(",")).as("target"),
           col("violations"), col("checked"))
     }
-    (locals ++ uniques).reduce(_ unionAll _)
+    val all = locals ++ uniques
+    if (all.isEmpty)
+      Seq.empty[(String, String, Long, Long)]
+        .toDF("rule", "target", "violations", "checked")
+    else all.reduce(_ unionAll _)
   }
 
   /** Referential integrity: child keys with no matching parent —

@@ -165,6 +165,19 @@ object MiscQueries {
           li, "l_orderkey", t(s, d, "orders"), "o_orderkey"))
         .orderBy("rule", "target")
     },
+    // Bounds + regex rules (the Deequ hasMin/hasMax/hasPattern core),
+    // still ONE aggregate pass per table: price cap and priority format
+    // on orders; length band and language pattern on documents. Every
+    // rule fires on real violations in the synthetic data.
+    "qq02_quality_bounds" -> { (s, d) =>
+      graft.operators.Quality.audit(t(s, d, "orders"),
+          bounds = Map("o_totalprice" -> (0.0, 100000.0)),
+          matches = Map("o_orderpriority" -> "^[1-3]-"))
+        .unionAll(graft.operators.Quality.audit(t(s, d, "documents"),
+          bounds = Map("n_chars" -> (100.0, 1000.0)),
+          matches = Map("lang" -> "^(en|fr|de)$")))
+        .orderBy("rule", "target")
+    },
     // Robust per-group statistics: median, MAD (median absolute
     // deviation), interquartile range — exact interpolated percentiles,
     // two passes sharing one partitioning on the group key.
@@ -290,6 +303,17 @@ object MiscQueries {
         |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
         |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey)),
         |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+        |ORDER BY rule, target""".stripMargin,
+    "qq02_quality_bounds" ->
+      """SELECT 'bounds' AS rule, 'o_totalprice' AS target,
+        |  CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  COUNT(*) AS checked FROM orders
+        |UNION ALL SELECT 'regex', 'o_orderpriority',
+        |  CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-3]-') THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders
+        |UNION ALL SELECT 'bounds', 'n_chars',
+        |  CAST(SUM(CASE WHEN n_chars < 100 OR n_chars > 1000 THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM documents
+        |UNION ALL SELECT 'regex', 'lang',
+        |  CAST(SUM(CASE WHEN NOT regexp_matches(lang, '^(en|fr|de)$') THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM documents
         |ORDER BY rule, target""".stripMargin,
     "qp04_robust_stats" ->
       """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty

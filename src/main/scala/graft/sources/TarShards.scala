@@ -82,7 +82,9 @@ object TarShards {
         while (nextEntry == null && !done) {
           if (!readBlock(hdr) || hdr.forall(_ == 0)) { done = true; return }
           val size = octal(hdr, 124, 12)
-          if (size < 0 || size > maxEntryBytes)
+          // the Int.MaxValue clamp keeps size.toInt below from going
+          // negative if a caller raises maxEntryBytes past 2 GiB
+          if (size < 0 || size > maxEntryBytes || size > Int.MaxValue)
             throw new java.io.IOException(s"tar entry size out of bounds: $size")
           val typeflag = hdr(156)
           val padded = ((size + 511) / 512) * 512
@@ -156,6 +158,14 @@ object TarShards {
       .binaryFiles(glob)
       .flatMap { case (path, pds) =>
         val in = pds.open()
+        // the drain-close below frees the handle as soon as the shard is
+        // exhausted, but partial consumption (limit/take, downstream early
+        // exit, task failure mid-shard) never reaches it — the completion
+        // listener closes on EVERY task exit path
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          })
         val it = groupSamples(entries(in, maxEntryBytes))
           .map { case (key, files) => Row(path, key, files) }
         // close the FS handle the moment the shard is drained — a task
@@ -218,8 +228,12 @@ object TarShards {
     h
   }
 
-  private def putOctal(h: Array[Byte], off: Int, len: Int, v: Long): Unit = {
+  private[sources] def putOctal(h: Array[Byte], off: Int, len: Int, v: Long): Unit = {
     val s = java.lang.Long.toOctalString(v)
+    // a value wider than the field (a >= 8 GiB file in the 12-byte size
+    // field) must fail loudly — silent truncation writes a corrupt header
+    require(s.length <= len - 1,
+      s"value $v overflows a $len-byte tar octal field")
     val digits = ("0" * (len - 1 - s.length)) + s
     System.arraycopy(digits.getBytes(US_ASCII), 0, h, off, len - 1)
     h(off + len - 1) = 0
@@ -244,12 +258,18 @@ object TarShards {
           acc + lit(512L) +
             (floor((length(b) + lit(511L)) / lit(512L)) * lit(512L)).cast("long")))
     // running total over key order on the metadata projection; the
-    // single-partition window holds (key, size) pairs only
+    // single-partition window holds (key, size) pairs only. A duplicate
+    // key would multiply rows through the __k join below (silently
+    // duplicating samples in the written shards) — the lag probe rides
+    // the same sort and fails loudly instead.
     val meta = sized.select(col("__k"), col("__sz"))
       .withColumn("__cum", sum("__sz").over(
         Window.orderBy("__k").rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__bin",
-        floor((col("__cum") - col("__sz")) / lit(targetBytes)).cast("long"))
+      .withColumn("__bin", when(
+        lag("__k", 1).over(Window.orderBy("__k")) === col("__k"),
+        raise_error(concat(lit("writeShardsBySize: duplicate sample key "),
+          col("__k"))).cast("long"))
+        .otherwise(floor((col("__cum") - col("__sz")) / lit(targetBytes)).cast("long")))
       .select(col("__k"), col("__bin"))
     val nBins = 1 + meta.agg(max("__bin")).head().getLong(0).toInt
     val binned = sized.join(meta.hint("shuffle_hash"), "__k")

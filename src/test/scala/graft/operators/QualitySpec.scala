@@ -30,6 +30,34 @@ class QualitySpec extends SparkSpec {
     assert(clean == Seq(0L, 0L))
   }
 
+  test("audit: bounds and regex rules; nulls are not bounds/regex violations") {
+    val df = Seq(
+      (Some(50.0), Some("1-URGENT")),
+      (Some(150.0), Some("9-BROKEN")), // out of bounds, bad format
+      (None, None) //                     nulls: not_null's job, not these rules'
+    ).toDF("price", "prio")
+    val out = Quality.audit(df,
+        bounds = Map("price" -> (0.0, 100.0)),
+        matches = Map("prio" -> "^[1-5]-"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out("bounds") == ((1L, 3L)))
+    assert(out("regex") == ((1L, 3L)))
+  }
+
+  test("audit: empty input reports zero violations; zero rules -> empty result") {
+    val empty = Seq.empty[(Long, Double, String)].toDF("id", "qty", "k")
+    val out = Quality.audit(empty,
+        notNull = Seq("id"), nonNegative = Seq("qty"),
+        bounds = Map("qty" -> (0.0, 10.0)), matches = Map("k" -> "^a"),
+        unique = Seq(Seq("k")))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.length == 5 && out.forall(_ == ((0L, 0L))))
+    // no rules: an empty, correctly-typed report — not a crash
+    val none = Quality.audit(Seq((1L, 1.0, "a")).toDF("id", "qty", "k"))
+    assert(none.columns.toSeq == Seq("rule", "target", "violations", "checked"))
+    assert(none.count() == 0L)
+  }
+
   test("refIntegrity counts orphan DISTINCT keys") {
     val child = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("fk")
     val parent = Seq(1L, 2L).toDF("pk")

@@ -151,6 +151,37 @@ class TarShardsSpec extends SparkSpec {
       rows.map(_.getString(0)).sorted)
   }
 
+  test("writeShardsBySize: duplicate sample keys fail loudly instead of multiplying rows") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft_dupkey").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("files",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.BinaryType))))
+    val rows = Seq(
+      Row("k1", Map("bin" -> Array.fill[Byte](10)(1.toByte))),
+      Row("k1", Map("bin" -> Array.fill[Byte](10)(2.toByte))))
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    val e = intercept[Exception] {
+      TarShards.writeShardsBySize(df, "key", "files", dir, targetBytes = 4096)
+    }
+    assert(e.getMessage != null && e.toString.contains("duplicate")
+      || Option(e.getCause).exists(_.toString.contains("duplicate")),
+      s"expected a duplicate-key error, got $e")
+  }
+
+  test("putOctal: a value wider than the field refuses loudly (no silent truncation)") {
+    val h = new Array[Byte](512)
+    TarShards.putOctal(h, 124, 12, (8L << 30) - 1) // 11 octal digits: fits
+    val e = intercept[IllegalArgumentException] {
+      TarShards.putOctal(h, 124, 12, 8L << 30) // 8 GiB = 12 octal digits
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
+
   test("entries: corrupt size field refuses loudly instead of allocating") {
     val tar = fixtureTar(1)
     // blow up the octal size field of the first header

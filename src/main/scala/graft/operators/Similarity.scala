@@ -333,25 +333,24 @@ object Similarity {
         .orderBy("cid").select("cq").collect()
         .map(_.getSeq[Long](0).toArray)
     require(cents.nonEmpty, "empty codebook sample")
+    adcScan(emb, idCol, queryId, k, m, cents)
+  }
+
+  /** Shared PQ ADC scan: encode every non-query vector against the
+    * composite codebook `cents` (native `pq_encode`, per-row, zero
+    * shuffles), score via the query's inlined m × K LUT (exact L2² per
+    * subspace, driver-computed — m × K longs), return (id, adist)
+    * ordered (adist, id). `emb` must carry (idCol, q). */
+  private def adcScan(emb: DataFrame, idCol: String, queryId: Long, k: Int,
+      m: Int, cents: Array[Array[Long]]): DataFrame = {
+    require(cents.nonEmpty, "empty codebook")
     val dim = cents(0).length
     require(dim % m == 0, s"m=$m must divide dim $dim")
     val sub = dim / m
     val query: Array[Long] = emb.filter(col(idCol) === queryId)
       .select("q").head().getSeq[Long](0).toArray
-    // lut(j)(c) = exact L2² between the query's j-th subvector and
-    // centroid c's — m × K longs, computed once on the driver
-    val lut: Seq[Seq[Long]] = (0 until m).map { j =>
-      cents.toSeq.map { row =>
-        var d2 = 0L
-        var t = j * sub
-        while (t < (j + 1) * sub) {
-          val d = query(t) - row(t)
-          d2 += d * d
-          t += 1
-        }
-        d2
-      }
-    }
+    val lut: Seq[Seq[Long]] = (0 until m).map(j =>
+      cents.toSeq.map(row => sliceDist2(query, row, j * sub, (j + 1) * sub)))
     val cb = typedLit(cents.map(_.toSeq).toSeq)
     val lutLit = typedLit(lut)
     emb.filter(col(idCol) =!= queryId)
@@ -363,6 +362,102 @@ object Similarity {
             element_at(col("codes"), (j + 1).cast("int")) + 1)).as("adist"))
       .orderBy(col("adist"), col(idCol))
       .limit(k)
+  }
+
+  /** Driver-side Lloyd k-means over one slice [from, until) of a BOUNDED
+    * training sample — the FAISS training discipline: learn codebooks on
+    * a fixed-size sample (collect is O(trainRows), never O(corpus)),
+    * encode the corpus distributedly. Deterministic: `k >= n` returns
+    * every point as its own center in sample order (the
+    * oracle-reproducible degenerate case — ADC becomes exact L2);
+    * otherwise seeded distinct-index init, rounded-mean updates (centers
+    * stay on the integer grid so ADC stays exact BIGINT), empty clusters
+    * keep their previous center. */
+  private[graft] def lloydSlice(points: Array[Array[Long]], from: Int,
+      until: Int, k: Int, iters: Int, seed: Long): Array[Array[Long]] = {
+    require(points.nonEmpty && k >= 1, "need points and k >= 1")
+    val n = points.length
+    val dim = until - from
+    val slices = points.map(_.slice(from, until))
+    if (k >= n) return slices
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle((0 until n).toVector).take(k)
+      .map(i => slices(i).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val cnts = new Array[Long](k)
+      var p = 0
+      while (p < n) {
+        var best = Long.MaxValue
+        var bc = 0
+        var c = 0
+        while (c < k) {
+          val d2 = sliceDist2(slices(p), centers(c), 0, dim)
+          if (d2 < best) { best = d2; bc = c }
+          c += 1
+        }
+        var t = 0
+        while (t < dim) { sums(bc)(t) += slices(p)(t); t += 1 }
+        cnts(bc) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnts(c) > 0) {
+          var t = 0
+          while (t < dim) {
+            centers(c)(t) = math.round(sums(c)(t).toDouble / cnts(c))
+            t += 1
+          }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Per-subspace PQ codebooks from one bounded sample, composed into
+    * COMPOSITE full-dim rows (row c's j-th slice = subspace j's center c)
+    * so the single-codebook `pq_encode` kernel encodes against m
+    * independent codebooks in one pass. */
+  private[graft] def trainSubCodebooks(sample: Array[Array[Long]], m: Int,
+      nCodes: Int, iters: Int, seed: Long): Array[Array[Long]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim $dim")
+    val sub = dim / m
+    val cbs = Array.tabulate(m)(j =>
+      lloydSlice(sample, j * sub, (j + 1) * sub, nCodes, iters, seed + j))
+    Array.tabulate(cbs.map(_.length).min)(c =>
+      Array.tabulate(dim)(t => cbs(t / sub)(c)(t % sub)))
+  }
+
+  /** PQ ANN with TRAINED per-subspace codebooks (the real Jégou PQ:
+    * each subspace gets its own k-means codebook, vs [[pqTopK]]'s shared
+    * vector-sample rows). Training runs driver-side Lloyd on the first
+    * `trainRows` vectors by id — a BOUNDED sample, so training cost and
+    * codebook size are O(1) in the corpus; encoding stays the
+    * distributed zero-shuffle `pq_encode` scan.
+    *
+    * Invariant (the qv13 oracle): with `nCodes >= trainRows` every
+    * training point is its own center in id order, so the composite
+    * codebook IS the first-trainRows vector sample and ADC over it is
+    * fully deterministic — expressible in plain SQL. Partial-K recall
+    * and determinism are spec-anchored on clustered data. Returns
+    * (id, adist) ordered (adist, id). */
+  def pqTopKTrained(df: DataFrame, embCol: String, idCol: String,
+      queryId: Long, k: Int, m: Int = 8, nCodes: Int = 16,
+      trainRows: Int = 512, iters: Int = 8, seed: Long = 42L): DataFrame = {
+    require(m >= 1 && nCodes >= 1 && trainRows >= 1,
+      "m, nCodes, trainRows must be >= 1")
+    graft.functions.TextHashes.register(df.sparkSession)
+    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
+    val sample: Array[Array[Long]] = emb.orderBy(col(idCol)).limit(trainRows)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    val cents = trainSubCodebooks(sample, m, nCodes, iters, seed)
+    adcScan(emb, idCol, queryId, k, m, cents)
   }
 
   /** Two-stage retrieval: a cheap binary-sketch Hamming scan proposes
@@ -451,6 +546,83 @@ object Similarity {
       .select(col(idCol),
         aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
           acc + element_at(element_at(lutLit, (j + 1).cast("int")),
+            element_at(col("codes"), (j + 1).cast("int")) + 1)).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF + PQ with RESIDUAL encoding — the actual FAISS IVFPQ layout:
+    * each vector stores (cell id, m codes of `vector − cell centroid`).
+    * Residuals concentrate around 0 once the coarse quantizer has
+    * absorbed cluster structure, so the same code budget spends its
+    * resolution on local detail instead of absolute position — ADC error
+    * shrinks vs [[ivfPqTopK]]'s raw encoding (spec-proven on clustered
+    * data).
+    *
+    * Deterministic, oracle-reproducible variant: coarse cells are the
+    * size-capped id-sample ([[centroidSample]]); the PQ codebook is the
+    * residuals of the first `nCodes` vectors by id (bounded,
+    * SQL-expressible — assignment and subtraction replayed exactly by
+    * the oracle). The trained path composes [[trainSubCodebooks]] over
+    * residual samples the same way and is spec-anchored. Query-time ADC
+    * uses a PER-PROBED-CELL LUT (query residual differs per cell —
+    * nprobe × m × nCodes longs, driver-computed, inlined); the scan
+    * reads only (cid, codes) per candidate. Returns (id, adist) ordered
+    * (adist, id). */
+  def ivfPqTopKResidual(df: DataFrame, embCol: String, idCol: String,
+      queryId: Long, k: Int, m: Int = 8, sampleMod: Int = 53,
+      nprobe: Int = 3, maxCentroids: Int = 64, nCodes: Int = 64): DataFrame = {
+    require(m >= 1 && nprobe >= 1 && nCodes >= 1,
+      "m, nprobe, nCodes must be >= 1")
+    graft.functions.TextHashes.register(df.sparkSession)
+    val d = dot(df) _
+    val emb = quantized(df, embCol, idCol)
+    val cents = centroidSample(emb, idCol, sampleMod, maxCentroids)
+    val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
+    // one corpus pass: assign to the nearest cell, store the residual
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("cid"),
+        zip_with(col("q"), col("cq"), (a, b) => a - b).as("r"))
+    // driver side, all bounded: centroid table, query, probed cells,
+    // residual codebook (first nCodes vectors, assigned driver-side with
+    // the same (dist2, cid) tie-break), per-cell LUTs
+    val centRows = cents.orderBy("cid").select("cid", "cq").collect()
+    require(centRows.nonEmpty, "empty centroid sample")
+    val cids = centRows.map(_.getLong(0))
+    val cb0: Array[Array[Long]] = centRows.map(_.getSeq[Long](1).toArray)
+    val centByCid = cids.zip(cb0).toMap
+    val dim = cb0(0).length
+    require(dim % m == 0, s"m=$m must divide dim $dim")
+    val sub = dim / m
+    val query = emb.filter(col(idCol) === queryId)
+      .select("q").head().getSeq[Long](0).toArray
+    val probed = cids.zip(cb0)
+      .map { case (cid, cv) => (sliceDist2(query, cv, 0, dim), cid) }
+      .sorted.take(nprobe).map(_._2)
+    val cbRows: Array[Array[Long]] = emb.orderBy(col(idCol)).limit(nCodes)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+      .map { v =>
+        val cid = cids.zip(cb0)
+          .map { case (c, cv) => (sliceDist2(v, cv, 0, dim), c) }.min._2
+        v.zip(centByCid(cid)).map { case (a, b) => a - b }
+      }
+    val probedLut: Map[Long, Seq[Seq[Long]]] = probed.map { cid =>
+      val qr = query.zip(centByCid(cid)).map { case (a, b) => a - b }
+      cid -> (0 until m).map(j =>
+        cbRows.toSeq.map(row => sliceDist2(qr, row, j * sub, (j + 1) * sub)))
+    }.toMap
+    val cbLit = typedLit(cbRows.map(_.toSeq).toSeq)
+    val lutLit = typedLit(probedLut)
+    assigned
+      .filter(col("cid").isin(probed.map(Long.box): _*) && col(idCol) =!= queryId)
+      .select(col(idCol), col("cid"),
+        call_function("pq_encode", col("r"), cbLit, lit(m)).as("codes"))
+      .select(col(idCol),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+          acc + element_at(
+            element_at(element_at(lutLit, col("cid")), (j + 1).cast("int")),
             element_at(col("codes"), (j + 1).cast("int")) + 1)).as("adist"))
       .orderBy(col("adist"), col(idCol))
       .limit(k)

@@ -88,6 +88,27 @@ object VectorOps {
         t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
         k = 10, m = 8, sampleMod = 53, nprobe = 3, maxCentroids = 64)
     },
+    // TRAINED PQ (real Jégou layout: one k-means codebook per subspace,
+    // driver-side Lloyd on a BOUNDED first-trainRows sample — training
+    // cost and codebook size O(1) in the corpus). Gate pins the
+    // nCodes >= trainRows invariance (every training point its own
+    // center, in id order => deterministic, SQL-expressible ADC); the
+    // partial-K trained path is spec-anchored on clustered data.
+    "qv13_pq_trained" -> { (s, d) =>
+      graft.operators.Similarity.pqTopKTrained(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
+        k = 12, m = 8, nCodes = 64, trainRows = 64)
+    },
+    // RESIDUAL-encoded IVF+PQ (the actual FAISS IVFPQ layout): codes
+    // quantize vector - cell centroid, ADC uses a per-probed-cell LUT.
+    // Deterministic variant: capped id-sample cells + first-64-residual
+    // codebook, replayed exactly by the oracle.
+    "qv14_ivfpq_residual" -> { (s, d) =>
+      graft.operators.Similarity.ivfPqTopKResidual(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
+        k = 10, m = 8, sampleMod = 53, nprobe = 3, maxCentroids = 64,
+        nCodes = 64)
+    },
     // SemDeDup semantic dedup: coarse cells from the deterministic
     // id-sample centroids, within-cell cosine >= tau evicts the higher
     // id. Output = dropped rows with their retained representative.
@@ -260,6 +281,65 @@ object VectorOps {
         |    SQRT(CAST(list_sum(list_transform(range(1, 65), i -> query.xq[i] * query.xq[i])) AS DOUBLE))) AS cos_sim
         |FROM cands c, query
         |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin,
+    "qv13_pq_trained" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, q AS cq
+        |  FROM (SELECT vec_id, q FROM emb ORDER BY vec_id LIMIT 64)),
+        |codes AS (SELECT vec_id, j, c AS code FROM (
+        |  SELECT e.vec_id, s.j, ct.c,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.j ORDER BY
+        |      list_sum(list_transform(range(1, 9), t ->
+        |        (e.q[s.j*8 + t] - ct.cq[s.j*8 + t]) * (e.q[s.j*8 + t] - ct.cq[s.j*8 + t]))), ct.c) AS rn
+        |  FROM emb e, (SELECT unnest(range(0, 8)) AS j) s, cents ct) WHERE rn = 1),
+        |query AS (SELECT q AS xq FROM emb WHERE vec_id = 0),
+        |lut AS (SELECT s.j, ct.c,
+        |    CAST(list_sum(list_transform(range(1, 9), t ->
+        |      (query.xq[s.j*8 + t] - ct.cq[s.j*8 + t]) * (query.xq[s.j*8 + t] - ct.cq[s.j*8 + t]))) AS BIGINT) AS d2
+        |  FROM (SELECT unnest(range(0, 8)) AS j) s, cents ct, query),
+        |adist AS (SELECT cd.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+        |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+        |  GROUP BY cd.vec_id)
+        |SELECT vec_id, adist FROM adist WHERE vec_id <> 0
+        |ORDER BY adist, vec_id LIMIT 12""".stripMargin,
+    "qv14_ivfpq_residual" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
+        |cents AS (SELECT vec_id AS cid, q AS cq, qq AS cc FROM nemb
+        |  WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 64),
+        |assigned AS (SELECT vec_id AS id, q, cid, cq FROM (
+        |  SELECT e.vec_id, e.q, ct.cid, ct.cq,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      e.qq + ct.cc - 2 * list_sum(list_transform(range(1, 65), i -> e.q[i] * ct.cq[i])),
+        |      ct.cid) AS rn
+        |  FROM nemb e, cents ct) WHERE rn = 1),
+        |resid AS (SELECT id, cid,
+        |  list_transform(range(1, 65), i -> q[i] - cq[i]) AS r FROM assigned),
+        |cb AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, r AS cr
+        |  FROM (SELECT id, r FROM resid ORDER BY id LIMIT 64)),
+        |query AS (SELECT q AS xq, qq AS xqq FROM nemb WHERE vec_id = 0),
+        |probed AS (SELECT cid, cq FROM cents, query
+        |  ORDER BY xqq + cc - 2 * list_sum(list_transform(range(1, 65), i -> cq[i] * xq[i])), cid
+        |  LIMIT 3),
+        |codes AS (SELECT id, cid, j, c AS code FROM (
+        |  SELECT t.id, t.cid, s.j, cb.c,
+        |    ROW_NUMBER() OVER (PARTITION BY t.id, s.j ORDER BY
+        |      list_sum(list_transform(range(1, 9), u ->
+        |        (t.r[s.j*8 + u] - cb.cr[s.j*8 + u]) * (t.r[s.j*8 + u] - cb.cr[s.j*8 + u]))), cb.c) AS rn
+        |  FROM resid t JOIN probed USING (cid), (SELECT unnest(range(0, 8)) AS j) s, cb) WHERE rn = 1),
+        |lut AS (SELECT p.cid, s.j, cb.c,
+        |    CAST(list_sum(list_transform(range(1, 9), u ->
+        |      (query.xq[s.j*8 + u] - p.cq[s.j*8 + u] - cb.cr[s.j*8 + u])
+        |      * (query.xq[s.j*8 + u] - p.cq[s.j*8 + u] - cb.cr[s.j*8 + u]))) AS BIGINT) AS d2
+        |  FROM (SELECT unnest(range(0, 8)) AS j) s, cb, probed p, query)
+        |SELECT cd.id AS vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+        |FROM codes cd JOIN lut l ON l.cid = cd.cid AND l.j = cd.j AND l.c = cd.code
+        |WHERE cd.id <> 0
+        |GROUP BY cd.id ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "qv09_semantic_dedup" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -214,6 +214,73 @@ class SimilaritySpec extends SparkSpec {
     assert(partial.size == 6 && partial == partial.sorted)
   }
 
+  test("pqTopKTrained: nCodes >= trainRows >= corpus is exact L2; partial K is deterministic and clustered-recall-bearing") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 30L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(e => math.round(e.toDouble * 10000))
+    val q0 = quant(rows.head._2)
+    val exact = rows.drop(1).map { case (id, v) =>
+      (id, quant(v).zip(q0).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (id, d) => (d, id) }.take(5)
+    // the qv13 invariant: every training point its own center -> exact L2
+    val got = Similarity.pqTopKTrained(df, "embedding", "vec_id", 0L, 5,
+        m = 2, nCodes = 30, trainRows = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exact)
+    // genuinely trained partial-K path on clustered data: the ADC top-5
+    // stays inside the query's cluster, and the same seed reproduces it
+    val t1 = Similarity.pqTopKTrained(clustered, "embedding", "vec_id", 0L, 5,
+        m = 2, nCodes = 3, trainRows = 30, iters = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val t2 = Similarity.pqTopKTrained(clustered, "embedding", "vec_id", 0L, 5,
+        m = 2, nCodes = 3, trainRows = 30, iters = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(t1 == t2, "same seed + data must reproduce the same codebook")
+    assert(t1.toSet.subsetOf((1L to 9L).toSet),
+      s"trained codes should keep the query's cluster nearest, got $t1")
+  }
+
+  test("ivfPqTopKResidual: probe-all covers every id; residual ADC error < raw on clustered data") {
+    val s = spark
+    import s.implicits._
+    // 3 clusters at distant absolute positions, the SAME local offset
+    // pattern inside each — residuals repeat across clusters, so a tiny
+    // residual codebook represents them better than raw absolute rows
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(c) = 10.0f
+      v(3) = 0.3f * i
+      ((c * 10 + i).toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(e => math.round(e.toDouble * 10000))
+    val q0 = quant(rows.head._2)
+    val exact = rows.drop(1).map { case (id, v) =>
+      id -> quant(v).zip(q0).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.toMap
+    // sampleMod = 10 -> cells anchored at ids 0, 10, 20 (one per cluster)
+    val res = Similarity.ivfPqTopKResidual(df, "embedding", "vec_id", 0L, 29,
+        m = 2, sampleMod = 10, nprobe = 3, nCodes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.keySet == (1L until 30L).toSet,
+      "probe-all must score every non-query id exactly once")
+    val raw = Similarity.ivfPqTopK(df, "embedding", "vec_id", 0L, 29,
+        m = 2, sampleMod = 10, nprobe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def meanErr(adist: Map[Long, Long]): Double =
+      adist.map { case (id, a) => math.abs(a - exact(id)).toDouble }.sum / adist.size
+    assert(meanErr(res) < meanErr(raw),
+      s"residual ADC error ${meanErr(res)} should undercut raw ${meanErr(raw)}")
+  }
+
   test("pq_encode picks the nearest centroid per subspace, lowest index on ties") {
     val s = spark
     import s.implicits._

@@ -25,8 +25,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qv07_batch_knn", // broadcast query batch (5 rows)
     "qv08_hamming_ann", // broadcast query sketch (1 row)
     "qv11_rerank", // broadcast query sketch+vector (1 row)
-    "qv12_ivfpq", // broadcast centroid sample (corpus/sampleMod rows)
-    "qv09_semantic_dedup", // broadcast centroid sample (corpus/sampleMod rows)
+    "qv12_ivfpq", // broadcast centroid sample (<= maxCentroids rows)
+    "qv14_ivfpq_residual", // broadcast centroid sample (<= maxCentroids rows)
+    "qv09_semantic_dedup", // broadcast centroid sample (<= maxCentroids rows)
     "qg01_triangles", // cross of three 1-row count aggregates
     "qx04_kmv_setops", // cross of two 1-row estimate/exact aggregates
     "qq01_quality_audit", // cross of 1-row checked/orphan count aggregates

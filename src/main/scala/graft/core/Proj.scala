@@ -62,6 +62,8 @@ object Proj {
   val WGS84: Ellipsoid = Ellipsoid(6378137.0, 298.257223563)
   val GRS80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
   val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
+  /** Everest 1830 (1967 definition), EPSG ellipsoid 7016 — Borneo RSO. */
+  val Everest1967: Ellipsoid = Ellipsoid(6377298.556, 300.8017)
 
   // ------------------------------------------------------------- datum shifts
 
@@ -120,6 +122,11 @@ object Proj {
   private val Wgs84ToOsgb36 =
     Helmert(-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894)
 
+  /** WGS84 -> Timbalai 1948 (reverse of the published geocentric
+    * translation Timbalai 1948 -> WGS84, tx/ty/tz = −679/669/−48 m; ~5 m
+    * class, grids-free — the same fidelity contract as OSGB36 above). */
+  private val Wgs84ToTimbalai1948 = Helmert(679.0, -669.0, 48.0, 0, 0, 0, 0)
+
   /** geodetic (degrees, h=0) -> ECEF on `ell`. */
   private def toEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val phi = math.toRadians(latDeg)
@@ -162,6 +169,13 @@ object Proj {
     * (negative => south aspect) */
   final case class PolarStereo(latTs: Double, lon0: Double,
       fe: Double, fn: Double) extends Kernel
+  /** Hotine oblique Mercator, EPSG method 9815 (variant B — false
+    * easting/northing at the projection CENTRE): the Rectified Skew
+    * Orthomorphic grids of Malaysia/Borneo. `azC` = azimuth of the
+    * initial line at the centre, `gammaC` = rectified-to-skew grid
+    * angle, both in degrees. */
+  final case class Hotine(latC: Double, lonC: Double, azC: Double,
+      gammaC: Double, k0: Double, fe: Double, fn: Double) extends Kernel
 
   /** A CRS: kernel + ellipsoid + optional datum shift from WGS84. Forward
     * maps WGS84 (lon, lat) degrees to projected (x, y) metres. */
@@ -190,6 +204,33 @@ object Proj {
         (psT(phiTs), mFn(phiTs))
       case _ => (0.0, 0.0)
     }
+    /** (B, A, H, gamma0, lam0, ucSigned) — EPSG GN 7-2 method 9815. */
+    private lazy val homC: (Double, Double, Double, Double, Double, Double) =
+      kernel match {
+        case h: Hotine =>
+          val phiC = math.toRadians(h.latC)
+          val azR = math.toRadians(h.azC)
+          val cosP = math.cos(phiC)
+          val sinP = math.sin(phiC)
+          val b = math.sqrt(1 + ell.e2 * cosP * cosP * cosP * cosP / (1 - ell.e2))
+          val aBig = ell.a * b * h.k0 * math.sqrt(1 - ell.e2) /
+            (1 - ell.e2 * sinP * sinP)
+          val t0 = tFn(phiC)
+          val dBig = math.max(1.0,
+            b * math.sqrt(1 - ell.e2) / (cosP * math.sqrt(1 - ell.e2 * sinP * sinP)))
+          val fBig = dBig + math.sqrt(dBig * dBig - 1) * math.signum(phiC)
+          val hBig = fBig * math.pow(t0, b)
+          val gBig = (fBig - 1 / fBig) / 2
+          val gamma0 = math.asin(math.sin(azR) / dBig)
+          val lam0 = math.toRadians(h.lonC) -
+            math.asin(gBig * math.tan(gamma0)) / b
+          val uc =
+            if (h.azC == 90.0) aBig * (math.toRadians(h.lonC) - lam0)
+            else (aBig / b) * math.atan2(math.sqrt(dBig * dBig - 1),
+              math.cos(azR)) * math.signum(phiC)
+          (b, aBig, hBig, gamma0, lam0, uc)
+        case _ => (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      }
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val (lo, la) = datum match {
@@ -214,6 +255,7 @@ object Proj {
         case l: Lcc2sp => lccFwd(l, lo, la)
         case al: AlbersK => albersFwd(al, lo, la)
         case p: PolarStereo => psFwd(p, lo, la)
+        case h: Hotine => homFwd(h, lo, la)
       }
     }
 
@@ -230,6 +272,7 @@ object Proj {
         case l: Lcc2sp => lccInv(l, x, y)
         case al: AlbersK => albersInv(al, x, y)
         case p: PolarStereo => psInv(p, x, y)
+        case h: Hotine => homInv(h, x, y)
       }
       datum match {
         case None => (lo, la)
@@ -424,6 +467,52 @@ object Proj {
       val wrapped = if (lon <= -180) lon + 360 else if (lon > 180) lon - 360 else lon
       (wrapped, math.toDegrees(if (south) -phiN else phiN))
     }
+
+    // ---- Hotine oblique Mercator, variant B (EPSG method 9815; the
+    // formulas are the published EPSG Guidance Note 7-2 set — Snyder
+    // p. 66-76 "Oblique Mercator" in rectified-skew form)
+
+    private def homFwd(p: Hotine, lon: Double, lat: Double): (Double, Double) = {
+      val (b, aBig, hBig, gamma0, lam0, uc) = homC
+      val gammaC = math.toRadians(p.gammaC)
+      val phi = math.toRadians(lat)
+      var dlam = math.toRadians(lon) - lam0
+      if (dlam > math.Pi) dlam -= 2 * math.Pi
+      if (dlam < -math.Pi) dlam += 2 * math.Pi
+      val q = hBig / math.pow(tFn(phi), b)
+      val sBig = (q - 1 / q) / 2
+      val tBig = (q + 1 / q) / 2
+      val vBig = math.sin(b * dlam)
+      val uBig = (-vBig * math.cos(gamma0) + sBig * math.sin(gamma0)) / tBig
+      val v = aBig * math.log((1 - uBig) / (1 + uBig)) / (2 * b)
+      val u = aBig * math.atan2(sBig * math.cos(gamma0) + vBig * math.sin(gamma0),
+        math.cos(b * dlam)) / b - math.abs(uc) * math.signum(math.toRadians(p.latC))
+      (v * math.cos(gammaC) + u * math.sin(gammaC) + p.fe,
+        u * math.cos(gammaC) - v * math.sin(gammaC) + p.fn)
+    }
+
+    private def homInv(p: Hotine, x: Double, y: Double): (Double, Double) = {
+      val (b, aBig, hBig, gamma0, lam0, uc) = homC
+      val gammaC = math.toRadians(p.gammaC)
+      val vP = (x - p.fe) * math.cos(gammaC) - (y - p.fn) * math.sin(gammaC)
+      val uP = (y - p.fn) * math.cos(gammaC) + (x - p.fe) * math.sin(gammaC) +
+        math.abs(uc) * math.signum(math.toRadians(p.latC))
+      val q = math.exp(-b * vP / aBig)
+      val sBig = (q - 1 / q) / 2
+      val tBig = (q + 1 / q) / 2
+      val vBig = math.sin(b * uP / aBig)
+      val uBig = (vBig * math.cos(gamma0) + sBig * math.sin(gamma0)) / tBig
+      val t = math.pow(hBig / math.sqrt((1 + uBig) / (1 - uBig)), 1 / b)
+      val phi = phiFromTs(ell, t)
+      val lam = lam0 - math.atan2(sBig * math.cos(gamma0) - vBig * math.sin(gamma0),
+        math.cos(b * uP / aBig)) / b
+      val lonDeg = math.toDegrees(lam)
+      val wrapped =
+        if (lonDeg <= -180) lonDeg + 360
+        else if (lonDeg > 180) lonDeg - 360
+        else lonDeg
+      (wrapped, math.toDegrees(phi))
+    }
   }
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
@@ -464,7 +553,16 @@ object Proj {
     "3413" -> Crs(PolarStereo(70.0, -45.0, 0.0, 0.0), WGS84),
     "3976" -> Crs(PolarStereo(-70.0, 0.0, 0.0, 0.0), WGS84),
     "3031" -> Crs(PolarStereo(-71.0, 0.0, 0.0, 0.0), WGS84),
-    "3995" -> Crs(PolarStereo(71.0, 0.0, 0.0, 0.0), WGS84))
+    "3995" -> Crs(PolarStereo(71.0, 0.0, 0.0, 0.0), WGS84),
+    // NZGD2000 / New Zealand Transverse Mercator (NZGD2000 ≡ WGS84 here)
+    "2193" -> Crs(Tmerc(0.0, 173.0, 0.9996, 1600000.0, 10000000.0), GRS80),
+    // Hotine oblique Mercator (RSO) grids: GDM2000 / Peninsular Malaysia
+    // (GDM2000 ≡ WGS84) and Timbalai 1948 / RSO Borneo (m) — azimuth and
+    // rectified grid angle from the EPSG registry (sexagesimal → degrees)
+    "3375" -> Crs(Hotine(4.0, 102.25, 323.0257964666667, 323.1301023611111,
+      0.99984, 804671.0, 0.0), GRS80),
+    "29873" -> Crs(Hotine(4.0, 115.0, 53.31582047222222, 53.13010236111111,
+      0.99984, 590476.87, 442857.65), Everest1967, Some(Wgs84ToTimbalai1948)))
 
   /** Resolve an `epsg:NNNN`-style code (case-insensitive) to its CRS:
     * the static table plus the parameterized UTM families 326xx/327xx

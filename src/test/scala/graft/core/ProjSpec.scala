@@ -177,7 +177,10 @@ class ProjSpec extends AnyFunSuite {
       "epsg:3413" -> (-180.0, 180.0, 60.0, 89.9),
       "epsg:3995" -> (-180.0, 180.0, 60.0, 89.9),
       "epsg:3031" -> (-180.0, 180.0, -89.9, -55.0),
-      "epsg:3976" -> (-180.0, 180.0, -89.9, -55.0))
+      "epsg:3976" -> (-180.0, 180.0, -89.9, -55.0),
+      "epsg:2193" -> (166.0, 179.0, -47.5, -34.0),
+      "epsg:3375" -> (99.5, 105.0, 1.0, 7.0),
+      "epsg:29873" -> (109.5, 119.5, 0.8, 7.5))
     val rnd = new scala.util.Random(42)
     for ((code, (loMin, loMax, laMin, laMax)) <- domains) {
       val fwd = Proj.forward(code).get
@@ -191,6 +194,34 @@ class ProjSpec extends AnyFunSuite {
           s"$code ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
       }
     }
+  }
+
+  test("Hotine oblique Mercator: EPSG GN7-2 worked example (Timbalai 1948 / RSO Borneo, datum-free kernel)") {
+    // EPSG Guidance Note 7-2, method 9815 example: Timbalai 1948 datum
+    // coordinates in, metres out — exercises the kernel without the
+    // WGS84->Timbalai shift
+    val crs = Proj.Crs(
+      Proj.Hotine(4.0, 115.0, 53.31582047222222, 53.13010236111111,
+        0.99984, 590476.87, 442857.65), Proj.Everest1967)
+    val lat = 5 + 23.0 / 60 + 14.1129 / 3600 //  5°23'14.1129"N
+    val lon = 115 + 48.0 / 60 + 19.8196 / 3600 // 115°48'19.8196"E
+    val (e, n) = crs.forward(lon, lat)
+    assert(math.abs(e - 679245.73) < 0.05, s"E $e vs 679245.73")
+    assert(math.abs(n - 596562.78) < 0.05, s"N $n vs 596562.78")
+    val (lon2, lat2) = crs.inverse(e, n)
+    assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+  }
+
+  test("NZTM (EPSG:2193): natural-origin anchors and Wellington quadrant") {
+    val fwd = Proj.forward("epsg:2193").get
+    // the natural origin (173E, 0N) maps exactly to the false offsets
+    val (e0, n0) = fwd(173.0, 0.0)
+    assert(math.abs(e0 - 1600000.0) < 1e-6 && math.abs(n0 - 10000000.0) < 1e-6)
+    // Wellington (174.7762E, 41.2865S): east of the CM; northing =
+    // 10 000 000 - k0 * meridian distance(41.2865) ~ 5.43e6
+    val (e, n) = fwd(174.7762, -41.2865)
+    assert(e > 1740000 && e < 1760000, s"E $e")
+    assert(n > 5420000 && n < 5440000, s"N $n")
   }
 
   test("27700 kernel: OS worked example on Airy 1830 (datum-free TM check)") {

@@ -98,6 +98,28 @@ class WmsUrlSpec extends AnyFunSuite {
     assert(math.abs(bbox(1)) < 500000, bbox.mkString(","))
   }
 
+  test("NZTM (EPSG:2193) WMS bbox over Wellington") {
+    val (wx, wy) = graft.core.Tiles.lonLatToTile(174.7762, -41.2865, 12)
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.1.1&srs=EPSG:2193&bbox={bbox}", 12, wx.toInt, wy.toInt)
+    val bbox = url.split("bbox=")(1).split("&")(0).split(",").map(_.toDouble)
+    assert(bbox(0) > 1700000 && bbox(2) < 1800000, bbox.mkString(","))
+    assert(bbox(1) > 5400000 && bbox(3) < 5460000, bbox.mkString(","))
+    assert(bbox(0) < bbox(2) && bbox(1) < bbox(3))
+  }
+
+  test("RSO Peninsular Malaysia (EPSG:3375) WMS bbox over Kuala Lumpur") {
+    val (kx, ky) = graft.core.Tiles.lonLatToTile(101.69, 3.14, 12)
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.1.1&srs=EPSG:3375&bbox={bbox}", 12, kx.toInt, ky.toInt)
+    val bbox = url.split("bbox=")(1).split("&")(0).split(",").map(_.toDouble)
+    // KL sits west of the projection centre (102.25E, FE 804671) and
+    // south of it (latC 4N, FN 0) on the skewed grid
+    assert(bbox(0) > 500000 && bbox(2) < 1100000, bbox.mkString(","))
+    assert(bbox(1) > -500000 && bbox(3) < 500000, bbox.mkString(","))
+    assert(bbox(0) < bbox(2) && bbox(1) < bbox(3))
+  }
+
   test("ETRS89 UTM 32N (EPSG:25832) WMS bbox over Germany") {
     val (dx, dy) = graft.core.Tiles.lonLatToTile(9.99, 53.55, 12) // Hamburg
     val url = TileSources.wmsUrl(

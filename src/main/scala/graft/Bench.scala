@@ -33,7 +33,10 @@ object Bench {
     // min of `reps` timed runs per query (JMH practice): a single timed run
     // confounds the query with whatever the host happened to be doing that
     // second; the min is the least-contended observation of the same work.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // Default 3 (round-5 bench-credibility ask): two reps left "probably
+    // noise" verdicts on small regressions; a third observation separates
+    // host contention from plan changes.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // rep isolation: every rep rebuilds its DataFrame from scratch (fn

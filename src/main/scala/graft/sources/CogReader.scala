@@ -508,7 +508,19 @@ object CogReader {
       case 8 | 32946 => inflate(raw, expected)
       case 32773 => packBitsDecode(raw, expected)
       case 50000 => zstdDecompress(raw, expected)
-      case c => throw new java.io.IOException(s"unsupported TIFF compression $c")
+      case c =>
+        // name the known-but-unsupported registrations so the user learns
+        // which GDAL creation option to change, not just a number
+        val name = c match {
+          case 6 => " (old-style JPEG)"
+          case 34887 => " (LERC)"
+          case 34925 => " (LZMA)"
+          case 50001 => " (WebP)"
+          case _ => ""
+        }
+        throw new java.io.IOException(s"unsupported TIFF compression $c$name — " +
+          "supported: none(1), LZW(5), JPEG(7), Deflate(8/32946), " +
+          "PackBits(32773), ZSTD(50000)")
     }
     if (ifd.predictor == 2)
       undoPredictor2(data, ifd.tileWidth, rowsInChunk, chunkSpp, bytesPer, ifd.littleEndian)

@@ -529,6 +529,32 @@ class CogReaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SampleFormat"))
   }
 
+  test("WebP-compressed tiles are refused loudly, naming the codec") {
+    val cover = TileKey(10, 300, 400)
+    val p = tmp("webp.tif")
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 256
+    TiffWriter.write(p, Seq(TiffWriter.Level(256, 256, (x, y) => (x % 256, 0, 0))),
+      tileSize = 128, originX = b.west, originY = b.north, resX = res, resY = res)
+    // patch the Compression IFD entry (tag 259 = 0x0103, SHORT, count 1)
+    // to GDAL's WebP registration 50001 = 0xC351
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    var i = 0
+    var patched = false
+    while (i < bytes.length - 12 && !patched) {
+      if ((bytes(i) & 0xff) == 0x03 && (bytes(i + 1) & 0xff) == 0x01 &&
+        (bytes(i + 2) & 0xff) == 3 && (bytes(i + 3) & 0xff) == 0 &&
+        (bytes(i + 4) & 0xff) == 1 && (bytes(i + 5) & 0xff) == 0) {
+        bytes(i + 8) = 0x51.toByte; bytes(i + 9) = 0xC3.toByte; patched = true
+      }
+      i += 1
+    }
+    assert(patched, "could not locate compression tag to patch")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[java.io.IOException](CogReader.tile(p, cover))
+    assert(e.getMessage.contains("WebP") && e.getMessage.contains("50001"))
+  }
+
   // ---- non-3857 CRS warp reads ----
 
   /** z10 tile over lon ~15.1E, lat ~50.1N — inside UTM zone 33N. */

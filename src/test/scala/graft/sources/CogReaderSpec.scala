@@ -689,14 +689,22 @@ class CogReaderSpec extends AnyFunSuite {
   }
 
   test("an unsupported GeoKey CRS is refused rather than misplaced") {
+    // Self-healing fixture: pick the first candidate code NOT in the Proj
+    // table, so the refusal path stays covered as the table grows (round 5
+    // added 2193/NZTM and stalled the old hard-coded fixture). All four are
+    // Lambert-conformal-conic / polyconic CRSs with no kernel here.
+    val candidates = Seq(31370, 2154, 5880, 27572)
+    val code = candidates.find(c => graft.core.Proj.crs(c.toString).isEmpty)
+      .getOrElse(fail("every candidate CRS is now in the Proj table — " +
+        "extend the candidate list with a still-unsupported code"))
     val cover = TileKey(10, 300, 400)
-    val p = tmp("nzgd.tif")
+    val p = tmp("unsupported_crs.tif")
     val b = Tiles.tileBounds3857(cover)
     val res = (b.east - b.west) / 256
     TiffWriter.write(p, Seq(TiffWriter.Level(256, 256, (x, y) => (1, 2, 3))),
       tileSize = 128, originX = b.west, originY = b.north, resX = res, resY = res,
-      epsg = Some(2193)) // NZGD2000 / NZTM — not in the Proj table
+      epsg = Some(code))
     val e = intercept[java.io.IOException](CogReader.tile(p, cover))
-    assert(e.getMessage.contains("EPSG:2193"))
+    assert(e.getMessage.contains(s"EPSG:$code"))
   }
 }

@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * the native codegen'd `dot_long` and the final cosine is a
   * deterministic double in any engine.
   *
-  * Scale stance (100 TB): query vectors and centroid tables are broadcast;
-  * candidate generation is hash-partitioned (LSH buckets / IVF cells) —
-  * never an unblocked all-pairs join.
+  * Scale stance (100 TB): query vectors and centroid tables are bounded
+  * by construction and ride the plan as inlined literals — cell
+  * assignment is a per-row argmin inside one corpus scan (round 6: no
+  * broadcast-join amplification, no id-partitioned exchange); candidate
+  * generation is hash-partitioned (LSH buckets / IVF cells) — never an
+  * unblocked all-pairs join.
   */
 object Similarity {
 
@@ -170,31 +173,59 @@ object Similarity {
           (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))).as("cos"))
   }
 
-  /** Shared IVF search given a centroid table `cents` (cid, cq: quantized
-    * array<bigint>, cc = cq·cq): exact-integer L2 cell assignment (window
-    * rn=1, cid tie-break), then cosine top-k within the `nprobe` cells
-    * nearest the query. Every stage is a broadcast join (centroids/query
-    * are tiny) or hash partition — no driver-side index. */
-  private def ivfSearch(emb: DataFrame, cents: DataFrame, idCol: String,
-      queryId: Long, k: Int, nprobe: Int): DataFrame = {
+  /** Zero-shuffle nearest-cell assignment: the centroid table is BOUNDED
+    * by construction (≤ maxCentroids sample rows or nCells trained
+    * centers), so it is inlined as a literal — cid-ordered — and each
+    * row's cell is a per-row argmin via the native `pq_encode` kernel at
+    * m = 1 (exact BIGINT L2, lowest index wins ties = lowest cid, the
+    * same (dist2, cid) order the old window used). Replaces round ≤ 5's
+    * `join(broadcast(cents))` + `row_number().over(partitionBy(id))`,
+    * which amplified the corpus ×|cents| and then full-shuffled the
+    * amplified relation just to take this argmin — at 100 TB that
+    * exchange dominates the query; this is a scan. Adds (`__code`
+    * 0-based centroid index, `cid`). */
+  private def assignCells(emb: DataFrame, cids: Array[Long],
+      cb: Array[Array[Long]]): DataFrame = {
+    require(cids.nonEmpty && cids.length == cb.length, "empty centroid table")
+    graft.functions.TextHashes.register(emb.sparkSession)
+    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    val cidLit = typedLit(cids.toSeq)
+    emb.withColumn("__code",
+        element_at(call_function("pq_encode", col("q"), cbLit, lit(1)), 1))
+      .withColumn("cid", element_at(cidLit, col("__code") + 1))
+  }
+
+  /** Collect a (cid, cq, …) centroid DataFrame — bounded by construction —
+    * to cid-ordered driver arrays for inlining. */
+  private def collectCents(cents: DataFrame): (Array[Long], Array[Array[Long]]) = {
+    val rows = cents.orderBy("cid").select("cid", "cq").collect()
+    require(rows.nonEmpty, "empty centroid table")
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Long](1).toArray))
+  }
+
+  /** Shared IVF search over cid-ordered inlined centroids: zero-shuffle
+    * cell assignment ([[assignCells]]), probed-cell choice and the query
+    * vector resolved driver-side (both bounded — ≤ |cents| rows and one
+    * row), then a cosine scan over the `nprobe` probed cells. The whole
+    * search is ONE pass over the corpus with no exchange at all — the
+    * final top-k is a TakeOrderedAndProject. */
+  private def ivfSearch(emb: DataFrame, cids: Array[Long],
+      cb: Array[Array[Long]], idCol: String, queryId: Long, k: Int,
+      nprobe: Int): DataFrame = {
     val d = dot(emb) _
-    val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
-    val assigned = emb.join(broadcast(cents))
-      .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("q"), col("qq"), col("cid"))
-    val query = emb.filter(col(idCol) === queryId)
-      .select(col("q").as("xq"), col("qq").as("xqq"))
-    val probed = cents.join(broadcast(query))
-      .withColumn("dist2", col("xqq") + col("cc") - lit(2) * d(col("cq"), col("xq")))
-      .orderBy(col("dist2"), col("cid")).limit(nprobe)
-      .select("cid")
-    assigned.join(broadcast(probed), "cid")
-      .filter(col(idCol) =!= queryId)
-      .join(broadcast(query))
+    val dim = cb(0).length
+    val query: Array[Long] = emb.filter(col(idCol) === queryId)
+      .select("q").head().getSeq[Long](0).toArray
+    val probed = cids.zip(cb)
+      .map { case (cid, cv) => (sliceDist2(query, cv, 0, dim), cid) }
+      .sorted.take(nprobe).map(_._2)
+    val xq = typedLit(query.toSeq)
+    val xqq = query.map(v => v * v).sum
+    assignCells(emb, cids, cb)
+      .filter(col("cid").isin(probed.map(Long.box): _*) && col(idCol) =!= queryId)
       .select(col(idCol),
-        (d(col("q"), col("xq")).cast("double") /
-          (sqrt(col("qq").cast("double")) * sqrt(col("xqq").cast("double")))).as("cos_sim"))
+        (d(col("q"), xq).cast("double") /
+          (sqrt(col("qq").cast("double")) * sqrt(lit(xqq).cast("double")))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
   }
 
@@ -211,7 +242,12 @@ object Similarity {
     * collecting it as a PQ codebook) is O(1) in the input — a mod-filter
     * alone grows as corpus/sampleMod and becomes a driver/broadcast blowup
     * at 10⁹ rows. Still oracle-reproducible: ids are unique, so
-    * `ORDER BY id LIMIT n` is deterministic in any engine. */
+    * `ORDER BY id LIMIT n` is deterministic in any engine.
+    *
+    * NOTE — result-changing in round 5: the cap default (64) changed the
+    * output of every IVF/PQ-family operator for corpora whose mod-sample
+    * exceeds 64 rows (oracles updated in lockstep). Pass
+    * `maxCentroids = Int.MaxValue` to restore the old uncapped sample. */
   private[graft] def centroidSample(emb: DataFrame, idCol: String,
       sampleMod: Int, maxCentroids: Int): DataFrame = {
     require(sampleMod >= 1, "sampleMod must be >= 1")
@@ -230,8 +266,8 @@ object Similarity {
       k: Int, sampleMod: Int = 53, nprobe: Int = 2,
       maxCentroids: Int = 64): DataFrame = {
     val emb = quantized(df, embCol, idCol)
-    val cents = centroidSample(emb, idCol, sampleMod, maxCentroids)
-    ivfSearch(emb, cents, idCol, queryId, k, nprobe)
+    val (cids, cb) = collectCents(centroidSample(emb, idCol, sampleMod, maxCentroids))
+    ivfSearch(emb, cids, cb, idCol, queryId, k, nprobe)
   }
 
   /** IVF ANN with MLlib-KMeans-trained coarse centroids (fixed seed —
@@ -258,12 +294,11 @@ object Similarity {
       // passes (each is a full-data action); recall on clustered data is
       // spec-asserted, and the qv05 oracle is invariant to centroid quality
       .setK(nCells).setSeed(seed).setInitMode("random").setMaxIter(6).fit(feats)
-    val d = dot(df) _
-    val cents = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (v, i) => (i.toLong, v.toArray.map(math.round).toSeq) }
-      .toDF("cid", "cq")
-      .withColumn("cc", d(col("cq"), col("cq")))
-    ivfSearch(emb, cents, idCol, queryId, k, nprobe)
+    // trained centers snap to the integer grid and inline directly —
+    // no DataFrame round-trip; cid = cluster index (already ordered)
+    val cb = model.clusterCenters.map(_.toArray.map(math.round))
+    val cids = Array.tabulate[Long](cb.length)(_.toLong)
+    ivfSearch(emb, cids, cb, idCol, queryId, k, nprobe)
   }
 
   /** Embedding -> 64-bit sign sketch: bit i set iff component i > 0
@@ -514,19 +549,12 @@ object Similarity {
       maxCentroids: Int = 64): DataFrame = {
     require(m >= 1 && nprobe >= 1, "m and nprobe must be >= 1")
     graft.functions.TextHashes.register(df.sparkSession)
-    val d = dot(df) _
     val emb = quantized(df, embCol, idCol)
-    val cents = centroidSample(emb, idCol, sampleMod, maxCentroids)
-    val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
-    val assigned = emb.join(broadcast(cents))
-      .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("q"), col("cid"))
     // driver side, all tiny: ordered codebook, query, probed cells, LUT
-    val centRows = cents.orderBy("cid").select("cid", "cq").collect()
-    require(centRows.nonEmpty, "empty centroid sample")
-    val cids = centRows.map(_.getLong(0))
-    val cb: Array[Array[Long]] = centRows.map(_.getSeq[Long](1).toArray)
+    val (cids, cb) = collectCents(
+      centroidSample(emb, idCol, sampleMod, maxCentroids))
+    val assigned = assignCells(emb, cids, cb)
+      .select(col(idCol), col("q"), col("cid"))
     val dim = cb(0).length
     require(dim % m == 0, s"m=$m must divide dim $dim")
     val sub = dim / m
@@ -575,24 +603,20 @@ object Similarity {
     require(m >= 1 && nprobe >= 1 && nCodes >= 1,
       "m, nprobe, nCodes must be >= 1")
     graft.functions.TextHashes.register(df.sparkSession)
-    val d = dot(df) _
     val emb = quantized(df, embCol, idCol)
-    val cents = centroidSample(emb, idCol, sampleMod, maxCentroids)
-    val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
-    // one corpus pass: assign to the nearest cell, store the residual
-    val assigned = emb.join(broadcast(cents))
-      .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cid"),
-        zip_with(col("q"), col("cq"), (a, b) => a - b).as("r"))
     // driver side, all bounded: centroid table, query, probed cells,
     // residual codebook (first nCodes vectors, assigned driver-side with
-    // the same (dist2, cid) tie-break), per-cell LUTs
-    val centRows = cents.orderBy("cid").select("cid", "cq").collect()
-    require(centRows.nonEmpty, "empty centroid sample")
-    val cids = centRows.map(_.getLong(0))
-    val cb0: Array[Array[Long]] = centRows.map(_.getSeq[Long](1).toArray)
+    // the same exact-L2 lowest-cid tie-break), per-cell LUTs
+    val (cids, cb0) = collectCents(
+      centroidSample(emb, idCol, sampleMod, maxCentroids))
     val centByCid = cids.zip(cb0).toMap
+    // one zero-shuffle corpus pass: assign to the nearest cell
+    // (inlined-centroid argmin), store the residual
+    val cent0Lit = typedLit(cb0.map(_.toSeq).toSeq)
+    val assigned = assignCells(emb, cids, cb0)
+      .select(col(idCol), col("cid"),
+        zip_with(col("q"), element_at(cent0Lit, col("__code") + 1),
+          (a, b) => a - b).as("r"))
     val dim = cb0(0).length
     require(dim % m == 0, s"m=$m must divide dim $dim")
     val sub = dim / m
@@ -643,8 +667,9 @@ object Similarity {
     *
     * Scale shape: centroids are the deterministic, SIZE-CAPPED
     * `id % sampleMod == 0` sample ([[centroidSample]] — at most
-    * `maxCentroids` rows whatever the corpus size) and broadcast; cell
-    * assignment is exact BIGINT L2 on the quantized grid; the quadratic
+    * `maxCentroids` rows whatever the corpus size) inlined as a literal;
+    * cell assignment is a zero-shuffle per-row argmin in exact BIGINT L2
+    * on the quantized grid ([[assignCells]]); the quadratic
     * within-cell self-join is guarded by `maxCell` (cells above it are
     * dropped before the join — the [[blockedCosinePairs]] maxBlock
     * discipline), so one degenerate cell can never expand to corpus².
@@ -655,11 +680,9 @@ object Similarity {
     require(maxCell >= 2, "maxCell must be >= 2")
     val d = dot(df) _
     val emb = quantized(df, embCol, idCol)
-    val cents = centroidSample(emb, idCol, sampleMod, maxCentroids)
-    val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
-    val assigned = emb.join(broadcast(cents))
-      .withColumn("dist2", col("qq") + col("cc") - lit(2) * d(col("q"), col("cq")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val (cids, cb) = collectCents(
+      centroidSample(emb, idCol, sampleMod, maxCentroids))
+    val assigned = assignCells(emb, cids, cb)
       .select(col(idCol).as("id"), col("q"), col("qq"), col("cid"))
       .withColumn("__cn", count(lit(1)).over(Window.partitionBy("cid")))
       .filter(col("__cn") <= maxCell).drop("__cn")

@@ -122,6 +122,37 @@ class PlanShapeSpec extends SparkSpec {
       "merge must be a full-outer join:\n" + p.take(2000))
   }
 
+  test("IVF-family search is ONE exchange-free corpus scan (inlined-centroid argmin)") {
+    // round 6: cell assignment is a per-row pq_encode argmin over the
+    // inlined bounded centroid array — no broadcast-join amplification,
+    // no id-partitioned window exchange. The whole search must plan as
+    // scan -> project/filter -> TakeOrderedAndProject with NO Exchange
+    // of any kind between the corpus scan and the result.
+    for (n <- Seq("qv04_ivf_ann", "qv05_ivf_trained", "qv12_ivfpq",
+        "qv14_ivfpq_residual")) {
+      val p = plan(n)
+      assert(!p.contains("Exchange"),
+        s"$n must not shuffle or broadcast anything:\n" + p.take(1500))
+      assert(p.contains("TakeOrderedAndProject"), s"$n top-k:\n" + p.take(800))
+      assert(!p.contains("row_number"), s"$n must not window-argmin:\n" + p.take(800))
+    }
+  }
+
+  test("qv09: semanticDedup exchanges only on cid (+ the bounded pair-set aggregate)") {
+    val p = plan("qv09_semantic_dedup")
+    val parts = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    // cid exchanges feed the cell-cap window and the within-cell join;
+    // the single id exchange is the final min-aggregate over the
+    // maxCell-bounded pair set (partial agg collapses it map-side)
+    assert(parts.nonEmpty && parts.forall(c => c == "cid" || c == "id"),
+      s"unexpected exchange keys $parts:\n" + p.take(2000))
+    assert(parts.count(_ == "id") <= 1,
+      s"corpus must never repartition on id: $parts\n" + p.take(2000))
+    assert(!p.contains("row_number"),
+      "assignment must be the inlined argmin, not a window:\n" + p.take(1500))
+  }
+
   test("qr02: interval overlap join plans with no distinct/dedup after the pair join") {
     val p = plan("qr02_interval_overlap")
     // overlap-start bin attribution replaces dedup: no HashAggregate for

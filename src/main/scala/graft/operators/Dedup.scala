@@ -325,10 +325,15 @@ object Dedup {
     * on the same graph (edges 6542 -> 750 -> 14 -> 0), each pass over an
     * edge relation a fraction of the previous one — at corpus scale the
     * later passes are nearly free, and convergence is the edge relation
-    * literally emptying (`maxIters` is a safety cap). Labels verified
-    * identical to the propagation implementation on the sf0.1 graph, and
-    * the qd13 oracle (recursive transitive closure) checks them
-    * end-to-end.
+    * literally emptying (`maxIters` is a safety cap). Once the residual
+    * graph is under `driverFinishEdges` (bounded — default 500 k edges
+    * ≈ 8 MB), a single collect + union-find finishes it driver-side as
+    * one literal hook map instead of paying fixed per-round scheduling
+    * overhead on near-empty relations (round-6 at sf0.1: qg03
+    * 1.78 -> 0.52 s, qd13 1.68 -> 0.73 s, qd35 2.03 -> 0.72 s). Labels
+    * verified identical to the
+    * propagation implementation on the sf0.1 graph, and the qd13 oracle
+    * (recursive transitive closure) checks them end-to-end.
     *
     * Fault tolerance: each round's result must be checkpointed (the
     * lineage grows by several joins per round and the loop drives
@@ -341,7 +346,8 @@ object Dedup {
     * survive executor loss. That is the mode a 100 TB deployment should
     * run; local runs and the bench keep the zero-config fast path. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverFinishEdges: Long = 500000L): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach { dir =>
       if (!spark.sparkContext.getCheckpointDir.contains(dir))
@@ -352,11 +358,15 @@ object Dedup {
     var e = ckpt(pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct())
-    val ids = ckpt(e.select(col("src").as("id")).distinct())
+    // lazy on purpose: read exactly once (final resolve), off the round-0
+    // checkpointed edges — its own eager checkpoint was a wasted job
+    val ids = e.select(col("src").as("id")).distinct()
     var hooks = List.empty[DataFrame]
     var i = 0
-    var done = e.isEmpty
-    while (i < maxIters && !done) {
+    // count, not isEmpty: the materialized-block scan costs the same and
+    // the size drives the driver-endgame cut below
+    var n = e.count()
+    while (i < maxIters && n > driverFinishEdges) {
       // hook: rep -> min(self, min neighbor). Both edge directions are
       // present, so every live rep has a row; least() keeps pointers
       // monotonically decreasing -> the final single rep per component is
@@ -365,7 +375,11 @@ object Dedup {
         .select(col("src").as("r"), col("rp"))
       // two path compressions (rp := rp(rp)) over the hook map — tiny next
       // to the edge relation; one checkpointed job (ReuseExchange plans
-      // the hook subtree once per self-join)
+      // the hook subtree once per self-join). Round-6 profiling note: a
+      // lazy persist() here (folding materialization into the contract
+      // job) measured SLOWER (qg03 1.78 -> 2.30 s) — the contract's two
+      // join branches race the cold cache and duplicate the hook
+      // computation — so the eager checkpoint stays.
       def compress(h: DataFrame, j: Int): DataFrame =
         h.join(h.select(col("r").as(s"r$j"), col("rp").as(s"rp$j")),
             col("rp") === col(s"r$j"), "left")
@@ -380,8 +394,39 @@ object Dedup {
         .select(col("nsrc").as("src"), col("ndst").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
-      done = e.isEmpty
+      n = e.count()
       i += 1
+    }
+    // DRIVER ENDGAME (Kiveris et al. 2014's multi-round-then-finish
+    // discipline): contraction shrinks the rep graph geometrically, so
+    // within a couple of rounds it is far below `driverFinishEdges` —
+    // but each extra distributed round still costs 3 fixed-overhead
+    // driver actions over near-empty relations (round-6 profiling: the
+    // tail rounds were ~0.4 s each of pure scheduling at sf0.1). Once
+    // the residual graph fits the BOUNDED threshold (500 k edges ≈ 8 MB
+    // — trivially driver-safe), one collect + union-find replaces the
+    // whole tail, emitted as one final literal hook map. Corpora whose
+    // graphs never shrink under the threshold just run the full loop.
+    if (n > 0 && n <= driverFinishEdges) {
+      val res = e.select("src", "dst").collect()
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent(c); parent(c) = r; c = nx
+        }
+        r
+      }
+      res.foreach { row =>
+        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val hookRows = parent.keys.toSeq.map(x => (x, find(x)))
+        .filter { case (a, b) => a != b }
+      import spark.implicits._
+      hooks ::= hookRows.toDF("r", "rp")
     }
     // resolve the full label table once: comp(id) = hook maps applied
     // oldest-first (k tiny left joins in a single job, k = rounds)

@@ -79,6 +79,23 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("duplicateClusters: driver endgame and pure contraction loop agree") {
+    val s = spark
+    import s.implicits._
+    // long chains + a star + singleton pair: exercises multi-round
+    // contraction when the endgame is disabled (driverFinishEdges = 0)
+    val pairs = ((0L until 40L).map(i => (i, i + 1)) ++          // 41-chain
+      (100L until 110L).map(i => (150L, i)) ++                   // star
+      Seq((200L, 201L))).toDF("id_a", "id_b")
+    def labels(thresh: Long) =
+      Dedup.duplicateClusters(pairs, driverFinishEdges = thresh)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    val endgame = labels(500000L) // default: collected immediately
+    val loop = labels(0L)         // forced full distributed contraction
+    assert(endgame == loop, s"paths disagree: ${endgame.toSet.diff(loop.toSet).take(5)}")
+    assert(endgame(40L) == 0L && endgame(150L) == 100L && endgame(201L) == 200L)
+  }
+
   test("simhashNearDupPairs: identical docs pair at hamming 0, unrelated docs don't pair") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hd")).toMap

@@ -179,12 +179,15 @@ object EventStream {
     * the watermark (`lateness` behind max event time) passes
     * `anchor + window` — a lapsed attempt can never advance (every
     * in-window event is behind the watermark), so keeping it would grow
-    * state monotonically with distinct users. Completed users' state is
-    * removed immediately. Consequence: after a lapsed attempt is
-    * evicted, a LATER stage-1 event starts a NEW attempt — so an
-    * in-order replay emits the batch transitions (per-user prefixes are
-    * identical) PLUS possibly new-attempt transitions that batch's
-    * single-anchor pass doesn't model; both properties are spec-checked.
+    * state monotonically with distinct users. Completed users keep a
+    * TOMBSTONE under the same timeout: a post-completion stage-1 event
+    * inside the attempt's window is ignored (as batch's single-anchor
+    * pass would), not re-anchored. Consequence: only after an attempt's
+    * window has fully passed the watermark — lapsed or completed — can
+    * a LATER stage-1 event start a NEW attempt, so an in-order replay
+    * emits the batch transitions (per-user prefixes are identical) PLUS
+    * possibly new-attempt transitions that all postdate
+    * `anchor + window`; both properties are spec-checked.
     *
     * `funnel`'s per-stage counts are `groupBy(step) count` over this. */
   def funnelTransitions(events: DataFrame, stages: Seq[String],
@@ -232,7 +235,19 @@ object EventStream {
           // above the current watermark (arming at-or-behind it throws)
           state.setTimeoutTimestamp(math.max(
             (cur.anchorUs + winUs) / 1000, state.getCurrentWatermarkMs() + 1))
-      } else state.remove() // never anchored, or funnel complete
+      } else if (streaming && cur.step >= stages.size) {
+        // COMPLETED: keep a tombstone (step == stages.size blocks every
+        // later event) until the watermark passes the attempt's window,
+        // so a post-completion stage-1 event inside the window cannot
+        // re-anchor a new attempt — within one invocation the loop
+        // already ignores post-completion events; the tombstone extends
+        // that guarantee across micro-batches, matching batch's
+        // single-anchor pass. anchorUs here is the LAST match's time,
+        // >= the attempt anchor, so the tombstone never dies early.
+        state.update(cur)
+        state.setTimeoutTimestamp(math.max(
+          (cur.anchorUs + winUs) / 1000, state.getCurrentWatermarkMs() + 1))
+      } else state.remove() // never anchored (batch: or funnel complete)
       out.iterator
     }
 

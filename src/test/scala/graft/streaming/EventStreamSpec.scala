@@ -248,6 +248,44 @@ class EventStreamSpec extends SparkSpec {
       s"expected re-anchor after eviction, got ${user7.toSeq}")
   }
 
+  test("funnelTransitions streaming: completed users are tombstoned — no re-anchor inside the live window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val h = 3600L * 1000000000L // an hour in nanos (ts column is nanos)
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = EventStream.funnelTransitions(
+        mem.toDF.toDF("user_id", "event_type", "ts"),
+        Seq("view", "click"), windowMinutes = 60, lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_tomb").start()
+    def feed(rows: (Long, String, Long)*): Unit = {
+      mem.addData(rows: _*); q.processAllAvailable()
+    }
+    // b1: user 5 completes the funnel at t=1h (view + click)
+    feed((5L, "view", 1L * h), (5L, "click", 1L * h + 60L * 1000000000L))
+    // b2: user 5 views AGAIN, still inside the attempt's 60-min window —
+    // the tombstone must swallow it (batch's single-anchor pass would)
+    feed((5L, "view", 1L * h + 120L * 1000000000L))
+    // b3-b4: filler advances the watermark far past 1h + 60min, the
+    // tombstone's timeout fires and evicts it
+    feed((99L, "view", 100L * h))
+    feed((99L, "view", 101L * h))
+    // b5: NOW a new view re-anchors a fresh attempt
+    feed((5L, "view", 102L * h))
+    q.stop()
+    val user5 = spark.table("funnel_tomb")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+      .filter(_._1 == 5L).sortBy(_._3)
+    val us = 3600L * 1000000L
+    assert(user5.toSeq == Seq(
+      (5L, 1, 1L * us),            // original anchor
+      (5L, 2, 1L * us + 60000000L), // completion
+      (5L, 1, 102L * us)),          // re-anchor only AFTER eviction
+      s"expected tombstoned completion then post-window re-anchor, got ${user5.toSeq}")
+  }
+
   test("funnel: strict ordering, per-step window, monotone narrowing") {
     val s = spark
     import s.implicits._

@@ -224,8 +224,13 @@ object Proj {
           val gamma0 = math.asin(math.sin(azR) / dBig)
           val lam0 = math.toRadians(h.lonC) -
             math.asin(gBig * math.tan(gamma0)) / b
+          // tolerance, not exact ==: near 90° cos(azR) ≈ 0 makes the
+          // general atan2 branch ill-conditioned, so a programmatically
+          // built azimuth infinitesimally off 90 must still take the
+          // special-case formula (EPSG GN7-2 names the 90° case exactly)
           val uc =
-            if (h.azC == 90.0) aBig * (math.toRadians(h.lonC) - lam0)
+            if (math.abs(h.azC - 90.0) < 1e-9)
+              aBig * (math.toRadians(h.lonC) - lam0)
             else (aBig / b) * math.atan2(math.sqrt(dBig * dBig - 1),
               math.cos(azR)) * math.signum(phiC)
           (b, aBig, hBig, gamma0, lam0, uc)

@@ -52,6 +52,9 @@ object Quality {
         ("in_set", c, sum(when(!col(c).isin(allowed: _*), 1L).otherwise(0L)))
       } ++
       bounds.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        // an inverted band would flag every non-null row with no hint the
+        // RULE is malformed — fail loudly at build time instead
+        require(lo <= hi, s"bounds rule for '$c' is inverted: lo=$lo > hi=$hi")
         ("bounds", c, sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)))
       } ++
       matches.toSeq.sortBy(_._1).map { case (c, re) =>

@@ -164,7 +164,11 @@ object TarShards {
         // listener closes on EVERY task exit path
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit] { _ =>
-            try in.close() catch { case _: java.io.IOException => () }
+            // best-effort cleanup: some Hadoop FS streams throw runtime
+            // exceptions (not IOException) on double-close — never fail
+            // an otherwise-successful task at completion
+            try in.close()
+            catch { case scala.util.control.NonFatal(_) => () }
           })
         val it = groupSamples(entries(in, maxEntryBytes))
           .map { case (key, files) => Row(path, key, files) }

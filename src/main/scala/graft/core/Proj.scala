@@ -176,6 +176,11 @@ object Proj {
     * angle, both in degrees. */
   final case class Hotine(latC: Double, lonC: Double, azC: Double,
       gammaC: Double, k0: Double, fe: Double, fn: Double) extends Kernel
+  /** Lambert Azimuthal Equal Area, oblique aspect (EPSG method 9820,
+    * Snyder 1987 §24 ellipsoidal form): the ETRS89-LAEA Europe grid
+    * (EPSG:3035) that INSPIRE WMS services publish. */
+  final case class Laea(lat0: Double, lon0: Double, fe: Double,
+      fn: Double) extends Kernel
 
   /** A CRS: kernel + ellipsoid + optional datum shift from WGS84. Forward
     * maps WGS84 (lon, lat) degrees to projected (x, y) metres. */
@@ -261,6 +266,7 @@ object Proj {
         case al: AlbersK => albersFwd(al, lo, la)
         case p: PolarStereo => psFwd(p, lo, la)
         case h: Hotine => homFwd(h, lo, la)
+        case l: Laea => laeaFwd(l, lo, la)
       }
     }
 
@@ -278,6 +284,7 @@ object Proj {
         case al: AlbersK => albersInv(al, x, y)
         case p: PolarStereo => psInv(p, x, y)
         case h: Hotine => homInv(h, x, y)
+        case l: Laea => laeaInv(l, x, y)
       }
       datum match {
         case None => (lo, la)
@@ -477,6 +484,68 @@ object Proj {
     // formulas are the published EPSG Guidance Note 7-2 set — Snyder
     // p. 66-76 "Oblique Mercator" in rectified-skew form)
 
+    // ---- Lambert Azimuthal Equal Area, oblique (EPSG method 9820)
+
+    /** (qP, betaO, Rq, D) — Snyder eqs. 3-12/3-11/(24-20)/(24-21), the
+      * EPSG GN7-2 constant set for the oblique ellipsoidal aspect. */
+    private lazy val laeaC: (Double, Double, Double, Double) = kernel match {
+      case l: Laea =>
+        val phi0 = math.toRadians(l.lat0)
+        val qP = qFn(math.Pi / 2)
+        val betaO = math.asin(qFn(phi0) / qP)
+        val rq = ell.a * math.sqrt(qP / 2)
+        val d = ell.a * mFn(phi0) / (rq * math.cos(betaO))
+        (qP, betaO, rq, d)
+      case _ => (0.0, 0.0, 0.0, 0.0)
+    }
+
+    private def laeaFwd(p: Laea, lon: Double, lat: Double): (Double, Double) = {
+      val (qP, betaO, rq, d) = laeaC
+      val beta = math.asin(math.min(1.0, math.max(-1.0,
+        qFn(math.toRadians(lat)) / qP)))
+      var dlam = math.toRadians(lon - p.lon0)
+      if (dlam > math.Pi) dlam -= 2 * math.Pi
+      if (dlam < -math.Pi) dlam += 2 * math.Pi
+      val (sb, cb) = (math.sin(beta), math.cos(beta))
+      val (sbO, cbO) = (math.sin(betaO), math.cos(betaO))
+      val bBig = rq * math.sqrt(2 / (1 + sbO * sb + cbO * cb * math.cos(dlam)))
+      (p.fe + bBig * d * cb * math.sin(dlam),
+        p.fn + (bBig / d) * (cbO * sb - sbO * cb * math.cos(dlam)))
+    }
+
+    private def laeaInv(p: Laea, x: Double, y: Double): (Double, Double) = {
+      val (qP, betaO, rq, d) = laeaC
+      val xx = x - p.fe
+      val yy = y - p.fn
+      val rho = math.hypot(xx / d, d * yy)
+      if (rho < 1e-9) return (p.lon0, p.lat0)
+      val c = 2 * math.asin(math.min(1.0, rho / (2 * rq)))
+      val (sinC, cosC) = (math.sin(c), math.cos(c))
+      val q1 = qP * (cosC * math.sin(betaO) +
+        d * yy * sinC * math.cos(betaO) / rho)
+      val lam = math.toRadians(p.lon0) + math.atan2(xx * sinC,
+        d * rho * math.cos(betaO) * cosC - d * d * yy * math.sin(betaO) * sinC)
+      // authalic -> geodetic latitude: Snyder eq. 3-16 fixed point from
+      // phi0 = asin(q'/2); poles short-circuit (cos phi -> 0 blows the
+      // correction term up, and |q'| ~ qP pins the latitude anyway)
+      var phi = math.asin(math.min(1.0, math.max(-1.0, q1 / 2)))
+      if (math.abs(math.abs(q1) - qP) < 1e-12) {
+        phi = math.signum(q1) * math.Pi / 2
+      } else {
+        var i = 0
+        while (i < 15) {
+          val s = math.sin(phi)
+          val es = ell.e * s
+          val corr = (math.pow(1 - ell.e2 * s * s, 2) / (2 * math.cos(phi))) *
+            (q1 / (1 - ell.e2) - s / (1 - ell.e2 * s * s) +
+              (1 / (2 * ell.e)) * math.log((1 - es) / (1 + es)))
+          phi += corr
+          if (math.abs(corr) < 1e-13) i = 15 else i += 1
+        }
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+
     private def homFwd(p: Hotine, lon: Double, lat: Double): (Double, Double) = {
       val (b, aBig, hBig, gamma0, lam0, uc) = homC
       val gammaC = math.toRadians(p.gammaC)
@@ -567,7 +636,10 @@ object Proj {
     "3375" -> Crs(Hotine(4.0, 102.25, 323.0257964666667, 323.1301023611111,
       0.99984, 804671.0, 0.0), GRS80),
     "29873" -> Crs(Hotine(4.0, 115.0, 53.31582047222222, 53.13010236111111,
-      0.99984, 590476.87, 442857.65), Everest1967, Some(Wgs84ToTimbalai1948)))
+      0.99984, 590476.87, 442857.65), Everest1967, Some(Wgs84ToTimbalai1948)),
+    // ETRS89-extended / LAEA Europe — the INSPIRE / EEA equal-area grid
+    // (ETRS89 ≡ WGS84 at this fidelity, same convention as 25832 etc.)
+    "3035" -> Crs(Laea(52.0, 10.0, 4321000.0, 3210000.0), GRS80))
 
   /** Resolve an `epsg:NNNN`-style code (case-insensitive) to its CRS:
     * the static table plus the parameterized UTM families 326xx/327xx

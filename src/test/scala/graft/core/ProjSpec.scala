@@ -212,6 +212,37 @@ class ProjSpec extends AnyFunSuite {
     assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
   }
 
+  test("LAEA 3035: EPSG GN7-2 worked example, origin anchor, equal-area Jacobian") {
+    // EPSG Guidance Note 7-2, method 9820 example (ETRS89-LAEA Europe):
+    // phi=50°N lam=5°E -> E 3962799.45, N 2999718.85
+    val f = Proj.forward("EPSG:3035").get
+    val (e, n) = f(5.0, 50.0)
+    assert(math.abs(e - 3962799.45) < 0.05, s"E $e vs 3962799.45")
+    assert(math.abs(n - 2999718.85) < 0.05, s"N $n vs 2999718.85")
+    // the projection centre maps exactly to the false origin
+    val (x0, y0) = f(10.0, 52.0)
+    assert(math.abs(x0 - 4321000.0) < 1e-6 && math.abs(y0 - 3210000.0) < 1e-6)
+    // equal-area property: unit Jacobian everywhere (same check as 5070)
+    val e2 = 0.0066943799901413165
+    val a = 6378137.0
+    for ((lon, lat) <- Seq((10.0, 52.0), (-9.0, 38.7), (25.0, 60.2), (5.0, 50.0))) {
+      val d = 1e-4
+      val raw = Seq((lon, lat), (lon + d, lat), (lon + d, lat + d),
+        (lon, lat + d)).map(Function.tupled(f))
+      val cx = raw.map(_._1).sum / 4
+      val cy = raw.map(_._2).sum / 4
+      val quad = raw.map { case (x, y) => (x - cx, y - cy) }
+      val proj = math.abs(quad.zip(quad.tail :+ quad.head)
+        .map { case ((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1 }.sum / 2)
+      val phi = math.toRadians(lat + d / 2)
+      val sin2 = math.sin(phi) * math.sin(phi)
+      val mRad = a * (1 - e2) / math.pow(1 - e2 * sin2, 1.5)
+      val nRad = a / math.sqrt(1 - e2 * sin2)
+      val truth = mRad * nRad * math.cos(phi) * math.toRadians(d) * math.toRadians(d)
+      assert(math.abs(proj / truth - 1) < 1e-6, s"($lon,$lat): ratio ${proj / truth}")
+    }
+  }
+
   test("NZTM (EPSG:2193): natural-origin anchors and Wellington quadrant") {
     val fwd = Proj.forward("epsg:2193").get
     // the natural origin (173E, 0N) maps exactly to the false offsets

@@ -108,6 +108,18 @@ class WmsUrlSpec extends AnyFunSuite {
     assert(bbox(0) < bbox(2) && bbox(1) < bbox(3))
   }
 
+  test("ETRS89-LAEA Europe (EPSG:3035) WMS bbox over Berlin") {
+    val (bx, by) = graft.core.Tiles.lonLatToTile(13.40, 52.52, 12)
+    val url = TileSources.wmsUrl(
+      "http://w/wms?version=1.1.1&srs=EPSG:3035&bbox={bbox}", 12, bx.toInt, by.toInt)
+    val bbox = url.split("bbox=")(1).split("&")(0).split(",").map(_.toDouble)
+    // Berlin sits ~230 km east and ~58 km north of the grid origin
+    // (10E 52N -> FE 4321000, FN 3210000)
+    assert(bbox(0) > 4450000 && bbox(2) < 4650000, bbox.mkString(","))
+    assert(bbox(1) > 3180000 && bbox(3) < 3350000, bbox.mkString(","))
+    assert(bbox(0) < bbox(2) && bbox(1) < bbox(3))
+  }
+
   test("RSO Peninsular Malaysia (EPSG:3375) WMS bbox over Kuala Lumpur") {
     val (kx, ky) = graft.core.Tiles.lonLatToTile(101.69, 3.14, 12)
     val url = TileSources.wmsUrl(

@@ -281,24 +281,28 @@ object Similarity {
     * recall is what training buys and is spec-tested on clustered data. */
   def ivfTopKTrained(df: DataFrame, embCol: String, idCol: String, queryId: Long,
       k: Int, nCells: Int = 8, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val emb = quantized(df, embCol, idCol)
-    val feats = emb.select(
-      org.apache.spark.ml.functions.array_to_vector(col("q").cast("array<double>")).as("features"))
-    // random init (seeded): one data pass instead of k-means||'s ~5 — the
-    // Lloyd iterations do the real work and coarse IVF cells don't need a
-    // careful seeding; measured min 2.62 s -> 2.15 s on the sf0.1 bench
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      // 6 Lloyd iterations: coarse IVF cells converge in a handful of
-      // passes (each is a full-data action); recall on clustered data is
-      // spec-asserted, and the qv05 oracle is invariant to centroid quality
-      .setK(nCells).setSeed(seed).setInitMode("random").setMaxIter(6).fit(feats)
-    // trained centers snap to the integer grid and inline directly —
-    // no DataFrame round-trip; cid = cluster index (already ordered)
-    val cb = model.clusterCenters.map(_.toArray.map(math.round))
+    val cb = trainCoarseCells(emb, nCells, seed)
     val cids = Array.tabulate[Long](cb.length)(_.toLong)
     ivfSearch(emb, cids, cb, idCol, queryId, k, nprobe)
+  }
+
+  /** MLlib-KMeans coarse IVF cells over the quantized corpus, snapped
+    * back to the integer grid (cell assignment stays exact BIGINT) —
+    * cid = cluster index. Random init (seeded): one data pass instead of
+    * k-means||'s ~5 — the Lloyd iterations do the real work and coarse
+    * IVF cells don't need careful seeding (measured min 2.62 s -> 2.15 s
+    * on the sf0.1 bench). 6 iterations: coarse cells converge in a
+    * handful of passes (each a full-data action); recall on clustered
+    * data is spec-asserted, and the qv05 oracle is invariant to centroid
+    * quality. */
+  private def trainCoarseCells(emb: DataFrame, nCells: Int,
+      seed: Long): Array[Array[Long]] = {
+    val feats = emb.select(
+      org.apache.spark.ml.functions.array_to_vector(col("q").cast("array<double>")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setInitMode("random").setMaxIter(6).fit(feats)
+    model.clusterCenters.map(_.toArray.map(math.round))
   }
 
   /** Embedding -> 64-bit sign sketch: bit i set iff component i > 0
@@ -591,8 +595,8 @@ object Similarity {
     * size-capped id-sample ([[centroidSample]]); the PQ codebook is the
     * residuals of the first `nCodes` vectors by id (bounded,
     * SQL-expressible — assignment and subtraction replayed exactly by
-    * the oracle). The trained path composes [[trainSubCodebooks]] over
-    * residual samples the same way and is spec-anchored. Query-time ADC
+    * the oracle). The fully-trained production composition is
+    * [[ivfPqTopKTrainedResidual]]. Query-time ADC
     * uses a PER-PROBED-CELL LUT (query residual differs per cell —
     * nprobe × m × nCodes longs, driver-computed, inlined); the scan
     * reads only (cid, codes) per candidate. Returns (id, adist) ordered
@@ -610,21 +614,7 @@ object Similarity {
     val (cids, cb0) = collectCents(
       centroidSample(emb, idCol, sampleMod, maxCentroids))
     val centByCid = cids.zip(cb0).toMap
-    // one zero-shuffle corpus pass: assign to the nearest cell
-    // (inlined-centroid argmin), store the residual
-    val cent0Lit = typedLit(cb0.map(_.toSeq).toSeq)
-    val assigned = assignCells(emb, cids, cb0)
-      .select(col(idCol), col("cid"),
-        zip_with(col("q"), element_at(cent0Lit, col("__code") + 1),
-          (a, b) => a - b).as("r"))
     val dim = cb0(0).length
-    require(dim % m == 0, s"m=$m must divide dim $dim")
-    val sub = dim / m
-    val query = emb.filter(col(idCol) === queryId)
-      .select("q").head().getSeq[Long](0).toArray
-    val probed = cids.zip(cb0)
-      .map { case (cid, cv) => (sliceDist2(query, cv, 0, dim), cid) }
-      .sorted.take(nprobe).map(_._2)
     val cbRows: Array[Array[Long]] = emb.orderBy(col(idCol)).limit(nCodes)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
       .map { v =>
@@ -632,6 +622,70 @@ object Similarity {
           .map { case (c, cv) => (sliceDist2(v, cv, 0, dim), c) }.min._2
         v.zip(centByCid(cid)).map { case (a, b) => a - b }
       }
+    residualAdcSearch(emb, idCol, queryId, k, m, nprobe, cids, cb0, cbRows)
+  }
+
+  /** IVF+PQ with residuals, FULLY TRAINED — the production FAISS IVFPQ
+    * composition: MLlib-KMeans coarse cells ([[trainCoarseCells]], the
+    * [[ivfTopKTrained]] pattern), per-subspace Lloyd codebooks
+    * ([[trainSubCodebooks]]) learned over the RESIDUALS of a bounded
+    * training sample (first `trainRows` vectors by id, assigned to their
+    * trained cell driver-side). [[ivfPqTopKResidual]] is the
+    * oracle-reproducible deterministic variant of this; here both the
+    * cells and the codebooks are learned, which is what recall at a real
+    * code budget needs (spec-anchored on clustered data — KMeans isn't
+    * SQL-expressible, so no DuckDB oracle). Training cost is O(corpus)
+    * KMeans passes + O(trainRows) Lloyd, both bounded-output; search is
+    * the same zero-shuffle probed-cell ADC scan. Returns (id, adist)
+    * ordered (adist, id). */
+  def ivfPqTopKTrainedResidual(df: DataFrame, embCol: String, idCol: String,
+      queryId: Long, k: Int, m: Int = 8, nCells: Int = 8, nprobe: Int = 3,
+      nCodes: Int = 16, trainRows: Int = 512, iters: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(m >= 1 && nprobe >= 1 && nCodes >= 1 && trainRows >= 1,
+      "m, nprobe, nCodes, trainRows must be >= 1")
+    graft.functions.TextHashes.register(df.sparkSession)
+    val emb = quantized(df, embCol, idCol)
+    val cb0 = trainCoarseCells(emb, nCells, seed)
+    val cids = Array.tabulate[Long](cb0.length)(_.toLong)
+    val dim = cb0(0).length
+    // residual training sample: bounded, assigned driver-side with the
+    // same exact-L2 lowest-cid tie-break the distributed argmin uses
+    val sample: Array[Array[Long]] = emb.orderBy(col(idCol)).limit(trainRows)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+      .map { v =>
+        val c = cids.zip(cb0)
+          .map { case (cid, cv) => (sliceDist2(v, cv, 0, dim), cid) }.min._2
+        v.zip(cb0(c.toInt)).map { case (a, b) => a - b }
+      }
+    val cbRows = trainSubCodebooks(sample, m, nCodes, iters, seed)
+    residualAdcSearch(emb, idCol, queryId, k, m, nprobe, cids, cb0, cbRows)
+  }
+
+  /** Shared residual-IVFPQ search: one zero-shuffle corpus pass assigns
+    * each vector to its nearest cid-ordered inlined cell and stores the
+    * residual; the query's `nprobe` nearest cells get PER-CELL LUTs
+    * (query residual differs per cell — nprobe × m × |cbRows| longs,
+    * driver-computed, inlined); candidates in probed cells are
+    * `pq_encode`d against the residual codebook and ADC-scored in-row.
+    * No exchange anywhere — the top-k is a TakeOrderedAndProject. */
+  private def residualAdcSearch(emb: DataFrame, idCol: String, queryId: Long,
+      k: Int, m: Int, nprobe: Int, cids: Array[Long],
+      cb0: Array[Array[Long]], cbRows: Array[Array[Long]]): DataFrame = {
+    val centByCid = cids.zip(cb0).toMap
+    val dim = cb0(0).length
+    require(dim % m == 0, s"m=$m must divide dim $dim")
+    val sub = dim / m
+    val cent0Lit = typedLit(cb0.map(_.toSeq).toSeq)
+    val assigned = assignCells(emb, cids, cb0)
+      .select(col(idCol), col("cid"),
+        zip_with(col("q"), element_at(cent0Lit, col("__code") + 1),
+          (a, b) => a - b).as("r"))
+    val query = emb.filter(col(idCol) === queryId)
+      .select("q").head().getSeq[Long](0).toArray
+    val probed = cids.zip(cb0)
+      .map { case (cid, cv) => (sliceDist2(query, cv, 0, dim), cid) }
+      .sorted.take(nprobe).map(_._2)
     val probedLut: Map[Long, Seq[Seq[Long]]] = probed.map { cid =>
       val qr = query.zip(centByCid(cid)).map { case (a, b) => a - b }
       cid -> (0 until m).map(j =>

@@ -109,6 +109,17 @@ object VectorOps {
         k = 10, m = 8, sampleMod = 53, nprobe = 3, maxCentroids = 64,
         nCodes = 64)
     },
+    // Fully-TRAINED residual IVF+PQ — the production FAISS composition
+    // (KMeans coarse cells + per-subspace Lloyd codebooks over
+    // residuals). No DuckDB oracle (KMeans isn't SQL-expressible, and
+    // the exact-degenerate config would need an O(corpus) training
+    // collect) -> rows-only gate; exactness/recall/determinism are
+    // spec-anchored (SimilaritySpec).
+    "qv15_ivfpq_trained_res" -> { (s, d) =>
+      graft.operators.Similarity.ivfPqTopKTrainedResidual(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
+        k = 10, m = 8, nCells = 8, nprobe = 3, nCodes = 64, trainRows = 512)
+    },
     // SemDeDup semantic dedup: coarse cells from the deterministic
     // id-sample centroids, within-cell cosine >= tau evicts the higher
     // id. Output = dropped rows with their retained representative.

@@ -281,6 +281,56 @@ class SimilaritySpec extends SparkSpec {
       s"residual ADC error ${meanErr(res)} should undercut raw ${meanErr(raw)}")
   }
 
+  test("ivfPqTopKTrainedResidual: exact in the degenerate config; recall >= deterministic variant at equal budget; deterministic") {
+    val s = spark
+    import s.implicits._
+    // same clustered geometry as the residual spec: distant clusters,
+    // repeated local offsets
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 10
+    } yield {
+      val v = Array.fill(8)(0.0f)
+      v(c) = 10.0f
+      v(3) = 0.3f * i
+      ((c * 10 + i).toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(e => math.round(e.toDouble * 10000))
+    val q0 = quant(rows.head._2)
+    val exactD = rows.drop(1).map { case (id, v) =>
+      id -> quant(v).zip(q0).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    // 1) degenerate config = exact L2: every training residual its own
+    // code (nCodes >= trainRows >= corpus) + probe-all -> ADC distance
+    // is ||q - v||^2 exactly, whatever KMeans learned for the cells
+    val all = Similarity.ivfPqTopKTrainedResidual(df, "embedding", "vec_id",
+        0L, 29, m = 2, nCells = 3, nprobe = 3, nCodes = 30, trainRows = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(all.toMap == exactD.toMap,
+      s"degenerate trained-residual ADC must equal exact L2")
+    // 2) at a REAL code budget, trained cells + trained residual
+    // codebooks must recall the true top-5 at least as well as the
+    // deterministic id-sample variant with the same budget
+    val trueTop5 = exactD.sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+    def recall(ids: Seq[Long]): Double = ids.toSet.intersect(trueTop5).size / 5.0
+    val trained = Similarity.ivfPqTopKTrainedResidual(df, "embedding", "vec_id",
+        0L, 5, m = 2, nCells = 3, nprobe = 1, nCodes = 4, trainRows = 30)
+      .collect().map(_.getLong(0)).toSeq
+    val deterministic = Similarity.ivfPqTopKResidual(df, "embedding", "vec_id",
+        0L, 5, m = 2, sampleMod = 10, nprobe = 1, nCodes = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(recall(trained) >= recall(deterministic),
+      s"trained recall ${recall(trained)} < deterministic ${recall(deterministic)}")
+    assert(recall(trained) >= 0.8, s"trained top-5 $trained misses $trueTop5")
+    // 3) seeded end to end: same data -> same result
+    val again = Similarity.ivfPqTopKTrainedResidual(df, "embedding", "vec_id",
+        0L, 5, m = 2, nCells = 3, nprobe = 1, nCodes = 4, trainRows = 30)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == trained)
+  }
+
   test("pq_encode picks the nearest centroid per subspace, lowest index on ties") {
     val s = spark
     import s.implicits._

@@ -32,10 +32,13 @@ final case class LshBucketState(ids: Array[Long], flatSigs: Array[String],
   * earlier rows of the same micro-batch, processed in id order), then
   * joins the bucket. State never expires (`NoTimeout`): dedup against
   * "the whole corpus so far" inherently needs state proportional to the
-  * corpus — at cluster scale back the state store with RocksDB
-  * (`spark.sql.streaming.stateStore.providerClass`) so it spills past
-  * executor heap, and the per-bucket `maxBucket` cap bounds any single
-  * group's row.
+  * corpus — at cluster scale back the state store with RocksDB, i.e. set
+  * `spark.sql.streaming.stateStore.providerClass` to
+  * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+  * so state spills to executor-local disk instead of heap (exercised end
+  * to end by StreamingDedupSpec's RocksDB test — identical output to the
+  * batch operator under the swapped provider), and the per-bucket
+  * `maxBucket` cap bounds any single group's row.
   *
   * Exactly-once pair emission WITHOUT a downstream distinct: a pair
   * within Hamming distance d < numBands agrees on >= 1 band (pigeonhole);

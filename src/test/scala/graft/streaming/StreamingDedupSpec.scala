@@ -101,6 +101,39 @@ class StreamingDedupSpec extends SparkSpec {
       "no cross-micro-batch candidate — corpus state was not probed")
   }
 
+  test("RocksDB state store: cross-batch pairs survive the provider swap (the 100 TB deployment config)") {
+    // corpus-proportional state is the documented cost of streaming
+    // near-dup; at cluster scale the state store must be RocksDB so it
+    // spills to local disk instead of living on the executor heap. This
+    // exercises that exact config end to end (provider class is read at
+    // query start from the session conf).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val res = runStream[StreamingDedup.PairOut](chunks3,
+        df => StreamingDedup.nearDupPairs(
+          graft.operators.Text.simhash16(df, "text", "doc_id"), "simhash", "doc_id",
+          hashBits = 16, numBands = 4, maxHamming = 2), "sd_rocks")
+      val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val batch = graft.operators.Dedup.hammingNearDupPairs(
+          graft.operators.Text.simhash16(docsDf, "text", "doc_id"), "simhash", "doc_id",
+          hashBits = 16, numBands = 4, maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got.length == got.distinct.length, "a pair was emitted twice")
+      assert(got.toSet == batch,
+        "RocksDB-backed run must equal the batch operator exactly")
+      assert(got.exists { case (a, b, _) => b >= 1000000 && a < 1000000 },
+        "no cross-micro-batch pair found — RocksDB corpus state was not probed")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("replayed rows (at-least-once upstream) do not double-emit") {
     val c = chunks3
     // replay chunk 2 verbatim as a 4th micro-batch

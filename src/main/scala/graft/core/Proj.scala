@@ -64,6 +64,8 @@ object Proj {
   val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
   /** Everest 1830 (1967 definition), EPSG ellipsoid 7016 — Borneo RSO. */
   val Everest1967: Ellipsoid = Ellipsoid(6377298.556, 300.8017)
+  /** Bessel 1841, EPSG ellipsoid 7004 — the Swiss grids. */
+  val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
 
   // ------------------------------------------------------------- datum shifts
 
@@ -126,6 +128,12 @@ object Proj {
     * translation Timbalai 1948 -> WGS84, tx/ty/tz = −679/669/−48 m; ~5 m
     * class, grids-free — the same fidelity contract as OSGB36 above). */
   private val Wgs84ToTimbalai1948 = Helmert(679.0, -669.0, 48.0, 0, 0, 0, 0)
+
+  /** WGS84 -> CH1903+ (reverse of the published geocentric translation
+    * CH1903+ -> WGS84, tx/ty/tz = 674.374/15.056/405.346 m — exact by
+    * definition for CH1903+, which is anchored to ETRS89 through these
+    * constants). */
+  private val Wgs84ToCh1903Plus = Helmert(-674.374, -15.056, -405.346, 0, 0, 0, 0)
 
   /** geodetic (degrees, h=0) -> ECEF on `ell`. */
   private def toEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
@@ -639,7 +647,13 @@ object Proj {
       0.99984, 590476.87, 442857.65), Everest1967, Some(Wgs84ToTimbalai1948)),
     // ETRS89-extended / LAEA Europe — the INSPIRE / EEA equal-area grid
     // (ETRS89 ≡ WGS84 at this fidelity, same convention as 25832 etc.)
-    "3035" -> Crs(Laea(52.0, 10.0, 4321000.0, 3210000.0), GRS80))
+    "3035" -> Crs(Laea(52.0, 10.0, 4321000.0, 3210000.0), GRS80),
+    // CH1903+ / LV95 — the Swiss national grid: EPSG models it as Hotine
+    // oblique Mercator variant B with azimuth = rectified angle = 90°
+    // (the homC 90° closed form), centre Bern (46°57'08.66"N 7°26'22.5"E),
+    // k0 = 1 on Bessel 1841, with the exact CH1903+ translation
+    "2056" -> Crs(Hotine(46.952405555555556, 7.439583333333333, 90.0, 90.0,
+      1.0, 2600000.0, 1200000.0), Bessel1841, Some(Wgs84ToCh1903Plus)))
 
   /** Resolve an `epsg:NNNN`-style code (case-insensitive) to its CRS:
     * the static table plus the parameterized UTM families 326xx/327xx

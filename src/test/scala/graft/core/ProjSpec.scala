@@ -243,6 +243,29 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("Swiss LV95 (EPSG:2056): Bern anchors the false origin; Zurich quadrant; 90-degree Hotine branch") {
+    val fwd = Proj.forward("epsg:2056").get
+    // the projection centre (Bern old observatory) maps to the false
+    // origin by construction of variant B. The CH1903+ datum shift moves
+    // the WGS84 input a few arc-seconds, so give it metres, not microns:
+    // the WGS84 coordinates OF the centre land within ~m of (FE, FN)
+    // only after the exact translation — verify via the CH1903+-native
+    // kernel first, then the shifted full CRS loosely
+    val kernelOnly = Proj.Crs(
+      Proj.Hotine(46.952405555555556, 7.439583333333333, 90.0, 90.0,
+        1.0, 2600000.0, 1200000.0), Proj.Bessel1841)
+    val (e0, n0) = kernelOnly.forward(7.439583333333333, 46.952405555555556)
+    assert(math.abs(e0 - 2600000.0) < 1e-6 && math.abs(n0 - 1200000.0) < 1e-6,
+      s"centre -> ($e0, $n0)")
+    // Zurich (8.5417E, 47.3769N WGS84): ~83 km east, ~47 km north of Bern
+    val (e, n) = fwd(8.5417, 47.3769)
+    assert(e > 2678000 && e < 2688000, s"E $e")
+    assert(n > 1242000 && n < 1252000, s"N $n")
+    // round-trip through the datum shift
+    val (lon2, lat2) = Proj.inverse("epsg:2056").get(e, n)
+    assert(math.abs(lon2 - 8.5417) < 1e-9 && math.abs(lat2 - 47.3769) < 1e-9)
+  }
+
   test("NZTM (EPSG:2193): natural-origin anchors and Wellington quadrant") {
     val fwd = Proj.forward("epsg:2193").get
     // the natural origin (173E, 0N) maps exactly to the false offsets

@@ -507,6 +507,7 @@ object CogReader {
       case 5 => lzwDecode(raw, expected)
       case 8 | 32946 => inflate(raw, expected)
       case 32773 => packBitsDecode(raw, expected)
+      case 34925 => lzmaDecompress(raw, expected)
       case 50000 => zstdDecompress(raw, expected)
       case c =>
         // name the known-but-unsupported registrations so the user learns
@@ -514,13 +515,12 @@ object CogReader {
         val name = c match {
           case 6 => " (old-style JPEG)"
           case 34887 => " (LERC)"
-          case 34925 => " (LZMA)"
           case 50001 => " (WebP)"
           case _ => ""
         }
         throw new java.io.IOException(s"unsupported TIFF compression $c$name — " +
           "supported: none(1), LZW(5), JPEG(7), Deflate(8/32946), " +
-          "PackBits(32773), ZSTD(50000)")
+          "PackBits(32773), LZMA(34925), ZSTD(50000)")
     }
     if (ifd.predictor == 2)
       undoPredictor2(data, ifd.tileWidth, rowsInChunk, chunkSpp, bytesPer, ifd.littleEndian)
@@ -531,6 +531,28 @@ object CogReader {
       undoPredictor3(data, ifd.tileWidth, rowsInChunk, chunkSpp, ifd.littleEndian)
     }
     data
+  }
+
+  /** GDAL's registered LZMA TIFF compression (tag value 34925): libtiff's
+    * tif_lzma.c wraps each tile/strip in a standalone .xz stream (LZMA2
+    * filter chain via liblzma's stream encoder), so decode is one
+    * XZInputStream drain per chunk — via the org.tukaani.xz library
+    * Spark already ships. Trailing garbage or a short stream throws
+    * rather than returning a partially-filled tile. */
+  private[sources] def lzmaDecompress(raw: Array[Byte], expected: Int): Array[Byte] = {
+    val in = new org.tukaani.xz.XZInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    try {
+      val out = new Array[Byte](expected)
+      var off = 0
+      var n = 0
+      while (off < expected &&
+          { n = in.read(out, off, expected - off); n > 0 }) off += n
+      if (off != expected || in.read() != -1)
+        throw new java.io.IOException(
+          s"LZMA tile decompressed to $off bytes, expected $expected")
+      out
+    } finally in.close()
   }
 
   /** GDAL's registered ZSTD TIFF compression (tag value 50000), via the

@@ -179,7 +179,8 @@ class CogReaderSpec extends AnyFunSuite {
 
   private def writeGradient(path: String, cover: TileKey, bps: Int = 8,
       predictor: Int = 1, planar: Boolean = false, deflate: Boolean = true,
-      lzw: Boolean = false, zstd: Boolean = false): Unit = {
+      lzw: Boolean = false, zstd: Boolean = false,
+      lzma: Boolean = false): Unit = {
     val b = Tiles.tileBounds3857(cover)
     val res = (b.east - b.west) / 512
     // for bps=16, emit v*257 = (v<<8)|v so the high byte equals the 8-bit value
@@ -187,8 +188,9 @@ class CogReaderSpec extends AnyFunSuite {
       if (bps == 16) Seq(TiffWriter.Level(512, 512, (x, y) => ((x % 256) * 257, (y % 256) * 257, 7 * 257)))
       else gradientLevels
     TiffWriter.write(path, levels, tileSize = 128, originX = b.west, originY = b.north,
-      resX = res, resY = res, deflate = deflate && !lzw && !zstd, bps = bps,
-      predictor = predictor, planar = planar, lzw = lzw, zstd = zstd)
+      resX = res, resY = res, deflate = deflate && !lzw && !zstd && !lzma,
+      bps = bps, predictor = predictor, planar = planar, lzw = lzw,
+      zstd = zstd, lzma = lzma)
   }
 
   test("predictor=2 (horizontal differencing) deflate decodes identically to no-predictor") {
@@ -219,6 +221,34 @@ class CogReaderSpec extends AnyFunSuite {
     val (_, _, _, a) = CogReader.tile(p1, cover)
     val (_, _, _, b) = CogReader.tile(p2, cover)
     assert(b.sameElements(a))
+  }
+
+  test("LZMA tiles (compression 34925) decode identically to raw, with and without predictor 2") {
+    val cover = TileKey(10, 300, 400)
+    val p1 = tmp("raw_for_lzma.tif")
+    val p2 = tmp("lzma.tif")
+    val p3 = tmp("lzma_pred2.tif")
+    writeGradient(p1, cover)
+    writeGradient(p2, cover, lzma = true)
+    writeGradient(p3, cover, lzma = true, predictor = 2)
+    val (_, _, _, a) = CogReader.tile(p1, cover)
+    val (_, _, _, b) = CogReader.tile(p2, cover)
+    val (_, _, _, c) = CogReader.tile(p3, cover)
+    assert(b.sameElements(a))
+    assert(c.sameElements(a))
+  }
+
+  test("a truncated LZMA tile throws instead of returning partial pixels") {
+    val raw = Array.tabulate[Byte](256)(i => (i % 97).toByte)
+    val bo = new java.io.ByteArrayOutputStream()
+    val xz = new org.tukaani.xz.XZOutputStream(bo,
+      new org.tukaani.xz.LZMA2Options(6))
+    xz.write(raw); xz.finish(); xz.close()
+    val ok = CogReader.lzmaDecompress(bo.toByteArray, 256)
+    assert(ok.sameElements(raw))
+    intercept[java.io.IOException] {
+      CogReader.lzmaDecompress(bo.toByteArray, 300) // short stream
+    }
   }
 
   test("uint16 samples downconvert to uint8 via the high byte") {

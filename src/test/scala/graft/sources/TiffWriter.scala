@@ -19,9 +19,10 @@ object TiffWriter {
       predictor: Int = 1, bps: Int = 8, planar: Boolean = false,
       lzw: Boolean = false, packbits: Boolean = false,
       samplesPerPixel: Int = 3, bigendian: Boolean = false,
-      sampleFormat: Int = 1, zstd: Boolean = false,
+      sampleFormat: Int = 1, zstd: Boolean = false, lzma: Boolean = false,
       epsg: Option[Int] = None): Unit = {
-    require(Seq(deflate, jpeg, lzw, packbits, zstd).count(identity) <= 1, "pick one compression")
+    require(Seq(deflate, jpeg, lzw, packbits, zstd, lzma).count(identity) <= 1,
+      "pick one compression")
     require(samplesPerPixel == 1 || samplesPerPixel == 3, "1 (gray) or 3 (RGB) samples")
     require(!jpeg || samplesPerPixel == 3, "jpeg fixtures are RGB")
     val spp0 = samplesPerPixel
@@ -144,6 +145,15 @@ object TiffWriter {
           java.util.Arrays.copyOf(buf, n)
         } else if (lzw) lzwEncode(raw)
         else if (zstd) com.github.luben.zstd.Zstd.compress(raw)
+        else if (lzma) {
+          // libtiff tif_lzma.c parity: each chunk is a standalone .xz
+          // stream (LZMA2)
+          val bo = new java.io.ByteArrayOutputStream()
+          val xz = new org.tukaani.xz.XZOutputStream(bo,
+            new org.tukaani.xz.LZMA2Options(6))
+          xz.write(raw); xz.finish(); xz.close()
+          bo.toByteArray
+        }
         else if (packbits) packBitsEncode(raw)
         else if (jpeg) {
           val full = encodeJpeg(raw, tileSize, tileSize)
@@ -206,7 +216,8 @@ object TiffWriter {
       val nTiles = p.tiles.length
       val comp =
         if (deflate) 8L else if (jpeg) 7L else if (lzw) 5L
-        else if (zstd) 50000L else if (packbits) 32773L else 1L
+        else if (zstd) 50000L else if (lzma) 34925L
+        else if (packbits) 32773L else 1L
       val photometric = if (jpeg) 6L else if (spp0 == 1) 1L else 2L
       // `data` = the element values, inlined into the entry whenever they
       // fit (<= 4 bytes classic, <= 8 BigTIFF — required by spec, and what

@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 /** Multimodal binary-column plumbing + the streaming windowed aggregation,
   * both verified against the DuckDB oracle. */
 object MediaQueries {
+
+  /** Unique memory-sink names across reps (Bench runs each query 3×). */
+  private val cdcSinkSeq = new java.util.concurrent.atomic.AtomicInteger
   import Relational.t
 
   private def hexv(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
@@ -139,6 +142,45 @@ object MediaQueries {
           Seq("user_id"), "seq", "op")
         .orderBy("user_id")
     },
+    // STREAMING CDC upsert under the oracle: the same snapshot+changelog
+    // as qc01 (bounded to user_id < 300), but folded through
+    // CdcStream.applyChangelogStream across a 3-micro-batch MemoryStream
+    // replay with the snapshot as INITIAL STATE, then materialized. The
+    // oracle is the batch MERGE formula — what's actually verified is
+    // that per-key state (snapshot seed + cross-batch winners + late-
+    // record drops + same-seq delete ties) lands on the identical table.
+    "qc03_cdc_stream" -> { (s, d) =>
+      import s.implicits._
+      val ev = t(s, d, "events").filter(col("user_id") < 300)
+      val snapshot = ev.filter(col("user_id") % 2 === 0)
+        .select(col("user_id").as("key")).distinct()
+        .withColumn("payload", lit(0.0).cast("string"))
+      val delta = ev.select(col("user_id").as("key"),
+          expr("ts div 1000").as("seq"),
+          col("value").cast("string").as("payload"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"))
+        .as[(Long, Long, String, String)].collect().sortBy(r => (r._2, r._1))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, String)]
+      val name = s"qc03_sink_${cdcSinkSeq.incrementAndGet()}"
+      val q = graft.streaming.CdcStream.applyChangelogStream(
+          mem.toDF.toDF("key", "seq", "payload", "op"),
+          "key", "op", "seq", "payload", Some(snapshot))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val n = delta.length
+      Seq(delta.slice(0, n / 3), delta.slice(n / 3, 2 * n / 3),
+          delta.slice(2 * n / 3, n))
+        .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+      q.stop()
+      graft.streaming.CdcStream.materialize(s.table(name), Some(snapshot))
+        .select(col("key").as("user_id"),
+          col("payload").cast("double").as("value"))
+        .orderBy("user_id")
+    },
     // SCD-type-2 history: one validity interval per change, closed by
     // the next change's sequence; deletes close without opening.
     "qc02_scd2_history" -> { (s, d) =>
@@ -229,6 +271,21 @@ object MediaQueries {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
         |ORDER BY ua, sa, ub, sb""".stripMargin,
+    "qc03_cdc_stream" ->
+      """WITH snap AS (SELECT DISTINCT user_id, CAST(0.0 AS DOUBLE) AS value
+        |  FROM events WHERE user_id % 2 = 0 AND user_id < 300),
+        |dl AS (SELECT user_id, epoch_us(ts) AS seq, value,
+        |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op
+        | FROM events WHERE user_id < 300),
+        |latest AS (SELECT user_id, op, value FROM (
+        |  SELECT user_id, op, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC,
+        |      CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn FROM dl) WHERE rn = 1)
+        |SELECT COALESCE(s.user_id, l.user_id) AS user_id,
+        | CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE s.value END AS value
+        |FROM snap s FULL OUTER JOIN latest l ON l.user_id = s.user_id
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
     "qc01_cdc_merge" ->
       """WITH snap AS (SELECT DISTINCT user_id, CAST(0.0 AS DOUBLE) AS value
         |  FROM events WHERE user_id % 2 = 0),

@@ -499,6 +499,60 @@ object Similarity {
     adcScan(emb, idCol, queryId, k, m, cents)
   }
 
+  /** Per-vector symmetric int8 scalar quantization (the FAISS SQ8
+    * serving pattern): `scale = max(1, ceil(maxabs/127))`, `code_i =
+    * round(q_i / scale)` ∈ [-127, 127] — (id, scale, codes:
+    * array<tinyint>). The index face: 1 byte per dimension at rest (4×
+    * under float32, 8× under the bigint grid) plus one bigint scale per
+    * vector, and scoring stays exact-BIGINT arithmetic (`scale ·
+    * code ≈ q` on the quantized grid). Per-row, zero shuffles.
+    * Deterministic in any engine: the division is correctly-rounded
+    * IEEE-754 and `round` is half-away-from-zero in both Spark and
+    * DuckDB. */
+  def sqEncode(df: DataFrame, embCol: String, idCol: String): DataFrame = {
+    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
+    emb.withColumn("scale",
+        greatest(lit(1L), ceil(
+          aggregate(col("q"), lit(0L), (m, e) => greatest(m, abs(e)))
+            .cast("double") / 127.0).cast("long")))
+      .select(col(idCol), col("scale"),
+        transform(col("q"), e =>
+          round(e.cast("double") / col("scale")).cast("byte")).as("codes"))
+  }
+
+  /** ANN over the [[sqEncode]] int8 index: asymmetric scoring — the
+    * full-precision query against each vector's reconstruction
+    * `scale · codes`. For COSINE the per-vector scale cancels
+    * (`cos(s·c, x) = cos(c, x)`), so the score is `c·x / (|c|·|x|)` in
+    * exact BIGINT arithmetic with one double division at the end — the
+    * scale column exists for dot/L2 consumers and reconstruction, not
+    * this ranking. Returns (id, cos_approx) ordered (cos_approx desc,
+    * id); one exchange-free scan of the index (TakeOrderedAndProject
+    * top-k).
+    *
+    * Invariant (spec + the qv16 oracle at small magnitudes): when every
+    * |q_i| <= 127 the scale is 1 and codes ≡ q, so the ranking IS exact
+    * brute-force cosine. */
+  def sqTopK(df: DataFrame, embCol: String, idCol: String, queryId: Long,
+      k: Int): DataFrame = {
+    val d = dot(df) _
+    val idx = sqEncode(df, embCol, idCol)
+      .withColumn("cl", col("codes").cast("array<bigint>"))
+    val query: Array[Long] = df
+      .select(col(idCol), quantize(col(embCol)).as("q"))
+      .filter(col(idCol) === queryId)
+      .select("q").head().getSeq[Long](0).toArray
+    val xq = typedLit(query.toSeq)
+    val xqq = query.map(v => v * v).sum
+    idx.filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        (d(col("cl"), xq).cast("double") /
+          (sqrt(d(col("cl"), col("cl")).cast("double")) *
+            sqrt(lit(xqq).cast("double")))).as("cos_approx"))
+      .orderBy(col("cos_approx").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Two-stage retrieval: a cheap binary-sketch Hamming scan proposes
     * `candidates` ids, exact integer-cosine re-ranks them to the final
     * top-k — the standard serving architecture (coarse filter + precise

@@ -120,6 +120,15 @@ object VectorOps {
         t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
         k = 10, m = 8, nCells = 8, nprobe = 3, nCodes = 64, trainRows = 512)
     },
+    // Scalar-quantized int8 ANN (FAISS SQ8): per-vector symmetric scale,
+    // 1-byte codes, asymmetric full-precision-query scoring. The whole
+    // encode+score is one exchange-free scan; fully SQL-expressible
+    // (correctly-rounded IEEE division + half-away rounding in both
+    // engines), so the oracle replays the quantization bit-for-bit.
+    "qv16_sq_ann" -> { (s, d) =>
+      graft.operators.Similarity.sqTopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L, k = 10)
+    },
     // SemDeDup semantic dedup: coarse cells from the deterministic
     // id-sample centroids, within-cell cosine >= tau evicts the higher
     // id. Output = dropped rows with their retained representative.
@@ -131,6 +140,24 @@ object VectorOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "qv16_sq_ann" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |sc AS (SELECT vec_id, q,
+        |  GREATEST(1, CAST(ceil(CAST(list_max(list_transform(q, e -> abs(e))) AS DOUBLE) / 127.0) AS BIGINT)) AS scale
+        | FROM emb),
+        |codes AS (SELECT vec_id,
+        |  list_transform(q, e -> CAST(round(CAST(e AS DOUBLE) / scale) AS BIGINT)) AS c
+        | FROM sc),
+        |qv AS (SELECT q AS v FROM emb WHERE vec_id = 0),
+        |scored AS (SELECT codes.vec_id,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> codes.c[i] * qv.v[i])) AS DOUBLE) /
+        |   (SQRT(CAST(list_sum(list_transform(range(1, 65), i -> codes.c[i] * codes.c[i])) AS DOUBLE)) *
+        |    SQRT(CAST(list_sum(list_transform(range(1, 65), i -> qv.v[i] * qv.v[i])) AS DOUBLE))) AS cos_approx
+        | FROM codes, qv WHERE codes.vec_id <> 0)
+        |SELECT vec_id, cos_approx FROM scored
+        |ORDER BY cos_approx DESC, vec_id LIMIT 10""".stripMargin,
     "qv01_knn_cosine" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

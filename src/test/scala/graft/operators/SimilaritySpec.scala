@@ -331,6 +331,40 @@ class SimilaritySpec extends SparkSpec {
     assert(again == trained)
   }
 
+  test("sqTopK: scale-1 corpus is exact brute force; int8 codes stay in range; recall holds at real scales") {
+    val s = spark
+    import s.implicits._
+    // magnitudes <= 0.0127 land on the quantized grid within [-127, 127]
+    // -> scale 1, codes == q, ranking exactly brute force
+    val tiny = (0L until 20L).map { i =>
+      (i, (0 until 8).map(j => ((i * 7 + j * 3) % 255 - 127) / 10000.0f))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.topKCosine(tiny, "embedding", "vec_id", 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val sq = Similarity.sqTopK(tiny, "embedding", "vec_id", 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sq == brute, s"scale-1 SQ must equal brute force: $sq vs $brute")
+    // real magnitudes: scale > 1, codes within [-127, 127], index schema
+    // is 1-byte codes
+    val real = (0L until 30L).map { i =>
+      (i, (0 until 8).map(j => math.sin(i * 1.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val enc = Similarity.sqEncode(real, "embedding", "vec_id")
+    assert(enc.schema("codes").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType)
+    val rows = enc.collect()
+    assert(rows.forall(_.getSeq[Byte](2).forall(c => c >= -127 && c <= 127)))
+    assert(rows.exists(_.getLong(1) > 1L), "real magnitudes must need scale > 1")
+    // recall vs brute force at 8-bit precision on smooth vectors: top-5
+    // overlap >= 4/5
+    val b5 = Similarity.topKCosine(real, "embedding", "vec_id", 0L, 5)
+      .collect().map(_.getLong(0)).toSet
+    val s5 = Similarity.sqTopK(real, "embedding", "vec_id", 0L, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(b5.intersect(s5).size >= 4, s"SQ top-5 $s5 vs brute $b5")
+  }
+
   test("pq_encode picks the nearest centroid per subspace, lowest index on ties") {
     val s = spark
     import s.implicits._

@@ -197,6 +197,34 @@ object Text {
     df.withColumn("split", split)
   }
 
+  /** Deterministic 0..9999 bucket (first four md5 hex chars) — the finer
+    * face of [[hashBucket100]] for basis-point sampling rates. */
+  def hashBucket10000(idCol: Column): Column = {
+    val h = md5(idCol.cast("string"))
+    (hexVal(substring(h, 1, 1)) * 4096 + hexVal(substring(h, 2, 1)) * 256 +
+      hexVal(substring(h, 3, 1)) * 16 + hexVal(substring(h, 4, 1))) % 10000
+  }
+
+  /** Deterministic source-weighted corpus mixture — the data-mixing step
+    * of a pretraining pipeline (sample web at 8%, books at 100%, …):
+    * keep each row iff its id's md5 bucket falls under its source's
+    * sampling rate in basis points (0..10000 = 0..100%). Reproducible
+    * across runs/engines/partitionings (no RNG state), and a pure
+    * per-row filter — no shuffle, pushdown-eligible. Sources absent
+    * from `ratesBps` default to `defaultBps`. Rates above 100% (true
+    * oversampling) are out of scope: a row is emitted at most once —
+    * replication belongs to the training loader, not the corpus. */
+  def mixture(df: DataFrame, sourceCol: String, idCol: String,
+      ratesBps: Map[String, Int], defaultBps: Int = 0): DataFrame = {
+    require((ratesBps.values.toSeq :+ defaultBps).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0, 10000]")
+    val rate = ratesBps.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0))) {
+        case (acc, (src, r)) => acc.when(col(sourceCol) === src, lit(r))
+      }.otherwise(lit(defaultBps))
+    df.filter(hashBucket10000(col(idCol)) < rate)
+  }
+
   /** Class-balanced cap: keep at most `cap` rows per group, chosen by the
     * deterministic md5-of-id order (not arrival order — stable under any
     * partitioning). The majority-class downsampling step of a balanced

@@ -226,6 +226,19 @@ object TextOps {
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")
     },
+    // Source-weighted corpus MIXTURE (the data-mixing step): src0 full,
+    // src1 dropped, src2 at 25%, everything else at the 50% default —
+    // decided per row by the doc_id's md5 basis-point bucket, so the
+    // sample is reproducible in any engine and the filter is a pure
+    // per-row predicate (no RNG, no shuffle before the summary agg).
+    "qd36_mixture" -> { (s, d) =>
+      graft.operators.Text.mixture(t(s, d, "documents"), "source", "doc_id",
+          Map("src0" -> 10000, "src1" -> 0, "src2" -> 2500),
+          defaultBps = 5000)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    },
     // Canonical text form (native codegen'd nfc_normalize kernel + lower
     // + whitespace collapse + trim). The input is deliberately roughed up
     // (uppercased, padded, tabbed) so the normalization does real work in
@@ -652,6 +665,18 @@ object TextOps {
         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         | COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "qd36_mixture" ->
+      """WITH b AS (SELECT source, n_chars,
+        |  ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 10000 AS bucket
+        | FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |FROM b
+        |WHERE bucket < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 0
+        |  WHEN 'src2' THEN 2500 ELSE 5000 END)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "qd31_normalize_text" ->
       """SELECT doc_id,
         | trim(regexp_replace(lower(nfc_normalize('  ' || upper(text) || ' ' || chr(9))),

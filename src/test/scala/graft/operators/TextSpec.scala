@@ -79,6 +79,30 @@ class TextSpec extends SparkSpec {
     assert(custom.keySet == Set("a", "b"))
   }
 
+  test("mixture: rate-0 drops all, rate-10000 keeps all, samples nest monotonically, partitioning-stable") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val kept = Text.mixture(d, "source", "id",
+        Map("src0" -> 10000, "src1" -> 0), defaultBps = 2500)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 1000, s"full rate must keep every row: $bySrc")
+    assert(!bySrc.contains("src1"), "zero rate must drop the source entirely")
+    // default 25% on src2: hash-proportional, not exact
+    assert(bySrc("src2") > 180 && bySrc("src2") < 320, s"~25%: $bySrc")
+    // threshold sampling nests: the 10% sample is a subset of the 40% one
+    def ids(bps: Int) = Text.mixture(d, "source", "id",
+        Map.empty, defaultBps = bps)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(1000).subsetOf(ids(4000)), "samples must nest by rate")
+    // stable under repartitioning (no RNG state)
+    val again = Text.mixture(d.repartition(7), "source", "id",
+        Map("src0" -> 10000, "src1" -> 0), defaultBps = 2500)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSet == kept.toSet)
+  }
+
   test("capPerGroup keeps exactly cap rows per group, deterministically") {
     val s = spark
     import s.implicits._

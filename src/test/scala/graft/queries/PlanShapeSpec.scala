@@ -129,7 +129,7 @@ class PlanShapeSpec extends SparkSpec {
     // scan -> project/filter -> TakeOrderedAndProject with NO Exchange
     // of any kind between the corpus scan and the result.
     for (n <- Seq("qv04_ivf_ann", "qv05_ivf_trained", "qv12_ivfpq",
-        "qv14_ivfpq_residual")) {
+        "qv14_ivfpq_residual", "qv16_sq_ann")) {
       val p = plan(n)
       assert(!p.contains("Exchange"),
         s"$n must not shuffle or broadcast anything:\n" + p.take(1500))

@@ -100,7 +100,8 @@ object CogReader {
       littleEndian: Boolean = true, // file byte order (for 16-bit samples)
       striped: Boolean = false, // strips modeled as tiles; last one may be SHORT
       sampleFormat: Int = 1, // tag 339 (1 = unsigned, 2 = signed, 3 = IEEE float)
-      epsg: Option[Int] = None) // GeoKey 3072 (projected) or 2048 (geographic)
+      epsg: Option[Int] = None, // GeoKey 3072 (projected) or 2048 (geographic)
+      nodata: Option[Double] = None) // tag 42113 GDAL_NODATA (ASCII)
 
   private final class TiffBuf(bytes: Array[Byte]) {
     var le: Boolean = true
@@ -182,6 +183,7 @@ object CogReader {
       var planarConfig = 1
       var sampleFormat = 1
       var geoKeys = Array.empty[Long]
+      var nodata: Option[Double] = None
       var i = 0
       while (i < n) {
         val e = entryOff(i)
@@ -225,6 +227,9 @@ object CogReader {
           case 325 => tileCounts = longs
           case 339 => sampleFormat = intAt(0).toInt
           case 347 => jpegTables = Some(vb.slice(vo, count))
+          case 42113 => // GDAL_NODATA: ASCII decimal, NUL-terminated
+            nodata = new String(vb.slice(vo, count), "US-ASCII")
+              .takeWhile(_ != 0.toChar).trim.toDoubleOption
           case 33550 => scale = Some((vb.f64(vo), vb.f64(vo + 8)))
           case 33922 => // tiepoint: i,j,k, x,y,z
             tie = Some((vb.f64(vo + 24), vb.f64(vo + 32)))
@@ -267,7 +272,7 @@ object CogReader {
       }
       ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts,
         scale, tie, jpegTables, predictor, planarConfig, hb.le, striped, sampleFormat,
-        epsg)
+        epsg, nodata)
       off = offAt(b, base + countSize + n * entrySize)
     }
     ifds.toSeq
@@ -848,6 +853,11 @@ object CogReader {
         .sortBy(-_._2).headOption.map(_._1).getOrElse(full)
       val res = sx * full.width / chosen.width
       val bands = chosen.samplesPerPixel
+      // GDAL_NODATA (tag 42113) masks to NaN — the same "no data here"
+      // the out-of-raster padding uses (rio-tiler mask parity for the
+      // continuous-raster path; 0 stays a valid elevation)
+      val hasNd = chosen.nodata.isDefined
+      val ndVal = chosen.nodata.getOrElse(Double.NaN).toFloat
       val out = Array.fill(tileSize * tileSize * bands)(Float.NaN)
       val cache = scala.collection.mutable.HashMap[(Int, Int), Array[Float]]()
       var py = 0
@@ -874,7 +884,11 @@ object CogReader {
             val src = (ly * chosen.tileWidth + lx) * bands
             val dst = (py * tileSize + px) * bands
             var c = 0
-            while (c < bands) { out(dst + c) = data(src + c); c += 1 }
+            while (c < bands) {
+              val v = data(src + c)
+              out(dst + c) = if (hasNd && v == ndVal) Float.NaN else v
+              c += 1
+            }
           }
           px += 1
         }

@@ -718,6 +718,39 @@ class CogReaderSpec extends AnyFunSuite {
     assert(maxDiff < 2.0, s"max elevation diff $maxDiff")
   }
 
+  test("GDAL_NODATA (tag 42113): nodata samples read as NaN, others untouched") {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 256
+    // checkerboard of -9999 (nodata) and a real elevation 123.5
+    def px(x: Int, y: Int): (Int, Int, Int) = {
+      val v = if ((x + y) % 2 == 0) -9999.0f else 123.5f
+      (java.lang.Float.floatToIntBits(v), 0, 0)
+    }
+    val p1 = tmp("dem_nodata.tif")
+    val p2 = tmp("dem_nond.tif")
+    TiffWriter.write(p1, Seq(TiffWriter.Level(256, 256, px)), tileSize = 128,
+      originX = b.west, originY = b.north, resX = res, resY = res,
+      bps = 32, sampleFormat = 3, samplesPerPixel = 1, nodata = Some(-9999.0))
+    TiffWriter.write(p2, Seq(TiffWriter.Level(256, 256, px)), tileSize = 128,
+      originX = b.west, originY = b.north, resX = res, resY = res,
+      bps = 32, sampleFormat = 3, samplesPerPixel = 1)
+    val (_, _, _, masked) = CogReader.tileFloat(p1, cover)
+    val (_, _, _, unmasked) = CogReader.tileFloat(p2, cover)
+    var nan = 0
+    var real = 0
+    var i = 0
+    while (i < masked.length) {
+      if (masked(i).isNaN) nan += 1
+      else { assert(masked(i) == 123.5f, s"at $i: ${masked(i)}"); real += 1 }
+      i += 1
+    }
+    assert(nan > 30000 && real > 30000, s"checkerboard: $nan NaN / $real real")
+    // without the tag, -9999 reads back as the literal value
+    assert(unmasked.count(_ == -9999.0f) > 30000)
+    assert(!unmasked.exists(_.isNaN))
+  }
+
   test("an unsupported GeoKey CRS is refused rather than misplaced") {
     // Self-healing fixture: pick the first candidate code NOT in the Proj
     // table, so the refusal path stays covered as the table grows (round 5

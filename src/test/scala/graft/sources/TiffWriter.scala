@@ -20,7 +20,7 @@ object TiffWriter {
       lzw: Boolean = false, packbits: Boolean = false,
       samplesPerPixel: Int = 3, bigendian: Boolean = false,
       sampleFormat: Int = 1, zstd: Boolean = false, lzma: Boolean = false,
-      epsg: Option[Int] = None): Unit = {
+      epsg: Option[Int] = None, nodata: Option[Double] = None): Unit = {
     require(Seq(deflate, jpeg, lzw, packbits, zstd, lzma).count(identity) <= 1,
       "pick one compression")
     require(samplesPerPixel == 1 || samplesPerPixel == 3, "1 (gray) or 3 (RGB) samples")
@@ -210,6 +210,17 @@ object TiffWriter {
       val gkOff = bos.size().toLong
       geoShorts.foreach(v => w16(v.toInt))
 
+      // GDAL_NODATA (42113): ASCII decimal, space-padded past the 8-byte
+      // BigTIFF inline threshold (this writer only emits out-of-line
+      // byte payloads for it)
+      val ndBytes = nodata.map { v =>
+        val s = if (v == v.toLong) v.toLong.toString else v.toString
+        (s + " " * math.max(1, 9 - s.length)).getBytes("US-ASCII")
+      }
+      pad()
+      val ndOff = bos.size().toLong
+      ndBytes.foreach(bos.write)
+
       pad()
       val ifdOff = bos.size().toLong
       ifdOffsets ::= ifdOff
@@ -240,7 +251,8 @@ object TiffWriter {
           Tag(325, 4, nTiles, tcOff, p.tiles.map(_.length.toLong)))) ++
         jpegTables.map(t => Tag(347, 7, t.length, jtOff)).toSeq ++ Seq(
         Tag(33550, 12, 3, scaleOff), Tag(33922, 12, 6, tieOff)) ++
-        (if (geoShorts.nonEmpty) Seq(Tag(34735, 3, geoShorts.length, gkOff)) else Nil)
+        (if (geoShorts.nonEmpty) Seq(Tag(34735, 3, geoShorts.length, gkOff)) else Nil) ++
+        ndBytes.map(b => Tag(42113, 2, b.length, ndOff)).toSeq
       if (bigtiff) w64(tags.length.toLong) else w16(tags.length)
       val inlineMax = if (bigtiff) 8 else 4
       tags.foreach { t =>

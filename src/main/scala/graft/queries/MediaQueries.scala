@@ -142,6 +142,33 @@ object MediaQueries {
           Seq("user_id"), "seq", "op")
         .orderBy("user_id")
     },
+    // STREAM-STREAM interval join under the oracle (click attribution):
+    // views and clicks filtered from ONE MemoryStream self-join across a
+    // 3-micro-batch replay — watermarked on both sides with the
+    // time-range condition that bounds Spark's join state. The oracle is
+    // the plain batch interval join; cross-batch pairs are what the
+    // buffered state must produce.
+    "qs08_stream_join" -> { (s, d) =>
+      import s.implicits._
+      val rows = t(s, d, "events").filter(col("user_id") < 300)
+        .select("user_id", "event_type", "ts", "value")
+        .as[(Long, String, Long, Double)].collect().sortBy(_._3)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long, Double)]
+      val name = s"qs08_sink_${cdcSinkSeq.incrementAndGet()}"
+      val q = EventStream.intervalJoin(
+          mem.toDF.toDF("user_id", "event_type", "ts", "value"),
+          "view", "click", windowMinutes = 30)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val n = rows.length
+      Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+          rows.slice(2 * n / 3, n))
+        .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+      q.stop()
+      s.table(name).orderBy("user_id", "left_us", "right_us")
+    },
     // STREAMING CDC upsert under the oracle: the same snapshot+changelog
     // as qc01 (bounded to user_id < 300), but folded through
     // CdcStream.applyChangelogStream across a 3-micro-batch MemoryStream
@@ -271,6 +298,16 @@ object MediaQueries {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
         |ORDER BY ua, sa, ub, sb""".stripMargin,
+    "qs08_stream_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'view' AND user_id < 300),
+        |c AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |  WHERE event_type = 'click' AND user_id < 300)
+        |SELECT v.user_id AS user_id, v.us AS left_us, c.us AS right_us,
+        | c.value AS value
+        |FROM v JOIN c ON c.user_id = v.user_id
+        | AND c.us >= v.us AND c.us <= v.us + 1800000000
+        |ORDER BY v.user_id, left_us, right_us""".stripMargin,
     "qc03_cdc_stream" ->
       """WITH snap AS (SELECT DISTINCT user_id, CAST(0.0 AS DOUBLE) AS value
         |  FROM events WHERE user_id % 2 = 0 AND user_id < 300),

@@ -257,6 +257,38 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Stream-stream interval join (click attribution): every `rightType`
+    * event pairs with each same-user `leftType` event it follows within
+    * `windowMinutes` — (user_id, left_us, right_us, value = the right
+    * event's). Works identically on batch and streaming inputs; in
+    * streaming BOTH sides get a `lateness` watermark and the join
+    * condition is the time-range Spark needs to bound stream-stream join
+    * state: each side's buffered rows are dropped once the other side's
+    * watermark passes their window, so state ∝ events inside one
+    * window + lateness, never the stream. A self-join of one stream
+    * (left and right filtered from the same source) is supported — the
+    * qs08 gate runs exactly that shape over a MemoryStream replay.
+    *
+    * Scale shape: one equi-join on user_id with the range as a residual
+    * predicate — both sides hash-partition on the same key; no window
+    * function, no cross product. */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+      windowMinutes: Long = 30, lateness: String = "10 minutes"): DataFrame = {
+    val streaming = events.isStreaming
+    def side(tpe: String, tag: String): DataFrame = {
+      val base = withTs(events).filter(col("event_type") === tpe)
+      val w = if (streaming) base.withWatermark("ets", lateness) else base
+      w.select(col("user_id").as(s"${tag}_uid"), col("ets").as(s"${tag}_ets"),
+        unix_micros(col("ets")).as(s"${tag}_us"), col("value").as(s"${tag}_value"))
+    }
+    side(leftType, "l").join(side(rightType, "r"),
+        col("l_uid") === col("r_uid") &&
+          col("r_ets") >= col("l_ets") &&
+          col("r_ets") <= col("l_ets") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("l_uid").as("user_id"), col("l_us").as("left_us"),
+        col("r_us").as("right_us"), col("r_value").as("value"))
+  }
+
   /** Ordered conversion funnel over N stages: stage 1 anchors at each
     * user's earliest stage-1 event; every later stage matches its
     * earliest event STRICTLY after the previous stage's match and within

@@ -248,6 +248,40 @@ class EventStreamSpec extends SparkSpec {
       s"expected re-anchor after eviction, got ${user7.toSeq}")
   }
 
+  test("intervalJoin: streaming 3-batch replay equals the batch join, with cross-batch pairs") {
+    val batch = EventStream.intervalJoin(events, "view", "click", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "no view->click pairs in the fixture")
+    // streaming self-join: one MemoryStream, both sides filtered from it
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events.select("user_id", "event_type", "ts", "value")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._3)
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val q = EventStream.intervalJoin(
+        mem.toDF.toDF("user_id", "event_type", "ts", "value"),
+        "view", "click", 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij_stream").start()
+    // split the replay at the midpoint of a real (view, click) pair so a
+    // cross-batch match is exercised BY CONSTRUCTION: the view arrives in
+    // chunk 1, its click in chunk 2, and only buffered join state can
+    // pair them
+    val (_, pv, pc) = batch.find { case (_, v, c) => c > v }
+      .getOrElse(fail("no strictly-ordered pair in the fixture"))
+    val cutNs = (pv + pc) / 2 * 1000
+    val (c1, c2) = rows.partition(_._3 <= cutNs)
+    assert(c1.nonEmpty && c2.nonEmpty)
+    Seq(c1, c2).foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("ij_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"missing ${batch.diff(streamed).take(3)}, extra ${streamed.diff(batch).take(3)}")
+  }
+
   test("funnelTransitions streaming: completed users are tombstoned — no re-anchor inside the live window") {
     val s = spark
     import s.implicits._

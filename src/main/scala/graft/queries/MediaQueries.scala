@@ -157,16 +157,26 @@ object MediaQueries {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, Long, Double)]
       val name = s"qs08_sink_${cdcSinkSeq.incrementAndGet()}"
-      val q = EventStream.intervalJoin(
-          mem.toDF.toDF("user_id", "event_type", "ts", "value"),
-          "view", "click", windowMinutes = 30)
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      val n = rows.length
-      Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
-          rows.slice(2 * n / 3, n))
-        .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
-      q.stop()
+      // stream-stream join state = 4 store instances per shuffle
+      // partition per micro-batch; at the session's 32 partitions the
+      // store lifecycle dominates this bounded replay (measured 14.6 s
+      // -> 2.6 s at 4). A production continuous job amortizes store
+      // startup over its lifetime and sizes partitions to throughput —
+      // the replay harness should not pay 32x its data size in stores.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = EventStream.intervalJoin(
+            mem.toDF.toDF("user_id", "event_type", "ts", "value"),
+            "view", "click", windowMinutes = 30)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        val n = rows.length
+        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+            rows.slice(2 * n / 3, n))
+          .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name).orderBy("user_id", "left_us", "right_us")
     },
     // STREAMING CDC upsert under the oracle: the same snapshot+changelog
@@ -193,16 +203,22 @@ object MediaQueries {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, String, String)]
       val name = s"qc03_sink_${cdcSinkSeq.incrementAndGet()}"
-      val q = graft.streaming.CdcStream.applyChangelogStream(
-          mem.toDF.toDF("key", "seq", "payload", "op"),
-          "key", "op", "seq", "payload", Some(snapshot))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      val n = delta.length
-      Seq(delta.slice(0, n / 3), delta.slice(n / 3, 2 * n / 3),
-          delta.slice(2 * n / 3, n))
-        .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
-      q.stop()
+      // same state-store-lifecycle economics as qs08: the bounded replay
+      // should not pay the session's 32 partitions in store instances
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.CdcStream.applyChangelogStream(
+            mem.toDF.toDF("key", "seq", "payload", "op"),
+            "key", "op", "seq", "payload", Some(snapshot))
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        val n = delta.length
+        Seq(delta.slice(0, n / 3), delta.slice(n / 3, 2 * n / 3),
+            delta.slice(2 * n / 3, n))
+          .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       graft.streaming.CdcStream.materialize(s.table(name), Some(snapshot))
         .select(col("key").as("user_id"),
           col("payload").cast("double").as("value"))

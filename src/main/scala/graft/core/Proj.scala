@@ -135,6 +135,13 @@ object Proj {
     * constants). */
   private val Wgs84ToCh1903Plus = Helmert(-674.374, -15.056, -405.346, 0, 0, 0, 0)
 
+  /** WGS84 -> DHDN (sign-reversed EPSG transformation 1777, the published
+    * DHDN -> WGS84 position-vector Helmert for Germany; naive negation of
+    * a 7-param set is ~cm-class here, well inside 1777's own ~3 m
+    * accuracy — the OSGB/Timbalai fidelity contract). */
+  private val Wgs84ToDhdn =
+    Helmert(-598.1, -73.7, -418.2, -0.202, -0.045, 2.455, -6.7)
+
   /** geodetic (degrees, h=0) -> ECEF on `ell`. */
   private def toEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val phi = math.toRadians(latDeg)
@@ -674,6 +681,15 @@ object Proj {
         case c if c.length == 5 && c.startsWith("258") =>
           c.substring(3).toIntOption.filter(z => z >= 28 && z <= 38)
             .map(z => utm(z, north = true, GRS80))
+        // DHDN / 3-degree Gauss-Krüger zones 2-5 (the legacy German
+        // national grids many Länder WMS services still publish):
+        // k0 = 1, lon0 = 3°·zone, FE = zone·10⁶ + 500 000, Bessel 1841
+        // + the DHDN Helmert
+        case c if c.length == 5 && c.startsWith("3146") =>
+          // code = 31464 + zone: 31466..31469 are zones 2..5
+          c.substring(4).toIntOption.map(_ - 4).filter(z => z >= 2 && z <= 5)
+            .map(z => Crs(Tmerc(0.0, 3.0 * z, 1.0, z * 1000000.0 + 500000.0,
+              0.0), Bessel1841, Some(Wgs84ToDhdn)))
         case _ => None
       }
     }

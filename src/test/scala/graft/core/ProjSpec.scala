@@ -180,7 +180,11 @@ class ProjSpec extends AnyFunSuite {
       "epsg:3976" -> (-180.0, 180.0, -89.9, -55.0),
       "epsg:2193" -> (166.0, 179.0, -47.5, -34.0),
       "epsg:3375" -> (99.5, 105.0, 1.0, 7.0),
-      "epsg:29873" -> (109.5, 119.5, 0.8, 7.5))
+      "epsg:29873" -> (109.5, 119.5, 0.8, 7.5),
+      "epsg:3035" -> (-10.0, 35.0, 35.0, 70.0),
+      "epsg:2056" -> (6.0, 10.5, 45.8, 47.8),
+      "epsg:31466" -> (5.0, 7.5, 49.0, 53.0),
+      "epsg:31469" -> (13.5, 15.0, 50.0, 54.5))
     val rnd = new scala.util.Random(42)
     for ((code, (loMin, loMax, laMin, laMax)) <- domains) {
       val fwd = Proj.forward(code).get
@@ -241,6 +245,21 @@ class ProjSpec extends AnyFunSuite {
       val truth = mRad * nRad * math.cos(phi) * math.toRadians(d) * math.toRadians(d)
       assert(math.abs(proj / truth - 1) < 1e-6, s"($lon,$lat): ratio ${proj / truth}")
     }
+  }
+
+  test("Gauss-Krüger 3146x: zone arithmetic, Cologne quadrant, zone range enforced") {
+    // Cologne (6.96E, 50.94N) sits in zone 2 (lon0 = 6): easting just
+    // east of the 2 500 000 false offset, northing ~ the Bessel meridian
+    // arc at 50.94N
+    val (e, n) = Proj.forward("EPSG:31466").get(6.96, 50.94)
+    assert(e > 2550000 && e < 2590000, s"E $e")
+    assert(n > 5630000 && n < 5660000, s"N $n")
+    // zone 4 (lon0 = 12): Dresden (13.74E, 51.05N), east of the CM
+    val (e4, n4) = Proj.forward("epsg:31468").get(13.74, 51.05)
+    assert(e4 > 4600000 && e4 < 4650000, s"E $e4")
+    assert(n4 > 5640000 && n4 < 5680000, s"N $n4")
+    // only zones 2-5 exist
+    assert(Proj.crs("31461").isEmpty && Proj.crs("31470").isEmpty)
   }
 
   test("Swiss LV95 (EPSG:2056): Bern anchors the false origin; Zurich quadrant; 90-degree Hotine branch") {

@@ -58,6 +58,20 @@ object Sketches {
       .select(col("grp").as(groupCol), col("exact_distinct"), col("est_distinct"))
   }
 
+  /** The KMV estimate from an already-sorted bottom-k distinct hash list
+    * — the single source of the formula shared by [[kmvDistinct]]'s SQL
+    * form and the streaming windowed sketch
+    * ([[graft.streaming.EventStream.kmvDistinctWindowed]]): below k the
+    * sketch is exact; at k, estimate = (k−1) · 16¹³ / int(first 13 hex
+    * of the k-th smallest hash). */
+  private[graft] def kmvEstimateFromSorted(hashes: Seq[String], k: Int): Double =
+    if (hashes.size < k) hashes.size.toDouble
+    else {
+      val hk = hashes(k - 1).take(13)
+        .foldLeft(0L)((acc, c) => acc * 16 + "0123456789abcdef".indexOf(c))
+      (k - 1).toDouble * 4503599627370496.0 / hk.toDouble
+    }
+
   /** KMV set-operation estimates for two value sets — one row:
     * (union_exact, union_est, inter_exact, inter_est, jaccard_est).
     * The union sketch is the bottom-k of the MERGED hash sets (KMV

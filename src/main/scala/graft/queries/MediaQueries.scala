@@ -179,6 +179,38 @@ object MediaQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name).orderBy("user_id", "left_us", "right_us")
     },
+    // STREAMING WINDOWED KMV sketch under the oracle: per-hour distinct
+    // users estimated by the bottom-64 md5 state, emitted once per
+    // window when the watermark closes it (a far-future sentinel closes
+    // every real window in the replay; its own window is filtered out).
+    // The oracle replays the per-window KMV formula — digit-identical
+    // because the estimate is a pure function of the k smallest hashes.
+    "qx05_kmv_windowed" -> { (s, d) =>
+      import s.implicits._
+      val rows = t(s, d, "events").select("user_id", "ts")
+        .as[(Long, Long)].collect().sortBy(_._2)
+      val sentinelTs = rows.last._2 + 10L * 24 * 3600 * 1000000000L
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val name = s"qx05_sink_${cdcSinkSeq.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = EventStream.kmvDistinctWindowed(
+            mem.toDF.toDF("user_id", "ts"), "user_id")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        val n = rows.length
+        Seq(rows.slice(0, n / 3).toSeq, rows.slice(n / 3, 2 * n / 3).toSeq,
+            rows.slice(2 * n / 3, n).toSeq, Seq((999999L, sentinelTs)))
+          .foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sentinelW = sentinelTs / 1000 - (sentinelTs / 1000) % 3600000000L
+      s.table(name).filter(col("wstart_us") < sentinelW)
+        .orderBy("wstart_us")
+    },
     // STREAMING CDC upsert under the oracle: the same snapshot+changelog
     // as qc01 (bounded to user_id < 300), but folded through
     // CdcStream.applyChangelogStream across a 3-micro-batch MemoryStream
@@ -314,6 +346,19 @@ object MediaQueries {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
         |ORDER BY ua, sa, ub, sb""".stripMargin,
+    "qx05_kmv_windowed" ->
+      """WITH d AS (SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS w,
+        |  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |r AS (SELECT w, h, ROW_NUMBER() OVER (PARTITION BY w ORDER BY h) AS rn FROM d),
+        |kk AS (SELECT w, CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |    CAST(instr('0123456789abcdef', substr(h, CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) AS hi
+        |  FROM r WHERE rn <= 64)
+        |SELECT w AS wstart_us, CAST(COUNT(*) AS INT) AS n_hashes,
+        | CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |   ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(MAX(hi) AS DOUBLE)
+        | END AS est_distinct
+        |FROM kk GROUP BY w ORDER BY wstart_us""".stripMargin,
     "qs08_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events
         |  WHERE event_type = 'view' AND user_id < 300),

@@ -257,6 +257,73 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  final case class KmvWinEvent(wstartUs: Long, h: String,
+    ets: java.sql.Timestamp)
+  final case class KmvWinState(hashes: List[String])
+  final case class KmvWindowEstimate(wstart_us: Long, n_hashes: Int,
+    est_distinct: Double)
+
+  /** Tumbling-window KMV distinct sketch with EMIT-ON-CLOSE semantics —
+    * the streaming face of [[graft.operators.Sketches.kmvDistinct]]
+    * keyed by window: per window, state is the bottom-`k` distinct md5
+    * hashes (O(k) however many events the window sees — the mergeable
+    * KMV summary IS the state), and the estimate row
+    * (wstart_us, n_hashes, est_distinct) is emitted exactly once, when
+    * the watermark passes the window end (event-time timeout), so
+    * append mode gets one final row per window instead of per-batch
+    * revisions. Batch inputs emit every window directly in one pass —
+    * same code path, same estimate function
+    * ([[graft.operators.Sketches.kmvEstimateFromSorted]]), so a
+    * replay's closed windows are bit-identical to the batch answer (the
+    * qx05 oracle). Late events inside `lateness` still merge (the
+    * timeout fires only after the watermark — lagging by `lateness` —
+    * passes the window end); later ones are dropped by the watermark. */
+  def kmvDistinctWindowed(events: DataFrame, valueCol: String,
+      windowMinutes: Long = 60, k: Int = 64,
+      lateness: String = "10 minutes"): Dataset[KmvWindowEstimate] = {
+    require(k >= 2, "k >= 2")
+    require(windowMinutes >= 1, "windowMinutes >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val winUs = windowMinutes * 60L * 1000000L
+    val base = withTs(events)
+    val withW = if (streaming) base.withWatermark("ets", lateness) else base
+    val typed = withW.select(
+        (unix_micros(col("ets")) - pmod(unix_micros(col("ets")), lit(winUs)))
+          .as("wstartUs"),
+        md5(col(valueCol).cast("string")).as("h"),
+        col("ets")) // the watermark column must survive into the grouping
+      .as[KmvWinEvent]
+
+    def fn(wstart: Long, rows: Iterator[KmvWinEvent],
+        state: GroupState[KmvWinState]): Iterator[KmvWindowEstimate] = {
+      if (streaming && state.hasTimedOut) {
+        val hs = state.get.hashes
+        state.remove()
+        return Iterator.single(KmvWindowEstimate(wstart, hs.size,
+          graft.operators.Sketches.kmvEstimateFromSorted(hs, k)))
+      }
+      val cur = state.getOption.map(_.hashes).getOrElse(Nil)
+      val merged = (cur ++ rows.map(_.h)).distinct.sorted.take(k)
+      if (streaming) {
+        state.update(KmvWinState(merged))
+        // close once the watermark passes the window end; clamp above
+        // the current watermark (arming at-or-behind it throws)
+        state.setTimeoutTimestamp(math.max(
+          (wstart + winUs) / 1000, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      } else Iterator.single(KmvWindowEstimate(wstart, merged.size,
+        graft.operators.Sketches.kmvEstimateFromSorted(merged, k)))
+    }
+
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_.wstartUs)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
+
   /** Stream-stream interval join (click attribution): every `rightType`
     * event pairs with each same-user `leftType` event it follows within
     * `windowMinutes` — (user_id, left_us, right_us, value = the right

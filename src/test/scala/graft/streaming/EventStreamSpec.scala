@@ -248,6 +248,48 @@ class EventStreamSpec extends SparkSpec {
       s"expected re-anchor after eviction, got ${user7.toSeq}")
   }
 
+  test("kmvDistinctWindowed: batch equals per-window kmvDistinct; streaming emits each closed window once, identically") {
+    val s = spark
+    import s.implicits._
+    // batch face vs the batch sketch grouped by the same hour bucket
+    val batch = EventStream.kmvDistinctWindowed(events, "user_id")
+      .collect().map(e => (e.wstart_us, e.n_hashes, e.est_distinct)).toSet
+    val viaBatchOp = graft.operators.Sketches.kmvDistinct(
+        EventStream.withTs(events).withColumn("w",
+          unix_micros(col("ets")) - pmod(unix_micros(col("ets")), lit(3600000000L))),
+        "user_id", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (w, _, est) =>
+      assert(math.abs(viaBatchOp(w) - est) < 1e-9, s"window $w: $est vs ${viaBatchOp(w)}")
+    }
+    // streaming: 3-chunk replay + a far-future sentinel to close every
+    // real window; each closed window emits exactly once and matches
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events.select("user_id", "ts")
+      .as[(Long, Long)].collect().sortBy(_._2)
+    val sentinelTs = rows.last._2 + 10L * 24 * 3600 * 1000000000L
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStream.kmvDistinctWindowed(
+        mem.toDF.toDF("user_id", "ts"), "user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kmv_win").start()
+    val n = rows.length
+    Seq(rows.slice(0, n / 3).toSeq, rows.slice(n / 3, 2 * n / 3).toSeq,
+        rows.slice(2 * n / 3, n).toSeq, Seq((999999L, sentinelTs)))
+      .foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val sentinelW = sentinelTs / 1000 - (sentinelTs / 1000) % 3600000000L
+    val streamed = spark.table("kmv_win")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .filter(_._1 < sentinelW)
+    assert(streamed.length == streamed.map(_._1).distinct.length,
+      "a window emitted more than once")
+    assert(streamed.toSet == batch,
+      s"missing ${batch.diff(streamed.toSet).take(3)}, extra ${streamed.toSet.diff(batch).take(3)}")
+  }
+
   test("intervalJoin: streaming 3-batch replay equals the batch join, with cross-batch pairs") {
     val batch = EventStream.intervalJoin(events, "view", "click", 30)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

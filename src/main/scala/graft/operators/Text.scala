@@ -225,6 +225,31 @@ object Text {
     df.filter(hashBucket10000(col(idCol)) < rate)
   }
 
+  /** [[mixture]] steered by TOKEN budgets instead of rates — the form a
+    * pretraining recipe actually states ("at most N tokens of web"):
+    * each source's sampling rate is `min(10000, budget·10⁴ div total)`
+    * basis points from its current token total, then the same
+    * deterministic hash filter applies. Two passes: ONE aggregate for
+    * per-source totals (collected — bounded by the source cardinality,
+    * never rows), then the per-row filter. Hash sampling is uniform
+    * over rows, so the sampled token mass meets the budget in
+    * expectation (row-exact budget packing is [[packSequences]]' job);
+    * sources at or under budget — and sources absent from `budgets` —
+    * keep everything. */
+  def mixtureToBudget(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val totals = df.groupBy(col(sourceCol).as("src"))
+      .agg(sum(col(tokenCol)).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = budgets.flatMap { case (src, budget) =>
+      totals.get(src).map { tot =>
+        src -> (if (tot <= 0) 10000 else math.min(10000L, budget * 10000L / tot).toInt)
+      }
+    }
+    mixture(df, sourceCol, idCol, rates, defaultBps = 10000)
+  }
+
   /** Class-balanced cap: keep at most `cap` rows per group, chosen by the
     * deterministic md5-of-id order (not arrival order — stable under any
     * partitioning). The majority-class downsampling step of a balanced

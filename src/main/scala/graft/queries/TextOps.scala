@@ -239,6 +239,20 @@ object TextOps {
           sum("n_chars").as("sum_chars"))
         .orderBy("source")
     },
+    // Token-BUDGET mixture (the recipe form: "at most N chars of srcX"):
+    // rates derived as min(10000, budget*10^4 div total) from one
+    // per-source aggregate, then the qd36 hash filter. src0 capped well
+    // under its total (downsampled), src1 over its total (kept whole),
+    // others unlisted (kept whole) — all integer arithmetic, replayed
+    // exactly by the oracle.
+    "qd37_mixture_budget" -> { (s, d) =>
+      graft.operators.Text.mixtureToBudget(t(s, d, "documents"),
+          "source", "doc_id", "n_chars",
+          Map("src0" -> 3000L, "src1" -> 100000000L))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    },
     // Canonical text form (native codegen'd nfc_normalize kernel + lower
     // + whitespace collapse + trim). The input is deliberately roughed up
     // (uppercased, padded, tabbed) so the normalization does real work in
@@ -676,6 +690,22 @@ object TextOps {
         |FROM b
         |WHERE bucket < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 0
         |  WHEN 'src2' THEN 2500 ELSE 5000 END)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "qd37_mixture_budget" ->
+      """WITH tot AS (SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source),
+        |rate AS (SELECT source,
+        |  CASE WHEN source = 'src0' THEN LEAST(10000, (CAST(3000 AS BIGINT) * 10000) // tot)
+        |       WHEN source = 'src1' THEN LEAST(10000, (CAST(100000000 AS BIGINT) * 10000) // tot)
+        |       ELSE 10000 END AS bps
+        | FROM tot),
+        |b AS (SELECT d.source, d.n_chars, r.bps,
+        |  ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 10000 AS bucket
+        | FROM documents d JOIN rate r ON r.source = d.source)
+        |SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |FROM b WHERE bucket < bps
         |GROUP BY source ORDER BY source""".stripMargin,
     "qd31_normalize_text" ->
       """SELECT doc_id,

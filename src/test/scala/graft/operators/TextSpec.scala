@@ -103,6 +103,29 @@ class TextSpec extends SparkSpec {
     assert(again.toSet == kept.toSet)
   }
 
+  test("mixtureToBudget: over-budget sources downsample toward the budget, under-budget and unlisted keep all") {
+    val s = spark
+    import s.implicits._
+    // src0: 1000 rows x 100 tokens = 100k total, budget 25k -> ~25% kept
+    // src1: 1000 x 100 = 100k, budget 200k -> under budget, keep all
+    // src2: unlisted -> keep all
+    val d = (0L until 3000L).map(i => (i, s"src${i % 3}", 100L))
+      .toDF("id", "source", "toks")
+    val kept = Text.mixtureToBudget(d, "source", "id", "toks",
+        Map("src0" -> 25000L, "src1" -> 200000L))
+      .groupBy("source").agg(sum("toks").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kept("src1") == (100000L, 1000L), s"under budget keeps all: $kept")
+    assert(kept("src2") == (100000L, 1000L), s"unlisted keeps all: $kept")
+    val (t0, _) = kept("src0")
+    assert(t0 > 17000 && t0 < 33000, s"~25k of src0 tokens expected, got $t0")
+    // deterministic: same inputs -> same sample
+    val again = Text.mixtureToBudget(d.repartition(5), "source", "id", "toks",
+        Map("src0" -> 25000L, "src1" -> 200000L))
+      .agg(sum("toks")).head().getLong(0)
+    assert(again == kept.values.map(_._1).sum)
+  }
+
   test("capPerGroup keeps exactly cap rows per group, deterministically") {
     val s = spark
     import s.implicits._

@@ -82,16 +82,28 @@ object Bench {
     } catch { case _: Throwable => () }
     // bench artifact hygiene: the driver's BENCH_rN.json tail-truncates the
     // per-query map, so the full map is ALSO written as a tracked
-    // BENCHFULL_rNN.json — NN inferred as one past the latest committed
-    // BENCH_rNN.json, so the end-of-round auto-commit files it under the
-    // round that produced it
+    // BENCHFULL_rNN.json. NN comes from SPARK_GRAFT_ROUND when set;
+    // otherwise one past the latest BENCH_rNN.json in the repo root —
+    // located from this class's own code location, NOT the process cwd
+    // (run from elsewhere, a cwd listing silently misfiled the artifact
+    // as BENCHFULL_r01.json there — r6 ADVICE)
     try {
-      val rnd = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => "BENCH_r(\\d+)\\.json".r
-          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-        .maxOption.map(_ + 1).getOrElse(1)
+      val repoRoot = {
+        val src = new java.io.File(getClass.getProtectionDomain
+          .getCodeSource.getLocation.toURI) // .../target/scala-2.13/classes
+        Iterator.iterate(src)(_.getParentFile).take(8)
+          .find(d => d != null && new java.io.File(d, "build.sbt").isFile)
+          .getOrElse(new java.io.File("."))
+      }
+      val rnd = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+        .getOrElse {
+          Option(repoRoot.listFiles()).toSeq.flatten
+            .flatMap(f => "BENCH_r(\\d+)\\.json".r
+              .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+            .maxOption.map(_ + 1).getOrElse(1)
+        }
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"BENCHFULL_r$rnd%02d.json"),
+        new java.io.File(repoRoot, f"BENCHFULL_r$rnd%02d.json").toPath,
         (json + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(json)

@@ -27,8 +27,12 @@ object Cdc {
       keyCols: Seq[String], seqCol: String, opCol: String): DataFrame = {
     require(keyCols.nonEmpty)
     val valueCols = snapshot.columns.filterNot(keyCols.contains).toSeq
+    // tie order past (seq desc, delete-first): greater value tuple, then
+    // greater op tag — a TOTAL order, so equal-seq winners are
+    // deterministic under any partitioning (mirrors CdcStream.wins)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(seqCol).desc, when(col(opCol) === "D", 0).otherwise(1))
+      .orderBy(Seq(col(seqCol).desc, when(col(opCol) === "D", 0).otherwise(1),
+        struct(valueCols.map(col): _*).desc_nulls_last, col(opCol).desc): _*)
     val latest = delta
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select((keyCols.map(col) :+ col(opCol).as("__op")) ++

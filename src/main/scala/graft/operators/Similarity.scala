@@ -197,6 +197,16 @@ object Similarity {
 
   /** Collect a (cid, cq, …) centroid DataFrame — bounded by construction —
     * to cid-ordered driver arrays for inlining. */
+  /** Resolve `queryId`'s quantized vector driver-side (one bounded row
+    * from a df that already carries a `q` column). Fails loudly: a typo'd
+    * queryId otherwise surfaced as an opaque NoSuchElementException from
+    * head() (r6 ADVICE). */
+  private def queryVec(df: DataFrame, idCol: String, queryId: Long): Array[Long] = {
+    val rows = df.filter(col(idCol) === queryId).select("q").take(1)
+    require(rows.nonEmpty, s"queryId $queryId not found in column '$idCol'")
+    rows(0).getSeq[Long](0).toArray
+  }
+
   private def collectCents(cents: DataFrame): (Array[Long], Array[Array[Long]]) = {
     val rows = cents.orderBy("cid").select("cid", "cq").collect()
     require(rows.nonEmpty, "empty centroid table")
@@ -214,8 +224,7 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val d = dot(emb) _
     val dim = cb(0).length
-    val query: Array[Long] = emb.filter(col(idCol) === queryId)
-      .select("q").head().getSeq[Long](0).toArray
+    val query: Array[Long] = queryVec(emb, idCol, queryId)
     val probed = cids.zip(cb)
       .map { case (cid, cv) => (sliceDist2(query, cv, 0, dim), cid) }
       .sorted.take(nprobe).map(_._2)
@@ -538,10 +547,8 @@ object Similarity {
     val d = dot(df) _
     val idx = sqEncode(df, embCol, idCol)
       .withColumn("cl", col("codes").cast("array<bigint>"))
-    val query: Array[Long] = df
-      .select(col(idCol), quantize(col(embCol)).as("q"))
-      .filter(col(idCol) === queryId)
-      .select("q").head().getSeq[Long](0).toArray
+    val query: Array[Long] =
+      queryVec(df.select(col(idCol), quantize(col(embCol)).as("q")), idCol, queryId)
     val xq = typedLit(query.toSeq)
     val xqq = query.map(v => v * v).sum
     idx.filter(col(idCol) =!= queryId)
@@ -735,8 +742,7 @@ object Similarity {
       .select(col(idCol), col("cid"),
         zip_with(col("q"), element_at(cent0Lit, col("__code") + 1),
           (a, b) => a - b).as("r"))
-    val query = emb.filter(col(idCol) === queryId)
-      .select("q").head().getSeq[Long](0).toArray
+    val query = queryVec(emb, idCol, queryId)
     val probed = cids.zip(cb0)
       .map { case (cid, cv) => (sliceDist2(query, cv, 0, dim), cid) }
       .sorted.take(nprobe).map(_._2)

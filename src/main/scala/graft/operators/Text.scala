@@ -235,16 +235,35 @@ object Text {
     * over rows, so the sampled token mass meets the budget in
     * expectation (row-exact budget packing is [[packSequences]]' job);
     * sources at or under budget — and sources absent from `budgets` —
-    * keep everything. */
+    * keep everything.
+    *
+    * SCALE CONTRACT: `sourceCol` must be LOW-cardinality (corpus names,
+    * not domains/urls) — the totals aggregate is collected driver-side,
+    * so distinct sources are capped at `maxSources` (default 100 000)
+    * and the call fails loudly rather than OOM the driver on a
+    * high-cardinality misuse. Null sources and null token sums are
+    * dropped from the totals (a null source can carry no budget; its
+    * rows fall through to the keep-everything default). */
   def mixtureToBudget(df: DataFrame, sourceCol: String, idCol: String,
-      tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+      tokenCol: String, budgets: Map[String, Long],
+      maxSources: Int = 100000): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
-    val totals = df.groupBy(col(sourceCol).as("src"))
+    require(maxSources >= 1, "maxSources must be >= 1")
+    val totalRows = df.groupBy(col(sourceCol).cast("string").as("src"))
       .agg(sum(col(tokenCol)).as("tot"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .limit(maxSources + 1)
+      .collect()
+    require(totalRows.length <= maxSources,
+      s"mixtureToBudget: > $maxSources distinct values in '$sourceCol' — " +
+        "pass a low-cardinality source column (the totals are collected driver-side)")
+    val totals = totalRows.iterator
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val rates = budgets.flatMap { case (src, budget) =>
       totals.get(src).map { tot =>
-        src -> (if (tot <= 0) 10000 else math.min(10000L, budget * 10000L / tot).toInt)
+        // BigInt: budget * 10000 overflows Long for budgets > ~9.2e14
+        src -> (if (tot <= 0) 10000
+                else (BigInt(budget) * 10000 / tot).min(10000).toInt)
       }
     }
     mixture(df, sourceCol, idCol, rates, defaultBps = 10000)

@@ -378,7 +378,9 @@ object MediaQueries {
         |latest AS (SELECT user_id, op, value FROM (
         |  SELECT user_id, op, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC,
-        |      CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn FROM dl) WHERE rn = 1)
+        |      CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+        |      CAST(value AS VARCHAR) DESC NULLS LAST, op DESC) AS rn
+        |   FROM dl) WHERE rn = 1)
         |SELECT COALESCE(s.user_id, l.user_id) AS user_id,
         | CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE s.value END AS value
         |FROM snap s FULL OUTER JOIN latest l ON l.user_id = s.user_id
@@ -393,7 +395,8 @@ object MediaQueries {
         |latest AS (SELECT user_id, op, value FROM (
         |  SELECT user_id, op, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC,
-        |      CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn FROM dl) WHERE rn = 1)
+        |      CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+        |      value DESC NULLS LAST, op DESC) AS rn FROM dl) WHERE rn = 1)
         |SELECT COALESCE(s.user_id, l.user_id) AS user_id,
         | CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE s.value END AS value
         |FROM snap s FULL OUTER JOIN latest l ON l.user_id = s.user_id

@@ -686,7 +686,7 @@ object TextOps {
         |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
         |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 10000 AS bucket
         | FROM documents)
-        |SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM b
         |WHERE bucket < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 0
         |  WHEN 'src2' THEN 2500 ELSE 5000 END)
@@ -704,7 +704,7 @@ object TextOps {
         |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
         |   (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 10000 AS bucket
         | FROM documents d JOIN rate r ON r.source = d.source)
-        |SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM b WHERE bucket < bps
         |GROUP BY source ORDER BY source""".stripMargin,
     "qd31_normalize_text" ->

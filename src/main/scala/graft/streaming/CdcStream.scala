@@ -28,14 +28,21 @@ object CdcStream {
     * table. */
   final case class CdcChange(key: Long, op: String, seq: Long, payload: String)
 
-  /** Winner of `a` vs incoming `b`: highest seq wins; on an equal seq a
-    * delete wins (a delete and an update at the same sequence must not
-    * resurrect the row — the [[graft.operators.Cdc.applyChangelog]] tie
-    * rule); otherwise first-installed wins (stable under replay). */
-  private def wins(a: CdcState, b: CdcState): CdcState =
-    if (b.seq > a.seq) b
-    else if (b.seq == a.seq && b.op == "D" && a.op != "D") b
-    else a
+  /** Winner of `a` vs incoming `b` — a TOTAL order so the fold is
+    * arrival-order independent (r6 ADVICE: "first-installed wins" on an
+    * equal-seq U/U tie made stream/oracle parity depend on arrival
+    * order): highest seq wins; on an equal seq a delete wins (a delete
+    * and an update at the same sequence must not resurrect the row — the
+    * [[graft.operators.Cdc.applyChangelog]] tie rule); then the greater
+    * payload (null lowest), then the greater op tag. Two records equal
+    * under all four are interchangeable. */
+  private def rank(s: CdcState): (Long, Int, String, String) =
+    (s.seq, if (s.op == "D") 1 else 0,
+      Option(s.payload).getOrElse(""), Option(s.op).getOrElse(""))
+  private def wins(a: CdcState, b: CdcState): CdcState = {
+    import scala.math.Ordering.Implicits._
+    if (rank(b) > rank(a)) b else a
+  }
 
   /** Fold a changelog stream (columns `keyCol`: long, `opCol`: I/U/D,
     * `seqCol`: long, `payloadCol`: string) into per-key state, emitting a
@@ -65,11 +72,9 @@ object CdcStream {
         state: GroupState[CdcState]): Iterator[CdcChange] = {
       val before = state.getOption
       var cur = before.getOrElse(CdcState(Long.MinValue, "D", null))
-      // deterministic fold order so same-batch ties resolve identically
-      // on any partitioning: by seq, D before I/U at the same seq
-      rows.toSeq.sortBy(e => (e.seq, if (e.op == "D") 0 else 1)).foreach { e =>
-        cur = wins(cur, CdcState(e.seq, e.op, e.payload))
-      }
+      // wins is a total-order max, so the fold lands on the same winner
+      // under ANY arrival order / partitioning — no sort needed
+      rows.foreach(e => cur = wins(cur, CdcState(e.seq, e.op, e.payload)))
       if (before.contains(cur)) Iterator.empty
       else {
         state.update(cur)
@@ -112,7 +117,8 @@ object CdcStream {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("key").orderBy(col("seq").desc,
-        when(col("op") === "D", 0).otherwise(1))
+        when(col("op") === "D", 0).otherwise(1),
+        col("payload").desc_nulls_last, col("op").desc)
     base.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .filter(col("op") =!= "D")
       .select(col("key"), col("payload"))

@@ -31,32 +31,38 @@ def main(sf_dir: str, out_dir: str, only=()) -> int:
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir) / name
         try:
-            got = con.sql(
-                f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.sql(
-                f"SELECT * FROM '{res_dir}/*.parquet' LIMIT 0").description]
-            exp_rel = con.sql(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp = exp_rel.fetchall()
+            got_df = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
+            exp_df = con.sql(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
-        # mimic the driver: sort columns by name, then compare row multisets
-        def norm(rows, cols):
-            order = sorted(range(len(cols)), key=lambda i: cols[i])
-            return sorted(tuple(str(r[i]) for i in order) for r in rows)
+        # Mimic the driver: sort columns by name, stringify PANDAS-coerced
+        # values, compare row multisets. The pandas coercion is the
+        # type-strictness that burned r6 (qd36/qd37): DuckDB HUGEINT (from
+        # an uncast SUM(BIGINT)) coerces to float64 -> "6164847.0" !=
+        # Spark BIGINT's "6164847", while benign width differences
+        # (INTEGER vs BIGINT, e.g. ROW_NUMBER) still stringify equal —
+        # exactly matching which queries the driver greens (q06/ql02 pass,
+        # qd36/qd37 failed). fetchall() hid this: HUGEINT fetches as a
+        # plain Python int, identical to BIGINT's.
+        got_cols, exp_cols = list(got_df.columns), list(exp_df.columns)
+
+        def norm(df):
+            cols = sorted(df.columns)
+            return sorted(tuple(str(v) for v in row)
+                          for row in df[cols].itertuples(index=False, name=None))
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             n_bad += 1
-        elif norm(got, got_cols) != norm(exp, exp_cols):
-            g, e = norm(got, got_cols), norm(exp, exp_cols)
+        elif norm(got_df) != norm(exp_df):
+            g, e = norm(got_df), norm(exp_df)
             diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
             extra = f" len {len(g)} vs {len(e)}" if len(g) != len(e) else ""
             print(f"FAIL {name}: value mismatch{extra} sample={diff}")
             n_bad += 1
         else:
-            print(f"ok   {name} ({len(got)} rows)")
+            print(f"ok   {name} ({len(got_df)} rows)")
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} failed ==")
     return 1 if n_bad else 0

@@ -142,6 +142,13 @@ object Proj {
   private val Wgs84ToDhdn =
     Helmert(-598.1, -73.7, -418.2, -0.202, -0.045, 2.455, -6.7)
 
+  /** WGS84 -> S-JTSK (sign-reversed EPSG transformation 1623, the
+    * published S-JTSK -> WGS84 position-vector Helmert for the Czech
+    * Republic, ~1 m class; naive negation is cm-class inside that — the
+    * OSGB/DHDN fidelity contract). */
+  private val Wgs84ToSJtsk =
+    Helmert(-570.8, -85.7, -462.8, -4.998, -1.587, -5.261, -3.56)
+
   /** geodetic (degrees, h=0) -> ECEF on `ell`. */
   private def toEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
     val phi = math.toRadians(latDeg)
@@ -196,6 +203,14 @@ object Proj {
     * (EPSG:3035) that INSPIRE WMS services publish. */
   final case class Laea(lat0: Double, lon0: Double, fe: Double,
       fn: Double) extends Kernel
+  /** Krovak oblique conformal conic, NORTH-ORIENTATED axes (EPSG method
+    * 1041 = method 9819's formulas with E = −westing, N = −southing):
+    * the Czech/Slovak S-JTSK grid (EPSG:5514). `latC` latitude of
+    * projection centre, `lonO` longitude of origin (east of Greenwich),
+    * `azC` co-latitude of the cone axis αC, `latP` latitude of the
+    * pseudo standard parallel, `kP` scale on it — all degrees. */
+  final case class Krovak(latC: Double, lonO: Double, azC: Double,
+      latP: Double, kP: Double, fe: Double, fn: Double) extends Kernel
 
   /** A CRS: kernel + ellipsoid + optional datum shift from WGS84. Forward
     * maps WGS84 (lon, lat) degrees to projected (x, y) metres. */
@@ -256,6 +271,24 @@ object Proj {
           (b, aBig, hBig, gamma0, lam0, uc)
         case _ => (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
       }
+    /** (A, B, t0, n, r0) — EPSG GN 7-2 method 9819 (Krovak) constants,
+      * validated against the Guidance Note's worked example. */
+    private lazy val krovakC: (Double, Double, Double, Double, Double) =
+      kernel match {
+        case k: Krovak =>
+          val phiC = math.toRadians(k.latC)
+          val phiP = math.toRadians(k.latP)
+          val sinC = math.sin(phiC)
+          val cosC = math.cos(phiC)
+          val aBig = ell.a * math.sqrt(1 - ell.e2) / (1 - ell.e2 * sinC * sinC)
+          val bBig = math.sqrt(1 + ell.e2 * cosC * cosC * cosC * cosC / (1 - ell.e2))
+          val gamma0 = math.asin(sinC / bBig)
+          val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+            math.pow((1 + ell.e * sinC) / (1 - ell.e * sinC), ell.e * bBig / 2) /
+            math.pow(math.tan(math.Pi / 4 + phiC / 2), bBig)
+          (aBig, bBig, t0, math.sin(phiP), k.kP * aBig / math.tan(phiP))
+        case _ => (0.0, 0.0, 0.0, 0.0, 0.0)
+      }
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val (lo, la) = datum match {
@@ -282,6 +315,7 @@ object Proj {
         case p: PolarStereo => psFwd(p, lo, la)
         case h: Hotine => homFwd(h, lo, la)
         case l: Laea => laeaFwd(l, lo, la)
+        case k: Krovak => krovakFwd(k, lo, la)
       }
     }
 
@@ -300,6 +334,7 @@ object Proj {
         case p: PolarStereo => psInv(p, x, y)
         case h: Hotine => homInv(h, x, y)
         case l: Laea => laeaInv(l, x, y)
+        case k: Krovak => krovakInv(k, x, y)
       }
       datum match {
         case None => (lo, la)
@@ -602,6 +637,56 @@ object Proj {
         else lonDeg
       (wrapped, math.toDegrees(phi))
     }
+
+    /** Krovak forward, EPSG GN7-2 method 9819: conformal sphere (U, V),
+      * rotation to the oblique pole, conic (r, θ); Xp = southing,
+      * Yp = westing, emitted north-orientated (method 1041 axes). */
+    private def krovakFwd(p: Krovak, lon: Double, lat: Double): (Double, Double) = {
+      val (_, bBig, t0, n, r0) = krovakC
+      val phiP = math.toRadians(p.latP)
+      val alphaC = math.toRadians(p.azC)
+      val phi = math.toRadians(lat)
+      val esin = ell.e * math.sin(phi)
+      val u = 2 * (math.atan(t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), bBig) /
+        math.pow((1 + esin) / (1 - esin), ell.e * bBig / 2)) - math.Pi / 4)
+      val v = bBig * (math.toRadians(p.lonO) - math.toRadians(lon))
+      val t = math.asin(math.cos(alphaC) * math.sin(u) +
+        math.sin(alphaC) * math.cos(u) * math.cos(v))
+      val d = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+      val r = r0 * math.pow(math.tan(math.Pi / 4 + phiP / 2), n) /
+        math.pow(math.tan(t / 2 + math.Pi / 4), n)
+      val xp = r * math.cos(n * d) // southing
+      val yp = r * math.sin(n * d) // westing
+      (p.fe - yp, p.fn - xp)
+    }
+
+    private def krovakInv(p: Krovak, x: Double, y: Double): (Double, Double) = {
+      val (_, bBig, t0, n, r0) = krovakC
+      val phiP = math.toRadians(p.latP)
+      val alphaC = math.toRadians(p.azC)
+      val xp = p.fn - y // southing
+      val yp = p.fe - x // westing
+      val r = math.hypot(xp, yp)
+      val d = math.atan2(yp, xp) / math.sin(phiP)
+      val t = 2 * (math.atan(math.pow(r0 / r, 1 / n) *
+        math.tan(math.Pi / 4 + phiP / 2)) - math.Pi / 4)
+      val u = math.asin(math.cos(alphaC) * math.sin(t) -
+        math.sin(alphaC) * math.cos(t) * math.cos(d))
+      val v = math.asin(math.cos(t) * math.sin(d) / math.cos(u))
+      val lam = math.toRadians(p.lonO) - v / bBig
+      val tanU = math.pow(t0, -1 / bBig) *
+        math.pow(math.tan(u / 2 + math.Pi / 4), 1 / bBig)
+      var phi = u
+      var i = 0
+      while (i < 15) {
+        val esin = ell.e * math.sin(phi)
+        val next = 2 * (math.atan(tanU *
+          math.pow((1 + esin) / (1 - esin), ell.e / 2)) - math.Pi / 4)
+        if (math.abs(next - phi) < 1e-13) { phi = next; i = 15 }
+        else { phi = next; i += 1 }
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
   }
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
@@ -660,11 +745,44 @@ object Proj {
     // (the homC 90° closed form), centre Bern (46°57'08.66"N 7°26'22.5"E),
     // k0 = 1 on Bessel 1841, with the exact CH1903+ translation
     "2056" -> Crs(Hotine(46.952405555555556, 7.439583333333333, 90.0, 90.0,
-      1.0, 2600000.0, 1200000.0), Bessel1841, Some(Wgs84ToCh1903Plus)))
+      1.0, 2600000.0, 1200000.0), Bessel1841, Some(Wgs84ToCh1903Plus)),
+    // S-JTSK / Krovak East North — the Czech/Slovak national grid. EPSG
+    // method 1041 on Bessel 1841: centre 49°30'N, origin 24°50'E of
+    // Greenwich (42°30' E of Ferro), cone axis co-latitude
+    // 30°17'17.3031", pseudo standard parallel 78°30' at k = 0.9999,
+    // FE = FN = 0 (coordinates are negative by construction)
+    "5514" -> Crs(Krovak(49.5, 24.833333333333332, 30.288139750000003,
+      78.5, 0.9999, 0.0, 0.0), Bessel1841, Some(Wgs84ToSJtsk)))
+
+  /** Japan Plane Rectangular CS zone origins I-XIX — (lat0, lon0)
+    * degrees, from the GSI zone definitions (public). Zone N = index
+    * N-1; sexagesimal minutes folded to decimal. */
+  private val JprcsOrigins: Vector[(Double, Double)] = Vector(
+    (33.0, 129.5), // I     Nagasaki / south Kagoshima
+    (33.0, 131.0), // II    Fukuoka-Oita belt
+    (36.0, 132.0 + 10.0 / 60), // III  western Honshu
+    (33.0, 133.5), // IV    Shikoku
+    (36.0, 134.0 + 20.0 / 60), // V    Hyogo-Tottori-Okayama
+    (36.0, 136.0), // VI    Kyoto-Osaka-Nara belt
+    (36.0, 137.0 + 10.0 / 60), // VII  Ishikawa-Toyama-Gifu-Aichi
+    (36.0, 138.5), // VIII  Niigata-Nagano-Yamanashi-Shizuoka
+    (36.0, 139.0 + 50.0 / 60), // IX   greater Tokyo
+    (40.0, 140.0 + 50.0 / 60), // X    northern Honshu
+    (44.0, 140.0 + 15.0 / 60), // XI   west Hokkaido
+    (44.0, 142.0 + 15.0 / 60), // XII  central Hokkaido
+    (44.0, 144.0 + 15.0 / 60), // XIII east Hokkaido
+    (26.0, 142.0), // XIV   Ogasawara
+    (26.0, 127.5), // XV    Okinawa main island
+    (26.0, 124.0), // XVI   Sakishima
+    (26.0, 131.0), // XVII  Daito islands
+    (20.0, 136.0), // XVIII Okinotorishima
+    (26.0, 154.0)) // XIX   Minamitorishima
 
   /** Resolve an `epsg:NNNN`-style code (case-insensitive) to its CRS:
     * the static table plus the parameterized UTM families 326xx/327xx
-    * (WGS84) and 258xx (ETRS89/GRS80, zones 28-38). */
+    * (WGS84), 258xx (ETRS89/GRS80, zones 28-38), DHDN Gauss-Krüger
+    * 31466-69, and the JGD2011 Japan Plane Rectangular zones
+    * 6669-6687. */
   def crs(srs: String): Option[Crs] = {
     val code = srs.toLowerCase.stripPrefix("epsg:")
     Table.get(code).orElse {
@@ -690,6 +808,15 @@ object Proj {
           c.substring(4).toIntOption.map(_ - 4).filter(z => z >= 2 && z <= 5)
             .map(z => Crs(Tmerc(0.0, 3.0 * z, 1.0, z * 1000000.0 + 500000.0,
               0.0), Bessel1841, Some(Wgs84ToDhdn)))
+        // JGD2011 / Japan Plane Rectangular CS zones I-XIX (6669-6687):
+        // a parameterized TM family — per-zone origin from the GSI
+        // zone table, k0 = 0.9999, FE = FN = 0, GRS80 (JGD2011 ≡ WGS84
+        // at this fidelity, the NZGD2000/ETRS89 convention)
+        case c if c.length == 4 && c >= "6669" && c <= "6687" =>
+          c.toIntOption.map(_ - 6668).map { z =>
+            val (lat0, lon0) = JprcsOrigins(z - 1)
+            Crs(Tmerc(lat0, lon0, 0.9999, 0.0, 0.0), GRS80)
+          }
         case _ => None
       }
     }

@@ -184,7 +184,11 @@ class ProjSpec extends AnyFunSuite {
       "epsg:3035" -> (-10.0, 35.0, 35.0, 70.0),
       "epsg:2056" -> (6.0, 10.5, 45.8, 47.8),
       "epsg:31466" -> (5.0, 7.5, 49.0, 53.0),
-      "epsg:31469" -> (13.5, 15.0, 50.0, 54.5))
+      "epsg:31469" -> (13.5, 15.0, 50.0, 54.5),
+      "epsg:5514" -> (12.0, 22.5, 47.7, 51.1),
+      "epsg:6669" -> (128.3, 130.5, 31.0, 35.0),
+      "epsg:6677" -> (138.8, 141.0, 34.5, 37.5),
+      "epsg:6681" -> (143.0, 146.0, 42.5, 45.5))
     val rnd = new scala.util.Random(42)
     for ((code, (loMin, loMax, laMin, laMax)) <- domains) {
       val fwd = Proj.forward(code).get
@@ -260,6 +264,61 @@ class ProjSpec extends AnyFunSuite {
     assert(n4 > 5640000 && n4 < 5680000, s"N $n4")
     // only zones 2-5 exist
     assert(Proj.crs("31461").isEmpty && Proj.crs("31470").isEmpty)
+  }
+
+  test("Krovak: EPSG GN7-2 worked example (S-JTSK datum coordinates, datum-free kernel)") {
+    // EPSG Guidance Note 7-2, method 9819 example on Bessel 1841:
+    // phi = 50°12'32.4416"N, lam = 16°50'59.1790"E of Greenwich ->
+    // southing 1050538.63 m, westing 568991.00 m. North-orientated
+    // (method 1041, the 5514 axes) that is E = -568991.00, N = -1050538.63.
+    val crs = Proj.Crs(
+      Proj.Krovak(49.5, 24.833333333333332, 30.288139750000003,
+        78.5, 0.9999, 0.0, 0.0), Proj.Bessel1841)
+    val lat = 50 + 12.0 / 60 + 32.4416 / 3600
+    val lon = 16 + 50.0 / 60 + 59.1790 / 3600
+    val (e, n) = crs.forward(lon, lat)
+    assert(math.abs(e - -568991.00) < 0.05, s"E $e vs -568991.00")
+    assert(math.abs(n - -1050538.63) < 0.05, s"N $n vs -1050538.63")
+    val (lon2, lat2) = crs.inverse(e, n)
+    assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+  }
+
+  test("S-JTSK / Krovak East North (EPSG:5514): Prague quadrant and WMS bbox sanity") {
+    // Czech national grid: ALL in-country coordinates are negative
+    // (southing/westing flipped to E/N with zero false origin). Prague
+    // centre (14.42E, 50.087N) sits near westing ~743 km, southing
+    // ~1043 km.
+    val f = Proj.forward("EPSG:5514").get
+    val (e, n) = f(14.42, 50.087)
+    assert(e < 0 && n < 0, s"5514 must be negative in-country: ($e, $n)")
+    assert(-e > 720000 && -e < 770000, s"westing ${-e}")
+    assert(-n > 1020000 && -n < 1070000, s"southing ${-n}")
+    // a Czech-extent WMS bbox stays finite and correctly ordered
+    val (x0, y0, x1, y1) = Proj.transformBounds(f, 12.0, 48.5, 18.9, 51.1)
+    assert(x0 < x1 && y0 < y1 && x1 < 0 && y1 < 0,
+      s"bbox ($x0,$y0,$x1,$y1)")
+  }
+
+  test("JGD2011 Japan Plane Rectangular (6669-6687): origins anchor zero, Tokyo quadrant, zone range enforced") {
+    // zone IX origin (139°50'E, 36°N) is the natural origin: (0, 0)
+    val f9 = Proj.forward("EPSG:6677").get
+    val (x0, y0) = f9(139.0 + 50.0 / 60, 36.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6, s"origin ($x0,$y0)")
+    // Tokyo station (139.7671E, 35.6812N): west and south of the zone IX
+    // origin — small negative easting, ~-35 km northing
+    val (xt, yt) = f9(139.7671, 35.6812)
+    assert(xt > -8000 && xt < 0, s"Tokyo x $xt")
+    assert(yt > -37000 && yt < -33000, s"Tokyo y $yt")
+    // k0 = 0.9999 on the central meridian: one degree of latitude north
+    // of the zone I origin is ~110.9 km of northing (k0 * GRS80
+    // meridian arc at 33.5N), and the origin latitude itself anchors 0
+    val f1 = Proj.forward("EPSG:6669").get
+    val (_, yN) = f1(129.5, 34.0)
+    assert(yN > 110500 && yN < 111200, s"1-degree arc $yN") // ~110.9 km
+    // only zones I-XIX exist
+    assert(Proj.crs("6668").isEmpty && Proj.crs("6688").isEmpty)
+    // all 19 zones resolve
+    assert((6669 to 6687).forall(c => Proj.crs(c.toString).isDefined))
   }
 
   test("Swiss LV95 (EPSG:2056): Bern anchors the false origin; Zurich quadrant; 90-degree Hotine branch") {

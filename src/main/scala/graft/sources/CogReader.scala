@@ -101,7 +101,8 @@ object CogReader {
       striped: Boolean = false, // strips modeled as tiles; last one may be SHORT
       sampleFormat: Int = 1, // tag 339 (1 = unsigned, 2 = signed, 3 = IEEE float)
       epsg: Option[Int] = None, // GeoKey 3072 (projected) or 2048 (geographic)
-      nodata: Option[Double] = None) // tag 42113 GDAL_NODATA (ASCII)
+      nodata: Option[Double] = None, // tag 42113 GDAL_NODATA (ASCII)
+      lercAddCompression: Int = 0) // tag 50674 [1]: 0 none, 1 deflate, 2 zstd
 
   private final class TiffBuf(bytes: Array[Byte]) {
     var le: Boolean = true
@@ -184,6 +185,7 @@ object CogReader {
       var sampleFormat = 1
       var geoKeys = Array.empty[Long]
       var nodata: Option[Double] = None
+      var lercAdd = 0
       var i = 0
       while (i < n) {
         val e = entryOff(i)
@@ -234,6 +236,8 @@ object CogReader {
           case 33922 => // tiepoint: i,j,k, x,y,z
             tie = Some((vb.f64(vo + 24), vb.f64(vo + 32)))
           case 34735 => geoKeys = longs // GeoKeyDirectory (SHORT quadruples)
+          case 50674 => // LERC_PARAMETERS: [version, additional compression]
+            if (count >= 2) lercAdd = intAt(1).toInt
           case _ =>
         }
         i += 1
@@ -272,7 +276,7 @@ object CogReader {
       }
       ifds += Ifd(width, height, tw, th, spp, bps, comp, tileOffsets, tileCounts,
         scale, tie, jpegTables, predictor, planarConfig, hb.le, striped, sampleFormat,
-        epsg, nodata)
+        epsg, nodata, lercAdd)
       off = offAt(b, base + countSize + n * entrySize)
     }
     ifds.toSeq
@@ -513,19 +517,19 @@ object CogReader {
       case 8 | 32946 => inflate(raw, expected)
       case 32773 => packBitsDecode(raw, expected)
       case 34925 => lzmaDecompress(raw, expected)
+      case 34887 => lercDecompress(raw, ifd, rowsInChunk, chunkSpp, bytesPer)
       case 50000 => zstdDecompress(raw, expected)
       case c =>
         // name the known-but-unsupported registrations so the user learns
         // which GDAL creation option to change, not just a number
         val name = c match {
           case 6 => " (old-style JPEG)"
-          case 34887 => " (LERC)"
           case 50001 => " (WebP)"
           case _ => ""
         }
         throw new java.io.IOException(s"unsupported TIFF compression $c$name — " +
           "supported: none(1), LZW(5), JPEG(7), Deflate(8/32946), " +
-          "PackBits(32773), LZMA(34925), ZSTD(50000)")
+          "PackBits(32773), LERC(34887), LZMA(34925), ZSTD(50000)")
     }
     if (ifd.predictor == 2)
       undoPredictor2(data, ifd.tileWidth, rowsInChunk, chunkSpp, bytesPer, ifd.littleEndian)
@@ -558,6 +562,84 @@ object CogReader {
           s"LZMA tile decompressed to $off bytes, expected $expected")
       out
     } finally in.close()
+  }
+
+  /** GDAL's registered LERC TIFF compression (tag value 34887): each
+    * chunk is a Lerc2 blob ([[Lerc]]), optionally wrapped in an outer
+    * deflate or zstd layer per LERC_PARAMETERS tag 50674 (libtiff's
+    * lerc_deflate / lerc_zstd). Decoded values are repacked into the
+    * chunk's declared TIFF sample layout (chunky, file byte order);
+    * LERC-masked pixels come back as NaN for float samples and 0 for
+    * integer samples — GDAL_NODATA masking then applies downstream as
+    * with every other codec. */
+  private[sources] def lercDecompress(raw: Array[Byte], ifd: Ifd,
+      rowsInChunk: Int, chunkSpp: Int, bytesPer: Int): Array[Byte] = {
+    val blob = ifd.lercAddCompression match {
+      case 0 => raw
+      case 1 => // deflate outer layer, decompressed size unknown a priori
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(raw)
+        val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+        val buf = new Array[Byte](65536)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput())
+            throw new java.io.IOException("truncated LERC deflate layer")
+          out.write(buf, 0, n)
+        }
+        inf.end()
+        out.toByteArray
+      case 2 => // zstd outer layer
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try in.readAllBytes() finally in.close()
+      case c => throw new java.io.IOException(
+        s"unknown LERC additional compression $c (0 none, 1 deflate, 2 zstd)")
+    }
+    val t = Lerc.decode(blob)
+    if (t.nCols != ifd.tileWidth || t.nRows != rowsInChunk || t.nDim != chunkSpp)
+      throw new java.io.IOException(
+        s"LERC tile is ${t.nCols}x${t.nRows}x${t.nDim}, chunk expects " +
+          s"${ifd.tileWidth}x${rowsInChunk}x$chunkSpp")
+    if (Lerc.TypeSizes(t.dataType) != bytesPer)
+      throw new java.io.IOException(
+        s"LERC data type ${t.dataType} is ${Lerc.TypeSizes(t.dataType)}-byte, " +
+          s"TIFF declares $bytesPer-byte samples")
+    val isFloat = t.dataType == 6 || t.dataType == 7
+    if (isFloat != (ifd.sampleFormat == 3))
+      throw new java.io.IOException(
+        s"LERC data type ${t.dataType} vs TIFF SampleFormat ${ifd.sampleFormat}")
+    if (ifd.predictor != 1)
+      throw new java.io.IOException("LERC tiles never carry a TIFF predictor")
+    val n = t.values.length
+    val out = new Array[Byte](n * bytesPer)
+    var i = 0
+    while (i < n) {
+      val valid = t.mask(i / t.nDim)
+      bytesPer match {
+        case 1 =>
+          out(i) = if (valid) t.values(i).toInt.toByte else 0
+        case 2 =>
+          val s = if (valid) t.values(i).toInt else 0
+          val (lo, hi) = if (ifd.littleEndian) (0, 1) else (1, 0)
+          out(2 * i + lo) = (s & 0xff).toByte
+          out(2 * i + hi) = ((s >> 8) & 0xff).toByte
+        case 4 =>
+          val bits =
+            if (!valid) { if (isFloat) java.lang.Float.floatToIntBits(Float.NaN) else 0 }
+            else if (isFloat) java.lang.Float.floatToIntBits(t.values(i).toFloat)
+            else t.values(i).toLong.toInt
+          var k = 0
+          while (k < 4) {
+            val shift = if (ifd.littleEndian) 8 * k else 8 * (3 - k)
+            out(4 * i + k) = ((bits >> shift) & 0xff).toByte
+            k += 1
+          }
+        case b => throw new java.io.IOException(s"LERC: $b-byte samples unsupported")
+      }
+      i += 1
+    }
+    out
   }
 
   /** GDAL's registered ZSTD TIFF compression (tag value 50000), via the

@@ -238,6 +238,114 @@ class CogReaderSpec extends AnyFunSuite {
     assert(c.sameElements(a))
   }
 
+  // --- LERC (compression 34887) ---
+
+  /** Fixture blob + its liblerc ground-truth pixels (invalid = 0). */
+  private def lercFixture(name: String): (Array[Byte], Array[Double], Int, Int) = {
+    def res(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/lerc/$n")
+      require(in != null, s"missing fixture $n")
+      try in.readAllBytes() finally in.close()
+    }
+    val blob = res(s"$name.lerc2")
+    val e = res(s"$name.expect")
+    def le32(o: Int): Int =
+      (e(o) & 0xff) | ((e(o + 1) & 0xff) << 8) | ((e(o + 2) & 0xff) << 16) | ((e(o + 3) & 0xff) << 24)
+    val rows = le32(0); val cols = le32(4); val ndim = le32(8); val dt = le32(12)
+    require(ndim == 1, "spec helper reads single-band fixtures")
+    val total = rows * cols
+    val bb = java.nio.ByteBuffer.wrap(e, 16 + total, e.length - 16 - total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val vals = Array.fill(total)(dt match {
+      case 1 => (bb.get() & 0xff).toDouble
+      case 6 => bb.getFloat().toDouble
+      case other => throw new IllegalArgumentException(s"dt $other")
+    })
+    (blob, vals, rows, cols)
+  }
+
+  /** 32x32 gray COG over `cover` from four 16x16 fixture tiles — once as
+    * LERC blobs, once raw — and the warped reads must be identical. */
+  private def lercQuad(names: Seq[String], lercAdd: Int): (String, String) = {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 32
+    val parts = names.map(lercFixture(_))
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val (ti, tx, ty) = ((y / 16) * 2 + (x / 16), x % 16, y % 16)
+      val v = parts(ti)._2(ty * 16 + tx).toInt
+      (v, v, v)
+    }
+    val pLerc = tmp(s"lerc$lercAdd.tif")
+    val pRaw = tmp(s"lerc${lercAdd}_raw.tif")
+    TiffWriter.write(pLerc, Seq(TiffWriter.Level(32, 32, pixel)), tileSize = 16,
+      originX = b.west, originY = b.north, resX = res, resY = res,
+      samplesPerPixel = 1, lercTiles = Some(parts.map(_._1)), lercAdd = lercAdd)
+    TiffWriter.write(pRaw, Seq(TiffWriter.Level(32, 32, pixel)), tileSize = 16,
+      originX = b.west, originY = b.north, resX = res, resY = res,
+      samplesPerPixel = 1)
+    (pLerc, pRaw)
+  }
+
+  test("LERC tiles (34887) decode identically to raw across huffman/tiling/sweep/const paths") {
+    val names = Seq("v6_u8_grad", "v6_u8_rows_lut", "v6_u8_noise_sweep", "v6_u8_const")
+    val (pLerc, pRaw) = lercQuad(names, lercAdd = 0)
+    val (_, _, bands, a) = CogReader.tile(pLerc, TileKey(10, 300, 400))
+    val (_, _, _, b) = CogReader.tile(pRaw, TileKey(10, 300, 400))
+    assert(bands == 1)
+    assert(a.sameElements(b))
+  }
+
+  test("LERC outer deflate and zstd layers (LERC_PARAMETERS) unwrap identically") {
+    val names = Seq("v6_u8_grad", "v6_u8_grad_masked", "v5_u8_rows_lut", "v5_u8_const")
+    val (pD, pRawD) = lercQuad(names, lercAdd = 1)
+    val (pZ, _) = lercQuad(names, lercAdd = 2)
+    val key = TileKey(10, 300, 400)
+    val (_, _, _, a) = CogReader.tile(pD, key)
+    val (_, _, _, b) = CogReader.tile(pZ, key)
+    val (_, _, _, c) = CogReader.tile(pRawD, key)
+    assert(a.sameElements(c) && b.sameElements(c))
+  }
+
+  test("LERC float32 tiles read through tileFloat with exact liblerc reconstruction") {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 16
+    val (blob, vals, _, _) = lercFixture("v6_f32_lossy")
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val bits = java.lang.Float.floatToIntBits(vals(y * 16 + x).toFloat)
+      (bits, bits, bits)
+    }
+    val pLerc = tmp("lercf.tif")
+    val pRaw = tmp("lercf_raw.tif")
+    TiffWriter.write(pLerc, Seq(TiffWriter.Level(16, 16, pixel)), tileSize = 16,
+      originX = b.west, originY = b.north, resX = res, resY = res,
+      samplesPerPixel = 1, bps = 32, sampleFormat = 3, lercTiles = Some(Seq(blob)))
+    TiffWriter.write(pRaw, Seq(TiffWriter.Level(16, 16, pixel)), tileSize = 16,
+      originX = b.west, originY = b.north, resX = res, resY = res,
+      samplesPerPixel = 1, bps = 32, sampleFormat = 3)
+    val (_, _, _, a) = CogReader.tileFloat(pLerc, cover)
+    val (_, _, _, c) = CogReader.tileFloat(pRaw, cover)
+    assert(a.sameElements(c))
+  }
+
+  test("LERC v6 lossless-float FPL tiles are refused by name inside a TIFF") {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 16
+    def resBytes(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/lerc/$n")
+      try in.readAllBytes() finally in.close()
+    }
+    val p = tmp("lerc_fpl.tif")
+    TiffWriter.write(p, Seq(TiffWriter.Level(16, 16, (_, _) => (0, 0, 0))), tileSize = 16,
+      originX = b.west, originY = b.north, resX = res, resY = res,
+      samplesPerPixel = 1, bps = 32, sampleFormat = 3,
+      lercTiles = Some(Seq(resBytes("v6_f32_fpl_refused.lerc2"))))
+    val e = intercept[java.io.IOException](CogReader.tileFloat(p, cover))
+    assert(e.getMessage.contains("FPL"))
+  }
+
   test("a truncated LZMA tile throws instead of returning partial pixels") {
     val raw = Array.tabulate[Byte](256)(i => (i % 97).toByte)
     val bo = new java.io.ByteArrayOutputStream()

@@ -20,9 +20,14 @@ object TiffWriter {
       lzw: Boolean = false, packbits: Boolean = false,
       samplesPerPixel: Int = 3, bigendian: Boolean = false,
       sampleFormat: Int = 1, zstd: Boolean = false, lzma: Boolean = false,
-      epsg: Option[Int] = None, nodata: Option[Double] = None): Unit = {
+      epsg: Option[Int] = None, nodata: Option[Double] = None,
+      lercTiles: Option[Seq[Array[Byte]]] = None, lercAdd: Int = 0): Unit = {
     require(Seq(deflate, jpeg, lzw, packbits, zstd, lzma).count(identity) <= 1,
       "pick one compression")
+    require(lercTiles.isEmpty ||
+      (!deflate && !jpeg && !lzw && !packbits && !zstd && !lzma &&
+        levels.size == 1 && !striped && !planar && predictor == 1),
+      "LERC fixtures: pre-encoded blobs, single level, chunky, no predictor")
     require(samplesPerPixel == 1 || samplesPerPixel == 3, "1 (gray) or 3 (RGB) samples")
     require(!jpeg || samplesPerPixel == 3, "jpeg fixtures are RGB")
     val spp0 = samplesPerPixel
@@ -169,7 +174,27 @@ object TiffWriter {
           }
         } else raw
       }
-      PreparedLevel(sampleChunks.map { case (s, spp) => store(s, spp) }, across, lv)
+      lercTiles match {
+        case Some(blobs) =>
+          // pre-encoded Lerc2 blobs, one per tile, optionally wrapped in
+          // the libtiff lerc_deflate / lerc_zstd outer layer
+          require(blobs.length == chunky.length,
+            s"need ${chunky.length} LERC blobs, got ${blobs.length}")
+          val wrapped = blobs.map { blob =>
+            if (lercAdd == 1) {
+              val d = new java.util.zip.Deflater()
+              d.setInput(blob); d.finish()
+              val buf = new Array[Byte](blob.length + 64)
+              val n = d.deflate(buf)
+              d.end()
+              java.util.Arrays.copyOf(buf, n)
+            } else if (lercAdd == 2) com.github.luben.zstd.Zstd.compress(blob)
+            else blob
+          }
+          PreparedLevel(wrapped, across, lv)
+        case None =>
+          PreparedLevel(sampleChunks.map { case (s, spp) => store(s, spp) }, across, lv)
+      }
     }
 
     // write tile data first, remember offsets
@@ -221,12 +246,18 @@ object TiffWriter {
       val ndOff = bos.size().toLong
       ndBytes.foreach(bos.write)
 
+      // LERC_PARAMETERS (50674): [lerc version, additional compression]
+      pad()
+      val lercOff = bos.size().toLong
+      if (lercTiles.isDefined) { w32(4L); w32(lercAdd.toLong) }
+
       pad()
       val ifdOff = bos.size().toLong
       ifdOffsets ::= ifdOff
       val nTiles = p.tiles.length
       val comp =
-        if (deflate) 8L else if (jpeg) 7L else if (lzw) 5L
+        if (lercTiles.isDefined) 34887L
+        else if (deflate) 8L else if (jpeg) 7L else if (lzw) 5L
         else if (zstd) 50000L else if (lzma) 34925L
         else if (packbits) 32773L else 1L
       val photometric = if (jpeg) 6L else if (spp0 == 1) 1L else 2L
@@ -252,7 +283,8 @@ object TiffWriter {
         jpegTables.map(t => Tag(347, 7, t.length, jtOff)).toSeq ++ Seq(
         Tag(33550, 12, 3, scaleOff), Tag(33922, 12, 6, tieOff)) ++
         (if (geoShorts.nonEmpty) Seq(Tag(34735, 3, geoShorts.length, gkOff)) else Nil) ++
-        ndBytes.map(b => Tag(42113, 2, b.length, ndOff)).toSeq
+        ndBytes.map(b => Tag(42113, 2, b.length, ndOff)).toSeq ++
+        (if (lercTiles.isDefined) Seq(Tag(50674, 4, 2, lercOff)) else Nil)
       if (bigtiff) w64(tags.length.toLong) else w16(tags.length)
       val inlineMax = if (bigtiff) 8 else 4
       tags.foreach { t =>

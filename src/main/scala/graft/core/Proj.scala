@@ -66,6 +66,8 @@ object Proj {
   val Everest1967: Ellipsoid = Ellipsoid(6377298.556, 300.8017)
   /** Bessel 1841, EPSG ellipsoid 7004 — the Swiss grids. */
   val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
+  /** Krassowsky 1940, EPSG ellipsoid 7024 — the Pulkovo 1942 grids. */
+  val Krassowsky1940: Ellipsoid = Ellipsoid(6378245.0, 298.3)
 
   // ------------------------------------------------------------- datum shifts
 
@@ -148,6 +150,14 @@ object Proj {
     * OSGB/DHDN fidelity contract). */
   private val Wgs84ToSJtsk =
     Helmert(-570.8, -85.7, -462.8, -4.998, -1.587, -5.261, -3.56)
+
+  /** WGS84 -> Pulkovo 1942 (reverse of EPSG transformation 1254, the
+    * published Pulkovo 1942 -> WGS84 geocentric translation
+    * tx/ty/tz = 28/−130/−95 m; ~10 m class, rotation-free — chosen over
+    * the 7-parameter GOST sets because their rotation sign convention
+    * can't be cross-checked offline, and a silent sign flip would cost
+    * ~25 m; the translation-only form is convention-proof). */
+  private val Wgs84ToPulkovo1942 = Helmert(-28.0, 130.0, 95.0, 0, 0, 0, 0)
 
   /** geodetic (degrees, h=0) -> ECEF on `ell`. */
   private def toEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
@@ -808,6 +818,15 @@ object Proj {
           c.substring(4).toIntOption.map(_ - 4).filter(z => z >= 2 && z <= 5)
             .map(z => Crs(Tmerc(0.0, 3.0 * z, 1.0, z * 1000000.0 + 500000.0,
               0.0), Bessel1841, Some(Wgs84ToDhdn)))
+        // Pulkovo 1942 / Gauss-Krüger zones 2-32 (28402-28432): the
+        // classic Soviet/CIS 6-degree zone grid on Krassowsky 1940 —
+        // k0 = 1, lon0 = 6°·zone − 3 (zone 1 starts at Greenwich, NOT
+        // the UTM −183 convention), FE = zone·10⁶ + 500 000
+        case c if c.length == 5 && c.startsWith("284") =>
+          c.substring(3).toIntOption.filter(z => z >= 2 && z <= 32)
+            .map(z => Crs(Tmerc(0.0, 6.0 * z - 3.0, 1.0,
+              z * 1000000.0 + 500000.0, 0.0), Krassowsky1940,
+              Some(Wgs84ToPulkovo1942)))
         // JGD2011 / Japan Plane Rectangular CS zones I-XIX (6669-6687):
         // a parameterized TM family — per-zone origin from the GSI
         // zone table, k0 = 0.9999, FE = FN = 0, GRS80 (JGD2011 ≡ WGS84

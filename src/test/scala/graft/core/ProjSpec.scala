@@ -186,6 +186,8 @@ class ProjSpec extends AnyFunSuite {
       "epsg:31466" -> (5.0, 7.5, 49.0, 53.0),
       "epsg:31469" -> (13.5, 15.0, 50.0, 54.5),
       "epsg:5514" -> (12.0, 22.5, 47.7, 51.1),
+      "epsg:28407" -> (36.0, 42.0, 42.0, 70.0),
+      "epsg:28419" -> (108.0, 114.0, 50.0, 75.0),
       "epsg:6669" -> (128.3, 130.5, 31.0, 35.0),
       "epsg:6677" -> (138.8, 141.0, 34.5, 37.5),
       "epsg:6681" -> (143.0, 146.0, 42.5, 45.5))
@@ -319,6 +321,28 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.crs("6668").isEmpty && Proj.crs("6688").isEmpty)
     // all 19 zones resolve
     assert((6669 to 6687).forall(c => Proj.crs(c.toString).isDefined))
+  }
+
+  test("Pulkovo 1942 Gauss-Krüger (284xx): zone arithmetic, Moscow quadrant, zone range enforced") {
+    // Moscow (37.6176E, 55.7558N) sits in zone 7 (lon0 = 39, FE =
+    // 7 500 000): ~87 km west of the CM, northing ~ the Krassowsky
+    // meridian arc at 55.75N (~6 181 km)
+    val (e, n) = Proj.forward("EPSG:28407").get(37.6176, 55.7558)
+    assert(e > 7350000 && e < 7480000, s"E $e")
+    assert(n > 6150000 && n < 6210000, s"N $n")
+    // zone 19 (lon0 = 111): Chita (113.5E, 52.03N), 2.5 degrees east of
+    // the CM -> ~171 km east of the 19 500 000 false easting
+    val (e19, n19) = Proj.forward("epsg:28419").get(113.5, 52.03)
+    assert(e19 > 19640000 && e19 < 19710000, s"E $e19")
+    assert(n19 > 5740000 && n19 < 5800000, s"N $n19")
+    // the Pulkovo datum shift moves points ~100 m class vs raw WGS84 TM
+    val raw = Proj.Crs(Proj.Tmerc(0.0, 39.0, 1.0, 7500000.0, 0.0), Proj.Krassowsky1940)
+      .forward(37.6176, 55.7558)
+    assert(math.hypot(raw._1 - e, raw._2 - n) > 20 &&
+      math.hypot(raw._1 - e, raw._2 - n) < 300)
+    // only zones 2-32 exist
+    assert(Proj.crs("28401").isEmpty && Proj.crs("28433").isEmpty)
+    assert((28402 to 28432).forall(c => Proj.crs(c.toString).isDefined))
   }
 
   test("Swiss LV95 (EPSG:2056): Bern anchors the false origin; Zurich quadrant; 90-degree Hotine branch") {

@@ -699,6 +699,14 @@ object Similarity {
     * KMeans passes + O(trainRows) Lloyd, both bounded-output; search is
     * the same zero-shuffle probed-cell ADC scan. Returns (id, adist)
     * ordered (adist, id). */
+  /** Trained structures of the LAST [[ivfPqTopKTrainedResidual]] call:
+    * (cids, coarse cells, residual codebook rows). Oracle-dump plumbing
+    * ONLY — graft.Verify runs every query before dumping oracle SQL, so
+    * the qv15 oracle can inline the exact structures that query trained
+    * (KMeans itself isn't SQL-expressible; the search stage is). */
+  @volatile private[graft] var lastTrainedResidual
+      : Option[(Array[Long], Array[Array[Long]], Array[Array[Long]])] = None
+
   def ivfPqTopKTrainedResidual(df: DataFrame, embCol: String, idCol: String,
       queryId: Long, k: Int, m: Int = 8, nCells: Int = 8, nprobe: Int = 3,
       nCodes: Int = 16, trainRows: Int = 512, iters: Int = 8,
@@ -720,6 +728,7 @@ object Similarity {
         v.zip(cb0(c.toInt)).map { case (a, b) => a - b }
       }
     val cbRows = trainSubCodebooks(sample, m, nCodes, iters, seed)
+    lastTrainedResidual = Some((cids, cb0, cbRows))
     residualAdcSearch(emb, idCol, queryId, k, m, nprobe, cids, cb0, cbRows)
   }
 

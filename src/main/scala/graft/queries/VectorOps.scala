@@ -139,7 +139,66 @@ object VectorOps {
     }
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** qv15's oracle is GENERATED, not static: KMeans training isn't
+    * SQL-expressible, but the SEARCH stage is, so the oracle inlines the
+    * exact cells + residual codebook the qv15 query trained this session
+    * ([[graft.operators.Similarity.lastTrainedResidual]]) as literal
+    * tables and replays assignment, probe choice, PQ encoding, and ADC
+    * in DuckDB — the qv14 formulation with literals in place of the
+    * SQL-derived structures. Absent until the query has run in this JVM;
+    * graft.Verify runs every query before dumping oracle SQL, so the
+    * driver's dump always carries it. */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ graft.operators.Similarity.lastTrainedResidual.map {
+      case (cids, cb0, cbRows) =>
+        "qv15_ivfpq_trained_res" -> trainedResidualSql(cids, cb0, cbRows)
+    }
+
+  private def trainedResidualSql(cids: Array[Long], cb0: Array[Array[Long]],
+      cbRows: Array[Array[Long]]): String = {
+    def row(id: Long, v: Array[Long]) = s"($id, ${v.mkString("[", ",", "]")})"
+    val cents = cids.zip(cb0).map { case (c, v) => row(c, v) }.mkString(", ")
+    val cb = cbRows.zipWithIndex.map { case (v, c) => row(c.toLong, v) }.mkString(", ")
+    s"""WITH emb AS (SELECT vec_id,
+       |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+       | FROM embeddings),
+       |nemb AS (SELECT vec_id, q,
+       |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
+       |cents0(cid, cq0) AS (VALUES $cents),
+       |cents AS (SELECT cid, list_transform(cq0, e -> CAST(e AS BIGINT)) AS cq,
+       |  list_sum(list_transform(cq0, e -> CAST(e AS BIGINT) * e)) AS cc FROM cents0),
+       |cb0(c, cr0) AS (VALUES $cb),
+       |cb AS (SELECT c, list_transform(cr0, e -> CAST(e AS BIGINT)) AS cr FROM cb0),
+       |assigned AS (SELECT vec_id AS id, q, cid, cq FROM (
+       |  SELECT e.vec_id, e.q, ct.cid, ct.cq,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      e.qq + ct.cc - 2 * list_sum(list_transform(range(1, 65), i -> e.q[i] * ct.cq[i])),
+       |      ct.cid) AS rn
+       |  FROM nemb e, cents ct) WHERE rn = 1),
+       |resid AS (SELECT id, cid,
+       |  list_transform(range(1, 65), i -> q[i] - cq[i]) AS r FROM assigned),
+       |query AS (SELECT q AS xq, qq AS xqq FROM nemb WHERE vec_id = 0),
+       |probed AS (SELECT cid, cq FROM cents, query
+       |  ORDER BY xqq + cc - 2 * list_sum(list_transform(range(1, 65), i -> cq[i] * xq[i])), cid
+       |  LIMIT 3),
+       |codes AS (SELECT id, cid, j, c AS code FROM (
+       |  SELECT t.id, t.cid, s.j, cb.c,
+       |    ROW_NUMBER() OVER (PARTITION BY t.id, s.j ORDER BY
+       |      list_sum(list_transform(range(1, 9), u ->
+       |        (t.r[s.j*8 + u] - cb.cr[s.j*8 + u]) * (t.r[s.j*8 + u] - cb.cr[s.j*8 + u]))), cb.c) AS rn
+       |  FROM resid t JOIN probed USING (cid), (SELECT unnest(range(0, 8)) AS j) s, cb) WHERE rn = 1),
+       |lut AS (SELECT p.cid, s.j, cb.c,
+       |    CAST(list_sum(list_transform(range(1, 9), u ->
+       |      (query.xq[s.j*8 + u] - p.cq[s.j*8 + u] - cb.cr[s.j*8 + u])
+       |      * (query.xq[s.j*8 + u] - p.cq[s.j*8 + u] - cb.cr[s.j*8 + u]))) AS BIGINT) AS d2
+       |  FROM (SELECT unnest(range(0, 8)) AS j) s, cb, probed p, query)
+       |SELECT cd.id AS vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+       |FROM codes cd JOIN lut l ON l.cid = cd.cid AND l.j = cd.j AND l.c = cd.code
+       |WHERE cd.id <> 0
+       |GROUP BY cd.id ORDER BY adist, vec_id LIMIT 10""".stripMargin
+  }
+
+  private val staticOracleSql: Map[String, String] = Map(
     "qv16_sq_ann" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -519,17 +519,18 @@ object CogReader {
       case 34925 => lzmaDecompress(raw, expected)
       case 34887 => lercDecompress(raw, ifd, rowsInChunk, chunkSpp, bytesPer)
       case 50000 => zstdDecompress(raw, expected)
+      case 50001 => webpDecompress(raw, ifd, rowsInChunk, chunkSpp, bytesPer)
       case c =>
         // name the known-but-unsupported registrations so the user learns
         // which GDAL creation option to change, not just a number
         val name = c match {
           case 6 => " (old-style JPEG)"
-          case 50001 => " (WebP)"
           case _ => ""
         }
         throw new java.io.IOException(s"unsupported TIFF compression $c$name — " +
           "supported: none(1), LZW(5), JPEG(7), Deflate(8/32946), " +
-          "PackBits(32773), LERC(34887), LZMA(34925), ZSTD(50000)")
+          "PackBits(32773), LERC(34887), LZMA(34925), ZSTD(50000), " +
+          "WebP-lossless(50001)")
     }
     if (ifd.predictor == 2)
       undoPredictor2(data, ifd.tileWidth, rowsInChunk, chunkSpp, bytesPer, ifd.littleEndian)
@@ -637,6 +638,42 @@ object CogReader {
           }
         case b => throw new java.io.IOException(s"LERC: $b-byte samples unsupported")
       }
+      i += 1
+    }
+    out
+  }
+
+  /** GDAL's registered WebP TIFF compression (tag value 50001): libtiff's
+    * tif_webp wraps each tile/strip in a standalone .webp file. Lossless
+    * (VP8L) streams decode natively ([[Webp]]); lossy (VP8) is refused by
+    * name inside the decoder. WebP is 8-bit RGB(A) by construction, so
+    * the chunk must declare 1-byte samples and 3 or 4 samples per pixel;
+    * a VP8L alpha channel is dropped when the TIFF says 3 and kept when
+    * it says 4 (libtiff's own behavior). */
+  private[sources] def webpDecompress(raw: Array[Byte], ifd: Ifd,
+      rowsInChunk: Int, chunkSpp: Int, bytesPer: Int): Array[Byte] = {
+    if (bytesPer != 1)
+      throw new java.io.IOException(
+        s"WebP tiles are 8-bit only, TIFF declares $bytesPer-byte samples")
+    if (chunkSpp != 3 && chunkSpp != 4)
+      throw new java.io.IOException(
+        s"WebP tiles carry RGB(A) (3 or 4 samples), chunk expects $chunkSpp")
+    if (ifd.predictor != 1)
+      throw new java.io.IOException("WebP tiles never carry a TIFF predictor")
+    val img = Webp.decode(raw)
+    if (img.width != ifd.tileWidth || img.height != rowsInChunk)
+      throw new java.io.IOException(
+        s"WebP tile is ${img.width}x${img.height}, chunk expects " +
+          s"${ifd.tileWidth}x$rowsInChunk")
+    val n = img.pixels.length
+    val out = new Array[Byte](n * chunkSpp)
+    var i = 0
+    while (i < n) {
+      val p = img.pixels(i)
+      out(i * chunkSpp) = ((p >> 16) & 0xff).toByte
+      out(i * chunkSpp + 1) = ((p >> 8) & 0xff).toByte
+      out(i * chunkSpp + 2) = (p & 0xff).toByte
+      if (chunkSpp == 4) out(i * chunkSpp + 3) = ((p >>> 24) & 0xff).toByte
       i += 1
     }
     out

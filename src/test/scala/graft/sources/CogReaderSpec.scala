@@ -667,30 +667,63 @@ class CogReaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SampleFormat"))
   }
 
-  test("WebP-compressed tiles are refused loudly, naming the codec") {
-    val cover = TileKey(10, 300, 400)
-    val p = tmp("webp.tif")
-    val b = Tiles.tileBounds3857(cover)
-    val res = (b.east - b.west) / 256
-    TiffWriter.write(p, Seq(TiffWriter.Level(256, 256, (x, y) => (x % 256, 0, 0))),
-      tileSize = 128, originX = b.west, originY = b.north, resX = res, resY = res)
-    // patch the Compression IFD entry (tag 259 = 0x0103, SHORT, count 1)
-    // to GDAL's WebP registration 50001 = 0xC351
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-    var i = 0
-    var patched = false
-    while (i < bytes.length - 12 && !patched) {
-      if ((bytes(i) & 0xff) == 0x03 && (bytes(i + 1) & 0xff) == 0x01 &&
-        (bytes(i + 2) & 0xff) == 3 && (bytes(i + 3) & 0xff) == 0 &&
-        (bytes(i + 4) & 0xff) == 1 && (bytes(i + 5) & 0xff) == 0) {
-        bytes(i + 8) = 0x51.toByte; bytes(i + 9) = 0xC3.toByte; patched = true
-      }
-      i += 1
+  // --- WebP (compression 50001) ---
+
+  /** Fixture blob + its libwebp ground-truth RGB bytes. */
+  private def webpFixture(name: String): (Array[Byte], Array[Byte]) = {
+    def res(n: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/webp/$n")
+      require(in != null, s"missing fixture $n")
+      try in.readAllBytes() finally in.close()
     }
-    assert(patched, "could not locate compression tag to patch")
-    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val blob = res(s"$name.webp")
+    val e = res(s"$name.expect")
+    def le32(o: Int): Int =
+      (e(o) & 0xff) | ((e(o + 1) & 0xff) << 8) | ((e(o + 2) & 0xff) << 16) | ((e(o + 3) & 0xff) << 24)
+    require(le32(0) == 64 && le32(4) == 64 && le32(8) == 3,
+      "quad helper wants 64x64 RGB fixtures")
+    (blob, e.drop(12))
+  }
+
+  test("WebP lossless tiles (50001) decode identically to raw") {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 128
+    val names = Seq("gradient_64x64_rgb", "gray_64x64_rgb",
+      "gray_64x64_rgb", "gradient_64x64_rgb")
+    val parts = names.map(webpFixture)
+    def pixel(x: Int, y: Int): (Int, Int, Int) = {
+      val px = parts((y / 64) * 2 + (x / 64))._2
+      val o = ((y % 64) * 64 + (x % 64)) * 3
+      (px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff)
+    }
+    val pW = tmp("webp_rgb.tif")
+    val pRaw = tmp("webp_raw.tif")
+    TiffWriter.write(pW, Seq(TiffWriter.Level(128, 128, pixel)), tileSize = 64,
+      originX = b.west, originY = b.north, resX = res, resY = res,
+      webpTiles = Some(parts.map(_._1)))
+    TiffWriter.write(pRaw, Seq(TiffWriter.Level(128, 128, pixel)), tileSize = 64,
+      originX = b.west, originY = b.north, resX = res, resY = res)
+    val (_, _, bands, a) = CogReader.tile(pW, cover)
+    val (_, _, _, c) = CogReader.tile(pRaw, cover)
+    assert(bands == 3)
+    assert(a.sameElements(c))
+  }
+
+  test("lossy WebP (VP8) tiles are refused by name") {
+    val cover = TileKey(10, 300, 400)
+    val b = Tiles.tileBounds3857(cover)
+    val res = (b.east - b.west) / 64
+    // minimal RIFF container with a lossy VP8 chunk tag as the tile blob
+    val lossy = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lossy.put("RIFF".getBytes); lossy.putInt(22); lossy.put("WEBP".getBytes)
+    lossy.put("VP8 ".getBytes); lossy.putInt(10); lossy.put(new Array[Byte](10))
+    val p = tmp("webp_lossy.tif")
+    TiffWriter.write(p, Seq(TiffWriter.Level(64, 64, (_, _) => (0, 0, 0))),
+      tileSize = 64, originX = b.west, originY = b.north, resX = res, resY = res,
+      webpTiles = Some(Seq(lossy.array())))
     val e = intercept[java.io.IOException](CogReader.tile(p, cover))
-    assert(e.getMessage.contains("WebP") && e.getMessage.contains("50001"))
+    assert(e.getMessage.contains("lossy") && e.getMessage.contains("VP8L"))
   }
 
   // ---- non-3857 CRS warp reads ----

@@ -21,13 +21,18 @@ object TiffWriter {
       samplesPerPixel: Int = 3, bigendian: Boolean = false,
       sampleFormat: Int = 1, zstd: Boolean = false, lzma: Boolean = false,
       epsg: Option[Int] = None, nodata: Option[Double] = None,
-      lercTiles: Option[Seq[Array[Byte]]] = None, lercAdd: Int = 0): Unit = {
+      lercTiles: Option[Seq[Array[Byte]]] = None, lercAdd: Int = 0,
+      webpTiles: Option[Seq[Array[Byte]]] = None): Unit = {
     require(Seq(deflate, jpeg, lzw, packbits, zstd, lzma).count(identity) <= 1,
       "pick one compression")
     require(lercTiles.isEmpty ||
       (!deflate && !jpeg && !lzw && !packbits && !zstd && !lzma &&
         levels.size == 1 && !striped && !planar && predictor == 1),
       "LERC fixtures: pre-encoded blobs, single level, chunky, no predictor")
+    require(webpTiles.isEmpty ||
+      (!deflate && !jpeg && !lzw && !packbits && !zstd && !lzma && lercTiles.isEmpty &&
+        levels.size == 1 && !striped && !planar && predictor == 1 && bps == 8),
+      "WebP fixtures: pre-encoded blobs, single level, 8-bit chunky, no predictor")
     require(samplesPerPixel == 1 || samplesPerPixel == 3, "1 (gray) or 3 (RGB) samples")
     require(!jpeg || samplesPerPixel == 3, "jpeg fixtures are RGB")
     val spp0 = samplesPerPixel
@@ -192,8 +197,14 @@ object TiffWriter {
             else blob
           }
           PreparedLevel(wrapped, across, lv)
-        case None =>
-          PreparedLevel(sampleChunks.map { case (s, spp) => store(s, spp) }, across, lv)
+        case None => webpTiles match {
+          case Some(blobs) => // pre-encoded .webp files, one per tile
+            require(blobs.length == chunky.length,
+              s"need ${chunky.length} WebP blobs, got ${blobs.length}")
+            PreparedLevel(blobs, across, lv)
+          case None =>
+            PreparedLevel(sampleChunks.map { case (s, spp) => store(s, spp) }, across, lv)
+        }
       }
     }
 
@@ -257,6 +268,7 @@ object TiffWriter {
       val nTiles = p.tiles.length
       val comp =
         if (lercTiles.isDefined) 34887L
+        else if (webpTiles.isDefined) 50001L
         else if (deflate) 8L else if (jpeg) 7L else if (lzw) 5L
         else if (zstd) 50000L else if (lzma) 34925L
         else if (packbits) 32773L else 1L

@@ -86,8 +86,10 @@ object Bench {
     // otherwise one past the latest BENCH_rNN.json in the repo root —
     // located from this class's own code location, NOT the process cwd
     // (run from elsewhere, a cwd listing silently misfiled the artifact
-    // as BENCHFULL_r01.json there — r6 ADVICE)
-    try {
+    // as BENCHFULL_r01.json there — r6 ADVICE). SPARK_GRAFT_ONLY scratch
+    // runs skip this write: a filtered map must never masquerade as the
+    // round's full artifact (an r7 scratch profile once did).
+    if (only.isEmpty) try {
       val repoRoot = {
         val src = new java.io.File(getClass.getProtectionDomain
           .getCodeSource.getLocation.toURI) // .../target/scala-2.13/classes

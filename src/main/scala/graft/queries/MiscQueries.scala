@@ -257,6 +257,21 @@ object MiscQueries {
         .groupBy(shiftright(col("z"), 8).as("zbucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("zbucket")
+    },
+    // Fixed-iteration PageRank over the sparse co-purchase graph, in
+    // scaled integer arithmetic — bit-exact under an oracle that
+    // unrolls the same five power-iteration rounds.
+    "qg04_pagerank" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.pageRank(edges, "pa", "pb", iters = 5)
+        .withColumnRenamed("rank", "pagerank")
+        .orderBy("n")
     }
   )
 
@@ -457,6 +472,36 @@ object MiscQueries {
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
         |  FROM lineitem GROUP BY 1)
         |SELECT ex.grp AS l_returnflag, ex.exact_distinct, sk.est_distinct
-        |FROM ex JOIN sk ON sk.grp = ex.grp ORDER BY l_returnflag""".stripMargin
+        |FROM ex JOIN sk ON sk.grp = ex.grp ORDER BY l_returnflag""".stripMargin,
+    "qg04_pagerank" -> pageRankOracle(iters = 5, scale = 1000000000000L)
   )
+
+  /** The qg04 oracle: the identical scaled-integer power iteration
+    * unrolled as one CTE per round. SUMs are cast back to BIGINT (DuckDB
+    * types SUM(BIGINT) as HUGEINT — the qd36 lesson) and every division
+    * is `//`, matching Spark's `div` on the all-non-negative operands. */
+  private def pageRankOracle(iters: Int, scale: Long): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT nd.n,
+         |    (($scale * 15) // 100) // nn.cnt
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (SELECT dir.dst AS n, CAST(SUM(p.r // od.d) AS BIGINT) AS s
+         |    FROM r${k - 1} p JOIN dir ON dir.src = p.n
+         |    JOIN outdeg od ON od.src = p.n
+         |    GROUP BY dir.dst) c ON c.n = nd.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE l_orderkey % 50 = 0),
+       |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+       |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+       |dir AS (SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL SELECT v, u FROM edges),
+       |outdeg AS (SELECT src, COUNT(*) AS d FROM dir GROUP BY src),
+       |nodes AS (SELECT src AS n FROM outdeg),
+       |nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+       |r0 AS (SELECT n, $scale // nn.cnt AS r FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT n, r AS pagerank FROM r$iters ORDER BY n""".stripMargin
+  }
 }

@@ -46,4 +46,46 @@ class GraphsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") == 7)
     assert(r.getAs[Long]("n_triangles") == 0)
   }
+
+  test("pageRank: symmetric graphs rank uniformly, exact scaled longs") {
+    val s = spark
+    import s.implicits._
+    // K4 is vertex-transitive: every vertex must get the identical rank.
+    // With scale = 1200 the uniform start r0 = 300 is divisible by the
+    // degree (3), by 20 (85r/100 exact) and seeds an exact base term, so
+    // the integer recurrence preserves the uniform fixed point verbatim.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val r = Graphs.pageRank(k4, "a", "b", iters = 5, scale = 1200L)
+      .collect().map(x => x.getAs[Long]("n") -> x.getAs[Long]("rank")).toMap
+    assert(r.size == 4)
+    assert(r.values.toSet == Set(300L))
+  }
+
+  test("pageRank: star center outranks leaves; mass stays ~scale") {
+    val s = spark
+    import s.implicits._
+    val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val r = Graphs.pageRank(star, "a", "b", iters = 10)
+      .collect().map(x => x.getAs[Long]("n") -> x.getAs[Long]("rank")).toMap
+    assert(r(1L) > r(2L) * 2, s"center ${r(1L)} vs leaf ${r(2L)}")
+    // leaves are symmetric
+    assert((2L to 6L).map(r).toSet.size == 1)
+    // total mass within integer-truncation slack of scale
+    val total = r.values.sum
+    assert(total > 999900000000L && total <= 1000000000000L, s"mass $total")
+  }
+
+  test("pageRank: dirty input (dups, reversals, self-loops) collapses first") {
+    val s = spark
+    import s.implicits._
+    val clean = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (3L, 3L))
+      .toDF("a", "b")
+    val a = Graphs.pageRank(clean, "a", "b").collect()
+      .map(x => x.getAs[Long]("n") -> x.getAs[Long]("rank")).toMap
+    val b = Graphs.pageRank(noisy, "a", "b").collect()
+      .map(x => x.getAs[Long]("n") -> x.getAs[Long]("rank")).toMap
+    assert(a == b)
+  }
 }

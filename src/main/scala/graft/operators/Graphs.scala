@@ -146,4 +146,83 @@ object Graphs {
     }
     ranks.select(col("n"), col("r").as("rank"))
   }
+
+  /** Fixed-iteration synchronous label propagation (community detection):
+    * labels start as the vertex id; each round every vertex adopts the
+    * most frequent label among its neighbours, ties to the SMALLEST label
+    * — fully deterministic (the async/random-order variants of classic
+    * LPA are not), so the result is engine-reproducible and an unrolled
+    * SQL oracle replays it exactly. Fixed `iters` sidesteps the
+    * bipartite-oscillation non-termination of synchronous LPA. Returns
+    * (n, label) for every vertex.
+    *
+    * SCALE CONTRACT: each round is one hash join of the O(V) label table
+    * against the directed edge list plus one (dst, label) count
+    * aggregation and a per-dst argmin — all partitioned on vertex id;
+    * nothing is collected to the driver. The directed edge table is
+    * built once and persisted across rounds. Same deep-iteration
+    * lineage note as [[pageRank]]. */
+  def labelPropagation(edges0: DataFrame, aCol: String, bCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var labels = dir.select(col("src").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = labels.join(dir, col("n") === col("src"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        // per-dst argmin of (-count, label): highest count, smallest label
+        .groupBy(col("dst").as("n"))
+        .agg(min_by(col("lbl"), struct(-col("c"), col("lbl"))).as("lbl"))
+    }
+    labels.select(col("n"), col("lbl").as("label"))
+  }
+
+  /** Fixed-round k-core peeling: starting from all vertices, each round
+    * drops every vertex whose degree within the surviving subgraph is
+    * < k; after `rounds` rounds, returns (n, deg) for the survivors with
+    * their within-subgraph degree. With enough rounds this converges to
+    * the classic k-core; a fixed round count keeps the operator
+    * deterministic, oracle-replayable, and bounded — each round deletes
+    * at least one vertex until fixpoint, and real corpus graphs reach the
+    * core in few rounds.
+    *
+    * SCALE CONTRACT: each round is one semi-join of the edge list
+    * against the surviving vertex set (hash join on vertex id) and one
+    * degree aggregation — work shrinks monotonically as vertices drop;
+    * nothing is driver-side. */
+  def kCore(edges0: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int = 5): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .persist()
+    def degIn(alive: DataFrame): DataFrame = {
+      val live = edges
+        .join(alive.select(col("n").as("u")).hint("shuffle_hash"), "u")
+        .join(alive.select(col("n").as("v")).hint("shuffle_hash"), "v")
+      live.select(col("u").as("n"))
+        .unionAll(live.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+    }
+    var alive = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n"))).distinct()
+    for (_ <- 1 to rounds)
+      alive = degIn(alive).filter(col("deg") >= k).select("n")
+    // survivors reported with their degree INSIDE the survivor subgraph
+    degIn(alive)
+  }
+
 }

@@ -366,4 +366,81 @@ object Text {
       j => md5(array_join(slice(tk, j, lit(window)), " ")))
     df.select(col(idCol), array_min(windowHashes).as("fingerprint"))
   }
+
+  /** RAG-style overlapping token-window chunking: each document becomes
+    * chunks of `window` tokens starting at 0, stride, 2·stride, … while
+    * the start is inside the document, so every token is covered and
+    * consecutive chunks overlap by `window − stride` tokens (the standard
+    * retrieval-chunking shape). Output: (id, chunk_id, start, n_tokens,
+    * chunk_text); every document yields ≥ 1 chunk.
+    *
+    * SCALE CONTRACT: pure per-row Column algebra (sequence + posexplode +
+    * slice), zero shuffles, codegen'd end to end; fan-out per row is
+    * ⌈dl/stride⌉, bounded by the document's own token count. */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, "window >= 1")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]: $stride")
+    val tk = tokens(col(textCol))
+    df.select(col(idCol), tk.as("tk"), size(tk).as("dl"))
+      .select(col(idCol), col("tk"), col("dl"),
+        posexplode(sequence(lit(0),
+          expr(s"((dl - 1) div $stride) * $stride").cast("int"),
+          lit(stride))))
+      .select(col(idCol), col("pos").as("chunk_id"), col("col").as("start"),
+        least(lit(window), col("dl") - col("col")).as("n_tokens"),
+        array_join(slice(col("tk"), col("col") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  /** BM25 top-k retrieval in pure 64-bit integer arithmetic — the same
+    * determinism discipline as [[graft.operators.Similarity]]'s integer
+    * IDF: no `ln`, no doubles, so the scores are bit-identical in any
+    * engine. The classic k1 = 1.2, b = 0.75 saturation
+    *
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * is cleared of fractions by multiplying through by 10·avgdl10
+    * (avgdl quantized to tenth-tokens: `avgdl10 = (Σdl·10) div N`):
+    *
+    *   tfterm = (22·tf·avgdl10·scaleT) div (10·tf·avgdl10 + 3·avgdl10 + 90·dl)
+    *   score  = Σ_t ((N·scaleI) div df(t)) · tfterm(t, d)
+    *
+    * idf is the repo's integer surrogate `(N·scaleI) div df` — the same
+    * monotone-in-1/df shape as log-IDF with rare terms dominating.
+    *
+    * SCALE CONTRACT: one tokenize scan feeds a partial-aggregated
+    * (doc, term) tf table; document frequencies collapse to |Q| rows and
+    * rejoin broadcast, as do the two corpus scalars (N, Σdl); the final
+    * ORDER BY + LIMIT is a TakeOrderedAndProject (per-partition heaps,
+    * never a full sort). Magnitudes: tfterm ≤ 2.2·scaleT and
+    * idf ≤ N·scaleI, so keep N·scaleI·2.2·scaleT < 2⁶³ — at web scale
+    * (N ~ 1e10) drop scaleI to 1e3. Defaults are sized for corpora to
+    * ~1e9 docs. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k: Int,
+      scaleT: Long = 1000000L, scaleI: Long = 1000000L): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, "k >= 1")
+    val tk = tokens(col(textCol))
+    val docToks = df.select(col(idCol).as("doc"),
+      size(tk).cast("long").as("dl"), explode(tk).as("tok"))
+    val stats = broadcast(df.select(size(tk).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("tot"))
+      .select(col("n"), expr("(tot * 10) div n").as("avgdl10")))
+    val hits = docToks.filter(col("tok").isin(queryTerms: _*))
+    val tf = hits.groupBy("doc", "tok")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val dft = hits.select("doc", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "tok").crossJoin(stats)
+      .select(col("doc"),
+        (expr(s"(n * ${scaleI}L) div df") *
+          expr(s"(22 * tf * avgdl10 * ${scaleT}L) div " +
+            "(10 * tf * avgdl10 + 3 * avgdl10 + 90 * dl)")).as("s"))
+      .groupBy("doc").agg(sum("s").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc"))
+      .limit(k)
+  }
 }

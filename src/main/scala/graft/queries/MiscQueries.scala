@@ -272,6 +272,33 @@ object MiscQueries {
       graft.operators.Graphs.pageRank(edges, "pa", "pb", iters = 5)
         .withColumnRenamed("rank", "pagerank")
         .orderBy("n")
+    },
+    // Deterministic synchronous label propagation (most-frequent
+    // neighbour label, ties to the smallest), 4 rounds, checked against
+    // an unrolled ROW_NUMBER oracle.
+    "qg05_label_prop" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.labelPropagation(edges, "pa", "pb", iters = 4)
+        .orderBy("n")
+    },
+    // Fixed-round 3-core peeling on the same co-purchase graph; the
+    // oracle unrolls the identical peel rounds.
+    "qg06_kcore" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.kCore(edges, "pa", "pb", k = 3, rounds = 3)
+        .orderBy("n")
     }
   )
 
@@ -473,7 +500,9 @@ object MiscQueries {
         |  FROM lineitem GROUP BY 1)
         |SELECT ex.grp AS l_returnflag, ex.exact_distinct, sk.est_distinct
         |FROM ex JOIN sk ON sk.grp = ex.grp ORDER BY l_returnflag""".stripMargin,
-    "qg04_pagerank" -> pageRankOracle(iters = 5, scale = 1000000000000L)
+    "qg04_pagerank" -> pageRankOracle(iters = 5, scale = 1000000000000L),
+    "qg05_label_prop" -> labelPropOracle(iters = 4),
+    "qg06_kcore" -> kCoreOracle(k = 3, rounds = 3)
   )
 
   /** The qg04 oracle: the identical scaled-integer power iteration
@@ -503,5 +532,55 @@ object MiscQueries {
        |r0 AS (SELECT n, $scale // nn.cnt AS r FROM nodes CROSS JOIN nn),
        |$steps
        |SELECT n, r AS pagerank FROM r$iters ORDER BY n""".stripMargin
+  }
+
+  /** The qg05 oracle: the identical deterministic synchronous LPA
+    * unrolled as one CTE per round — per-dst neighbour-label counts
+    * ranked (count DESC, label ASC), ROW_NUMBER = 1 is exactly the
+    * operator's `min_by(lbl, (-count, lbl))`. */
+  private def labelPropOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""l$k AS (SELECT n, lbl FROM (
+         |  SELECT dir.dst AS n, p.lbl,
+         |    ROW_NUMBER() OVER (PARTITION BY dir.dst
+         |      ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
+         |  FROM l${k - 1} p JOIN dir ON dir.src = p.n
+         |  GROUP BY dir.dst, p.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE l_orderkey % 50 = 0),
+       |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+       |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+       |dir AS (SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL SELECT v, u FROM edges),
+       |l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM dir),
+       |$steps
+       |SELECT n, lbl AS label FROM l$iters ORDER BY n""".stripMargin
+  }
+
+  /** The qg06 oracle: the identical fixed-round k-core peel unrolled —
+    * each round keeps vertices whose degree inside the surviving
+    * subgraph is >= k; the tail recomputes survivor-subgraph degrees. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    def degWithin(alive: String): String =
+      s"""SELECT x AS n, COUNT(*) AS deg FROM (
+         |    SELECT e.u AS x FROM edges e
+         |      JOIN $alive p ON e.u = p.n JOIN $alive q ON e.v = q.n
+         |    UNION ALL
+         |    SELECT e.v FROM edges e
+         |      JOIN $alive p ON e.u = p.n JOIN $alive q ON e.v = q.n)
+         |  GROUP BY x""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""a$r AS (SELECT n FROM (
+         |${degWithin(s"a${r - 1}")}) WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE l_orderkey % 50 = 0),
+       |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+       |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+       |a0 AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+       |$steps
+       |SELECT n, deg FROM (
+       |${degWithin(s"a$rounds")}) ORDER BY n""".stripMargin
   }
 }

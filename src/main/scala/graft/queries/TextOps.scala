@@ -458,6 +458,21 @@ object TextOps {
         .agg(count(lit(1)).as("n_pairs"),
           sum("id_a").as("sum_a"), sum("id_b").as("sum_b"),
           min("id_a").as("min_a"), max("id_b").as("max_b"))
+    },
+    // BM25 top-20 for a fixed 4-term query (3 common + 1 rare term so
+    // the integer IDF does real work) — all-integer saturation with
+    // quantized avgdl, bit-exact under the oracle.
+    "qd38_bm25" -> { (s, d) =>
+      graft.operators.Text.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+          Seq("spark", "join", "window", "dup"), k = 20)
+        .withColumnRenamed("doc", "doc_id")
+    },
+    // RAG-style overlapping chunking: 32-token windows at stride 8 over
+    // a tenth of the corpus — pure per-row fan-out, zero shuffles.
+    "qd39_chunks" -> { (s, d) =>
+      graft.operators.Text.chunk(
+        t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", window = 32, stride = 8)
     }
   )
 
@@ -1042,6 +1057,36 @@ object TextOps {
         |SELECT COUNT(*) AS n_pairs,
         | CAST(SUM(id_a) AS BIGINT) AS sum_a, CAST(SUM(id_b) AS BIGINT) AS sum_b,
         | MIN(id_a) AS min_a, MAX(id_b) AS max_b
-        |FROM cand""".stripMargin
+        |FROM cand""".stripMargin,
+    "qd38_bm25" ->
+      """WITH toks AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl,
+        |    unnest(str_split(text, ' ')) AS tok FROM documents),
+        |qt AS (SELECT unnest(['spark', 'join', 'window', 'dup']) AS tok),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tot FROM documents),
+        |av AS (SELECT n, (tot * 10) // n AS avgdl10 FROM st),
+        |hits AS (SELECT t.doc_id, t.tok, t.dl FROM toks t JOIN qt USING (tok)),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+        |  FROM hits GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM hits GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    ((av.n * 1000000) // dft.df)
+        |      * ((22 * tf.tf * av.avgdl10 * 1000000)
+        |         // (10 * tf.tf * av.avgdl10 + 3 * av.avgdl10 + 90 * tf.dl)) AS s
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN av)
+        |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS bm25
+        |FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "qd39_chunks" ->
+      """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |starts AS (SELECT doc_id, tk, dl,
+        |    unnest(generate_series(0, ((dl - 1) // 8) * 8, 8)) AS start
+        |  FROM toks)
+        |SELECT doc_id, start // 8 AS chunk_id, start,
+        |  LEAST(32, dl - start) AS n_tokens,
+        |  array_to_string(list_slice(tk, start + 1, start + 32), ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

@@ -88,4 +88,45 @@ class GraphsSpec extends SparkSpec {
       .map(x => x.getAs[Long]("n") -> x.getAs[Long]("rank")).toMap
     assert(a == b)
   }
+
+  test("labelPropagation: two triangles across a bridge settle into two communities") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    // hand-run of the deterministic sync update (most-frequent neighbour
+    // label, ties to smallest):
+    //  r1: 1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    //  r2: 1->1, 2->1, 3->1, 4->4, 5->3, 6->3
+    //  r3: 1->1, 2->1, 3->1, 4->3, 5->3, 6->3
+    val out = Graphs.labelPropagation(df, "a", "b", iters = 3).collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Long]("label")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: iters=0 is the identity labelling") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Graphs.labelPropagation(df, "a", "b", iters = 0).collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Long]("label")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("kCore: pendants and paths peel away, the triangle survives with in-core degrees") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L), (1L, 3L), (2L, 3L), // triangle = the 2-core
+      (4L, 1L), (5L, 6L)).toDF("a", "b") // pendant + disconnected path
+    val out = Graphs.kCore(df, "a", "b", k = 2, rounds = 2).collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Long]("deg")).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a graph below k empties out") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graphs.kCore(df, "a", "b", k = 2, rounds = 2).count() == 0)
+  }
 }

@@ -231,4 +231,62 @@ class TextSpec extends SparkSpec {
     assert(out(3L) == ((3, 1L)))
     assert(out(4L) == ((1, 0L)))
   }
+
+  test("chunk: overlapping windows cover every token; short docs yield one chunk") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Text.chunk(d, "text", "doc_id", window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        (r.getAs[Int]("start"), r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text")))
+      .toMap
+    // 10 tokens, starts 0/3/6/9: full windows then the 1-token tail
+    assert(out((1L, 0)) == ((0, 4, "a b c d")))
+    assert(out((1L, 1)) == ((3, 4, "d e f g")))
+    assert(out((1L, 2)) == ((6, 4, "g h i j")))
+    assert(out((1L, 3)) == ((9, 1, "j")))
+    // 1-token and empty docs still produce exactly one chunk
+    assert(out((2L, 0)) == ((0, 1, "x")))
+    assert(out((3L, 0)) == ((0, 1, "")))
+    assert(out.size == 6)
+    intercept[IllegalArgumentException] {
+      Text.chunk(d, "text", "doc_id", window = 4, stride = 5)
+    }
+  }
+
+  test("bm25TopK: hand-computed integer scores, ranking, and doc tie-break") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "spark spark join"), // dl=3, tf(spark)=2, tf(join)=1
+      (2L, "spark window"), // dl=2, tf(spark)=1
+      (3L, "other tokens here"), // no query terms
+      (4L, "join join join join"), // dl=4, tf(join)=4
+      (5L, "spark window") // identical to doc 2 -> equal score, id tie-break
+    ).toDF("doc_id", "text")
+    // N=5, tot=3+2+3+4+2=14, avgdl10 = 140 div 5 = 28. df(spark)=3, df(join)=2.
+    // idf(spark) = 5e6 div 3 = 1666666; idf(join) = 5e6 div 2 = 2500000.
+    // tfterm = (22*tf*28*1e6) div (10*tf*28 + 3*28 + 90*dl)
+    //   d1 spark tf=2 dl=3: 1232000000 div (560+84+270=914) = 1347921
+    //   d1 join  tf=1 dl=3:  616000000 div (280+84+270=634) =  971608
+    //   d2 spark tf=1 dl=2:  616000000 div (280+84+180=544) = 1132352
+    //   d4 join  tf=4 dl=4: 2464000000 div (1120+84+360=1564)=1575447
+    val exp1 = 1666666L * 1347921L + 2500000L * 971608L
+    val exp2 = 1666666L * 1132352L
+    val exp4 = 2500000L * 1575447L
+    val out = Text.bm25TopK(d, "text", "doc_id", Seq("spark", "join"), k = 4)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("bm25")))
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L, 5L)) // 2 before 5 on the tie
+    val m = out.toMap
+    assert(m(1L) == exp1 && m(4L) == exp4 && m(2L) == exp2 && m(5L) == exp2)
+    // k cuts inside the tie deterministically: doc 2 in, doc 5 out
+    val top3 = Text.bm25TopK(d, "text", "doc_id", Seq("spark", "join"), k = 3)
+      .collect().map(_.getAs[Long]("doc")).toSeq
+    assert(top3 == Seq(1L, 4L, 2L))
+    intercept[IllegalArgumentException] {
+      Text.bm25TopK(d, "text", "doc_id", Nil, k = 1)
+    }
+  }
 }

@@ -31,7 +31,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qg01_triangles", // cross of three 1-row count aggregates
     "qx04_kmv_setops", // cross of two 1-row estimate/exact aggregates
     "qq01_quality_audit", // cross of 1-row checked/orphan count aggregates
-    "qd28_characteristic_terms") // broadcast corpus count N (1 row)
+    "qd28_characteristic_terms", // broadcast corpus count N (1 row)
+    "qd38_bm25", // broadcast corpus stats (N, avgdl10) — 1 row
+    "qg04_pagerank") // broadcast vertex count (1 row) in rank init + teleport
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -545,4 +545,35 @@ object Dedup {
           expr("(n_docs * (n_docs - 1)) div 2")).as("avg_jacc"))
       .filter(col("n_pairs") > 0)
   }
+
+  /** Token-overlap precision/recall/F1 for candidate pairs, in scaled
+    * 64-bit integer arithmetic (bit-identical across engines — the same
+    * discipline as [[graft.operators.Text.bm25TopK]]'s integer scores):
+    * over DISTINCT tokens, `prec = |A∩B|·scale div |A|`,
+    * `rec = |A∩B|·scale div |B|`, `f1 = 2·prec·rec div (prec+rec)`
+    * (0 when the overlap is empty). This is the contamination-style
+    * overlap-F1 used to grade near-dup candidates more asymmetrically
+    * than Jaccard — a short doc contained in a long one scores high
+    * recall even when Jaccard is low.
+    *
+    * SCALE CONTRACT: two hash-joins of the pair list against the
+    * tokenized corpus (the same shuffle-hash rejoin shape as
+    * [[verifyCandidatePairs]]); all metric arithmetic is per-row Column
+    * algebra after the joins. `prec·rec ≤ scale²` must stay under 2⁶³ —
+    * the default 10⁶ scale leaves 6 orders of headroom. */
+  def overlapF1Pairs(pairs: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && scale <= 2000000000L, s"scale out of range: $scale")
+    val tk = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(toks(col(textCol))).as("tk"))
+    pairs
+      .join(tk.select(col("id").as("id_a"), col("tk").as("ta")).hint("shuffle_hash"), "id_a")
+      .join(tk.select(col("id").as("id_b"), col("tk").as("tb")).hint("shuffle_hash"), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("prec", expr(s"(n_inter * ${scale}L) div size(ta)"))
+      .withColumn("rec", expr(s"(n_inter * ${scale}L) div size(tb)"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("prec"), col("rec"),
+        when(col("n_inter") === 0, lit(0L))
+          .otherwise(expr("(2 * prec * rec) div (prec + rec)")).as("f1"))
+  }
 }

@@ -225,4 +225,44 @@ object Graphs {
     degIn(alive)
   }
 
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * vertex pair (u < v) with at least one common neighbour, the
+    * common-neighbour count and the resource-allocation index
+    * (Zhou/Lü/Zhang 2009) Σ_z 1/deg(z) — in scaled integer arithmetic
+    * (`scale div deg(z)`) so the score is bit-identical in any engine;
+    * RA is the integer-friendly cousin of Adamic-Adar (1/deg instead of
+    * 1/log deg) and outperforms it on most benchmark graphs. Returns
+    * (u, v, common, ra_score).
+    *
+    * SCALE CONTRACT: the pair fan-out routes through each common
+    * neighbour z — C(deg(z), 2) pairs per z — so hubs with
+    * deg > `maxDeg` are EXCLUDED as intermediates (the standard
+    * bound; a 1 M-degree hub would otherwise emit 5·10¹¹ pairs, and
+    * hubs carry ~zero RA weight anyway: each contributes 1/deg → 0).
+    * With the cap, work is Σ_z min(deg z, maxDeg)² — linear in edges
+    * for bounded maxDeg. One self-join of the neighbour list on z, one
+    * (u,v) aggregation, one anti-join against the edge list; all
+    * hash-partitioned, nothing driver-side. */
+  def linkPrediction(edges0: DataFrame, aCol: String, bCol: String,
+      scale: Long = 1000000L, maxDeg: Int = 64): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg >= 2: $maxDeg")
+    require(scale >= 1 && scale <= 1000000000000L, s"scale out of range: $scale")
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val dir = edges.select(col("u").as("z"), col("v").as("n"))
+      .unionAll(edges.select(col("v").as("z"), col("u").as("n")))
+    val deg = dir.groupBy("z").agg(count(lit(1)).as("deg"))
+    val nbrs = dir.join(deg.filter(col("deg") <= maxDeg), "z")
+    nbrs.as("x").join(nbrs.as("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"), col("x.deg").as("dz"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"),
+        sum(expr(s"${scale}L div dz")).as("ra_score"))
+      .join(edges, Seq("u", "v"), "left_anti")
+  }
+
 }

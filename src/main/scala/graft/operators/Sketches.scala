@@ -113,4 +113,47 @@ object Sketches {
       .select(col("union_exact"), col("union_est"),
         col("inter_exact"), col("inter_est"), col("jaccard_est"))
   }
+
+  /** Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005) with
+    * the exact counts alongside: (value, exact_count, cms_est) for every
+    * value whose CMS estimate is >= `minEst`. Row i of the sketch buckets
+    * a value by the 52-bit prefix integer of `md5('c<i>_' || value)` mod
+    * `width`; the estimate is the MIN of the value's d bucket counts.
+    * CMS never under-counts (est >= exact always), so thresholding on the
+    * estimate has no false negatives — the standard heavy-hitter
+    * guarantee. Like [[kmvDistinct]], the sketch is a pure function of
+    * md5, so a DuckDB replay matches every digit (qx06).
+    *
+    * Scale shape: one pass computes all d bucket ids per row (per-row
+    * Column algebra, no shuffle) and partial-aggregates to at most
+    * d·width counter rows — THE sketch, O(d·width) regardless of input
+    * cardinality, mergeable by addition across any partitioning. Probing
+    * joins the distinct candidate values against the broadcast counter
+    * table. The exact counts ride a second aggregation of the same scan;
+    * a production probe-only path would ship just the d·width counters. */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String, depth: Int = 3,
+      width: Int = 512, minEst: Long = 1L): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
+    require(width >= 2 && width <= (1 << 20), s"width out of range: $width")
+    val rows = df.select(col(valueCol).cast("string").as("v"))
+    def hexPrefixInt(name: String) = expr(
+      s"""aggregate(sequence(1, 13), CAST(0 AS BIGINT), (acc, j) ->
+         |  acc * 16 + CAST(instr('0123456789abcdef',
+         |    substring($name, CAST(j AS INT), 1)) - 1 AS BIGINT))""".stripMargin)
+    def buckets(d: DataFrame): DataFrame = {
+      val withHashes = d.select(col("v") +: (0 until depth).map(i =>
+        md5(concat(lit(s"c${i}_"), col("v"))).as(s"h$i")): _*)
+      withHashes.select(col("v"), posexplode(array((0 until depth).map(i =>
+          hexPrefixInt(s"h$i") % width): _*)))
+        .select(col("v"), col("pos").as("i"), col("col").as("b"))
+    }
+    val counters = buckets(rows).groupBy("i", "b").agg(count(lit(1)).as("c"))
+    val est = buckets(rows.distinct())
+      .join(broadcast(counters), Seq("i", "b"))
+      .groupBy("v").agg(min("c").as("cms_est"))
+      .filter(col("cms_est") >= minEst)
+    val exact = rows.groupBy("v").agg(count(lit(1)).as("exact_count"))
+    exact.join(est, "v")
+      .select(col("v").as(valueCol), col("exact_count"), col("cms_est"))
+  }
 }

@@ -299,6 +299,31 @@ object MiscQueries {
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
       graft.operators.Graphs.kCore(edges, "pa", "pb", k = 3, rounds = 3)
         .orderBy("n")
+    },
+    // Resource-allocation link prediction on the co-purchase graph:
+    // non-adjacent pairs scored by common neighbours + Σ scale/deg(z),
+    // hubs above maxDeg excluded as intermediates (the scale bound).
+    "qg07_link_pred" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.linkPrediction(edges, "pa", "pb",
+          scale = 1000000L, maxDeg = 64)
+        .orderBy("u", "v")
+    },
+    // Count-Min-Sketch heavy hitters over lineitem parts: the
+    // d x w counter table is THE sketch (O(d·w) rows regardless of input
+    // cardinality); estimates are md5-deterministic, so the oracle
+    // replays every digit. est >= exact always (no false negatives).
+    "qx06_cms_heavy" -> { (s, d) =>
+      graft.operators.Sketches.cmsHeavyHitters(
+          t(s, d, "lineitem"), "l_partkey",
+          depth = 3, width = 256, minEst = 50L)
+        .orderBy("l_partkey")
     }
   )
 
@@ -502,7 +527,40 @@ object MiscQueries {
         |FROM ex JOIN sk ON sk.grp = ex.grp ORDER BY l_returnflag""".stripMargin,
     "qg04_pagerank" -> pageRankOracle(iters = 5, scale = 1000000000000L),
     "qg05_label_prop" -> labelPropOracle(iters = 4),
-    "qg06_kcore" -> kCoreOracle(k = 3, rounds = 3)
+    "qg06_kcore" -> kCoreOracle(k = 3, rounds = 3),
+    "qg07_link_pred" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 50 = 0),
+        |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+        |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+        |dir AS (SELECT u AS z, v AS n FROM edges UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT z, COUNT(*) AS deg FROM dir GROUP BY z),
+        |nb AS (SELECT d.z, d.n, g.deg FROM dir d JOIN deg g USING (z)
+        |  WHERE g.deg <= 64),
+        |pr AS (SELECT x.n AS u, y.n AS v, COUNT(*) AS common,
+        |    CAST(SUM(1000000 // x.deg) AS BIGINT) AS ra_score
+        |  FROM nb x JOIN nb y ON x.z = y.z AND x.n < y.n GROUP BY 1, 2)
+        |SELECT u, v, common, ra_score FROM pr
+        |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = pr.u AND e.v = pr.v)
+        |ORDER BY u, v""".stripMargin,
+    "qx06_cms_heavy" ->
+      """WITH vals AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+        |b AS (SELECT v, i,
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef',
+        |        substr(md5('c' || i || '_' || v), CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 256 AS bkt
+        |  FROM vals CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+        |counters AS (SELECT i, bkt, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |probe AS (SELECT DISTINCT v, i, bkt FROM b),
+        |est AS (SELECT v, MIN(c) AS cms_est FROM probe
+        |  JOIN counters USING (i, bkt) GROUP BY v),
+        |exact AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS exact_count
+        |  FROM vals GROUP BY v)
+        |SELECT exact.v AS l_partkey, exact_count, cms_est
+        |FROM exact JOIN est USING (v) WHERE cms_est >= 50
+        |ORDER BY l_partkey""".stripMargin
   )
 
   /** The qg04 oracle: the identical scaled-integer power iteration

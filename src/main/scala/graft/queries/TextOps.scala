@@ -473,6 +473,16 @@ object TextOps {
       graft.operators.Text.chunk(
         t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "text", "doc_id", window = 32, stride = 8)
+    },
+    // Contamination-style overlap P/R/F1 (scaled-integer) for the qd20
+    // LSH candidate pairs — asymmetric containment grading that Jaccard
+    // misses (short doc inside long doc = high recall, low Jaccard).
+    "qd40_overlap_f1" -> { (s, d) =>
+      val docs = withDups(s, d).filter(col("doc_id") % 10 === 0)
+      val cand = graft.operators.Dedup.lshCandidatePairs(docs, "text", "doc_id",
+        numHashes = 4, rowsPerBand = 2)
+      graft.operators.Dedup.overlapF1Pairs(cand, docs, "text", "doc_id")
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -1087,6 +1097,34 @@ object TextOps {
         |SELECT doc_id, start // 8 AS chunk_id, start,
         |  LEAST(32, dl - start) AS n_tokens,
         |  array_to_string(list_slice(tk, start + 1, start + 32), ' ') AS chunk_text
-        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    "qd40_overlap_f1" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM sub),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('s0_' || tok)) AS mh0, MIN(md5('s1_' || tok)) AS mh1,
+        |  MIN(md5('s2_' || tok)) AS mh2, MIN(md5('s3_' || tok)) AS mh3
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, md5('0' || mh0 || mh1) AS band FROM sig
+        |  UNION ALL SELECT doc_id, md5('1' || mh2 || mh3) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band),
+        |tks AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS tk FROM sub),
+        |m AS (SELECT c.id_a, c.id_b,
+        |  CAST(len(list_intersect(ta.tk, tb.tk)) AS BIGINT) AS n_inter,
+        |  CAST(len(ta.tk) AS BIGINT) AS na, CAST(len(tb.tk) AS BIGINT) AS nb
+        | FROM cand c JOIN tks ta ON ta.doc_id = c.id_a JOIN tks tb ON tb.doc_id = c.id_b),
+        |sc AS (SELECT id_a, id_b, n_inter,
+        |  (n_inter * 1000000) // na AS prec, (n_inter * 1000000) // nb AS rec
+        | FROM m)
+        |SELECT id_a, id_b, n_inter, prec, rec,
+        |  CASE WHEN n_inter = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE (2 * prec * rec) // (prec + rec) END AS f1
+        |FROM sc ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -215,4 +215,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.sharedWindowPairs(boiler, "text", "doc_id", n = 6,
       maxBucket = 5).count() == 10) // C(5,2) under the cap
   }
+
+  test("overlapF1Pairs: hand-computed integer P/R/F1, containment asymmetry, zero overlap") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d"), //       4 distinct
+      (2L, "c d e"), //         2 shared with 1
+      (3L, "a b"), //           contained in 4
+      (4L, "a b c d e f g h i j"), // superset of 3
+      (5L, "x y z")) //         disjoint from 1
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.overlapF1Pairs(pairs, d, "text", "doc_id").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Long]("prec"), r.getAs[Long]("rec"),
+          r.getAs[Long]("f1"))).toMap
+    def f1(p: Long, r: Long) = if (p + r == 0) 0L else 2 * p * r / (p + r)
+    // (1,2): inter {c,d}; prec = 2e6/4, rec = 2e6/3
+    assert(out((1L, 2L)) == ((2L, 500000L, 666666L, f1(500000L, 666666L))))
+    // (3,4): containment — perfect precision, low recall, F1 in between
+    assert(out((3L, 4L)) == ((2L, 1000000L, 200000L, f1(1000000L, 200000L))))
+    // (1,5): disjoint — all four metrics zero
+    assert(out((1L, 5L)) == ((0L, 0L, 0L, 0L)))
+  }
 }

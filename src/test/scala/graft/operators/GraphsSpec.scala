@@ -129,4 +129,35 @@ class GraphsSpec extends SparkSpec {
     val df = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     assert(Graphs.kCore(df, "a", "b", k = 2, rounds = 2).count() == 0)
   }
+
+  test("linkPrediction: square predicts its two diagonals; adjacency is excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val out = Graphs.linkPrediction(df, "a", "b").collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("common"), r.getAs[Long]("ra_score"))).toSet
+    // diagonals: two common neighbours of degree 2 each -> ra = 2 * 10^6/2
+    assert(out == Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("linkPrediction: triangle + pendant scores through the shared vertex") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graphs.linkPrediction(df, "a", "b").collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("common"), r.getAs[Long]("ra_score"))).toSet
+    // (1,4) and (2,4) share only vertex 3 (deg 3): ra = 10^6 div 3
+    assert(out == Set((1L, 4L, 1L, 333333L), (2L, 4L, 1L, 333333L)))
+  }
+
+  test("linkPrediction: hubs above maxDeg are excluded as intermediates") {
+    val s = spark
+    import s.implicits._
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    assert(Graphs.linkPrediction(star, "a", "b", maxDeg = 4).count() == 0)
+    // with the cap lifted the star predicts all C(5,2) leaf pairs
+    assert(Graphs.linkPrediction(star, "a", "b", maxDeg = 5).count() == 10)
+  }
 }

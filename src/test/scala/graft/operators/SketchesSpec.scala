@@ -30,4 +30,52 @@ class SketchesSpec extends SparkSpec {
       .collect()(0).getDouble(2)
     assert(a == b) // md5 order is data-defined, not partition-defined
   }
+
+  test("cmsHeavyHitters matches an independent in-JVM sketch replay exactly") {
+    val s = spark
+    import s.implicits._
+    val (depth, width) = (3, 16) // tiny width so collisions actually happen
+    // zipf-ish: value i appears (50 - i) times
+    val values = (0 until 40).flatMap(i => Seq.fill(50 - i)(s"v$i"))
+    val df = values.toDF("x")
+    // reference model: plain Scala collections + MessageDigest
+    def bucket(i: Int, v: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"c${i}_$v".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16) % width).toInt
+    }
+    val counters = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (v <- values; i <- 0 until depth)
+      counters((i, bucket(i, v))) = counters.getOrElse((i, bucket(i, v)), 0L) + 1
+    val expected = values.distinct.map { v =>
+      v -> (0 until depth).map(i => counters((i, bucket(i, v)))).min
+    }.toMap
+    val exact = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = Sketches.cmsHeavyHitters(df, "x", depth = depth, width = width,
+        minEst = 1L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == expected.keySet)
+    for ((v, (ex, est)) <- out) {
+      assert(ex == exact(v), s"exact($v)")
+      assert(est == expected(v), s"est($v)")
+      assert(est >= ex, s"CMS must never under-count ($v)")
+    }
+    // thresholding keeps only rows whose ESTIMATE clears the bar
+    val thr = Sketches.cmsHeavyHitters(df, "x", depth = depth, width = width,
+        minEst = 40L).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(thr == expected.filter(_._2 >= 40L))
+    assert(thr.nonEmpty && thr.size < expected.size)
+  }
+
+  test("cmsHeavyHitters is partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 500).map(i => s"k${i % 37}").toDF("x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsHeavyHitters(d, "x", depth = 2, width = 8, minEst = 1L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(df) == run(df.repartition(11)))
+  }
 }

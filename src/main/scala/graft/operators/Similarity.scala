@@ -817,4 +817,69 @@ object Similarity {
       .groupBy(col("b.id").as("id"))
       .agg(min(col("a.id")).as("rep_id"))
   }
+
+  /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998):
+    * greedily pick k of the `poolSize` most query-relevant vectors,
+    * each step maximizing `λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` —
+    * relevance traded against redundancy with what's already selected
+    * (the diversity-aware serving-time rerank). Ties break to the
+    * smaller id; the empty-set penalty is 0, so the first pick is the
+    * relevance argmax. Returns (rank, vec_id-named idCol, rel, mmr) in
+    * selection order. All cosines ride the exact integer grid, so every
+    * double is reproduced digit-for-digit by the DuckDB replay (qv17);
+    * `1−λ` is computed as `1.0 − λ` in BOTH engines (writing the
+    * rounded literal `0.3` in one of them would diverge by 1 ulp).
+    *
+    * SCALE CONTRACT: the distributed work is ONE corpus scan scoring
+    * relevance against the inlined query vector, cut to `poolSize` rows
+    * by a TakeOrderedAndProject (per-partition heaps — no global sort).
+    * The greedy selection is inherently sequential (each pick changes
+    * the next penalty), so it runs on the collected pool — bounded by
+    * `poolSize ≤ 1024` BY CONSTRUCTION, the same bounded-collect
+    * discipline as [[collectCents]]; running k dependent distributed
+    * jobs over a ≤1024-row table would add k scheduler round-trips for
+    * nothing. O(poolSize·k) driver arithmetic, O(poolSize·dim) driver
+    * memory. */
+  def mmrRerank(df: DataFrame, embCol: String, idCol: String, queryId: Long,
+      k: Int, poolSize: Int = 64, lambda: Double = 0.7): DataFrame = {
+    require(poolSize >= 1 && poolSize <= 1024, s"poolSize out of range: $poolSize")
+    require(k >= 1 && k <= poolSize, s"k must be in [1, poolSize]: $k")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0, 1]: $lambda")
+    val d = dot(df) _
+    val emb = quantized(df, embCol, idCol)
+    val query = queryVec(emb, idCol, queryId)
+    val xq = typedLit(query.toSeq)
+    val xqn = math.sqrt(query.map(v => v * v).sum.toDouble)
+    val pool = emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("id"), col("q"),
+        (d(col("q"), xq).cast("double") /
+          (sqrt(col("qq").cast("double")) * lit(xqn))).as("rel"))
+      .orderBy(col("rel").desc, col("id")).limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var i = 0; var s = 0L
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      def n(x: Array[Long]) = math.sqrt(x.map(v => v * v).sum.toDouble)
+      s.toDouble / (n(a) * n(b))
+    }
+    val mu = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p): _*)
+    for (_ <- 1 to math.min(k, pool.length)) {
+      val best = remaining.values.map { case (id, q, rel) =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cos(q, s._2)).max
+        (lambda * rel - mu * pen, id, q, rel)
+      }.minBy { case (score, id, _, _) => (-score, id) }
+      selected += ((best._2, best._3, best._4, best._1))
+      remaining.remove(best._2)
+    }
+    val out = selected.zipWithIndex
+      .map { case ((id, _, rel, mmr), i) => (i + 1, id, rel, mmr) }.toSeq
+    val s = df.sparkSession
+    import s.implicits._
+    out.toDF("rank", idCol, "rel", "mmr")
+  }
 }

@@ -136,6 +136,14 @@ object VectorOps {
       graft.operators.Similarity.semanticDedup(
         t(s, d, "embeddings"), "embedding", "vec_id",
         sampleMod = 53, tau = 0.4, maxCell = 10000, maxCentroids = 64)
+    },
+    // MMR diversity rerank: one corpus scan builds the 40-vector pool,
+    // then the inherently-sequential greedy selection runs over the
+    // bounded collected pool; the oracle unrolls all 8 picks as CTEs.
+    "qv17_mmr_rerank" -> { (s, d) =>
+      graft.operators.Similarity.mmrRerank(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
+        k = 8, poolSize = 40, lambda = 0.7)
     }
   )
 
@@ -456,6 +464,50 @@ object VectorOps {
         | FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
         | WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
         |    / (a.nrm * b.nrm) >= 0.4)
-        |SELECT id_b AS id, MIN(id_a) AS rep_id FROM pairs GROUP BY id_b""".stripMargin
+        |SELECT id_b AS id, MIN(id_a) AS rep_id FROM pairs GROUP BY id_b""".stripMargin,
+    "qv17_mmr_rerank" -> mmrOracle(k = 8, poolSize = 40)
   )
+
+  /** The qv17 oracle: the identical greedy MMR selection unrolled as one
+    * CTE per pick. λ = 0.7 enters as `CAST(0.7 AS DOUBLE)` and 1−λ as
+    * `CAST(1 AS DOUBLE) − CAST(0.7 AS DOUBLE)` — the exact doubles the
+    * operator computes (`1.0 - 0.7` ≠ the literal `0.3` by 1 ulp).
+    * Every CTE is `AS MATERIALIZED`: each sel$t is referenced 3× by the
+    * next step, so DuckDB's default inline expansion re-evaluates the
+    * chain ~3^k times (minutes at k=8); materialization makes it linear. */
+  private def mmrOracle(k: Int, poolSize: Int): String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val mu = s"(CAST(1 AS DOUBLE) - $lam)"
+    val steps = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT CAST($t AS INT) AS rank, p.vec_id, p.rel,
+         |    $lam * p.rel - $mu * ms.m AS mmr
+         |  FROM pool p JOIN (SELECT pc.ia, MAX(pc.cos) AS m FROM pc
+         |      WHERE pc.ib IN (SELECT vec_id FROM sel${t - 1}) GROUP BY pc.ia) ms
+         |    ON ms.ia = p.vec_id
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  ORDER BY mmr DESC, p.vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id,
+       |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+       | FROM embeddings),
+       |nrm AS (SELECT vec_id, q,
+       |  SQRT(CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS DOUBLE)) AS n
+       | FROM emb),
+       |qv AS (SELECT q AS v, n FROM nrm WHERE vec_id = 0),
+       |pool AS MATERIALIZED (SELECT e.vec_id, e.q, e.n,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * qv.v[i])) AS DOUBLE)
+       |    / (e.n * qv.n) AS rel
+       | FROM nrm e, qv WHERE e.vec_id <> 0
+       | ORDER BY rel DESC, e.vec_id LIMIT $poolSize),
+       |pc AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |    / (a.n * b.n) AS cos
+       | FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |s1 AS (SELECT CAST(1 AS INT) AS rank, vec_id, rel, $lam * rel AS mmr
+       |  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT * FROM s1),
+       |$steps
+       |SELECT rank, vec_id, rel, mmr FROM sel$k ORDER BY rank""".stripMargin
+  }
 }

@@ -484,4 +484,63 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rep_id"))).toMap
     assert(capped == Map(3L -> 2L)) // 0's 3-vec cell dropped, 2's survives
   }
+
+  test("mmrRerank: diversity penalty skips the near-duplicate relevance would pick") {
+    val s = spark
+    import s.implicits._
+    // 1 and 2 are both highly query-relevant and near-parallel to each
+    // other; 3 is less relevant but points AWAY from 1's off-query tilt
+    // (negative y), so cos(3, 1) ≪ rel(3). Pure relevance picks (1, 2);
+    // MMR at λ=0.5 picks (1, 3): 2's redundancy penalty (cos≈1 with the
+    // already-selected 1) swamps its relevance edge.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // query
+      (1L, Seq(0.9f, 0.3f, 0.0f, 0.0f)), // rel ≈ 0.949
+      (2L, Seq(0.88f, 0.3f, 0.0f, 0.0f)), // rel ≈ 0.947, cos(2,1) ≈ 1.0
+      (3L, Seq(0.7f, -0.6f, 0.0f, 0.0f)) // rel ≈ 0.759, cos(3,1) ≈ 0.51
+    ).toDF("vec_id", "embedding")
+    val rel = Similarity.mmrRerank(df, "embedding", "vec_id", 0L,
+        k = 2, poolSize = 3, lambda = 1.0)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(rel == Seq(1L, 2L)) // λ=1 ⇒ pure relevance order
+    val div = Similarity.mmrRerank(df, "embedding", "vec_id", 0L,
+        k = 2, poolSize = 3, lambda = 0.5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(div == Seq(1L, 3L)) // redundant 2 displaced by diverse 3
+  }
+
+  test("mmrRerank matches an independent greedy reimplementation on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 30L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // independent model on the same integer grid the operator uses
+    val q = rows.map { case (id, v) =>
+      id -> v.map(e => math.round(e.toDouble * 10000)).toArray }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      def n(x: Array[Long]) = math.sqrt(x.map(v => v * v).sum.toDouble)
+      d / (n(a) * n(b))
+    }
+    val qv = q(4L)
+    val pool = rows.collect { case (id, _) if id != 4L => (id, cos(q(id), qv)) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(12)
+    val (lam, mu) = (0.7, 1.0 - 0.7)
+    var sel = Vector.empty[(Long, Double, Double)]
+    var rem = pool
+    for (_ <- 1 to 5) {
+      val best = rem.map { case (id, rel) =>
+        val pen = if (sel.isEmpty) 0.0 else sel.map(t => cos(q(id), q(t._1))).max
+        (id, rel, lam * rel - mu * pen)
+      }.minBy { case (id, _, score) => (-score, id) }
+      sel :+= best
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    val got = Similarity.mmrRerank(df, "embedding", "vec_id", 4L,
+        k = 5, poolSize = 12, lambda = 0.7)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Double]("rel"), r.getAs[Double]("mmr"))).toSeq
+    assert(got == sel) // ids, relevances, and mmr scores all digit-exact
+  }
 }

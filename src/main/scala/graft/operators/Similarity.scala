@@ -882,4 +882,58 @@ object Similarity {
     import s.implicits._
     out.toDF("rank", idCol, "rel", "mmr")
   }
+
+  /** The ±1 Johnson–Lindenstrauss projection matrix, derived
+    * deterministically from md5 so any engine reproduces it:
+    * `R(j, i) = +1` iff the first hex digit of `md5("seed_j_i")` is < 8
+    * (the same coin as [[lshBuckets]]' hyperplanes). Computed driver-side
+    * — `outDim × dim` entries, bounded by construction — for inlining. */
+  private def jlMatrix(outDim: Int, dim: Int, seed: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val h = md.digest(s"${seed}_${j}_${i}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) < 8) 1L else -1L
+    }
+  }
+
+  /** Top-k cosine in Johnson–Lindenstrauss-projected space: quantize,
+    * project every embedding from `dim` to `outDim` dims with the ±1
+    * matrix [[jlMatrix]] (JL: ±1 entries preserve pairwise angles in
+    * expectation — Achlioptas 2003, "Database-friendly random
+    * projections"), and rank the corpus by cosine TO `queryId` in the
+    * projected space. Returns (idCol, pcos) — the dimension-reduction
+    * scale path: at 100 TB a 64→16 projection quarters both the
+    * per-candidate score cost and any downstream index footprint, at the
+    * price of JL distortion in the ranking (qv18's oracle replays the
+    * projection bit-for-bit, so the *operator* is exact; the
+    * approximation is in what the projection preserves).
+    *
+    * SCALE CONTRACT: the matrix (`outDim × dim` ≤ 64×4096 longs) and the
+    * projected query vector ride the plan as literals; the whole search
+    * is ONE exchange-free corpus scan — `outDim` codegen'd `dot_long`s
+    * per row, then a TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Projections stay exact BIGINT (|q_i| ≤ ~10⁴·|e|, so a
+    * 64-dim dot is ≤ ~2⁴⁰ — far from overflow); only the final cosine
+    * ratio is a double, identical in any engine. */
+  def jlProjectTopK(df: DataFrame, embCol: String, idCol: String,
+      queryId: Long, k: Int, outDim: Int = 16, dim: Int = 64,
+      seed: Int = 7): DataFrame = {
+    require(outDim >= 1 && outDim <= 64, s"outDim out of range: $outDim")
+    require(dim >= 1 && dim <= 4096, s"dim out of range: $dim")
+    val d = dot(df) _
+    val r = jlMatrix(outDim, dim, seed)
+    val rLit = typedLit(r.map(_.toSeq).toSeq)
+    val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
+    val query = queryVec(emb, idCol, queryId)
+    val pq = r.map(row => row.zip(query).map { case (a, b) => a * b }.sum)
+    val pqLit = typedLit(pq.toSeq)
+    val pqn = math.sqrt(pq.map(v => v * v).sum.toDouble)
+    emb.filter(col(idCol) =!= queryId)
+      .withColumn("p", transform(rLit, row => d(col("q"), row)))
+      .select(col(idCol),
+        (d(col("p"), pqLit).cast("double") /
+          (sqrt(d(col("p"), col("p")).cast("double")) * lit(pqn))).as("pcos"))
+      .orderBy(col("pcos").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -144,6 +144,14 @@ object VectorOps {
       graft.operators.Similarity.mmrRerank(
         t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
         k = 8, poolSize = 40, lambda = 0.7)
+    },
+    // JL dimension reduction: 64 -> 16 dims via an inlined md5-derived
+    // +/-1 matrix, then top-k cosine in the projected space — one
+    // exchange-free corpus scan (16 codegen'd dot_longs per row).
+    "qv18_jl_project" -> { (s, d) =>
+      graft.operators.Similarity.jlProjectTopK(
+        t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
+        k = 10, outDim = 16, dim = 64, seed = 7)
     }
   )
 
@@ -465,7 +473,31 @@ object VectorOps {
         | WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
         |    / (a.nrm * b.nrm) >= 0.4)
         |SELECT id_b AS id, MIN(id_a) AS rep_id FROM pairs GROUP BY id_b""".stripMargin,
-    "qv17_mmr_rerank" -> mmrOracle(k = 8, poolSize = 40)
+    "qv17_mmr_rerank" -> mmrOracle(k = 8, poolSize = 40),
+    // qv18: the identical +/-1 JL projection replayed from the same md5
+    // coin (seed 7, 16x64), exact BIGINT projections, double only in the
+    // final cosine ratio — same a / (b * c) association as the operator.
+    "qv18_jl_project" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |r AS MATERIALIZED (SELECT j, list_transform(range(0, 64), i ->
+        |    CASE WHEN instr('0123456789abcdef', substr(md5(7 || '_' || j || '_' || i), 1, 1)) - 1 < 8
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS comp
+        |  FROM (SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS j)),
+        |proj AS MATERIALIZED (SELECT e.vec_id, r.j,
+        |    list_sum(list_transform(range(1, 65), i -> e.q[i] * r.comp[i])) AS p
+        |  FROM emb e, r),
+        |pv AS MATERIALIZED (SELECT vec_id, list(p ORDER BY j) AS pv
+        |  FROM proj GROUP BY vec_id),
+        |qv AS (SELECT pv AS v,
+        |  SQRT(CAST(list_sum(list_transform(range(1, 17), i -> pv[i] * pv[i])) AS DOUBLE)) AS n
+        | FROM pv WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(range(1, 17), i -> e.pv[i] * qv.v[i])) AS DOUBLE)
+        |    / (SQRT(CAST(list_sum(list_transform(range(1, 17), i -> e.pv[i] * e.pv[i])) AS DOUBLE)) * qv.n) AS pcos
+        |FROM pv e, qv WHERE e.vec_id <> 0
+        |ORDER BY pcos DESC, e.vec_id LIMIT 10""".stripMargin
   )
 
   /** The qv17 oracle: the identical greedy MMR selection unrolled as one

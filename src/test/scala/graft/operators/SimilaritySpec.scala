@@ -543,4 +543,43 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Double]("rel"), r.getAs[Double]("mmr"))).toSeq
     assert(got == sel) // ids, relevances, and mmr scores all digit-exact
   }
+
+  test("jlProjectTopK matches an independent projection + cosine reimplementation") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 25L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // independent model: same md5 coin, same integer grid
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Long = {
+      val h = md.digest(s"5_${j}_${i}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) < 8) 1L else -1L
+    }
+    val q = rows.map { case (id, v) =>
+      id -> v.map(e => math.round(e.toDouble * 10000)).toArray }.toMap
+    def proj(v: Array[Long]): Array[Long] =
+      Array.tabulate(4)(j => v.indices.map(i => sign(j, i) * v(i)).sum)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      def n(x: Array[Long]) = math.sqrt(x.map(v => v * v).sum.toDouble)
+      d / (n(a) * n(b))
+    }
+    val pq = proj(q(3L))
+    val pqn = math.sqrt(pq.map(v => v * v).sum.toDouble)
+    val expected = rows.collect { case (id, _) if id != 3L =>
+      val p = proj(q(id))
+      val d = p.zip(pq).map { case (x, y) => x * y }.sum.toDouble
+      (id, d / (math.sqrt(p.map(v => v * v).sum.toDouble) * pqn))
+    }.sortBy { case (id, c) => (-c, id) }.take(6)
+    val got = Similarity.jlProjectTopK(df, "embedding", "vec_id", 3L,
+        k = 6, outDim = 4, dim = 16, seed = 5)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("pcos"))).toSeq
+    assert(got == expected)
+    // and the projection actually preserves neighborhoods here: the
+    // exact-space top-1 survives into the projected top-6 (of 24)
+    val exactTop = rows.collect { case (id, _) if id != 3L => (id, cos(q(id), q(3L))) }
+      .maxBy(_._2)._1
+    assert(got.map(_._1).contains(exactTop))
+  }
 }

@@ -128,8 +128,10 @@ class PlanShapeSpec extends SparkSpec {
     // no id-partitioned window exchange. The whole search must plan as
     // scan -> project/filter -> TakeOrderedAndProject with NO Exchange
     // of any kind between the corpus scan and the result.
+    // qv18: the JL matrix and projected query ride the plan as literals —
+    // the projected-space search has the same exchange-free shape
     for (n <- Seq("qv04_ivf_ann", "qv05_ivf_trained", "qv12_ivfpq",
-        "qv14_ivfpq_residual", "qv16_sq_ann")) {
+        "qv14_ivfpq_residual", "qv16_sq_ann", "qv18_jl_project")) {
       val p = plan(n)
       assert(!p.contains("Exchange"),
         s"$n must not shuffle or broadcast anything:\n" + p.take(1500))

@@ -1,6 +1,58 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** min-of-`reps` wall time for one query, or the -1.0 sentinel + error
+    * line if any rep throws. A rep that throws MUST NOT masquerade as a
+    * wall-time row: the r7 artifact recorded time-to-exception for 19
+    * analysis-broken queries and the bench gate passed vacuously
+    * (BenchFailureSpec pins this). */
+  def measure(spark: SparkSession,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, reps: Int): (Double, Option[String]) = {
+    var err: Option[String] = None
+    val times = (1 to reps).map { _ =>
+      // rep isolation: every rep rebuilds its DataFrame from scratch (fn
+      // is re-invoked), and any cached relations from a previous query/
+      // rep are dropped so reuse can't flatter the numbers. (The ~1 ms
+      // agreement between qd13/qd19/qd22 is their shared dominant stage —
+      // the same documents-scan -> tokenize -> candidate-pair subtree —
+      // not cross-query caching; verified by per-rep times staying flat
+      // with clearCache in place.)
+      spark.catalog.clearCache()
+      // collect the previous run's garbage before timing this one, so a
+      // GC pause isn't billed to whichever query happens to trigger it
+      if (sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0") System.gc()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        err = Some(e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")
+            .linesIterator.take(1).mkString.take(200))
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    (if (err.isDefined) -1.0 else times.min, err)
+  }
+
+  /** JSON artifact line from measured results (exposed for
+    * BenchFailureSpec): failed queries carry the -1 sentinel in
+    * `queries` and an entry in `errors`; `value` totals only the
+    * queries that ran. */
+  def renderJson(results: Seq[(String, Double, Option[String])],
+      sfDir: String): String = {
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errsJson = results.collect { case (k, _, Some(m)) =>
+      s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,32 +99,14 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        // rep isolation: every rep rebuilds its DataFrame from scratch (fn
-        // is re-invoked), and any cached relations from a previous query/
-        // rep are dropped so reuse can't flatter the numbers. (The ~1 ms
-        // agreement between qd13/qd19/qd22 is their shared dominant stage —
-        // the same documents-scan -> tokenize -> candidate-pair subtree —
-        // not cross-query caching; verified by per-rep times staying flat
-        // with clearCache in place.)
-        spark.catalog.clearCache()
-        // collect the previous run's garbage before timing this one, so a
-        // GC pause isn't billed to whichever query happens to trigger it
-        if (sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0") System.gc()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+      val (v, err) = measure(spark, fn, sfDir, reps)
       // progress to stderr: short lines that survive output-tail capture
       // even when the final one-line JSON map gets truncated
-      System.err.println(s"""bench ${name}: ${times.min}""")
-      name -> times.min
+      System.err.println(s"bench ${name}: " +
+        err.map("FAILED " + _).getOrElse(v.toString))
+      (name, v, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = renderJson(results, sfDir)
     // the full map ALSO goes to its own file: the driver's tail capture has
     // truncated the (long) stdout line before, cutting early queries off
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

@@ -198,7 +198,12 @@ object Graphs {
     * SCALE CONTRACT: each round is one semi-join of the edge list
     * against the surviving vertex set (hash join on vertex id) and one
     * degree aggregation — work shrinks monotonically as vertices drop;
-    * nothing is driver-side. */
+    * nothing is driver-side. The surviving vertex set is
+    * localCheckpoint'ed each round (the [[Dedup.duplicateClusters]]
+    * discipline): `degIn` references `alive` on BOTH join sides, so an
+    * unmaterialized loop would double the logical plan per round —
+    * 2^rounds copies of the base subtree by the end. Checkpointing makes
+    * every round one bounded job over a materialized vertex list. */
   def kCore(edges0: DataFrame, aCol: String, bCol: String, k: Int,
       rounds: Int = 5): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
@@ -210,17 +215,33 @@ object Graphs {
       .distinct()
       .persist()
     def degIn(alive: DataFrame): DataFrame = {
+      // no join-strategy hint: `alive` is a localCheckpoint'ed vertex
+      // list with exact size stats, so AQE broadcasts it while it fits
+      // (the common case — vertices << edges) and falls back to a
+      // shuffled join when a billion-vertex survivor set genuinely
+      // cannot ship to every executor
       val live = edges
-        .join(alive.select(col("n").as("u")).hint("shuffle_hash"), "u")
-        .join(alive.select(col("n").as("v")).hint("shuffle_hash"), "v")
+        .join(alive.select(col("n").as("u")), "u")
+        .join(alive.select(col("n").as("v")), "v")
       live.select(col("u").as("n"))
         .unionAll(live.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
     }
     var alive = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n"))).distinct()
-    for (_ <- 1 to rounds)
+      .localCheckpoint()
+    // fixpoint early-exit: a round that drops no vertex changes nothing
+    // in any later round, so stopping there returns the identical result
+    // with fewer jobs (the count is a cheap scan of the checkpointed
+    // vertex list)
+    var n = alive.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       alive = degIn(alive).filter(col("deg") >= k).select("n")
+        .localCheckpoint()
+      val n2 = alive.count()
+      if (n2 == n) converged = true else n = n2
+    }
     // survivors reported with their degree INSIDE the survivor subgraph
     degIn(alive)
   }

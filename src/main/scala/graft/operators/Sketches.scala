@@ -124,36 +124,36 @@ object Sketches {
     * guarantee. Like [[kmvDistinct]], the sketch is a pure function of
     * md5, so a DuckDB replay matches every digit (qx06).
     *
-    * Scale shape: one pass computes all d bucket ids per row (per-row
-    * Column algebra, no shuffle) and partial-aggregates to at most
-    * d·width counter rows — THE sketch, O(d·width) regardless of input
-    * cardinality, mergeable by addition across any partitioning. Probing
-    * joins the distinct candidate values against the broadcast counter
-    * table. The exact counts ride a second aggregation of the same scan;
-    * a production probe-only path would ship just the d·width counters. */
+    * Scale shape: ONE corpus scan partial-aggregates to the per-value
+    * exact counts; every hash after that runs over the (small) distinct
+    * value table only. Bucket counters are the SUM of exact counts per
+    * (row, bucket) — identical to counting raw rows, without re-hashing
+    * the corpus — and cap at d·width rows: THE sketch, O(d·width)
+    * regardless of input cardinality, mergeable by addition across any
+    * partitioning. The probe joins the same per-value bucket frame
+    * against the broadcast counter table (Catalyst's ReuseExchange
+    * dedupes the shared distinct-aggregate subtree). The 52-bit hex
+    * prefix is `conv(substring(md5,1,13),16,10)` — codegen'd built-ins,
+    * not an interpreted higher-order fold (the r7 hot-path weakness);
+    * same digits, so the DuckDB oracle is unchanged. */
   def cmsHeavyHitters(df: DataFrame, valueCol: String, depth: Int = 3,
       width: Int = 512, minEst: Long = 1L): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
     require(width >= 2 && width <= (1 << 20), s"width out of range: $width")
     val rows = df.select(col(valueCol).cast("string").as("v"))
-    def hexPrefixInt(name: String) = expr(
-      s"""aggregate(sequence(1, 13), CAST(0 AS BIGINT), (acc, j) ->
-         |  acc * 16 + CAST(instr('0123456789abcdef',
-         |    substring($name, CAST(j AS INT), 1)) - 1 AS BIGINT))""".stripMargin)
-    def buckets(d: DataFrame): DataFrame = {
-      val withHashes = d.select(col("v") +: (0 until depth).map(i =>
-        md5(concat(lit(s"c${i}_"), col("v"))).as(s"h$i")): _*)
-      withHashes.select(col("v"), posexplode(array((0 until depth).map(i =>
-          hexPrefixInt(s"h$i") % width): _*)))
-        .select(col("v"), col("pos").as("i"), col("col").as("b"))
-    }
-    val counters = buckets(rows).groupBy("i", "b").agg(count(lit(1)).as("c"))
-    val est = buckets(rows.distinct())
-      .join(broadcast(counters), Seq("i", "b"))
-      .groupBy("v").agg(min("c").as("cms_est"))
-      .filter(col("cms_est") >= minEst)
+    // row i bucket: 52-bit prefix of md5('c<i>_' || v), mod width
+    def bucket(i: Int) =
+      conv(substring(md5(concat(lit(s"c${i}_"), col("v"))), 1, 13), 16, 10)
+        .cast("long") % width
     val exact = rows.groupBy("v").agg(count(lit(1)).as("exact_count"))
-    exact.join(est, "v")
+    val vb = exact.select(col("v"), col("exact_count"),
+        posexplode(array((0 until depth).map(bucket): _*)))
+      .select(col("v"), col("exact_count"), col("pos").as("i"), col("col").as("b"))
+    val counters = vb.groupBy("i", "b").agg(sum("exact_count").as("c"))
+    vb.join(broadcast(counters), Seq("i", "b"))
+      .groupBy("v").agg(max("exact_count").as("exact_count"),
+        min("c").as("cms_est"))
+      .filter(col("cms_est") >= minEst)
       .select(col("v").as(valueCol), col("exact_count"), col("cms_est"))
   }
 }

@@ -12,8 +12,13 @@ import org.apache.spark.sql.expressions.Window
   * (deterministic nearest-double), so Spark and DuckDB agree bit-for-bit.
   */
 object Relational {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts arrives as either int64 nanos or micros TIMESTAMP_NTZ
+    // depending on testdata vintage; canonicalize to long nanos here so
+    // every downstream `ts div …` site is schema-independent
+    if (name == "events") graft.streaming.EventStream.tsNanos(df) else df
+  }
 
   /** SUM(measure) with exact decimal accumulation, emitted as double. */
   private def dsum(c: Column, scale: Int = 4): Column =

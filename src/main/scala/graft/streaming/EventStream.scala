@@ -20,11 +20,28 @@ final case class SessionState(startMicros: Long, lastMicros: Long,
 
 object EventStream {
 
-  /** events with a proper timestamp column (the driver parquet stores
-    * timestamp[ns], read as long nanos under nanosAsLong). */
+  /** Schema-adaptive canonicalization of the events `ts` column to LONG
+    * EPOCH NANOS, the unit every downstream `ts div …` site assumes.
+    * The driver's parquet has shipped two encodings across rounds:
+    *   - int64 timestamp[ns] — read as long nanos under
+    *     `spark.sql.legacy.parquet.nanosAsLong` → already canonical;
+    *   - native micros TIMESTAMP_NTZ (r7+) — read as TimestampNTZType
+    *     → convert via `unix_micros` (sessions run UTC, so the naive
+    *     micros equal DuckDB's `epoch_us(ts)`) and scale to nanos.
+    * Long-typed frames (including test MemoryStreams) pass through
+    * untouched; pure projection, so it works on streaming frames too. */
+  def tsNanos(events: DataFrame): DataFrame =
+    if (!events.columns.contains("ts")) events
+    else events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => events
+      case _ => events.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+
+  /** events with a proper timestamp column, from canonical long nanos. */
   def withTs(events: DataFrame): DataFrame =
     // integer `div`, not `/`: int64 nanos exceed double's 53-bit mantissa
-    events.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    tsNanos(events).withColumn("ets", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window counts + sums per event_type with a 10-minute
     * watermark. Works on a batch or streaming events DataFrame. */
@@ -373,7 +390,7 @@ object EventStream {
     require(stages.size >= 2, "a funnel needs at least 2 stages")
     require(stages.distinct.size == stages.size, "stages must be distinct")
     val winUs = windowMinutes * 60L * 1000000L
-    val ev = events.select(col("user_id"), col("event_type"),
+    val ev = tsNanos(events).select(col("user_id"), col("event_type"),
       expr("ts div 1000").as("us"))
     val first = ev.filter(col("event_type") === stages.head)
       .groupBy("user_id").agg(min("us").as("t"))
@@ -396,7 +413,7 @@ object EventStream {
     * user_id, so the join reuses one partitioning; weeks are integer
     * epoch arithmetic (identical in any engine). */
   def retentionCohorts(events: DataFrame): DataFrame = {
-    val ev = events
+    val ev = tsNanos(events)
       .select(col("user_id"),
         expr("(ts div 1000) div 604800000000").as("wk"))
       .distinct()

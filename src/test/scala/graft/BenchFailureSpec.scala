@@ -1,0 +1,48 @@
+package graft
+
+/** The bench gate must not be able to pass vacuously (r7 lesson: 19
+  * analysis-broken queries were recorded as fast wall-time rows because
+  * the rep loop swallowed the exception). Pins:
+  *   - a throwing query measures as the -1.0 sentinel with an error line;
+  *   - a working query measures as a positive time with no error;
+  *   - the JSON artifact carries the sentinel in `queries`, the message
+  *     in `errors`, and totals only the queries that ran.
+  */
+class BenchFailureSpec extends SparkSpec {
+
+  private val boom: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, _) => s.range(1).select(org.apache.spark.sql.functions.col("nope")) // analysis error
+
+  private val ok: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, _) => s.range(10).selectExpr("sum(id) as total")
+
+  test("a throwing query records the -1 sentinel and an error, never a wall-time row") {
+    val (v, err) = Bench.measure(spark, boom, sf(), reps = 2)
+    assert(v == -1.0, s"failed query must record the sentinel, got $v")
+    assert(err.isDefined && err.get.nonEmpty)
+  }
+
+  test("a working query records a positive min time and no error") {
+    val (v, err) = Bench.measure(spark, ok, sf(), reps = 2)
+    assert(v > 0.0 && err.isEmpty)
+  }
+
+  test("the JSON artifact is visibly red for a failed query") {
+    val results = Seq(
+      ("q_ok", 1.25, Option.empty[String]),
+      ("q_bad", -1.0, Some("AnalysisException: \"quoted\"\nsecond line")))
+    val json = Bench.renderJson(results, "/tmp/sfX")
+    assert(json.contains("\"q_bad\":-1.0"), json)
+    assert(json.contains("\"errors\":{\"q_bad\":"), json)
+    // total counts only the query that ran
+    assert(json.contains("\"value\":1.25"), json)
+    // the error string is JSON-escaped (quote + newline must not break the line)
+    assert(!json.contains("second line\n}"), json)
+    assert(json.linesIterator.size == 1, "artifact must stay one line")
+  }
+
+  test("an all-green run renders an empty errors object") {
+    val json = Bench.renderJson(Seq(("q_ok", 0.5, None)), "/tmp/sfX")
+    assert(json.contains("\"errors\":{}"), json)
+  }
+}

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 class EventStreamSpec extends SparkSpec {
 
-  private def events = spark.read.parquet(s"${sf()}/events.parquet")
+  // tsNanos: canonical long-nanos ts regardless of testdata vintage
+  private def events =
+    EventStream.tsNanos(spark.read.parquet(s"${sf()}/events.parquet"))
 
   test("streaming tumbling counts equal the batch plan") {
     val streamed = EventStream.runStreamingCounts(spark, sf(), "stream_counts")
@@ -17,7 +19,9 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("streaming sliding counts equal the batch plan") {
-    val schema = events.schema
+    // raw on-disk schema (the stream reads the raw dir); tsNanos inside
+    // the operator canonicalizes either vintage
+    val schema = spark.read.parquet(s"${sf()}/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf())
     val q = EventStream.slidingCounts(stream).writeStream

@@ -809,6 +809,27 @@ object Proj {
         case c if c.length == 5 && c.startsWith("258") =>
           c.substring(3).toIntOption.filter(z => z >= 28 && z <= 38)
             .map(z => utm(z, north = true, GRS80))
+        // NAD83 / UTM zones 1N-23N (26901-26923): standard UTM bundle on
+        // GRS80; NAD83 ≡ WGS84 at this fidelity (the ETRS89/NZGD2000
+        // convention used for 258xx)
+        case c if c.length == 5 && c.startsWith("269") =>
+          c.substring(3).toIntOption.filter(z => z >= 1 && z <= 23)
+            .map(z => utm(z, north = true, GRS80))
+        // GDA94 / MGA zones 48-58 (28348-28358) and GDA2020 / MGA zones
+        // 46-59 (7846-7859): UTM south bundles on GRS80 (GDA ≡ WGS84 at
+        // this fidelity)
+        case c if c.length == 5 && c.startsWith("283") =>
+          c.substring(3).toIntOption.filter(z => z >= 48 && z <= 58)
+            .map(z => utm(z, north = false, GRS80))
+        case c if c.length == 4 && c >= "7846" && c <= "7859" =>
+          c.toIntOption.map(_ - 7800).map(z => utm(z, north = false, GRS80))
+        // SIRGAS 2000 / UTM: 31965-31976 are zones 11N-22N
+        // (code − 31954), 31977-31985 are zones 17S-25S (code − 31960);
+        // GRS80, SIRGAS2000 ≡ WGS84 at this fidelity
+        case c if c.length == 5 && c >= "31965" && c <= "31976" =>
+          c.toIntOption.map(_ - 31954).map(z => utm(z, north = true, GRS80))
+        case c if c.length == 5 && c >= "31977" && c <= "31985" =>
+          c.toIntOption.map(_ - 31960).map(z => utm(z, north = false, GRS80))
         // DHDN / 3-degree Gauss-Krüger zones 2-5 (the legacy German
         // national grids many Länder WMS services still publish):
         // k0 = 1, lon0 = 3°·zone, FE = zone·10⁶ + 500 000, Bessel 1841
@@ -839,6 +860,43 @@ object Proj {
         case _ => None
       }
     }
+  }
+
+  /** Actionable refusal text for an unsupported code: names the nearest
+    * supported family when the code sits in a well-known EPSG block, so
+    * a user with an odd national grid learns the workaround instead of
+    * just "unsupported". Public EPSG block layout; datum-shift sizes are
+    * why the near-misses refuse rather than silently approximate. */
+  def unsupportedMessage(srs: String): String = {
+    val code = srs.toLowerCase.stripPrefix("epsg:")
+    // display bare numeric codes as EPSG:NNNN (the COG GeoKey path passes
+    // the raw integer; error text should name the registry)
+    val disp = if (code.nonEmpty && code.forall(_.isDigit)) s"EPSG:$code" else srs
+    val hint = code.toIntOption.collect {
+      case c if c >= 26701 && c <= 26723 =>
+        s"NAD27 UTM zone ${c - 26700} — NAD27→WGS84 shifts reach ~100 m " +
+          s"(no exact transform without grid files); reproject the source " +
+          s"to EPSG:${26900 + (c - 26700)} (NAD83 UTM, supported)"
+      case c if c >= 32201 && c <= 32260 =>
+        s"WGS72 UTM zone ${c - 32200}N — the ~10 m WGS72→WGS84 shift isn't " +
+          s"modeled; use EPSG:${32600 + (c - 32200)} (WGS84 UTM, supported)"
+      case c if c >= 32301 && c <= 32360 =>
+        s"WGS72 UTM zone ${c - 32300}S — use EPSG:${32700 + (c - 32300)} " +
+          s"(WGS84 UTM, supported)"
+      case c if c >= 30161 && c <= 30179 =>
+        s"Tokyo-datum Plane Rectangular zone ${c - 30160} — the ~400 m " +
+          s"Tokyo→JGD shift needs grid files; use EPSG:${6668 + (c - 30160)} " +
+          s"(JGD2011 zone ${c - 30160}, supported)"
+      case c if c >= 2443 && c <= 2461 =>
+        s"JGD2000 Plane Rectangular zone ${c - 2442} — use " +
+          s"EPSG:${6668 + (c - 2442)} (JGD2011, identical at this fidelity, supported)"
+    }
+    s"unsupported SRS '$disp'" + hint.map("; " + _).getOrElse(
+      "; supported families: 4326/3857/900913/3395, UTM 326xx/327xx, " +
+        "ETRS89 258xx, NAD83 269xx, MGA 283xx/78xx, SIRGAS 319xx, " +
+        "Pulkovo GK 284xx, DHDN GK 3146x, JPRCS 6669-6687, LCC " +
+        "2154/3347/3034, Albers 5070, polar stereo 3413/3976/3031/3995, " +
+        "27700, 2193, 3375/29873, 3035, 2056, 5514")
   }
 
   /** Forward projection (WGS84 lon/lat degrees -> metres) for an

@@ -839,8 +839,8 @@ object CogReader {
       case Some(code) =>
         val crs = graft.core.Proj.crs(code.toString).getOrElse(
           throw new java.io.IOException(
-            s"unsupported COG CRS EPSG:$code (see graft.core.Proj for the supported table) — " +
-              "refusing to place pixels in the wrong CRS"))
+            "COG: " + graft.core.Proj.unsupportedMessage(code.toString) +
+              " — refusing to place pixels in the wrong CRS"))
         val r = 6378137.0
         (mx: Double, my: Double) => {
           val lon = math.toDegrees(mx / r)

@@ -170,7 +170,8 @@ object TileSources {
     val version = qparam("version").getOrElse("1.1.1")
     val srs = (if (version == "1.3.0") qparam("crs") else qparam("srs")).getOrElse("epsg:3857")
     val proj = graft.core.Proj.forward(srs).getOrElse(
-      throw new java.io.IOException(s"unsupported WMS SRS '$srs'"))
+      throw new java.io.IOException(
+        "WMS: " + graft.core.Proj.unsupportedMessage(srs)))
     val b = Tiles.tileBounds(graft.core.TileKey(z, x, y))
     val (xmin, ymin, xmax, ymax) =
       graft.core.Proj.transformBounds(proj, b.west, b.south, b.east, b.north)

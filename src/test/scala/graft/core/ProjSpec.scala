@@ -469,6 +469,55 @@ class ProjSpec extends AnyFunSuite {
     assert(math.hypot(xe - xw, ye - yw) < 1e-3)
   }
 
+  test("NAD83/MGA/GDA2020/SIRGAS UTM families: zone arithmetic, ranges enforced, GRS80 parity") {
+    // all four are the standard UTM bundle on GRS80, so each must agree
+    // with the corresponding WGS84 UTM code to <1 mm (the 258xx property)
+    def near(a: String, b: String, lon: Double, lat: Double): Unit = {
+      val (xa, ya) = Proj.forward(a).get(lon, lat)
+      val (xb, yb) = Proj.forward(b).get(lon, lat)
+      assert(math.hypot(xa - xb, ya - yb) < 1e-3, s"$a vs $b")
+    }
+    // NAD83 UTM 17N (26917): Great Lakes quadrant, lon0 = -81
+    near("epsg:26917", "epsg:32617", -80.0, 43.0)
+    assert(Proj.forward("epsg:26900").isEmpty && Proj.forward("epsg:26924").isEmpty)
+    // GDA94 MGA zone 55 (28355): Melbourne, lon0 = 147, south FN
+    near("epsg:28355", "epsg:32755", 145.0, -37.8)
+    assert(Proj.forward("epsg:28347").isEmpty && Proj.forward("epsg:28359").isEmpty)
+    // GDA2020 MGA zone 55 (7855) — same bundle as 28355 (GDA94≡GDA2020 here)
+    near("epsg:7855", "epsg:28355", 145.0, -37.8)
+    assert(Proj.forward("epsg:7845").isEmpty && Proj.forward("epsg:7860").isEmpty)
+    // SIRGAS 2000: 31972 = 18N (code-31954), 31983 = 23S (code-31960)
+    near("epsg:31972", "epsg:32618", -74.0, 4.6)  // Bogota quadrant
+    near("epsg:31983", "epsg:32723", -46.6, -23.5) // Sao Paulo quadrant
+    assert(Proj.forward("epsg:31964").isEmpty && Proj.forward("epsg:31986").isEmpty)
+    // round-trip property holds for the new families (points inside
+    // each zone's own longitude band)
+    for ((code, lon, lat) <- Seq(("epsg:26917", -80.0, 43.0),
+        ("epsg:28355", 146.0, -30.0), ("epsg:7855", 146.0, -30.0),
+        ("epsg:31983", -46.6, -23.5))) {
+      val f = Proj.forward(code).get; val i = Proj.inverse(code).get
+      val (lo2, la2) = i.tupled(f(lon, lat))
+      assert(math.abs(lo2 - lon) < 1e-9 && math.abs(la2 - lat) < 1e-9, code)
+    }
+  }
+
+  test("unsupportedMessage: near-miss EPSG blocks name the supported workaround") {
+    val nad27 = Proj.unsupportedMessage("epsg:26717")
+    assert(nad27.contains("NAD27") && nad27.contains("26917"), nad27)
+    val wgs72n = Proj.unsupportedMessage("epsg:32217")
+    assert(wgs72n.contains("32617"), wgs72n)
+    val tokyo = Proj.unsupportedMessage("epsg:30169")
+    assert(tokyo.contains("6677"), tokyo)
+    val jgd2000 = Proj.unsupportedMessage("epsg:2451")
+    assert(jgd2000.contains("6677"), jgd2000)
+    // unknown code outside any known block lists the supported families
+    val generic = Proj.unsupportedMessage("epsg:99999")
+    assert(generic.contains("supported families"), generic)
+    // codes the table DOES support never reach the message path in
+    // production, but the text stays truthful if they do
+    assert(Proj.forward("epsg:26717").isEmpty)
+  }
+
   test("transformBounds: densified UTM bbox covers the corner-only bbox (curved edges)") {
     val proj = Proj.forward("epsg:32631").get
     // a wide box straddling the zone: the projected bottom edge bows

@@ -286,4 +286,54 @@ object Graphs {
       .join(edges, Seq("u", "v"), "left_anti")
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999) over a DIRECTED edge list, in
+    * scaled integer arithmetic: authority(v) = Σ_{u→v} hub(u), then
+    * hub(u) = Σ_{u→v} authority(v), each half-step L∞-normalized to
+    * `scale` (score · scale div max — integer-exact, so every engine
+    * lands on identical longs; Kleinberg's L2 norm needs sqrt and is
+    * not cross-engine reproducible). Scores start at `scale`. Returns
+    * (n, hub, auth) for every vertex; a vertex with no out-edges has
+    * hub 0, no in-edges auth 0.
+    *
+    * SCALE CONTRACT: each half-step is one hash join of the O(V) score
+    * table against the edge list plus one aggregation — the Pregel
+    * shape, partitioned on vertex id throughout; the max enters as a
+    * broadcast one-row aggregate. Score tables are localCheckpoint'ed
+    * per half-step ([[kCore]] discipline): normalization references the
+    * fresh scores twice (values + max), so an unmaterialized loop would
+    * compound the plan ~4× per round. */
+  def hits(edges0: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    val nodes = edges.select(col("src").as("n"))
+      .unionAll(edges.select(col("dst").as("n"))).distinct()
+      .localCheckpoint()
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val mx = broadcast(scores.agg(max(col(c)).as("mx")))
+      scores.crossJoin(mx)
+        .select(col("n"), expr(s"($c * ${scale}L) div mx").as(c))
+    }
+    var hubs = nodes.select(col("n"), lit(scale).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = edges.join(hubs.withColumnRenamed("n", "src"), "src")
+        .groupBy(col("dst").as("n")).agg(sum("h").as("a"))
+      auths = normalized(aRaw, "a").localCheckpoint()
+      val hRaw = edges.join(auths.withColumnRenamed("n", "dst"), "dst")
+        .groupBy(col("src").as("n")).agg(sum("a").as("h"))
+      hubs = normalized(hRaw, "h").localCheckpoint()
+    }
+    nodes
+      .join(hubs.hint("shuffle_hash"), Seq("n"), "left")
+      .join(auths.hint("shuffle_hash"), Seq("n"), "left")
+      .select(col("n"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
+  }
+
 }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * All label math here is built-in Column arithmetic (codegen'd, shuffles
   * once on the tile key); rasterization (A3) lives in [[Segmentation]].
   */
+/** 0-4096-space geometry bounds carried out of [[Labels.negBufferBounds]] —
+  * top-level (not nested in the object) so the UnsafeProjection's generated
+  * code can resolve its accessors: Janino fails method lookup on
+  * `Labels$Bounds4096` and silently drops the whole projection to
+  * interpreter mode (the [[graft.streaming.SessionState]] lesson). */
+final case class Bounds4096(minx: Double, miny: Double, maxx: Double, maxy: Double)
+
 object Labels {
   private val tileKey = Seq("z", "x", "y")
 
@@ -52,8 +59,6 @@ object Labels {
       clamp(px(maxx) + 4), // xmax
       clamp(lit(255) - px(miny) + 4)) // ymax
   }
-
-  private case class Bounds4096(minx: Double, miny: Double, maxx: Double, maxy: Double)
 
   /** Bounds of the JTS-buffered geometry in 0-4096 space — the reference
     * buffers the raw geometry (`label.py:29-32`, shapely `.buffer(d, 4)`,

@@ -37,12 +37,12 @@ object Sketches {
     val dist = df.select(col(groupCol).as("grp"),
       md5(col(valueCol).cast("string")).as("h")).distinct()
     val w = Window.partitionBy("grp").orderBy("h")
-    // first 13 hex digits as an exact 52-bit integer (Horner) — string
-    // order on the full hash equals numeric order on any shared prefix
-    val hashInt = expr(
-      """aggregate(sequence(1, 13), CAST(0 AS BIGINT), (acc, j) ->
-        |  acc * 16 + CAST(instr('0123456789abcdef',
-        |    substring(h, CAST(j AS INT), 1)) - 1 AS BIGINT))""".stripMargin)
+    // first 13 hex digits as an exact 52-bit integer — string order on
+    // the full hash equals numeric order on any shared prefix; conv() is
+    // the codegen'd built-in (the interpreted HOF fold it replaces only
+    // ever ran on <= k rows per group, but consistency with
+    // cmsHeavyHitters keeps one idiom)
+    val hashInt = conv(substring(col("h"), 1, 13), 16, 10).cast("long")
     val sketch = dist.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .withColumn("hi", hashInt)
@@ -112,6 +112,44 @@ object Sketches {
     exact.crossJoin(est)
       .select(col("union_exact"), col("union_est"),
         col("inter_exact"), col("inter_est"), col("jaccard_est"))
+  }
+
+  /** Deterministic-sample approximate quantiles: nearest-rank quantiles
+    * of the k rows with the smallest `md5('sq_' || id)` — a uniform
+    * sample that is a PURE FUNCTION of the id set, so any engine with
+    * md5 draws the identical sample and lands on the identical quantile
+    * values (unlike `approx_percentile`/GK/KLL, whose summaries are
+    * implementation- and merge-order-specific; qx01 lesson). Returns one
+    * row per requested quantile: (q, value, sample_n).
+    *
+    * Estimator: order the sample by (value, hash) — the hash tiebreak
+    * makes duplicate values deterministic — and take the nearest-rank
+    * element `max(1, ceil(q·n))`. Standard sample-quantile error:
+    * ±O(1/√k) in rank, distribution-free (Serfling 1980 §2.3).
+    *
+    * Scale shape: the bottom-k selection is a TakeOrdered (per-partition
+    * top-k + a k-row merge — no full shuffle sort, no driver loop); the
+    * quantile extraction is a window over the k-row sample. The sample
+    * is an O(k) mergeable summary: ship each partition's k smallest
+    * (hash, value) pairs and re-merge. */
+  def sampleQuantiles(df: DataFrame, valueCol: String, idCol: String,
+      quantiles: Seq[Double], k: Int = 1024): DataFrame = {
+    require(k >= 2, s"k >= 2: $k")
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles in (0,1]: $quantiles")
+    val sample = df.select(
+        md5(concat(lit("sq_"), col(idCol).cast("string"))).as("h"),
+        col(valueCol).as("v"))
+      .orderBy("h").limit(k)
+    val ranked = sample
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .select(col("rn"), col("v"), col("n"),
+        explode(array(quantiles.map(q => lit(q).cast("double")): _*)).as("q"))
+      .filter(col("rn") === greatest(lit(1L), ceil(col("q") * col("n"))))
+      .select(col("q"), col("v").as("value"), col("n").as("sample_n"))
+      .orderBy("q")
   }
 
   /** Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005) with

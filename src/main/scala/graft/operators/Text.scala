@@ -171,6 +171,62 @@ object Text {
   def extractDomains(c: Column): Column =
     regexp_extract_all(c, lit("https?://([a-z0-9.-]+)"), lit(1))
 
+  /** Canonical URL form for web-corpus dedup — the same page fetched via
+    * `HTTP://WWW.Site.com:80/a/?utm_source=x#frag` and
+    * `http://site.com/a` must collapse to one key before exact dedup or
+    * crawl-frontier accounting. Deterministic, engine-portable steps
+    * (each a regex/array built-in both Spark and DuckDB evaluate
+    * identically): lowercase scheme+host, strip `:80`/`:443`, strip a
+    * leading `www.`, drop the fragment, drop trailing path slashes, drop
+    * tracking params (`utm_*`, `fbclid`, `gclid`, `ref`), sort the
+    * surviving query params. Pure per-row Column algebra — codegen'd,
+    * zero shuffles; NOT a full RFC 3986 normalizer (percent-encoding
+    * case and dot-segments are out of scope, documented). */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(hostport, ":(80|443)$", ""),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p.startsWith("ref=") || p === ""))
+    val q = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    * standard hybrid-retrieval combiner (BM25 + dense ranks in RAG
+    * stacks): fused(d) = Σ_lists scale div (k0 + rank_list(d)), in
+    * integer arithmetic so every engine agrees digit-for-digit (the
+    * float 1/(k+r) sum is order-dependent). Each input holds one ranked
+    * list as (idCol, rankCol) with rank 1 = best; ids missing from a
+    * list contribute nothing for it. Returns the top `k` of
+    * (id, lists, rrf) by (rrf DESC, id).
+    *
+    * SCALE CONTRACT: a unionAll of the (already small, top-k-sized)
+    * ranked lists, one groupBy id, and a TakeOrderedAndProject — cost ∝
+    * Σ list sizes, never the corpus; the corpus-sized work lives in the
+    * upstream rankers. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, k0: Int = 60, scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1 && k0 >= 0)
+    require(scale >= 1 && scale <= 1000000000000L)
+    val tagged = rankings.map(_.select(col(idCol).cast("long").as("id"),
+      col(rankCol).cast("long").as("rank")))
+    tagged.reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(count(lit(1)).as("lists"),
+        sum(expr(s"${scale}L div (${k0}L + rank)")).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
   private def hexVal(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
 
   /** Deterministic 0..99 bucket from the id's md5 (first two hex chars) —

@@ -324,6 +324,28 @@ object MiscQueries {
           t(s, d, "lineitem"), "l_partkey",
           depth = 3, width = 256, minEst = 50L)
         .orderBy("l_partkey")
+    },
+    // Deterministic-sample quantiles of the price distribution: the
+    // md5-bottom-k sample is a pure function of the id set, so the
+    // oracle draws the identical sample and lands on identical values
+    // (the engine-portable alternative to approx_percentile/KLL).
+    "qx07_sample_quantiles" -> { (s, d) =>
+      graft.operators.Sketches.sampleQuantiles(
+        t(s, d, "lineitem")
+          .withColumn("lid",
+            concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
+        "l_extendedprice", "lid",
+        quantiles = Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 1024)
+    },
+    // HITS hubs/authorities over the bipartite order->part purchase
+    // graph (orders negated so the two id spaces can't collide), in
+    // L-infinity-normalized scaled integers; oracle unrolls the same
+    // three iterations.
+    "qg08_hits" -> { (s, d) =>
+      val ev = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select((-col("l_orderkey")).as("src"), col("l_partkey").as("dst"))
+      graft.operators.Graphs.hits(ev, "src", "dst", iters = 3)
+        .orderBy("n")
     }
   )
 
@@ -560,8 +582,49 @@ object MiscQueries {
         |  FROM vals GROUP BY v)
         |SELECT exact.v AS l_partkey, exact_count, cms_est
         |FROM exact JOIN est USING (v) WHERE cms_est >= 50
-        |ORDER BY l_partkey""".stripMargin
+        |ORDER BY l_partkey""".stripMargin,
+    // identical md5-bottom-k sample, identical (value, hash) order,
+    // identical nearest-rank pick — every digit reproduces
+    "qx07_sample_quantiles" ->
+      """WITH s AS (SELECT md5('sq_' || (l_orderkey || '_' || l_linenumber)) AS h,
+        |    l_extendedprice AS v
+        |  FROM lineitem ORDER BY h LIMIT 1024),
+        |r AS (SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
+        |    COUNT(*) OVER () AS n FROM s),
+        |q AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+        |SELECT q.q AS q, r.v AS value, r.n AS sample_n
+        |FROM q JOIN r ON r.rn = GREATEST(1, CAST(CEIL(q.q * r.n) AS BIGINT))
+        |ORDER BY q""".stripMargin,
+    "qg08_hits" -> hitsOracle(iters = 3, scale = 1000000L)
   )
+
+  /** The qg08 oracle: the identical L∞-normalized integer HITS
+    * iterations unrolled — authority from hubs, normalize, hub from the
+    * fresh authorities, normalize; non-negative operands make `//`
+    * Spark's `div`. */
+  private def hitsOracle(iters: Int, scale: Long): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a${i}r AS (SELECT e.dst AS n, CAST(SUM(h.h) AS BIGINT) AS a
+         |  FROM h${i - 1} h JOIN e ON e.src = h.n GROUP BY e.dst),
+         |a$i AS (SELECT n, (a * $scale) // (SELECT MAX(a) FROM a${i}r) AS a
+         |  FROM a${i}r),
+         |h${i}r AS (SELECT e.src AS n, CAST(SUM(a.a) AS BIGINT) AS h
+         |  FROM a$i a JOIN e ON e.dst = a.n GROUP BY e.src),
+         |h$i AS (SELECT n, (h * $scale) // (SELECT MAX(h) FROM h${i}r) AS h
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT -l_orderkey AS src, l_partkey AS dst
+       |  FROM lineitem WHERE l_orderkey % 50 = 0),
+       |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT n, $scale AS h FROM nodes),
+       |$steps
+       |SELECT nodes.n,
+       |  CAST(COALESCE(hf.h, 0) AS BIGINT) AS hub,
+       |  CAST(COALESCE(af.a, 0) AS BIGINT) AS auth
+       |FROM nodes LEFT JOIN h$iters hf ON hf.n = nodes.n
+       |LEFT JOIN a$iters af ON af.n = nodes.n
+       |ORDER BY nodes.n""".stripMargin
+  }
 
   /** The qg04 oracle: the identical scaled-integer power iteration
     * unrolled as one CTE per round. SUMs are cast back to BIGINT (DuckDB

@@ -483,6 +483,46 @@ object TextOps {
         numHashes = 4, rowsPerBand = 2)
       graft.operators.Dedup.overlapF1Pairs(cand, docs, "text", "doc_id")
         .orderBy("id_a", "id_b")
+    },
+    // URL canonicalization dedup (synthetic messy variants — the corpus
+    // has no URLs): scheme/host case, :80, www., fragments, trailing
+    // slash, tracking params, and param order must all collapse; the
+    // variant count per canonical key proves it.
+    "qd41_url_canon" -> { (s, d) =>
+      val urls = t(s, d, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), explode(array(
+          concat(lit("HTTP://WWW.Example"), col("doc_id") % 5,
+            lit(".COM:80/a/b/?utm_source=x&id="), col("doc_id") % 5,
+            lit("#frag")),
+          concat(lit("http://example"), col("doc_id") % 5,
+            lit(".com/a/b?id="), col("doc_id") % 5),
+          concat(lit("https://cdn"), col("doc_id") % 3,
+            lit(".host.net/p?b=2&a=1&gclid=zz")))).as("url"))
+      urls
+        .select(col("doc_id"), col("url"),
+          graft.operators.Text.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_variants"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("canon")
+    },
+    // Hybrid-retrieval reciprocal-rank fusion: the qd38 BM25 top-50
+    // fused with a length-prior top-50, integer RRF scores — the RAG
+    // hybrid-search combiner under a full SQL replay.
+    "qd42_rrf_fusion" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val bm = graft.operators.Text.bm25TopK(docs, "text", "doc_id",
+          Seq("spark", "join", "window", "dup"), k = 50)
+        .select(col("doc"), row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc"))).as("rank"))
+      val lenRank = docs
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+        .select(col("doc_id").as("doc"), row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))).as("rank"))
+      graft.operators.Text.rrfFuse(Seq(bm, lenRank), "doc", "rank", k = 20)
+        .withColumnRenamed("id", "doc_id")
     }
   )
 
@@ -1125,6 +1165,63 @@ object TextOps {
         |SELECT id_a, id_b, n_inter, prec, rec,
         |  CASE WHEN n_inter = 0 THEN CAST(0 AS BIGINT)
         |    ELSE (2 * prec * rec) // (prec + rec) END AS f1
-        |FROM sc ORDER BY id_a, id_b""".stripMargin
+        |FROM sc ORDER BY id_a, id_b""".stripMargin,
+    // the same regex/array pipeline step for step — Java and RE2 agree
+    // on these anchored ASCII patterns, and both engines' list sorts are
+    // plain lexicographic
+    "qd41_url_canon" ->
+      """WITH urls AS (SELECT doc_id, unnest([
+        |  'HTTP://WWW.Example' || (doc_id % 5) || '.COM:80/a/b/?utm_source=x&id=' || (doc_id % 5) || '#frag',
+        |  'http://example' || (doc_id % 5) || '.com/a/b?id=' || (doc_id % 5),
+        |  'https://cdn' || (doc_id % 3) || '.host.net/p?b=2&a=1&gclid=zz']) AS url
+        |  FROM documents WHERE doc_id < 400),
+        |kept AS (SELECT doc_id, url,
+        |  list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+        |      OR starts_with(p, 'gclid=') OR starts_with(p, 'ref=') OR p = ''))) AS ps
+        |  FROM urls),
+        |canon AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |    ':(80|443)$', ''), '^www\.', '') ||
+        |  regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') ||
+        |  CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon
+        |  FROM kept)
+        |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
+    // qd38's BM25 pipeline at k=50 + a length prior, fused with integer
+    // reciprocal ranks
+    "qd42_rrf_fusion" ->
+      """WITH toks AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl,
+        |    unnest(str_split(text, ' ')) AS tok FROM documents),
+        |qt AS (SELECT unnest(['spark', 'join', 'window', 'dup']) AS tok),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tot FROM documents),
+        |av AS (SELECT n, (tot * 10) // n AS avgdl10 FROM st),
+        |hits AS (SELECT t.doc_id, t.tok, t.dl FROM toks t JOIN qt USING (tok)),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+        |  FROM hits GROUP BY 1, 2),
+        |dft AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM hits GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    ((av.n * 1000000) // dft.df)
+        |      * ((22 * tf.tf * av.avgdl10 * 1000000)
+        |         // (10 * tf.tf * av.avgdl10 + 3 * av.avgdl10 + 90 * tf.dl)) AS s
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN av),
+        |bm AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS bm25
+        |  FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |bmr AS (SELECT doc_id AS id,
+        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm),
+        |ln AS (SELECT doc_id, n_chars FROM documents
+        |  ORDER BY n_chars DESC, doc_id LIMIT 50),
+        |lnr AS (SELECT doc_id AS id,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank FROM ln),
+        |u AS (SELECT id, rank FROM bmr UNION ALL SELECT id, rank FROM lnr)
+        |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS lists,
+        |  CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf
+        |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 20""".stripMargin
   )
 }

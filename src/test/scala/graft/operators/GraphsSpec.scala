@@ -160,4 +160,45 @@ class GraphsSpec extends SparkSpec {
     // with the cap lifted the star predicts all C(5,2) leaf pairs
     assert(Graphs.linkPrediction(star, "a", "b", maxDeg = 5).count() == 10)
   }
+
+  test("hits: in-star concentrates authority on the center, hubs on the pointers") {
+    val s = spark
+    import s.implicits._
+    // 4 sources all point at vertex 0: auth(0) = max = scale, sources
+    // are the (equal) top hubs = scale, and nobody else scores
+    val star = (1L to 4L).map(i => (i, 0L)).toDF("s", "d")
+    val out = Graphs.hits(star, "s", "d", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 0L, 1000000L), (1L, 1000000L, 0L),
+      (2L, 1000000L, 0L), (3L, 1000000L, 0L), (4L, 1000000L, 0L)))
+  }
+
+  test("hits: bipartite weighting favours the dst with more in-links, dedups edges") {
+    val s = spark
+    import s.implicits._
+    // srcs 1,2,3 -> dst 10; src 1 -> dst 20; duplicate edges collapse
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (1L, 10L))
+      .toDF("s", "d")
+    val out = Graphs.hits(e, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // dst 10 (3 in-links) is the max authority; dst 20 strictly less
+    assert(out(10L)._2 == 1000000L)
+    assert(out(20L)._2 > 0L && out(20L)._2 < 1000000L)
+    // src 1 points at both dsts -> strictly the top hub
+    assert(out(1L)._1 == 1000000L)
+    assert(out(2L)._1 < 1000000L && out(2L)._1 == out(3L)._1)
+    // dsts have no out-edges -> hub 0; srcs have no in-edges -> auth 0
+    assert(out(10L)._1 == 0L && out(1L)._2 == 0L)
+  }
+
+  test("hits is partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 200).map(i => ((i % 13).toLong, (100 + i % 7).toLong))
+      .toDF("s", "d")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graphs.hits(d, "s", "d", iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(e) == run(e.repartition(11)))
+  }
 }

@@ -78,4 +78,32 @@ class SketchesSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(df) == run(df.repartition(11)))
   }
+
+  test("sampleQuantiles: k >= n degenerates to exact nearest-rank quantiles") {
+    val s = spark
+    import s.implicits._
+    // 100 distinct values 1..100 — with k >= n the "sample" is the data,
+    // so q maps to exactly the ceil(q*100)-th smallest value
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Sketches.sampleQuantiles(df, "v", "id",
+        Seq(0.01, 0.25, 0.5, 1.0), k = 1000)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out == Map(0.01 -> 1.0, 0.25 -> 25.0, 0.5 -> 50.0, 1.0 -> 100.0))
+  }
+
+  test("sampleQuantiles is deterministic across partitionings and approximates the true median") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 20000).map(i => (i.toLong, (i % 1000).toDouble)).toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.sampleQuantiles(d, "v", "id", Seq(0.5), k = 512)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    val a = run(df)
+    assert(a == run(df.repartition(17)), "md5 sample must be partition-independent")
+    // true median of (i % 1000) over 20k rows is ~499.5; sample error
+    // bound ~1000/sqrt(512) ≈ 44 in value terms — assert a loose 3x band
+    val med = a.head._2
+    assert(math.abs(med - 499.5) < 132, s"median estimate $med too far off")
+    assert(a.head._3 == 512L)
+  }
 }

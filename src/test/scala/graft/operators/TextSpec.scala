@@ -289,4 +289,42 @@ class TextSpec extends SparkSpec {
       Text.bm25TopK(d, "text", "doc_id", Nil, k = 1)
     }
   }
+
+  test("canonicalizeUrl: case, ports, www, fragment, slash, tracking params, param order") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // the full gauntlet collapses to one clean form
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&id=5#frag" ->
+        "http://example.com/a/b?id=5",
+      "http://example.com/a/b?id=5" -> "http://example.com/a/b?id=5",
+      // param sorting: b=2&a=1 -> a=1&b=2; gclid dropped; 443 stripped
+      "https://Site.net:443/p?b=2&a=1&gclid=zz" -> "https://site.net/p?a=1&b=2",
+      // all params tracking -> no '?' at all
+      "https://x.org/q?utm_medium=m&fbclid=f&ref=r" -> "https://x.org/q",
+      // bare host, no path/query
+      "https://WWW.Host.io" -> "https://host.io",
+      // :8080 is NOT a default port and survives
+      "http://h.co:8080/x" -> "http://h.co:8080/x")
+    val out = cases.map(_._1).toDF("url")
+      .select(Text.canonicalizeUrl(org.apache.spark.sql.functions.col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("rrfFuse: doc on both lists beats single-list docs; integer scores; ties to smaller id") {
+    val s = spark
+    import s.implicits._
+    val l1 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val l2 = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val out = Text.rrfFuse(Seq(l1, l2), "id", "rank", k = 10, k0 = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 2: 10^6 div 62 + 10^6 div 61 = 16129 + 16393 = 32522 — top
+    assert(out.head == ((2L, 2L, 32522L)))
+    // doc 1 (rank 1, one list) = 16393; doc 4 = 16129; doc 3 = 15873
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L))
+    // k truncates deterministically
+    assert(Text.rrfFuse(Seq(l1, l2), "id", "rank", k = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 1L))
+  }
 }

@@ -44,6 +44,42 @@ object Cdc {
           .otherwise(col(c)).as(c)): _*)
   }
 
+  /** The inverse of [[applyChangelog]]: diff two keyed snapshots into the
+    * minimal changelog that turns `before` into `after` — op I for keys
+    * only in `after`, D for keys only in `before`, U for keys whose value
+    * tuple changed; unchanged keys emit nothing. This is how the delta
+    * GETS MADE when the upstream can't stream changes (nightly dump
+    * diffing, backfill reconciliation); replaying the emitted changelog
+    * through [[applyChangelog]] reproduces `after` exactly (spec-pinned).
+    * Output: (keys..., op, values... from the surviving side — the
+    * `before` image for D rows).
+    *
+    * Shape: ONE full-outer hash join on the key and a per-row tuple
+    * comparison — no window, no driver state; cost ∝ the larger
+    * snapshot, output ∝ the true change volume. Null-safe equality
+    * (`<=>` per column) so a null→value transition is a U, not a miss. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty)
+    val valueCols = before.columns.filterNot(keyCols.contains).toSeq
+    val b = before.select(keyCols.map(col) :+ lit(true).as("__in_b") :+
+      struct(valueCols.map(col): _*).as("__bv"): _*)
+    val a = after.select(keyCols.map(col) :+ lit(true).as("__in_a") :+
+      struct(valueCols.map(col): _*).as("__av"): _*)
+    val same = valueCols.map(c => col(s"__bv.$c") <=> col(s"__av.$c"))
+      .reduce(_ && _)
+    b.join(a, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__in_b").isNull, "I")
+          .when(col("__in_a").isNull, "D")
+          .when(same, lit(null: String))
+          .otherwise("U"))
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("op")) ++ valueCols.map(c =>
+        when(col("op") === "D", col(s"__bv.$c"))
+          .otherwise(col(s"__av.$c")).as(c)): _*)
+  }
+
   /** SCD-type-2 history from a changelog: one validity interval per
     * change — (keys..., values..., valid_from, valid_to, is_current),
     * `valid_to` = the next change's sequence (null while current); a D op

@@ -52,6 +52,40 @@ object Text {
         ((col(ncharsCol) - (col("n_tokens") - 1)).cast("double") / col("n_tokens")).as("avg_word_len"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
 
+  /** Code-likeness signals per document — the prose-vs-code router of a
+    * pretraining mix (code gets its own dedup/quality/tokenizer path).
+    * All-integer and regex-only so any engine reproduces them exactly:
+    * brace/bracket/semicolon count, operator-character count, code
+    * keyword hits (word-bounded), indented-line count, and a scaled
+    * symbol density `(n_brace + n_op) · 10⁶ div n_chars`. Thresholding
+    * is the caller's policy (signals, not a verdict — the Gopher/
+    * StarCoder filters all cut differently). Per-row only, zero
+    * shuffles, codegen'd. */
+  def codeSignals(df: DataFrame, textCol: String, idCol: String,
+      keywords: Seq[String] = Seq("def", "return", "import", "class",
+        "const", "var", "function", "void", "int", "for", "while",
+        "if", "else", "null")): DataFrame = {
+    require(keywords.nonEmpty && keywords.forall(_.matches("[A-Za-z_]+")),
+      "keywords must be word-chars only (they enter a regex)")
+    val t = col(textCol)
+    // long counts: the driver's value compare is type-strict (r7 lesson)
+    def cnt(re: String) =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    val kw = keywords.mkString("\\b(", "|", ")\\b")
+    df.select(col(idCol),
+      cnt("[{}\\[\\]();]").as("n_brace"),
+      cnt("[=+*/<>|&!%-]").as("n_op"),
+      cnt(kw).as("n_keyword"),
+      cnt("(?m)^[ ]{2,}|(?m)^\\t").as("n_indent"),
+      // floor((n_brace + n_op)·10⁶ / n_chars): counts ≤ ~10⁴ and chars ≥ 1
+      // keep the double product < 2⁵³, so floor-of-double == integer div
+      // in both engines
+      when(length(t) > 0,
+        floor((cnt("[{}\\[\\]();]") + cnt("[=+*/<>|&!%-]"))
+          .cast("double") * lit(1000000.0) / length(t)).cast("long"))
+        .otherwise(lit(0L)).as("symbol_ppm"))
+  }
+
   /** Per-document n-gram novelty: what fraction of a doc's DISTINCT
     * n-token grams appear in no other document — (id, n_grams, n_novel,
     * novelty). Low novelty flags template/memorized/boilerplate-heavy

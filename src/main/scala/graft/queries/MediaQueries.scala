@@ -275,6 +275,45 @@ object MediaQueries {
     "qs03_session_window" -> { (s, d) =>
       EventStream.sessionWindows(t(s, d, "events"), gapMinutes = 30)
         .orderBy("user_id", "start_us")
+    },
+    // Snapshot diff — the inverse of the CDC apply: two keyed per-user
+    // aggregates diffed into the minimal I/U/D changelog (nightly-dump
+    // reconciliation). Users 300-349 exist only before (D), even-id-only
+    // users only after (I), everyone else whose tuple moved is a U.
+    "qc04_snapshot_diff" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(30,2)")).cast("double").as("total"))
+      val before = snap(ev.filter(col("user_id") < 350 && col("event_id") % 2 === 0))
+      val after = snap(ev.filter(col("user_id") < 300))
+      graft.operators.Cdc.snapshotDiff(before, after, Seq("user_id"))
+        .orderBy("user_id")
+    },
+    // Streaming-shaped windowed CMS: the per-window 2xW counter table
+    // (the mergeable sketch itself — what a stream SHIPS) probed by the
+    // distinct event types for per-window heavy-hitter estimates.
+    "qs09_cms_windowed" -> { (s, d) =>
+      val width = 64
+      val counters = EventStream.cmsCountersWindowed(
+        t(s, d, "events"), "event_type", windowMinutes = 60,
+        width = width).toDF()
+      val vals = t(s, d, "events")
+        .select(col("event_type").cast("string").as("v")).distinct()
+      def bucket(i: Int) =
+        (conv(substring(md5(concat(lit(s"c${i}_"), col("v"))), 1, 13), 16, 10)
+          .cast("long") % width).cast("int")
+      val probe = vals
+        .select(col("v"), lit(0).as("i"), bucket(0).as("b"))
+        .unionAll(vals.select(col("v"), lit(1).as("i"), bucket(1).as("b")))
+      counters.join(probe, Seq("i", "b"))
+        .groupBy("wstart_us", "v")
+        .agg(min("c").as("cms_est"), count(lit(1)).as("nr"))
+        // a missing counter row is a zero bucket -> est 0 -> not a hitter
+        .filter(col("nr") === 2)
+        .select(col("wstart_us"), col("v").as("event_type"), col("cms_est"))
+        .orderBy("wstart_us", "event_type")
     }
   )
 
@@ -448,6 +487,55 @@ object MediaQueries {
         | FROM d)
         |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
         | CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    // same full-outer diff, same null-safe tuple compare (IS DISTINCT
+    // FROM == Spark's negated <=>), same decimal->double sum discipline
+    "qc04_snapshot_diff" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(value AS DECIMAL(30,2)) AS dv FROM events),
+        |b AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dv) AS DOUBLE) AS total
+        |  FROM ev WHERE user_id < 350 AND event_id % 2 = 0 GROUP BY 1),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dv) AS DOUBLE) AS total
+        |  FROM ev WHERE user_id < 300 GROUP BY 1),
+        |j AS (SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+        |    b.user_id IS NOT NULL AS in_b, a.user_id IS NOT NULL AS in_a,
+        |    b.n AS bn, b.total AS bt, a.n AS an, a.total AS a_t
+        |  FROM b FULL OUTER JOIN a ON b.user_id = a.user_id)
+        |SELECT user_id,
+        |  CASE WHEN NOT in_b THEN 'I' WHEN NOT in_a THEN 'D' ELSE 'U' END AS op,
+        |  CASE WHEN NOT in_a THEN bn ELSE an END AS n,
+        |  CASE WHEN NOT in_a THEN bt ELSE a_t END AS total
+        |FROM j
+        |WHERE NOT in_b OR NOT in_a
+        |  OR bn IS DISTINCT FROM an OR bt IS DISTINCT FROM a_t
+        |ORDER BY user_id""".stripMargin,
+    // per-window bucket counters replayed from raw events, probed by the
+    // distinct value set — the qx06 hex-prefix formula per window
+    "qs09_cms_windowed" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us,
+        |    CAST(event_type AS VARCHAR) AS v FROM events),
+        |w AS (SELECT us - us % 3600000000 AS wstart_us, v FROM ev),
+        |b AS (SELECT wstart_us, v, i,
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef',
+        |        substr(md5('c' || i || '_' || v), CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 64 AS bkt
+        |  FROM w CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+        |counters AS (SELECT wstart_us, i, bkt, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |vals AS (SELECT DISTINCT v FROM ev),
+        |probe AS (SELECT v, i,
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef',
+        |        substr(md5('c' || i || '_' || v), CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 64 AS bkt
+        |  FROM vals CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+        |est AS (SELECT c.wstart_us, p.v, MIN(c.c) AS cms_est,
+        |    COUNT(*) AS nr
+        |  FROM probe p JOIN counters c USING (i, bkt) GROUP BY 1, 2)
+        |SELECT wstart_us, v AS event_type, cms_est
+        |FROM est WHERE nr = 2 ORDER BY wstart_us, event_type""".stripMargin
   )
 }

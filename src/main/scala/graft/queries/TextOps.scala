@@ -523,6 +523,17 @@ object TextOps {
           Window.orderBy(col("n_chars").desc, col("doc_id"))).as("rank"))
       graft.operators.Text.rrfFuse(Seq(bm, lenRank), "doc", "rank", k = 20)
         .withColumnRenamed("id", "doc_id")
+    },
+    // Code-likeness signals (the prose-vs-code router): every third doc
+    // gets a code preamble injected; its brace/operator/keyword/indent
+    // counts and symbol density must separate from the prose rows.
+    "qd43_code_signals" -> { (s, d) =>
+      val docs = t(s, d, "documents").filter(col("doc_id") < 300)
+        .withColumn("txt", when(col("doc_id") % 3 === 0,
+          concat(lit("def f(x):\n  return x+1; // if else "), col("text")))
+          .otherwise(col("text")))
+      graft.operators.Text.codeSignals(docs, "txt", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -1222,6 +1233,27 @@ object TextOps {
         |u AS (SELECT id, rank FROM bmr UNION ALL SELECT id, rank FROM lnr)
         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS lists,
         |  CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf
-        |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+        |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    // regex-for-regex replay (Java and RE2 agree on these ASCII classes);
+    // floor-of-double division is exact — counts x 10^6 stays under 2^53
+    "qd43_code_signals" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'def f(x):' || chr(10) || '  return x+1; // if else ' || text
+        |      ELSE text END AS txt
+        |  FROM documents WHERE doc_id < 300),
+        |c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(txt, '[{}\[\]();]')) AS BIGINT) AS n_brace,
+        |    CAST(len(regexp_extract_all(txt, '[=+*/<>|&!%-]')) AS BIGINT) AS n_op,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '\b(def|return|import|class|const|var|function|void|int|for|while|if|else|null)\b')) AS BIGINT) AS n_keyword,
+        |    CAST(len(regexp_extract_all(txt, '(?m)^[ ]{2,}|(?m)^\t')) AS BIGINT) AS n_indent,
+        |    len(txt) AS nc
+        |  FROM docs)
+        |SELECT doc_id, n_brace, n_op, n_keyword, n_indent,
+        |  CASE WHEN nc > 0
+        |    THEN CAST(FLOOR((n_brace + n_op) * 1000000.0 / nc) AS BIGINT)
+        |    ELSE 0 END AS symbol_ppm
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -341,6 +341,79 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  final case class CmsWinEvent(wstartUs: Long, b0: Int, b1: Int,
+    ets: java.sql.Timestamp)
+  final case class CmsWinState(counts: Array[Long])
+  final case class CmsWindowCounter(wstart_us: Long, i: Int, b: Int, c: Long)
+
+  /** Tumbling-window Count-Min sketch with EMIT-ON-CLOSE semantics — the
+    * streaming face of [[graft.operators.Sketches.cmsHeavyHitters]]'s
+    * counter pass, keyed by window: per window the state is the fixed
+    * 2×`width` counter array (O(d·w) longs however many events the
+    * window sees — the mergeable CMS IS the state; counters are
+    * order-independent sums, so any replay lands on identical values),
+    * and the nonzero counters (wstart_us, i, b, c) ship exactly once
+    * when the watermark passes the window end. This is the
+    * production "ship the sketch, probe offline" pattern: heavy-hitter
+    * probes join candidate values against the emitted counter table
+    * (the qs09 gate does exactly that in the same query). Bucket i of
+    * row r is the qx06 formula: 52-bit prefix of `md5('c<r>_' || v)`
+    * mod width — depth fixed at 2 by the typed event shape. Batch
+    * inputs emit every window's counters directly in one pass through
+    * the same code path. */
+  def cmsCountersWindowed(events: DataFrame, valueCol: String,
+      windowMinutes: Long = 60, width: Int = 64,
+      lateness: String = "10 minutes"): Dataset[CmsWindowCounter] = {
+    require(width >= 2 && width <= 4096, s"width out of range: $width")
+    require(windowMinutes >= 1, "windowMinutes >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val winUs = windowMinutes * 60L * 1000000L
+    val base = withTs(events)
+    val withW = if (streaming) base.withWatermark("ets", lateness) else base
+    def bucket(i: Int) =
+      (conv(substring(md5(concat(lit(s"c${i}_"), col(valueCol).cast("string"))),
+        1, 13), 16, 10).cast("long") % width).cast("int")
+    val typed = withW.select(
+        (unix_micros(col("ets")) - pmod(unix_micros(col("ets")), lit(winUs)))
+          .as("wstartUs"),
+        bucket(0).as("b0"), bucket(1).as("b1"),
+        col("ets")) // the watermark column must survive into the grouping
+      .as[CmsWinEvent]
+
+    def emit(wstart: Long, counts: Array[Long]): Iterator[CmsWindowCounter] =
+      counts.iterator.zipWithIndex.collect { case (c, j) if c > 0 =>
+        CmsWindowCounter(wstart, j / width, j % width, c)
+      }
+    def fn(wstart: Long, rows: Iterator[CmsWinEvent],
+        state: GroupState[CmsWinState]): Iterator[CmsWindowCounter] = {
+      if (streaming && state.hasTimedOut) {
+        val cs = state.get.counts
+        state.remove()
+        return emit(wstart, cs)
+      }
+      val counts = state.getOption.map(_.counts)
+        .getOrElse(Array.fill(2 * width)(0L))
+      rows.foreach { e =>
+        counts(e.b0) += 1
+        counts(width + e.b1) += 1
+      }
+      if (streaming) {
+        state.update(CmsWinState(counts))
+        state.setTimeoutTimestamp(math.max(
+          (wstart + winUs) / 1000, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      } else emit(wstart, counts)
+    }
+
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_.wstartUs)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
+
   /** Stream-stream interval join (click attribution): every `rightType`
     * event pairs with each same-user `leftType` event it follows within
     * `windowMinutes` — (user_id, left_us, right_us, value = the right

@@ -48,4 +48,38 @@ class CdcSpec extends SparkSpec {
       (1L, "v2", 20L, 30L, false), // closed BY the delete, no row for it
       (2L, "w1", 15L, -1L, true)))
   }
+
+  test("snapshotDiff: I/U/D classification, unchanged rows silent, null-safe compare") {
+    val before = Seq((1L, "a", 10), (2L, "b", 20), (3L, null: String, 30))
+      .toDF("k", "name", "v")
+    val after = Seq(
+      (1L, "a", 10), //      unchanged -> no row
+      (2L, "b2", 20), //     value changed -> U
+      (3L, "now", 30), //    null -> value is a change -> U (null-safe)
+      (4L, "new", 40)) //    only in after -> I
+      .toDF("k", "name", "v") // key 2..: key absent from after -> D... key set: before {1,2,3}, after {1,2,3,4}
+    val out = Cdc.snapshotDiff(before, after, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(out == Set(
+      (2L, "U", "b2", 20),
+      (3L, "U", "now", 30),
+      (4L, "I", "new", 40)))
+    // D carries the BEFORE image
+    val out2 = Cdc.snapshotDiff(after, before, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out2.contains((4L, "D", "new")))
+  }
+
+  test("snapshotDiff roundtrip: applying the diff to `before` reproduces `after` exactly") {
+    val before = Seq((1L, "a", 10), (2L, "b", 20), (5L, "e", 50))
+      .toDF("k", "name", "v")
+    val after = Seq((1L, "a", 10), (2L, "B", 21), (6L, "f", 60))
+      .toDF("k", "name", "v")
+    val delta = Cdc.snapshotDiff(before, after, Seq("k"))
+      .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+    val rebuilt = Cdc.applyChangelog(before, delta, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rebuilt == after.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+  }
 }

@@ -312,6 +312,33 @@ class TextSpec extends SparkSpec {
     assert(out == cases.map(_._2))
   }
 
+  test("codeSignals separates code from prose and is null/empty-safe") {
+    val s = spark
+    import s.implicits._
+    val code = "def f(x):\n  return x+1;\nwhile (i<n) { a[i] = b*2; }"
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val out = Text.codeSignals(
+        Seq((1L, code), (2L, prose), (3L, "")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (brace, op, kw, indent, ppm) = out(1L)
+    // code: braces/brackets/semicolons, operators, keywords (def, return,
+    // while, if absent), one indented line, dense symbols
+    assert(brace == 10, s"brace $brace") // ( ) ; ( ) { [ ] ; ; }
+    assert(op == 4, s"op $op") //           + < = *
+    assert(kw == 3) //                      def, return, while
+    assert(indent == 1) //                 "  return" line
+    assert(ppm > 100000L)
+    val (pb, pop, pkw, pin, pppm) = out(2L)
+    assert(pb == 0 && pop == 0 && pkw == 0 && pin == 0 && pppm == 0)
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L))) // empty text: all zeros, no div-by-zero
+    intercept[IllegalArgumentException] {
+      Text.codeSignals(Seq((1L, "x")).toDF("doc_id", "text"), "text",
+        "doc_id", keywords = Seq("a.b"))
+    }
+  }
+
   test("rrfFuse: doc on both lists beats single-list docs; integer scores; ties to smaller id") {
     val s = spark
     import s.implicits._

@@ -294,6 +294,52 @@ class EventStreamSpec extends SparkSpec {
       s"missing ${batch.diff(streamed.toSet).take(3)}, extra ${streamed.toSet.diff(batch).take(3)}")
   }
 
+  test("cmsCountersWindowed: batch counters equal a direct per-window bucket count; streaming ships each closed window's sketch once, identically") {
+    val s = spark
+    import s.implicits._
+    // batch face vs a plain groupBy replay of the same bucket formula
+    val batch = EventStream.cmsCountersWindowed(events, "event_type", width = 64)
+      .collect().map(c => (c.wstart_us, c.i, c.b, c.c)).toSet
+    val direct = EventStream.withTs(events)
+      .select(
+        (unix_micros(col("ets")) - pmod(unix_micros(col("ets")), lit(3600000000L))).as("w"),
+        (conv(substring(md5(concat(lit("c0_"), col("event_type"))), 1, 13), 16, 10)
+          .cast("long") % 64).cast("int").as("b0"),
+        (conv(substring(md5(concat(lit("c1_"), col("event_type"))), 1, 13), 16, 10)
+          .cast("long") % 64).cast("int").as("b1"))
+      .select(col("w"), explode(array(
+        struct(lit(0).as("i"), col("b0").as("b")),
+        struct(lit(1).as("i"), col("b1").as("b")))).as("x"))
+      .groupBy(col("w"), col("x.i"), col("x.b")).count()
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty && batch == direct)
+    // streaming: 3-chunk in-order replay + far-future sentinel closes all
+    // real windows; each emits its counters exactly once, matching batch
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events.select("event_type", "ts")
+      .as[(String, Long)].collect().sortBy(_._2)
+    val sentinelTs = rows.last._2 + 10L * 24 * 3600 * 1000000000L
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStream.cmsCountersWindowed(
+        mem.toDF.toDF("event_type", "ts"), "event_type", width = 64)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cms_win").start()
+    val n = rows.length
+    Seq(rows.slice(0, n / 3).toSeq, rows.slice(n / 3, 2 * n / 3).toSeq,
+        rows.slice(2 * n / 3, n).toSeq, Seq(("zzz", sentinelTs)))
+      .foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val sentinelW = sentinelTs / 1000 - (sentinelTs / 1000) % 3600000000L
+    val streamed = spark.table("cms_win")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .filter(_._1 < sentinelW)
+    assert(streamed.length == streamed.map(t => (t._1, t._2, t._3)).distinct.length,
+      "a (window, i, b) counter emitted more than once")
+    assert(streamed.toSet == batch,
+      s"missing ${batch.diff(streamed.toSet).take(3)}, extra ${streamed.toSet.diff(batch).take(3)}")
+  }
+
   test("intervalJoin: streaming 3-batch replay equals the batch join, with cross-batch pairs") {
     val batch = EventStream.intervalJoin(events, "view", "click", 30)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

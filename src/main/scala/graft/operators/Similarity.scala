@@ -936,4 +936,77 @@ object Similarity {
       .orderBy(col("pcos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Margin-based parallel-pair mining (bitext mining — Artetxe &
+    * Schwenk 2019, the CCMatrix/LASER recipe): align two corpora by
+    * embedding similarity, scoring each candidate (a, b) by its cosine
+    * RELATIVE to what a and b score against their other neighbours —
+    * the ratio margin kills hub sentences that are "close to
+    * everything". Returns the best-margin b per a:
+    * (id_a, id_b, cos_scaled, margin_scaled).
+    *
+    * Determinism: vectors are unit-normalized on an integer grid —
+    * u_i = round(q_i·10⁴ / √(q·q)) with q the standard 10⁴ quantization
+    * and q·q an exact BIGINT — so dot(u_a, u_b) IS the cosine scaled by
+    * ~10⁸, exact BIGINT everywhere after one deterministic
+    * double-rounding per component; top-k sums and the margin
+    * `2·s·scale div (Σ_fwd div k_fwd + Σ_bwd div k_bwd)` are pure
+    * integer arithmetic, so a SQL replay matches digit for digit.
+    * Only positive-cosine candidates rank (a negative mean would flip
+    * the ratio's sign).
+    *
+    * SCALE CONTRACT: candidates come from shared random-hyperplane LSH
+    * buckets (md5 planes — the [[lshBuckets]] construction, same planes
+    * both sides), never A×B: per-bucket side counts above `maxBucket`
+    * are dropped before the join (the [[blockedCosinePairs]] guard), so
+    * pair fan-out is bounded per bucket and hash-partitioned on the
+    * bucket key. The top-k stats are rank windows over each side's own
+    * candidate partitioning. Recall is governed by `numPlanes` (fewer
+    * planes → bigger buckets → higher recall). */
+  def mineParallelPairs(a: DataFrame, b: DataFrame, embCol: String,
+      idCol: String, k: Int = 4, numPlanes: Int = 4, dim: Int = 64,
+      maxBucket: Int = 4096, marginScale: Long = 1000000L,
+      minMargin: Long = 0L): DataFrame = {
+    require(k >= 1 && numPlanes >= 1 && numPlanes <= 16)
+    require(maxBucket >= 2)
+    val d = dot(a) _
+    def unitized(df: DataFrame, tag: String): DataFrame = {
+      val q = df.select(col(idCol).as(s"id_$tag"), quantize(col(embCol)).as("q"))
+        .withColumn("qq", d(col("q"), col("q")))
+        .filter(col("qq") > 0)
+      q.withColumn(s"u_$tag",
+          expr("transform(q, x -> CAST(round(x * 10000 / sqrt(qq)) AS BIGINT))"))
+        .select(col(s"id_$tag"), col(s"u_$tag"))
+    }
+    def bucketed(df: DataFrame, tag: String): DataFrame =
+      lshBuckets(df, embCol, idCol, numPlanes, dim)
+        .select(col(idCol).as(s"id_$tag"), col("bucket"))
+        .withColumn(s"__n_$tag",
+          count(lit(1)).over(Window.partitionBy("bucket")))
+        .filter(col(s"__n_$tag") <= maxBucket).drop(s"__n_$tag")
+    val cand = bucketed(a, "a").join(bucketed(b, "b"), "bucket")
+      .join(unitized(a, "a"), "id_a")
+      .join(unitized(b, "b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        d(col("u_a"), col("u_b")).as("s"))
+      .filter(col("s") > 0)
+    val wf = Window.partitionBy("id_a").orderBy(col("s").desc, col("id_b"))
+    val wb = Window.partitionBy("id_b").orderBy(col("s").desc, col("id_a"))
+    val ranked = cand
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    val fwd = ranked.filter(col("rf") <= k)
+      .groupBy("id_a").agg(sum("s").as("sumA"), count(lit(1)).as("cntA"))
+    val bwd = ranked.filter(col("rb") <= k)
+      .groupBy("id_b").agg(sum("s").as("sumB"), count(lit(1)).as("cntB"))
+    val wbest = Window.partitionBy("id_a")
+      .orderBy(col("margin_scaled").desc, col("id_b"))
+    cand.join(fwd, "id_a").join(bwd, "id_b")
+      .withColumn("margin_scaled",
+        expr(s"(2 * s * ${marginScale}L) div ((sumA div cntA) + (sumB div cntB))"))
+      .withColumn("__r", row_number().over(wbest))
+      .filter(col("__r") === 1 && col("margin_scaled") >= minMargin)
+      .select(col("id_a"), col("id_b"), col("s").as("cos_scaled"),
+        col("margin_scaled"))
+  }
 }

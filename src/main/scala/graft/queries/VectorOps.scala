@@ -152,6 +152,17 @@ object VectorOps {
       graft.operators.Similarity.jlProjectTopK(
         t(s, d, "embeddings"), "embedding", "vec_id", queryId = 0L,
         k = 10, outDim = 16, dim = 64, seed = 7)
+    },
+    // Margin-based bitext mining: even vec_ids as corpus A, odd as
+    // corpus B; LSH-bucketed candidates, unit-integer cosines, ratio
+    // margin — the best-margin b per a, fully replayed in SQL.
+    "qv19_bitext_mining" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.mineParallelPairs(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "embedding", "vec_id", k = 4, numPlanes = 4, dim = 64)
+        .orderBy("id_a")
     }
   )
 
@@ -497,7 +508,56 @@ object VectorOps {
         |  CAST(list_sum(list_transform(range(1, 17), i -> e.pv[i] * qv.v[i])) AS DOUBLE)
         |    / (SQRT(CAST(list_sum(list_transform(range(1, 17), i -> e.pv[i] * e.pv[i])) AS DOUBLE)) * qv.n) AS pcos
         |FROM pv e, qv WHERE e.vec_id <> 0
-        |ORDER BY pcos DESC, e.vec_id LIMIT 10""".stripMargin
+        |ORDER BY pcos DESC, e.vec_id LIMIT 10""".stripMargin,
+    // full replay: quantize -> unit-integer grid -> shared-plane LSH
+    // buckets -> within-bucket scaled-cosine candidates -> top-k sums ->
+    // integer ratio margin -> best-margin b per a
+    "qv19_bitext_mining" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |q2 AS (SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS qq
+        |  FROM q),
+        |u AS (SELECT vec_id, q,
+        |    list_transform(q, x -> CAST(round(x * 10000 / sqrt(qq)) AS BIGINT)) AS u
+        |  FROM q2 WHERE qq > 0),
+        |el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
+        |  FROM q, unnest(range(1, 65)) t(i)),
+        |pl AS (SELECT vec_id, p, qe,
+        |    CASE WHEN instr('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 < 8
+        |      THEN 1 ELSE -1 END AS comp
+        |  FROM el, (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS p)),
+        |proj AS (SELECT vec_id, p, SUM(comp * qe) AS pr FROM pl GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |ba AS (SELECT vec_id AS id_a, bucket FROM bkt WHERE vec_id % 2 = 0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 4096),
+        |bb AS (SELECT vec_id AS id_b, bucket FROM bkt WHERE vec_id % 2 = 1
+        |  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 4096),
+        |cand AS (SELECT id_a, id_b,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> ua.u[i] * ub.u[i])) AS BIGINT) AS s
+        |  FROM ba JOIN bb USING (bucket)
+        |  JOIN u ua ON ua.vec_id = id_a JOIN u ub ON ub.vec_id = id_b),
+        |pos AS (SELECT * FROM cand WHERE s > 0),
+        |rk AS (SELECT id_a, id_b, s,
+        |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY s DESC, id_b) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY s DESC, id_a) AS rb
+        |  FROM pos),
+        |fwd AS (SELECT id_a, CAST(SUM(s) AS BIGINT) AS sumA,
+        |    CAST(COUNT(*) AS BIGINT) AS cntA FROM rk WHERE rf <= 4 GROUP BY 1),
+        |bwd AS (SELECT id_b, CAST(SUM(s) AS BIGINT) AS sumB,
+        |    CAST(COUNT(*) AS BIGINT) AS cntB FROM rk WHERE rb <= 4 GROUP BY 1),
+        |m AS (SELECT p.id_a, p.id_b, p.s,
+        |    (2 * p.s * 1000000) // ((sumA // cntA) + (sumB // cntB)) AS margin_scaled
+        |  FROM pos p JOIN fwd USING (id_a) JOIN bwd USING (id_b)),
+        |best AS (SELECT id_a, id_b, s, margin_scaled,
+        |    ROW_NUMBER() OVER (PARTITION BY id_a
+        |      ORDER BY margin_scaled DESC, id_b) AS r
+        |  FROM m)
+        |SELECT id_a, id_b, s AS cos_scaled, margin_scaled
+        |FROM best WHERE r = 1 ORDER BY id_a""".stripMargin
   )
 
   /** The qv17 oracle: the identical greedy MMR selection unrolled as one

@@ -582,4 +582,32 @@ class SimilaritySpec extends SparkSpec {
       .maxBy(_._2)._1
     assert(got.map(_._1).contains(exactTop))
   }
+
+  test("mineParallelPairs: designed 1-1 alignment, margins near parity, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    // a dominant shared first component pins every vector into ONE LSH
+    // bucket whatever sign the md5 plane draws, so candidate recall is
+    // total; the small components define the intended alignment
+    def v(e1: Float, e2: Float, e3: Float) = Seq(100f, e1, e2, e3)
+    val a = Seq((0L, v(1f, 0f, 0f)), (2L, v(0f, 1f, 0f)), (4L, v(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, v(0.9f, 0.1f, 0f)), (3L, v(0.1f, 0.9f, 0f)),
+      (5L, v(0f, 0.1f, 0.9f))).toDF("vec_id", "embedding")
+    def run(aa: org.apache.spark.sql.DataFrame, bb: org.apache.spark.sql.DataFrame) =
+      Similarity.mineParallelPairs(aa, bb, "embedding", "vec_id",
+        k = 2, numPlanes = 1, dim = 4)
+    val out = run(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(t => t._1 -> t._2).toMap == Map(0L -> 1L, 2L -> 3L, 4L -> 5L),
+      s"alignment wrong: ${out.toSeq}")
+    // near-parallel vectors: scaled cos ~ 10^8, margin ~ parity (10^6)
+    assert(out.forall(t => t._3 > 99000000L), s"cos off: ${out.toSeq}")
+    assert(out.forall(t => math.abs(t._4 - 1000000L) < 50000L),
+      s"margin off parity: ${out.toSeq}")
+    // determinism under repartitioning
+    val out2 = run(a.repartition(7), b.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
 }

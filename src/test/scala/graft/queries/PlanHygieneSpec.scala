@@ -19,6 +19,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q16_scalar_subquery", // scalar subquery: 1-row broadcast
     "qv01_knn_cosine", // broadcast query vector (1 row)
     "qv03_lsh_buckets", // broadcast hyperplanes (8 rows)
+    "qv19_bitext_mining", // the same broadcast hyperplanes (4 rows), both corpora
     "qv04_ivf_ann", // broadcast query vector + probed cells
     "qv05_ivf_trained", // same shape, trained centroids
     "qv06_tfidf_cosine", // broadcast corpus count N (1 row)

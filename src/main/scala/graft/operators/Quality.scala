@@ -103,4 +103,32 @@ object Quality {
         lit(s"$childKey->$parentKey").as("target"),
         col("violations"), col("checked"))
   }
+
+  /** Column profile — the ANALYZE step before publishing a snapshot:
+    * one row per requested NUMERIC column with
+    * (column, n_rows, n_nonnull, n_distinct, min_val, max_val), min/max
+    * as doubles (exact for the integer/decimal columns they summarize
+    * here; the deterministic cast either way).
+    *
+    * Scale shape: ONE aggregate pass computes every column's stats —
+    * profiling another column adds agg expressions, not a scan (Catalyst
+    * expands the multi-distinct into its standard expand+partial-agg
+    * plan); the single result row then unpivots driver-free via an
+    * inline explode. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"), col(s"__mx_$c").as("max_val"))): _*))
+        .as("p"))
+      .select("p.*")
+  }
 }

@@ -346,6 +346,20 @@ object MiscQueries {
         .select((-col("l_orderkey")).as("src"), col("l_partkey").as("dst"))
       graft.operators.Graphs.hits(ev, "src", "dst", iters = 3)
         .orderBy("n")
+    },
+    // Column profile: one aggregate pass over lineitem summarizes four
+    // numeric columns (the ANALYZE step before publishing a snapshot).
+    "qq03_profile" -> { (s, d) =>
+      graft.operators.Quality.profile(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_linenumber"))
+        .orderBy("column")
+    },
+    // Windowed rate-spike monitor: hourly counts per event_type scored
+    // against the trailing-3-window mean as an integer ratio.
+    "qw02_rate_spikes" -> { (s, d) =>
+      graft.streaming.EventStream.rateSpikes(
+          t(s, d, "events"), windowMinutes = 60, trailing = 3)
+        .orderBy("wstart_us", "event_type")
     }
   )
 
@@ -595,7 +609,47 @@ object MiscQueries {
         |SELECT q.q AS q, r.v AS value, r.n AS sample_n
         |FROM q JOIN r ON r.rn = GREATEST(1, CAST(CEIL(q.q * r.n) AS BIGINT))
         |ORDER BY q""".stripMargin,
-    "qg08_hits" -> hitsOracle(iters = 3, scale = 1000000L)
+    "qg08_hits" -> hitsOracle(iters = 3, scale = 1000000L),
+    "qq03_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+        |    CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+        |    CAST(MAX(l_quantity) AS DOUBLE) AS max_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(l_extendedprice) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+        |    CAST(MIN(l_extendedprice) AS DOUBLE),
+        |    CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(l_discount) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+        |    CAST(MIN(l_discount) AS DOUBLE),
+        |    CAST(MAX(l_discount) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(l_linenumber) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+        |    CAST(MIN(l_linenumber) AS DOUBLE),
+        |    CAST(MAX(l_linenumber) AS DOUBLE) FROM lineitem)
+        |ORDER BY "column"""".stripMargin,
+    "qw02_rate_spikes" ->
+      """WITH counts AS (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS wstart_us,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (SELECT wstart_us, event_type, n,
+        |    CAST(SUM(n) OVER w AS BIGINT) AS trail_sum,
+        |    COUNT(*) OVER w AS trail_n
+        |  FROM counts
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY wstart_us
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        |SELECT wstart_us, event_type, n, trail_sum,
+        |  (n * 3 * 1000000) // GREATEST(1, trail_sum) AS spike_ratio_scaled
+        |FROM tr WHERE trail_n = 3
+        |ORDER BY wstart_us, event_type""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -341,6 +341,39 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
+  /** Windowed rate-spike detection — the monitoring face of
+    * [[tumblingCounts]]: per (window, event_type), the count relative to
+    * the trailing mean of the previous `trailing` OBSERVED windows of
+    * that type, as an integer ratio
+    * `n · trailing · scale div trailing_sum`. Rows without a full
+    * trailing history are suppressed (no partial-mean false alarms).
+    * Returns (wstart_us, event_type, n, trail_sum, spike_ratio_scaled).
+    *
+    * Scale shape: one count aggregation on the (window, type) key and a
+    * lag window over the COUNTS table (windows × types rows — tiny
+    * however large the stream); nothing touches raw events twice. */
+  def rateSpikes(events: DataFrame, windowMinutes: Long = 60,
+      trailing: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(trailing >= 1 && trailing <= 100, s"trailing out of range: $trailing")
+    require(scale >= 1 && scale <= 1000000000000L)
+    val winUs = windowMinutes * 60L * 1000000L
+    val counts = tsNanos(events)
+      .select((col("ts") - pmod(col("ts"), lit(winUs * 1000L))).as("wns"),
+        col("event_type"))
+      .groupBy(expr("wns div 1000").as("wstart_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("wstart_us")
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("trail_sum", sum("n").over(w))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .filter(col("trail_n") === trailing)
+      .select(col("wstart_us"), col("event_type"), col("n"), col("trail_sum"),
+        expr(s"(n * $trailing * ${scale}L) div greatest(1L, trail_sum)")
+          .as("spike_ratio_scaled"))
+  }
+
   final case class CmsWinEvent(wstartUs: Long, b0: Int, b1: Int,
     ets: java.sql.Timestamp)
   final case class CmsWinState(counts: Array[Long])

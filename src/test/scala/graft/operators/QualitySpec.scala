@@ -66,4 +66,17 @@ class QualitySpec extends SparkSpec {
     assert(r.getLong(2) == 1L) // only key 3 is orphaned (distinct count)
     assert(r.getLong(3) == 3L) // 3 distinct child keys checked
   }
+
+  test("profile: per-column rows with exact stats, nulls excluded from nonnull/distinct") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, Some(2.5)), (2, Some(7.5)), (3, None), (4, Some(2.5)))
+      .toDF("a", "b")
+    val out = Quality.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("a") == ((4L, 4L, 4L, 1.0, 4.0)))
+    assert(out("b") == ((4L, 3L, 2L, 2.5, 7.5))) // null dropped, dup collapsed
+    intercept[IllegalArgumentException] { Quality.profile(df, Nil) }
+  }
 }

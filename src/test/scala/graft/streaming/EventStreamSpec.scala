@@ -294,6 +294,24 @@ class EventStreamSpec extends SparkSpec {
       s"missing ${batch.diff(streamed.toSet).take(3)}, extra ${streamed.toSet.diff(batch).take(3)}")
   }
 
+  test("rateSpikes: integer trailing-mean ratio, partial histories suppressed") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000000000L // one hour in nanos
+    // one type, hourly counts 2, 2, 2, 8: only window 4 has a full
+    // trailing-3 history; its ratio = 8*3*1e6/6 = 4e6 (a 4x spike)
+    val rows = (0 until 2).map(i => (1L + i, "x", 0L * h + i)) ++
+      (0 until 2).map(i => (10L + i, "x", 1L * h + i)) ++
+      (0 until 2).map(i => (20L + i, "x", 2L * h + i)) ++
+      (0 until 8).map(i => (30L + i, "x", 3L * h + i))
+    val ev = rows.toDF("user_id", "event_type", "ts")
+    val out = EventStream.rateSpikes(ev, windowMinutes = 60, trailing = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((3L * 3600L * 1000000L, "x", 8L, 6L, 4000000L)),
+      s"got ${out.toSeq}")
+  }
+
   test("cmsCountersWindowed: batch counters equal a direct per-window bucket count; streaming ships each closed window's sketch once, identically") {
     val s = spark
     import s.implicits._

@@ -131,4 +131,54 @@ object Quality {
         .as("p"))
       .select("p.*")
   }
+
+  /** Equi-width histogram of a numeric column over [minVal, maxVal):
+    * (bucket, n) with bucket = floor((v−min)·nbins/(max−min)) clamped to
+    * [0, nbins−1] — out-of-range values land in the edge buckets, so
+    * totals reconcile with the row count; NULLs are skipped. The
+    * arithmetic is one deterministic double expression, identical in any
+    * engine. One aggregation on the bucket key; empty buckets emit no
+    * row (join against a `sequence` if a dense axis is needed). */
+  def histogram(df: DataFrame, valueCol: String, minVal: Double,
+      maxVal: Double, nbins: Int): DataFrame = {
+    require(nbins >= 1 && nbins <= 100000, s"nbins out of range: $nbins")
+    require(maxVal > minVal, "maxVal must exceed minVal")
+    val v = col(valueCol).cast("double")
+    val raw = floor((v - lit(minVal)) * nbins / (lit(maxVal) - lit(minVal)))
+    df.filter(v.isNotNull)
+      .select(least(lit(nbins - 1L), greatest(lit(0L),
+        raw.cast("long"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Categorical distribution drift between two corpus slices — the
+    * monitoring check for "did the source mix / language mix / label mix
+    * move between snapshots": per value, both sides' counts and
+    * proportions (ppm, integer `c·scale div n`), and a chi-square-shaped
+    * contribution `(pa−pb)² div max(1, pa+pb)` in pure integer
+    * arithmetic (engine-exact; PSI's ln() is not). Sum the contribution
+    * column for a single drift score; values missing from a side count
+    * as zero. Output: (value, n_a, n_b, pa_ppm, pb_ppm, contrib).
+    *
+    * Scale shape: two count aggregations on the value key, a full-outer
+    * hash join of the (category-sized) count tables, and two one-row
+    * total broadcasts — raw rows are scanned once per side. */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && scale <= 1000000000L)
+    def counts(df: DataFrame, tag: String) =
+      df.select(col(valueCol).cast("string").as("value"))
+        .groupBy("value").agg(count(lit(1)).as(s"n_$tag"))
+    val na = broadcast(a.agg(count(lit(1)).as("na")))
+    val nb = broadcast(b.agg(count(lit(1)).as("nb")))
+    counts(a, "a").join(counts(b, "b"), Seq("value"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(na).crossJoin(nb)
+      .select(col("value"), col("n_a"), col("n_b"),
+        expr(s"(n_a * ${scale}L) div greatest(1L, na)").as("pa_ppm"),
+        expr(s"(n_b * ${scale}L) div greatest(1L, nb)").as("pb_ppm"))
+      .withColumn("contrib", expr(
+        "((pa_ppm - pb_ppm) * (pa_ppm - pb_ppm)) div greatest(1L, pa_ppm + pb_ppm)"))
+  }
 }

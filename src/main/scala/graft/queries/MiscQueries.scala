@@ -360,6 +360,21 @@ object MiscQueries {
       graft.streaming.EventStream.rateSpikes(
           t(s, d, "events"), windowMinutes = 60, trailing = 3)
         .orderBy("wstart_us", "event_type")
+    },
+    // Equi-width histogram of the price column (20 bins over [0, 60k));
+    // out-of-range rows clamp to the edge buckets so totals reconcile.
+    "qq04_histogram" -> { (s, d) =>
+      graft.operators.Quality.histogram(t(s, d, "lineitem"),
+        "l_extendedprice", minVal = 0.0, maxVal = 60000.0, nbins = 20)
+    },
+    // Language-mix drift between the even and odd document halves:
+    // integer chi-square-shaped contributions per language.
+    "qd44_distribution_drift" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Quality.distributionDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang")
+        .orderBy("value")
     }
   )
 
@@ -649,7 +664,30 @@ object MiscQueries {
         |SELECT wstart_us, event_type, n, trail_sum,
         |  (n * 3 * 1000000) // GREATEST(1, trail_sum) AS spike_ratio_scaled
         |FROM tr WHERE trail_n = 3
-        |ORDER BY wstart_us, event_type""".stripMargin
+        |ORDER BY wstart_us, event_type""".stripMargin,
+    "qq04_histogram" ->
+      """SELECT LEAST(19, GREATEST(0,
+        |    CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) * 20 / 60000.0) AS BIGINT)
+        |  )) AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "qd44_distribution_drift" ->
+      """WITH a AS (SELECT CAST(lang AS VARCHAR) AS value FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT CAST(lang AS VARCHAR) AS value FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n_a FROM a GROUP BY 1),
+        |cb AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM a),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM b),
+        |j AS (SELECT COALESCE(ca.value, cb.value) AS value,
+        |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.value = cb.value),
+        |p AS (SELECT value, n_a, n_b,
+        |    (n_a * 1000000) // GREATEST(1, na) AS pa_ppm,
+        |    (n_b * 1000000) // GREATEST(1, nb) AS pb_ppm
+        |  FROM j CROSS JOIN na CROSS JOIN nb)
+        |SELECT value, n_a, n_b, pa_ppm, pb_ppm,
+        |  ((pa_ppm - pb_ppm) * (pa_ppm - pb_ppm)) // GREATEST(1, pa_ppm + pb_ppm) AS contrib
+        |FROM p ORDER BY value""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -79,4 +79,37 @@ class QualitySpec extends SparkSpec {
     assert(out("b") == ((4L, 3L, 2L, 2.5, 7.5))) // null dropped, dup collapsed
     intercept[IllegalArgumentException] { Quality.profile(df, Nil) }
   }
+
+  test("histogram: bucket math, edge clamping, null skipping, totals reconcile") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
+      Some(99.9), Some(100.0), Some(250.0), None).toDF("v")
+    val out = Quality.histogram(df, "v", minVal = 0.0, maxVal = 100.0, nbins = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -5 clamps to bucket 0; 0.0, 9.9 in 0; 10.0 in 1; 25 in 2;
+    // 99.9 in 9; 100 and 250 clamp to 9; null skipped
+    assert(out == Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 3L), s"$out")
+    assert(out.values.sum == 8L) // everything but the null
+  }
+
+  test("distributionDrift: identical mixes score zero; a shifted mix scores on the moved values") {
+    val s = spark
+    import s.implicits._
+    val a = Seq("en", "en", "en", "de").toDF("lang")
+    val same = Quality.distributionDrift(a, a, "lang")
+      .collect().map(r => r.getLong(5)).sum
+    assert(same == 0L)
+    val b = Seq("en", "de", "de", "fr").toDF("lang")
+    val out = Quality.distributionDrift(a, b, "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // en: 750000 vs 250000 ppm; de: 250000 vs 500000; fr: 0 vs 250000
+    assert(out.map(t => (t._1, t._4, t._5)).toSeq ==
+      Seq(("de", 250000L, 500000L), ("en", 750000L, 250000L), ("fr", 0L, 250000L)))
+    // contributions: en (500000^2/1000000)=250000, de (250000^2/750000)=83333,
+    // fr (250000^2/250000)=250000
+    assert(out.map(t => (t._1, t._6)).toMap ==
+      Map("de" -> 83333L, "en" -> 250000L, "fr" -> 250000L))
+  }
 }

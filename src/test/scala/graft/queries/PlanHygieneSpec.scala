@@ -32,6 +32,7 @@ class PlanHygieneSpec extends SparkSpec {
     "qg01_triangles", // cross of three 1-row count aggregates
     "qx04_kmv_setops", // cross of two 1-row estimate/exact aggregates
     "qq01_quality_audit", // cross of 1-row checked/orphan count aggregates
+    "qd44_distribution_drift", // cross of the two 1-row side-total aggregates
     "qd28_characteristic_terms", // broadcast corpus count N (1 row)
     "qd38_bm25", // broadcast corpus stats (N, avgdl10) — 1 row
     "qd42_rrf_fusion", // qd38's BM25 ranker inside: same 1-row stats broadcast

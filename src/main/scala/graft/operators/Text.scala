@@ -52,6 +52,33 @@ object Text {
         ((col(ncharsCol) - (col("n_tokens") - 1)).cast("double") / col("n_tokens")).as("avg_word_len"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
 
+  /** Hard-negative mining for retrieval training (the DPR/contrastive
+    * recipe): from a ranked candidate list per query, the top `k`
+    * documents that are NOT labelled positives — the highest-ranked
+    * wrong answers, which is exactly what contrastive training wants to
+    * push away. Re-ranks after the anti-join so every query yields k
+    * negatives when available (a rank-then-drop would under-fill).
+    * Returns (queryIdCol, docIdCol, neg_rank).
+    *
+    * SCALE CONTRACT: one anti-join of the (top-k-sized) ranked lists
+    * against the positives on the (query, doc) key and a rank window
+    * per query over what survives — cost ∝ Σ ranked-list sizes, never
+    * the corpus; the corpus-sized work lives in the upstream ranker
+    * (BM25/ANN). */
+  def hardNegatives(ranked: DataFrame, positives: DataFrame,
+      queryIdCol: String, docIdCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryIdCol).orderBy(col(rankCol), col(docIdCol))
+    ranked
+      .join(positives.select(col(queryIdCol), col(docIdCol)),
+        Seq(queryIdCol, docIdCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col(queryIdCol), col(docIdCol), col("neg_rank"))
+  }
+
   /** Code-likeness signals per document — the prose-vs-code router of a
     * pretraining mix (code gets its own dedup/quality/tokenizer path).
     * All-integer and regex-only so any engine reproduces them exactly:

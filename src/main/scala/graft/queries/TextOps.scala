@@ -524,6 +524,26 @@ object TextOps {
       graft.operators.Text.rrfFuse(Seq(bm, lenRank), "doc", "rank", k = 20)
         .withColumnRenamed("id", "doc_id")
     },
+    // DPR-style hard negatives: two BM25-ranked lists, every third doc
+    // pretend-labelled positive, the top-10 surviving ranks per query
+    // are the hard negatives contrastive training wants.
+    "qd45_hard_negatives" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      def ranked(qid: Long, terms: Seq[String]) =
+        graft.operators.Text.bm25TopK(docs, "text", "doc_id", terms, k = 30)
+          .select(lit(qid).as("query_id"), col("doc"),
+            row_number().over(
+              Window.orderBy(col("bm25").desc, col("doc"))).as("rank"))
+      val r = ranked(1L, Seq("spark", "join"))
+        .unionAll(ranked(2L, Seq("window", "dup")))
+      val positives = r.filter(col("doc") % 3 === 0)
+        .select(col("query_id"), col("doc"))
+      graft.operators.Text.hardNegatives(r, positives,
+          "query_id", "doc", "rank", k = 10)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("query_id", "neg_rank")
+    },
     // Code-likeness signals (the prose-vs-code router): every third doc
     // gets a code preamble injected; its brace/operator/keyword/indent
     // counts and symbol density must separate from the prose rows.
@@ -1234,6 +1254,41 @@ object TextOps {
         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS lists,
         |  CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf
         |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    "qd45_hard_negatives" -> {
+      def bmCte(tag: String, terms: String) =
+        s"""hits_$tag AS (SELECT t.doc_id, t.tok, t.dl FROM toks t
+           |  JOIN (SELECT unnest([$terms]) AS tok) q USING (tok)),
+           |tf_$tag AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+           |  FROM hits_$tag GROUP BY 1, 2),
+           |dft_$tag AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM hits_$tag GROUP BY 1),
+           |sc_$tag AS (SELECT tf.doc_id,
+           |    ((av.n * 1000000) // dft.df)
+           |      * ((22 * tf.tf * av.avgdl10 * 1000000)
+           |         // (10 * tf.tf * av.avgdl10 + 3 * av.avgdl10 + 90 * tf.dl)) AS s
+           |  FROM tf_$tag tf JOIN dft_$tag dft USING (tok) CROSS JOIN av),
+           |bm_$tag AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS bm25
+           |  FROM sc_$tag GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 30)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl,
+         |    unnest(str_split(text, ' ')) AS tok FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tot FROM documents),
+         |av AS (SELECT n, (tot * 10) // n AS avgdl10 FROM st),
+         |${bmCte("q1", "'spark', 'join'")},
+         |${bmCte("q2", "'window', 'dup'")},
+         |r AS (SELECT CAST(1 AS BIGINT) AS query_id, doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm_q1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm_q2),
+         |neg AS (SELECT query_id, doc_id, rank FROM r WHERE doc_id % 3 <> 0),
+         |rk AS (SELECT query_id, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rank, doc_id) AS INT) AS neg_rank
+         |  FROM neg)
+         |SELECT query_id, doc_id, neg_rank FROM rk WHERE neg_rank <= 10
+         |ORDER BY query_id, neg_rank""".stripMargin
+    },
     // regex-for-regex replay (Java and RE2 agree on these ASCII classes);
     // floor-of-double division is exact — counts x 10^6 stays under 2^53
     "qd43_code_signals" ->

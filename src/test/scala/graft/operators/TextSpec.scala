@@ -339,6 +339,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: positives drop, survivors re-rank densely, k caps per query") {
+    val s = spark
+    import s.implicits._
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("query_id", "doc_id", "rank")
+    val positives = Seq((1L, 10L), (1L, 12L), (2L, 21L)).toDF("query_id", "doc_id")
+    val out = Text.hardNegatives(ranked, positives, "query_id", "doc_id", "rank", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // q1: 10 and 12 are positives -> negatives are 11 (neg_rank 1) and
+    // 13 (neg_rank 2, re-ranked densely past the dropped positives);
+    // q2: only 20 survives
+    assert(out == Set((1L, 11L, 1), (1L, 13L, 2), (2L, 20L, 1)))
+    // k caps: with k=1 only the top surviving negative per query remains
+    val capped = Text.hardNegatives(ranked, positives, "query_id", "doc_id", "rank", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 11L), (2L, 20L)))
+  }
+
   test("rrfFuse: doc on both lists beats single-list docs; integer scores; ties to smaller id") {
     val s = spark
     import s.implicits._

@@ -36,6 +36,7 @@ class PlanHygieneSpec extends SparkSpec {
     "qd28_characteristic_terms", // broadcast corpus count N (1 row)
     "qd38_bm25", // broadcast corpus stats (N, avgdl10) — 1 row
     "qd42_rrf_fusion", // qd38's BM25 ranker inside: same 1-row stats broadcast
+    "qd45_hard_negatives", // two qd38 BM25 rankers inside: same 1-row stats broadcast
     "qg04_pagerank") // broadcast vertex count (1 row) in rank init + teleport
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {

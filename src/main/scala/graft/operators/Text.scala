@@ -52,6 +52,26 @@ object Text {
         ((col(ncharsCol) - (col("n_tokens") - 1)).cast("double") / col("n_tokens")).as("avg_word_len"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"))
 
+  /** Corpus phrase mining: the `k` n-gram phrases present in the most
+    * DOCUMENTS (per-doc distinct shingles, so a phrase repeated inside
+    * one doc counts once) — the boilerplate/template detector that feeds
+    * blocklists and the D14 novelty view from the corpus side. Ties
+    * break lexicographically. Returns (phrase, df).
+    *
+    * SCALE CONTRACT: one tokenize scan explodes per-doc distinct grams,
+    * one partial-aggregated groupBy counts them, and the top-k is a
+    * TakeOrderedAndProject — per-partition heaps, never a full sort of
+    * the gram table. */
+  def topPhrases(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 20, minDf: Long = 2L): DataFrame = {
+    require(n >= 1 && k >= 1 && minDf >= 1)
+    df.select(explode(shingles(col(textCol), n)).as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("phrase"))
+      .limit(k)
+  }
+
   /** Hard-negative mining for retrieval training (the DPR/contrastive
     * recipe): from a ranked candidate list per query, the top `k`
     * documents that are NOT labelled positives — the highest-ranked

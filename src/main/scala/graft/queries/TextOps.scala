@@ -524,6 +524,13 @@ object TextOps {
       graft.operators.Text.rrfFuse(Seq(bm, lenRank), "doc", "rank", k = 20)
         .withColumnRenamed("id", "doc_id")
     },
+    // Corpus phrase mining: the 25 trigram phrases in the most documents
+    // (per-doc distinct, ties lexicographic) — the boilerplate detector.
+    "qd46_phrase_mining" -> { (s, d) =>
+      graft.operators.Text.topPhrases(
+        t(s, d, "documents").filter(col("doc_id") < 400),
+        "text", "doc_id", n = 3, k = 25, minDf = 2L)
+    },
     // DPR-style hard negatives: two BM25-ranked lists, every third doc
     // pretend-labelled positive, the top-10 surviving ranks per query
     // are the hard negatives contrastive training wants.
@@ -1254,6 +1261,15 @@ object TextOps {
         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS lists,
         |  CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf
         |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    "qd46_phrase_mining" ->
+      """WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, GREATEST(CAST(len(tk) AS BIGINT) - 2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS phrase
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |        WHERE doc_id < 400))
+        |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM g GROUP BY phrase HAVING COUNT(*) >= 2
+        |ORDER BY df DESC, phrase LIMIT 25""".stripMargin,
     "qd45_hard_negatives" -> {
       def bmCte(tag: String, terms: String) =
         s"""hits_$tag AS (SELECT t.doc_id, t.tok, t.dl FROM toks t

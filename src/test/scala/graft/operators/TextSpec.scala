@@ -339,6 +339,24 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("topPhrases: doc frequency (not occurrences), minDf cut, lexicographic ties, k cap") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c x y z"), //   "a b c" twice in ONE doc: df counts it once
+      (2L, "a b c q r s"),
+      (3L, "q r s t u v"),
+      (4L, "zz zz zz")).toDF("doc_id", "text")
+    val out = Text.topPhrases(docs, "text", "doc_id", n = 3, k = 10, minDf = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b c" in docs 1,2 (df 2); "q r s" in docs 2,3 (df 2); ties
+    // break lexicographically; everything else df 1 -> cut
+    assert(out == Seq(("a b c", 2L), ("q r s", 2L)), s"got $out")
+    // k cap keeps the deterministic head
+    assert(Text.topPhrases(docs, "text", "doc_id", n = 3, k = 1, minDf = 2L)
+      .collect().map(_.getString(0)).toSeq == Seq("a b c"))
+  }
+
   test("hardNegatives: positives drop, survivors re-rank densely, k caps per query") {
     val s = spark
     import s.implicits._

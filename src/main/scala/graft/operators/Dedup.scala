@@ -576,4 +576,36 @@ object Dedup {
         when(col("n_inter") === 0, lit(0L))
           .otherwise(expr("(2 * prec * rec) div (prec + rec)")).as("f1"))
   }
+
+  /** Edit-distance verification of candidate pairs — the EXPENSIVE last
+    * gate of a fuzzy-dedup pipeline (candidates from LSH/SimHash, cheap
+    * set-overlap verify first, Levenshtein only on the survivors: the
+    * standard candidates→verify→confirm funnel, cf. Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" §4).
+    * Each (id_a, id_b) rejoins the two raw strings and computes the exact
+    * character-level Levenshtein distance plus its normalized form in
+    * parts-per-million of the LONGER string (`dist_ppm` = 0 for identical
+    * texts, 1 000 000 when every character of the longer differs). Rows
+    * with `dist_ppm <= maxDistPpm` survive.
+    *
+    * SCALE CONTRACT: two shuffle-hash rejoins of the pair list against the
+    * corpus (the [[verifyCandidatePairs]] shape — the corpus-sized text
+    * relation is never broadcast), then per-row `levenshtein` (codegen'd
+    * built-in, O(|a|·|b|) per pair). Total cost ∝ candidate count × text
+    * length² — which is exactly why this belongs AFTER a cheap verify, and
+    * why the operator takes pairs rather than generating them. */
+  def editDistanceVerify(pairs: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, maxDistPpm: Long = 1000000L): DataFrame = {
+    require(maxDistPpm >= 0 && maxDistPpm <= 1000000L,
+      s"maxDistPpm out of range: $maxDistPpm")
+    val tx = df.select(col(idCol).cast("long").as("id"), col(textCol).as("tx"))
+    pairs
+      .join(tx.select(col("id").as("id_a"), col("tx").as("ta")).hint("shuffle_hash"), "id_a")
+      .join(tx.select(col("id").as("id_b"), col("tx").as("tb")).hint("shuffle_hash"), "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("dist_ppm",
+        expr("(dist * 1000000L) div greatest(length(ta), length(tb), 1L)"))
+      .filter(col("dist_ppm") <= maxDistPpm)
+      .select(col("id_a"), col("id_b"), col("dist"), col("dist_ppm"))
+  }
 }

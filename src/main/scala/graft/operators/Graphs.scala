@@ -336,4 +336,52 @@ object Graphs {
         coalesce(col("a"), lit(0L)).as("auth"))
   }
 
+  /** Multi-source BFS over an undirected edge list: the minimum hop
+    * distance from ANY seed vertex, up to `maxHops` — (n, dist) for every
+    * vertex reached (seeds at dist 0); unreached vertices are absent.
+    * The "distance to nearest labeled example" primitive behind
+    * label-spreading QA, blast-radius analysis, and seed-expansion
+    * crawls.
+    *
+    * Classic frontier BFS: each round expands only the LAST round's
+    * frontier through the edge list and anti-joins the already-visited
+    * set, so a vertex is claimed exactly once, at its first (= shortest)
+    * hop count. An empty frontier ends the loop early.
+    *
+    * SCALE CONTRACT: per round, one hash join of the frontier (≤ V rows,
+    * shrinking once the wave passes the graph's bulk) against the edge
+    * list and one anti-join against visited — all partitioned on vertex
+    * id; total work across rounds is O(E · 1) amortized since each edge
+    * fires only when its source enters the frontier. Frontier and
+    * visited are localCheckpoint'ed per round ([[kCore]] discipline):
+    * `visited` feeds both the anti-join and the next union, so an
+    * unmaterialized loop would double the plan per round. */
+  def shortestHops(edges0: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops out of range: $maxHops")
+    val edges0s = edges0
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+    val edges = edges0s
+      .unionAll(edges0s.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist()
+    var frontier = seeds.select(col(seedCol).cast("long").as("n")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    var visited = frontier
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = frontier.select(col("n").as("u"))
+        .join(edges, "u")
+        .select(col("v").as("n")).distinct()
+        .join(visited.select("n"), Seq("n"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+    }
+    edges.unpersist()
+    visited
+  }
 }

@@ -580,4 +580,41 @@ object Text {
       .orderBy(col("bm25").desc, col("doc"))
       .limit(k)
   }
+
+  /** Cross-document line-level dedup — the RefinedWeb/CCNet "remove
+    * repeated lines" pass: any exact line appearing in at least `minDf`
+    * DISTINCT documents (nav bars, cookie banners, boilerplate footers)
+    * is stripped from every document; the per-document remainder is
+    * reassembled in original line order. Returns one row per input doc:
+    * (id, text, n_kept, n_removed) — docs whose every line is boilerplate
+    * survive with empty text, so corpus accounting stays total.
+    *
+    * Line identity for the frequency table is `xxhash64(line)` — the
+    * document-frequency aggregation and its rejoin shuffle 8-byte keys,
+    * not line strings (a 64-bit collision could at worst strip one extra
+    * line; the standard trade every hash-keyed dedup here makes). The
+    * line text itself is shuffled exactly once, carried alongside its
+    * hash into the final per-document regroup.
+    *
+    * SCALE CONTRACT: one distinct-postings shuffle on the line hash (the
+    * [[ngramNovelty]] df shape), one hash rejoin, one groupBy(id)
+    * reassembly whose payload is the document itself — nothing quadratic,
+    * no driver structures. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      minDf: Long): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = df.select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val dfTab = lines.select("h", "id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("line_df"))
+    lines.join(dfTab.hint("shuffle_hash"), "h")
+      .groupBy("id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("line_df") < minDf, struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("text"),
+        count(when(col("line_df") < minDf, 1)).as("n_kept"),
+        count(when(col("line_df") >= minDf, 1)).as("n_removed"))
+  }
 }

@@ -315,6 +315,33 @@ object MiscQueries {
           scale = 1000000L, maxDeg = 64)
         .orderBy("u", "v")
     },
+    // Multi-source BFS on the co-purchase graph: hop distance from the
+    // %97 seed parts, 4 hops max — frontier expansion with per-round
+    // checkpoints, vs a recursive-CTE min-distance oracle.
+    "qg09_bfs_hops" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val seeds = edges.select(col("pa").as("n"))
+        .unionAll(edges.select(col("pb").as("n")))
+        .filter(col("n") % 97 === 0).distinct()
+      graft.operators.Graphs.shortestHops(edges, "pa", "pb", seeds, "n",
+          maxHops = 4)
+        .orderBy("n")
+    },
+    // First/last-touch conversion attribution: every purchase attributed
+    // to the same user's touches in the trailing 24 h — the binned
+    // interval join bounds the pair fan-out; endpoints come from one
+    // min/max-of-struct aggregation, no window over raw events.
+    "qa05_attribution" -> { (s, d) =>
+      graft.streaming.EventStream.attribution(
+          t(s, d, "events"), "purchase", lookbackMinutes = 1440)
+        .orderBy("conv_id")
+    },
     // Count-Min-Sketch heavy hitters over lineitem parts: the
     // d x w counter table is THE sketch (O(d·w) rows regardless of input
     // cardinality); estimates are md5-deterministic, so the oracle
@@ -594,6 +621,41 @@ object MiscQueries {
         |SELECT u, v, common, ra_score FROM pr
         |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = pr.u AND e.v = pr.v)
         |ORDER BY u, v""".stripMargin,
+    "qg09_bfs_hops" ->
+      """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM pp a JOIN pp b
+        |  ON a.o = b.o AND a.p < b.p),
+        |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |seeds AS (SELECT DISTINCT u AS n FROM edges WHERE u % 97 = 0),
+        |reach(n, dd) AS (SELECT n, 0 FROM seeds
+        |  UNION SELECT e.v, r.dd + 1 FROM reach r JOIN edges e ON e.u = r.n
+        |  WHERE r.dd < 4)
+        |SELECT n, MIN(dd) AS dist FROM reach GROUP BY n ORDER BY n""".stripMargin,
+    "qa05_attribution" ->
+      """WITH conv AS (SELECT event_id AS conv_id, user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        |    epoch_us(ts) AS ttsu FROM events WHERE event_type <> 'purchase'),
+        |p AS (SELECT c.conv_id, t.touch_type, t.ttsu, t.touch_id
+        |  FROM conv c JOIN tch t ON t.user_id = c.user_id
+        |    AND t.ttsu < c.tsu AND t.ttsu >= c.tsu - 86400000000),
+        |r AS (SELECT conv_id, touch_type, ttsu,
+        |  ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ttsu, touch_id) AS rna,
+        |  ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ttsu DESC, touch_id DESC) AS rnd
+        |  FROM p),
+        |a AS (SELECT conv_id, COUNT(*) AS n_touches FROM p GROUP BY conv_id)
+        |SELECT c.conv_id, c.user_id, c.tsu AS ts_us,
+        |  COALESCE(a.n_touches, 0) AS n_touches,
+        |  ff.touch_type AS first_touch, ff.ttsu AS first_ts_us,
+        |  fl.touch_type AS last_touch, fl.ttsu AS last_ts_us
+        |FROM conv c
+        |LEFT JOIN a ON a.conv_id = c.conv_id
+        |LEFT JOIN (SELECT conv_id, touch_type, ttsu FROM r WHERE rna = 1) ff
+        |  ON ff.conv_id = c.conv_id
+        |LEFT JOIN (SELECT conv_id, touch_type, ttsu FROM r WHERE rnd = 1) fl
+        |  ON fl.conv_id = c.conv_id
+        |ORDER BY c.conv_id""".stripMargin,
     "qx06_cms_heavy" ->
       """WITH vals AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
         |b AS (SELECT v, i,

@@ -551,6 +551,40 @@ object TextOps {
         .withColumnRenamed("doc", "doc_id")
         .orderBy("query_id", "neg_rank")
     },
+    // The full fuzzy-dedup funnel ending in the EXPENSIVE gate: LSH
+    // candidates -> cheap exact-Jaccard verify (>= 0.9) -> character
+    // Levenshtein on the survivors only; pairs within 20% edit distance
+    // of the longer text confirm. Exact copies land at dist 0; shared-
+    // vocabulary shuffles (high Jaccard, different order) wash out.
+    "qd47_edit_distance" -> { (s, d) =>
+      val docs = withDups(s, d).filter(col("doc_id") % 10 === 0)
+      val cands = graft.operators.Dedup.lshCandidatePairs(
+        docs, "text", "doc_id", numHashes = 4, rowsPerBand = 2)
+      val near = graft.operators.Dedup.verifyCandidatePairs(
+        cands, docs, "text", "doc_id", minJaccard = 0.9)
+      graft.operators.Dedup.editDistanceVerify(
+          near.select("id_a", "id_b"), docs, "text", "doc_id",
+          maxDistPpm = 200000L)
+        .orderBy("id_a", "id_b")
+    },
+    // Cross-document line dedup (the RefinedWeb boilerplate pass): docs
+    // re-lined into word-slice lines plus injected footer boilerplate;
+    // any line in >= 20 distinct docs is stripped, the remainder
+    // reassembled in order.
+    "qd48_line_dedup" -> { (s, d) =>
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
+      val w = split(col("text"), " ")
+      def nz(c: org.apache.spark.sql.Column) = when(c =!= "", c)
+      val lined = docs.select(col("doc_id"),
+        concat_ws("\n",
+          nz(array_join(slice(w, 1, 10), " ")),
+          nz(array_join(slice(w, 11, 100000), " ")),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter today")),
+          when(col("doc_id") % 3 === 0, lit("all rights reserved"))).as("txt"))
+      graft.operators.Text.dedupLines(lined, "txt", "doc_id", minDf = 20L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // Code-likeness signals (the prose-vs-code router): every third doc
     // gets a code preamble injected; its brace/operator/keyword/indent
     // counts and symbol density must separate from the prose rows.
@@ -1270,6 +1304,51 @@ object TextOps {
         |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS df
         |FROM g GROUP BY phrase HAVING COUNT(*) >= 2
         |ORDER BY df DESC, phrase LIMIT 25""".stripMargin,
+    "qd47_edit_distance" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM sub),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('s0_' || tok)) AS mh0, MIN(md5('s1_' || tok)) AS mh1,
+        |  MIN(md5('s2_' || tok)) AS mh2, MIN(md5('s3_' || tok)) AS mh3
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, md5('0' || mh0 || mh1) AS band FROM sig
+        |  UNION ALL SELECT doc_id, md5('1' || mh2 || mh3) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band),
+        |tk AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS tk FROM sub),
+        |ver AS (SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN tk a ON a.doc_id = c.id_a JOIN tk b ON b.doc_id = c.id_b
+        |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |        / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.9),
+        |ed AS (SELECT v.id_a, v.id_b,
+        |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        |    (CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000000)
+        |      // greatest(length(a.text), length(b.text), 1) AS dist_ppm
+        |  FROM ver v JOIN sub a ON a.doc_id = v.id_a JOIN sub b ON b.doc_id = v.id_b)
+        |SELECT id_a, id_b, dist, dist_ppm FROM ed WHERE dist_ppm <= 200000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "qd48_line_dedup" ->
+      """WITH docs AS (SELECT doc_id, str_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 1000),
+        |lined AS (SELECT doc_id, concat_ws(chr(10),
+        |    nullif(array_to_string(w[1:10], ' '), ''),
+        |    nullif(array_to_string(w[11:], ' '), ''),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved' END) AS txt FROM docs),
+        |lines AS (SELECT doc_id, unnest(str_split(txt, chr(10))) AS line,
+        |          unnest(range(len(str_split(txt, chr(10))))) AS pos FROM lined),
+        |dfreq AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line),
+        |j AS (SELECT l.doc_id, l.pos, l.line, f.line_df FROM lines l JOIN dfreq f USING (line))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN line_df < 20 THEN line END, chr(10) ORDER BY pos), '') AS text,
+        |  count(CASE WHEN line_df < 20 THEN 1 END) AS n_kept,
+        |  count(CASE WHEN line_df >= 20 THEN 1 END) AS n_removed
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qd45_hard_negatives" -> {
       def bmCte(tag: String, terms: String) =
         s"""hits_$tag AS (SELECT t.doc_id, t.tok, t.dl FROM toks t

@@ -530,6 +530,53 @@ object EventStream {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** First/last-touch conversion attribution: every `convType` event is
+    * attributed to the touches (any OTHER event of the same user) that
+    * happened STRICTLY before it and within `lookbackMinutes`. One row
+    * per conversion — (conv_id, user_id, ts_us, n_touches, first_touch,
+    * first_ts_us, last_touch, last_ts_us) — conversions with no touch in
+    * the window survive with n_touches 0 and null touch columns, so
+    * revenue accounting stays total. Ties on timestamp break by
+    * event_id, making both endpoints engine-deterministic.
+    *
+    * SCALE SHAPE: the conversion×touch pair relation is built with
+    * [[graft.operators.RangeJoin.intervalOverlapJoin]] — (user, time-bin)
+    * hash keys bound work per task by rows-per-bin instead of the
+    * quadratic per-user blowup of a raw range predicate (binSize = the
+    * lookback, so each conversion replicates into ≤ 2 bins). First/last
+    * endpoints come from ONE lexicographic min/max-of-struct aggregation
+    * on conv_id — no window function ever scans the pair relation — and
+    * the conversions relation rejoins via shuffle-hash on the same key. */
+  def attribution(events: DataFrame, convType: String,
+      lookbackMinutes: Long = 1440): DataFrame = {
+    require(lookbackMinutes >= 1, s"lookbackMinutes >= 1: $lookbackMinutes")
+    val lookbackNs = lookbackMinutes * 60L * 1000000000L
+    val ev = tsNanos(events)
+    val convs = ev.filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"), col("user_id"), col("ts"))
+    val touches = ev.filter(col("event_type") =!= convType)
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("tts"))
+      .withColumn("tend", col("tts"))
+    val pairs = graft.operators.RangeJoin.intervalOverlapJoin(
+      convs.withColumn("ws", col("ts") - lit(lookbackNs))
+        .withColumn("we", col("ts") - 1),
+      touches, "ws", "we", "tts", "tend",
+      binSize = lookbackNs, keys = Seq("user_id"))
+    val agg = pairs.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("tts"), col("touch_id"), col("touch_type"))).as("ft"),
+        max(struct(col("tts"), col("touch_id"), col("touch_type"))).as("lt"))
+    convs.join(agg.hint("shuffle_hash"), Seq("conv_id"), "left")
+      .select(col("conv_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        col("ft.touch_type").as("first_touch"),
+        expr("ft.tts div 1000").as("first_ts_us"),
+        col("lt.touch_type").as("last_touch"),
+        expr("lt.tts div 1000").as("last_ts_us"))
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

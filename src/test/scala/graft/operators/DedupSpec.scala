@@ -239,4 +239,24 @@ class DedupSpec extends SparkSpec {
     // (1,5): disjoint — all four metrics zero
     assert(out((1L, 5L)) == ((0L, 0L, 0L, 0L)))
   }
+
+  test("editDistanceVerify: exact Levenshtein, ppm normalization, threshold") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"),
+      (4L, "zzzzzzzzzz")).toDF("id", "tx")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val all = Dedup.editDistanceVerify(pairs, docs, "tx", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // kitten->sitting: the textbook 3; ppm = 3e6 div 7
+    assert(all((1L, 2L)) == ((3L, 3000000L / 7)))
+    assert(all((1L, 3L)) == ((0L, 0L)))          // identical
+    assert(all((1L, 4L)) == ((10L, 1000000L)))   // disjoint, len 10 dominates
+    // threshold keeps only the identical pair
+    val kept = Dedup.editDistanceVerify(pairs, docs, "tx", "id", maxDistPpm = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 3L)))
+  }
+
 }

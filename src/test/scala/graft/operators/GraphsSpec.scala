@@ -201,4 +201,37 @@ class GraphsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(e) == run(e.repartition(11)))
   }
+
+  test("shortestHops: path graph distances, hop cap, unreachable absent") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5-6 plus a disconnected edge 10-11
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("a", "b")
+    val seeds = Seq(1L).toDF("n")
+    val out = Graphs.shortestHops(e, "a", "b", seeds, "n", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // vertex 6 is 5 hops out (beyond the cap); 10/11 unreachable — absent
+  }
+
+  test("shortestHops: multi-seed takes the minimum; edges undirected") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val out = Graphs.shortestHops(e, "a", "b", Seq(1L, 5L).toDF("n"), "n", 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 3 is 2 hops from both ends; 4 is 1 hop from seed 5 (reverse edge)
+    assert(out == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("shortestHops: early exit on exhausted frontier returns seeds of an edgeless vertex") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    // seed 7 has no edges: frontier empties after round 1, loop stops
+    val out = Graphs.shortestHops(e, "a", "b", Seq(7L).toDF("n"), "n", 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(7L -> 0))
+  }
 }

@@ -391,4 +391,38 @@ class TextSpec extends SparkSpec {
     assert(Text.rrfFuse(Seq(l1, l2), "id", "rank", k = 2)
       .collect().map(_.getLong(0)).toSeq == Seq(2L, 1L))
   }
+
+  test("dedupLines: boilerplate stripped, order kept, all-boilerplate doc empty") {
+    val s = spark
+    import s.implicits._
+    val boiler = "subscribe now"
+    val docs = Seq(
+      (1L, s"alpha one\n$boiler\nbeta two"),
+      (2L, s"$boiler\ngamma three"),
+      (3L, s"delta four\n$boiler"),
+      (4L, boiler)).toDF("doc_id", "txt")
+    val out = Text.dedupLines(docs, "txt", "doc_id", minDf = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("alpha one\nbeta two", 2L, 1L)))  // middle line gone, order kept
+    assert(out(2L) == (("gamma three", 1L, 1L)))
+    assert(out(3L) == (("delta four", 1L, 1L)))
+    assert(out(4L) == (("", 0L, 1L)))                       // doc survives, empty
+  }
+
+  test("dedupLines: below-minDf lines survive; single-doc repeats count once") {
+    val s = spark
+    import s.implicits._
+    // "rare line" is in only 2 docs (one of them twice): df = 2 < 3 -> kept
+    val docs = Seq(
+      (1L, "rare line\nrare line"),
+      (2L, "rare line"),
+      (3L, "other")).toDF("doc_id", "txt")
+    val out = Text.dedupLines(docs, "txt", "doc_id", minDf = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L) == (("rare line\nrare line", 0L)))
+    assert(out(2L) == (("rare line", 0L)))
+    assert(out(3L) == (("other", 0L)))
+  }
+
 }

@@ -447,4 +447,33 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
   }
+
+  test("attribution: window bounds, tie-break, zero-touch conversions") {
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000000L // one minute in nanos
+    // user 1: touches at t=1,5,9 min around a conversion at t=10 min with
+    // a 5-minute lookback -> touches at 5 (edge: ts-lookback inclusive)
+    // and 9 qualify; t=1 is too old; a touch AT t=10 is excluded (strict <)
+    val ev = Seq(
+      (100L, 1L, "click", 1 * m),
+      (101L, 1L, "view", 5 * m),
+      (102L, 1L, "click", 9 * m),
+      (103L, 1L, "view", 10 * m),
+      (104L, 1L, "purchase", 10 * m),
+      // user 2: no touches at all
+      (105L, 2L, "purchase", 10 * m),
+      // user 3: two touches at the SAME timestamp -> event_id breaks the tie
+      (106L, 3L, "view", 9 * m),
+      (107L, 3L, "click", 9 * m),
+      (108L, 3L, "purchase", 10 * m)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.attribution(ev, "purchase", lookbackMinutes = 5)
+      .collect().map(r => r.getLong(0) -> (
+        r.getLong(3), Option(r.getString(4)), Option(r.getString(6)))).toMap
+    assert(out(104L) == ((2L, Some("view"), Some("click"))))   // first=t5 view, last=t9 click
+    assert(out(105L) == ((0L, None, None)))
+    assert(out(108L) == ((2L, Some("view"), Some("click"))))   // tie: min/max event_id
+  }
+
 }

@@ -24,6 +24,10 @@ def main(sf_dir: str, out_dir: str, only=()) -> int:
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    err_path = Path(out_dir) / "errors.json"
+    if err_path.exists():
+        for name, msg in json.loads(err_path.read_text()).items():
+            print(f"VERIFY-FAIL {name}: {msg[:200]}")
     if only:
         oracle = {k: v for k, v in oracle.items()
                   if any(s in k for s in only)}

@@ -181,4 +181,60 @@ object Quality {
       .withColumn("contrib", expr(
         "((pa_ppm - pb_ppm) * (pa_ppm - pb_ppm)) div greatest(1L, pa_ppm + pb_ppm)"))
   }
+
+  /** Semi-structured (JSON) column profiler — the schema-inference view
+    * over an events/props-style string column: one row per TOP-LEVEL key
+    * with how many rows carry it, how many distinct values it takes, and
+    * the lexicographic min/max of its extracted text (numbers and
+    * booleans extract as their unquoted JSON literals — identical in any
+    * engine — so min/max are byte-comparable). Malformed/NULL JSON rows
+    * contribute nothing. The operational answer to "what is actually in
+    * this props blob, and is anyone sneaking new fields in".
+    *
+    * Scale shape: one scan explodes each row into its key list
+    * (`json_object_keys` + per-row `get_json_object`, all codegen-able
+    * built-ins), then ONE partial-aggregated groupBy on the key — output
+    * cardinality = the live schema's key count, however many rows. */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame =
+    df.select(col(jsonCol).as("j"))
+      .filter(col("j").isNotNull)
+      .select(explode(json_object_keys(col("j"))).as("key"), col("j"))
+      .withColumn("v", expr("get_json_object(j, concat('$.', key))"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("v")).as("n_distinct"),
+        min("v").as("min_v"), max("v").as("max_v"))
+
+  /** Key-skew diagnostics — the pre-mortem for every shuffle in this
+    * library: per-key row counts for the `topK` heaviest keys, each with
+    * its share in ppm, alongside the global key count, row count, and
+    * the Herfindahl–Hirschman concentration index in ppm
+    * (`Σcᵢ²·scale div n²` — 1 000 000 = one key owns everything,
+    * `scale div n_keys` = perfectly uniform). The number that says
+    * whether a groupBy/join on this key needs salting ([[SkewJoin]])
+    * before it needs a bigger cluster.
+    *
+    * Scale shape: one partial-aggregated count groupBy on the key, a
+    * one-row global aggregate broadcast back over the (key-cardinality-
+    * sized) count table, and a TakeOrdered top-k — the raw relation is
+    * scanned once. Overflow bound: Σcᵢ² ≤ n², so n·scale must stay
+    * under 2⁶³ — at the default ppm scale that is n < 9·10¹², beyond
+    * any single table this engine will meet. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 20,
+      scale: Long = 1000000L): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"topK out of range: $topK")
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    val counts = df.select(col(keyCol).cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    val g = broadcast(counts.agg(
+      count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+      sum(col("cnt") * col("cnt")).as("sum_sq")))
+    counts.crossJoin(g)
+      .select(col("key"), col("cnt"),
+        expr(s"(cnt * ${scale}L) div n_rows").as("share_ppm"),
+        col("n_keys"), col("n_rows"),
+        expr(s"(sum_sq * ${scale}L) div (n_rows * n_rows)").as("hhi_ppm"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -194,4 +194,36 @@ object Sketches {
       .filter(col("cms_est") >= minEst)
       .select(col("v").as(valueCol), col("exact_count"), col("cms_est"))
   }
+
+  /** Deterministic weighted priority sample of `k` rows — the
+    * engine-portable cousin of weighted reservoir sampling (Efraimidis &
+    * Spirtes A-Res, with the random key replaced by a hash): each row's
+    * uniform draw is the 52-bit prefix integer of `md5('ps_' || id)`,
+    * its priority is `u div max(weight, 1)`, and the sample is the k
+    * LOWEST priorities (ties by id). Doubling a row's weight halves its
+    * priority — heavier rows win proportionally more often — while the
+    * sample stays a pure function of the (id, weight) set: reruns,
+    * repartitions, and a DuckDB replay draw the IDENTICAL rows, which no
+    * rand()-based sampler survives. Integer div, not a real power-law
+    * transform: this is the documented deterministic variant, not exact
+    * A-Res distribution. Returns (id, weight, priority).
+    *
+    * Scale shape: per-row hash arithmetic (codegen'd `conv(md5)`
+    * built-ins) + a TakeOrdered bottom-k (per-partition heaps, k-row
+    * merge) — no full sort, no shuffle of the corpus, O(k) result. The
+    * summary is mergeable: the bottom-k of a union is the bottom-k of
+    * the concatenated bottom-k's. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    df.select(col(idCol).cast("string").as("id"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("ps_"), col("id"))), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("priority", expr("u div greatest(weight, 1L)"))
+      .orderBy(col("priority"), col("id"))
+      .limit(k)
+      .select("id", "weight", "priority")
+  }
 }

@@ -617,4 +617,44 @@ object Text {
         count(when(col("line_df") < minDf, 1)).as("n_kept"),
         count(when(col("line_df") >= minDf, 1)).as("n_removed"))
   }
+
+  /** Corpus-trained bigram language-model scoring — the CCNet-style
+    * perplexity-bucket quality filter in engine-exact integer form: the
+    * corpus itself trains bigram counts, and each document scores the
+    * MEAN scaled conditional probability of its token transitions,
+    *   s(w₁w₂) = c(w₁w₂)·scale div c(w₁·),   lm_score = Σs div n_bigrams
+    * (occurrence-level, so a repeated transition counts every time).
+    * High scores = text whose transitions look like the corpus;
+    * gibberish, shuffled text, and boilerplate-free outliers sink.
+    * ln()-free on purpose: real perplexity is not reproducible across
+    * engines digit-for-digit, this surrogate is (same monotone ordering
+    * for single-transition comparisons). Returns (id, n_bigrams,
+    * lm_score); docs under 2 tokens score with n_bigrams 0 / null.
+    *
+    * Scale shape: one explode builds the occurrence-level bigram
+    * relation; the count tables aggregate on (w₁,w₂) and w₁ and rejoin
+    * via shuffle-hash (the bigram vocabulary is corpus-sized — never
+    * broadcast); the final per-doc aggregation keys on id. Nothing
+    * quadratic, nothing driver-side. */
+  def lmScore(df: DataFrame, textCol: String, idCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && scale <= 1000000000000L, s"scale out of range: $scale")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val bg = base.filter(size(col("w")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val scored = bg
+      .join(c12.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"(c12 * ${scale}L) div c1")).as("__s"))
+      .select(col("id"), col("n_bigrams"),
+        expr("__s div n_bigrams").as("lm_score"))
+    base.select("id").join(scored.hint("shuffle_hash"), Seq("id"), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+  }
 }

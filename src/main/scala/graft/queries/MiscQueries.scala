@@ -364,6 +364,36 @@ object MiscQueries {
         "l_extendedprice", "lid",
         quantiles = Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 1024)
     },
+    // Deterministic weighted priority sample: 100 documents drawn with
+    // probability ∝ n_chars via the md5-priority trick — a pure function
+    // of the (id, weight) set, so the oracle draws the identical rows.
+    "qx08_priority_sample" -> { (s, d) =>
+      graft.operators.Sketches.prioritySample(
+        t(s, d, "documents"), "doc_id", "n_chars", k = 100)
+    },
+    // Semi-structured profiler over a synthesized three-variant JSON
+    // column: per top-level key, row coverage + distinct/min/max of the
+    // extracted text — the "what is actually in this props blob" view.
+    "qq05_json_profile" -> { (s, d) =>
+      val js = when(col("event_id") % 3 === 0,
+          format_string("{\"uid\": %d, \"type\": \"%s\"}",
+            col("user_id"), col("event_type")))
+        .when(col("event_id") % 3 === 1,
+          format_string("{\"uid\": %d}", col("user_id")))
+        .otherwise(format_string(
+          "{\"uid\": %d, \"type\": \"%s\", \"flag\": true}",
+          col("user_id"), col("event_type")))
+      graft.operators.Quality.jsonKeyProfile(
+          t(s, d, "events").select(js.as("j")), "j")
+        .orderBy("key")
+    },
+    // Key-skew diagnostics on the lineitem supplier key: top-20 heavy
+    // keys with ppm shares plus the global HHI concentration index —
+    // the salt-or-not decision input for every shuffle on this key.
+    "qq06_key_skew" -> { (s, d) =>
+      graft.operators.Quality.keySkew(
+        t(s, d, "lineitem"), "l_suppkey", topK = 20)
+    },
     // HITS hubs/authorities over the bipartite order->part purchase
     // graph (orders negated so the two id spaces can't collide), in
     // L-infinity-normalized scaled integers; oracle unrolls the same
@@ -686,6 +716,39 @@ object MiscQueries {
         |SELECT q.q AS q, r.v AS value, r.n AS sample_n
         |FROM q JOIN r ON r.rn = GREATEST(1, CAST(CEIL(q.q * r.n) AS BIGINT))
         |ORDER BY q""".stripMargin,
+    "qx08_priority_sample" ->
+      """WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(n_chars AS BIGINT) AS weight FROM documents),
+        |u AS (SELECT id, weight,
+        |  CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |    CAST(instr('0123456789abcdef',
+        |      substr(md5('ps_' || id), CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |    * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) AS uv FROM w)
+        |SELECT id, weight, uv // greatest(weight, 1) AS priority FROM u
+        |ORDER BY priority, id LIMIT 100""".stripMargin,
+    "qq05_json_profile" ->
+      """WITH j AS (SELECT CASE
+        |    WHEN event_id % 3 = 0 THEN
+        |      '{"uid": ' || user_id || ', "type": "' || event_type || '"}'
+        |    WHEN event_id % 3 = 1 THEN '{"uid": ' || user_id || '}'
+        |    ELSE '{"uid": ' || user_id || ', "type": "' || event_type
+        |      || '", "flag": true}' END AS js
+        |  FROM events),
+        |keys AS (SELECT js, unnest(json_keys(js)) AS key FROM j),
+        |kv AS (SELECT key, js ->> key AS v FROM keys)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+    "qq06_key_skew" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq FROM c)
+        |SELECT key, cnt, (cnt * 1000000) // n_rows AS share_ppm,
+        |  n_keys, n_rows, (sum_sq * 1000000) // (n_rows * n_rows) AS hhi_ppm
+        |FROM c, g ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
     "qg08_hits" -> hitsOracle(iters = 3, scale = 1000000L),
     "qq03_profile" ->
       """SELECT * FROM (

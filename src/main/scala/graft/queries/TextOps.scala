@@ -585,6 +585,15 @@ object TextOps {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // Corpus-trained bigram LM quality score (CCNet-style perplexity
+    // bucket, integer-exact): the corpus trains its own transition
+    // counts; each doc scores the mean scaled conditional probability
+    // of its token transitions.
+    "qd49_lm_score" -> { (s, d) =>
+      graft.operators.Text.lmScore(t(s, d, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     // Code-likeness signals (the prose-vs-code router): every third doc
     // gets a code preamble injected; its brace/operator/keyword/indent
     // counts and symbol density must separate from the prose rows.
@@ -1332,6 +1341,22 @@ object TextOps {
         |  FROM ver v JOIN sub a ON a.doc_id = v.id_a JOIN sub b ON b.doc_id = v.id_b)
         |SELECT id_a, id_b, dist, dist_ppm FROM ed WHERE dist_ppm <= 200000
         |ORDER BY id_a, id_b""".stripMargin,
+    "qd49_lm_score" ->
+      """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, CAST(len(w) - 1 AS BIGINT))) AS i
+        |  FROM tk WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
+        |    w[CAST(i AS INT) + 1] AS w2 FROM pos),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |sc AS (SELECT b.doc_id, (c.c12 * 1000000) // u.c1 AS s
+        |  FROM bg b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1)),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(s) AS BIGINT) // COUNT(*) AS lm_score FROM sc GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.lm_score
+        |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "qd48_line_dedup" ->
       """WITH docs AS (SELECT doc_id, str_split(text, ' ') AS w
         |  FROM documents WHERE doc_id < 1000),

@@ -112,4 +112,36 @@ class QualitySpec extends SparkSpec {
     assert(out.map(t => (t._1, t._6)).toMap ==
       Map("de" -> 83333L, "en" -> 250000L, "fr" -> 250000L))
   }
+
+  test("jsonKeyProfile: key coverage, distinct/min/max of extracted text, null rows skipped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Some("""{"uid": 7, "type": "click"}"""),
+      Some("""{"uid": 9}"""),
+      Some("""{"uid": 7, "flag": true}"""),
+      None).toDF("j")
+    val out = Quality.jsonKeyProfile(df, "j")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(out("uid") == ((3L, 2L, "7", "9")))
+    assert(out("type") == ((1L, 1L, "click", "click")))
+    assert(out("flag") == ((1L, 1L, "true", "true")))
+    assert(out.size == 3)
+  }
+
+  test("keySkew: shares, HHI, and top-k ordering on a known distribution") {
+    val s = spark
+    import s.implicits._
+    // 6 a, 3 b, 1 c -> n=10; shares 600000/300000/100000
+    // HHI = (36+9+1)*1e6 div 100 = 460000
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val rows = Quality.keySkew(df, "k", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      ("a", 6L, 600000L, 3L, 10L, 460000L),
+      ("b", 3L, 300000L, 3L, 10L, 460000L)))
+  }
+
 }

@@ -106,4 +106,34 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(med - 499.5) < 132, s"median estimate $med too far off")
     assert(a.head._3 == 512L)
   }
+
+  test("prioritySample: deterministic, partition-invariant, weight-sensitive") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.prioritySample(d, "id", "w", k = 20)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(df)
+    assert(a.size == 20)
+    assert(a == run(df.repartition(13)))           // pure function of the set
+    // priority math: u div weight exactly, and boosting every weight 100x
+    // can only LOWER each row's priority -> the min-k threshold drops
+    val boosted = Sketches.prioritySample(
+        df.withColumn("w", col("w") * 100), "id", "w", k = 20)
+      .agg(org.apache.spark.sql.functions.max("priority")).head().getLong(0)
+    assert(boosted <= a.map(_._3).max)
+  }
+
+  test("prioritySample: k beyond the corpus returns every row; zero weight guarded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 0L), (2L, 5L), (3L, 5L)).toDF("id", "w")
+    val out = Sketches.prioritySample(df, "id", "w", k = 10).collect()
+    assert(out.length == 3)
+    // weight 0 treated as 1: priority equals the raw 52-bit hash value
+    val r1 = out.find(_.getString(0) == "1").get
+    assert(r1.getLong(2) >= 0L)
+  }
+
 }

@@ -425,4 +425,20 @@ class TextSpec extends SparkSpec {
     assert(out(3L) == (("other", 0L)))
   }
 
+
+  test("lmScore: hand-computed bigram conditionals; short docs score null") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "txt")
+    // c(a,b)=2, c(a,c)=1, c1(a)=3
+    val out = Text.lmScore(docs, "txt", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(1L) == ((1L, 2000000L / 3)))
+    assert(out(2L) == ((1L, 2000000L / 3)))
+    assert(out(3L) == ((1L, 1000000L / 3)))
+    assert(out(4L) == ((0L, -1L)))  // no bigrams -> null score
+  }
+
 }

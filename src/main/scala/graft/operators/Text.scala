@@ -406,6 +406,113 @@ object Text {
     mixture(df, sourceCol, idCol, rates, defaultBps = 10000)
   }
 
+  /** Temperature-flattened group mixture — the multilingual α-sampling
+    * recipe (XLM-R / mBERT: sample language l with probability ∝ n_l^α
+    * so head languages stop drowning the tail), with the exponent FIXED
+    * at α = 1/2: IEEE-754 sqrt is correctly rounded, so
+    * `floor(sqrt(n))` is bit-identical in every engine, where a
+    * `pow(n, 0.3)` is not — the engine-exactness trade this library
+    * makes throughout. Each group's expected kept-row count is
+    * `budgetRows · √n_g / Σ√n`, realized as a per-source basis-point
+    * rate `min(10000, budgetRows·√n_g·10⁴ div (Σ√n·n_g))` through the
+    * same deterministic md5-bucket filter as [[mixture]]. Groups larger
+    * than their flattened share downsample; tail groups keep
+    * (relatively) more — rates cap at 100%, a row is emitted at most
+    * once.
+    *
+    * SCALE CONTRACT: [[mixtureToBudget]]'s — one aggregate collected
+    * driver-side, bounded by `maxGroups` (group must be low-cardinality:
+    * languages, sources); the filter itself is per-row, zero shuffles,
+    * pushdown-eligible. Rate arithmetic runs in BigInt and caps before
+    * the int conversion. */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+      budgetRows: Long, maxGroups: Int = 100000): DataFrame = {
+    require(budgetRows >= 0, "budgetRows must be >= 0")
+    require(maxGroups >= 1, "maxGroups must be >= 1")
+    val rows = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .limit(maxGroups + 1)
+      .collect()
+    require(rows.length <= maxGroups,
+      s"temperatureMixture: > $maxGroups distinct values in '$groupCol' — " +
+        "pass a low-cardinality group column (the totals are collected driver-side)")
+    val counts = rows.iterator.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.map { case (g, n) =>
+      g -> math.floor(math.sqrt(n.toDouble)).toLong
+    }
+    val sumW = w.values.sum
+    val rates = counts.map { case (g, n) =>
+      g -> (if (n <= 0 || sumW <= 0) 0
+            else (BigInt(budgetRows) * w(g) * 10000 / (BigInt(sumW) * n))
+              .min(10000).toInt)
+    }
+    mixture(df, groupCol, idCol, rates, defaultBps = 0)
+  }
+
+  /** Lexical-diversity metrics per corpus slice — the distinct-n view
+    * behind "is this source templated?": per group, document/token
+    * totals, corpus-level distinct unigram and bigram counts, and the
+    * distinct-n ratios in ppm (`distinct · 10⁶ div occurrences` —
+    * Li et al. 2016's distinct-1/distinct-2, integer-exact). Boilerplate
+    * farms and n-gram loops crater distinct-2 long before quality
+    * heuristics notice. Bigrams are position-level strings (`w₁ w₂`), so
+    * the oracle replays them verbatim.
+    *
+    * Scale shape: one explode feeds two partial-aggregated groupBys
+    * (token level and distinct level) on the group key; output
+    * cardinality = group count. Nothing driver-side. */
+  def diversityMetrics(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), tokens(col(textCol)).as("w"))
+    val uni = base.select(col("grp"), explode(col("w")).as("tok"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("distinct_unigrams"))
+    val bi = base.filter(size(col("w")) >= 2)
+      .select(col("grp"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")).as("bg"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("distinct_bigrams"))
+    val docs = base.groupBy("grp").agg(count(lit(1)).as("n_docs"))
+    docs.join(uni, Seq("grp"), "left").join(bi, Seq("grp"), "left")
+      .na.fill(0L, Seq("n_tokens", "distinct_unigrams", "n_bigrams", "distinct_bigrams"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"),
+        col("distinct_unigrams"), col("n_bigrams"), col("distinct_bigrams"),
+        expr("(distinct_unigrams * 1000000L) div greatest(n_tokens, 1L)").as("d1_ppm"),
+        expr("(distinct_bigrams * 1000000L) div greatest(n_bigrams, 1L)").as("d2_ppm"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS algorithm): hash every `k`-token gram, slide a `window` of
+    * consecutive gram hashes, keep each window's MINIMUM — the guarantee
+    * is that any shared run of `window + k − 1` tokens between two
+    * documents shares at least one selected fingerprint, at a fixed
+    * ~2/(window+1) sampling density (neither the every-gram blowup of
+    * [[Dedup.sharedWindowPairs]] nor [[fingerprint]]'s single global
+    * min). Hashes are the 52-bit md5-prefix integers the sketch family
+    * uses, so any engine replays them digit-for-digit. Returns the
+    * exploded distinct fingerprint relation (id, fp) — feed it to the
+    * banded-pair shape or a contamination join.
+    *
+    * Scale shape: entirely per-row Column algebra (transform/slice over
+    * the token array; grams and windows bounded by tokens-per-doc), then
+    * one explode — zero shuffles in the operator itself. */
+  def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, window: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+    require(window >= 1 && window <= 256, s"window out of range: $window")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, greatest(size(w) - ${k - 1}, 1)),
+           |  i -> cast(conv(substring(md5(concat_ws(' ', slice(w, i, $k))), 1, 13), 16, 10) as bigint))""".stripMargin))
+      .withColumn("fp", explode(expr(
+        s"""array_distinct(transform(sequence(1, greatest(size(hs) - ${window - 1}, 1)),
+           |  j -> array_min(slice(hs, j, $window))))""".stripMargin)))
+      .select("id", "fp").distinct()
+  }
+
   /** Class-balanced cap: keep at most `cap` rows per group, chosen by the
     * deterministic md5-of-id order (not arrival order — stable under any
     * partitioning). The majority-class downsampling step of a balanced

@@ -585,6 +585,51 @@ object TextOps {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
+    // Temperature-flattened language mixture (XLM-R α-sampling at
+    // α = 1/2, the engine-exact exponent): each language's kept share
+    // ∝ √n_lang, realized through the deterministic md5-bucket filter.
+    "qd50_temperature_mix" -> { (s, d) =>
+      graft.operators.Text.temperatureMixture(
+          t(s, d, "documents"), "lang", "doc_id", budgetRows = 300L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    // Distinct-1/distinct-2 lexical diversity per source — the
+    // templated-source detector, in integer ppm.
+    "qd51_diversity" -> { (s, d) =>
+      graft.operators.Text.diversityMetrics(
+          t(s, d, "documents"), "text", "source")
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    },
+    // Winnowing (MOSS) fingerprint selection: 4-token grams, window 4 —
+    // any 7-token shared run is guaranteed a common fingerprint at ~40%
+    // of the every-gram index size.
+    "qd52_winnowing" -> { (s, d) =>
+      graft.operators.Text.winnowingFingerprints(
+          t(s, d, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", k = 4, window = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fp")
+    },
+    // Leakage-free split capstone: near-dup clusters (simhash pairs →
+    // Boruvka components) are the split UNIT — every member of a cluster
+    // lands in the same side, so no near-duplicate of a heldout doc can
+    // sit in train. Split accounting per side.
+    "qd53_leakage_split" -> { (s, d) =>
+      val docs = withDups(s, d).filter(col("doc_id") % 5 === 0)
+      val pairs = graft.operators.Dedup.simhashNearDupPairs(docs, "text", "doc_id")
+      val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+      val labeled = docs.select(col("doc_id"))
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+      graft.operators.Text.deterministicSplit(labeled, "comp",
+          Seq("train" -> 90, "heldout" -> 10))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_components"))
+        .orderBy("split")
+    },
     // Corpus-trained bigram LM quality score (CCNet-style perplexity
     // bucket, integer-exact): the corpus trains its own transition
     // counts; each doc scores the mean scaled conditional probability
@@ -1341,6 +1386,94 @@ object TextOps {
         |  FROM ver v JOIN sub a ON a.doc_id = v.id_a JOIN sub b ON b.doc_id = v.id_b)
         |SELECT id_a, id_b, dist, dist_ppm FROM ed WHERE dist_ppm <= 200000
         |ORDER BY id_a, id_b""".stripMargin,
+    "qd50_temperature_mix" ->
+      """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
+        |sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM w),
+        |rate AS (SELECT lang, LEAST(10000, (300 * w * 10000) // (sumw * n)) AS bps
+        |  FROM w, sw),
+        |b AS (SELECT d.doc_id, d.lang, r.bps,
+        |  ((instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)) % 10000 AS bucket
+        |  FROM documents d JOIN rate r ON r.lang = d.lang)
+        |SELECT doc_id, lang FROM b WHERE bucket < bps ORDER BY doc_id""".stripMargin,
+    "qd51_diversity" ->
+      """WITH tk AS (SELECT source, str_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_unigrams
+        |  FROM (SELECT source, unnest(w) AS tok FROM tk) GROUP BY source),
+        |bi AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(DISTINCT bg) AS BIGINT) AS distinct_bigrams
+        |  FROM (SELECT source, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bg
+        |        FROM (SELECT source, w,
+        |              unnest(generate_series(1, CAST(len(w) - 1 AS BIGINT))) AS i
+        |              FROM tk WHERE len(w) >= 2))
+        |  GROUP BY source),
+        |docs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tk GROUP BY source)
+        |SELECT d.source, n_docs, COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(distinct_unigrams, 0) AS distinct_unigrams,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(distinct_bigrams, 0) AS distinct_bigrams,
+        |  (COALESCE(distinct_unigrams, 0) * 1000000) // greatest(COALESCE(n_tokens, 0), 1) AS d1_ppm,
+        |  (COALESCE(distinct_bigrams, 0) * 1000000) // greatest(COALESCE(n_bigrams, 0), 1) AS d2_ppm
+        |FROM docs d LEFT JOIN uni USING (source) LEFT JOIN bi USING (source)
+        |ORDER BY d.source""".stripMargin,
+    "qd52_winnowing" ->
+      """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id < 300),
+        |g AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, CAST(greatest(len(w) - 3, 1) AS BIGINT))) AS i FROM tk),
+        |h AS (SELECT doc_id, i, CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |    CAST(instr('0123456789abcdef',
+        |      substr(md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 3], ' ')),
+        |        CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |    * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) AS hv FROM g),
+        |win AS (SELECT doc_id, i,
+        |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS nh FROM h)
+        |SELECT DISTINCT doc_id, fp FROM win WHERE i <= greatest(nh - 3, 1)
+        |ORDER BY doc_id, fp""".stripMargin,
+    "qd53_leakage_split" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
+        |bits AS (SELECT doc_id, b,
+        |  ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> (b % 4)) % 2 AS bit
+        |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+        |bal AS (SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS bal
+        |  FROM bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bal >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bal GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 'l' || CAST(simhash % 256 AS VARCHAR) AS band FROM sig
+        |  UNION ALL SELECT doc_id, 'h' || CAST(simhash // 256 AS VARCHAR) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band),
+        |nd AS (SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+        |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1),
+        |und AS (SELECT id_a AS a, id_b AS b FROM nd UNION SELECT id_b, id_a FROM nd),
+        |reach AS (
+        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM und)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+        |allc AS (SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS comp
+        |  FROM sub s LEFT JOIN comp c USING (doc_id)),
+        |b AS (SELECT doc_id, comp,
+        |  ((instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |   (instr('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), 2, 1)) - 1)) % 100 AS bucket
+        |  FROM allc)
+        |SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'heldout' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_components
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "qd49_lm_score" ->
       """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
         |pos AS (SELECT doc_id, w,

@@ -441,4 +441,73 @@ class TextSpec extends SparkSpec {
     assert(out(4L) == ((0L, -1L)))  // no bigrams -> null score
   }
 
+
+  test("temperatureMixture: equals mixture() with the hand-derived sqrt rates") {
+    val s = spark
+    import s.implicits._
+    // group A: 100 rows (w=10), group B: 4 rows (w=2); sumW=12, budget=12
+    // rateA = 12*10*1e4/(12*100) = 1000 bps; rateB = 12*2*1e4/(12*4) = 5000
+    val df = ((1L to 100L).map(i => (i, "A")) ++ (101L to 104L).map(i => (i, "B")))
+      .toDF("id", "g")
+    val got = Text.temperatureMixture(df, "g", "id", budgetRows = 12L)
+      .collect().map(_.getLong(0)).toSet
+    val want = Text.mixture(df, "g", "id", Map("A" -> 1000, "B" -> 5000))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // flattening: the big group's rate (10%) is far under the small one's (50%)
+  }
+
+  test("temperatureMixture: rates cap at 100% when the budget exceeds the corpus") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 30L).map(i => (i, if (i <= 20) "A" else "B")).toDF("id", "g")
+    assert(Text.temperatureMixture(df, "g", "id", budgetRows = 100000L).count() == 30)
+  }
+
+  test("diversityMetrics: hand-computed distinct-1/2 on a templated group") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("tpl", "a a a a"),          // 4 tokens, 1 distinct; 3 bigrams "a a", 1 distinct
+      ("tpl", "a a a a"),          // same again: totals 8/1, bigrams 6/1
+      ("var", "x y z"),            // 3 tokens 3 distinct; 2 distinct bigrams
+      ("one", "solo")              // 1 token, no bigram
+    ).toDF("src", "txt")
+    val out = Text.diversityMetrics(df, "txt", "src")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out("tpl") == ((2L, 8L, 1L, 6L, 1L, 125000L, 166666L)))
+    assert(out("var") == ((1L, 3L, 3L, 2L, 2L, 1000000L, 1000000L)))
+    assert(out("one") == ((1L, 1L, 1L, 0L, 0L, 1000000L, 0L)))
+  }
+
+  test("winnowing: shared 7-token run guarantees a common fingerprint (k=4, w=4)") {
+    val s = spark
+    import s.implicits._
+    val run = "q w e r t y u" // window + k - 1 = 7 tokens
+    val docs = Seq(
+      (1L, s"a b c d e $run f g h"),
+      (2L, s"m n o p $run z z2 z3"),
+      (3L, "totally different words here throughout the entire doc")).toDF("doc_id", "txt")
+    val fp = Text.winnowingFingerprints(docs, "txt", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)   // the winnowing guarantee
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // density: far fewer fingerprints than grams
+    assert(byDoc(1L).size < 10)
+  }
+
+  test("winnowing: partition-invariant and short-doc degenerate cases") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b c d e f g h i j")).toDF("doc_id", "txt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Text.winnowingFingerprints(d, "txt", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(docs)
+    assert(a == run(docs.repartition(7)))
+    assert(a.count(_._1 == 1L) == 1)  // sub-k doc: one gram, one window, one fp
+  }
+
 }

@@ -606,6 +606,52 @@ object Dedup {
     * Total cost ∝ candidates × len × threshold — which is still why this
     * belongs AFTER a cheap verify, and why the operator takes pairs
     * rather than generating them. */
+  /** Fuzzy record-linkage JOIN between two tables — the entity-resolution
+    * staple (match a dirty feed against the master table): rows sharing a
+    * caller-computed BLOCK key pair up, and pairs within `maxDistPpm`
+    * normalized edit distance link. Returns (id_l, id_r, dist, dist_ppm).
+    * The block key is the recall contract and deliberately the caller's
+    * choice (phonetic key, sorted-token prefix, length-banded suffix — a
+    * key the expected corruption cannot move); a pair in different
+    * blocks is invisible.
+    *
+    * SCALE CONTRACT: one hash equi-join on the block key, guarded like
+    * [[lshCandidatePairs]] — blocks whose left×right pair product
+    * exceeds `maxBucket` are dropped BEFORE the join (a null/default
+    * block key would otherwise go quadratic); then the
+    * [[editDistanceVerify]] kernel discipline: explicit pair-key
+    * repartition (AQE byte-coalescing would serialize the CPU-bound
+    * DP) and threshold-banded `levenshtein`. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+      idL: String, txtL: String, blkL: String,
+      idR: String, txtR: String, blkR: String,
+      maxDistPpm: Long, maxBucket: Long = 10000L): DataFrame = {
+    require(maxDistPpm >= 0 && maxDistPpm <= 1000000L,
+      s"maxDistPpm out of range: $maxDistPpm")
+    require(maxBucket >= 1, s"maxBucket >= 1: $maxBucket")
+    val l = left.select(col(idL).cast("long").as("id_l"),
+      col(txtL).as("ta"), col(blkL).as("__blk"))
+    val r = right.select(col(idR).cast("long").as("id_r"),
+      col(txtR).as("tb"), col(blkR).as("__blk"))
+    val ln = l.groupBy("__blk").agg(count(lit(1)).as("__nl"))
+    val rn = r.groupBy("__blk").agg(count(lit(1)).as("__nr"))
+    val ok = ln.join(rn, "__blk")
+      .filter(col("__nl") * col("__nr") <= maxBucket)
+      .select("__blk")
+    val shufflePartitions = left.sparkSession.sessionState.conf.numShufflePartitions
+    l.join(ok.hint("shuffle_hash"), "__blk")
+      .join(r, "__blk")
+      .repartition(shufflePartitions, col("id_l"), col("id_r"))
+      .withColumn("__len", expr("greatest(length(ta), length(tb), 1L)"))
+      .withColumn("dist", expr(
+        s"levenshtein(ta, tb, cast(least(((${maxDistPpm}L + 1) * __len - 1) div 1000000L, " +
+          "2147483647L) as int))").cast("long"))
+      .filter(col("dist") >= 0)
+      .withColumn("dist_ppm", expr("(dist * 1000000L) div __len"))
+      .filter(col("dist_ppm") <= maxDistPpm)
+      .select(col("id_l"), col("id_r"), col("dist"), col("dist_ppm"))
+  }
+
   def editDistanceVerify(pairs: DataFrame, df: DataFrame, textCol: String,
       idCol: String, maxDistPpm: Long = 1000000L): DataFrame = {
     require(maxDistPpm >= 0 && maxDistPpm <= 1000000L,

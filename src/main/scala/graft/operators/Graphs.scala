@@ -147,6 +147,61 @@ object Graphs {
     ranks.select(col("n"), col("r").as("rank"))
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set) —
+    * the "similar nodes to these" primitive behind related-item
+    * recommendation and seed-expansion labeling. Same scaled-integer
+    * power iteration as [[pageRank]], except the teleport mass lands
+    * only on the seeds:
+    *   rₖ₊₁(v) = [v ∈ S]·((scale·15) div 100) div |S|
+    *             + (85 · Σ_{u~v} (rₖ(u) div deg(u))) div 100
+    * with r₀ = scale div |S| on seeds, 0 elsewhere. Engine-exact integer
+    * arithmetic; an unrolled SQL oracle replays every digit. Returns
+    * (n, rank) for every vertex (vertices the walk never reaches stay 0).
+    *
+    * SCALE CONTRACT: identical to [[pageRank]] — one Pregel-shaped hash
+    * join + aggregation per iteration on the persisted degree-annotated
+    * edge table; the seed set joins as an O(|S|) relation on the same
+    * vertex partitioning, |S| enters as a broadcast one-row aggregate. */
+  def personalizedPageRank(edges0: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters out of range: $iters")
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val outdeg = dir.groupBy("src").agg(count(lit(1)).as("d"))
+    val dirDeg = dir.join(outdeg.hint("shuffle_hash"), "src").persist()
+    val nodes = outdeg.select(col("src").as("n"))
+    // seeds restricted to graph vertices, so |S| matches the mass placed
+    val seedSet = seeds.select(col(seedCol).cast("long").as("n")).distinct()
+      .join(nodes, "n").withColumn("is_seed", lit(1))
+    val ns = broadcast(seedSet.agg(count(lit(1)).as("scnt")))
+    var ranks = nodes
+      .join(seedSet.hint("shuffle_hash"), Seq("n"), "left").crossJoin(ns)
+      .select(col("n"),
+        when(col("is_seed") === 1, expr(s"${scale}L div scnt"))
+          .otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val sums = ranks.join(dirDeg, col("n") === col("src"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = nodes
+        .join(sums.withColumnRenamed("dst", "n").hint("shuffle_hash"),
+          Seq("n"), "left")
+        .join(seedSet.hint("shuffle_hash"), Seq("n"), "left")
+        .crossJoin(ns)
+        .select(col("n"),
+          (when(col("is_seed") === 1,
+            expr(s"((${scale}L * 15) div 100) div scnt")).otherwise(lit(0L))
+            + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    ranks.select(col("n"), col("r").as("rank"))
+  }
+
   /** Fixed-iteration synchronous label propagation (community detection):
     * labels start as the vertex id; each round every vertex adopts the
     * most frequent label among its neighbours, ties to the SMALLEST label

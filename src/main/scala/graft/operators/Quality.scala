@@ -205,6 +205,41 @@ object Quality {
         countDistinct(col("v")).as("n_distinct"),
         min("v").as("min_v"), max("v").as("max_v"))
 
+  /** Pair-counting clustering agreement — the Rand index between two
+    * labelings of the same rows (e.g. yesterday's dedup clusters vs
+    * today's, LSH clusters vs SimHash clusters), computed WITHOUT
+    * materializing any pairs: from the (a, b) contingency table,
+    *   agree = C(n,2) + 2·ΣᵢⱼC(nᵢⱼ,2) − ΣᵢC(aᵢ,2) − ΣⱼC(bⱼ,2)
+    * (pairs both labelings group together, plus pairs both separate),
+    * `rand_ppm = agree·scale div C(n,2)` — all integer, engine-exact.
+    * Returns one row: (n, total_pairs, both_pairs, a2, b2, agree_pairs,
+    * rand_ppm). 10⁶ ppm = the labelings induce identical partitions.
+    *
+    * Scale shape: one groupBy on the label pair (contingency-table-
+    * sized output), two marginal re-aggregations of that table, three
+    * one-row aggregates crossed — raw rows are scanned once; no pair
+    * relation ever exists. Overflow: `agree·scale < 2⁶³` needs
+    * n ≲ 4·10⁶ at ppm scale — use scale 10³ beyond that. */
+  def clusterAgreement(df: DataFrame, aCol: String, bCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    val cells = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nij"))
+    val p = cells.agg(sum(expr("(nij * (nij - 1)) div 2")).as("p"),
+      sum("nij").as("n"))
+    val a2 = cells.groupBy("a").agg(sum("nij").as("ai"))
+      .agg(sum(expr("(ai * (ai - 1)) div 2")).as("a2"))
+    val b2 = cells.groupBy("b").agg(sum("nij").as("bj"))
+      .agg(sum(expr("(bj * (bj - 1)) div 2")).as("b2"))
+    p.crossJoin(a2).crossJoin(b2)
+      .select(col("n"), expr("(n * (n - 1)) div 2").as("total_pairs"),
+        col("p").as("both_pairs"), col("a2"), col("b2"),
+        expr("(n * (n - 1)) div 2 + 2 * p - a2 - b2").as("agree_pairs"))
+      .withColumn("rand_ppm",
+        expr(s"(agree_pairs * ${scale}L) div greatest(total_pairs, 1L)"))
+  }
+
   /** Key-skew diagnostics — the pre-mortem for every shuffle in this
     * library: per-key row counts for the `topK` heaviest keys, each with
     * its share in ppm, alongside the global key count, row count, and

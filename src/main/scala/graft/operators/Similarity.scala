@@ -125,6 +125,43 @@ object Similarity {
       .groupBy(idCol).agg(sum("bit").as("bucket"))
   }
 
+  /** Approximate k-NN GRAPH construction — every vector's `k` nearest
+    * neighbours among its LSH-bucket mates: (src, nbr, cos, rank). The
+    * batch primitive behind semantic-dedup sweeps, kNN-classifier
+    * features, and graph-based ANN indexes (NSW-style seeding): one call
+    * builds the whole graph, where [[topKCosine]] answers one query.
+    * Approximate by construction — a neighbour hashed to a different
+    * bucket is invisible (raise `numPlanes` for fewer, purer buckets or
+    * lower it for more recall).
+    *
+    * Scale shape: [[lshBuckets]]' per-row signature (broadcast planes)
+    * keys a bucket self-join whose fan-out is bounded per bucket
+    * (`maxBucket` drops degenerate buckets BEFORE the quadratic join —
+    * the [[blockedCosinePairs]] guard); the per-source top-k is a rank
+    * window on the bucket join's own output. Nothing all-pairs, nothing
+    * driver-side. */
+  def knnGraph(df: DataFrame, embCol: String, idCol: String, k: Int,
+      numPlanes: Int = 8, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    require(maxBucket >= 2, s"maxBucket >= 2: $maxBucket")
+    val d = dot(df) _
+    val buckets = lshBuckets(df, embCol, idCol, numPlanes, dim)
+      .withColumnRenamed(idCol, "id")
+    val emb = df.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .withColumn("nrm", sqrt(d(col("q"), col("q")).cast("double")))
+      .join(buckets.hint("shuffle_hash"), "id")
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr"))
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("nbr"),
+        (d(col("a.q"), col("b.q")).cast("double") /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Doc-frequency-weighted (TF-IDF-style, binary TF) cosine similarity
     * for every overlapping document pair within a block: (block, id_a,
     * id_b, cos). Token weight is the integer-rational IDF

@@ -688,6 +688,85 @@ object Text {
       .limit(k)
   }
 
+  /** Retrieval evaluation metrics — precision@k, recall@k and MRR per
+    * query, all in integer ppm (nDCG's log₂ is deliberately out: not
+    * engine-exact). `runs` is a ranked result list (query, doc, rank);
+    * `qrels` the relevance judgments (query, doc). One row per JUDGED
+    * query: (query_id, n_rel, hits, prec_ppm, recall_ppm, mrr_ppm) —
+    * queries whose top-k found nothing relevant score zeros, so eval
+    * accounting stays total. `mrr_ppm = scale div rank-of-first-relevant`
+    * (0 when none in the top-k).
+    *
+    * Scale shape: one hash join of the (top-k-sized) run list against
+    * the judgments on (query, doc), one per-query aggregation, and a
+    * shuffle-hash rejoin against the per-query judgment counts — cost
+    * ∝ list sizes, never corpus. */
+  def retrievalMetrics(runs: DataFrame, qrels: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, k: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    val r = runs.select(col(queryCol).as("query_id"), col(docCol).as("doc"),
+        col(rankCol).cast("long").as("rank"))
+      .filter(col("rank") <= k)
+    val q = qrels.select(col(queryCol).as("query_id"), col(docCol).as("doc"))
+      .distinct()
+    val nrel = q.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = r.join(q, Seq("query_id", "doc"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"), min("rank").as("first_rel"))
+    nrel.join(hits.hint("shuffle_hash"), Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        expr(s"(hits * ${scale}L) div ${k}L").as("prec_ppm"),
+        expr(s"(hits * ${scale}L) div greatest(n_rel, 1L)").as("recall_ppm"),
+        coalesce(expr(s"${scale}L div first_rel"), lit(0L)).as("mrr_ppm"))
+  }
+
+  /** PMI-style collocation mining — the statistically-surprising word
+    * pairs within a `window`-token neighbourhood (Church & Hanks 1990's
+    * association ratio), in the engine-exact integer surrogate
+    * `pmi_ppm = c(x,y)·N·scale div (c(x)·c(y))` (the true PMI's log is
+    * monotone in this ratio, so rankings agree; > scale means the pair
+    * co-occurs more than independence predicts). Pairs are unordered
+    * (x < y), self-pairs excluded, and only pairs seen ≥ `minCount`
+    * times rank. Returns the top `k` by (pmi_ppm, x, y).
+    *
+    * Scale shape: the pair explode emits ≤ window rows per token
+    * position (cost ∝ corpus tokens × window, linear); unigram counts
+    * rejoin via shuffle-hash (vocabulary-sized, never broadcast); the
+    * final top-k is a TakeOrderedAndProject. Overflow bound:
+    * `cxy·N·scale < 2⁶³` — at ppm scale that holds while
+    * `cxy·N < 9·10¹²`; for web-scale corpora drop `scale` to 10³. */
+  def collocations(df: DataFrame, textCol: String, window: Int = 3,
+      minCount: Long = 5L, k: Int = 50, scale: Long = 1000000L): DataFrame = {
+    require(window >= 1 && window <= 16, s"window out of range: $window")
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val base = df.select(tokens(col(textCol)).as("w"))
+    // sequence(a, b) descends when a > b — the size >= 2 filter keeps the
+    // outer bound non-negative
+    val pairsDf = base.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(w) - 2), i ->
+           |  transform(sequence(1, least($window, size(w) - 1 - i)), o ->
+           |    struct(least(w[i], w[i+o]) AS x, greatest(w[i], w[i+o]) AS y))))""".stripMargin)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x") < col("y"))
+    val cxy = pairsDf.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val uni = base.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val nTot = broadcast(base.select(size(col("w")).cast("long").as("s"))
+      .agg(sum("s").as("ntok")))
+    cxy.filter(col("cxy") >= minCount)
+      .join(uni.select(col("t").as("x"), col("ct").as("cx")).hint("shuffle_hash"), "x")
+      .join(uni.select(col("t").as("y"), col("ct").as("cy")).hint("shuffle_hash"), "y")
+      .crossJoin(nTot)
+      .select(col("x"), col("y"), col("cxy"),
+        expr(s"(cxy * ntok * ${scale}L) div (cx * cy)").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   /** Cross-document line-level dedup — the RefinedWeb/CCNet "remove
     * repeated lines" pass: any exact line appearing in at least `minDf`
     * DISTINCT documents (nav bars, cookie banners, boilerplate footers)

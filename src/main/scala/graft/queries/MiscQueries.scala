@@ -333,6 +333,55 @@ object MiscQueries {
           maxHops = 4)
         .orderBy("n")
     },
+    // Fuzzy record-linkage join: a deterministically-corrupted customer
+    // feed (one digit deleted mid-name) relinked to the master table —
+    // last-4-digit blocking the corruption cannot move, then the
+    // threshold-banded Levenshtein gate.
+    "qd56_fuzzy_join" -> { (s, d) =>
+      val cust = t(s, d, "customer")
+      val clean = cust.select(col("c_custkey").as("id_l"), col("c_name").as("name_l"))
+        .withColumn("blk_l", expr("right(name_l, 4)"))
+      val dirty = cust.select((col("c_custkey") + 1000000).as("id_r"),
+          expr("concat(substring(c_name, 1, 9 + c_custkey % 5), " +
+            "substring(c_name, 11 + c_custkey % 5))").as("name_r"))
+        .withColumn("blk_r", expr("right(name_r, 4)"))
+      graft.operators.Dedup.fuzzyJoin(clean, dirty, "id_l", "name_l", "blk_l",
+          "id_r", "name_r", "blk_r", maxDistPpm = 100000L)
+        .orderBy("id_l", "id_r")
+    },
+    // First-order Markov transition matrix over per-user event
+    // sequences: counts + row-conditional probabilities in ppm.
+    "qa06_markov" -> { (s, d) =>
+      graft.streaming.EventStream.transitionMatrix(t(s, d, "events"))
+        .orderBy("event_type", "next_type")
+    },
+    // Personalized PageRank from the %97 seed parts: random walk with
+    // restart, scaled-integer power iteration, unrolled-SQL oracle.
+    "qg10_ppr" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val seeds = edges.select(col("pa").as("n"))
+        .unionAll(edges.select(col("pb").as("n")))
+        .filter(col("n") % 97 === 0).distinct()
+      graft.operators.Graphs.personalizedPageRank(edges, "pa", "pb",
+          seeds, "n", iters = 4)
+        .withColumnRenamed("rank", "ppr")
+        .orderBy("n")
+    },
+    // Rand-index agreement between two bucketings of the documents
+    // (char-length centads vs token-count vigesimals) — pair counting
+    // from the contingency table, no pair relation ever materialized.
+    "qq07_cluster_agreement" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .withColumn("a", expr("n_chars div 100"))
+        .withColumn("b", expr("size(split(text, ' ')) div 20"))
+      graft.operators.Quality.clusterAgreement(docs, "a", "b")
+    },
     // First/last-touch conversion attribution: every purchase attributed
     // to the same user's touches in the trailing 24 h — the binned
     // interval join bounds the pair fan-out; endpoints come from one
@@ -634,6 +683,48 @@ object MiscQueries {
         |SELECT ex.grp AS l_returnflag, ex.exact_distinct, sk.est_distinct
         |FROM ex JOIN sk ON sk.grp = ex.grp ORDER BY l_returnflag""".stripMargin,
     "qg04_pagerank" -> pageRankOracle(iters = 5, scale = 1000000000000L),
+    "qg10_ppr" -> pprOracle(iters = 4, scale = 1000000000000L),
+    "qd56_fuzzy_join" ->
+      """WITH clean AS (SELECT c_custkey AS id_l, c_name AS name_l,
+        |    right(c_name, 4) AS blk FROM customer),
+        |dirty AS (SELECT c_custkey + 1000000 AS id_r,
+        |    substring(c_name, 1, CAST(9 + c_custkey % 5 AS INT))
+        |      || substring(c_name, CAST(11 + c_custkey % 5 AS INT)) AS name_r
+        |  FROM customer),
+        |dirty2 AS (SELECT id_r, name_r, right(name_r, 4) AS blk FROM dirty),
+        |p AS (SELECT c.id_l, d.id_r,
+        |    CAST(levenshtein(c.name_l, d.name_r) AS BIGINT) AS dist,
+        |    greatest(length(c.name_l), length(d.name_r), 1) AS len
+        |  FROM clean c JOIN dirty2 d ON d.blk = c.blk)
+        |SELECT id_l, id_r, dist, (dist * 1000000) // len AS dist_ppm
+        |FROM p WHERE (dist * 1000000) // len <= 100000
+        |ORDER BY id_l, id_r""".stripMargin,
+    "qa06_markov" ->
+      """WITH seq AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+        |  FROM events),
+        |nx AS (SELECT event_type, LEAD(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY tsu, event_id) AS next_type FROM seq),
+        |c AS (SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n, (c.n * 1000000) // t.row_n AS p_ppm
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY c.event_type, c.next_type""".stripMargin,
+    "qq07_cluster_agreement" ->
+      """WITH l AS (SELECT n_chars // 100 AS a,
+        |    len(str_split(text, ' ')) // 20 AS b FROM documents),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij FROM l GROUP BY 1, 2),
+        |p AS (SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS p,
+        |    CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+        |a2 AS (SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS a2
+        |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM cells GROUP BY a)),
+        |b2 AS (SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS b2
+        |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM cells GROUP BY b))
+        |SELECT n, (n * (n - 1)) // 2 AS total_pairs, p AS both_pairs, a2, b2,
+        |  (n * (n - 1)) // 2 + 2 * p - a2 - b2 AS agree_pairs,
+        |  (((n * (n - 1)) // 2 + 2 * p - a2 - b2) * 1000000)
+        |    // greatest((n * (n - 1)) // 2, 1) AS rand_ppm
+        |FROM p, a2, b2""".stripMargin,
     "qg05_label_prop" -> labelPropOracle(iters = 4),
     "qg06_kcore" -> kCoreOracle(k = 3, rounds = 3),
     "qg07_link_pred" ->
@@ -870,6 +961,38 @@ object MiscQueries {
        |r0 AS (SELECT n, $scale // nn.cnt AS r FROM nodes CROSS JOIN nn),
        |$steps
        |SELECT n, r AS pagerank FROM r$iters ORDER BY n""".stripMargin
+  }
+
+  /** The qg10 oracle: [[pageRankOracle]] with the teleport mass landing
+    * only on the %97 seed vertices — the identical unrolled recurrence. */
+  private def pprOracle(iters: Int, scale: Long): String = {
+    val steps = (1 to iters).map { kk =>
+      s"""r$kk AS (SELECT nd.n,
+         |    CASE WHEN sd.n IS NOT NULL
+         |      THEN (($scale * 15) // 100) // ns.scnt ELSE 0 END
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM nodes nd CROSS JOIN ns
+         |  LEFT JOIN seeds sd ON sd.n = nd.n
+         |  LEFT JOIN (SELECT dir.dst AS n, CAST(SUM(p.r // od.d) AS BIGINT) AS s
+         |    FROM r${kk - 1} p JOIN dir ON dir.src = p.n
+         |    JOIN outdeg od ON od.src = p.n
+         |    GROUP BY dir.dst) c ON c.n = nd.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE l_orderkey % 50 = 0),
+       |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+       |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+       |dir AS (SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL SELECT v, u FROM edges),
+       |outdeg AS (SELECT src, COUNT(*) AS d FROM dir GROUP BY src),
+       |nodes AS (SELECT src AS n FROM outdeg),
+       |seeds AS (SELECT n FROM nodes WHERE n % 97 = 0),
+       |ns AS (SELECT COUNT(*) AS scnt FROM seeds),
+       |r0 AS (SELECT nd.n,
+       |    CASE WHEN sd.n IS NOT NULL THEN $scale // ns.scnt ELSE 0 END AS r
+       |  FROM nodes nd CROSS JOIN ns LEFT JOIN seeds sd ON sd.n = nd.n),
+       |$steps
+       |SELECT n, r AS ppr FROM r$iters ORDER BY n""".stripMargin
   }
 
   /** The qg05 oracle: the identical deterministic synchronous LPA

@@ -630,6 +630,34 @@ object TextOps {
           countDistinct(col("comp")).as("n_components"))
         .orderBy("split")
     },
+    // Retrieval evaluation: two BM25 runs graded against contains-both-
+    // terms relevance judgments — precision/recall@20 and MRR per query
+    // in integer ppm.
+    "qd54_retrieval_eval" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      def ranked(qid: Long, terms: Seq[String]) =
+        graft.operators.Text.bm25TopK(docs, "text", "doc_id", terms, k = 30)
+          .select(lit(qid).as("query_id"), col("doc"),
+            row_number().over(
+              Window.orderBy(col("bm25").desc, col("doc"))).as("rank"))
+      val runs = ranked(1L, Seq("spark", "join"))
+        .unionAll(ranked(2L, Seq("window", "dup")))
+      def rel(qid: Long, terms: Seq[String]) =
+        docs.filter(terms.map(w => col("text").contains(w)).reduce(_ && _))
+          .select(lit(qid).as("query_id"), col("doc_id").as("doc"))
+      val qrels = rel(1L, Seq("spark", "join"))
+        .unionAll(rel(2L, Seq("window", "dup")))
+      graft.operators.Text.retrievalMetrics(runs, qrels,
+          "query_id", "doc", "rank", k = 20)
+        .orderBy("query_id")
+    },
+    // PMI collocations: the statistically-bound word pairs within a
+    // 3-token window, integer association ratio, df >= 10.
+    "qd55_collocations" -> { (s, d) =>
+      graft.operators.Text.collocations(
+        t(s, d, "documents"), "text", window = 3, minCount = 10L, k = 40)
+    },
     // Corpus-trained bigram LM quality score (CCNet-style perplexity
     // bucket, integer-exact): the corpus trains its own transition
     // counts; each doc scores the mean scaled conditional probability
@@ -1386,6 +1414,69 @@ object TextOps {
         |  FROM ver v JOIN sub a ON a.doc_id = v.id_a JOIN sub b ON b.doc_id = v.id_b)
         |SELECT id_a, id_b, dist, dist_ppm FROM ed WHERE dist_ppm <= 200000
         |ORDER BY id_a, id_b""".stripMargin,
+    "qd54_retrieval_eval" -> {
+      def bmCte(tag: String, terms: String) =
+        s"""hits_$tag AS (SELECT t.doc_id, t.tok, t.dl FROM toks t
+           |  JOIN (SELECT unnest([$terms]) AS tok) q USING (tok)),
+           |tf_$tag AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf, MIN(dl) AS dl
+           |  FROM hits_$tag GROUP BY 1, 2),
+           |dft_$tag AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           |  FROM hits_$tag GROUP BY 1),
+           |sc_$tag AS (SELECT tf.doc_id,
+           |    ((av.n * 1000000) // dft.df)
+           |      * ((22 * tf.tf * av.avgdl10 * 1000000)
+           |         // (10 * tf.tf * av.avgdl10 + 3 * av.avgdl10 + 90 * tf.dl)) AS s
+           |  FROM tf_$tag tf JOIN dft_$tag dft USING (tok) CROSS JOIN av),
+           |bm_$tag AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS bm25
+           |  FROM sc_$tag GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 30)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl,
+         |    unnest(str_split(text, ' ')) AS tok FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tot FROM documents),
+         |av AS (SELECT n, (tot * 10) // n AS avgdl10 FROM st),
+         |${bmCte("q1", "'spark', 'join'")},
+         |${bmCte("q2", "'window', 'dup'")},
+         |runs AS (SELECT CAST(1 AS BIGINT) AS query_id, doc_id AS doc,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank FROM bm_q1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) FROM bm_q2),
+         |qrels AS (SELECT CAST(1 AS BIGINT) AS query_id, doc_id AS doc FROM documents
+         |    WHERE contains(text, 'spark') AND contains(text, 'join')
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), doc_id FROM documents
+         |    WHERE contains(text, 'window') AND contains(text, 'dup')),
+         |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |  FROM (SELECT DISTINCT query_id, doc FROM qrels) GROUP BY 1),
+         |h AS (SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS hits,
+         |    CAST(MIN(r.rank) AS BIGINT) AS first_rel
+         |  FROM runs r JOIN (SELECT DISTINCT query_id, doc FROM qrels) q
+         |    ON q.query_id = r.query_id AND q.doc = r.doc
+         |  WHERE r.rank <= 20 GROUP BY 1)
+         |SELECT n.query_id, n.n_rel, COALESCE(h.hits, 0) AS hits,
+         |  (COALESCE(h.hits, 0) * 1000000) // 20 AS prec_ppm,
+         |  (COALESCE(h.hits, 0) * 1000000) // greatest(n.n_rel, 1) AS recall_ppm,
+         |  COALESCE(1000000 // h.first_rel, 0) AS mrr_ppm
+         |FROM nrel n LEFT JOIN h ON h.query_id = n.query_id
+         |ORDER BY n.query_id""".stripMargin
+    },
+    "qd55_collocations" ->
+      """WITH tk AS (SELECT str_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT w, unnest(generate_series(1, CAST(len(w) - 1 AS BIGINT))) AS i
+        |  FROM tk WHERE len(w) >= 2),
+        |off AS (SELECT w, i,
+        |    unnest(generate_series(1, CAST(least(3, len(w) - i) AS BIGINT))) AS o FROM pos),
+        |pr AS (SELECT least(w[CAST(i AS INT)], w[CAST(i AS INT) + CAST(o AS INT)]) AS x,
+        |    greatest(w[CAST(i AS INT)], w[CAST(i AS INT) + CAST(o AS INT)]) AS y FROM off),
+        |pairs AS (SELECT x, y FROM pr WHERE x < y),
+        |cxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM (SELECT unnest(w) AS t FROM tk) GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS ntok FROM tk)
+        |SELECT c.x, c.y, c.cxy, (c.cxy * ntok * 1000000) // (ux.ct * uy.ct) AS pmi_ppm
+        |FROM cxy c JOIN uni ux ON ux.t = c.x JOIN uni uy ON uy.t = c.y CROSS JOIN nt
+        |WHERE c.cxy >= 10
+        |ORDER BY pmi_ppm DESC, c.x, c.y LIMIT 40""".stripMargin,
     "qd50_temperature_mix" ->
       """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
         |w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),

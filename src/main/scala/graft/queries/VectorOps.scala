@@ -57,6 +57,14 @@ object VectorOps {
         .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
         .orderBy("bucket")
     },
+    // Approximate k-NN GRAPH: every vector's 5 nearest bucket-mates —
+    // the whole-graph batch shape (one call = one graph), bucket-bounded
+    // pair fan-out, exact integer dot products under the oracle.
+    "qv20_knn_graph" -> { (s, d) =>
+      graft.operators.Similarity
+        .knnGraph(t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
+        .orderBy("src", "rank")
+    },
     // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
     // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
     // in the hot path; the index is 32x smaller than the vectors).
@@ -318,6 +326,34 @@ object VectorOps {
         |  CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
         | FROM signs GROUP BY vec_id)
         |SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "qv20_knn_graph" ->
+      """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings), unnest(range(1, 65)) t(i)),
+        |planes AS (SELECT vec_id, p, qe,
+        |  CASE WHEN instr('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 < 8
+        |    THEN 1 ELSE -1 END AS comp
+        | FROM el, (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS p)),
+        |signs AS (SELECT vec_id, p, SUM(comp * qe) AS proj FROM planes GROUP BY vec_id, p),
+        |buckets AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM signs GROUP BY vec_id),
+        |q AS (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |v AS (SELECT b.vec_id, b.bucket, q.q,
+        |    sqrt(CAST(CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+        |  FROM buckets b JOIN q ON q.vec_id = b.vec_id),
+        |pairs AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, nbr, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rank
+        |  FROM pairs)
+        |SELECT src, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+        |ORDER BY src, rank""".stripMargin,
     "qv08_hamming_ann" ->
       """WITH sk AS (SELECT vec_id,
         |  CAST(list_sum(list_transform(range(0, 64), i ->

@@ -577,6 +577,35 @@ object EventStream {
         expr("lt.tts div 1000").as("last_ts_us"))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the "what happens after X" view behind next-action
+    * prediction, journey analysis, and bot detection (bots have
+    * unnaturally peaked rows). Per (event_type, next_type): the
+    * transition count and its row-conditional probability in ppm
+    * (`n·scale div Σ_row n`, integer-exact). Sequence order is
+    * (ts, event_id) within each user — the id tie-break makes
+    * simultaneous events deterministic; each user's last event has no
+    * successor and drops out.
+    *
+    * Scale shape: one window (lead) over the user partitioning — the
+    * same single shuffle every per-user sequence op here pays — then a
+    * count aggregation whose output is |types|² at most; row totals
+    * rejoin broadcast (types are low-cardinality by construction). */
+  def transitionMatrix(events: DataFrame, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = tsNanos(events)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum("n").as("row_n"))
+    counts.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        expr(s"(n * ${scale}L) div row_n").as("p_ppm"))
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

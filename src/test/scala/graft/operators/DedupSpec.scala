@@ -259,4 +259,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set((1L, 3L)))
   }
 
+
+  test("fuzzyJoin: typo'd feed relinks through the block; oversized blocks dropped") {
+    val s = spark
+    import s.implicits._
+    val master = Seq((1L, "acme corporation"), (2L, "globex inc"), (3L, "initech llc"))
+      .toDF("id", "name").withColumn("blk", substring(col("name"), 1, 3))
+    val feed = Seq((10L, "acme corporatio"), (20L, "globex imc"), (30L, "zzz unrelated"))
+      .toDF("id", "name").withColumn("blk", substring(col("name"), 1, 3))
+    val out = Dedup.fuzzyJoin(master, feed, "id", "name", "blk",
+        "id", "name", "blk", maxDistPpm = 150000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // acme: 1 deletion of 16 = 62500 ppm; globex: 1 sub of 10 = 100000 ppm
+    assert(out == Map((1L, 10L) -> 1L, (2L, 20L) -> 1L))
+    // a block whose pair product exceeds maxBucket is dropped wholesale:
+    // a second acme-feed row makes the acm block 1x2 > 1, so only globex links
+    val feed2 = feed.unionAll(Seq((11L, "acme corp", "acm")).toDF("id", "name", "blk"))
+    val capped = Dedup.fuzzyJoin(master, feed2, "id", "name", "blk",
+        "id", "name", "blk", maxDistPpm = 150000L, maxBucket = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((2L, 20L)))
+  }
+
 }

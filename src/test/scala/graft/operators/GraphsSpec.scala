@@ -234,4 +234,40 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out == Map(7L -> 0))
   }
+
+  test("personalizedPageRank: all-vertices seed set degenerates to plain pageRank") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("a", "b")
+    val allV = Seq(1L, 2L, 3L, 4L).toDF("n")
+    val ppr = Graphs.personalizedPageRank(e, "a", "b", allV, "n", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graphs.pageRank(e, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == pr)
+  }
+
+  test("personalizedPageRank: driver replay of the integer recurrence; non-vertex seeds ignored") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5, seed at 1 (99 is not a vertex -> dropped)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val scale = 1000000000000L
+    val out = Graphs.personalizedPageRank(e, "a", "b",
+        Seq(1L, 99L).toDF("n"), "n", iters = 4, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 5 && !out.contains(99L))
+    // exact driver-side replay of the scaled-integer recurrence
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L)
+    val nbr = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L, 5L), 5L -> Seq(4L))
+    var r = Map(1L -> scale, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L)
+    for (_ <- 1 to 4)
+      r = r.keys.map { v =>
+        val tele = if (v == 1L) ((scale * 15) / 100) / 1 else 0L
+        v -> (tele + 85 * nbr(v).map(u => r(u) / deg(u)).sum / 100)
+      }.toMap
+    assert(out == r)
+  }
+
 }

@@ -144,4 +144,19 @@ class QualitySpec extends SparkSpec {
       ("b", 3L, 300000L, 3L, 10L, 460000L)))
   }
 
+
+  test("clusterAgreement: identical partitions score 10^6; a hand case checks the pair algebra") {
+    val s = spark
+    import s.implicits._
+    val same = Seq((1, 1), (1, 1), (2, 2), (2, 2)).toDF("a", "b")
+    assert(Quality.clusterAgreement(same, "a", "b")
+      .head().getAs[Long]("rand_ppm") == 1000000L)
+    // a = {1,1,2,2}, b = {1,2,1,2}: contingency all-1 cells, P=0, A=B=2
+    // agree = 6 + 0 - 2 - 2 = 2 -> rand = 2/6 = 333333 ppm
+    val cross = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("a", "b")
+    val r = Quality.clusterAgreement(cross, "a", "b").head()
+    assert(r.getAs[Long]("agree_pairs") == 2L)
+    assert(r.getAs[Long]("rand_ppm") == 333333L)
+  }
+
 }

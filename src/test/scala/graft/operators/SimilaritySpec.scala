@@ -610,4 +610,26 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
   }
+
+  test("knnGraph: duplicates are mutual top neighbours at cos exactly 1.0") {
+    val s = spark
+    import s.implicits._
+    val base = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.01f * i)
+    val other = Array.tabulate(64)(i => if (i == 1) 1.0f else -0.01f * i)
+    val df = Seq((1L, base.toSeq), (2L, base.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(df, "embedding", "vec_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val bySrc = out.groupBy(_._1)
+    // identical vectors share a bucket and rank each other first at ~1.0
+    // (cos = d / sqrt(d)^2 — one double rounding away from exact 1)
+    val t1 = bySrc(1L).head; val t2 = bySrc(2L).head
+    assert((t1._1, t1._2, t1._4) == ((1L, 2L, 1)) && math.abs(t1._3 - 1.0) < 1e-12)
+    assert((t2._1, t2._2, t2._4) == ((2L, 1L, 1)) && math.abs(t2._3 - 1.0) < 1e-12)
+    // ranks are contiguous from 1 and capped at k
+    bySrc.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length) && rows.length <= 2)
+    }
+  }
+
 }

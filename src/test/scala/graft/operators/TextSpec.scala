@@ -510,4 +510,33 @@ class TextSpec extends SparkSpec {
     assert(a.count(_._1 == 1L) == 1)  // sub-k doc: one gram, one window, one fp
   }
 
+
+  test("retrievalMetrics: hand-graded run with a zero-hit query") {
+    val s = spark
+    import s.implicits._
+    val runs = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 10L, 1L), (2L, 11L, 2L)).toDF("q", "d", "r")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 98L))
+      .toDF("q", "d")
+    val out = Text.retrievalMetrics(runs, qrels, "q", "d", "r", k = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // q1: top-2 = {10, 11}, relevant among them = {11} at rank 2
+    assert(out(1L) == ((3L, 1L, 500000L, 333333L, 500000L)))
+    // q2: nothing relevant in the run at all
+    assert(out(2L) == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("collocations: the recurring pair survives minCount; association ratio exact") {
+    val s = spark
+    import s.implicits._
+    // "new york" in every doc; fillers vary per doc so every other pair
+    // occurs once and dies at minCount
+    val docs = (1 to 6).map(i => s"f${i}a new york f${i}b f${i}c").toDF("txt")
+    val rows = Text.collocations(docs, "txt", window = 2, minCount = 3L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // c(new,york)=6, c(new)=c(york)=6, N=30: pmi = 6*30*1e6/(6*6) = 5e6
+    assert(rows.toSeq == Seq(("new", "york", 6L, 5000000L)))
+  }
+
 }

@@ -20,6 +20,7 @@ class PlanHygieneSpec extends SparkSpec {
     "qv01_knn_cosine", // broadcast query vector (1 row)
     "qv03_lsh_buckets", // broadcast hyperplanes (8 rows)
     "qv19_bitext_mining", // the same broadcast hyperplanes (4 rows), both corpora
+    "qv20_knn_graph", // broadcast hyperplanes (8 rows) inside lshBuckets
     "qv04_ivf_ann", // broadcast query vector + probed cells
     "qv05_ivf_trained", // same shape, trained centroids
     "qv06_tfidf_cosine", // broadcast corpus count N (1 row)
@@ -37,7 +38,12 @@ class PlanHygieneSpec extends SparkSpec {
     "qd38_bm25", // broadcast corpus stats (N, avgdl10) — 1 row
     "qd42_rrf_fusion", // qd38's BM25 ranker inside: same 1-row stats broadcast
     "qd45_hard_negatives", // two qd38 BM25 rankers inside: same 1-row stats broadcast
-    "qg04_pagerank") // broadcast vertex count (1 row) in rank init + teleport
+    "qg04_pagerank", // broadcast vertex count (1 row) in rank init + teleport
+    "qq06_key_skew", // cross of the 1-row global (n_keys, n_rows, sum_sq) aggregate
+    "qd54_retrieval_eval", // two qd38 BM25 rankers inside: same 1-row stats broadcast
+    "qg10_ppr", // broadcast seed count (1 row) in rank init + teleport
+    "qq07_cluster_agreement", // cross of three 1-row pair-count aggregates
+    "qd55_collocations") // broadcast corpus token total (1 row)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

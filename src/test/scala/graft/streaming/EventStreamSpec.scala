@@ -476,4 +476,21 @@ class EventStreamSpec extends SparkSpec {
     assert(out(108L) == ((2L, Some("view"), Some("click"))))   // tie: min/max event_id
   }
 
+
+  test("transitionMatrix: hand-traced sequences; last events drop; ppm rows sum right") {
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000000000L
+    // user 1: a b a b ; user 2: a b  -> transitions a->b x3, b->a x1
+    val ev = Seq(
+      (1L, 1L, "a", 1 * m), (2L, 1L, "b", 2 * m),
+      (3L, 1L, "a", 3 * m), (4L, 1L, "b", 4 * m),
+      (5L, 2L, "a", 5 * m), (6L, 2L, "b", 6 * m)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(("a", "b") -> ((3L, 1000000L)), ("b", "a") -> ((1L, 1000000L))))
+  }
+
 }

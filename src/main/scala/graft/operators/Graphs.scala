@@ -439,4 +439,61 @@ object Graphs {
     edges.unpersist()
     visited
   }
+
+  /** Newman modularity of a candidate partitioning — the score that says
+    * whether a community assignment (label propagation, connected
+    * components, a hash-bucket null model) beats random chance on this
+    * graph: Q = Σ_c [ e_c/m − (d_c/2m)² ], in integer ppm with the two
+    * terms divided SEPARATELY before subtracting (`intra_ppm = e_c·scale
+    * div m`, `exp_ppm = d_c²·scale div 4m²`) so no integer division ever
+    * sees a negative operand — engine-exact, truncate-vs-floor safe.
+    * Returns one row per community (community, n_nodes, e_in, d_sum,
+    * intra_ppm, exp_ppm, contrib_ppm) with the global `modularity_ppm =
+    * Σcontrib` stamped on every row. Unassigned endpoints (nodes absent
+    * from `assign`) count toward no community's e_c/d_c — feed a total
+    * assignment for the textbook score. Q ranges over (−scale/2, scale).
+    *
+    * Scale shape: undirected-canonical edge dedup, one degree
+    * aggregation, two hash joins of the edge list against the O(V)
+    * assignment relation, then community-sized aggregations and a
+    * one-row global broadcast — nothing quadratic, nothing driver-side.
+    * Overflow: d_c² ≤ 4m², so contrib needs m·scale < 2⁶³ — at ppm
+    * scale that is m < 9·10¹², beyond any edge list this engine meets. */
+  def modularity(edges0: DataFrame, aCol: String, bCol: String,
+      assign: DataFrame, nodeCol: String, commCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val asg = assign.select(col(nodeCol).cast("long").as("n"),
+      col(commCol).cast("long").as("c")).distinct()
+    val m = broadcast(edges.agg(count(lit(1)).as("m")))
+    // within-community edges: both endpoints tagged, equal community
+    val tagged = edges
+      .join(asg.select(col("n").as("u"), col("c").as("cu")), Seq("u"))
+      .join(asg.select(col("n").as("v"), col("c").as("cv")), Seq("v"))
+    val eIn = tagged.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    // degree = endpoint multiplicity in the undirected edge list
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val dSum = deg.join(asg, Seq("n"))
+      .groupBy(col("c").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+    val perC = dSum.join(eIn, Seq("community"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(m)
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
+        expr(s"(e_in * ${scale}L) div greatest(1L, m)").as("intra_ppm"),
+        expr(s"(d_sum * d_sum * ${scale}L) div greatest(1L, 4 * m * m)")
+          .as("exp_ppm"))
+      .withColumn("contrib_ppm", expr("intra_ppm - exp_ppm"))
+    perC.crossJoin(broadcast(
+        perC.agg(sum("contrib_ppm").as("modularity_ppm"))))
+  }
 }

@@ -272,4 +272,74 @@ object Quality {
       .orderBy(col("cnt").desc, col("key"))
       .limit(topK)
   }
+
+  /** k-anonymity audit — the release gate a training-data snapshot with
+    * user-adjacent columns runs before publication: group rows by their
+    * quasi-identifier combination and report how much of the table sits
+    * in groups smaller than `k` (every such row is re-identifiable to
+    * within its group). One summary row:
+    * (k, n_rows, n_groups, small_groups, rows_at_risk, min_group_size,
+    * risk_ppm = rows_at_risk·scale div n_rows). NULL quasi-identifier
+    * values form their own group (SQL GROUP BY semantics) — a null
+    * column does not hide a row from the audit.
+    *
+    * Scale shape: one partial-aggregated count groupBy on the
+    * quasi-identifier tuple, then a one-row re-aggregation of the
+    * (group-cardinality-sized) count table — the raw relation is
+    * scanned once, nothing driver-side. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 2 && k <= 1000000, s"k out of range: $k")
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("cnt") < k, 1L)), lit(0L)).as("small_groups"),
+        coalesce(sum(when(col("cnt") < k, col("cnt"))), lit(0L))
+          .as("rows_at_risk"),
+        min("cnt").as("min_group_size"))
+      .select(lit(k).cast("long").as("k"), col("n_rows"), col("n_groups"),
+        col("small_groups"), col("rows_at_risk"), col("min_group_size"),
+        expr(s"(rows_at_risk * ${scale}L) div greatest(1L, n_rows)")
+          .as("risk_ppm"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two labelings of
+    * the same rows (two annotators, a model vs gold, yesterday's
+    * classifier vs today's). From the contingency table:
+    *   po = Σᵢnᵢᵢ/n (observed agreement),
+    *   pe = Σ_c aᶜ·bᶜ/n² (agreement expected from the marginals alone),
+    *   κ = (po − pe)/(1 − pe),
+    * all in integer ppm (`po_ppm = agree·scale div n`, `pe_ppm =
+    * Σab·scale div n²`, `kappa_ppm = (po_ppm − pe_ppm)·scale div
+    * (scale − pe_ppm)`) — engine-exact. One row: (n, agree, po_ppm,
+    * pe_ppm, kappa_ppm). Degenerate case pe = scale (both annotators
+    * constant and equal): po = pe, kappa reports 0 via the
+    * greatest(1, ·) guard — flagging "no evidence beyond chance",
+    * the standard reading.
+    *
+    * Scale shape: one groupBy on the label pair (contingency-sized
+    * output); marginals re-aggregate that table and join on the
+    * category value (category-cardinality relation, broadcast-sized);
+    * raw rows are scanned once, no pair relation ever exists. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    val cells = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nij"))
+    val top = cells.agg(sum("nij").as("n"),
+      coalesce(sum(when(col("a") <=> col("b"), col("nij"))), lit(0L))
+        .as("agree"))
+    val am = cells.groupBy("a").agg(sum("nij").as("ai"))
+    val bm = cells.groupBy("b").agg(sum("nij").as("bj"))
+    val ab = am.join(bm, am("a") <=> bm("b"))
+      .agg(coalesce(sum(col("ai") * col("bj")), lit(0L)).as("sum_ab"))
+    top.crossJoin(ab)
+      .select(col("n"), col("agree"),
+        expr(s"(agree * ${scale}L) div greatest(1L, n)").as("po_ppm"),
+        expr(s"(sum_ab * ${scale}L) div greatest(1L, n * n)").as("pe_ppm"))
+      .withColumn("kappa_ppm", expr(
+        s"((po_ppm - pe_ppm) * ${scale}L) div greatest(1L, ${scale}L - pe_ppm)"))
+  }
 }

@@ -843,4 +843,74 @@ object Text {
     base.select("id").join(scored.hint("shuffle_hash"), Seq("id"), "left")
       .na.fill(0L, Seq("n_bigrams"))
   }
+
+  /** Unigram-distribution divergence between two corpus slices — the
+    * "did the vocabulary move" monitor (new crawl vs old, train vs eval,
+    * this week's ingest vs last): per-token occurrence shares on each
+    * side in ppm, the absolute share gap, and the global total-variation
+    * distance `tvd_ppm = Σ|pa − pb| div 2` stamped on every row — all
+    * integer, engine-exact (TVD needs no ln(), unlike KL/JS — same
+    * moved-mass reading, reproducible digit-for-digit). Returns the
+    * `topK` most-divergent tokens: (token, n_a, n_b, pa_ppm, pb_ppm,
+    * gap_ppm, tvd_ppm). Tokens absent from a side count zero there.
+    *
+    * Scale shape: one tokenize+count aggregation per side (vocabulary-
+    * sized outputs), a full-outer hash join of the two count tables, a
+    * one-row global aggregate broadcast back, and a TakeOrdered top-k —
+    * raw text is scanned once per side, nothing quadratic. Overflow:
+    * gap_ppm ≤ scale, so Σgap needs vocab·scale < 2⁶³ — any real
+    * vocabulary at ppm scale. */
+  def unigramDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int = 50, scale: Long = 1000000L): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"topK out of range: $topK")
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    def counts(df: DataFrame, tag: String) =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(s"n_$tag"))
+    val joined = counts(a, "a").join(counts(b, "b"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = broadcast(joined.agg(
+      sum("n_a").as("ta"), sum("n_b").as("tb")))
+    val shares = joined.crossJoin(tot)
+      .select(col("token"), col("n_a"), col("n_b"),
+        expr(s"(n_a * ${scale}L) div greatest(1L, ta)").as("pa_ppm"),
+        expr(s"(n_b * ${scale}L) div greatest(1L, tb)").as("pb_ppm"))
+      .withColumn("gap_ppm", expr("abs(pa_ppm - pb_ppm)"))
+    val tvd = broadcast(shares.agg(
+      expr("sum(gap_ppm) div 2").as("tvd_ppm")))
+    shares.crossJoin(tvd)
+      .orderBy(col("gap_ppm").desc, col("token"))
+      .limit(topK)
+  }
+
+  /** BPE merge-candidate mining — the distributed inner step of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016): count
+    * every adjacent symbol pair inside every word across the corpus and
+    * rank the merge candidates. At character level this is round one of
+    * training verbatim; the same counting shape repeats per merge round
+    * with re-segmented words. Returns the `topK` pairs with `cnt >=
+    * minCount`: (pair, cnt, rank), rank dense in (cnt desc, pair) order
+    * so the result is deterministic under ties.
+    *
+    * Scale shape: one scan explodes words then their length−1 adjacent
+    * pairs (fan-out ∝ corpus characters, the same order as reading the
+    * text), one partial-aggregated count groupBy on the pair key
+    * (alphabet²-bounded output), TakeOrdered top-k — no joins, nothing
+    * driver-side. */
+  def bpePairs(df: DataFrame, textCol: String, topK: Int = 50,
+      minCount: Long = 1L): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"topK out of range: $topK")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))))
+      .filter(col("rank") <= topK)
+  }
 }

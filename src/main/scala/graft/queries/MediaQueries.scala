@@ -276,6 +276,11 @@ object MediaQueries {
       EventStream.sessionWindows(t(s, d, "events"), gapMinutes = 30)
         .orderBy("user_id", "start_us")
     },
+    // Peak concurrency per day: sweep-line over each user's daily
+    // activity interval — the "how many users at once" capacity metric.
+    "qs10_peak_concurrency" -> { (s, d) =>
+      EventStream.peakConcurrency(t(s, d, "events")).orderBy("day")
+    },
     // Snapshot diff — the inverse of the CDC apply: two keyed per-user
     // aggregates diffed into the minimal I/U/D changelog (nightly-dump
     // reconciliation). Users 300-349 exist only before (D), even-id-only
@@ -488,6 +493,23 @@ object MediaQueries {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
         | CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    // same sweep: default RANGE frame makes order-peer rows share one
+    // cumulative value, so the running sum is engine-deterministic
+    "qs10_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |iv AS (SELECT user_id, tus // 86400000000 AS day,
+        |    MIN(tus) AS s, MAX(tus) AS en FROM e GROUP BY 1, 2),
+        |pts AS (SELECT day, s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL SELECT day, en, CAST(-1 AS BIGINT) FROM iv),
+        |run AS (SELECT day, t, delta,
+        |    CAST(SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC) AS BIGINT) AS conc
+        |  FROM pts),
+        |pk AS (SELECT day, MAX(conc) AS peak FROM run GROUP BY day),
+        |n AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_intervals FROM iv GROUP BY day)
+        |SELECT r.day, n.n_intervals, p.peak, MIN(r.t) AS t_peak_us
+        |FROM run r JOIN pk p ON r.day = p.day AND r.conc = p.peak
+        |JOIN n ON n.day = r.day
+        |GROUP BY r.day, n.n_intervals, p.peak ORDER BY r.day""".stripMargin,
     // same full-outer diff, same null-safe tuple compare (IS DISTINCT
     // FROM == Spark's negated <=>), same decimal->double sum discipline
     "qc04_snapshot_diff" ->

@@ -481,6 +481,38 @@ object MiscQueries {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), "lang")
         .orderBy("value")
+    },
+    // Newman modularity of the partkey%16 hash partitioning over the
+    // co-purchase graph — the community-quality score (a hash null
+    // model scores near zero; real communities score positive).
+    "qg11_modularity" -> { (s, d) =>
+      val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val assign = pp.select(col("p").as("n")).distinct()
+        .withColumn("c", col("n") % 16)
+      graft.operators.Graphs.modularity(edges, "pa", "pb", assign, "n", "c")
+        .orderBy("community")
+    },
+    // k-anonymity audit on the (lang, source, length-bin) quasi-
+    // identifier tuple: how much of the snapshot sits in groups smaller
+    // than k=5 (each such row re-identifiable to within its group).
+    "qq08_k_anonymity" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("lang"), col("source"),
+        expr("n_chars div 200").as("len_bin"))
+      graft.operators.Quality.kAnonymity(
+        docs, Seq("lang", "source", "len_bin"), k = 5)
+    },
+    // Cohen's kappa between the gold language label and a synthetic
+    // 80%-faithful annotator (doc_id-keyed disagreement injects the
+    // source tag) — chance-corrected agreement in integer ppm.
+    "qq09_kappa" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("lang").as("gold"),
+        when(col("doc_id") % 10 < 8, col("lang")).otherwise(col("source"))
+          .as("pred"))
+      graft.operators.Quality.cohenKappa(docs, "gold", "pred")
     }
   )
 
@@ -903,7 +935,63 @@ object MiscQueries {
         |  FROM j CROSS JOIN na CROSS JOIN nb)
         |SELECT value, n_a, n_b, pa_ppm, pb_ppm,
         |  ((pa_ppm - pb_ppm) * (pa_ppm - pb_ppm)) // GREATEST(1, pa_ppm + pb_ppm) AS contrib
-        |FROM p ORDER BY value""".stripMargin
+        |FROM p ORDER BY value""".stripMargin,
+    "qg11_modularity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 50 = 0),
+        |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+        |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+        |asg AS (SELECT DISTINCT p AS n, p % 16 AS c FROM pp),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        |ein AS (SELECT au.c AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        |  FROM edges e JOIN asg au ON au.n = e.u JOIN asg av ON av.n = e.v
+        |  WHERE au.c = av.c GROUP BY 1),
+        |deg AS (SELECT x AS n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS x FROM edges UNION ALL SELECT v FROM edges) GROUP BY x),
+        |ds AS (SELECT asg.c AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(deg) AS BIGINT) AS d_sum
+        |  FROM deg JOIN asg ON asg.n = deg.n GROUP BY 1),
+        |per AS (SELECT ds.community, ds.n_nodes, COALESCE(e_in, 0) AS e_in, ds.d_sum,
+        |    (COALESCE(e_in, 0) * 1000000) // GREATEST(1, m) AS intra_ppm,
+        |    (ds.d_sum * ds.d_sum * 1000000) // GREATEST(1, 4 * m * m) AS exp_ppm
+        |  FROM ds LEFT JOIN ein ON ein.community = ds.community CROSS JOIN m),
+        |g AS (SELECT *, intra_ppm - exp_ppm AS contrib_ppm FROM per)
+        |SELECT community, n_nodes, e_in, d_sum, intra_ppm, exp_ppm, contrib_ppm,
+        |  (SELECT CAST(SUM(contrib_ppm) AS BIGINT) FROM g) AS modularity_ppm
+        |FROM g ORDER BY community""".stripMargin,
+    "qq08_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 200 AS len_bin,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3),
+        |a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN cnt < 5 THEN 1 END), 0) AS BIGINT) AS small_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN cnt < 5 THEN cnt END), 0) AS BIGINT) AS rows_at_risk,
+        |    CAST(MIN(cnt) AS BIGINT) AS min_group_size
+        |  FROM g)
+        |SELECT CAST(5 AS BIGINT) AS k, n_rows, n_groups, small_groups,
+        |  rows_at_risk, min_group_size,
+        |  (rows_at_risk * 1000000) // GREATEST(1, n_rows) AS risk_ppm
+        |FROM a""".stripMargin,
+    "qq09_kappa" ->
+      """WITH l AS (SELECT lang AS a,
+        |    CASE WHEN doc_id % 10 < 8 THEN lang ELSE source END AS b
+        |  FROM documents),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij FROM l GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(CASE WHEN a = b THEN nij END), 0) AS BIGINT) AS agree
+        |  FROM cells),
+        |am AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ai FROM cells GROUP BY a),
+        |bm AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS bj FROM cells GROUP BY b),
+        |ab AS (SELECT CAST(COALESCE(SUM(ai * bj), 0) AS BIGINT) AS sum_ab
+        |  FROM am JOIN bm ON am.a = bm.b),
+        |p AS (SELECT n, agree,
+        |    (agree * 1000000) // GREATEST(1, n) AS po_ppm,
+        |    (sum_ab * 1000000) // GREATEST(1, n * n) AS pe_ppm
+        |  FROM t CROSS JOIN ab)
+        |SELECT n, agree, po_ppm, pe_ppm,
+        |  ((po_ppm - pe_ppm) * 1000000) // GREATEST(1, 1000000 - pe_ppm) AS kappa_ppm
+        |FROM p""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -658,6 +658,21 @@ object TextOps {
       graft.operators.Text.collocations(
         t(s, d, "documents"), "text", window = 3, minCount = 10L, k = 40)
     },
+    // Unigram total-variation divergence between the even and odd
+    // document halves: top-40 most-moved tokens, global TVD stamped on
+    // every row — the "did the vocabulary move" snapshot monitor.
+    "qd57_corpus_divergence" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Text.unigramDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", topK = 40)
+    },
+    // BPE merge-candidate mining: adjacent character pairs inside every
+    // word, ranked — round one of byte-pair tokenizer training.
+    "qd58_bpe_pairs" -> { (s, d) =>
+      graft.operators.Text.bpePairs(
+        t(s, d, "documents"), "text", topK = 40, minCount = 2L)
+    },
     // Corpus-trained bigram LM quality score (CCNet-style perplexity
     // bucket, integer-exact): the corpus trains its own transition
     // counts; each doc scores the mean scaled conditional probability
@@ -1477,6 +1492,37 @@ object TextOps {
         |FROM cxy c JOIN uni ux ON ux.t = c.x JOIN uni uy ON uy.t = c.y CROSS JOIN nt
         |WHERE c.cxy >= 10
         |ORDER BY pmi_ppm DESC, c.x, c.y LIMIT 40""".stripMargin,
+    "qd57_corpus_divergence" ->
+      """WITH ta AS (SELECT unnest(str_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(str_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_a FROM ta GROUP BY token),
+        |cb AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_b FROM tb GROUP BY token),
+        |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+        |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tna,
+        |    CAST(SUM(n_b) AS BIGINT) AS tnb FROM j),
+        |sh AS (SELECT token, n_a, n_b,
+        |    (n_a * 1000000) // GREATEST(1, tna) AS pa_ppm,
+        |    (n_b * 1000000) // GREATEST(1, tnb) AS pb_ppm
+        |  FROM j CROSS JOIN tot),
+        |g AS (SELECT *, ABS(pa_ppm - pb_ppm) AS gap_ppm FROM sh),
+        |tv AS (SELECT CAST(SUM(gap_ppm) AS BIGINT) // 2 AS tvd_ppm FROM g)
+        |SELECT token, n_a, n_b, pa_ppm, pb_ppm, gap_ppm, tvd_ppm
+        |FROM g CROSS JOIN tv
+        |ORDER BY gap_ppm DESC, token LIMIT 40""".stripMargin,
+    "qd58_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |  FROM w, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+        |c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM p GROUP BY pair HAVING COUNT(*) >= 2),
+        |r AS (SELECT pair, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
+        |  FROM c)
+        |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
     "qd50_temperature_mix" ->
       """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
         |w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),

@@ -606,6 +606,42 @@ object EventStream {
         expr(s"(n * ${scale}L) div row_n").as("p_ppm"))
   }
 
+  /** Peak concurrency per day — the sweep-line answer to "how many users
+    * were active at once": each user's daily activity interval
+    * [first event, last event] contributes +1 at its start and −1 at its
+    * end; the running sum over the day's endpoint sequence is the live
+    * concurrency, and its maximum (with the EARLIEST time it is reached)
+    * is the day's peak. Endpoint ties resolve starts-before-ends
+    * (`delta DESC` in the order), so touching intervals count as
+    * overlapping; peers under the default RANGE window frame share one
+    * cumulative value, making the running sum deterministic in any
+    * engine. Returns (day, n_intervals, peak, t_peak_us), day =
+    * micros div 86 400 000 000, times in epoch micros.
+    *
+    * Scale shape: one (user, day) min/max aggregation builds the O(U·D)
+    * interval relation; the sweep is a cumulative-sum window PARTITIONED
+    * BY DAY — per-partition work ∝ that day's active users, never a
+    * global sort. Intervals cannot cross partitions by construction
+    * (clamped to their day), so no carry-in pass is needed; the final
+    * per-day aggregation reads the windowed relation once. */
+  def peakConcurrency(events: DataFrame): DataFrame = {
+    val iv = tsNanos(events)
+      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .withColumn("day", expr("tus div 86400000000"))
+      .groupBy("user_id", "day")
+      .agg(min("tus").as("s"), max("tus").as("e"))
+    val pts = iv.select(col("day"), col("s").as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("day"), col("e").as("t"), lit(-1L).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy(col("t"), col("delta").desc)
+    pts.withColumn("conc", sum("delta").over(w))
+      .groupBy("day")
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(struct(col("conc").as("conc"), (-col("t")).as("negt"))).as("__pk"))
+      .select(col("day"), col("n_intervals"),
+        col("__pk.conc").as("peak"), (-col("__pk.negt")).as("t_peak_us"))
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

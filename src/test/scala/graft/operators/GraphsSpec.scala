@@ -270,4 +270,31 @@ class GraphsSpec extends SparkSpec {
     assert(out == r)
   }
 
+  test("modularity: two triangles + bridge under the natural split; unassigned nodes drop") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("n", "c")
+    val rows = Graphs.modularity(edges, "u", "v", assign, "n", "c")
+      .collect().map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("e_in"),
+          r.getAs[Long]("d_sum"), r.getAs[Long]("contrib_ppm"),
+          r.getAs[Long]("modularity_ppm"))).toMap
+    // m=7; each side: e_in=3, d_sum=7 -> intra = 3e6 div 7 = 428571,
+    // exp = 49e6 div 196 = 250000, contrib = 178571, Q = 357142
+    assert(rows == Map(
+      0L -> ((3L, 3L, 7L, 178571L, 357142L)),
+      1L -> ((3L, 3L, 7L, 178571L, 357142L))))
+    // node 6 unassigned: community 1 keeps only the (4,5) intra edge
+    val partial = Graphs.modularity(edges, "u", "v",
+        assign.filter($"n" =!= 6L), "n", "c")
+      .collect().map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("e_in"),
+          r.getAs[Long]("d_sum"))).toMap
+    assert(partial(1L) == ((2L, 1L, 5L)))
+    assert(partial(0L) == ((3L, 3L, 7L)))
+  }
+
 }

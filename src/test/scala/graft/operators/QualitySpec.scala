@@ -159,4 +159,43 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("rand_ppm") == 333333L)
   }
 
+  test("kAnonymity: small groups counted, null QI values form their own group") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("en", "web"), ("en", "web"), ("en", "web"),
+      ("fr", "web")).toDF("lang", "src")
+    val r = Quality.kAnonymity(df, Seq("lang", "src"), k = 3).head()
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("small_groups") == 1L)
+    assert(r.getAs[Long]("rows_at_risk") == 1L)
+    assert(r.getAs[Long]("min_group_size") == 1L)
+    assert(r.getAs[Long]("risk_ppm") == 250000L)
+    // a null QI value is a group, not an escape hatch
+    val withNull = Seq((Some("en"), "a"), (None, "a"), (None, "a"))
+      .toDF("lang", "src")
+    val r2 = Quality.kAnonymity(withNull, Seq("lang", "src"), k = 2).head()
+    assert(r2.getAs[Long]("n_groups") == 2L)
+    assert(r2.getAs[Long]("rows_at_risk") == 1L) // only the lone "en" row
+  }
+
+  test("cohenKappa: hand contingency table; constant agreement hits the pe guard") {
+    val s = spark
+    import s.implicits._
+    // cells: (x,x)=4 (y,y)=2 (x,y)=2 (y,x)=2 -> n=10 agree=6
+    // marginals a: x6 y4, b: x6 y4 -> pe = 52/100; kappa = 0.08/0.48
+    val df = (Seq.fill(4)(("x", "x")) ++ Seq.fill(2)(("y", "y")) ++
+      Seq.fill(2)(("x", "y")) ++ Seq.fill(2)(("y", "x"))).toDF("a", "b")
+    val r = Quality.cohenKappa(df, "a", "b").head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("agree") == 6L)
+    assert(r.getAs[Long]("po_ppm") == 600000L)
+    assert(r.getAs[Long]("pe_ppm") == 520000L)
+    assert(r.getAs[Long]("kappa_ppm") == 166666L)
+    // both annotators constant and equal: po = pe = 1 -> guard reports 0
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Quality.cohenKappa(const, "a", "b")
+      .head().getAs[Long]("kappa_ppm") == 0L)
+  }
+
 }

@@ -539,4 +539,36 @@ class TextSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("new", "york", 6L, 5000000L)))
   }
 
+  test("unigramDivergence: shares, gaps, global TVD, and one-sided tokens") {
+    val s = spark
+    import s.implicits._
+    val a = Seq("x x y").toDF("txt")
+    val b = Seq("x z").toDF("txt")
+    val rows = Text.unigramDivergence(a, b, "txt", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("pa_ppm"),
+          r.getAs[Long]("pb_ppm"), r.getAs[Long]("gap_ppm"),
+          r.getAs[Long]("tvd_ppm")))
+    // ta=3, tb=2: pa(x)=666666 pa(y)=333333; pb(x)=500000 pb(z)=500000
+    // gaps 166666 / 333333 / 500000; tvd = 999999 div 2 = 499999
+    assert(rows.toMap == Map(
+      "x" -> ((2L, 1L, 666666L, 500000L, 166666L, 499999L)),
+      "y" -> ((1L, 0L, 333333L, 0L, 333333L, 499999L)),
+      "z" -> ((0L, 1L, 0L, 500000L, 500000L, 499999L))))
+    // gap-desc, token-asc order
+    assert(rows.map(_._1).toSeq == Seq("z", "y", "x"))
+  }
+
+  test("bpePairs: adjacent in-word pairs counted, single-char words dropped, minCount floors") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("abab ab ba a").toDF("txt")
+    // abab -> ab, ba, ab; ab -> ab; ba -> ba; "a" contributes nothing
+    val rows = Text.bpePairs(docs, "txt", topK = 10, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == Seq(("ab", 3L, 1), ("ba", 2L, 2)))
+    // minCount above every pair -> empty
+    assert(Text.bpePairs(docs, "txt", topK = 10, minCount = 4L).count() == 0L)
+  }
+
 }

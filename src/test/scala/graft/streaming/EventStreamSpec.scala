@@ -493,4 +493,27 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map(("a", "b") -> ((3L, 1000000L)), ("b", "a") -> ((1L, 1000000L))))
   }
 
+  test("peakConcurrency: sweep-line peak, starts-before-ends ties, per-day partition") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000000L // ns
+    val day = 86400L * sec
+    val ev = Seq(
+      // day 0: u1 [600s, 3000s], u2 [2400s, 4800s], u3 point at 3000s
+      (1L, 1L, "a", 600 * sec), (2L, 1L, "a", 3000 * sec),
+      (3L, 2L, "a", 2400 * sec), (4L, 2L, "a", 4800 * sec),
+      (5L, 3L, "a", 3000 * sec),
+      // day 1: one event
+      (6L, 1L, "a", day + 100 * sec)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.peakConcurrency(ev)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("peak"),
+          r.getAs[Long]("t_peak_us"))).toMap
+    // at t=3000s the u3 start sorts before the two ends -> conc 3
+    assert(out == Map(
+      0L -> ((3L, 3L, 3000L * 1000000L)),
+      1L -> ((1L, 1L, (86400L + 100L) * 1000000L))))
+  }
+
 }

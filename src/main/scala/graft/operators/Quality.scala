@@ -342,4 +342,89 @@ object Quality {
       .withColumn("kappa_ppm", expr(
         s"((po_ppm - pe_ppm) * ${scale}L) div greatest(1L, ${scale}L - pe_ppm)"))
   }
+
+  /** Benford first-digit ppm expectations for digits 1..9 —
+    * round(log10(1 + 1/d)·10⁶), inlined as LITERALS on both engine and
+    * oracle sides so no runtime log10 has to agree across engines. */
+  val BenfordPpm: Seq[Long] = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** Benford's-law first-digit audit — the fabricated-numbers smell test
+    * for financial/metric columns: the distribution of the first
+    * significant digit of `valueCol` (rows with value < 1 or NULL are
+    * excluded — their first digit is scale-dependent) against the
+    * Benford expectation, plus the total-variation distance between the
+    * two in ppm. The first digit comes from `substring(cast(floor(v) as
+    * bigint), 1, 1)` — floor-to-bigint then string, identical in every
+    * engine, no float log10. Returns one row per observed digit:
+    * (digit, n, obs_ppm, exp_ppm, dev_ppm = |obs−exp|) with the shared
+    * (tvd_ppm = Σdev div 2, n_checked) columns repeated on each row.
+    *
+    * Scale shape: one count aggregation on the 9-value digit key; the
+    * global total and TVD re-aggregate the 9-row table (broadcast
+    * cross join). The raw relation is scanned once. */
+  def benford(df: DataFrame, valueCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && scale <= 1000000000L, s"scale out of range: $scale")
+    val exp9 = BenfordPpm.zipWithIndex
+      .map { case (p, i) => (i + 1L, p * scale / 1000000L) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expDf = exp9.toDF("digit", "exp_ppm")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val obs = expDf.join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val tot = obs.agg(sum("n").as("n_checked"))
+    val dev = obs.join(broadcast(tot))
+      .withColumn("obs_ppm",
+        expr(s"(n * ${scale}L) div greatest(1L, n_checked)"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+    val tvd = dev.agg((sum("dev_ppm") / 2).cast("long").as("tvd_ppm"))
+    dev.join(broadcast(tvd))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"), col("tvd_ppm"), col("n_checked"))
+      .orderBy("digit")
+  }
+
+  /** Functional-dependency audit — does `det → dep` actually hold in the
+    * data (the schema-on-read reality check behind normalization and
+    * join-key trust): per declared dependency, the number of determinant
+    * groups, the groups carrying MORE than one distinct dependent value
+    * (violations), the rows inside those groups, and the worst group's
+    * distinct-dependent count. NULL dependent values count as a value of
+    * their own (a group mixing NULL and non-NULL is a violation).
+    * Returns one row per dependency:
+    * (fd, n_groups, violating_groups, violating_rows, max_distinct_dep).
+    *
+    * Scale shape: each dependency is one partial-aggregated
+    * (rows, distinct-dep) groupBy on ITS OWN determinant key — different
+    * keys cannot share a shuffle, so cost is one count-distinct
+    * aggregation per declared FD — followed by a one-row re-aggregation
+    * of the group-cardinality table. Nothing driver-side. */
+  def fdViolations(df: DataFrame,
+      fds: Seq[(Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "fdViolations needs at least one dependency")
+    fds.map { case (det, dep) =>
+      require(det.nonEmpty, "determinant column list must be non-empty")
+      val name = det.mkString(",") + "->" + dep
+      df.groupBy(det.map(col): _*)
+        .agg(count(lit(1)).as("nrows"),
+          // count_distinct skips NULLs; add the null bucket back so a
+          // NULL-vs-value mix inside one group reads as two values
+          (countDistinct(col(dep)) +
+            max(when(col(dep).isNull, 1L).otherwise(0L))).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("nd") > 1, 1L)), lit(0L))
+            .as("violating_groups"),
+          coalesce(sum(when(col("nd") > 1, col("nrows"))), lit(0L))
+            .as("violating_rows"),
+          max("nd").as("max_distinct_dep"))
+        .select(lit(name).as("fd"), col("n_groups"), col("violating_groups"),
+          col("violating_rows"), col("max_distinct_dep"))
+    }.reduce(_ unionAll _)
+  }
 }

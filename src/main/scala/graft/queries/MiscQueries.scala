@@ -513,6 +513,34 @@ object MiscQueries {
         when(col("doc_id") % 10 < 8, col("lang")).otherwise(col("source"))
           .as("pred"))
       graft.operators.Quality.cohenKappa(docs, "gold", "pred")
+    },
+    // Half-life-decayed trending: hourly buckets, 24-bucket half-life —
+    // power-of-two decay so the oracle replays every shift.
+    "qw03_decayed_counts" -> { (s, d) =>
+      graft.streaming.EventStream.decayedCounts(t(s, d, "events"),
+        windowMinutes = 60, halflifeBuckets = 24)
+    },
+    // Per-user bot/burst fingerprint: minimum inter-arrival gap +
+    // hottest minute, with the machine-cadence flag.
+    "qa07_bot_signals" -> { (s, d) =>
+      graft.streaming.EventStream.botSignals(t(s, d, "events"),
+          minGapUs = 1000000L, burstPerMin = 10L)
+        .orderBy("user_id")
+    },
+    // Benford first-digit audit of the price column vs the inlined
+    // log10(1+1/d) ppm expectations, with the total-variation distance.
+    "qq10_benford" -> { (s, d) =>
+      graft.operators.Quality.benford(t(s, d, "lineitem"), "l_extendedprice")
+    },
+    // Functional-dependency audit: does partkey determine suppkey, is
+    // (orderkey, linenumber) really a key for partkey, does the order
+    // pin its ship mode — violation accounting per declared FD.
+    "qq11_fd_audit" -> { (s, d) =>
+      graft.operators.Quality.fdViolations(t(s, d, "lineitem"), Seq(
+          (Seq("l_partkey"), "l_suppkey"),
+          (Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+          (Seq("l_orderkey"), "l_linestatus")))
+        .orderBy("fd")
     }
   )
 
@@ -991,7 +1019,101 @@ object MiscQueries {
         |  FROM t CROSS JOIN ab)
         |SELECT n, agree, po_ppm, pe_ppm,
         |  ((po_ppm - pe_ppm) * 1000000) // GREATEST(1, 1000000 - pe_ppm) AS kappa_ppm
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    "qw03_decayed_counts" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT MAX(bucket) AS ref_bucket FROM c),
+        |a AS (SELECT event_type, n,
+        |    LEAST((ref_bucket - bucket) // 24, 62) AS age_hl
+        |  FROM c CROSS JOIN r)
+        |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_total,
+        |  CAST(SUM((n * 1000000) >> CAST(age_hl AS INTEGER)) AS BIGINT)
+        |    AS decayed_scaled
+        |FROM a GROUP BY event_type""".stripMargin,
+    "qa07_bot_signals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |g AS (SELECT user_id, tus, event_type,
+        |    tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS gap_us
+        |  FROM e),
+        |pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    CAST(MAX(tus) - MIN(tus) AS BIGINT) AS span_us,
+        |    CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+        |  FROM g GROUP BY user_id),
+        |b AS (SELECT user_id, CAST(MAX(m) AS BIGINT) AS max_per_min FROM (
+        |    SELECT user_id, tus // 60000000 AS minute, COUNT(*) AS m
+        |    FROM e GROUP BY 1, 2) GROUP BY user_id)
+        |SELECT pu.user_id, n_events, n_types, span_us, min_gap_us, max_per_min,
+        |  CAST(CASE WHEN COALESCE(min_gap_us < 1000000, FALSE)
+        |         OR max_per_min >= 10 THEN 1 ELSE 0 END AS INTEGER) AS bot
+        |FROM pu JOIN b ON pu.user_id = b.user_id
+        |ORDER BY pu.user_id""".stripMargin,
+    "qq10_benford" ->
+      """WITH e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091),
+        |  (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+        |  (8, 51153), (9, 45757)),
+        |c AS (SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1
+        |  GROUP BY 1),
+        |o AS (SELECT CAST(e.digit AS BIGINT) AS digit,
+        |    CAST(e.exp_ppm AS BIGINT) AS exp_ppm, COALESCE(n, 0) AS n
+        |  FROM e LEFT JOIN c ON c.digit = e.digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_checked FROM o),
+        |dv AS (SELECT digit, n,
+        |    (n * 1000000) // GREATEST(1, n_checked) AS obs_ppm, exp_ppm,
+        |    n_checked
+        |  FROM o CROSS JOIN t),
+        |d2 AS (SELECT digit, n, obs_ppm, exp_ppm,
+        |    ABS(obs_ppm - exp_ppm) AS dev_ppm, n_checked FROM dv),
+        |tv AS (SELECT CAST(SUM(dev_ppm) // 2 AS BIGINT) AS tvd_ppm FROM d2)
+        |SELECT digit, n, obs_ppm, exp_ppm, dev_ppm, tvd_ppm, n_checked
+        |FROM d2 CROSS JOIN tv ORDER BY digit""".stripMargin,
+    "qq11_fd_audit" ->
+      """WITH f1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nrows,
+        |    CAST(COUNT(DISTINCT l_suppkey)
+        |      + MAX(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        |  FROM lineitem GROUP BY l_partkey),
+        |a1 AS (SELECT 'l_partkey->l_suppkey' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT)
+        |      AS violating_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN nrows END), 0) AS BIGINT)
+        |      AS violating_rows,
+        |    CAST(MAX(nd) AS BIGINT) AS max_distinct_dep
+        |  FROM f1),
+        |f2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nrows,
+        |    CAST(COUNT(DISTINCT l_partkey)
+        |      + MAX(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        |a2 AS (SELECT 'l_orderkey,l_linenumber->l_partkey' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT)
+        |      AS violating_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN nrows END), 0) AS BIGINT)
+        |      AS violating_rows,
+        |    CAST(MAX(nd) AS BIGINT) AS max_distinct_dep
+        |  FROM f2),
+        |f3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nrows,
+        |    CAST(COUNT(DISTINCT l_linestatus)
+        |      + MAX(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        |  FROM lineitem GROUP BY l_orderkey),
+        |a3 AS (SELECT 'l_orderkey->l_linestatus' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT)
+        |      AS violating_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN nrows END), 0) AS BIGINT)
+        |      AS violating_rows,
+        |    CAST(MAX(nd) AS BIGINT) AS max_distinct_dep
+        |  FROM f3)
+        |SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+        |ORDER BY fd""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -642,6 +642,78 @@ object EventStream {
         col("__pk.conc").as("peak"), (-col("__pk.negt")).as("t_peak_us"))
   }
 
+  /** Half-life-decayed popularity per event_type — the "trending now"
+    * ranking that forgets old traffic: events bucket into
+    * `windowMinutes` windows, and a bucket `a` half-lives old contributes
+    * `n·scale >> a` (power-of-two decay — engine-exact where `exp(-λt)`
+    * is not; DuckDB replays the shifts digit-for-digit). The reference
+    * time is the corpus's own newest bucket, so the score is a pure
+    * function of the event set. Returns
+    * (event_type, n_total, decayed_scaled) with decayed_scaled =
+    * Σ_buckets (n·scale) >> min(age_buckets div halflifeBuckets, 62).
+    *
+    * Scale shape: one (type, bucket) count aggregation collapses the
+    * stream to a counts table of |types| × |buckets| rows; the global
+    * newest bucket is a one-row aggregate cross-joined in (broadcast);
+    * the decay fold re-aggregates the tiny counts table. Raw events are
+    * scanned exactly once. */
+  def decayedCounts(events: DataFrame, windowMinutes: Long = 60,
+      halflifeBuckets: Int = 24, scale: Long = 1000000L): DataFrame = {
+    require(halflifeBuckets >= 1 && halflifeBuckets <= 10000)
+    require(scale >= 1 && scale <= 1000000000000L)
+    val winUs = windowMinutes * 60L * 1000000L
+    val counts = tsNanos(events)
+      .select(expr(s"(ts div 1000) div ${winUs}L").as("bucket"),
+        col("event_type"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+    val ref = counts.agg(max("bucket").as("ref_bucket"))
+    counts.join(broadcast(ref))
+      .withColumn("age_hl",
+        expr(s"least((ref_bucket - bucket) div $halflifeBuckets, 62L)"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_total"),
+        sum(expr(s"shiftright(n * ${scale}L, cast(age_hl as int))"))
+          .as("decayed_scaled"))
+      .orderBy(col("decayed_scaled").desc, col("event_type"))
+  }
+
+  /** Per-user behavioral fingerprint — the rate-limit / bot-detection
+    * view: event count, distinct event types, activity span, minimum
+    * inter-arrival gap (ties broken by event_id so the gap sequence is
+    * deterministic), and the hottest minute (max events in any one
+    * minute bucket). `bot` fires when the user ever acted faster than
+    * `minGapUs` between consecutive events or packed `burstPerMin`+
+    * events into a minute — machine cadence, not human. Single-event
+    * users keep a NULL gap and can only flag on the burst rule.
+    *
+    * Scale shape: everything keys on user_id — the lag window, the
+    * per-(user, minute) bucket counts, and the final aggregation all
+    * reuse the one user partitioning; output is O(users). */
+  def botSignals(events: DataFrame, minGapUs: Long = 1000000L,
+      burstPerMin: Long = 10L): DataFrame = {
+    require(minGapUs >= 0 && burstPerMin >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val base = tsNanos(events)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+        col("event_type"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+    val perUser = base.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("event_type")).as("n_types"),
+      (max("tus") - min("tus")).as("span_us"),
+      min("gap_us").as("min_gap_us"))
+    val burst = base
+      .groupBy(col("user_id"), expr("tus div 60000000").as("minute"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy("user_id").agg(max("m").as("max_per_min"))
+    perUser.join(burst, "user_id")
+      .select(col("user_id"), col("n_events"), col("n_types"), col("span_us"),
+        col("min_gap_us"), col("max_per_min"),
+        (coalesce(col("min_gap_us") < minGapUs, lit(false)) ||
+          col("max_per_min") >= burstPerMin).cast("int").as("bot"))
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

@@ -198,4 +198,38 @@ class QualitySpec extends SparkSpec {
       .head().getAs[Long]("kappa_ppm") == 0L)
   }
 
+  test("benford: digit counts, sub-1 rows excluded, TVD halves the deviation sum") {
+    val df = Seq(123.9, 1.5, 19.0, 250.0, 250.0, 0.5, -3.0, 901.2)
+      .toDF("v") // digits: 1,1,1,2,2 (0.5 and -3 excluded), 9
+    val rows = Quality.benford(df, "v").collect()
+    assert(rows.length == 9)
+    val byDigit = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(byDigit(1L)._1 == 3L && byDigit(2L)._1 == 2L && byDigit(9L)._1 == 1L)
+    assert(byDigit(3L)._1 == 0L)
+    assert(rows.head.getAs[Long]("n_checked") == 6L)
+    // obs_ppm of digit 1 = 3*1e6 div 6
+    assert(byDigit(1L)._2 == 500000L)
+    // tvd = sum(dev) div 2, constant across rows
+    val devSum = rows.map(_.getAs[Long]("dev_ppm")).sum
+    assert(rows.map(_.getAs[Long]("tvd_ppm")).distinct.toSeq == Seq(devSum / 2))
+  }
+
+  test("fdViolations: holding FD reports zero; broken FD counts groups/rows; null dep is a value") {
+    val df = Seq(
+      (1L, "x", Some("u")), (1L, "x", Some("u")), // k=1 consistent
+      (2L, "y", Some("u")), (2L, "z", Some("v")), // k=2: b has 2 values, c too
+      (3L, "w", None), (3L, "w", Some("u"))       // k=3: c mixes NULL+value
+    ).toDF("k", "b", "c")
+    val out = Quality.fdViolations(df, Seq(
+        (Seq("k"), "b"), (Seq("k"), "c"), (Seq("k", "b"), "c")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("k->b") == ((3L, 1L, 2L, 2L)))
+    // k->c: groups 2 and 3 violate (2 rows each), worst has 2 values
+    assert(out("k->c") == ((3L, 2L, 4L, 2L)))
+    // (k,b)->c: group (2,y) ok, (2,z) ok, (3,w) mixes NULL+u -> 1 violation
+    assert(out("k,b->c") == ((4L, 1L, 2L, 2L)))
+  }
+
 }

@@ -516,4 +516,53 @@ class EventStreamSpec extends SparkSpec {
       1L -> ((1L, 1L, (86400L + 100L) * 1000000L))))
   }
 
+  test("decayedCounts: power-of-two half-life decay, newest bucket is the reference") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000000000L // one hour in ns
+    // type a: 8 events 24h old + 1 now; type b: 4 events now.
+    // halflife = 24 buckets -> the old 8 decay to 8>>1 = 4 (scale 1):
+    // a = 4 + 1 = 5, b = 4.
+    val ev = (1L to 8L).map(i => (i, 1L, "a", 0 * h)) ++
+      Seq((9L, 1L, "a", 24 * h)) ++ (10L to 13L).map(i => (i, 2L, "b", 24 * h))
+    val out = EventStream.decayedCounts(ev.toDF("event_id", "user_id", "event_type", "ts"),
+        windowMinutes = 60, halflifeBuckets = 24, scale = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a" -> ((9L, 5L)), "b" -> ((4L, 4L))))
+    // order: decayed desc
+    val first = EventStream.decayedCounts(
+      ev.toDF("event_id", "user_id", "event_type", "ts"),
+      windowMinutes = 60, halflifeBuckets = 24, scale = 1L).head()
+    assert(first.getString(0) == "a")
+  }
+
+  test("botSignals: gap/burst rules, single-event user keeps a NULL gap") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000000L
+    val ev = Seq(
+      // u1: 3 events, min gap 0.5 s  -> gap rule fires
+      (1L, 1L, "a", 10 * sec), (2L, 1L, "b", 10 * sec + sec / 2),
+      (3L, 1L, "a", 20 * sec),
+      // u2: 2 events 100 s apart -> human
+      (4L, 2L, "a", 0 * sec), (5L, 2L, "a", 100 * sec),
+      // u3: single event -> NULL gap, no flag
+      (6L, 3L, "c", 5 * sec)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.botSignals(ev, minGapUs = 1000000L, burstPerMin = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5),
+          r.getInt(6))).toMap
+    assert(out(1L) == ((3L, 2L, 10L * 1000000L, Some(500000L), 3L, 1)))
+    assert(out(2L) == ((2L, 1L, 100L * 1000000L, Some(100000000L), 1L, 0)))
+    assert(out(3L) == ((1L, 1L, 0L, None, 1L, 0)))
+    // burst rule alone: 10 events inside one minute, gaps of 5 s
+    val burst = (0L until 10L).map(i => (100 + i, 9L, "a", i * 5 * sec))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val b = EventStream.botSignals(burst, minGapUs = 1000000L, burstPerMin = 10L)
+      .collect().head
+    assert(b.getLong(5) == 10L && b.getInt(6) == 1)
+  }
+
 }

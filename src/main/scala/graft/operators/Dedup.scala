@@ -305,6 +305,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jacc"))
   }
 
+  /** Doc-in-doc detection — ASYMMETRIC containment |A∩B| div |A|, the
+    * quote/excerpt/wrapper catcher whole-doc Jaccard structurally misses
+    * (a 30-token excerpt inside a 500-token source has Jaccard ≈ 0.06
+    * but containment ≈ 1.0, so MinHash-LSH rarely even proposes the
+    * pair). Candidates therefore come from [[sharedWindowPairs]] — any
+    * verbatim n-token run shared with the host proposes the pair — and
+    * the verify step computes exact distinct-token containment BOTH
+    * directions in ppm, keeping pairs where either direction clears
+    * `minContPpm`. Returns
+    * (id_a, id_b, n_a, n_b, inter, cont_a_ppm, cont_b_ppm).
+    *
+    * Scale shape: candidate generation is the D11 window-bucket shape
+    * (maxBucket-capped before pair expansion, window strings never
+    * shuffled); the verify joins token sets to CANDIDATES ONLY via
+    * shuffle-hash — cost ∝ proposed pairs, never corpus². */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, maxBucket: Int = 1000,
+      minContPpm: Long = 800000L): DataFrame = {
+    require(minContPpm >= 0 && minContPpm <= 1000000L)
+    val cand = sharedWindowPairs(df, textCol, idCol, n, maxBucket)
+      .select("id_a", "id_b")
+    val tk = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(toks(col(textCol))).as("tk"))
+    cand
+      .join(tk.select(col("id").as("id_a"), col("tk").as("ta"))
+        .hint("shuffle_hash"), "id_a")
+      .join(tk.select(col("id").as("id_b"), col("tk").as("tb"))
+        .hint("shuffle_hash"), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("n_a", size(col("ta")).cast("long"))
+      .withColumn("n_b", size(col("tb")).cast("long"))
+      .withColumn("cont_a_ppm", expr("(inter * 1000000L) div greatest(1L, n_a)"))
+      .withColumn("cont_b_ppm", expr("(inter * 1000000L) div greatest(1L, n_b)"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= minContPpm)
+      .select("id_a", "id_b", "n_a", "n_b", "inter", "cont_a_ppm", "cont_b_ppm")
+  }
+
   /** Duplicate-cluster resolution: connected components over a candidate-
     * pair edge list — (id, component) with component = the MIN id reachable
     * through any chain of pairs, i.e. the cluster keeper every dedup

@@ -1046,4 +1046,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("s").as("cos_scaled"),
         col("margin_scaled"))
   }
+
+  /** Embedding-space drift between two corpus slices (yesterday vs
+    * today, source A vs source B) — the monitor that catches a silent
+    * encoder swap or a topical shift before it poisons retrieval: the
+    * cosine between the two slices' MEAN vectors plus exact integer
+    * norms and the squared L2 gap. Every aggregate is exact: vectors
+    * land on the [[quantize]] integer grid, per-dimension sums are
+    * BIGINT (order-independent), and each mean coordinate is the FLOOR
+    * of sum/count via `(s − pmod(s, n)) div n` — floor division spelled
+    * so Spark's truncating `div` and DuckDB's flooring `//` agree on
+    * negative sums. Mean coordinates are grid-bounded, so the final dot
+    * products stay far under 2⁵³ and the closing double division is
+    * exact-input IEEE, deterministic in any engine. Returns one row:
+    * (n_a, n_b, dot_ab, norm2_a, norm2_b, l2_diff2, cos_mean). A
+    * degenerate all-zero slice yields NaN cos_mean — surfaced, not
+    * masked.
+    *
+    * Scale shape: one posexplode + partial-agg sum per slice collapses
+    * each corpus to a |dims|-row relation; everything after joins and
+    * folds those tiny tables. Each corpus is scanned exactly once. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, embCol: String): DataFrame = {
+    def means(df: DataFrame, tag: String) = df
+      .select(posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .select(col("pos"), expr("(s - pmod(s, n)) div n").as("m" + tag),
+        col("n").as("n" + tag))
+    means(a, "a").join(means(b, "b"), "pos")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(col("ma") * col("mb")).as("dot_ab"),
+        sum(col("ma") * col("ma")).as("norm2_a"),
+        sum(col("mb") * col("mb")).as("norm2_b"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("l2_diff2"))
+      .withColumn("cos_mean", col("dot_ab").cast("double") /
+        (sqrt(col("norm2_a").cast("double")) *
+          sqrt(col("norm2_b").cast("double"))))
+  }
 }

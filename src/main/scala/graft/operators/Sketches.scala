@@ -226,4 +226,47 @@ object Sketches {
       .limit(k)
       .select("id", "weight", "priority")
   }
+
+  /** Pairwise Jaccard estimates BETWEEN groups from per-group KMV
+    * summaries — "which sources/types share members" as one small
+    * matrix (audience overlap between event types, vocabulary overlap
+    * between sources): per group keep the k smallest md5 hashes of its
+    * distinct values; for each group pair, the estimate is the fraction
+    * of the union's k smallest hashes that both groups contain — the
+    * standard bottom-k Jaccard estimator, and a PURE FUNCTION of the
+    * (group, value) set, so any engine redraws the identical matrix.
+    * Returns (ga, gb, kk = min(k, |union sample|), inter,
+    * jaccard_ppm = inter·10⁶ div kk) for ga < gb (string order).
+    *
+    * Scale shape: the one real shuffle is the distinct on (group, md5);
+    * the bottom-k window leaves |groups|·k rows, and every pair step
+    * runs over that O(G·k) summary — the G² pair relation never touches
+    * raw data. Mergeable: the summaries are the shippable state. */
+  def crossGroupJaccard(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k out of range: $k")
+    val hashes = df.select(col(groupCol).cast("string").as("g"),
+      md5(col(valueCol).cast("string")).as("h")).distinct()
+    val bk = hashes
+      .withColumn("r", row_number().over(Window.partitionBy("g").orderBy("h")))
+      .filter(col("r") <= k).select("g", "h")
+    val groups = bk.select("g").distinct()
+    val pairs = groups.as("x").join(groups.as("y"), col("x.g") < col("y.g"))
+      .select(col("x.g").as("ga"), col("y.g").as("gb"))
+    val tagged = pairs.join(bk.withColumnRenamed("g", "ga"), "ga")
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+      .unionAll(pairs.join(bk.withColumnRenamed("g", "gb"), "gb")
+        .select(col("ga"), col("gb"), col("h"), lit(0).as("ia"), lit(1).as("ib")))
+    val merged = tagged.groupBy("ga", "gb", "h")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+      .withColumn("r", row_number()
+        .over(Window.partitionBy("ga", "gb").orderBy("h")))
+      .filter(col("r") <= k)
+    merged.groupBy("ga", "gb")
+      .agg(count(lit(1)).as("kk"),
+        coalesce(sum(when(col("ia") === 1 && col("ib") === 1, 1L)), lit(0L))
+          .as("inter"))
+      .select(col("ga"), col("gb"), col("kk"), col("inter"),
+        expr("(inter * 1000000L) div greatest(1L, kk)").as("jaccard_ppm"))
+  }
 }

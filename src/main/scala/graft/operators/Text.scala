@@ -913,4 +913,38 @@ object Text {
           .orderBy(col("cnt").desc, col("pair"))))
       .filter(col("rank") <= topK)
   }
+
+  /** Integer-scaled Flesch reading-ease — the readability gate of a
+    * curation mix (too-hard legalese and too-easy spam both score out):
+    * per document, word count (space-delimited runs), sentence count
+    * ([.!?]+ runs, floored at 1), and a vowel-group syllable
+    * approximation ([aeiouyAEIOUY]+ runs, floored at the word count —
+    * every word has at least one syllable), folded into the Flesch
+    * formula in milli-units with integer division:
+    *   score_milli = 206835 − (1015·words) div sentences
+    *                        − (84600·syllables) div words.
+    * The 206.835/1.015/84.6 coefficients are the published constants
+    * ×1000. `band` buckets the score the way a curation rule would:
+    * ≥ 70000 "easy", ≥ 30000 "standard", else "hard". Zero-word
+    * documents are dropped (no denominator). All regex is simple
+    * character classes — Java and RE2 agree.
+    *
+    * Scale shape: per-row regex counting only — zero shuffles; the
+    * plan is one projection over the corpus scan. */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        size(expr(s"regexp_extract_all($textCol, '[^ ]+', 0)")).cast("long")
+          .as("words"),
+        greatest(lit(1L),
+          size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")).cast("long"))
+          .as("sentences"),
+        size(expr(s"regexp_extract_all($textCol, '[aeiouyAEIOUY]+', 0)"))
+          .cast("long").as("vg"))
+      .filter(col("words") > 0)
+      .withColumn("syllables", greatest(col("words"), col("vg")))
+      .withColumn("score_milli", expr(
+        "206835L - (1015L * words) div sentences - (84600L * syllables) div words"))
+      .withColumn("band", when(col("score_milli") >= 70000L, "easy")
+        .when(col("score_milli") >= 30000L, "standard").otherwise("hard"))
+      .drop("vg")
 }

@@ -534,13 +534,21 @@ object MiscQueries {
     },
     // Functional-dependency audit: does partkey determine suppkey, is
     // (orderkey, linenumber) really a key for partkey, does the order
-    // pin its ship mode — violation accounting per declared FD.
+    // pin its line status — violation accounting per declared FD.
     "qq11_fd_audit" -> { (s, d) =>
       graft.operators.Quality.fdViolations(t(s, d, "lineitem"), Seq(
           (Seq("l_partkey"), "l_suppkey"),
           (Seq("l_orderkey", "l_linenumber"), "l_partkey"),
           (Seq("l_orderkey"), "l_linestatus")))
         .orderBy("fd")
+    },
+    // Audience-overlap matrix: pairwise Jaccard between event types'
+    // user sets, estimated from per-type bottom-128 KMV summaries the
+    // oracle redraws identically.
+    "qx09_group_jaccard" -> { (s, d) =>
+      graft.operators.Sketches.crossGroupJaccard(
+          t(s, d, "events"), "event_type", "user_id", k = 128)
+        .orderBy("ga", "gb")
     }
   )
 
@@ -1113,7 +1121,32 @@ object MiscQueries {
         |    CAST(MAX(nd) AS BIGINT) AS max_distinct_dep
         |  FROM f3)
         |SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
-        |ORDER BY fd""".stripMargin
+        |ORDER BY fd""".stripMargin,
+    "qx09_group_jaccard" ->
+      """WITH hs AS (SELECT DISTINCT event_type AS g,
+        |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |bk AS (SELECT g, h FROM (SELECT g, h,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r FROM hs)
+        |  WHERE r <= 128),
+        |gs AS (SELECT DISTINCT g FROM bk),
+        |p AS (SELECT x.g AS ga, y.g AS gb FROM gs x JOIN gs y ON x.g < y.g),
+        |tagged AS (
+        |  SELECT p.ga, p.gb, bk.h, 1 AS ia, 0 AS ib
+        |  FROM p JOIN bk ON bk.g = p.ga
+        |  UNION ALL
+        |  SELECT p.ga, p.gb, bk.h, 0 AS ia, 1 AS ib
+        |  FROM p JOIN bk ON bk.g = p.gb),
+        |m AS (SELECT ga, gb, h, MAX(ia) AS ia, MAX(ib) AS ib
+        |  FROM tagged GROUP BY 1, 2, 3),
+        |mr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+        |  FROM m),
+        |kept AS (SELECT * FROM mr WHERE r <= 128)
+        |SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS kk,
+        |  CAST(COALESCE(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), 0) AS BIGINT)
+        |    AS inter,
+        |  (CAST(COALESCE(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), 0) AS BIGINT)
+        |    * 1000000) // GREATEST(1, COUNT(*)) AS jaccard_ppm
+        |FROM kept GROUP BY ga, gb ORDER BY ga, gb""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

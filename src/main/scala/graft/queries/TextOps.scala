@@ -673,6 +673,25 @@ object TextOps {
       graft.operators.Text.bpePairs(
         t(s, d, "documents"), "text", topK = 40, minCount = 2L)
     },
+    // Integer Flesch reading-ease per document (vowel-group syllable
+    // heuristic, milli-unit formula, curation band).
+    "qd59_readability" -> { (s, d) =>
+      graft.operators.Text.readability(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    // Doc-in-doc containment: 24-token excerpts injected beside their
+    // hosts; shared-window candidates, exact asymmetric containment —
+    // the quote/excerpt catcher whole-doc Jaccard misses.
+    "qd60_containment" -> { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 4 === 0)
+      val excerpts = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 24)).as("text"))
+      graft.operators.Dedup.containmentPairs(docs.unionAll(excerpts),
+          "text", "doc_id", n = 8, maxBucket = 1000, minContPpm = 800000L)
+        .orderBy("id_a", "id_b")
+    },
     // Corpus-trained bigram LM quality score (CCNet-style perplexity
     // bucket, integer-exact): the corpus trains its own transition
     // counts; each doc scores the mean scaled conditional probability
@@ -1523,6 +1542,50 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd59_readability" ->
+      """WITH r AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,
+        |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS sentences,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS vg
+        |  FROM documents),
+        |s AS (SELECT doc_id, words, sentences, GREATEST(words, vg) AS syllables
+        |  FROM r WHERE words > 0),
+        |f AS (SELECT doc_id, words, sentences, syllables,
+        |    206835 - (1015 * words) // sentences - (84600 * syllables) // words
+        |      AS score_milli
+        |  FROM s)
+        |SELECT doc_id, words, sentences, syllables, score_milli,
+        |  CASE WHEN score_milli >= 70000 THEN 'easy'
+        |       WHEN score_milli >= 30000 THEN 'standard'
+        |       ELSE 'hard' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "qd60_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        |exc AS (SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(list_slice(str_split(text, ' '), 1, 24), ' ') AS text
+        |  FROM base WHERE doc_id % 40 = 0),
+        |docs AS (SELECT doc_id AS id, text FROM base
+        |  UNION ALL SELECT doc_id, text FROM exc),
+        |dw AS (SELECT id, str_split(text, ' ') AS w FROM docs),
+        |wins AS (SELECT DISTINCT id,
+        |    array_to_string(list_slice(w, i, i + 7), ' ') AS win
+        |  FROM dw, unnest(range(1, len(w) - 8 + 2)) t(i)),
+        |ok AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM wins a JOIN wins b ON a.win = b.win AND a.id < b.id
+        |  JOIN ok o ON o.win = a.win),
+        |tk AS (SELECT id, list_distinct(str_split(text, ' ')) AS tk FROM docs),
+        |v AS (SELECT id_a, id_b,
+        |    CAST(len(ta.tk) AS BIGINT) AS n_a, CAST(len(tb.tk) AS BIGINT) AS n_b,
+        |    CAST(len(list_intersect(ta.tk, tb.tk)) AS BIGINT) AS inter
+        |  FROM p JOIN tk ta ON ta.id = p.id_a JOIN tk tb ON tb.id = p.id_b),
+        |c AS (SELECT id_a, id_b, n_a, n_b, inter,
+        |    (inter * 1000000) // GREATEST(1, n_a) AS cont_a_ppm,
+        |    (inter * 1000000) // GREATEST(1, n_b) AS cont_b_ppm
+        |  FROM v)
+        |SELECT * FROM c WHERE GREATEST(cont_a_ppm, cont_b_ppm) >= 800000
+        |ORDER BY id_a, id_b""".stripMargin,
     "qd50_temperature_mix" ->
       """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
         |w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),

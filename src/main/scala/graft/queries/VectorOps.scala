@@ -65,6 +65,15 @@ object VectorOps {
         .knnGraph(t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
         .orderBy("src", "rank")
     },
+    // Embedding-space drift between the even and odd vec_id halves:
+    // exact integer mean-vector dot/norms + the cosine between means
+    // (an encoder swap or topic shift moves cos_mean off ~1).
+    "qv21_embedding_drift" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding")
+    },
     // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
     // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
     // in the hot path; the index is 32x smaller than the vectors).
@@ -234,6 +243,32 @@ object VectorOps {
   }
 
   private val staticOracleSql: Map[String, String] = Map(
+    "qv21_embedding_drift" ->
+      """WITH ga AS (SELECT list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |gb AS (SELECT list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |sa AS (SELECT i, CAST(SUM(q[i]) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ga, unnest(range(1, 65)) t(i) GROUP BY i),
+        |sb AS (SELECT i, CAST(SUM(q[i]) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM gb, unnest(range(1, 65)) t(i) GROUP BY i),
+        |ma AS (SELECT i, (s - ((s % n) + n) % n) // n AS m, n FROM sa),
+        |mb AS (SELECT i, (s - ((s % n) + n) % n) // n AS m, n FROM sb),
+        |j AS (SELECT ma.i, ma.m AS xa, mb.m AS xb, ma.n AS na, mb.n AS nb
+        |  FROM ma JOIN mb ON ma.i = mb.i)
+        |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  CAST(SUM(xa * xb) AS BIGINT) AS dot_ab,
+        |  CAST(SUM(xa * xa) AS BIGINT) AS norm2_a,
+        |  CAST(SUM(xb * xb) AS BIGINT) AS norm2_b,
+        |  CAST(SUM((xa - xb) * (xa - xb)) AS BIGINT) AS l2_diff2,
+        |  CAST(SUM(xa * xb) AS DOUBLE) /
+        |    (SQRT(CAST(SUM(xa * xa) AS DOUBLE)) *
+        |     SQRT(CAST(SUM(xb * xb) AS DOUBLE))) AS cos_mean
+        |FROM j""".stripMargin,
     "qv16_sq_ann" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

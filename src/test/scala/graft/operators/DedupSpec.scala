@@ -281,4 +281,26 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((2L, 20L)))
   }
 
+  test("containmentPairs: excerpt-in-host found at full containment; low-overlap pairs filtered") {
+    val s = spark
+    import s.implicits._
+    val host = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val excerpt = (3 to 12).map(i => s"tok$i").mkString(" ") // 10 tokens of host
+    val other = (100 to 119).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, host), (2L, excerpt), (3L, other)).toDF("doc_id", "txt")
+    val out = Dedup.containmentPairs(docs, "txt", "doc_id", n = 8,
+        maxBucket = 1000, minContPpm = 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // only (host, excerpt) proposed and kept: excerpt fully contained
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == ((20L, 10L, 10L, 500000L, 1000000L)))
+    // raising the bar above the weaker direction still keeps it (max rule);
+    // demanding BOTH directions full drops it
+    val strict = Dedup.containmentPairs(docs, "txt", "doc_id", n = 8,
+      maxBucket = 1000, minContPpm = 1000000L)
+    assert(strict.count() == 1L) // cont_b = 1.0 clears the max-side bar
+  }
+
 }

@@ -632,4 +632,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingDrift: identical slices -> cos 1, zero L2 gap; floor div handles negative sums") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, Array(0.5f, -0.25f)), (2L, Array(0.1f, -0.75f)))
+      .toDF("id", "emb")
+    val same = Similarity.embeddingDrift(a, a, "emb").head()
+    assert(same.getAs[Long]("n_a") == 2L && same.getAs[Long]("n_b") == 2L)
+    assert(same.getAs[Long]("l2_diff2") == 0L)
+    assert(math.abs(same.getAs[Double]("cos_mean") - 1.0) < 1e-12)
+    // hand case with a negative mean: sums a = (6000, -10000), n=2 ->
+    // means (3000, -5000); b single row (1000, 1000) -> means (1000, 1000)
+    val b = Seq((3L, Array(0.1f, 0.1f))).toDF("id", "emb")
+    val r = Similarity.embeddingDrift(a, b, "emb").head()
+    assert(r.getAs[Long]("dot_ab") == 3000L * 1000 - 5000L * 1000)
+    assert(r.getAs[Long]("norm2_a") == 3000L * 3000 + 5000L * 5000)
+    assert(r.getAs[Long]("norm2_b") == 2000000L)
+    assert(r.getAs[Long]("l2_diff2") == 2000L * 2000 + 6000L * 6000)
+    // odd negative sum: one vector (-0.00015) -> grid -2 (round half even
+    // on .5? -1.5 rounds to -2); floor(-2/1) = -2 either engine
+    val c = Seq((9L, Array(-0.0003f, 0.0003f))).toDF("id", "emb")
+    val rc = Similarity.embeddingDrift(c, b, "emb").head()
+    assert(rc.getAs[Long]("norm2_a") == 18L) // (-3)^2 + 3^2
+  }
+
 }

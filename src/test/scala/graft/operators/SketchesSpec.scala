@@ -136,4 +136,25 @@ class SketchesSpec extends SparkSpec {
     assert(r1.getLong(2) >= 0L)
   }
 
+  test("crossGroupJaccard: identical groups estimate 1, disjoint estimate 0, k caps the summary") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 50L).map(v => ("a", v)) ++ (1L to 50L).map(v => ("b", v)) ++
+      (100L to 149L).map(v => ("c", v))).toDF("g", "v")
+    val out = Sketches.crossGroupJaccard(df, "g", "v", k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a == b: every merged hash is in both
+    assert(out(("a", "b")) == ((32L, 32L, 1000000L)))
+    // a and c disjoint: zero intersection
+    assert(out(("a", "c"))._2 == 0L && out(("a", "c"))._3 == 0L)
+    assert(out(("b", "c"))._2 == 0L)
+    // kk capped at k even though the union has 100 distinct values
+    assert(out(("a", "c"))._1 == 32L)
+    // small sets: kk = union size when below k
+    val tiny = Seq(("x", 1L), ("x", 2L), ("y", 2L), ("y", 3L)).toDF("g", "v")
+    val t = Sketches.crossGroupJaccard(tiny, "g", "v", k = 32).head()
+    assert(t.getLong(2) == 3L && t.getLong(3) == 1L && t.getLong(4) == 333333L)
+  }
+
 }

@@ -571,4 +571,29 @@ class TextSpec extends SparkSpec {
     assert(Text.bpePairs(docs, "txt", topK = 10, minCount = 4L).count() == 0L)
   }
 
+  test("readability: hand-counted Flesch milli-score, syllable floor, empty doc dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat. it ran!"), // 5 words, 2 sentences, vg: e,a,a,i,a = 5
+      (2L, "xyz qrst"),             // 0 vowel groups -> syllables floor to 2
+      (3L, "")                      // 0 words -> dropped
+    ).toDF("doc_id", "txt")
+    val out = Text.readability(docs, "txt", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(!out.contains(3L))
+    // doc 1: 206835 - 1015*5/2 - 84600*5/5 = 206835 - 2537 - 84600 = 119698
+    assert(out(1L) == ((5L, 2L, 5L, 119698L, "easy")))
+    // doc 2: 206835 - 1015*2/1 - 84600*2/2 = 206835 - 2030 - 84600 = 120205
+    assert(out(2L) == ((2L, 1L, 2L, 120205L, "easy")))
+    // a long unpunctuated run lands in "hard": 100 one-syllable words in
+    // 1 sentence -> 206835 - 101500 - 84600 = 20735 < 30000
+    val hard = Text.readability(
+      Seq((9L, Seq.fill(100)("word").mkString(" "))).toDF("doc_id", "txt"),
+      "txt", "doc_id").head()
+    assert(hard.getAs[String]("band") == "hard")
+  }
+
 }

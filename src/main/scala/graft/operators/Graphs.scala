@@ -496,4 +496,48 @@ object Graphs {
     perC.crossJoin(broadcast(
         perC.agg(sum("contrib_ppm").as("modularity_ppm"))))
   }
+
+  /** Newman degree assortativity — does the graph wire hubs to hubs
+    * (r > 0, social shape) or hubs to leaves (r < 0, infrastructure
+    * shape)? Over the DIRECTED orientation list (every undirected edge
+    * counted both ways, n = 2m terms with x = deg(src), y = deg(dst)),
+    * the marginals of x and y are identical, so Pearson's r collapses to
+    * the all-integer form
+    *   r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)
+    * — no square root. Reported in milli-units via engine-portable floor
+    * division (`(a − pmod(a, b)) div b` ≡ DuckDB `//`; the numerator CAN
+    * be negative, where a truncating div would disagree). Milli not ppm:
+    * num·1000 stays far inside BIGINT where num·10⁶ can overflow on
+    * large graphs. One row: (n_terms, sum_x, sum_xy, sum_x2, num, den,
+    * r_milli). A degree-regular graph has den = 0 — r reports 0 via the
+    * greatest(1, ·) guard (assortativity is undefined, "no evidence").
+    *
+    * Scale shape: edge canonicalization is one distinct; degrees come
+    * from the orientation list's own groupBy; the (src, dst, x, y) join
+    * is two hash joins on the vertex key; the closing Σ is one
+    * partial-agg row. Nothing driver-side, no pair blowup — cost ∝
+    * edges. */
+  def degreeAssortativity(edges0: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val ori = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(edges.select(col("v").as("s"), col("u").as("t")))
+    val deg = ori.groupBy(col("s").as("n")).agg(count(lit(1)).as("d"))
+    ori
+      .join(deg.select(col("n").as("s"), col("d").as("x")), Seq("s"))
+      .join(deg.select(col("n").as("t"), col("d").as("y")), Seq("t"))
+      .agg(count(lit(1)).as("n_terms"), sum("x").as("sum_x"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .withColumn("num",
+        expr("n_terms * sum_xy - sum_x * sum_x"))
+      .withColumn("den",
+        expr("n_terms * sum_x2 - sum_x * sum_x"))
+      .withColumn("r_milli", expr(
+        "(num * 1000L - pmod(num * 1000L, greatest(1L, den))) div greatest(1L, den)"))
+  }
 }

@@ -947,4 +947,38 @@ object Text {
       .withColumn("band", when(col("score_milli") >= 70000L, "easy")
         .when(col("score_milli") >= 30000L, "standard").otherwise("hard"))
       .drop("vg")
+
+  /** Per-document TF-IDF keyword extraction — the topical fingerprint
+    * behind tagging, routing, and cheap topic clustering (T12 answers
+    * "what characterizes a SOURCE"; this answers "what is THIS DOC
+    * about"): tokens of length ≥ `minLen` score
+    * `tf · nDocs · 1000 div df` (integer-rational IDF — no cross-engine
+    * ln()), and each document keeps its `topK` by (score desc, token
+    * asc). Returns (id, token, tf, df, score_scaled, rank).
+    *
+    * Scale shape: one token explode feeds BOTH the per-doc tf counts and
+    * the df table (distinct postings on the token key); df rejoins the
+    * tf relation via shuffle-hash (the vocabulary is corpus-sized —
+    * never broadcast); the corpus-size scalar is a one-row broadcast;
+    * the final rank window runs on the doc partitioning. */
+  def keywordsPerDoc(df: DataFrame, textCol: String, idCol: String,
+      topK: Int = 5, minLen: Int = 3): DataFrame = {
+    require(topK >= 1 && topK <= 1000, s"topK out of range: $topK")
+    require(minLen >= 1, "minLen >= 1")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) >= minLen)
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(df.agg(
+      countDistinct(col(idCol).cast("long")).as("n_docs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score_scaled").desc, col("token"))
+    tf.join(dfreq.hint("shuffle_hash"), "token")
+      .crossJoin(nDocs)
+      .withColumn("score_scaled", expr("(tf * n_docs * 1000L) div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("id", "token", "tf", "df", "score_scaled", "rank")
+  }
 }

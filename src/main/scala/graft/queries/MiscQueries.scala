@@ -549,6 +549,23 @@ object MiscQueries {
       graft.operators.Sketches.crossGroupJaccard(
           t(s, d, "events"), "event_type", "user_id", k = 128)
         .orderBy("ga", "gb")
+    },
+    // Degree assortativity of the co-purchase graph: do popular parts
+    // co-purchase with other popular parts (r > 0) or with long-tail
+    // ones (r < 0)? All-integer Pearson over the orientation list.
+    "qg12_assortativity" -> { (s, d) =>
+      val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.degreeAssortativity(edges, "pa", "pb")
+    },
+    // Time-in-state: how long users dwell in each event type before
+    // their next action (lead window on the user partitioning).
+    "qa08_dwell_times" -> { (s, d) =>
+      graft.streaming.EventStream.dwellTimes(t(s, d, "events"))
+        .orderBy("event_type")
     }
   )
 
@@ -1146,7 +1163,41 @@ object MiscQueries {
         |    AS inter,
         |  (CAST(COALESCE(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), 0) AS BIGINT)
         |    * 1000000) // GREATEST(1, COUNT(*)) AS jaccard_ppm
-        |FROM kept GROUP BY ga, gb ORDER BY ga, gb""".stripMargin
+        |FROM kept GROUP BY ga, gb ORDER BY ga, gb""".stripMargin,
+    "qg12_assortativity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 50 = 0),
+        |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+        |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+        |ori AS (SELECT u AS s, v AS t FROM edges
+        |  UNION ALL SELECT v AS s, u AS t FROM edges),
+        |deg AS (SELECT s AS n, CAST(COUNT(*) AS BIGINT) AS d FROM ori GROUP BY s),
+        |terms AS (SELECT ds.d AS x, dt.d AS y FROM ori
+        |  JOIN deg ds ON ds.n = ori.s JOIN deg dt ON dt.n = ori.t),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    CAST(SUM(x) AS BIGINT) AS sum_x,
+        |    CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sum_x2 FROM terms),
+        |nd AS (SELECT n_terms, sum_x, sum_xy, sum_x2,
+        |    CAST(n_terms * sum_xy - sum_x * sum_x AS BIGINT) AS num,
+        |    CAST(n_terms * sum_x2 - sum_x * sum_x AS BIGINT) AS den FROM agg)
+        |SELECT n_terms, sum_x, sum_xy, sum_x2, num, den,
+        |  (num * 1000) // GREATEST(1, den) AS r_milli
+        |FROM nd""".stripMargin,
+    "qa08_dwell_times" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus
+        |      AS dwell_us
+        |  FROM e),
+        |f AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_stays,
+        |    CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+        |    CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us
+        |  FROM g WHERE dwell_us IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_stays, total_dwell_us,
+        |  total_dwell_us // n_stays AS mean_dwell_us, max_dwell_us
+        |FROM f ORDER BY event_type""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -673,6 +673,15 @@ object TextOps {
       graft.operators.Text.bpePairs(
         t(s, d, "documents"), "text", topK = 40, minCount = 2L)
     },
+    // Per-doc TF-IDF keywords: what is THIS document about (integer-
+    // rational IDF, top-5 per doc over the first 500 docs).
+    "qd61_keywords" -> { (s, d) =>
+      graft.operators.Text.keywordsPerDoc(
+          t(s, d, "documents").filter(col("doc_id") < 500),
+          "text", "doc_id", topK = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")
+    },
     // Integer Flesch reading-ease per document (vowel-group syllable
     // heuristic, milli-unit formula, curation band).
     "qd59_readability" -> { (s, d) =>
@@ -1542,6 +1551,22 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd61_keywords" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |tok AS (SELECT doc_id AS id, unnest(str_split(text, ' ')) AS token
+        |  FROM d),
+        |ft AS (SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        |  WHERE len(token) >= 3 GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM ft
+        |  GROUP BY token),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM d),
+        |sc AS (SELECT id, ft.token, tf, df,
+        |    (tf * n_docs * 1000) // df AS score_scaled
+        |  FROM ft JOIN dfq ON dfq.token = ft.token CROSS JOIN nd),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id
+        |    ORDER BY score_scaled DESC, token) AS INT) AS rank FROM sc)
+        |SELECT id AS doc_id, token, tf, df, score_scaled, rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "qd59_readability" ->
       """WITH r AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS words,

@@ -714,6 +714,33 @@ object EventStream {
           col("max_per_min") >= burstPerMin).cast("int").as("bot"))
   }
 
+  /** Time-in-state per event type — how long users DWELL in each state
+    * before their next action (the engagement/abandonment read behind
+    * session design): each event's dwell is the gap to the SAME user's
+    * next event (ties broken by event_id), attributed to the state being
+    * left; a user's last event has no successor and drops out. Returns
+    * per event_type: (event_type, n_stays, total_dwell_us,
+    * mean_dwell_us = total div n, max_dwell_us).
+    *
+    * Scale shape: one lead window on the user partitioning — the same
+    * single shuffle every per-user sequence op here pays — then a
+    * |types|-row aggregation. */
+  def dwellTimes(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    tsNanos(events)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+        col("event_type"))
+      .withColumn("dwell_us", lead(col("tus"), 1).over(w) - col("tus"))
+      .filter(col("dwell_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_stays"), sum("dwell_us").as("total_dwell_us"),
+        max("dwell_us").as("max_dwell_us"))
+      .select(col("event_type"), col("n_stays"), col("total_dwell_us"),
+        expr("total_dwell_us div n_stays").as("mean_dwell_us"),
+        col("max_dwell_us"))
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

@@ -297,4 +297,30 @@ class GraphsSpec extends SparkSpec {
     assert(partial(0L) == ((3L, 3L, 7L)))
   }
 
+  test("degreeAssortativity: star is maximally disassortative; regular graph reports 0") {
+    val s = spark
+    import s.implicits._
+    // star K1,3: center deg 3, leaves deg 1; orientation terms:
+    // (3,1)x3 and (1,3)x3 -> n=6, sum_x=12, sum_xy=18, sum_x2=30
+    // num = 6*18 - 144 = -36; den = 6*30 - 144 = 36; r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val r = Graphs.degreeAssortativity(star, "u", "v").head()
+    assert(r.getAs[Long]("n_terms") == 6L)
+    assert(r.getAs[Long]("num") == -36L && r.getAs[Long]("den") == 36L)
+    assert(r.getAs[Long]("r_milli") == -1000L)
+    // triangle: 2-regular -> den 0, r reports 0; dirty input (dups,
+    // self-loops, reversed copies) canonicalizes away
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 1L))
+      .toDF("u", "v")
+    val t = Graphs.degreeAssortativity(tri, "u", "v").head()
+    assert(t.getAs[Long]("n_terms") == 6L)
+    assert(t.getAs[Long]("den") == 0L && t.getAs[Long]("r_milli") == 0L)
+    // floor semantics on the negative numerator: path graph P3 —
+    // degrees 1,2,1; terms (1,2)(2,1)(2,1)(1,2): n=4 sum_x=6 sum_xy=8
+    // sum_x2=10: num=-4, den=4 -> r exactly -1000 milli
+    val p3 = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(Graphs.degreeAssortativity(p3, "u", "v")
+      .head().getAs[Long]("r_milli") == -1000L)
+  }
+
 }

@@ -596,4 +596,27 @@ class TextSpec extends SparkSpec {
     assert(hard.getAs[String]("band") == "hard")
   }
 
+  test("keywordsPerDoc: rare term outranks common term; short tokens dropped; topK caps") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "zebra common common of"),  // zebra df=1, common df=3
+      (2L, "common stuff stuff"),
+      (3L, "common alpha")
+    ).toDF("doc_id", "txt")
+    val out = Text.keywordsPerDoc(docs, "txt", "doc_id", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: zebra tf=1 df=1 -> 1*3*1000/1 = 3000; common tf=2 df=3 ->
+    // 2*3*1000/3 = 2000; "of" dropped (len < 3)
+    assert(out((1L, 1)) == (("zebra", 1L, 1L, 3000L)))
+    assert(out((1L, 2)) == (("common", 2L, 3L, 2000L)))
+    // doc 2: stuff tf=2 df=1 -> 6000 beats common 1000
+    assert(out((2L, 1))._1 == "stuff" && out((2L, 2))._1 == "common")
+    // topK = 2 caps every doc
+    assert(!out.contains((1L, 3)) && !out.contains((2L, 3)))
+    // alphabetical tie-break: doc 3's alpha (3000) before common (1000)
+    assert(out((3L, 1))._1 == "alpha")
+  }
+
 }

@@ -565,4 +565,23 @@ class EventStreamSpec extends SparkSpec {
     assert(b.getLong(5) == 10L && b.getInt(6) == 1)
   }
 
+  test("dwellTimes: dwell attributed to the state being left; last events drop") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000000L
+    // u1: browse(0s) -> buy(10s) -> browse(15s, last)
+    // u2: browse(0s) -> browse(30s, last)
+    val ev = Seq(
+      (1L, 1L, "browse", 0 * sec), (2L, 1L, "buy", 10 * sec),
+      (3L, 1L, "browse", 15 * sec),
+      (4L, 2L, "browse", 0 * sec), (5L, 2L, "browse", 30 * sec)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.dwellTimes(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // browse stays: u1 0->10s, u2 0->30s; buy stays: u1 10->15s
+    assert(out("browse") == ((2L, 40L * 1000000L, 20L * 1000000L, 30L * 1000000L)))
+    assert(out("buy") == ((1L, 5L * 1000000L, 5L * 1000000L, 5L * 1000000L)))
+  }
+
 }

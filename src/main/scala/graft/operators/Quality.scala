@@ -390,6 +390,75 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** Heaps-law vocabulary growth — does the corpus still surface new
+    * vocabulary, or has crawling saturated (the diminishing-returns
+    * signal behind "do we need more of this source")? Documents bucket
+    * into `nBuckets` id-RANGE slices (`(id − min)·nB div (max − min + 1)`
+    * — O(1) per row, no global sort; ≈ ingestion order when ids are
+    * ingestion-ordered, which is the deployment contract); each distinct
+    * token is charged to the FIRST bucket it appears in. Returns one row
+    * per non-empty bucket: (bucket, n_docs, bucket_tokens, new_types,
+    * cum_types, cum_tokens) — the V(n) curve read directly.
+    *
+    * Scale shape: one token explode → min-bucket groupBy on the token
+    * key (distinct-postings shuffle); doc/token totals per bucket ride
+    * the same explode; the cumulative window runs over nBuckets rows.
+    * No global ranking anywhere. */
+  def heapsGrowth(df: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 10000)
+    val bounds = broadcast(df.agg(
+      min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi")))
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol))
+      .crossJoin(bounds)
+      .withColumn("bucket",
+        expr(s"((id - lo) * $nBuckets) div (hi - lo + 1)"))
+    val docStats = base
+      .withColumn("ntok", size(split(col(textCol), " ")).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("bucket_tokens"))
+    val firstSeen = base
+      .select(col("bucket"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docStats.join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .withColumn("cum_tokens", sum("bucket_tokens").over(w))
+      .select("bucket", "n_docs", "bucket_tokens", "new_types",
+        "cum_types", "cum_tokens")
+  }
+
+  /** Gini concentration of row mass over a key — how unequal is the
+    * corpus's distribution over domains/sources/tokens (G = 0 uniform,
+    * → 1 winner-takes-all; the "is one domain eating the crawl" gate):
+    * with per-key counts x₁ ≤ … ≤ xₙ ranked ascending (key tie-break),
+    *   G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n,
+    * reported as gini_ppm = (2·Σ(i·xᵢ) − (n+1)·Σx)·10⁶ div (n·Σx) —
+    * all-integer, engine-exact. One row:
+    * (n_keys, total, rank_mass, gini_ppm). SCALE CONTRACT: the ranked
+    * relation is the KEY summary (vocabulary-sized), so the global rank
+    * sorts only that table — the T11 discipline; at extreme key
+    * cardinality Σ(i·xᵢ)·10⁶ needs decimal headroom — counts here stay
+    * far inside BIGINT.
+    *
+    * Single-key degenerate case (n = 1): G = 2 − 2 = 0 — correct, one
+    * key holding everything is "equality among keys". */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("i", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("cnt"), col("k"))))
+    ranked.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"),
+        sum(col("i") * col("cnt")).as("rank_mass"))
+      .withColumn("gini_ppm", expr(
+        "((2 * rank_mass - (n_keys + 1) * total) * 1000000L) div " +
+          "greatest(1L, n_keys * total)"))
+  }
+
   /** Functional-dependency audit — does `det → dep` actually hold in the
     * data (the schema-on-read reality check behind normalization and
     * join-key trust): per declared dependency, the number of determinant

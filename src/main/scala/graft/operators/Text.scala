@@ -948,6 +948,39 @@ object Text {
         .when(col("score_milli") >= 30000L, "standard").otherwise("hard"))
       .drop("vg")
 
+  /** Inverted-index construction — the (token → postings) relation a
+    * retrieval system actually materializes, as data: per token with
+    * document frequency ≥ `minDf`, the df, the total occurrence count,
+    * and a bounded posting SAMPLE (the `sampleK` lowest doc ids,
+    * comma-joined ascending — a string so any engine compares it
+    * byte-for-byte). The full posting lists stay distributed; the
+    * sample is the inspectable fingerprint.
+    *
+    * Scale shape: one token explode → (token, doc) partial-agg counts;
+    * df/tf re-aggregate on the token key's own shuffle; the posting
+    * sample is a rank-window top-k per token (never a full collect_list
+    * of a hot token's postings — a stopword's list would be
+    * corpus-sized). */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 2L, sampleK: Int = 20): DataFrame = {
+    require(sampleK >= 1 && sampleK <= 1000, s"sampleK out of range: $sampleK")
+    val posting = df.select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token", "id").agg(count(lit(1)).as("tf"))
+    val stats = posting.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+      .filter(col("df") >= minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy("id")
+    val sample = posting
+      .withColumn("r", row_number().over(w)).filter(col("r") <= sampleK)
+      .groupBy("token")
+      .agg(array_join(transform(sort_array(collect_list(col("id"))),
+        _.cast("string")), ",").as("postings"))
+    stats.join(sample, "token")
+      .select("token", "df", "total_tf", "postings")
+  }
+
   /** Per-document TF-IDF keyword extraction — the topical fingerprint
     * behind tagging, routing, and cheap topic clustering (T12 answers
     * "what characterizes a SOURCE"; this answers "what is THIS DOC

@@ -566,6 +566,28 @@ object MiscQueries {
     "qa08_dwell_times" -> { (s, d) =>
       graft.streaming.EventStream.dwellTimes(t(s, d, "events"))
         .orderBy("event_type")
+    },
+    // Heaps-law vocabulary growth across 10 id-range corpus slices:
+    // new/cumulative vocabulary per slice — the crawl-saturation read.
+    "qq12_heaps_growth" -> { (s, d) =>
+      graft.operators.Quality.heapsGrowth(
+          t(s, d, "documents"), "text", "doc_id", nBuckets = 10)
+        .orderBy("bucket")
+    },
+    // Gini concentration of token mass: is the corpus's token
+    // distribution near-uniform or winner-takes-all (all-integer
+    // Lorenz/Gini over the vocabulary summary).
+    "qq13_gini" -> { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      graft.operators.Quality.giniConcentration(toks, "token")
+    },
+    // Frequent 3-step journeys: the top whole paths users walk
+    // (stacked leads on the user partitioning, |types|^3-bounded count).
+    "qa09_top_paths" -> { (s, d) =>
+      graft.streaming.EventStream.topPaths(
+          t(s, d, "events"), pathLen = 3, topK = 20)
+        .orderBy("rank")
     }
   )
 
@@ -1197,7 +1219,53 @@ object MiscQueries {
         |  FROM g WHERE dwell_us IS NOT NULL GROUP BY event_type)
         |SELECT event_type, n_stays, total_dwell_us,
         |  total_dwell_us // n_stays AS mean_dwell_us, max_dwell_us
-        |FROM f ORDER BY event_type""".stripMargin
+        |FROM f ORDER BY event_type""".stripMargin,
+    "qq12_heaps_growth" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    ((doc_id - lo) * 10) // (hi - lo + 1) AS bucket
+        |  FROM documents CROSS JOIN
+        |    (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents)),
+        |ds AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS bucket_tokens
+        |  FROM b GROUP BY bucket),
+        |fs AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+        |    SELECT token, MIN(bucket) AS bucket FROM (
+        |      SELECT bucket, unnest(str_split(text, ' ')) AS token FROM b)
+        |    GROUP BY token)
+        |  GROUP BY bucket),
+        |j AS (SELECT ds.bucket, n_docs, bucket_tokens,
+        |    COALESCE(new_types, 0) AS new_types
+        |  FROM ds LEFT JOIN fs ON fs.bucket = ds.bucket)
+        |SELECT bucket, n_docs, bucket_tokens, new_types,
+        |  CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types,
+        |  CAST(SUM(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+        |FROM j ORDER BY bucket""".stripMargin,
+    "qq13_gini" ->
+      """WITH tok AS (SELECT unnest(str_split(text, ' ')) AS k FROM documents),
+        |c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY k),
+        |r AS (SELECT k, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt, k) AS BIGINT) AS i FROM c),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS total,
+        |    CAST(SUM(i * cnt) AS BIGINT) AS rank_mass FROM r)
+        |SELECT n_keys, total, rank_mass,
+        |  ((2 * rank_mass - (n_keys + 1) * total) * 1000000)
+        |    // GREATEST(1, n_keys * total) AS gini_ppm
+        |FROM a""".stripMargin,
+    "qa09_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |g AS (SELECT event_type AS t0,
+        |    LEAD(event_type, 1) OVER w AS t1,
+        |    LEAD(event_type, 2) OVER w AS t2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |p AS (SELECT t0 || '>' || t1 || '>' || t2 AS path FROM g
+        |  WHERE t1 IS NOT NULL AND t2 IS NOT NULL),
+        |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY path),
+        |r AS (SELECT path, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rank
+        |  FROM c)
+        |SELECT path, n, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -673,6 +673,14 @@ object TextOps {
       graft.operators.Text.bpePairs(
         t(s, d, "documents"), "text", topK = 40, minCount = 2L)
     },
+    // Inverted-index construction over the first 500 docs: per token,
+    // df + total tf + the 10 lowest doc ids as a comma-joined sample.
+    "qd62_inverted_index" -> { (s, d) =>
+      graft.operators.Text.invertedIndex(
+          t(s, d, "documents").filter(col("doc_id") < 500),
+          "text", "doc_id", minDf = 3L, sampleK = 10)
+        .orderBy("token")
+    },
     // Per-doc TF-IDF keywords: what is THIS document about (integer-
     // rational IDF, top-5 per doc over the first 500 docs).
     "qd61_keywords" -> { (s, d) =>
@@ -1551,6 +1559,24 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd62_inverted_index" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |tok AS (SELECT doc_id AS id, unnest(str_split(text, ' ')) AS token
+        |  FROM d),
+        |post AS (SELECT token, id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |stats AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS total_tf
+        |  FROM post GROUP BY token HAVING COUNT(*) >= 3),
+        |samp AS (SELECT token,
+        |    string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS postings
+        |  FROM (SELECT token, id,
+        |      ROW_NUMBER() OVER (PARTITION BY token ORDER BY id) AS r
+        |    FROM post)
+        |  WHERE r <= 10 GROUP BY token)
+        |SELECT s.token, df, total_tf, postings
+        |FROM stats s JOIN samp USING (token)
+        |ORDER BY s.token""".stripMargin,
     "qd61_keywords" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
         |tok AS (SELECT doc_id AS id, unnest(str_split(text, ' ')) AS token

@@ -741,6 +741,39 @@ object EventStream {
         col("max_dwell_us"))
   }
 
+  /** Frequent journey mining — the top event-type PATHS of length
+    * `pathLen` users actually walk (the [[transitionMatrix]] is the
+    * order-1 view; this surfaces whole flows like browse>click>purchase):
+    * consecutive same-user runs via stacked leads ((ts, event_id)
+    * order), counted and ranked (count desc, path asc). Returns
+    * (path, n, rank) for the top `topK`.
+    *
+    * Scale shape: one multi-lead window on the user partitioning (the
+    * shared per-user-sequence shuffle), a count groupBy bounded by
+    * |types|^pathLen, and a TakeOrdered top-k. `pathLen` is capped —
+    * the path-space blowup is the caller's lever, not a surprise. */
+  def topPaths(events: DataFrame, pathLen: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(pathLen >= 2 && pathLen <= 6, s"pathLen out of range: $pathLen")
+    require(topK >= 1 && topK <= 10000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val steps = (1 until pathLen).foldLeft(
+      tsNanos(events).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("event_type").as("t0"))) {
+      (acc, i) => acc.withColumn(s"t$i", lead(col("t0"), i).over(w))
+    }
+    val full = steps.filter((1 until pathLen)
+      .map(i => col(s"t$i").isNotNull).reduce(_ && _))
+    val path = concat_ws(">", (0 until pathLen).map(i => col(s"t$i")): _*)
+    val ranked = full.select(path.as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("path"))))
+    ranked.filter(col("rank") <= topK)
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

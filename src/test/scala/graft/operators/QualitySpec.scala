@@ -232,4 +232,36 @@ class QualitySpec extends SparkSpec {
     assert(out("k,b->c") == ((4L, 1L, 2L, 2L)))
   }
 
+  test("heapsGrowth: new types charged to their first bucket; cumulative sums reconcile") {
+    val s = spark
+    import s.implicits._
+    // ids 0..3 with nBuckets=2: ids 0,1 -> bucket 0; 2,3 -> bucket 1
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"),      // bucket 0: types a,b,c
+      (2L, "a d"), (3L, "d d e")     // bucket 1: new types d,e
+    ).toDF("doc_id", "txt")
+    val out = Quality.heapsGrowth(docs, "txt", "doc_id", nBuckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(0L) == ((2L, 4L, 3L, 3L, 4L)))
+    assert(out(1L) == ((2L, 5L, 2L, 5L, 9L)))
+  }
+
+  test("giniConcentration: uniform counts -> 0; concentration raises toward 1; single key is 0") {
+    val s = spark
+    import s.implicits._
+    val uniform = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    assert(Quality.giniConcentration(uniform, "k")
+      .head().getAs[Long]("gini_ppm") == 0L)
+    // (1,1,1,7): ranks asc 1,2,3,4 -> rank_mass=1+2+3+28=34, n=4, total=10
+    // G = (2*34 - 5*10)/(4*10) = 18/40 = 0.45
+    val skew = (Seq.fill(7)("hot") ++ Seq("x", "y", "z")).toDF("k")
+    val g = Quality.giniConcentration(skew, "k").head()
+    assert(g.getAs[Long]("n_keys") == 4L && g.getAs[Long]("total") == 10L)
+    assert(g.getAs[Long]("gini_ppm") == 450000L)
+    assert(Quality.giniConcentration(Seq("only", "only").toDF("k"), "k")
+      .head().getAs[Long]("gini_ppm") == 0L)
+  }
+
 }

@@ -619,4 +619,19 @@ class TextSpec extends SparkSpec {
     assert(out((3L, 1))._1 == "alpha")
   }
 
+  test("invertedIndex: postings sorted and capped, df/tf exact, minDf filters") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (3L, "apple apple pear"), (1L, "apple fig"), (2L, "apple pear")
+    ).toDF("doc_id", "txt")
+    val out = Text.invertedIndex(docs, "txt", "doc_id", minDf = 2L, sampleK = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // apple: df 3, tf 4, sample capped at the 2 LOWEST ids
+    assert(out("apple") == ((3L, 4L, "1,2")))
+    assert(out("pear") == ((2L, 2L, "2,3")))
+    assert(!out.contains("fig")) // df 1 < minDf
+  }
+
 }

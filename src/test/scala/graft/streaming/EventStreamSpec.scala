@@ -584,4 +584,24 @@ class EventStreamSpec extends SparkSpec {
     assert(out("buy") == ((1L, 5L * 1000000L, 5L * 1000000L, 5L * 1000000L)))
   }
 
+  test("topPaths: overlapping windows counted, cross-user paths never form, rank caps") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000000L
+    // u1: a b c b c -> abc, bcb, cbc ; u2: a b c -> abc
+    val ev = (Seq(("a", 1), ("b", 2), ("c", 3), ("b", 4), ("c", 5))
+        .zipWithIndex.map { case ((t, ts), i) => (i.toLong, 1L, t, ts * sec) } ++
+      Seq((10L, 2L, "a", 1 * sec), (11L, 2L, "b", 2 * sec),
+        (12L, 2L, "c", 3 * sec)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.topPaths(ev, pathLen = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out("a>b>c") == ((2L, 1)))
+    assert(out("b>c>b") == ((1L, 2)))
+    assert(out("c>b>c") == ((1L, 3)))
+    assert(out.size == 3)
+    // topK = 1 keeps only the winner
+    assert(EventStream.topPaths(ev, pathLen = 3, topK = 1).count() == 1L)
+  }
+
 }

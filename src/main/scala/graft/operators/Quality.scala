@@ -459,6 +459,38 @@ object Quality {
           "greatest(1L, n_keys * total)"))
   }
 
+  /** Integer Chebyshev outlier gate — which keys carry a row count more
+    * than `k` population standard deviations from the mean, WITHOUT any
+    * square root (so every engine agrees digit-for-digit): with
+    * per-key counts x over n keys, Σx and Σx²,
+    *   (x − μ)² > k²σ²  ⇔  (n·x − Σx)² > k²·(n·Σx² − (Σx)²),
+    * entirely in BIGINT. Flags both directions (hyperactive bots AND
+    * near-dead keys); `side` says which. Returns flagged keys:
+    * (key, cnt, side, lhs, rhs, n_keys) ordered by cnt desc, key.
+    * SCALE CONTRACT: the squared terms need (n·max_cnt)² inside BIGINT —
+    * holds to ~3·10⁹ key·count product; beyond that go decimal.
+    *
+    * Scale shape: one count groupBy on the key; the (n, Σx, Σx²)
+    * moments are a one-row broadcast; the flag is a per-summary-row
+    * filter. Raw rows are scanned once. */
+  def populationOutliers(df: DataFrame, keyCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val moments = broadcast(counts.agg(count(lit(1)).as("n_keys"),
+      sum("cnt").as("sx"), sum(col("cnt") * col("cnt")).as("sxx")))
+    counts.crossJoin(moments)
+      .withColumn("dev", expr("n_keys * cnt - sx"))
+      .withColumn("lhs", expr("dev * dev"))
+      .withColumn("rhs", expr(s"${k.toLong * k}L * (n_keys * sxx - sx * sx)"))
+      .filter(col("lhs") > col("rhs"))
+      .select(col("key"), col("cnt"),
+        when(col("dev") > 0, "high").otherwise("low").as("side"),
+        col("lhs"), col("rhs"), col("n_keys"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
   /** Functional-dependency audit — does `det → dep` actually hold in the
     * data (the schema-on-read reality check behind normalization and
     * join-key trust): per declared dependency, the number of determinant

@@ -948,6 +948,50 @@ object Text {
         .when(col("score_milli") >= 30000L, "standard").otherwise("hard"))
       .drop("vg")
 
+  /** Cross-slice shingle reuse — how much of each corpus slice is
+    * RECYCLED text (the "is today's crawl just yesterday again" read
+    * that decides whether to keep crawling a source): documents bucket
+    * into `nBuckets` id-range slices (the [[graft.operators.Quality.heapsGrowth]]
+    * bucketing); each document contributes its DISTINCT n-token
+    * shingles, and an occurrence counts as reused when its shingle first
+    * appeared in an EARLIER bucket. Returns per bucket:
+    * (bucket, n_occs, reused_occs, reuse_ppm). Complements Heaps growth:
+    * that counts novel TYPES, this weighs recycled VOLUME.
+    *
+    * Scale shape: one shingle explode → per-doc distinct; the
+    * first-bucket table is a hash-aggregated min groupBy on the shingle
+    * key rejoined shuffle-hash (the shingle space is corpus-sized —
+    * never broadcast). The explode is evaluated for both consumers, but
+    * that beats the alternative: a min window PARTITIONED BY the
+    * shingle key sorts millions of one-row partitions and measured ~5×
+    * slower; hash agg + hash join never sorts. Final agg is nBuckets
+    * rows. */
+  def shingleReuse(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, nBuckets: Int = 10): DataFrame = {
+    require(n >= 1 && nBuckets >= 2 && nBuckets <= 10000)
+    val bounds = broadcast(df.agg(
+      min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi")))
+    val tk = split(col(textCol), " ")
+    val wins = when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(1), size(tk) - n + 1),
+        i => xxhash64(concat_ws(" ", slice(tk, i, lit(n)))))))
+      .otherwise(array().cast("array<bigint>"))
+    val occ = df.select(col(idCol).cast("long").as("id"), wins.as("ws"))
+      .crossJoin(bounds)
+      .select(expr(s"((id - lo) * $nBuckets) div (hi - lo + 1)").as("bucket"),
+        explode(col("ws")).as("sh"))
+    val first = occ.groupBy("sh").agg(min("bucket").as("first_bucket"))
+    occ.join(first.hint("shuffle_hash"), "sh")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_occs"),
+        coalesce(sum(when(col("first_bucket") < col("bucket"), 1L)), lit(0L))
+          .as("reused_occs"))
+      .select(col("bucket"), col("n_occs"), col("reused_occs"),
+        expr("(reused_occs * 1000000L) div greatest(1L, n_occs)")
+          .as("reuse_ppm"))
+  }
+
   /** Inverted-index construction — the (token → postings) relation a
     * retrieval system actually materializes, as data: per token with
     * document frequency ≥ `minDf`, the df, the total occurrence count,

@@ -281,6 +281,12 @@ object MediaQueries {
     "qs10_peak_concurrency" -> { (s, d) =>
       EventStream.peakConcurrency(t(s, d, "events")).orderBy("day")
     },
+    // Bounce/exit rates per entry type: 30-min-gap sessions, first/last
+    // event per session, single-event sessions are bounces.
+    "qs11_bounce_rates" -> { (s, d) =>
+      EventStream.bounceRates(t(s, d, "events"), gapMinutes = 30)
+        .orderBy("entry_type")
+    },
     // Snapshot diff — the inverse of the CDC apply: two keyed per-user
     // aggregates diffed into the minimal I/U/D changelog (nightly-dump
     // reconciliation). Users 300-349 exist only before (D), even-id-only
@@ -510,6 +516,38 @@ object MediaQueries {
         |FROM run r JOIN pk p ON r.day = p.day AND r.conc = p.peak
         |JOIN n ON n.day = r.day
         |GROUP BY r.day, n.n_intervals, p.peak ORDER BY r.day""".stripMargin,
+    // the cumulative new-session flag replays sessionization exactly;
+    // entry/exit via first/last_value over the session partition
+    "qs11_bounce_rates" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, tus, event_type,
+        |    CASE WHEN tus - LAG(tus) OVER w > 1800000000 OR
+        |              LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |g AS (SELECT user_id, event_type, tus, event_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |h AS (SELECT user_id, sid, event_type,
+        |    FIRST_VALUE(event_type) OVER ws AS fv,
+        |    LAST_VALUE(event_type) OVER (PARTITION BY user_id, sid
+        |      ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        |  FROM g WINDOW ws AS (PARTITION BY user_id, sid ORDER BY tus, event_id)),
+        |sess AS (SELECT user_id, sid,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MAX(fv) AS entry_type, MAX(lv) AS exit_type
+        |  FROM h GROUP BY user_id, sid),
+        |a AS (SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    CAST(COALESCE(SUM(CASE WHEN n_events = 1 THEN 1 END), 0) AS BIGINT)
+        |      AS n_bounces,
+        |    CAST(COALESCE(SUM(CASE WHEN exit_type = entry_type THEN 1 END), 0)
+        |      AS BIGINT) AS n_exits_here
+        |  FROM sess GROUP BY entry_type)
+        |SELECT entry_type, n_sessions, n_bounces,
+        |  (n_bounces * 1000000) // n_sessions AS bounce_ppm, n_exits_here
+        |FROM a ORDER BY entry_type""".stripMargin,
     // same full-outer diff, same null-safe tuple compare (IS DISTINCT
     // FROM == Spark's negated <=>), same decimal->double sum discipline
     "qc04_snapshot_diff" ->

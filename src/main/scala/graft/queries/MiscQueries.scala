@@ -588,6 +588,22 @@ object MiscQueries {
       graft.streaming.EventStream.topPaths(
           t(s, d, "events"), pathLen = 3, topK = 20)
         .orderBy("rank")
+    },
+    // RFM lifecycle segmentation over purchases: per-user recency/
+    // frequency/monetary quintiles + the 3-digit segment label.
+    "qa10_rfm" -> { (s, d) =>
+      graft.streaming.EventStream.rfmSegments(t(s, d, "events"), "purchase")
+        .orderBy("user_id")
+    },
+    // Integer Chebyshev outlier gate on per-key event volume: a third
+    // of events collapse onto key 999 against a 7-key base, which must
+    // flag as the one high-side outlier at every SF — no sqrt, every
+    // digit engine-exact.
+    "qq14_outliers" -> { (s, d) =>
+      val keyed = t(s, d, "events").select(
+        when(col("event_id") % 3 === 0, 999L).otherwise(col("user_id") % 7)
+          .as("uk"))
+      graft.operators.Quality.populationOutliers(keyed, "uk", k = 2)
     }
   )
 
@@ -1265,7 +1281,41 @@ object MiscQueries {
         |r AS (SELECT path, n,
         |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rank
         |  FROM c)
-        |SELECT path, n, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+        |SELECT path, n, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "qa10_rfm" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (SELECT MAX(tus) AS ref_tus FROM b),
+        |pu AS (SELECT user_id, CAST(MAX(tus) AS BIGINT) AS last_tus,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    SUM(CAST(value AS DECIMAL(30,2))) AS mon
+        |  FROM b GROUP BY user_id),
+        |qn AS (SELECT user_id, ref_tus - last_tus AS recency_us, freq,
+        |    CAST(mon AS DOUBLE) AS monetary,
+        |    NTILE(5) OVER (ORDER BY last_tus, user_id) AS r_q,
+        |    NTILE(5) OVER (ORDER BY freq, user_id) AS f_q,
+        |    NTILE(5) OVER (ORDER BY mon, user_id) AS m_q
+        |  FROM pu CROSS JOIN r)
+        |SELECT user_id, recency_us, freq, monetary, r_q, f_q, m_q,
+        |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+        |    AS segment
+        |FROM qn ORDER BY user_id""".stripMargin,
+    "qq14_outliers" ->
+      """WITH keyed AS (SELECT CAST(CASE WHEN event_id % 3 = 0 THEN 999
+        |    ELSE user_id % 7 END AS VARCHAR) AS key FROM events),
+        |c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM keyed GROUP BY key),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS sx,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx FROM c)
+        |SELECT key, cnt,
+        |  CASE WHEN n_keys * cnt - sx > 0 THEN 'high' ELSE 'low' END AS side,
+        |  CAST((n_keys * cnt - sx) * (n_keys * cnt - sx) AS BIGINT) AS lhs,
+        |  CAST(4 * (n_keys * sxx - sx * sx) AS BIGINT) AS rhs, n_keys
+        |FROM c CROSS JOIN m
+        |WHERE (n_keys * cnt - sx) * (n_keys * cnt - sx)
+        |  > 4 * (n_keys * sxx - sx * sx)
+        |ORDER BY cnt DESC, key""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

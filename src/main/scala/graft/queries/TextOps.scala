@@ -673,6 +673,13 @@ object TextOps {
       graft.operators.Text.bpePairs(
         t(s, d, "documents"), "text", topK = 40, minCount = 2L)
     },
+    // Cross-slice shingle reuse: how much of each id-range corpus slice
+    // is text recycled from earlier slices (8-token shingles).
+    "qd63_shingle_reuse" -> { (s, d) =>
+      graft.operators.Text.shingleReuse(
+          t(s, d, "documents"), "text", "doc_id", n = 8, nBuckets = 10)
+        .orderBy("bucket")
+    },
     // Inverted-index construction over the first 500 docs: per token,
     // df + total tf + the 10 lowest doc ids as a comma-joined sample.
     "qd62_inverted_index" -> { (s, d) =>
@@ -1559,6 +1566,24 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd63_shingle_reuse" ->
+      """WITH bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+        |  FROM documents),
+        |d AS (SELECT doc_id, ((doc_id - lo) * 10) // (hi - lo + 1) AS bucket,
+        |    str_split(text, ' ') AS w FROM documents CROSS JOIN bounds),
+        |occ0 AS (SELECT DISTINCT doc_id, bucket,
+        |    array_to_string(list_slice(w, i, i + 7), ' ') AS sh
+        |  FROM d, unnest(range(1, len(w) - 8 + 2)) t(i)),
+        |fst AS (SELECT sh, MIN(bucket) AS first_bucket FROM occ0 GROUP BY sh),
+        |j AS (SELECT o.bucket, f.first_bucket
+        |  FROM occ0 o JOIN fst f ON f.sh = o.sh),
+        |a AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occs,
+        |    CAST(COALESCE(SUM(CASE WHEN first_bucket < bucket THEN 1 END), 0)
+        |      AS BIGINT) AS reused_occs
+        |  FROM j GROUP BY bucket)
+        |SELECT bucket, n_occs, reused_occs,
+        |  (reused_occs * 1000000) // GREATEST(1, n_occs) AS reuse_ppm
+        |FROM a ORDER BY bucket""".stripMargin,
     "qd62_inverted_index" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
         |tok AS (SELECT doc_id AS id, unnest(str_split(text, ' ')) AS token

@@ -774,6 +774,87 @@ object EventStream {
     ranked.filter(col("rank") <= topK)
   }
 
+  /** RFM segmentation — the classic lifecycle cut (recency, frequency,
+    * monetary) over one event type: per user, micros since their last
+    * `eventType` event (reference = the corpus's newest such event, so
+    * the result is a pure function of the event set), the count, and the
+    * exact decimal(30,2) value sum (order-independent where a double sum
+    * is not); each dimension quintiles via ntile(5) with a total
+    * (metric, user_id) order, and `segment` concatenates the three
+    * scores (higher = more recent / more frequent / bigger spender).
+    * Returns (user_id, recency_us, freq, monetary, r_q, f_q, m_q,
+    * segment).
+    *
+    * Scale shape: one filter + user-key aggregation; the three ntile
+    * windows rank the USER SUMMARY (one row per user), not events — the
+    * T11 summary-sort discipline. Reference time is a one-row broadcast. */
+  def rfmSegments(events: DataFrame,
+      eventType: String = "purchase"): DataFrame = {
+    val base = tsNanos(events).filter(col("event_type") === eventType)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+    val ref = broadcast(base.agg(max("tus").as("ref_tus")))
+    val perUser = base.groupBy("user_id")
+      .agg(max("tus").as("last_tus"), count(lit(1)).as("freq"),
+        sum(col("value").cast("decimal(30,2)")).as("mon"))
+      .crossJoin(ref)
+      .withColumn("recency_us", col("ref_tus") - col("last_tus"))
+    def q(c: String) = ntile(5).over(org.apache.spark.sql.expressions.Window
+      .orderBy(col(c), col("user_id")))
+    perUser
+      .withColumn("r_q", q("last_tus")) // older last purchase -> lower score
+      .withColumn("f_q", q("freq"))
+      .withColumn("m_q", q("mon"))
+      .select(col("user_id"), col("recency_us"), col("freq"),
+        col("mon").cast("double").as("monetary"),
+        col("r_q"), col("f_q"), col("m_q"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+  }
+
+  /** Session bounce/exit accounting — per ENTRY event type, how many
+    * sessions start there and how many go nowhere (the landing-page
+    * health read): sessions are `gapMinutes`-inactivity runs per user
+    * (the same rule as [[sessionize]], spelled as a cumulative
+    * new-session flag so any SQL engine replays it), entry/exit are the
+    * first/last events in (time, event_id) order, and a bounce is a
+    * single-event session. Returns per entry type: (entry_type,
+    * n_sessions, n_bounces, bounce_ppm, n_exits_here = sessions that
+    * also END on this type).
+    *
+    * Scale shape: the lag flag, the cumulative session id, and the
+    * first/last window all run on the ONE user partitioning; the final
+    * aggregation reads the per-session relation (one row per session). */
+  def bounceRates(events: DataFrame, gapMinutes: Long = 30): DataFrame = {
+    require(gapMinutes >= 1, "gapMinutes >= 1")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sessions = tsNanos(events)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+        col("event_type"))
+      .withColumn("new_s",
+        when(col("tus") - lag(col("tus"), 1).over(wOrd) > gapUs, 1L)
+          .otherwise(when(lag(col("tus"), 1).over(wOrd).isNull, 1L)
+            .otherwise(0L)))
+      .withColumn("sid", sum("new_s").over(wCum))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("tus"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("tus"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"))
+    sessions.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        coalesce(sum(when(col("n_events") === 1, 1L)), lit(0L))
+          .as("n_bounces"),
+        coalesce(sum(when(col("exit_type") === col("entry_type"), 1L)),
+          lit(0L)).as("n_exits_here"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        expr("(n_bounces * 1000000L) div n_sessions").as("bounce_ppm"),
+        col("n_exits_here"))
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

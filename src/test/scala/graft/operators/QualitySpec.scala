@@ -264,4 +264,24 @@ class QualitySpec extends SparkSpec {
       .head().getAs[Long]("gini_ppm") == 0L)
   }
 
+  test("populationOutliers: hand moments, both sides flag, uniform flags nothing") {
+    val s = spark
+    import s.implicits._
+    // counts: a=10, b=1, c=1, d=1, e=1, f=1 -> n=6, sx=15, sxx=105
+    // dev(a) = 60-15 = 45, lhs = 2025; rhs(k=2) = 4*(630-225) = 1620 -> high
+    val rows = (Seq.fill(10)("a") ++ Seq("b", "c", "d", "e", "f")).toDF("k")
+    val out = Quality.populationOutliers(rows, "k", k = 2).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a"))
+    assert(out.head.getLong(1) == 10L && out.head.getString(2) == "high")
+    assert(out.head.getLong(3) == 2025L && out.head.getLong(4) == 1620L)
+    // uniform population: nothing flags at any k
+    val uni = Seq("x", "x", "y", "y", "z", "z").toDF("k")
+    assert(Quality.populationOutliers(uni, "k", k = 1).count() == 0L)
+    // low side: one near-dead key against heavy uniform mass
+    val low = (Seq.fill(20)("p") ++ Seq.fill(20)("q") ++ Seq.fill(20)("r") ++
+      Seq("dead")).toDF("k")
+    val l = Quality.populationOutliers(low, "k", k = 1).collect()
+    assert(l.exists(r => r.getString(0) == "dead" && r.getString(2) == "low"))
+  }
+
 }

@@ -634,4 +634,27 @@ class TextSpec extends SparkSpec {
     assert(!out.contains("fig")) // df 1 < minDf
   }
 
+  test("shingleReuse: later copy of an earlier doc reads as reuse; fresh text does not") {
+    val s = spark
+    import s.implicits._
+    val textA = (1 to 10).map(i => s"a$i").mkString(" ") // 3 distinct 8-shingles
+    val fresh = (1 to 10).map(i => s"z$i").mkString(" ")
+    // ids 0,1 -> bucket 0; ids 2,3 -> bucket 1 (nBuckets = 2)
+    val docs = Seq((0L, textA), (1L, fresh),
+      (2L, textA), (3L, (1 to 10).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "txt")
+    val out = Text.shingleReuse(docs, "txt", "doc_id", n = 8, nBuckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // bucket 0: 6 occurrences, none reused; bucket 1: 6 occurrences,
+    // doc 2's 3 shingles are recycled from bucket 0 -> 500000 ppm
+    assert(out(0L) == ((6L, 0L, 0L)))
+    assert(out(1L) == ((6L, 3L, 500000L)))
+    // within-bucket repetition is NOT cross-slice reuse
+    val same = Seq((0L, textA), (1L, textA)).toDF("doc_id", "txt")
+    val sb = Text.shingleReuse(same, "txt", "doc_id", n = 8, nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sb(0L) == 0L && sb(1L) == 3L)
+  }
+
 }

@@ -604,4 +604,47 @@ class EventStreamSpec extends SparkSpec {
     assert(EventStream.topPaths(ev, pathLen = 3, topK = 1).count() == 1L)
   }
 
+  test("rfmSegments: quintiles split a 5-user population one per bucket; segment concatenates") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000000L
+    // 5 users: user i has i+1 purchases at times i*100s.. and value 10*(i+1)
+    val ev = (0 until 5).flatMap { i =>
+      (0 to i).map(j => ((i * 10 + j).toLong, i.toLong, "purchase",
+        (i * 100 + j).toLong * sec, 10.0 * (i + 1)))
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventStream.rfmSegments(ev, "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(7))).toMap
+    // user 4: newest last purchase, most purchases, biggest spend -> 555
+    assert(out(4L)._4 == "555")
+    assert(out(0L)._4 == "111")
+    assert(out(4L)._1 == 0L) // recency 0: owns the reference time
+    assert(out(2L)._2 == 3L && math.abs(out(2L)._3 - 90.0) < 1e-9)
+    // non-purchase types never contribute
+    val mixed = ev.unionAll(Seq((99L, 0L, "error", 1L * sec, 1000.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value"))
+    assert(EventStream.rfmSegments(mixed, "purchase")
+      .filter($"user_id" === 0L).head().getDouble(3) == 10.0)
+  }
+
+  test("bounceRates: gap splits sessions; single-event session bounces; exit accounting") {
+    val s = spark
+    import s.implicits._
+    val min = 60L * 1000000000L
+    val ev = Seq(
+      // u1 session 1: a(0) b(5m) -> entry a, exit b, no bounce
+      (1L, 1L, "a", 0 * min), (2L, 1L, "b", 5 * min),
+      // u1 session 2 (40m gap): a alone -> bounce, exit a
+      (3L, 1L, "a", 45 * min),
+      // u2: single session b -> bounce
+      (4L, 2L, "b", 0 * min)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.bounceRates(ev, gapMinutes = 30)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((2L, 1L, 500000L, 1L)))
+    assert(out("b") == ((1L, 1L, 1000000L, 1L)))
+  }
+
 }

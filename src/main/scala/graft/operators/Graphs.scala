@@ -497,6 +497,54 @@ object Graphs {
         perC.agg(sum("contrib_ppm").as("modularity_ppm"))))
   }
 
+  /** Market-basket association rules — directed `ante → cons` pairs
+    * with support, confidence, and lift in integer ppm (the co-purchase
+    * recommender and the data-curation "which sources co-occur" view):
+    *   confidence = support·10⁶ div occ(ante),
+    *   lift = support·n_baskets·10⁶ div (occ(ante)·occ(cons))
+    * — lift > 10⁶ means the pair co-occurs beyond independence. Top
+    * `topK` rules by (support desc, confidence desc, ante, cons).
+    *
+    * Scale shape: baskets larger than `maxBasket` are dropped BEFORE
+    * pair expansion (the fan-out per basket is k·(k−1) — one pathological
+    * mega-basket would otherwise dominate the job); pair counts
+    * aggregate on the basket join's own output; item occurrence tables
+    * rejoin shuffle-hash (item space is catalog-sized, never broadcast);
+    * the rank sorts only the ≥ minSupport rule table. */
+  def associationRules(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long = 2L, topK: Int = 50,
+      maxBasket: Int = 100): DataFrame = {
+    require(minSupport >= 1 && topK >= 1 && topK <= 100000)
+    require(maxBasket >= 2, "maxBasket >= 2")
+    val bi0 = baskets.select(col(basketCol).cast("long").as("b"),
+      col(itemCol).cast("long").as("i")).distinct()
+    val sizes = bi0.groupBy("b").agg(count(lit(1)).as("bs"))
+    val bi = bi0.join(sizes.filter(col("bs") <= maxBasket)
+      .select("b").hint("shuffle_hash"), "b")
+    val occ = bi.groupBy("i").agg(count(lit(1)).as("occ"))
+    val nB = broadcast(bi.agg(countDistinct("b").as("n_baskets")))
+    val pairs = bi.as("x").join(bi.as("y"),
+        col("x.b") === col("y.b") && col("x.i") =!= col("y.i"))
+      .groupBy(col("x.i").as("ante"), col("y.i").as("cons"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(occ.select(col("i").as("ante"), col("occ").as("occ_a"))
+        .hint("shuffle_hash"), "ante")
+      .join(occ.select(col("i").as("cons"), col("occ").as("occ_c"))
+        .hint("shuffle_hash"), "cons")
+      .crossJoin(nB)
+      .withColumn("confidence_ppm", expr("(support * 1000000L) div occ_a"))
+      .withColumn("lift_ppm",
+        expr("(support * n_baskets * 1000000L) div (occ_a * occ_c)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("support").desc,
+          col("confidence_ppm").desc, col("ante"), col("cons"))))
+      .filter(col("rank") <= topK)
+      .select("ante", "cons", "support", "occ_a", "occ_c", "n_baskets",
+        "confidence_ppm", "lift_ppm", "rank")
+  }
+
   /** Newman degree assortativity — does the graph wire hubs to hubs
     * (r > 0, social shape) or hubs to leaves (r < 0, infrastructure
     * shape)? Over the DIRECTED orientation list (every undirected edge

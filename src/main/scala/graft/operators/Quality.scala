@@ -459,6 +459,43 @@ object Quality {
           "greatest(1L, n_keys * total)"))
   }
 
+  /** JSON schema drift over time — when did new payload keys APPEAR
+    * (the producer-deploy detector: a v2 field shows up as a new key in
+    * the slice where the rollout landed): rows bucket into `nBuckets`
+    * value-range slices of `orderCol` (the [[heapsGrowth]] O(1)
+    * bucketing — no global sort); each distinct top-level JSON key is
+    * charged to its first bucket. Returns per bucket: (bucket, n_rows,
+    * new_keys, first_keys = comma-joined sorted names, cum_keys).
+    *
+    * Scale shape: one `json_object_keys` explode → min-bucket groupBy on
+    * the key name; row counts per bucket ride the same scan; the
+    * key-name collect is bounded by the LIVE KEY COUNT (schema-sized,
+    * not row-sized); the cumulative window runs over nBuckets rows. */
+  def schemaDrift(df: DataFrame, jsonCol: String, orderCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 10000)
+    val bounds = broadcast(df.agg(
+      min(col(orderCol).cast("long")).as("lo"),
+      max(col(orderCol).cast("long")).as("hi")))
+    val base = df.select(col(orderCol).cast("long").as("o"),
+        col(jsonCol).as("j"))
+      .crossJoin(bounds)
+      .withColumn("bucket", expr(s"((o - lo) * $nBuckets) div (hi - lo + 1)"))
+    val rows = base.groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    val firstSeen = base
+      .select(col("bucket"), explode(json_object_keys(col("j"))).as("key"))
+      .groupBy("key").agg(min("bucket").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("new_keys"),
+        array_join(sort_array(collect_list("key")), ",").as("first_keys"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    rows.join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_keys")).na.fill("", Seq("first_keys"))
+      .withColumn("cum_keys", sum("new_keys").over(w))
+      .select("bucket", "n_rows", "new_keys", "first_keys", "cum_keys")
+  }
+
   /** Integer Chebyshev outlier gate — which keys carry a row count more
     * than `k` population standard deviations from the mean, WITHOUT any
     * square root (so every engine agrees digit-for-digit): with

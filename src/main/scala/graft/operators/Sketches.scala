@@ -227,6 +227,38 @@ object Sketches {
       .select("id", "weight", "priority")
   }
 
+  /** Deterministic negative sampling — the contrastive/implicit-feedback
+    * training staple: for every user in `interactions`, the `k` catalog
+    * items they have NOT interacted with whose md5(user_item) hash is
+    * smallest — a uniform-without-RNG draw that any engine (and any
+    * rerun) reproduces exactly, so train/eval negatives never silently
+    * shift between pipeline runs. Returns (user_id, item, rank).
+    *
+    * SCALE CONTRACT: the catalog side is broadcast and crossed with the
+    * user set — the caller bounds it (a sampled catalog slice is the
+    * normal input; the [[kmvDistinct]] bottom-k or a modulo slice both
+    * work). Cost is |users| × |catalog| hash evaluations, map-side; the
+    * anti-join against seen pairs and the per-user rank both run on the
+    * user partitioning. */
+  def negativeSamples(interactions: DataFrame, userCol: String,
+      itemCol: String, catalog: DataFrame, catItemCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k out of range: $k")
+    val seen = interactions.select(col(userCol).cast("long").as("user_id"),
+      col(itemCol).cast("long").as("item")).distinct()
+    val users = seen.select("user_id").distinct()
+    val cat = broadcast(
+      catalog.select(col(catItemCol).cast("long").as("item")).distinct())
+    users.crossJoin(cat)
+      .join(seen, Seq("user_id", "item"), "left_anti")
+      .withColumn("h", md5(concat(col("user_id"), lit("_"), col("item"))))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("h")))
+      .filter(col("rank") <= k)
+      .select("user_id", "item", "rank")
+  }
+
   /** Pairwise Jaccard estimates BETWEEN groups from per-group KMV
     * summaries — "which sources/types share members" as one small
     * matrix (audience overlap between event types, vocabulary overlap

@@ -604,6 +604,54 @@ object MiscQueries {
         when(col("event_id") % 3 === 0, 999L).otherwise(col("user_id") % 7)
           .as("uk"))
       graft.operators.Quality.populationOutliers(keyed, "uk", k = 2)
+    },
+    // Market-basket association rules over co-purchased parts: top-50
+    // directed rules by support with integer confidence and lift.
+    "qa11_assoc_rules" -> { (s, d) =>
+      val bi = t(s, d, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      graft.operators.Graphs.associationRules(bi, "b", "i",
+          minSupport = 2L, topK = 50)
+        .orderBy("rank")
+    },
+    // CUSUM change-point per event type: where the hourly rate's most
+    // sustained upward level shift ends (integer drawup, earliest tie).
+    "qw04_changepoint" -> { (s, d) =>
+      graft.streaming.EventStream.changePoints(
+          t(s, d, "events"), windowMinutes = 60)
+        .orderBy("event_type")
+    },
+    // JSON schema drift: a synthetic v2 field rolls out at the id
+    // midpoint and an experiment flag at the 80% mark — each must
+    // surface as new keys in exactly those buckets.
+    "qq15_schema_drift" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val b = broadcast(ev.agg(min("event_id").as("lo"),
+        max("event_id").as("hi")))
+      val js = ev.crossJoin(b).select(col("event_id"),
+        when(expr("event_id >= lo + (hi - lo + 1) * 4 div 5"),
+          format_string("{\"uid\": %d, \"k\": 1, \"exp_flag\": true}",
+            col("user_id")))
+        .when(expr("event_id >= lo + (hi - lo + 1) div 2"),
+          format_string("{\"uid\": %d, \"k\": 1, \"v2_field\": \"x\"}",
+            col("user_id")))
+        .otherwise(format_string("{\"uid\": %d, \"k\": 1}", col("user_id")))
+        .as("j"))
+      graft.operators.Quality.schemaDrift(js, "j", "event_id", nBuckets = 10)
+        .orderBy("bucket")
+    },
+    // Deterministic negative sampling: per customer, the 5 unseen
+    // catalog-slice parts with the smallest md5(user_item) — the
+    // contrastive-training negative set any engine redraws identically.
+    "qx10_negative_samples" -> { (s, d) =>
+      val inter = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("it"))
+        .filter(col("u") % 10 === 0)
+      val catalog = t(s, d, "part").filter(col("p_partkey") % 100 === 0)
+      graft.operators.Sketches.negativeSamples(inter, "u", "it",
+          catalog, "p_partkey", k = 5)
+        .orderBy("user_id", "rank")
     }
   )
 
@@ -1195,13 +1243,14 @@ object MiscQueries {
         |  FROM tagged GROUP BY 1, 2, 3),
         |mr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS r
         |  FROM m),
-        |kept AS (SELECT * FROM mr WHERE r <= 128)
-        |SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS kk,
-        |  CAST(COALESCE(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), 0) AS BIGINT)
-        |    AS inter,
-        |  (CAST(COALESCE(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), 0) AS BIGINT)
-        |    * 1000000) // GREATEST(1, COUNT(*)) AS jaccard_ppm
-        |FROM kept GROUP BY ga, gb ORDER BY ga, gb""".stripMargin,
+        |kept AS (SELECT * FROM mr WHERE r <= 128),
+        |agg AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS kk,
+        |    CAST(COALESCE(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), 0)
+        |      AS BIGINT) AS inter
+        |  FROM kept GROUP BY ga, gb)
+        |SELECT ga, gb, kk, inter,
+        |  (inter * 1000000) // GREATEST(1, kk) AS jaccard_ppm
+        |FROM agg ORDER BY ga, gb""".stripMargin,
     "qg12_assortativity" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         |  WHERE l_orderkey % 50 = 0),
@@ -1315,7 +1364,92 @@ object MiscQueries {
         |FROM c CROSS JOIN m
         |WHERE (n_keys * cnt - sx) * (n_keys * cnt - sx)
         |  > 4 * (n_keys * sxx - sx * sx)
-        |ORDER BY cnt DESC, key""".stripMargin
+        |ORDER BY cnt DESC, key""".stripMargin,
+    "qa11_assoc_rules" ->
+      """WITH bi0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |sz AS (SELECT b FROM bi0 GROUP BY b HAVING COUNT(*) <= 100),
+        |bi AS (SELECT bi0.b, bi0.i FROM bi0 JOIN sz USING (b)),
+        |occ AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS occ FROM bi GROUP BY i),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+        |p AS (SELECT x.i AS ante, y.i AS cons, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM bi x JOIN bi y ON x.b = y.b AND x.i <> y.i GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2),
+        |sc AS (SELECT ante, cons, support, oa.occ AS occ_a, oc.occ AS occ_c,
+        |    n_baskets,
+        |    (support * 1000000) // oa.occ AS confidence_ppm,
+        |    (support * n_baskets * 1000000) // (oa.occ * oc.occ) AS lift_ppm
+        |  FROM p JOIN occ oa ON oa.i = p.ante JOIN occ oc ON oc.i = p.cons
+        |  CROSS JOIN nb),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY support DESC,
+        |    confidence_ppm DESC, ante, cons) AS INT) AS rank FROM sc)
+        |SELECT ante, cons, support, occ_a, occ_c, n_baskets,
+        |  confidence_ppm, lift_ppm, rank
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "qw04_changepoint" ->
+      """WITH c AS (SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx FROM c GROUP BY event_type),
+        |d AS (SELECT c.event_type, w, n, n * x - sx AS dev
+        |  FROM c JOIN st USING (event_type)),
+        |s AS (SELECT event_type, w, n,
+        |    CAST(SUM(dev) OVER win AS BIGINT) AS s
+        |  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY w
+        |    ROWS UNBOUNDED PRECEDING)),
+        |du AS (SELECT event_type, w, n,
+        |    s - MIN(s) OVER (PARTITION BY event_type ORDER BY w
+        |      ROWS UNBOUNDED PRECEDING) AS drawup
+        |  FROM s),
+        |pk AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_windows,
+        |    CAST(MAX(drawup) AS BIGINT) AS peak FROM du GROUP BY event_type)
+        |SELECT du.event_type, pk.n_windows, pk.peak AS peak_drawup,
+        |  CAST(MIN(du.w) AS BIGINT) AS w_at_peak_us
+        |FROM du JOIN pk ON pk.event_type = du.event_type
+        |  AND du.drawup = pk.peak
+        |GROUP BY du.event_type, pk.n_windows, pk.peak
+        |ORDER BY du.event_type""".stripMargin,
+    "qq15_schema_drift" ->
+      """WITH bd AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi
+        |  FROM events),
+        |j AS (SELECT event_id,
+        |    CASE WHEN event_id >= lo + (hi - lo + 1) * 4 // 5 THEN
+        |      '{"uid": ' || CAST(user_id AS VARCHAR) || ', "k": 1, "exp_flag": true}'
+        |    WHEN event_id >= lo + (hi - lo + 1) // 2 THEN
+        |      '{"uid": ' || CAST(user_id AS VARCHAR) || ', "k": 1, "v2_field": "x"}'
+        |    ELSE '{"uid": ' || CAST(user_id AS VARCHAR) || ', "k": 1}' END AS js,
+        |    ((event_id - lo) * 10) // (hi - lo + 1) AS bucket
+        |  FROM events CROSS JOIN bd),
+        |rw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM j GROUP BY bucket),
+        |ks AS (SELECT key, MIN(bucket) AS bucket FROM (
+        |    SELECT bucket, unnest(json_keys(js)) AS key FROM j) GROUP BY key),
+        |fs AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_keys,
+        |    string_agg(key, ',' ORDER BY key) AS first_keys
+        |  FROM ks GROUP BY bucket),
+        |jn AS (SELECT rw.bucket, n_rows, COALESCE(new_keys, 0) AS new_keys,
+        |    COALESCE(first_keys, '') AS first_keys
+        |  FROM rw LEFT JOIN fs ON fs.bucket = rw.bucket)
+        |SELECT bucket, n_rows, new_keys, first_keys,
+        |  CAST(SUM(new_keys) OVER (ORDER BY bucket) AS BIGINT) AS cum_keys
+        |FROM jn ORDER BY bucket""".stripMargin,
+    "qx10_negative_samples" ->
+      """WITH inter AS (SELECT DISTINCT o_custkey AS uid, l_partkey AS item
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey % 10 = 0),
+        |us AS (SELECT DISTINCT uid FROM inter),
+        |cat AS (SELECT DISTINCT p_partkey AS item FROM part
+        |  WHERE p_partkey % 100 = 0),
+        |cand AS (SELECT us.uid, cat.item,
+        |    md5(CAST(us.uid AS VARCHAR) || '_' || CAST(cat.item AS VARCHAR)) AS h
+        |  FROM us CROSS JOIN cat
+        |  WHERE NOT EXISTS (SELECT 1 FROM inter i
+        |    WHERE i.uid = us.uid AND i.item = cat.item)),
+        |r AS (SELECT uid, item, CAST(ROW_NUMBER() OVER (PARTITION BY uid
+        |    ORDER BY h) AS INT) AS rank FROM cand)
+        |SELECT uid AS user_id, item, rank FROM r WHERE rank <= 5
+        |ORDER BY user_id, rank""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

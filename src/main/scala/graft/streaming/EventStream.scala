@@ -855,6 +855,45 @@ object EventStream {
         col("n_exits_here"))
   }
 
+  /** CUSUM change-point detection — WHERE did each event type's rate
+    * shift (the [[rateSpikes]] monitor says "a window spiked"; this says
+    * "the level changed at t and by how much"): over the type's observed
+    * `windowMinutes` buckets with counts x₁…xₙ, deviations are scaled by
+    * n to stay integer (devᵢ = n·xᵢ − Σx ∝ xᵢ − mean), S = the running
+    * deviation sum, and the CUSUM drawup S − min(S so far) peaks at the
+    * end of the most sustained upward level shift. Returns per type:
+    * (event_type, n_windows, peak_drawup, w_at_peak_us) — peak_drawup
+    * is in n-scaled count units (divide by n for events); the earliest
+    * peak wins ties. Downward shifts are the same query on negated
+    * counts — deliberately not duplicated here.
+    *
+    * Scale shape: one (type, bucket) count aggregation collapses the
+    * stream; the two cumulative windows and the final max run over the
+    * counts table (windows × types rows), partitioned by type. */
+  def changePoints(events: DataFrame,
+      windowMinutes: Long = 60): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    val counts = tsNanos(events)
+      .select((expr("ts div 1000") - pmod(expr("ts div 1000"), lit(winUs)))
+        .as("w"), col("event_type"))
+      .groupBy("event_type", "w").agg(count(lit(1)).as("x"))
+    val stats = counts.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("w")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.join(broadcast(stats), "event_type")
+      .withColumn("dev", expr("n * x - sx"))
+      .withColumn("s", sum("dev").over(wCum))
+      .withColumn("runmin", min("s").over(wCum))
+      .withColumn("drawup", col("s") - col("runmin"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_windows"),
+        max(struct(col("drawup").as("d"), (-col("w")).as("negw"))).as("__pk"))
+      .select(col("event_type"), col("n_windows"),
+        col("__pk.d").as("peak_drawup"), (-col("__pk.negw")).as("w_at_peak_us"))
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

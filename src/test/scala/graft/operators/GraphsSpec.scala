@@ -323,4 +323,26 @@ class GraphsSpec extends SparkSpec {
       .head().getAs[Long]("r_milli") == -1000L)
   }
 
+  test("associationRules: hand support/confidence/lift; mega-basket dropped by cap") {
+    val s = spark
+    import s.implicits._
+    // baskets: {1,2} x3, {1,3} x1 -> occ(1)=4, occ(2)=3, occ(3)=1, n=4
+    val bi = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (13L, 1L), (13L, 3L)).toDF("b", "i")
+    val out = Graphs.associationRules(bi, "b", "i", minSupport = 2L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(6), r.getLong(7))).toMap
+    // 1->2: support 3, conf 3/4 = 750000, lift 3*4/(4*3) = 1000000
+    assert(out((1L, 2L)) == ((3L, 750000L, 1000000L)))
+    // 2->1: conf 3/3 = 1000000, same lift
+    assert(out((2L, 1L)) == ((3L, 1000000L, 1000000L)))
+    assert(!out.contains((1L, 3L))) // support 1 < minSupport
+    // a basket over the cap contributes nothing
+    val mega = bi.unionAll((1L to 5L).map(i => (99L, 100 + i)).toDF("b", "i"))
+    val capped = Graphs.associationRules(mega, "b", "i",
+      minSupport = 2L, topK = 10, maxBasket = 4)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 1L)))
+  }
+
 }

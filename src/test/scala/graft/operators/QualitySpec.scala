@@ -284,4 +284,19 @@ class QualitySpec extends SparkSpec {
     assert(l.exists(r => r.getString(0) == "dead" && r.getString(2) == "low"))
   }
 
+  test("schemaDrift: a key rolling out mid-range lands in its first bucket with its name") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 10L).map { i =>
+      val j = if (i >= 5) s"""{"a": 1, "b": $i}""" else s"""{"a": 1}"""
+      (i, j)
+    }.toDF("ord", "j")
+    val out = Quality.schemaDrift(rows, "j", "ord", nBuckets = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(out(0L) == ((2L, 1L, "a", 1L)))
+    assert(out(2L) == ((2L, 1L, "b", 2L)))
+    assert(out(4L) == ((2L, 0L, "", 2L)))
+  }
+
 }

@@ -157,4 +157,23 @@ class SketchesSpec extends SparkSpec {
     assert(t.getLong(2) == 3L && t.getLong(3) == 1L && t.getLong(4) == 333333L)
   }
 
+  test("negativeSamples: seen items excluded, k caps per user, draw is deterministic") {
+    val s = spark
+    import s.implicits._
+    val inter = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("u", "it")
+    val catalog = (10L to 19L).toDF("item")
+    val out = Sketches.negativeSamples(inter, "u", "it", catalog, "item", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every user gets exactly k rows, none of them seen
+    assert(out.count(_._1 == 1L) == 3 && out.count(_._1 == 2L) == 3)
+    assert(!out.contains((1L, 10L, 1)) && !out.exists(r =>
+      r._1 == 1L && (r._2 == 10L || r._2 == 11L)))
+    assert(!out.exists(r => r._1 == 2L && r._2 == 12L))
+    // rerun reproduces the identical draw
+    val again = Sketches.negativeSamples(inter, "u", "it", catalog, "item", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.sortBy(x => (x._1, x._3)).sameElements(
+      again.sortBy(x => (x._1, x._3))))
+  }
+
 }

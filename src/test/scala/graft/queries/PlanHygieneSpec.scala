@@ -43,7 +43,21 @@ class PlanHygieneSpec extends SparkSpec {
     "qd54_retrieval_eval", // two qd38 BM25 rankers inside: same 1-row stats broadcast
     "qg10_ppr", // broadcast seed count (1 row) in rank init + teleport
     "qq07_cluster_agreement", // cross of three 1-row pair-count aggregates
-    "qd55_collocations") // broadcast corpus token total (1 row)
+    "qd55_collocations", // broadcast corpus token total (1 row)
+    "qd57_corpus_divergence", // cross of the two 1-row side-total aggregates
+    "qg11_modularity", // cross of the 1-row edge-count m and 1-row modularity total
+    "qq09_kappa", // cross of the 1-row (n, agree) and 1-row sum_ab aggregates
+    "qd61_keywords", // broadcast corpus doc count (1 row)
+    "qw03_decayed_counts", // broadcast newest-bucket reference (1 row)
+    "qq10_benford", // cross of the 1-row total and 1-row TVD aggregates
+    "qq12_heaps_growth", // broadcast id-range bounds (1 row)
+    "qq15_schema_drift", // broadcast id-range bounds (1 row), twice (query synth + operator)
+    "qd63_shingle_reuse", // broadcast id-range bounds (1 row)
+    "qa10_rfm", // broadcast newest-purchase reference (1 row)
+    "qq14_outliers", // broadcast population moments (1 row)
+    "qa11_assoc_rules", // broadcast basket count (1 row)
+    "qx09_group_jaccard", // group-pair inequality join over the distinct-group list (|G| rows)
+    "qx10_negative_samples") // broadcast catalog slice (caller-bounded, SCALE CONTRACT)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -647,4 +647,26 @@ class EventStreamSpec extends SparkSpec {
     assert(out("b") == ((1L, 1L, 1000000L, 1L)))
   }
 
+  test("changePoints: the drawup peaks where the level shift ends; flat series peaks at 0") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000000000L
+    // type a: hours 0-3 at 1 event, hours 4-7 at 5 events
+    // n=8, sx=24; dev = 8x-24: low hours -16, high hours +16
+    // S: -16,-32,-48,-64,-48,-32,-16,0; runmin tracks -64
+    // drawup peaks at 64 in hour 7 (end of the shift)
+    val a = (0 until 4).flatMap(i => Seq((i * 10L, 1L, "a", i * h))) ++
+      (4 until 8).flatMap(i => (0 until 5).map(j =>
+        (i * 100L + j, 1L, "a", i * h)))
+    // type b: flat 2/hour -> dev 0 everywhere, drawup 0, earliest hour wins
+    val b = (0 until 4).flatMap(i =>
+      (0 until 2).map(j => (1000L + i * 10 + j, 2L, "b", i * h)))
+    val ev = (a ++ b).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.changePoints(ev, windowMinutes = 60)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((8L, 64L, 7L * 3600L * 1000000L)))
+    assert(out("b") == ((4L, 0L, 0L)))
+  }
+
 }

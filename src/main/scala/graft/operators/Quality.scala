@@ -496,6 +496,43 @@ object Quality {
       .select("bucket", "n_rows", "new_keys", "first_keys", "cum_keys")
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance — did a numeric column's
+    * DISTRIBUTION move between two corpus slices (the drift test that
+    * catches shape changes chi-square-on-categories can't): the KS D is
+    * the maximum gap between the two empirical CDFs, computed exactly
+    * over the merged distinct-value ladder as
+    *   D_ppm = max |cumA·n_b − cumB·n_a| · 10⁶ div (n_a·n_b)
+    * — all-integer, no sorting of raw rows. Returns one row:
+    * (n_a, n_b, d_ppm, at_value = the SMALLEST value attaining the max).
+    *
+    * Scale shape: one count-per-value aggregation per side, a full-outer
+    * merge on the value, and cumulative windows over the DISTINCT-VALUE
+    * summary (value-cardinality-sized — the T11 summary-sort
+    * discipline); raw rows are scanned once per side. */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def cnts(df: DataFrame, out: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("long").as("v"))
+        .agg(count(lit(1)).as(out))
+    val merged = cnts(a, "ca").join(cnts(b, "cb"), Seq("v"), "full")
+      .na.fill(0L, Seq("ca", "cb"))
+    val totals = broadcast(merged.agg(sum("ca").as("n_a"),
+      sum("cb").as("n_b")))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    merged
+      .withColumn("cuma", sum("ca").over(wCum))
+      .withColumn("cumb", sum("cb").over(wCum))
+      .crossJoin(totals)
+      .withColumn("gap", abs(expr("cuma * n_b - cumb * n_a")))
+      .groupBy()
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        max(struct(col("gap").as("g"), (-col("v")).as("negv"))).as("__pk"))
+      .select(col("n_a"), col("n_b"),
+        expr("(__pk.g * 1000000L) div greatest(1L, n_a * n_b)").as("d_ppm"),
+        (-col("__pk.negv")).as("at_value"))
+  }
+
   /** Integer Chebyshev outlier gate — which keys carry a row count more
     * than `k` population standard deviations from the mean, WITHOUT any
     * square root (so every engine agrees digit-for-digit): with

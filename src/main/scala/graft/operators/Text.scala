@@ -948,6 +948,31 @@ object Text {
         .when(col("score_milli") >= 30000L, "standard").otherwise("hard"))
       .drop("vg")
 
+  /** Vocabulary tail statistics per group — the OOV-risk and
+    * templating read on each source/language slice: vocabulary size,
+    * token total, hapax legomena (types occurring exactly once — a high
+    * hapax share means open vocabulary, typos, or OCR noise; a LOW one
+    * means templated text), and the mass of the single heaviest type.
+    * Returns per group: (grp, vocab, tokens, hapax,
+    * hapax_ppm = hapax·10⁶ div vocab, top_mass_ppm = max(count)·10⁶
+    * div tokens).
+    *
+    * Scale shape: one token explode → (group, token) partial-agg
+    * counts, then a group-key re-agg of the count table. Output is
+    * O(groups). */
+  def vocabTail(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol).cast("string").as("grp"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("vocab"), sum("c").as("tokens"),
+        coalesce(sum(when(col("c") === 1, 1L)), lit(0L)).as("hapax"),
+        max("c").as("top_c"))
+      .select(col("grp"), col("vocab"), col("tokens"), col("hapax"),
+        expr("(hapax * 1000000L) div vocab").as("hapax_ppm"),
+        expr("(top_c * 1000000L) div tokens").as("top_mass_ppm"))
+
   /** Cross-slice shingle reuse — how much of each corpus slice is
     * RECYCLED text (the "is today's crawl just yesterday again" read
     * that decides whether to keep crawling a source): documents bucket

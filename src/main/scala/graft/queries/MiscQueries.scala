@@ -652,6 +652,29 @@ object MiscQueries {
       graft.operators.Sketches.negativeSamples(inter, "u", "it",
           catalog, "p_partkey", k = 5)
         .orderBy("user_id", "rank")
+    },
+    // Integer least-squares trend per event type over daily buckets:
+    // is each metric growing, and how fast (milli-events/day).
+    "qw05_trend" -> { (s, d) =>
+      graft.streaming.EventStream.trendSlopes(
+          t(s, d, "events"), windowMinutes = 1440)
+        .orderBy("event_type")
+    },
+    // Gini-Simpson behavioral diversity per user: 0 = does one thing
+    // (bot smell), higher = varied — the ln()-free entropy stand-in.
+    "qa12_behavior_diversity" -> { (s, d) =>
+      graft.streaming.EventStream.behaviorDiversity(t(s, d, "events"))
+        .orderBy("user_id")
+    },
+    // Two-sample KS distance between even docs and odd docs shifted
+    // +200 chars: the exact CDF max-gap must see the injected shift.
+    "qq16_ks_test" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Quality.ksTest(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)
+          .select((col("n_chars") + 200).as("n_chars")),
+        "n_chars")
     }
   )
 
@@ -1269,7 +1292,8 @@ object MiscQueries {
         |    CAST(n_terms * sum_xy - sum_x * sum_x AS BIGINT) AS num,
         |    CAST(n_terms * sum_x2 - sum_x * sum_x AS BIGINT) AS den FROM agg)
         |SELECT n_terms, sum_x, sum_xy, sum_x2, num, den,
-        |  (num * 1000) // GREATEST(1, den) AS r_milli
+        |  (num * 1000 - ((num * 1000 % GREATEST(1, den)) + GREATEST(1, den))
+        |    % GREATEST(1, den)) // GREATEST(1, den) AS r_milli
         |FROM nd""".stripMargin,
     "qa08_dwell_times" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
@@ -1449,7 +1473,55 @@ object MiscQueries {
         |r AS (SELECT uid, item, CAST(ROW_NUMBER() OVER (PARTITION BY uid
         |    ORDER BY h) AS INT) AS rank FROM cand)
         |SELECT uid AS user_id, item, rank FROM r WHERE rank <= 5
-        |ORDER BY user_id, rank""".stripMargin
+        |ORDER BY user_id, rank""".stripMargin,
+    "qw05_trend" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM c GROUP BY event_type),
+        |nd AS (SELECT event_type, n_windows,
+        |    CAST(n_windows * sxy - sx * sy AS BIGINT) AS num,
+        |    CAST(n_windows * sxx - sx * sx AS BIGINT) AS den FROM m)
+        |SELECT event_type, n_windows, num, den,
+        |  (num * 1000 - ((num * 1000 % GREATEST(1, den)) + GREATEST(1, den))
+        |    % GREATEST(1, den)) // GREATEST(1, den) AS slope_milli
+        |FROM nd ORDER BY event_type""".stripMargin,
+    "qa12_behavior_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS nt
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(SUM(nt) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(nt * nt) AS BIGINT) AS ssq
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n_events, n_types,
+        |  1000000 - (ssq * 1000000) // (n_events * n_events) AS simpson_ppm
+        |FROM u ORDER BY user_id""".stripMargin,
+    "qq16_ks_test" ->
+      """WITH a AS (SELECT n_chars AS v FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |b AS (SELECT n_chars + 200 AS v FROM documents
+        |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ca FROM a GROUP BY v),
+        |cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY v),
+        |mg AS (SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |tt AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b FROM mg),
+        |cm AS (SELECT v, CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+        |  FROM mg WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |gp AS (SELECT v, ABS(cuma * n_b - cumb * n_a) AS gap
+        |  FROM cm CROSS JOIN tt),
+        |mx AS (SELECT MAX(gap) AS g FROM gp)
+        |SELECT tt.n_a, tt.n_b,
+        |  (mx.g * 1000000) // GREATEST(1, tt.n_a * tt.n_b) AS d_ppm,
+        |  CAST(MIN(gp.v) AS BIGINT) AS at_value
+        |FROM gp JOIN mx ON gp.gap = mx.g CROSS JOIN tt
+        |GROUP BY tt.n_a, tt.n_b, mx.g""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -673,6 +673,12 @@ object TextOps {
       graft.operators.Text.bpePairs(
         t(s, d, "documents"), "text", topK = 40, minCount = 2L)
     },
+    // Vocabulary tail per source: hapax share (OOV/noise risk) and
+    // heaviest-type mass (templating smell).
+    "qd64_vocab_tail" -> { (s, d) =>
+      graft.operators.Text.vocabTail(t(s, d, "documents"), "text", "source")
+        .orderBy("grp")
+    },
     // Cross-slice shingle reuse: how much of each id-range corpus slice
     // is text recycled from earlier slices (8-token shingles).
     "qd63_shingle_reuse" -> { (s, d) =>
@@ -1566,6 +1572,21 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd64_vocab_tail" ->
+      """WITH tk AS (SELECT source AS grp, unnest(str_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(c) AS BIGINT) AS tokens,
+        |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+        |      AS hapax,
+        |    CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM c GROUP BY grp)
+        |SELECT grp, vocab, tokens, hapax,
+        |  (hapax * 1000000) // vocab AS hapax_ppm,
+        |  (top_c * 1000000) // tokens AS top_mass_ppm
+        |FROM g ORDER BY grp""".stripMargin,
     "qd63_shingle_reuse" ->
       """WITH bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
         |  FROM documents),

@@ -894,6 +894,54 @@ object EventStream {
         col("__pk.d").as("peak_drawup"), (-col("__pk.negw")).as("w_at_peak_us"))
   }
 
+  /** Integer least-squares trend — is each event type's volume growing
+    * or shrinking, as a number ([[changePoints]] finds WHERE the level
+    * moved; this fits HOW FAST it drifts): over the type's observed
+    * `windowMinutes` buckets with x = bucket index and y = count,
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * in milli-events-per-window via engine-portable floor division (the
+    * numerator is signed). A single-window type has den = 0 AND num = 0
+    * — slope reports 0 via the guard. Returns
+    * (event_type, n_windows, num, den, slope_milli).
+    *
+    * Scale shape: one (type, bucket) count aggregation collapses the
+    * stream; the regression moments are one more |types|-row partial
+    * agg. Nothing else. */
+  def trendSlopes(events: DataFrame,
+      windowMinutes: Long = 1440): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    tsNanos(events)
+      .select(expr(s"(ts div 1000) div ${winUs}L").as("x"), col("event_type"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_windows"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", expr("n_windows * sxy - sx * sy"))
+      .withColumn("den", expr("n_windows * sxx - sx * sx"))
+      .select(col("event_type"), col("n_windows"), col("num"), col("den"),
+        expr("(num * 1000L - pmod(num * 1000L, greatest(1L, den))) div " +
+          "greatest(1L, den)").as("slope_milli"))
+  }
+
+  /** Behavioral diversity per user — the Gini-Simpson index 1 − Σpᵢ²
+    * over the user's event-type mix, in integer ppm (the ln()-free
+    * diversity measure entropy can't give cross-engine): 0 = the user
+    * only ever does one thing (bot smell), → 1 − 1/k = uniform across k
+    * types. simpson_ppm = 10⁶ − Σnₜ²·10⁶ div n². Returns
+    * (user_id, n_events, n_types, simpson_ppm).
+    *
+    * Scale shape: one (user, type) count aggregation, then a user-key
+    * re-agg on the same partitioning; output is O(users). */
+  def behaviorDiversity(events: DataFrame): DataFrame =
+    events.groupBy("user_id", "event_type").agg(count(lit(1)).as("nt"))
+      .groupBy("user_id")
+      .agg(sum("nt").as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("nt") * col("nt")).as("ssq"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        expr("1000000L - (ssq * 1000000L) div (n_events * n_events)")
+          .as("simpson_ppm"))
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

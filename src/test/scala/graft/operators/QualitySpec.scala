@@ -299,4 +299,21 @@ class QualitySpec extends SparkSpec {
     assert(out(4L) == ((2L, 0L, "", 2L)))
   }
 
+  test("ksTest: disjoint supports hit D=1, identical slices 0, hand gap with tie rule") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val far = Seq(10L, 11L).toDF("v")
+    val d1 = Quality.ksTest(a, far, "v").head()
+    assert(d1.getAs[Long]("n_a") == 3L && d1.getAs[Long]("n_b") == 2L)
+    assert(d1.getAs[Long]("d_ppm") == 1000000L)
+    assert(d1.getAs[Long]("at_value") == 3L) // the gap first maxes at v=3
+    assert(Quality.ksTest(a, a, "v").head().getAs[Long]("d_ppm") == 0L)
+    // hand case: a = {1,2}, b = {2,3}: at v=1 gap |1*2-0*2|=2; at v=2
+    // |2*2-1*2|=2; at v=3 0 -> D = 2/4 = 0.5, earliest at v=1
+    val h = Quality.ksTest(Seq(1L, 2L).toDF("v"), Seq(2L, 3L).toDF("v"), "v")
+      .head()
+    assert(h.getAs[Long]("d_ppm") == 500000L && h.getAs[Long]("at_value") == 1L)
+  }
+
 }

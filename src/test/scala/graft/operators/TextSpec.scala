@@ -657,4 +657,20 @@ class TextSpec extends SparkSpec {
     assert(sb(0L) == 0L && sb(1L) == 3L)
   }
 
+  test("vocabTail: hapax and top-mass hand counts per group") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("web", "the the the cat"),   // vocab 2, tokens 4, hapax 1 (cat), top 3
+      ("web", "dog"),               // +dog: vocab 3, tokens 5, hapax 2
+      ("book", "a b c")             // all hapax
+    ).toDF("src", "txt")
+    val out = Text.vocabTail(docs, "txt", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("web") == ((3L, 5L, 2L, 666666L, 600000L)))
+    assert(out("book") == ((3L, 3L, 3L, 1000000L, 333333L)))
+  }
+
 }

@@ -669,4 +669,42 @@ class EventStreamSpec extends SparkSpec {
     assert(out("b") == ((4L, 0L, 0L)))
   }
 
+  test("trendSlopes: exact unit slope, flat series reports 0, single window guarded") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    // type a: 1,2,3 events on days 0,1,2 -> slope exactly +1/day
+    val a = (0 until 3).flatMap(i => (0 to i).map(j =>
+      ((i * 10 + j).toLong, 1L, "a", i * day)))
+    // type b: 2,2,2 -> slope 0 with nonzero den
+    val b = (0 until 3).flatMap(i => (0 until 2).map(j =>
+      ((100 + i * 10 + j).toLong, 1L, "b", i * day)))
+    // type c: one day only -> num = den = 0 -> slope 0
+    val c = Seq((200L, 1L, "c", 0 * day))
+    val ev = (a ++ b ++ c).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.trendSlopes(ev, windowMinutes = 1440)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4))).toMap
+    assert(out("a") == ((3L, 1000L)))
+    assert(out("b") == ((3L, 0L)))
+    assert(out("c") == ((1L, 0L)))
+  }
+
+  test("behaviorDiversity: single-type user scores 0; uniform two-type user 500000") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 1L), (3L, 1L, "a", 2L),
+      (4L, 2L, "a", 0L), (5L, 2L, "b", 1L),
+      (6L, 3L, "a", 0L), (7L, 3L, "a", 1L), (8L, 3L, "b", 2L), (9L, 3L, "c", 3L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.behaviorDiversity(ev)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 1L, 0L)))
+    assert(out(2L) == ((2L, 2L, 500000L)))
+    // user 3: 4 events (2,1,1) -> 1 - 6/16 = 0.625
+    assert(out(3L) == ((4L, 3L, 625000L)))
+  }
+
 }

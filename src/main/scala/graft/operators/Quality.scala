@@ -496,6 +496,50 @@ object Quality {
       .select("bucket", "n_rows", "new_keys", "first_keys", "cum_keys")
   }
 
+  /** Cramér's V² association between two categorical columns — how
+    * strongly does one column determine the other (0 = independent,
+    * 10⁶ ppm = perfect association; [[fdViolations]] is the hard yes/no,
+    * this is the soft strength): from the contingency table with cell
+    * counts O, row totals rT, column totals cT and n rows, each cell
+    * contributes (in deliberately TWO-STEP integer division so both
+    * engines land on identical digits — documented approximation, not
+    * IEEE chi-square)
+    *   contrib = ((O·n − rT·cT)² div (rT·cT)) · 10⁶ div n,
+    * chi2_scaled = Σ contrib ≈ χ²·10⁶, and
+    * v2_ppm = chi2_scaled div (n·(min(r,c) − 1)). One row:
+    * (n, n_rows_cat, n_cols_cat, chi2_scaled, v2_ppm). A single-category
+    * side (min(r,c) = 1) reports v2 = 0 via the guard.
+    *
+    * Scale shape: one groupBy on the (a, b) pair (contingency-sized);
+    * marginals re-aggregate that table and rejoin on the category
+    * value; no pair relation over raw rows ever exists. */
+  def cramersV2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("a").agg(sum("o").as("rt"))
+    val ct = cells.groupBy("b").agg(sum("o").as("ct"))
+    val tot = broadcast(cells.agg(sum("o").as("n"),
+      countDistinct("a").as("nr"), countDistinct("b").as("nc")))
+    // the FULL category grid: chi-square charges empty cells too
+    // (O = 0 where E > 0) — without them association under-reads.
+    // Constant-key broadcast equi-join, not a CartesianProduct: both
+    // sides are category summaries, the row side broadcast-sized.
+    broadcast(rt.withColumn("one", lit(1)))
+      .join(ct.withColumn("one", lit(1)), "one").drop("one")
+      .join(cells, Seq("a", "b"), "left").na.fill(0L, Seq("o"))
+      .crossJoin(tot)
+      .withColumn("d", expr("o * n - rt * ct"))
+      .withColumn("contrib", expr("((d * d) div (rt * ct)) * 1000000L div n"))
+      .groupBy()
+      .agg(max("n").as("n"), max("nr").as("n_rows_cat"),
+        max("nc").as("n_cols_cat"), sum("contrib").as("chi2_scaled"))
+      .select(col("n"), col("n_rows_cat"), col("n_cols_cat"),
+        col("chi2_scaled"),
+        expr("chi2_scaled div greatest(1L, n * (least(n_rows_cat, n_cols_cat) - 1))")
+          .as("v2_ppm"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance — did a numeric column's
     * DISTRIBUTION move between two corpus slices (the drift test that
     * catches shape changes chi-square-on-categories can't): the KS D is

@@ -914,6 +914,44 @@ object Text {
       .filter(col("rank") <= topK)
   }
 
+  /** BPE merge application — the tokenize half of the [[bpePairs]]
+    * story (mine merges → apply merges = a working round-1 tokenizer):
+    * text explodes to space-separated characters (the original word gap
+    * widens to 3+ spaces, so no merge can cross a word boundary), then
+    * each 2-character merge pair `xy` rewrites every ` x y ` run to
+    * ` xy ` via LITERAL (non-regex) replace — left-to-right,
+    * non-overlapping, identical in the JVM and DuckDB. A single
+    * non-overlapping pass skips every OTHER pair of an `xxxx` run (the
+    * match consumes the shared trailing space), so each merge applies
+    * THREE passes — exact for runs of up to ~2³ repeats, the practical
+    * ceiling in prose; the residual is a documented approximation, not
+    * an engine divergence (the oracle replays the identical passes).
+    * Merges apply in the given order (rank order from [[bpePairs]] —
+    * the GPT-2-style round-1 batch; later rounds would re-mine over the
+    * merged symbols). Returns (id, syms = the symbol array after
+    * merging).
+    *
+    * Scale shape: pure per-row string algebra — zero shuffles; the
+    * merge list is a bounded driver-side constant folded into the
+    * projection. */
+  def bpeApplyMerges(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[String]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 100, "1..100 merges")
+    merges.foreach(m => require(m.length == 2,
+      s"round-1 merges are 2-char pairs, got '$m'"))
+    val spaced = concat(lit(" "),
+      regexp_replace(col(textCol), "(.)", "$1 "))
+    val merged = merges.foldLeft(spaced) { (acc, m) =>
+      val from = s" ${m.charAt(0)} ${m.charAt(1)} "
+      val to = s" $m "
+      (1 to 3).foldLeft(acc)((a, _) =>
+        call_function("replace", a, lit(from), lit(to)))
+    }
+    df.select(col(idCol).cast("long").as("id"),
+      filter(split(trim(regexp_replace(merged, " +", " ")), " "),
+        s => length(s) > 0).as("syms"))
+  }
+
   /** Integer-scaled Flesch reading-ease — the readability gate of a
     * curation mix (too-hard legalese and too-easy spam both score out):
     * per document, word count (space-delimited runs), sentence count

@@ -675,6 +675,18 @@ object MiscQueries {
         docs.filter(col("doc_id") % 2 === 1)
           .select((col("n_chars") + 200).as("n_chars")),
         "n_chars")
+    },
+    // Cramér's V² between document language and source: the soft
+    // association strength behind the hard FD audit.
+    "qq17_cramers_v2" -> { (s, d) =>
+      graft.operators.Quality.cramersV2(t(s, d, "documents"),
+        "lang", "source")
+    },
+    // Log2-bucketed inter-arrival spectrum per event type: which
+    // octaves the gaps live in (no float log — binary string length).
+    "qa13_gap_histogram" -> { (s, d) =>
+      graft.streaming.EventStream.interArrivalHistogram(t(s, d, "events"))
+        .orderBy("event_type", "octave")
     }
   )
 
@@ -1521,7 +1533,48 @@ object MiscQueries {
         |  (mx.g * 1000000) // GREATEST(1, tt.n_a * tt.n_b) AS d_ppm,
         |  CAST(MIN(gp.v) AS BIGINT) AS at_value
         |FROM gp JOIN mx ON gp.gap = mx.g CROSS JOIN tt
-        |GROUP BY tt.n_a, tt.n_b, mx.g""".stripMargin
+        |GROUP BY tt.n_a, tt.n_b, mx.g""".stripMargin,
+    "qq17_cramers_v2" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS nc FROM cells),
+        |grid AS (SELECT rt.a, ct.b, rt.rt, ct.ct FROM rt CROSS JOIN ct),
+        |filled AS (SELECT grid.a, grid.b, COALESCE(cells.o, 0) AS o,
+        |    grid.rt, grid.ct
+        |  FROM grid LEFT JOIN cells ON cells.a = grid.a AND cells.b = grid.b),
+        |con AS (SELECT ((d * d) // (rt * ct)) * 1000000 // n AS contrib,
+        |    n, nr, nc FROM (
+        |  SELECT o * n - rt * ct AS d, rt, ct, n, nr, nc
+        |  FROM filled CROSS JOIN tot)),
+        |agg AS (SELECT MAX(n) AS n, MAX(nr) AS n_rows_cat,
+        |    MAX(nc) AS n_cols_cat,
+        |    CAST(SUM(contrib) AS BIGINT) AS chi2_scaled FROM con)
+        |SELECT n, n_rows_cat, n_cols_cat, chi2_scaled,
+        |  chi2_scaled // GREATEST(1, n * (LEAST(n_rows_cat, n_cols_cat) - 1))
+        |    AS v2_ppm
+        |FROM agg""".stripMargin,
+    "qa13_gap_histogram" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS gap_us
+        |  FROM e),
+        |o AS (SELECT event_type,
+        |    CASE WHEN gap_us <= 0 THEN 0
+        |         ELSE CAST(len(bin(gap_us)) AS BIGINT) END AS octave
+        |  FROM g WHERE gap_us IS NOT NULL),
+        |c AS (SELECT event_type, octave, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM o GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM c
+        |  GROUP BY event_type)
+        |SELECT c.event_type, octave, n, (n * 1000000) // tot AS pct_ppm
+        |FROM c JOIN t ON t.event_type = c.event_type
+        |ORDER BY c.event_type, octave""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

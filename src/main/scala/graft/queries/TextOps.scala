@@ -673,6 +673,22 @@ object TextOps {
       graft.operators.Text.bpePairs(
         t(s, d, "documents"), "text", topK = 40, minCount = 2L)
     },
+    // Round-1 BPE end-to-end: mine the top-3 merges (qd58's op), apply
+    // them as a tokenizer, report the top-20 symbol frequencies.
+    "qd65_bpe_tokenize" -> { (s, d) =>
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val merges = graft.operators.Text
+        .bpePairs(docs, "text", topK = 3, minCount = 2)
+        .orderBy("rank").collect().map(_.getString(0)).toSeq
+      graft.operators.Text.bpeApplyMerges(docs, "text", "doc_id", merges)
+        .select(explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("sym"))))
+        .filter(col("rank") <= 20)
+        .orderBy("rank")
+    },
     // Vocabulary tail per source: hapax share (OOV/noise risk) and
     // heaviest-type mass (templating smell).
     "qd64_vocab_tail" -> { (s, d) =>
@@ -1572,6 +1588,37 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd65_bpe_tokenize" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT unnest(str_split(text, ' ')) AS w FROM d),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |  FROM w, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+        |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+        |  HAVING COUNT(*) >= 2),
+        |m AS (SELECT pair, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS r
+        |  FROM c),
+        |sp AS (SELECT ' ' || regexp_replace(text, '(.)', '\1 ', 'g') AS s
+        |  FROM d),
+        |mp AS (SELECT r,
+        |    ' ' || substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) || ' ' AS p,
+        |    ' ' || pair || ' ' AS q FROM m),
+        |a1 AS (SELECT replace(replace(replace(s, mp.p, mp.q), mp.p, mp.q),
+        |    mp.p, mp.q) AS s
+        |  FROM sp CROSS JOIN (SELECT p, q FROM mp WHERE r = 1) mp),
+        |a2 AS (SELECT replace(replace(replace(s, mp.p, mp.q), mp.p, mp.q),
+        |    mp.p, mp.q) AS s
+        |  FROM a1 CROSS JOIN (SELECT p, q FROM mp WHERE r = 2) mp),
+        |a3 AS (SELECT replace(replace(replace(s, mp.p, mp.q), mp.p, mp.q),
+        |    mp.p, mp.q) AS s
+        |  FROM a2 CROSS JOIN (SELECT p, q FROM mp WHERE r = 3) mp),
+        |tok AS (SELECT unnest(str_split(trim(regexp_replace(s, ' +', ' ', 'g')),
+        |    ' ')) AS sym FROM a3),
+        |cc AS (SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+        |  WHERE sym <> '' GROUP BY sym),
+        |r2 AS (SELECT sym, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, sym) AS INT) AS rank
+        |  FROM cc)
+        |SELECT sym, cnt, rank FROM r2 WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "qd64_vocab_tail" ->
       """WITH tk AS (SELECT source AS grp, unnest(str_split(text, ' ')) AS token
         |  FROM documents),

@@ -942,6 +942,36 @@ object EventStream {
         expr("1000000L - (ssq * 1000000L) div (n_events * n_events)")
           .as("simpson_ppm"))
 
+  /** Log₂-bucketed inter-arrival histogram per event type — the latency
+    * spectrum behind [[botSignals]]' thresholds (humans live in the
+    * seconds-to-minutes octaves, machines in the sub-second ones): each
+    * same-user gap (micros, (ts, event_id) order) lands in octave
+    * `length(bin(gap))` = ⌊log₂ gap⌋ + 1 — the BINARY-STRING-LENGTH
+    * trick both engines compute identically, no float log. Zero gaps
+    * take octave 0. Returns (event_type, octave, n, pct_ppm of the
+    * type's gaps).
+    *
+    * Scale shape: one lag window on the user partitioning, one
+    * (type, octave)-bounded count agg, type totals rejoin broadcast. */
+  def interArrivalHistogram(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val gaps = tsNanos(events)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"),
+        col("event_type"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("octave",
+        when(col("gap_us") <= 0, 0L)
+          .otherwise(length(bin(col("gap_us"))).cast("long")))
+    val counts = gaps.groupBy("event_type", "octave")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("octave"), col("n"),
+        expr("(n * 1000000L) div tot").as("pct_ppm"))
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

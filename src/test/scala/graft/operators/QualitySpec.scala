@@ -316,4 +316,21 @@ class QualitySpec extends SparkSpec {
     assert(h.getAs[Long]("d_ppm") == 500000L && h.getAs[Long]("at_value") == 1L)
   }
 
+  test("cramersV2: perfect association reads ~1e6; independence reads ~0; 1-category guard") {
+    val s = spark
+    import s.implicits._
+    // perfect: b = a over 2x2 (4+4 rows)
+    val perfect = (Seq.fill(4)(("x", "x")) ++ Seq.fill(4)(("y", "y")))
+      .toDF("a", "b")
+    val p = Quality.cramersV2(perfect, "a", "b").head()
+    assert(p.getAs[Long]("v2_ppm") >= 999000L) // two-step div loses ulps only
+    // independent 2x2 with equal cells: chi2 exactly 0
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val i = Quality.cramersV2(ind, "a", "b").head()
+    assert(i.getAs[Long]("chi2_scaled") == 0L && i.getAs[Long]("v2_ppm") == 0L)
+    // single-category side: v2 reports 0 via the guard
+    val one = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    assert(Quality.cramersV2(one, "a", "b").head().getAs[Long]("v2_ppm") == 0L)
+  }
+
 }

@@ -673,4 +673,23 @@ class TextSpec extends SparkSpec {
     assert(out("book") == ((3L, 3L, 3L, 1000000L, 333333L)))
   }
 
+  test("bpeApplyMerges: merges apply in order, never across words; untouched chars stay") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abab ab ba xy")).toDF("doc_id", "txt")
+    // merge 1: "ab" -> abab becomes (ab)(ab); ab -> (ab); ba stays b,a
+    val out = Text.bpeApplyMerges(docs, "txt", "doc_id", Seq("ab"))
+      .head().getSeq[String](1)
+    assert(out == Seq("ab", "ab", "ab", "b", "a", "x", "y"))
+    // merge 2 on the merged symbols' characters does NOT re-merge "ab"+"a"
+    // (round-1 merges are char pairs); "ba" now merges
+    val out2 = Text.bpeApplyMerges(docs, "txt", "doc_id", Seq("ab", "ba"))
+      .head().getSeq[String](1)
+    assert(out2 == Seq("ab", "ab", "ab", "ba", "x", "y"))
+    // a word boundary is never crossed: "b a" across words stays split
+    val two = Seq((2L, "b a")).toDF("doc_id", "txt")
+    assert(Text.bpeApplyMerges(two, "txt", "doc_id", Seq("ba"))
+      .head().getSeq[String](1) == Seq("b", "a"))
+  }
+
 }

@@ -57,7 +57,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qq14_outliers", // broadcast population moments (1 row)
     "qa11_assoc_rules", // broadcast basket count (1 row)
     "qx09_group_jaccard", // group-pair inequality join over the distinct-group list (|G| rows)
-    "qx10_negative_samples") // broadcast catalog slice (caller-bounded, SCALE CONTRACT)
+    "qx10_negative_samples", // broadcast catalog slice (caller-bounded, SCALE CONTRACT)
+    "qq16_ks_test", // broadcast (n_a, n_b) totals (1 row)
+    "qq17_cramers_v2") // broadcast (n, nr, nc) totals (1 row) + broadcast row-marginal grid join
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -707,4 +707,23 @@ class EventStreamSpec extends SparkSpec {
     assert(out(3L) == ((4L, 3L, 625000L)))
   }
 
+  test("interArrivalHistogram: octave = binary length of the micro gap; shares sum") {
+    val s = spark
+    import s.implicits._
+    val us = 1000L // ns per us
+    // gaps for type a: 1us (bin '1' -> octave 1), 3us ('11' -> 2),
+    // 8us ('1000' -> 4); plus a zero gap -> octave 0
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 1 * us), (3L, 1L, "a", 4 * us),
+      (4L, 1L, "a", 12 * us), (5L, 1L, "a", 12 * us)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.interArrivalHistogram(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", 1L)) == ((1L, 250000L)))
+    assert(out(("a", 2L)) == ((1L, 250000L)))
+    assert(out(("a", 4L)) == ((1L, 250000L)))
+    assert(out(("a", 0L)) == ((1L, 250000L)))
+  }
+
 }

@@ -96,4 +96,32 @@ object Cdc {
       .withColumnRenamed(seqCol, "valid_from")
       .drop(opCol)
   }
+
+  /** Incremental aggregate maintenance — refresh a materialized
+    * per-key (count, sum) rollup from a DELTA without rescanning the
+    * base (the incremental-view economics every nightly 100 TB rollup
+    * needs: cost ∝ new rows + touched keys, never history): the delta
+    * aggregates to per-key partials (exact decimal sum — order-
+    * independent), full-outer-merges with the base rollup, and both
+    * sides' partials ADD — the mergeability that makes (count, sum)
+    * partials the right materialization (avg/rate derive downstream).
+    * Returns the refreshed (key, n, sum) rollup.
+    *
+    * Scale shape: one delta aggregation on the key + one key-partitioned
+    * full-outer hash join against the (key-cardinality-sized) base
+    * rollup. The base's SOURCE rows are never read. */
+  def mergeAggDeltas(base: DataFrame, delta: DataFrame, keyCol: String,
+      valueCol: String, nCol: String = "n",
+      sumCol: String = "sum_value"): DataFrame = {
+    val d = delta.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__dn"),
+        sum(col(valueCol).cast("decimal(30,2)")).as("__ds"))
+    base.join(d, Seq(keyCol), "full")
+      .select(col(keyCol),
+        (coalesce(col(nCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(nCol),
+        (coalesce(col(sumCol), lit(0).cast("decimal(30,2)")) +
+          coalesce(col("__ds"), lit(0).cast("decimal(30,2)")))
+          .cast("decimal(30,2)").as(sumCol))
+  }
 }

@@ -287,6 +287,53 @@ object MediaQueries {
       EventStream.bounceRates(t(s, d, "events"), gapMinutes = 30)
         .orderBy("entry_type")
     },
+    // Incremental aggregate maintenance: a per-user rollup built from
+    // 80% of events refreshed with the other 20% as a delta must equal
+    // the full-scan aggregate — the invariant IS the oracle.
+    "qc05_incremental_agg" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val base = ev.filter(col("event_id") % 5 =!= 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,2)")).as("sum_value"))
+      val delta = ev.filter(col("event_id") % 5 === 0)
+      graft.operators.Cdc.mergeAggDeltas(base, delta, "user_id", "value")
+        .select(col("user_id"), col("n"),
+          col("sum_value").cast("double").as("total"))
+        .orderBy("user_id")
+    },
+    // Online feature-store maintenance: the STREAMING mapGroupsWithState
+    // path replayed over 3 micro-batches; each user's final emitted
+    // feature row must equal the batch aggregate the oracle computes.
+    "qs12_user_features" -> { (s, d) =>
+      import s.implicits._
+      val rows = EventStream.tsNanos(t(s, d, "events"))
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._2, r._1))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val name = s"qs12_sink_${cdcSinkSeq.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = EventStream.runningUserFeatures(
+            mem.toDF.toDF("user_id", "ts", "value"))
+          .writeStream.outputMode("update").format("memory")
+          .queryName(name).start()
+        val n = rows.length
+        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+            rows.slice(2 * n / 3, n))
+          .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+        q.stop()
+        // the serving-table upsert: each user's LAST emission (max n) wins
+        s.table(name).groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("last_tus"),
+            col("sum_cents"))).as("f"))
+          .select(col("user_id"), col("f.n_events").as("n_events"),
+            col("f.last_tus").as("last_tus"), col("f.sum_cents").as("sum_cents"))
+          .orderBy("user_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
     // Snapshot diff — the inverse of the CDC apply: two keyed per-user
     // aggregates diffed into the minimal I/U/D changelog (nightly-dump
     // reconciliation). Users 300-349 exist only before (D), even-id-only
@@ -516,6 +563,17 @@ object MediaQueries {
         |FROM run r JOIN pk p ON r.day = p.day AND r.conc = p.peak
         |JOIN n ON n.day = r.day
         |GROUP BY r.day, n.n_intervals, p.peak ORDER BY r.day""".stripMargin,
+    // the invariant oracle: merged(base, delta) must equal the full scan
+    "qc05_incremental_agg" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the streaming path's final per-user state must equal the batch agg
+    "qs12_user_features" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_tus,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2)) * 100) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the cumulative new-session flag replays sessionization exactly;
     // entry/exit via first/last_value over the session partition
     "qs11_bounce_rates" ->

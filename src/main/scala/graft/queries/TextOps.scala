@@ -673,6 +673,21 @@ object TextOps {
       graft.operators.Text.bpePairs(
         t(s, d, "documents"), "text", topK = 40, minCount = 2L)
     },
+    // Per-source quality scorecard: one wide curation view composing
+    // vocabTail + diversityMetrics + raw size aggregates — the table a
+    // data lead actually reads before adjusting the mix.
+    "qd66_source_scorecard" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val vt = graft.operators.Text.vocabTail(docs, "text", "source")
+      val dv = graft.operators.Text.diversityMetrics(docs, "text", "source")
+      val base = docs.groupBy(col("source").as("grp"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      base.join(vt, "grp")
+        .join(dv.select(col("grp"), col("d1_ppm"), col("d2_ppm")), "grp")
+        .select("grp", "n_docs", "total_chars", "vocab", "hapax_ppm",
+          "top_mass_ppm", "d1_ppm", "d2_ppm")
+        .orderBy("grp")
+    },
     // Round-1 BPE end-to-end: mine the top-3 merges (qd58's op), apply
     // them as a tokenizer, report the top-20 symbol frequencies.
     "qd65_bpe_tokenize" -> { (s, d) =>
@@ -1588,6 +1603,36 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd66_source_scorecard" ->
+      """WITH tk AS (SELECT source AS grp, unnest(str_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |vt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(c) AS BIGINT) AS tokens,
+        |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+        |      AS hapax,
+        |    CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM c GROUP BY grp),
+        |uni AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS du FROM c GROUP BY grp),
+        |bg0 AS (SELECT source AS grp,
+        |    w[i] || ' ' || w[i + 1] AS bg
+        |  FROM (SELECT source, str_split(text, ' ') AS w FROM documents),
+        |    unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+        |bi AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(COUNT(DISTINCT bg) AS BIGINT) AS db FROM bg0 GROUP BY grp),
+        |base AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source)
+        |SELECT base.grp, n_docs, total_chars, vocab,
+        |  (hapax * 1000000) // vocab AS hapax_ppm,
+        |  (top_c * 1000000) // vt.tokens AS top_mass_ppm,
+        |  (du * 1000000) // GREATEST(uni.n_tokens, 1) AS d1_ppm,
+        |  (db * 1000000) // GREATEST(bi.n_bigrams, 1) AS d2_ppm
+        |FROM base JOIN vt ON vt.grp = base.grp
+        |JOIN uni ON uni.grp = base.grp JOIN bi ON bi.grp = base.grp
+        |ORDER BY base.grp""".stripMargin,
     "qd65_bpe_tokenize" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         |w AS (SELECT unnest(str_split(text, ' ')) AS w FROM d),

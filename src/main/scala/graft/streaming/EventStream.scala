@@ -972,6 +972,50 @@ object EventStream {
         expr("(n * 1000000L) div tot").as("pct_ppm"))
   }
 
+  final case class UserFeatIn(user_id: Long, tus: Long, cents: Long)
+  final case class UserFeatState(n: Long, lastTus: Long, sumCents: Long)
+  final case class UserFeatOut(user_id: Long, n_events: Long,
+    last_tus: Long, sum_cents: Long)
+
+  /** Online per-user feature maintenance — the streaming feature-store
+    * pattern: per user, the running (event count, last-seen micros,
+    * exact money sum in CENTS — decimal-derived integers, so stream and
+    * batch agree digit-for-digit). Batch inputs compute the same
+    * features as one aggregation; streaming inputs keep one
+    * `UserFeatState` per user in `mapGroupsWithState` (Update mode) and
+    * re-emit a user's CURRENT feature row each micro-batch that touches
+    * them — the serving table upserts by user_id. Counters are
+    * order-independent sums and max, so any replay/split of the input
+    * converges to the identical state (spec-pinned batch ≡ 3-batch
+    * replay).
+    *
+    * Scale shape: state = one small case class per ACTIVE user;
+    * batch path is one user-key aggregation. */
+  def runningUserFeatures(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = tsNanos(events).select(col("user_id"),
+        expr("ts div 1000").as("tus"),
+        (col("value").cast("decimal(30,2)") * 100).cast("long").as("cents"))
+      .as[UserFeatIn]
+    if (!events.isStreaming) {
+      typed.groupBy("user_id").agg(count(lit(1)).as("n_events"),
+        max("tus").as("last_tus"), sum("cents").as("sum_cents"))
+    } else {
+      typed.groupByKey(_.user_id)
+        .mapGroupsWithState[UserFeatState, UserFeatOut](
+          GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserFeatState(0L, Long.MinValue, 0L))
+          val next = rows.foldLeft(prev) { (st, r) =>
+            UserFeatState(st.n + 1, math.max(st.lastTus, r.tus),
+              st.sumCents + r.cents)
+          }
+          state.update(next)
+          UserFeatOut(uid, next.n, next.lastTus, next.sumCents)
+        }.toDF()
+    }
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

@@ -82,4 +82,28 @@ class CdcSpec extends SparkSpec {
     assert(rebuilt == after.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
   }
+
+  test("mergeAggDeltas: merged rollup equals full recompute; delta-only and base-only keys survive") {
+    val s = spark
+    import s.implicits._
+    val all = Seq((1L, 10.5), (1L, 2.25), (2L, 3.0), (3L, 7.75))
+      .toDF("k", "value")
+    val base = all.filter($"k" <= 2 && $"value" > 3.0) // rows (1,10.5)
+      .groupBy("k").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          $"value".cast("decimal(30,2)")).as("sum_value"))
+    val delta = all.exceptAll(all.filter($"k" <= 2 && $"value" > 3.0))
+    val merged = Cdc.mergeAggDeltas(base, delta, "k", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue)).toMap
+    assert(merged(1L) == ((2L, 12.75)))
+    assert(merged(2L) == ((1L, 3.0)))  // delta-only key
+    assert(merged(3L) == ((1L, 7.75))) // delta-only key
+    // empty delta: the base comes back unchanged
+    val same = Cdc.mergeAggDeltas(base, delta.limit(0), "k", "value")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same == Map(1L -> 1L))
+  }
 }

@@ -726,4 +726,36 @@ class EventStreamSpec extends SparkSpec {
     assert(out(("a", 0L)) == ((1L, 250000L)))
   }
 
+  test("runningUserFeatures: 3-batch streaming replay converges to the batch aggregate") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000000L
+    val rows = Seq((1L, 1 * sec, 1.25), (1L, 3 * sec, 2.50),
+      (2L, 2 * sec, 10.00), (1L, 5 * sec, 0.25), (2L, 9 * sec, 0.01))
+    val batchDf = rows.toDF("user_id", "ts", "value")
+    val batch = EventStream.runningUserFeatures(batchDf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(batch(1L) == ((3L, 5L * 1000000L, 400L)))
+    assert(batch(2L) == ((2L, 9L * 1000000L, 1001L)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val q = EventStream.runningUserFeatures(
+        mem.toDF.toDF("user_id", "ts", "value"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ruf_sink").start()
+    // deliberately unordered split across 3 micro-batches
+    Seq(rows.slice(0, 2), rows.slice(2, 3), rows.slice(3, 5))
+      .foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val fin = s.table("ruf_sink").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"n_events", $"last_tus",
+          $"sum_cents")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getStruct(1).getLong(0),
+        r.getStruct(1).getLong(1), r.getStruct(1).getLong(2))).toMap
+    assert(fin == batch)
+  }
+
 }

@@ -577,6 +577,36 @@ object Quality {
         (-col("__pk.negv")).as("at_value"))
   }
 
+  /** Equi-DEPTH histogram — the two-pass shape every planner statistic
+    * at 100 TB uses: pass 1 draws the deterministic md5-bottom-k sample
+    * ([[Sketches.sampleQuantiles]] — a pure function of the id set, so
+    * any engine redraws it) and takes its nearest-rank quantiles as bin
+    * edges (a ≤ nbins−1 driver-side collect, the MMR bounded-pool
+    * discipline); pass 2 inlines the edges as a literal array and
+    * assigns `bin = #edges ≤ v` inside ONE corpus scan. Equal-frequency
+    * bins resolve skew equi-WIDTH ([[histogram]]) flattens into one fat
+    * bucket. NULL values are skipped. Returns per non-empty bin:
+    * (bin, n, lo, hi — the bin's observed value range).
+    *
+    * Scale shape: sample pass = TakeOrdered(k) on the hash; corpus pass
+    * = one projection + count aggregation on the nbins-valued key. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, idCol: String,
+      nbins: Int = 10, sampleK: Int = 1024): DataFrame = {
+    require(nbins >= 2 && nbins <= 1000, s"nbins out of range: $nbins")
+    require(sampleK >= nbins, "sampleK >= nbins")
+    val qs = (1 until nbins).map(_.toDouble / nbins)
+    val edges = Sketches.sampleQuantiles(df, valueCol, idCol, qs, sampleK)
+      .orderBy("q").collect()
+      .map(r => r.get(r.fieldIndex("value")).toString.toDouble)
+    val arr = array(edges.map(lit(_)): _*)
+    val v = col(valueCol).cast("double")
+    df.filter(col(valueCol).isNotNull)
+      .select(v.as("v"),
+        size(filter(arr, e => v >= e)).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+  }
+
   /** Integer Chebyshev outlier gate — which keys carry a row count more
     * than `k` population standard deviations from the mean, WITHOUT any
     * square root (so every engine agrees digit-for-digit): with

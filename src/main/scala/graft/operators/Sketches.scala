@@ -227,6 +227,44 @@ object Sketches {
       .select("id", "weight", "priority")
   }
 
+  /** KMV rollup by MERGE — the mergeability that makes sketches the
+    * right materialization at 100 TB: distinct-user (or any distinct)
+    * summaries are built once per FINE partition (per day, per shard)
+    * as bottom-k hash sets, and any coarser rollup merges the
+    * summaries — never re-reads raw rows. Bottom-k of a union equals
+    * bottom-k of the union of bottom-ks, so the merged estimate is
+    * DIGIT-IDENTICAL to the single-pass [[kmvDistinct]] over the same
+    * scope (the qx11 oracle states exactly that invariant). Returns per
+    * coarse group: (grp, n_fine_parts, est_distinct).
+    *
+    * Scale shape: fine summaries = rank ≤ k per (coarse, fine) on the
+    * distinct-hash shuffle; the merge re-ranks G·P·k summary rows —
+    * raw data is touched once, at fine-summary build time. */
+  def kmvMergeRollup(df: DataFrame, valueCol: String, fineCol: String,
+      coarseCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val fine = df.select(col(coarseCol).cast("string").as("grp"),
+        col(fineCol).cast("string").as("part"),
+        md5(col(valueCol).cast("string")).as("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp", "part").orderBy("h")))
+      .filter(col("rn") <= k)
+    val nparts = fine.select("grp", "part").distinct()
+      .groupBy("grp").agg(count(lit(1)).as("n_fine_parts"))
+    val merged = fine.select("grp", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("h")))
+      .filter(col("rn") <= k)
+      .withColumn("hi", conv(substring(col("h"), 1, 13), 16, 10).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), max("hi").as("hk"))
+      .select(col("grp"),
+        when(col("cnt") < k, col("cnt").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4503599627370496.0) /
+            col("hk").cast("double")).as("est_distinct"))
+    nparts.join(merged, "grp")
+  }
+
   /** Deterministic negative sampling — the contrastive/implicit-feedback
     * training staple: for every user in `interactions`, the `k` catalog
     * items they have NOT interacted with whose md5(user_item) hash is

@@ -687,6 +687,51 @@ object MiscQueries {
     "qa13_gap_histogram" -> { (s, d) =>
       graft.streaming.EventStream.interArrivalHistogram(t(s, d, "events"))
         .orderBy("event_type", "octave")
+    },
+    // Equi-depth histogram of document length: deterministic-sample bin
+    // edges (pass 1) + one corpus scan (pass 2) — skew-proof bins.
+    "qq18_equidepth_hist" -> { (s, d) =>
+      graft.operators.Quality.equiDepthHistogram(
+          t(s, d, "documents"), "n_chars", "doc_id",
+          nbins = 10, sampleK = 256)
+        .orderBy("bin")
+    },
+    // KMV rollup by merge: per-(type, day) distinct-user summaries
+    // merged up to per-type estimates — digit-identical to the
+    // single-pass sketch, which IS the oracle (mergeability invariant).
+    "qx11_kmv_rollup" -> { (s, d) =>
+      val ev = graft.streaming.EventStream.tsNanos(t(s, d, "events"))
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      graft.operators.Sketches.kmvMergeRollup(ev, "user_id", "day",
+          "event_type", k = 64)
+        .orderBy("grp")
+    },
+    // Golden-record capstone: corrupted feed fuzzy-relinks to master
+    // (D22), pairs close into clusters (D8), and the COMPLETEST copy
+    // ships (D16 by name length, id tie-break) — entity resolution
+    // end-to-end from public operators only.
+    "qd67_golden_record" -> { (s, d) =>
+      val cust = t(s, d, "customer")
+      val clean = cust.select(col("c_custkey").as("id_l"),
+          col("c_name").as("name_l"))
+        .withColumn("blk_l", expr("right(name_l, 4)"))
+      val dirty = cust.select((col("c_custkey") + 1000000).as("id_r"),
+          expr("concat(substring(c_name, 1, 9 + c_custkey % 5), " +
+            "substring(c_name, 11 + c_custkey % 5))").as("name_r"))
+        .withColumn("blk_r", expr("right(name_r, 4)"))
+      val pairs = graft.operators.Dedup.fuzzyJoin(clean, dirty,
+          "id_l", "name_l", "blk_l", "id_r", "name_r", "blk_r",
+          maxDistPpm = 100000L)
+        .select(col("id_l").as("id_a"), col("id_r").as("id_b"))
+      val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+      val scores = clean.select(col("id_l").as("id"),
+          length(col("name_l")).as("len"))
+        .unionAll(dirty.select(col("id_r").as("id"),
+          length(col("name_r")).as("len")))
+      graft.operators.Dedup.keepBestPerCluster(clusters, scores, "id", "len")
+        .filter(col("keep"))
+        .select("id", "comp", "len")
+        .orderBy("comp")
     }
   )
 
@@ -1574,7 +1619,71 @@ object MiscQueries {
         |  GROUP BY event_type)
         |SELECT c.event_type, octave, n, (n * 1000000) // tot AS pct_ppm
         |FROM c JOIN t ON t.event_type = c.event_type
-        |ORDER BY c.event_type, octave""".stripMargin
+        |ORDER BY c.event_type, octave""".stripMargin,
+    "qq18_equidepth_hist" ->
+      """WITH smp AS (SELECT md5('sq_' || CAST(doc_id AS VARCHAR)) AS h,
+        |    n_chars AS v
+        |  FROM documents ORDER BY h LIMIT 256),
+        |rk AS (SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
+        |    COUNT(*) OVER () AS n FROM smp),
+        |qs AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |    AS q),
+        |ed AS (SELECT CAST(v AS DOUBLE) AS e
+        |  FROM rk JOIN qs ON rk.rn = GREATEST(1, CEIL(q * n))),
+        |b AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |    (SELECT COUNT(*) FROM ed WHERE CAST(b0.n_chars AS DOUBLE) >= ed.e)
+        |      AS bin
+        |  FROM documents b0 WHERE n_chars IS NOT NULL)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "qx11_kmv_rollup" ->
+      """WITH d AS (SELECT DISTINCT event_type AS grp,
+        |    md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |r AS (SELECT grp, h,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d),
+        |kk AS (SELECT grp, CAST(list_sum(list_transform(generate_series(1, 13),
+        |    j -> CAST(instr('0123456789abcdef', substr(h, CAST(j AS INT), 1))
+        |      - 1 AS BIGINT) * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) AS hi
+        |  FROM r WHERE rn <= 64),
+        |sk AS (SELECT grp, CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+        |    ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |      / CAST(MAX(hi) AS DOUBLE)
+        |  END AS est_distinct
+        |  FROM kk GROUP BY grp),
+        |np AS (SELECT event_type AS grp,
+        |    CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+        |      AS n_fine_parts
+        |  FROM events GROUP BY event_type)
+        |SELECT np.grp, n_fine_parts, est_distinct
+        |FROM np JOIN sk ON sk.grp = np.grp ORDER BY np.grp""".stripMargin,
+    "qd67_golden_record" ->
+      """WITH RECURSIVE clean AS (SELECT c_custkey AS id_l, c_name AS name_l,
+        |    right(c_name, 4) AS blk FROM customer),
+        |dirty AS (SELECT c_custkey + 1000000 AS id_r,
+        |    substring(c_name, 1, CAST(9 + c_custkey % 5 AS INT))
+        |      || substring(c_name, CAST(11 + c_custkey % 5 AS INT)) AS name_r
+        |  FROM customer),
+        |dirty2 AS (SELECT id_r, name_r, right(name_r, 4) AS blk FROM dirty),
+        |p AS (SELECT c.id_l, d.id_r,
+        |    CAST(levenshtein(c.name_l, d.name_r) AS BIGINT) AS dist,
+        |    greatest(length(c.name_l), length(d.name_r), 1) AS len
+        |  FROM clean c JOIN dirty2 d ON d.blk = c.blk),
+        |e AS (SELECT id_l AS a, id_r AS b FROM p
+        |  WHERE (dist * 1000000) // len <= 100000),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach AS (
+        |  SELECT a, a AS b FROM (SELECT DISTINCT a FROM und)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        |comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+        |sc AS (SELECT id_l AS id, CAST(length(name_l) AS INT) AS len FROM clean
+        |  UNION ALL
+        |  SELECT id_r, CAST(length(name_r) AS INT) FROM dirty),
+        |j AS (SELECT comp.id, comp.comp, sc.len,
+        |    ROW_NUMBER() OVER (PARTITION BY comp.comp
+        |      ORDER BY sc.len DESC, comp.id) AS rk
+        |  FROM comp JOIN sc ON sc.id = comp.id)
+        |SELECT id, comp, len FROM j WHERE rk = 1 ORDER BY comp""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -333,4 +333,26 @@ class QualitySpec extends SparkSpec {
     assert(Quality.cramersV2(one, "a", "b").head().getAs[Long]("v2_ppm") == 0L)
   }
 
+  test("equiDepthHistogram: below sampleK the bins are exact equal-frequency; totals reconcile") {
+    val s = spark
+    import s.implicits._
+    // 100 rows 1..100, sample covers everything -> 4 bins of 25
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val out = Quality.equiDepthHistogram(df, "v", "id", nbins = 4,
+        sampleK = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // edges at ranks 25/50/75 -> bins 24,25,25,26 (top bin keeps its edge)
+    assert(out.values.map(_._1).sum == 100L)
+    assert(out(0L) == ((24L, 1.0, 24.0)))
+    assert(out(1L) == ((25L, 25.0, 49.0)))
+    assert(out(3L) == ((26L, 75.0, 100.0)))
+    // skewed data still spreads: one hot value + a tail
+    val skew = ((1L to 50L).map(i => (i, 7.0)) ++
+      (51L to 100L).map(i => (i, i.toDouble))).toDF("id", "v")
+    val sk = Quality.equiDepthHistogram(skew, "v", "id", nbins = 4,
+      sampleK = 256).collect()
+    assert(sk.map(_.getLong(1)).sum == 100L && sk.length >= 2)
+  }
+
 }

@@ -176,4 +176,23 @@ class SketchesSpec extends SparkSpec {
       again.sortBy(x => (x._1, x._3))))
   }
 
+  test("kmvMergeRollup: merged fine summaries equal the single-pass sketch digit-for-digit") {
+    val s = spark
+    import s.implicits._
+    // 300 values per group spread over 3 parts (overlapping values)
+    val rows = (1L to 300L).map(i => ("g1", i % 3, i)) ++
+      (1L to 50L).map(i => ("g2", i % 2, i))
+    val df = rows.toDF("grp", "part", "v")
+    val merged = Sketches.kmvMergeRollup(df, "v", "part", "grp", k = 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Sketches.kmvDistinct(df, "v", "grp", k = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(merged("g1")._2 == direct("g1"))
+    assert(merged("g1")._1 == 3L && merged("g2")._1 == 2L)
+    // below k the estimate is exact
+    assert(merged("g2")._2 == 32.0 || merged("g2")._2 == direct("g2"))
+    assert(direct("g2") == merged("g2")._2)
+  }
+
 }

@@ -545,6 +545,35 @@ object Graphs {
         "confidence_ppm", "lift_ppm", "rank")
   }
 
+  /** Closeness/harmonic centrality for a BOUNDED seed list — how close
+    * is each anchor vertex to the rest of the graph (the "which catalog
+    * item is most central" read; all-pairs closeness is O(V·E) and not
+    * a single-query shape, so this is the honest bounded variant): per
+    * seed, one [[shortestHops]] BFS, then reached count, hop sum, and
+    * integer harmonic centrality Σ(10⁶ div hop) — the variant that
+    * handles disconnected remainders gracefully. Returns per seed:
+    * (seed, reached, sum_hops, harmonic_scaled).
+    *
+    * Scale shape: |seeds| BFS runs (driver loop over the bounded seed
+    * list — require ≤ 16), each the qg09 frontier shape with
+    * localCheckpoint rounds; per-seed results union. */
+  def closenessFromSeeds(edges: DataFrame, aCol: String, bCol: String,
+      seeds: Seq[Long], maxHops: Int = 10): DataFrame = {
+    require(seeds.nonEmpty && seeds.size <= 16, "1..16 seeds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    seeds.map { s0 =>
+      shortestHops(edges, aCol, bCol, Seq(s0).toDF("n"), "n", maxHops)
+        .filter(col("dist") > 0)
+        .agg(count(lit(1)).as("reached"), sum("dist").as("sum_hops"),
+          coalesce(sum(expr("1000000L div dist")), lit(0L))
+            .as("harmonic_scaled"))
+        .select(lit(s0).as("seed"), col("reached"),
+          coalesce(col("sum_hops"), lit(0L)).as("sum_hops"),
+          col("harmonic_scaled"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Newman degree assortativity — does the graph wire hubs to hubs
     * (r > 0, social shape) or hubs to leaves (r < 0, infrastructure
     * shape)? Over the DIRECTED orientation list (every undirected edge

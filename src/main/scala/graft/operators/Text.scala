@@ -986,6 +986,29 @@ object Text {
         .when(col("score_milli") >= 30000L, "standard").otherwise("hard"))
       .drop("vg")
 
+  /** Compliance-marker audit per source — which slices carry contact
+    * info, license/copyright marks, or live URLs (the release-review
+    * scan that runs BEFORE [[scrub]] rewrites anything): per group, the
+    * number of documents containing each marker class, via simple
+    * case-insensitive regexes Java and RE2 evaluate identically.
+    * Returns (grp, n_docs, with_email, with_url, with_copyright,
+    * with_rights).
+    *
+    * Scale shape: per-row rlike flags folded into ONE group
+    * aggregation — adding a marker class adds a column, not a scan. */
+  def complianceMarkers(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    def flag(re: String) =
+      sum(when(col(textCol).rlike(re), 1L).otherwise(0L))
+    df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        flag("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}")
+          .as("with_email"),
+        flag("https?://").as("with_url"),
+        flag("(?i)copyright|\\(c\\) [0-9]{4}").as("with_copyright"),
+        flag("(?i)all rights reserved").as("with_rights"))
+  }
+
   /** Vocabulary tail statistics per group — the OOV-risk and
     * templating read on each source/language slice: vocabulary size,
     * token total, hapax legomena (types occurring exactly once — a high

@@ -732,6 +732,34 @@ object MiscQueries {
         .filter(col("keep"))
         .select("id", "comp", "len")
         .orderBy("comp")
+    },
+    // Closeness/harmonic centrality of the 3 lowest-id co-purchase
+    // parts: per-seed BFS, reached/sum-hops/integer harmonic.
+    "qg13_closeness" -> { (s, d) =>
+      val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val seeds = edges.select(col("pa").as("n"))
+        .unionAll(edges.select(col("pb").as("n")))
+        .distinct().orderBy("n").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.operators.Graphs.closenessFromSeeds(edges, "pa", "pb", seeds,
+          maxHops = 6)
+        .orderBy("seed")
+    },
+    // Funnel timing: signup -> first purchase latency distribution as
+    // exact interpolated percentiles (the qp04 cross-engine parity).
+    "qa14_conversion_latency" -> { (s, d) =>
+      graft.streaming.EventStream.conversionLatency(
+        t(s, d, "events"), "signup", "purchase")
+    },
+    // Weekday seasonality per event type: pure epoch arithmetic dow,
+    // share vs the uniform 1/7.
+    "qw06_weekday_profile" -> { (s, d) =>
+      graft.streaming.EventStream.weekdayProfile(t(s, d, "events"))
+        .orderBy("event_type", "dow")
     }
   )
 
@@ -1683,7 +1711,52 @@ object MiscQueries {
         |    ROW_NUMBER() OVER (PARTITION BY comp.comp
         |      ORDER BY sc.len DESC, comp.id) AS rk
         |  FROM comp JOIN sc ON sc.id = comp.id)
-        |SELECT id, comp, len FROM j WHERE rk = 1 ORDER BY comp""".stripMargin
+        |SELECT id, comp, len FROM j WHERE rk = 1 ORDER BY comp""".stripMargin,
+    "qg13_closeness" ->
+      """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |edges AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+        |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+        |und AS (SELECT pa AS a, pb AS b FROM edges
+        |  UNION SELECT pb, pa FROM edges),
+        |seeds AS (SELECT n FROM (SELECT DISTINCT a AS n FROM und)
+        |  ORDER BY n LIMIT 3),
+        |walk(seed, n, dist) AS (
+        |  SELECT n, n, 0 FROM seeds
+        |  UNION
+        |  SELECT w.seed, u.b, w.dist + 1 FROM walk w JOIN und u ON u.a = w.n
+        |  WHERE w.dist < 6),
+        |md AS (SELECT seed, n, MIN(dist) AS dist FROM walk GROUP BY seed, n)
+        |SELECT seed, CAST(COUNT(*) AS BIGINT) AS reached,
+        |  CAST(SUM(dist) AS BIGINT) AS sum_hops,
+        |  CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_scaled
+        |FROM md WHERE dist > 0 GROUP BY seed ORDER BY seed""".stripMargin,
+    "qa14_conversion_latency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(tus) AS s FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |l AS (SELECT e.user_id, MIN(e.tus) - MIN(f.s) AS latency_us
+        |  FROM e JOIN f ON f.user_id = e.user_id AND e.tus >= f.s
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(latency_us, 0.25) AS p25_us,
+        |  quantile_cont(latency_us, 0.5) AS p50_us,
+        |  quantile_cont(latency_us, 0.75) AS p75_us,
+        |  quantile_cont(latency_us, 0.9) AS p90_us,
+        |  CAST(MAX(latency_us) AS BIGINT) AS max_us
+        |FROM l""".stripMargin,
+    "qw06_weekday_profile" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM c
+        |  GROUP BY event_type)
+        |SELECT c.event_type, dow, n, (n * 1000000) // tot AS share_ppm,
+        |  ABS((n * 1000000) // tot - 142857) AS dev_ppm
+        |FROM c JOIN t ON t.event_type = c.event_type
+        |ORDER BY c.event_type, dow""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

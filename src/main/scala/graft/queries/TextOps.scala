@@ -673,6 +673,22 @@ object TextOps {
       graft.operators.Text.bpePairs(
         t(s, d, "documents"), "text", topK = 40, minCount = 2L)
     },
+    // Compliance-marker audit per source (emails / URLs / copyright /
+    // rights-reserved), with markers injected deterministically so the
+    // scan has real positives at every SF.
+    "qd69_compliance" -> { (s, d) =>
+      val docs = t(s, d, "documents").withColumn("txt",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact us at legal@example.com")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" Copyright 2024 Example Corp. All rights reserved."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" see https://example.com/license")).otherwise(lit(""))))
+      graft.operators.Text.complianceMarkers(docs, "txt", "source")
+        .orderBy("grp")
+    },
     // Per-source quality scorecard: one wide curation view composing
     // vocabTail + diversityMetrics + raw size aggregates — the table a
     // data lead actually reads before adjusting the mix.
@@ -1603,6 +1619,29 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd69_compliance" ->
+      """WITH d AS (SELECT source, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact us at legal@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' Copyright 2024 Example Corp. All rights reserved.'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ' see https://example.com/license' ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN regexp_matches(txt,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') THEN 1 END), 0)
+        |    AS BIGINT) AS with_email,
+        |  CAST(COALESCE(SUM(CASE WHEN regexp_matches(txt, 'https?://')
+        |    THEN 1 END), 0) AS BIGINT) AS with_url,
+        |  CAST(COALESCE(SUM(CASE WHEN regexp_matches(txt,
+        |    '(?i)copyright|\(c\) [0-9]{4}') THEN 1 END), 0) AS BIGINT)
+        |    AS with_copyright,
+        |  CAST(COALESCE(SUM(CASE WHEN regexp_matches(txt,
+        |    '(?i)all rights reserved') THEN 1 END), 0) AS BIGINT)
+        |    AS with_rights
+        |FROM d GROUP BY source ORDER BY grp""".stripMargin,
     "qd66_source_scorecard" ->
       """WITH tk AS (SELECT source AS grp, unnest(str_split(text, ' ')) AS token
         |  FROM documents),

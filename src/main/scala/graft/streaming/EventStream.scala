@@ -1016,6 +1016,56 @@ object EventStream {
     }
   }
 
+  /** Conversion latency — the funnel-TIMING companion to [[funnel]]'s
+    * counts: per user, the gap from their FIRST `fromType` event to
+    * their first `toType` event at-or-after it; the distribution ships
+    * as exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — the qp04 parity) plus count and max. One row:
+    * (n_converted, p25_us, p50_us, p75_us, p90_us, max_us).
+    *
+    * Scale shape: two user-key min-aggregations (the second over the
+    * at-or-after filter on the same partitioning) and one global
+    * percentile aggregate over the O(users) latency relation. */
+  def conversionLatency(events: DataFrame, fromType: String = "signup",
+      toType: String = "purchase"): DataFrame = {
+    val base = tsNanos(events)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_type"))
+    val from = base.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min("tus").as("s"))
+    val lat = base.filter(col("event_type") === toType)
+      .join(from, "user_id")
+      .filter(col("tus") >= col("s"))
+      .groupBy("user_id").agg((min("tus") - first("s")).as("latency_us"))
+    lat.agg(count(lit(1)).as("n_converted"),
+      expr("percentile(latency_us, 0.25)").as("p25_us"),
+      expr("percentile(latency_us, 0.5)").as("p50_us"),
+      expr("percentile(latency_us, 0.75)").as("p75_us"),
+      expr("percentile(latency_us, 0.9)").as("p90_us"),
+      max("latency_us").as("max_us"))
+  }
+
+  /** Weekday seasonality profile — per event type, how the volume
+    * spreads over the days of the week (dow 0 = Monday, from pure epoch
+    * arithmetic `(days + 3) % 7` — 1970-01-01 was a Thursday; no
+    * calendar/timezone functions to disagree cross-engine), each day's
+    * share in ppm and its deviation from the uniform 1/7 (142857 ppm).
+    * Returns (event_type, dow, n, share_ppm, dev_ppm).
+    *
+    * Scale shape: one (type, dow) count aggregation (≤ 7·|types| rows);
+    * type totals rejoin broadcast. */
+  def weekdayProfile(events: DataFrame): DataFrame = {
+    val counts = tsNanos(events)
+      .select(col("event_type"),
+        expr("((ts div 1000) div 86400000000 + 3) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("(n * 1000000L) div tot").as("share_ppm"))
+      .withColumn("dev_ppm", abs(col("share_ppm") - 142857L))
+  }
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

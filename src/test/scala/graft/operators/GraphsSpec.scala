@@ -345,4 +345,21 @@ class GraphsSpec extends SparkSpec {
       Set((1L, 2L), (2L, 1L)))
   }
 
+  test("closenessFromSeeds: path-graph hand values; maxHops truncates; isolated seed reaches 0") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4: from seed 1: dists 1,2,3 -> reached 3, sum 6,
+    // harmonic 1e6 + 5e5 + 333333
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val out = Graphs.closenessFromSeeds(p, "u", "v", Seq(1L, 9L), maxHops = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 6L, 1833333L)))
+    assert(out(9L) == ((0L, 0L, 0L))) // seed not in the graph
+    // maxHops = 1 sees only the direct neighbour
+    val near = Graphs.closenessFromSeeds(p, "u", "v", Seq(1L), maxHops = 1)
+      .head()
+    assert(near.getLong(1) == 1L && near.getLong(3) == 1000000L)
+  }
+
 }

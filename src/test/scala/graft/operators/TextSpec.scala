@@ -692,4 +692,21 @@ class TextSpec extends SparkSpec {
       .head().getSeq[String](1) == Seq("b", "a"))
   }
 
+  test("complianceMarkers: each marker class counted per group, case-insensitive") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("w", "write to a@b.co for info"),
+      ("w", "see https://x.y and COPYRIGHT 2020"),
+      ("w", "plain prose"),
+      ("b", "ALL RIGHTS RESERVED. (c) 2019 Corp")
+    ).toDF("src", "txt")
+    val out = Text.complianceMarkers(docs, "txt", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("w") == ((3L, 1L, 1L, 1L, 0L)))
+    assert(out("b") == ((1L, 0L, 0L, 1L, 1L)))
+  }
+
 }

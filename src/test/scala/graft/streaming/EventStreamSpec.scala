@@ -758,4 +758,38 @@ class EventStreamSpec extends SparkSpec {
     assert(fin == batch)
   }
 
+  test("conversionLatency: only purchases at-or-after the first signup count; exact quartiles") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000000L
+    val ev = Seq(
+      (1L, 1L, "purchase", 5 * sec),  // BEFORE u1's signup: ignored
+      (2L, 1L, "signup", 10 * sec), (3L, 1L, "purchase", 30 * sec),
+      (4L, 2L, "signup", 0 * sec), (5L, 2L, "purchase", 40 * sec),
+      (6L, 3L, "signup", 0 * sec),   // never converts
+      (7L, 4L, "purchase", 1 * sec)  // never signs up
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = EventStream.conversionLatency(ev, "signup", "purchase").head()
+    assert(r.getAs[Long]("n_converted") == 2L)
+    // latencies 20s and 40s -> median 30s interpolated
+    assert(r.getAs[Double]("p50_us") == 30.0 * 1000000)
+    assert(r.getAs[Long]("max_us") == 40L * 1000000)
+  }
+
+  test("weekdayProfile: epoch day 0 is Thursday (dow 3); shares in ppm") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, 1L, "a", 0 * day),       // 1970-01-01 Thu -> dow 3
+      (2L, 1L, "a", 4 * day),       // Monday -> dow 0
+      (3L, 1L, "a", 4 * day + 1000L),
+      (4L, 1L, "a", 11 * day)       // next Monday -> dow 0
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.weekdayProfile(ev)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(3L) == ((1L, 250000L)))
+    assert(out(0L) == ((3L, 750000L)))
+  }
+
 }

@@ -73,4 +73,34 @@ object Layout {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(tableName)
   }
+
+  /** WebDataset-style shard assignment — pack each group's documents
+    * (in deterministic `idCol` order) into shards of ~`targetBytes`:
+    * a document opens a new shard when the bytes BEFORE it reach the
+    * next multiple of the target (greedy first-fit in id order — the
+    * same layout every run, so resumable ingest rewrites nothing).
+    * Returns one row per shard:
+    * (group, shard, n_docs, bytes, min_id, max_id), ordered.
+    *
+    * Scale shape: one cumulative-sum window per group (partition-bounded
+    * by the group's own row count — shard layout is per-source by
+    * construction, so no global sort), then a (group, shard) aggregate.
+    * The shard id is a closed form of the prefix sum: no iteration, no
+    * driver state. */
+  def shardPacking(df: DataFrame, sizeCol: String, groupCol: String,
+      idCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes out of range: $targetBytes")
+    df.select(col(groupCol).as("grp"), col(idCol).cast("long").as("id"),
+        col(sizeCol).cast("long").as("sz"))
+      .withColumn("before", coalesce(sum("sz").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy("id").rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("shard", expr(s"before div ${targetBytes}L"))
+      .groupBy("grp", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("sz").as("bytes"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("grp", "shard")
+  }
 }

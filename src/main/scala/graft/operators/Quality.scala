@@ -639,6 +639,86 @@ object Quality {
       .orderBy(col("cnt").desc, col("key"))
   }
 
+  /** Key-space continuity audit — is a supposedly dense id sequence
+    * actually dense (dropped ingest batches, compaction holes, retention
+    * bugs all surface as id gaps): over the DISTINCT keys of `keyCol`,
+    * one row `(n_keys, min_key, max_key, missing, n_gaps, max_gap)`
+    * where `missing = span − n_keys` (ids the range says should exist),
+    * `n_gaps` counts maximal runs of absent ids and `max_gap` the widest.
+    *
+    * Scale shape: adjacency needs a sort, but NEVER a global one — keys
+    * bucket by `key div bucketSize`, the lag window runs per bucket
+    * (bounded ≤ bucketSize rows), and only the per-bucket summary table
+    * (n_keys / bucketSize rows) crosses a second, tiny window that
+    * stitches boundary gaps (bucket b's min vs the previous NON-EMPTY
+    * bucket's max — empty buckets are interior to the stitched gap).
+    * Raw rows are touched once, in the distinct. */
+  def sequenceGaps(df: DataFrame, keyCol: String,
+      bucketSize: Long = 1 << 20): DataFrame = {
+    require(bucketSize >= 2, s"bucketSize out of range: $bucketSize")
+    import org.apache.spark.sql.expressions.Window
+    val keys = df.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull).distinct()
+      .withColumn("b", expr(s"k div ${bucketSize}L"))
+    val inB = Window.partitionBy("b").orderBy("k")
+    val perBucket = keys
+      .withColumn("gap", col("k") - lag("k", 1).over(inB) - 1)
+      .groupBy("b")
+      .agg(count(lit(1)).as("cnt"), min("k").as("bmin"), max("k").as("bmax"),
+        coalesce(sum(when(col("gap") > 0, 1L)), lit(0L)).as("in_gaps"),
+        coalesce(max(when(col("gap") > 0, col("gap"))), lit(0L)).as("in_max"))
+    val across = Window.orderBy("b")
+    perBucket
+      .withColumn("xgap", col("bmin") - lag("bmax", 1).over(across) - 1)
+      .agg(sum("cnt").as("n_keys"), min("bmin").as("min_key"),
+        max("bmax").as("max_key"),
+        (sum("in_gaps") +
+          coalesce(sum(when(col("xgap") > 0, 1L)), lit(0L))).as("n_gaps"),
+        greatest(max("in_max"), coalesce(max("xgap"), lit(0L))).as("max_gap"))
+      .select(col("n_keys"), col("min_key"), col("max_key"),
+        (col("max_key") - col("min_key") + 1 - col("n_keys")).as("missing"),
+        col("n_gaps"), col("max_gap"))
+  }
+
+  /** Pairwise Pearson correlation of integer-valued feature expressions —
+    * the feature-redundancy screen before training (two features with
+    * r² ≈ 1 are one feature): for every unordered pair, one row
+    * `(col_a, col_b, n, r2_ppm, sgn)` with r² in parts-per-million and
+    * the covariance sign, from the moment identity
+    *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)).
+    *
+    * Determinism contract: inputs must be INTEGER-valued expressions
+    * (the caller scales/floors doubles first); the moments accumulate
+    * exactly in BIGINT, and the final ratio is evaluated in double with
+    * the identical expression shape the oracle uses — same exact inputs,
+    * same IEEE ops, same digits on every engine.
+    *
+    * Scale shape: ONE aggregate pass computes every Σx/Σx²/Σxy — adding
+    * a feature adds agg columns, not a scan; the pair table then unrolls
+    * from the single moment row driver-free via `inline`. BIGINT holds
+    * while n·max(x)² < 2⁶³; beyond that pass down-scaled features. */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val named = cols.map { case (n, c) => n -> c.cast("long") }
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      named.flatMap { case (n, c) =>
+        Seq(sum(c).as(s"__sx_$n"), sum(c * c).as(s"__sxx_$n")) } ++
+      named.combinations(2).toSeq.map { case Seq((a, ca), (b, cb)) =>
+        sum(ca * cb).as(s"__sxy_${a}_$b") }
+    val pairRows = named.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
+      val cov = col("__n").cast("double") * col(s"__sxy_${a}_$b").cast("double") -
+        col(s"__sx_$a").cast("double") * col(s"__sx_$b").cast("double")
+      def varOf(n: String) =
+        col("__n").cast("double") * col(s"__sxx_$n").cast("double") -
+          col(s"__sx_$n").cast("double") * col(s"__sx_$n").cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        floor(cov * cov / (varOf(a) * varOf(b)) * 1e6).cast("long").as("r2_ppm"),
+        signum(cov).cast("long").as("sgn"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(inline(array(pairRows: _*)))
+  }
+
   /** Functional-dependency audit — does `det → dep` actually hold in the
     * data (the schema-on-read reality check behind normalization and
     * join-key trust): per declared dependency, the number of determinant

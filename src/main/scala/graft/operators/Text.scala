@@ -1144,4 +1144,75 @@ object Text {
       .filter(col("rank") <= topK)
       .select("id", "token", "tf", "df", "score_scaled", "rank")
   }
+
+  /** Gopher-style filter funnel — the attrition report a corpus release
+    * ships alongside the data (how many documents each quality rule
+    * removed, applied IN ORDER): one row per stage
+    * `(stage, rule, n_in, n_fail, n_out)` where stage i's input is the
+    * survivor set of stages < i, so `n_out` of the last row is the
+    * released corpus size. Rules (Rae et al. Gopher §A1.1 shapes, with
+    * engine-portable arithmetic):
+    *   1 `word_count`   — token count within [minWords, maxWords]
+    *   2 `mean_word_len`— 100·(chars−(tokens−1)) div tokens in
+    *                      [mwlLo, mwlHi] (×100 fixed point, floor div)
+    *   3 `stopword`     — contains " the " or " a " as a whole token
+    *   4 `max_chars`    — at most maxChars characters
+    *
+    * Scale shape: one projection computes every rule flag, one partial-
+    * aggregated count pass folds the funnel (a new rule is one more agg
+    * column), and the per-stage rows unroll from the single moment row
+    * via `inline` — no second scan, no shuffle beyond the global agg. */
+  def filterFunnel(df: DataFrame, textCol: String,
+      minWords: Int = 20, maxWords: Int = 2000,
+      mwlLo: Int = 400, mwlHi: Int = 500, maxChars: Int = 450): DataFrame = {
+    val nt = size(tokens(col(textCol)))
+    val mwl = expr(s"(100 * (length(${textCol}) - (size(split(${textCol}, ' ')) - 1)))" +
+      s" div size(split(${textCol}, ' '))")
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val flags = df.select(
+      (nt >= minWords && nt <= maxWords).as("f1"),
+      (mwl >= mwlLo && mwl <= mwlHi).as("f2"),
+      (padded.contains(" the ") || padded.contains(" a ")).as("f3"),
+      (length(col(textCol)) <= maxChars).as("f4"))
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val m = flags.agg(count(lit(1)).as("n0"),
+      n(col("f1")).as("s1"),
+      n(col("f1") && col("f2")).as("s2"),
+      n(col("f1") && col("f2") && col("f3")).as("s3"),
+      n(col("f1") && col("f2") && col("f3") && col("f4")).as("s4"))
+    m.select(inline(array(
+      struct(lit(1L).as("stage"), lit("word_count").as("rule"),
+        col("n0").as("n_in"), (col("n0") - col("s1")).as("n_fail"),
+        col("s1").as("n_out")),
+      struct(lit(2L).as("stage"), lit("mean_word_len").as("rule"),
+        col("s1").as("n_in"), (col("s1") - col("s2")).as("n_fail"),
+        col("s2").as("n_out")),
+      struct(lit(3L).as("stage"), lit("stopword").as("rule"),
+        col("s2").as("n_in"), (col("s2") - col("s3")).as("n_fail"),
+        col("s3").as("n_out")),
+      struct(lit(4L).as("stage"), lit("max_chars").as("rule"),
+        col("s3").as("n_in"), (col("s3") - col("s4")).as("n_fail"),
+        col("s4").as("n_out")))))
+  }
+
+  /** Token-budget clipping — the context-window guillotine a training
+    * pipeline runs before packing (every example must fit `budget`
+    * tokens, cut at a token boundary, never mid-word): per document
+    * `(id, n_tokens, n_kept, clipped, clipped_chars)` where
+    * `clipped_chars` is the character length of the kept prefix joined
+    * by single spaces.
+    *
+    * Scale shape: pure per-row Column algebra (split/slice/concat_ws) —
+    * no shuffle at all; cost is linear in kept tokens. */
+  def clipToTokenBudget(df: DataFrame, textCol: String, idCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget out of range: $budget")
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).cast("long").as("id"),
+        size(toks).cast("long").as("n_tokens"),
+        least(size(toks), lit(budget)).cast("long").as("n_kept"),
+        (size(toks) > budget).cast("long").as("clipped"),
+        length(concat_ws(" ", slice(toks, 1, budget))).cast("long")
+          .as("clipped_chars"))
+  }
 }

@@ -372,6 +372,13 @@ object MediaQueries {
         .filter(col("nr") === 2)
         .select(col("wstart_us"), col("v").as("event_type"), col("cms_est"))
         .orderBy("wstart_us", "event_type")
+    },
+    // WebDataset-style shard packing: per-source greedy first-fit into
+    // ~4 KB shards in doc_id order — per-group window, closed-form shard id.
+    "qm03_shard_packing" -> { (s, d) =>
+      graft.operators.Layout.shardPacking(
+        Relational.t(s, d, "documents"), "n_chars", "source", "doc_id",
+        targetBytes = 4096L)
     }
   )
 
@@ -654,6 +661,16 @@ object MediaQueries {
         |    COUNT(*) AS nr
         |  FROM probe p JOIN counters c USING (i, bkt) GROUP BY 1, 2)
         |SELECT wstart_us, v AS event_type, cms_est
-        |FROM est WHERE nr = 2 ORDER BY wstart_us, event_type""".stripMargin
+        |FROM est WHERE nr = 2 ORDER BY wstart_us, event_type""".stripMargin,
+    "qm03_shard_packing" ->
+      """WITH d AS (SELECT source AS grp, doc_id AS id, n_chars AS sz,
+        |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS bef
+        |  FROM documents)
+        |SELECT grp, bef // 4096 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(sz) AS BIGINT) AS bytes,
+        |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+        |FROM d GROUP BY grp, bef // 4096 ORDER BY grp, shard""".stripMargin
   )
 }

@@ -760,6 +760,39 @@ object MiscQueries {
     "qw06_weekday_profile" -> { (s, d) =>
       graft.streaming.EventStream.weekdayProfile(t(s, d, "events"))
         .orderBy("event_type", "dow")
+    },
+    // Id-space continuity audit of a filtered partition: bucketed
+    // two-level gap scan (no global-sort window).
+    "qq19_seq_gaps" -> { (s, d) =>
+      graft.operators.Quality.sequenceGaps(
+        t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        "o_orderkey", bucketSize = 512)
+    },
+    // Pairwise Pearson r² (ppm) over integer-scaled lineitem features:
+    // one moment pass, pairs unrolled via inline.
+    "qq20_corr_matrix" -> { (s, d) =>
+      graft.operators.Quality.corrMatrix(t(s, d, "lineitem"), Seq(
+          "qty" -> col("l_quantity"),
+          "price10" -> floor(col("l_extendedprice") / 10),
+          "disc100" -> round(col("l_discount") * 100),
+          "tax100" -> round(col("l_tax") * 100)))
+        .orderBy("col_a", "col_b")
+    },
+    // Leakage-safe point-in-time training features: one cumulative
+    // window per user, strictly-earlier frame.
+    "qr03_pit_features" -> { (s, d) =>
+      graft.streaming.EventStream.pitFeatures(t(s, d, "events"))
+        .orderBy("event_id")
+    },
+    // Signup-cohort LTV curves by week offset, decimal-exact revenue.
+    "qa15_ltv_cohorts" -> { (s, d) =>
+      graft.streaming.EventStream.ltvCohorts(t(s, d, "events"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    // Power-user curve: distinct active days per user -> histogram.
+    "qa16_activity_curve" -> { (s, d) =>
+      graft.streaming.EventStream.activityHistogram(t(s, d, "events"))
+        .orderBy("days_active")
     }
   )
 
@@ -1756,7 +1789,92 @@ object MiscQueries {
         |SELECT c.event_type, dow, n, (n * 1000000) // tot AS share_ppm,
         |  ABS((n * 1000000) // tot - 142857) AS dev_ppm
         |FROM c JOIN t ON t.event_type = c.event_type
-        |ORDER BY c.event_type, dow""".stripMargin
+        |ORDER BY c.event_type, dow""".stripMargin,
+    "qq19_seq_gaps" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |g AS (SELECT k, k - lag(k) OVER (ORDER BY k) - 1 AS gap FROM k)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MIN(k) AS BIGINT) AS min_key,
+        |  CAST(MAX(k) AS BIGINT) AS max_key,
+        |  CAST(MAX(k) - MIN(k) + 1 - COUNT(*) AS BIGINT) AS missing,
+        |  COALESCE(CAST(SUM(CASE WHEN gap > 0 THEN 1 END) AS BIGINT), 0) AS n_gaps,
+        |  CAST(COALESCE(MAX(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT) AS max_gap
+        |FROM g""".stripMargin,
+    "qq20_corr_matrix" ->
+      """WITH f AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+        |    CAST(FLOOR(l_extendedprice / 10) AS BIGINT) AS p,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+        |    CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+        |    CAST(SUM(d) AS DOUBLE) AS sd, CAST(SUM(t) AS DOUBLE) AS st,
+        |    CAST(SUM(q*q) AS DOUBLE) AS sqq, CAST(SUM(p*p) AS DOUBLE) AS spp,
+        |    CAST(SUM(d*d) AS DOUBLE) AS sdd, CAST(SUM(t*t) AS DOUBLE) AS stt,
+        |    CAST(SUM(q*p) AS DOUBLE) AS sqp, CAST(SUM(q*d) AS DOUBLE) AS sqd,
+        |    CAST(SUM(q*t) AS DOUBLE) AS sqt, CAST(SUM(p*d) AS DOUBLE) AS spd,
+        |    CAST(SUM(p*t) AS DOUBLE) AS spt, CAST(SUM(d*t) AS DOUBLE) AS sdt
+        |  FROM f),
+        |pairs AS (
+        |  SELECT 'qty' AS col_a, 'price10' AS col_b, nb AS n,
+        |    n*sqp - sq*sp AS cov, (n*sqq - sq*sq) * (n*spp - sp*sp) AS vv FROM m
+        |  UNION ALL SELECT 'qty', 'disc100', nb,
+        |    n*sqd - sq*sd, (n*sqq - sq*sq) * (n*sdd - sd*sd) FROM m
+        |  UNION ALL SELECT 'qty', 'tax100', nb,
+        |    n*sqt - sq*st, (n*sqq - sq*sq) * (n*stt - st*st) FROM m
+        |  UNION ALL SELECT 'price10', 'disc100', nb,
+        |    n*spd - sp*sd, (n*spp - sp*sp) * (n*sdd - sd*sd) FROM m
+        |  UNION ALL SELECT 'price10', 'tax100', nb,
+        |    n*spt - sp*st, (n*spp - sp*sp) * (n*stt - st*st) FROM m
+        |  UNION ALL SELECT 'disc100', 'tax100', nb,
+        |    n*sdt - sd*st, (n*sdd - sd*sd) * (n*stt - st*st) FROM m)
+        |SELECT col_a, col_b, n,
+        |  CAST(FLOOR(cov * cov / vv * 1000000.0) AS BIGINT) AS r2_ppm,
+        |  CAST(SIGN(cov) AS BIGINT) AS sgn
+        |FROM pairs ORDER BY col_a, col_b""".stripMargin,
+    "qr03_pit_features" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, tus, event_type,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER pw AS BIGINT), 0) AS prior_views,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER pw AS BIGINT), 0) AS prior_clicks,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER pw AS BIGINT), 0) AS prior_errors,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER pw AS BIGINT), 0) AS prior_purchases,
+        |    COALESCE(tus - MAX(tus) OVER pw, -1) AS us_since_prev
+        |  FROM e
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, tus AS ts_us, prior_views, prior_clicks,
+        |  prior_errors, prior_purchases, us_since_prev
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "qa15_ltv_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+        |    event_type, value FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset,
+        |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_buyers,
+        |    SUM(CAST(value AS DECIMAL(30,4))) AS rev_dec
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_buyers,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_revenue
+        |FROM p ORDER BY cohort_week, week_offset""".stripMargin,
+    "qa16_activity_curve" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS days_active FROM d
+        |  GROUP BY user_id)
+        |SELECT days_active, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY days_active ORDER BY days_active""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

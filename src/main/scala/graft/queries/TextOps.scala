@@ -788,6 +788,19 @@ object TextOps {
           .otherwise(col("text")))
       graft.operators.Text.codeSignals(docs, "txt", "doc_id")
         .orderBy("doc_id")
+    },
+    // Gopher-style filter funnel: sequential rule attrition report —
+    // one scan, one agg, stages unrolled via inline.
+    "qd70_filter_funnel" -> { (s, d) =>
+      graft.operators.Text.filterFunnel(t(s, d, "documents"), "text")
+        .orderBy("stage")
+    },
+    // Context-window clipping at a token boundary: per-doc before/after
+    // token and char counts. Pure projection, zero shuffle.
+    "qd71_token_clip" -> { (s, d) =>
+      graft.operators.Text.clipToTokenBudget(
+          t(s, d, "documents"), "text", "doc_id", budget = 48)
+        .orderBy("id")
     }
   )
 
@@ -1630,16 +1643,16 @@ object TextOps {
         |         THEN ' see https://example.com/license' ELSE '' END AS txt
         |  FROM documents)
         |SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(COALESCE(SUM(CASE WHEN regexp_matches(txt,
-        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') THEN 1 END), 0)
-        |    AS BIGINT) AS with_email,
-        |  CAST(COALESCE(SUM(CASE WHEN regexp_matches(txt, 'https?://')
-        |    THEN 1 END), 0) AS BIGINT) AS with_url,
-        |  CAST(COALESCE(SUM(CASE WHEN regexp_matches(txt,
-        |    '(?i)copyright|\(c\) [0-9]{4}') THEN 1 END), 0) AS BIGINT)
+        |  COALESCE(CAST(SUM(CASE WHEN regexp_matches(txt,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') THEN 1 END)
+        |    AS BIGINT), 0) AS with_email,
+        |  COALESCE(CAST(SUM(CASE WHEN regexp_matches(txt, 'https?://')
+        |    THEN 1 END) AS BIGINT), 0) AS with_url,
+        |  COALESCE(CAST(SUM(CASE WHEN regexp_matches(txt,
+        |    '(?i)copyright|\(c\) [0-9]{4}') THEN 1 END) AS BIGINT), 0)
         |    AS with_copyright,
-        |  CAST(COALESCE(SUM(CASE WHEN regexp_matches(txt,
-        |    '(?i)all rights reserved') THEN 1 END), 0) AS BIGINT)
+        |  COALESCE(CAST(SUM(CASE WHEN regexp_matches(txt,
+        |    '(?i)all rights reserved') THEN 1 END) AS BIGINT), 0)
         |    AS with_rights
         |FROM d GROUP BY source ORDER BY grp""".stripMargin,
     "qd66_source_scorecard" ->
@@ -1990,6 +2003,37 @@ object TextOps {
         |  CASE WHEN nc > 0
         |    THEN CAST(FLOOR((n_brace + n_op) * 1000000.0 / nc) AS BIGINT)
         |    ELSE 0 END AS symbol_ppm
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "qd70_filter_funnel" ->
+      """WITH f AS (SELECT len(string_split(text, ' ')) AS nt,
+        |    (100 * (len(text) - (len(string_split(text, ' ')) - 1)))
+        |      // len(string_split(text, ' ')) AS mwl,
+        |    ((' ' || text || ' ' LIKE '% the %')
+        |      OR (' ' || text || ' ' LIKE '% a %')) AS sw,
+        |    len(text) AS nc
+        |  FROM documents),
+        |g AS (SELECT nt BETWEEN 20 AND 2000 AS f1,
+        |    mwl BETWEEN 400 AND 500 AS f2, sw AS f3, nc <= 450 AS f4 FROM f),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(COUNT(*) FILTER (WHERE f1) AS BIGINT) AS s1,
+        |    CAST(COUNT(*) FILTER (WHERE f1 AND f2) AS BIGINT) AS s2,
+        |    CAST(COUNT(*) FILTER (WHERE f1 AND f2 AND f3) AS BIGINT) AS s3,
+        |    CAST(COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4) AS BIGINT) AS s4
+        |  FROM g)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'word_count' AS rule,
+        |  n0 AS n_in, n0 - s1 AS n_fail, s1 AS n_out FROM m
+        |UNION ALL SELECT 2, 'mean_word_len', s1, s1 - s2, s2 FROM m
+        |UNION ALL SELECT 3, 'stopword', s2, s2 - s3, s3 FROM m
+        |UNION ALL SELECT 4, 'max_chars', s3, s3 - s4, s4 FROM m
+        |ORDER BY stage""".stripMargin,
+    "qd71_token_clip" ->
+      """SELECT doc_id AS id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(LEAST(len(string_split(text, ' ')), 48) AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN len(string_split(text, ' ')) > 48
+        |    THEN 1 ELSE 0 END AS BIGINT) AS clipped,
+        |  CAST(len(array_to_string((string_split(text, ' '))[1:48], ' '))
+        |    AS BIGINT) AS clipped_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1066,6 +1066,86 @@ object EventStream {
       .withColumn("dev_ppm", abs(col("share_ppm") - 142857L))
   }
 
+  /** Point-in-time feature extraction — the leakage-safe training-table
+    * builder (feature-store "PIT correctness"): for every event of
+    * `labelType`, features computed ONLY from the same user's STRICTLY
+    * EARLIER events under the total order (ts, event_id): prior counts
+    * per behavior type, prior count of the label type itself, and the
+    * microseconds since the user's previous event (−1 for a user's first
+    * event). A model trained on these rows can never see the future.
+    * Returns (event_id, user_id, ts_us, prior_views, prior_clicks,
+    * prior_errors, prior_purchases, us_since_prev).
+    *
+    * Scale shape: ONE cumulative window per user (hash-partitioned by
+    * user_id, sorted inside the partition) computes every feature —
+    * adding a feature adds a window agg on the SAME window frame, not a
+    * join and not a second shuffle. No self-join against history. */
+  def pitFeatures(events: DataFrame,
+      labelType: String = "purchase"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def prior(tpe: String) =
+      coalesce(sum(when(col("event_type") === tpe, 1L).otherwise(0L)).over(w),
+        lit(0L))
+    tsNanos(events)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+      .withColumn("prior_views", prior("view"))
+      .withColumn("prior_clicks", prior("click"))
+      .withColumn("prior_errors", prior("error"))
+      .withColumn("prior_purchases", prior(labelType))
+      .withColumn("us_since_prev",
+        coalesce(col("tus") - max("tus").over(w), lit(-1L)))
+      .filter(col("event_type") === labelType)
+      .select(col("event_id"), col("user_id"), col("tus").as("ts_us"),
+        col("prior_views"), col("prior_clicks"), col("prior_errors"),
+        col("prior_purchases"), col("us_since_prev"))
+  }
+
+  /** Cohort LTV curves — revenue per signup cohort by week offset, with
+    * the running total a growth team actually plots: users cohort by the
+    * epoch-week of their FIRST signup; every purchase lands in
+    * (cohort_week, purchase_week − cohort_week); revenue accumulates in
+    * exact decimal (order-independent) and emits as double. Returns
+    * (cohort_week, week_offset, n_buyers, revenue, cum_revenue).
+    *
+    * Scale shape: one groupBy for cohorts, one shuffled join purchases →
+    * cohort (both sides hash-partitioned on user_id), one (cohort,
+    * offset) aggregation, then a window over the TINY aggregate table
+    * (≤ cohorts × weeks rows) for the cumulative. */
+  def ltvCohorts(events: DataFrame): DataFrame = {
+    val base = tsNanos(events).select(col("user_id"),
+      expr("(ts div 1000) div 604800000000").as("wk"),
+      col("event_type"), col("value"))
+    val cohorts = base.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val per = base.filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_buyers"),
+        sum(col("value").cast("decimal(30,4)")).as("rev_dec"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_week").orderBy("week_offset")
+    per.select(col("cohort_week"), col("week_offset"), col("n_buyers"),
+        col("rev_dec").cast("double").as("revenue"),
+        sum("rev_dec").over(cum).cast("double").as("cum_revenue"))
+  }
+
+  /** Power-user curve — the engagement histogram (how many users were
+    * active exactly k distinct days): per user, distinct epoch-days with
+    * any event; then days_active → n_users. Returns
+    * (days_active, n_users) — the L28-style curve for the data's span.
+    *
+    * Scale shape: distinct on (user, day) then two partial-aggregated
+    * groupBys, each on its natural key; nothing driver-side. */
+  def activityHistogram(events: DataFrame): DataFrame =
+    tsNanos(events)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("days_active"))
+      .groupBy("days_active").agg(count(lit(1)).as("n_users"))
+
   def dedupEvents(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame = {
     val t = withTs(events).withWatermark("ets", watermark)

@@ -76,4 +76,21 @@ class LayoutSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS graft_bt_dims")
     }
   }
+
+  test("shardPacking: greedy first-fit in id order, per group, exact boundaries") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a", 1L, 60L), ("a", 2L, 50L), // before=0,60   -> shards 0,0
+      ("a", 3L, 10L),                 // before=110    -> shard 1
+      ("a", 4L, 300L),                // before=120    -> shard 1 (oversized doc stays)
+      ("b", 1L, 10L)                  // group b independent
+    ).toDF("src", "id", "sz")
+    val out = Layout.shardPacking(docs, "sz", "src", "id", targetBytes = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("a", 0L)) == ((2L, 110L, 1L, 2L)))
+    assert(out(("a", 1L)) == ((2L, 310L, 3L, 4L)))
+    assert(out(("b", 0L)) == ((1L, 10L, 1L, 1L)))
+  }
 }

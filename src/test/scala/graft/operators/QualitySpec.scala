@@ -355,4 +355,39 @@ class QualitySpec extends SparkSpec {
     assert(sk.map(_.getLong(1)).sum == 100L && sk.length >= 2)
   }
 
+  test("sequenceGaps: bucketed two-level scan equals the flat answer") {
+    val s = spark
+    import s.implicits._
+    // keys 0..9, 12, 20..22, 40  (gaps: 10-11, 13-19, 23-39)
+    val keys = ((0L to 9L) ++ Seq(12L) ++ (20L to 22L) ++ Seq(40L))
+    val df = keys.toDF("k")
+    // bucketSize 4 forces in-bucket AND cross-bucket (incl. empty-bucket
+    // spanning) gap stitching
+    val r = Quality.sequenceGaps(df, "k", bucketSize = 4).head()
+    assert(r.getLong(0) == 15L) //       n_keys
+    assert((r.getLong(1), r.getLong(2)) == ((0L, 40L)))
+    assert(r.getLong(3) == 41L - 15L) // missing ids
+    assert(r.getLong(4) == 3L) //        maximal gap runs
+    assert(r.getLong(5) == 17L) //       23..39
+    // degenerate: single key -> zero gaps, zero missing
+    val one = Quality.sequenceGaps(Seq(7L).toDF("k"), "k", bucketSize = 4).head()
+    assert(one.getLong(0) == 1L && one.getLong(3) == 0L &&
+      one.getLong(4) == 0L && one.getLong(5) == 0L)
+  }
+
+  test("corrMatrix: exact r2 for perfectly correlated / independent pairs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 2L, 1L), (2L, 4L, -1L), (3L, 6L, 1L), (4L, 8L, -1L))
+      .toDF("x", "y", "z")
+    import org.apache.spark.sql.functions.col
+    val out = Quality.corrMatrix(df, Seq(
+        "x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(out(("x", "y")) == ((1000000L, 1L))) // y = 2x exactly
+    assert(out(("x", "z"))._1 < 250000L) //        weak
+    assert(out(("y", "z")) == out(("x", "z"))) //  same geometry
+  }
+
 }

@@ -709,4 +709,38 @@ class TextSpec extends SparkSpec {
     assert(out("b") == ((1L, 0L, 0L, 1L, 1L)))
   }
 
+  test("filterFunnel: stages apply in order; n_out chains into n_in") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today", // short: fails word_count
+      ("the word " * 30).trim, //                 passes all
+      ("xxxxxxxxxxxx " * 25).trim, //             mwl 1300 -> fails rule 2
+      ("cat dog fox " * 10).trim //               no stopword -> fails rule 3
+    ).toDF("text")
+    val rows = Text.filterFunnel(docs, "text", minWords = 20, maxWords = 2000,
+        mwlLo = 300, mwlHi = 600, maxChars = 10000)
+      .orderBy("stage").collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("word_count", "mean_word_len", "stopword", "max_chars"))
+    // funnel chaining: each stage's n_in is the previous n_out
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) == b.getLong(2)) }
+    assert(rows(0).getLong(2) == 4L && rows(0).getLong(3) == 1L)
+    assert(rows(1).getLong(3) == 1L) // the xxxx doc
+    assert(rows(2).getLong(3) == 1L) // the no-stopword doc
+    assert(rows(3).getLong(4) == 1L) // one survivor
+  }
+
+  test("clipToTokenBudget: boundary cut, exact kept-prefix char length") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb")).toDF("doc_id", "txt")
+    val out = Text.clipToTokenBudget(docs, "txt", "doc_id", budget = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((4L, 3L, 1L, 8L))) // "aa bb cc"
+    assert(out(2L) == ((2L, 2L, 0L, 5L))) // under budget: untouched
+  }
+
 }

@@ -792,4 +792,54 @@ class EventStreamSpec extends SparkSpec {
     assert(out(0L) == ((3L, 750000L)))
   }
 
+  test("pitFeatures: strictly-earlier frame — the label event never sees itself") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000000L
+    val ev = Seq(
+      (1L, 1L, "view", 1 * sec), (2L, 1L, "click", 2 * sec),
+      (3L, 1L, "purchase", 3 * sec), // sees 1 view, 1 click, 0 purchases
+      (4L, 1L, "purchase", 5 * sec), // sees the FIRST purchase too
+      (5L, 2L, "purchase", 7 * sec)  // user 2's first event ever
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.pitFeatures(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(6),
+        r.getLong(7))).toMap
+    assert(out(3L) == ((1L, 1L, 0L, 1000000L)))
+    assert(out(4L) == ((1L, 1L, 1L, 2000000L)))
+    assert(out(5L) == ((0L, 0L, 0L, -1L))) // no prior event: sentinel
+  }
+
+  test("ltvCohorts: offsets anchor to first-signup week; cumulative is exact") {
+    val s = spark
+    import s.implicits._
+    val week = 7L * 86400 * 1000000000L
+    val ev = Seq(
+      (1L, 1L, "signup", 0L, 0.0),
+      (2L, 1L, "purchase", week / 2, 10.5),     // offset 0
+      (3L, 1L, "purchase", week + 1L, 2.25),    // offset 1
+      (4L, 2L, "signup", week, 0.0),
+      (5L, 2L, "purchase", week + 2L, 4.0)      // cohort 1, offset 0
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventStream.ltvCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out((0L, 0L)) == ((1L, 10.5, 10.5)))
+    assert(out((0L, 1L)) == ((1L, 2.25, 12.75)))
+    assert(out((1L, 0L)) == ((1L, 4.0, 4.0)))
+  }
+
+  test("activityHistogram: distinct days per user, then user counts per day-count") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 100L), // same day twice -> 1 day
+      (3L, 1L, "a", day), (4L, 2L, "a", 2 * day)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.activityHistogram(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 1L, 1L -> 1L)) // u1: 2 days, u2: 1 day
+  }
+
 }

@@ -617,4 +617,46 @@ object Graphs {
       .withColumn("r_milli", expr(
         "(num * 1000L - pmod(num * 1000L, greatest(1L, den))) div greatest(1L, den)"))
   }
+
+  /** Item-item collaborative filtering — the "customers also bought"
+    * serving table from co-occurrence alone (Linden et al. 2003,
+    * Amazon item-to-item CF): over (basket, item) pairs, each item's
+    * top-`k` neighbors by cosine²-on-counts in ppm,
+    * cos²(a,b) = c_ab² · 10⁶ div (c_a · c_b), where c_ab counts shared
+    * baskets and c_x item frequency. Deterministic rank tie-break
+    * (score desc, c_ab desc, neighbor asc). Returns
+    * (item, rec, c_ab, score_ppm, rank).
+    *
+    * Scale shape: baskets larger than `maxBasket` are dropped BEFORE
+    * pairing (one count groupBy), so the self-join fan-out is
+    * ≤ maxBasket²/2 per basket — never quadratic in a hub basket. Item
+    * frequencies rejoin via two hash joins on the item key; top-k is a
+    * rank window on the item partitioning. */
+  def itemCf(baskets: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 5, maxBasket: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    require(maxBasket >= 2, s"maxBasket out of range: $maxBasket")
+    val bi = baskets
+      .select(col(basketCol).cast("long").as("o"), col(itemCol).cast("long").as("p"))
+      .distinct()
+    val sizes = bi.groupBy("o").agg(count(lit(1)).as("bs"))
+    val bounded = bi.join(sizes.filter(col("bs") <= maxBasket), Seq("o"))
+      .select("o", "p")
+    val freq = bounded.groupBy("p").agg(count(lit(1)).as("c"))
+    val pairs = bounded.as("a").join(bounded.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+    val sym = pairs.select(col("pa").as("item"), col("pb").as("rec"), col("c_ab"))
+      .unionAll(pairs.select(col("pb").as("item"), col("pa").as("rec"), col("c_ab")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("item")
+      .orderBy(col("score_ppm").desc, col("c_ab").desc, col("rec"))
+    sym
+      .join(freq.select(col("p").as("item"), col("c").as("ca")), Seq("item"))
+      .join(freq.select(col("p").as("rec"), col("c").as("cb")), Seq("rec"))
+      .withColumn("score_ppm", expr("(c_ab * c_ab * 1000000L) div (ca * cb)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("item", "rec", "c_ab", "score_ppm", "rank")
+  }
 }

@@ -1082,4 +1082,50 @@ object Similarity {
         (sqrt(col("norm2_a").cast("double")) *
           sqrt(col("norm2_b").cast("double"))))
   }
+
+  /** Label-centroid purity — the embedding-quality scorecard (does the
+    * label structure survive in vector space?): per label, how many of
+    * its vectors sit closest (by cosine) to their OWN label's centroid.
+    * Cosine is scale-invariant, so the centroid is the element-wise SUM
+    * vector — exact integers, no division, no float drift. The argmax
+    * compares SIGNED integer ppm scores
+    * (sign(dot) · ⌊10⁶·dot²/(‖x‖²·‖c‖²)⌋, ratio evaluated in double
+    * over exactly-representable integer moments) with a label tie-break
+    * — a total order every engine agrees on. Returns
+    * (label, n_vecs, n_correct, acc_ppm).
+    *
+    * Scale shape: centroids are one posexplode + (label, pos) partial
+    * agg — the centroid table is |labels|·dims rows, broadcast
+    * everywhere after; scoring re-explodes the corpus once and joins
+    * the broadcast centroids on pos (fan-out = |labels|, bounded); the
+    * argmax is a rank window on the vector's own partitioning. */
+  def centroidPurity(df: DataFrame, embCol: String, labelCol: String,
+      idCol: String): DataFrame = {
+    val ex = df.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("label"),
+        posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
+    val cent = ex.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(sum("v").as("cv"))
+    val nc2 = cent.groupBy("clabel").agg(sum(col("cv") * col("cv")).as("nc2"))
+    val nx2 = ex.groupBy("id").agg(sum(col("v") * col("v")).as("nx2"))
+    val dots = ex.join(broadcast(cent), Seq("pos"))
+      .groupBy("id", "label", "clabel")
+      .agg(sum(col("v") * col("cv")).as("dot"))
+    val f = floor(col("dot").cast("double") * col("dot").cast("double") /
+      (col("nx2").cast("double") * col("nc2").cast("double")) * 1e6)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("score").desc, col("clabel"))
+    dots
+      .join(nx2, Seq("id"))
+      .join(broadcast(nc2), Seq("clabel"))
+      .withColumn("score", when(col("dot") < 0, -f).otherwise(f))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("clabel") === col("label"), 1L)), lit(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000L) div n_vecs"))
+  }
 }

@@ -339,4 +339,50 @@ object Sketches {
       .select(col("ga"), col("gb"), col("kk"), col("inter"),
         expr("(inter * 1000000L) div greatest(1L, kk)").as("jaccard_ppm"))
   }
+
+  /** Bloom-filter build + MEASURED false-positive rate — the calibration
+    * run before shipping a membership filter to the scan side of a
+    * 100 TB join (the advertised FPR is a formula; this is the ground
+    * truth on real keys): the filter is the distinct set of
+    * (hash_row i, bucket) pairs over `members` (k rows × md5-52-bit
+    * buckets mod `m` — a pure function of the key set, so any engine
+    * rebuilds the identical filter); a probe key hits when ALL k of its
+    * buckets are set. Probing `probes` (caller guarantees disjoint from
+    * members) counts pure false positives. One row:
+    * (m, k, n_members, n_set_bits, n_probes, n_false_pos, fpr_ppm).
+    *
+    * Scale shape: build = one distinct over members × k (the filter
+    * itself is ≤ m·k rows — O(sketch), not O(data)); probe = explode ×
+    * k + one shuffle-hash semi-join against the filter + a count-by-key
+    * checking hits == k. Nothing quadratic, nothing driver-side. */
+  def bloomFpr(members: DataFrame, probes: DataFrame, keyCol: String,
+      m: Int = 4096, k: Int = 3): DataFrame = {
+    require(m >= 2 && m <= (1 << 24), s"m out of range: $m")
+    require(k >= 1 && k <= 8, s"k out of range: $k")
+    def buckets(df: DataFrame) = {
+      def b(i: Int) =
+        conv(substring(md5(concat(lit(s"bf${i}_"),
+          col(keyCol).cast("string"))), 1, 13), 16, 10).cast("long") % m
+      df.select(col(keyCol).cast("string").as("key"),
+          posexplode(array((0 until k).map(b): _*)))
+        .select(col("key"), col("pos").as("i"), col("col").as("b"))
+    }
+    val filter = buckets(members).select("i", "b").distinct()
+    val nMembers = members.select(col(keyCol)).distinct()
+      .agg(count(lit(1)).as("n_members"))
+    val nBits = filter.agg(count(lit(1)).as("n_set_bits"))
+    val probeHits = buckets(probes)
+      .join(filter.hint("shuffle_hash"), Seq("i", "b"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === k)
+      .agg(count(lit(1)).as("n_false_pos"))
+    val nProbes = probes.select(col(keyCol)).distinct()
+      .agg(count(lit(1)).as("n_probes"))
+    nMembers.crossJoin(nBits).crossJoin(nProbes).crossJoin(probeHits)
+      .select(lit(m.toLong).as("m"), lit(k.toLong).as("k"),
+        col("n_members"), col("n_set_bits"), col("n_probes"),
+        col("n_false_pos"),
+        expr("(n_false_pos * 1000000L) div greatest(1L, n_probes)")
+          .as("fpr_ppm"))
+  }
 }

@@ -793,6 +793,31 @@ object MiscQueries {
     "qa16_activity_curve" -> { (s, d) =>
       graft.streaming.EventStream.activityHistogram(t(s, d, "events"))
         .orderBy("days_active")
+    },
+    // Item-item CF "also bought" table: basket-capped co-occurrence,
+    // cosine^2-ppm on counts, top-3 per item.
+    "qg14_item_cf" -> { (s, d) =>
+      val baskets = t(s, d, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      graft.operators.Graphs.itemCf(baskets, "o", "p", k = 3, maxBasket = 16)
+        .orderBy("item", "rank")
+    },
+    // Bloom filter FPR calibration: members = parts seen on F-status
+    // orders; probes = the complement of the part id space.
+    "qx12_bloom_fpr" -> { (s, d) =>
+      val seen = t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"))
+        .select(col("l_partkey").as("pk"))
+      val probes = t(s, d, "part").select(col("p_partkey").as("pk"))
+        .join(seen, Seq("pk"), "left_anti")
+      graft.operators.Sketches.bloomFpr(seen, probes, "pk", m = 1024, k = 3)
+    },
+    // Event-time disorder audit (watermark sizing): arrival order =
+    // event_id, lateness vs the per-user running max event time.
+    "qs13_disorder_audit" -> { (s, d) =>
+      graft.streaming.EventStream.disorderAudit(t(s, d, "events"))
+        .orderBy("event_type")
     }
   )
 
@@ -1874,7 +1899,68 @@ object MiscQueries {
         |u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS days_active FROM d
         |  GROUP BY user_id)
         |SELECT days_active, CAST(COUNT(*) AS BIGINT) AS n_users
-        |FROM u GROUP BY days_active ORDER BY days_active""".stripMargin
+        |FROM u GROUP BY days_active ORDER BY days_active""".stripMargin,
+    "qg14_item_cf" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |sz AS (SELECT o, COUNT(*) AS bs FROM bi GROUP BY o),
+        |bd AS (SELECT bi.o, bi.p FROM bi JOIN sz ON sz.o = bi.o AND sz.bs <= 16),
+        |fr AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM bd GROUP BY p),
+        |pr AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM bd a JOIN bd b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |sym AS (SELECT pa AS item, pb AS rec, c_ab FROM pr
+        |  UNION ALL SELECT pb, pa, c_ab FROM pr),
+        |sc AS (SELECT s.item, s.rec, s.c_ab,
+        |    (s.c_ab * s.c_ab * 1000000) // (fa.c * fb.c) AS score_ppm
+        |  FROM sym s JOIN fr fa ON fa.p = s.item JOIN fr fb ON fb.p = s.rec),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+        |    ORDER BY score_ppm DESC, c_ab DESC, rec) AS rank FROM sc)
+        |SELECT item, rec, c_ab, score_ppm, rank FROM rk WHERE rank <= 3
+        |ORDER BY item, rank""".stripMargin,
+    "qx12_bloom_fpr" ->
+      """WITH seen AS (SELECT DISTINCT l.l_partkey AS pk FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |    AND o.o_orderstatus = 'F'),
+        |probes AS (SELECT p_partkey AS pk FROM part
+        |  WHERE p_partkey NOT IN (SELECT pk FROM seen)),
+        |mb AS (SELECT DISTINCT i,
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('bf' || i || '_'
+        |        || CAST(pk AS VARCHAR)), CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 1024 AS b
+        |  FROM seen CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+        |pb AS (SELECT pk, i,
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('bf' || i || '_'
+        |        || CAST(pk AS VARCHAR)), CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 1024 AS b
+        |  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+        |fp AS (SELECT pb.pk FROM pb JOIN mb ON mb.i = pb.i AND mb.b = pb.b
+        |  GROUP BY pb.pk HAVING COUNT(*) = 3)
+        |SELECT CAST(1024 AS BIGINT) AS m, CAST(3 AS BIGINT) AS k,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM seen) AS n_members,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM mb) AS n_set_bits,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_false_pos,
+        |  ((SELECT CAST(COUNT(*) AS BIGINT) FROM fp) * 1000000)
+        |    // GREATEST(1, (SELECT COUNT(*) FROM probes)) AS fpr_ppm""".stripMargin,
+    "qs13_disorder_audit" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |l AS (SELECT event_type,
+        |    GREATEST(COALESCE(MAX(tus) OVER (PARTITION BY user_id
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - tus, 0), 0)
+        |      AS late_us
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  COALESCE(CAST(SUM(CASE WHEN late_us > 0 THEN 1 END) AS BIGINT), 0)
+        |    AS n_late,
+        |  (COALESCE(CAST(SUM(CASE WHEN late_us > 0 THEN 1 END) AS BIGINT), 0)
+        |    * 1000000) // COUNT(*) AS late_ppm,
+        |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+        |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

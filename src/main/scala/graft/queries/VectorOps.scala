@@ -74,6 +74,13 @@ object VectorOps {
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1), "embedding")
     },
+    // Label-centroid purity: integer sum-vector centroids, signed-ppm
+    // nearest-centroid argmax, per-label accuracy.
+    "qv22_centroid_purity" -> { (s, d) =>
+      graft.operators.Similarity.centroidPurity(
+          t(s, d, "embeddings"), "embedding", "label", "vec_id")
+        .orderBy("label")
+    },
     // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
     // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
     // in the hot path; the index is 32x smaller than the vectors).
@@ -269,6 +276,41 @@ object VectorOps {
         |    (SQRT(CAST(SUM(xa * xa) AS DOUBLE)) *
         |     SQRT(CAST(SUM(xb * xb) AS DOUBLE))) AS cos_mean
         |FROM j""".stripMargin,
+    "qv22_centroid_purity" ->
+      """WITH emb AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, label, i, q[i] AS v
+        |  FROM emb, unnest(range(1, 65)) t(i)),
+        |cent AS (SELECT label AS clabel, i, CAST(SUM(v) AS BIGINT) AS cv
+        |  FROM ex GROUP BY 1, 2),
+        |nc2 AS (SELECT clabel, CAST(SUM(cv * cv) AS BIGINT) AS nc2
+        |  FROM cent GROUP BY 1),
+        |nx2 AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nx2
+        |  FROM ex GROUP BY 1),
+        |dots AS (SELECT e.vec_id, e.label, c.clabel,
+        |    CAST(SUM(e.v * c.cv) AS BIGINT) AS dot
+        |  FROM ex e JOIN cent c ON c.i = e.i GROUP BY 1, 2, 3),
+        |sc AS (SELECT d.vec_id, d.label, d.clabel,
+        |    CASE WHEN d.dot < 0 THEN
+        |      -CAST(FLOOR(CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+        |        / (CAST(x.nx2 AS DOUBLE) * CAST(c.nc2 AS DOUBLE))
+        |        * 1000000.0) AS BIGINT)
+        |    ELSE CAST(FLOOR(CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+        |        / (CAST(x.nx2 AS DOUBLE) * CAST(c.nc2 AS DOUBLE))
+        |        * 1000000.0) AS BIGINT) END AS score
+        |  FROM dots d JOIN nx2 x ON x.vec_id = d.vec_id
+        |  JOIN nc2 c ON c.clabel = d.clabel),
+        |best AS (SELECT vec_id, label, clabel,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, clabel) AS rk FROM sc)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  COALESCE(CAST(SUM(CASE WHEN clabel = label THEN 1 END) AS BIGINT), 0)
+        |    AS n_correct,
+        |  (COALESCE(CAST(SUM(CASE WHEN clabel = label THEN 1 END) AS BIGINT), 0)
+        |    * 1000000) // COUNT(*) AS acc_ppm
+        |FROM best WHERE rk = 1 GROUP BY label ORDER BY label""".stripMargin,
     "qv16_sq_ann" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -1132,6 +1132,36 @@ object EventStream {
         sum("rev_dec").over(cum).cast("double").as("cum_revenue"))
   }
 
+  /** Event-time disorder audit — the measurement that SIZES a watermark
+    * (how late do events actually arrive, per type?): with `event_id` as
+    * the arrival-order proxy (monotone ingest sequence), an event is
+    * LATE when its event time precedes the running max event time among
+    * the same user's earlier-arriving events; its lateness is that
+    * deficit in µs. Per event type:
+    * (event_type, n, n_late, late_ppm, max_late_us, sum_late_us) —
+    * `max_late_us` is the smallest watermark that would lose nothing.
+    *
+    * Scale shape: one cumulative-max window per user (hash-partitioned
+    * on user_id), then one count aggregation per type. No joins. */
+  def disorderAudit(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tsNanos(events)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+      .withColumn("late_us",
+        greatest(coalesce(max("tus").over(w) - col("tus"), lit(0L)), lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("late_us") > 0, 1L)), lit(0L)).as("n_late"),
+        max("late_us").as("max_late_us"),
+        sum("late_us").as("sum_late_us"))
+      .withColumn("late_ppm", expr("(n_late * 1000000L) div n"))
+      .select("event_type", "n", "n_late", "late_ppm", "max_late_us",
+        "sum_late_us")
+  }
+
   /** Power-user curve — the engagement histogram (how many users were
     * active exactly k distinct days): per user, distinct epoch-days with
     * any event; then days_active → n_users. Returns

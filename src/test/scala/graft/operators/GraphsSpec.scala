@@ -362,4 +362,27 @@ class GraphsSpec extends SparkSpec {
     assert(near.getLong(1) == 1L && near.getLong(3) == 1000000L)
   }
 
+  test("itemCf: cosine^2-ppm on co-occurrence counts; hub baskets dropped") {
+    val s = spark
+    import s.implicits._
+    // baskets: {1,2} twice, {1,3} once, plus a hub basket that must be
+    // ignored under maxBasket = 3
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L),
+      (99L, 1L), (99L, 2L), (99L, 3L), (99L, 4L) // hub: size 4 > cap
+    ).toDF("o", "p")
+    val out = Graphs.itemCf(baskets, "o", "p", k = 2, maxBasket = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // c_1 = 3, c_2 = 2, c_12 = 2 -> 4e6/6 = 666666; c_13 = 1 -> 1e6/3
+    assert(out((1L, 1)) == ((2L, 2L, 666666L)))
+    assert(out((1L, 2)) == ((3L, 1L, 333333L)))
+    assert(out((2L, 1)) == ((1L, 2L, 666666L)))
+    assert(out((3L, 1)) == ((1L, 1L, 333333L)))
+    // the hub-only item 4 never appears
+    assert(!out.keys.exists(_._1 == 4L))
+  }
+
 }

@@ -656,4 +656,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rc.getAs[Long]("norm2_a") == 18L) // (-3)^2 + 3^2
   }
 
+  test("centroidPurity: separable labels score 100%, a flipped vector is impure") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 1, Array(0.0f, 1.0f)), (4L, 1, Array(0.1f, 0.9f)),
+      (5L, 1, Array(1.0f, 0.0f)) // labeled 1 but sits on label 0's axis
+    ).toDF("vec_id", "label", "emb")
+    val out = Similarity.centroidPurity(df, "emb", "label", "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 2L, 1000000L)))
+    assert(out(1L)._1 == 3L && out(1L)._2 == 2L) // the flipped vector misses
+    assert(out(1L)._3 == 2000000L / 3L)
+  }
+
 }

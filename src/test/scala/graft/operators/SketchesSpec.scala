@@ -195,4 +195,24 @@ class SketchesSpec extends SparkSpec {
     assert(direct("g2") == merged("g2")._2)
   }
 
+  test("bloomFpr: members always hit; tiny m forces measurable false positives") {
+    val s = spark
+    import s.implicits._
+    val members = (1L to 50L).toDF("pk")
+    val probes = (1000L to 1199L).toDF("pk")
+    val r = Sketches.bloomFpr(members, probes, "pk", m = 64, k = 3).head()
+    assert(r.getAs[Long]("m") == 64L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("n_members") == 50L)
+    assert(r.getAs[Long]("n_probes") == 200L)
+    val bits = r.getAs[Long]("n_set_bits")
+    assert(bits > 0L && bits <= 64L * 3)
+    val fp = r.getAs[Long]("n_false_pos")
+    assert(fp >= 0L && fp <= 200L)
+    assert(r.getAs[Long]("fpr_ppm") == fp * 1000000L / 200L)
+    // sanity: every member probes positive (no false negatives by construction)
+    val selfProbe = Sketches.bloomFpr(members, members, "pk", m = 64, k = 3)
+      .head()
+    assert(selfProbe.getAs[Long]("n_false_pos") == 50L)
+  }
+
 }

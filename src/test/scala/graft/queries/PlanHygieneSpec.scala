@@ -59,7 +59,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qx09_group_jaccard", // group-pair inequality join over the distinct-group list (|G| rows)
     "qx10_negative_samples", // broadcast catalog slice (caller-bounded, SCALE CONTRACT)
     "qq16_ks_test", // broadcast (n_a, n_b) totals (1 row)
-    "qq17_cramers_v2") // broadcast (n, nr, nc) totals (1 row) + broadcast row-marginal grid join
+    "qq17_cramers_v2", // broadcast (n, nr, nc) totals (1 row) + broadcast row-marginal grid join
+    "qx12_bloom_fpr") // cross of four 1-row scalar aggregates (member/bit/probe/fp counts)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

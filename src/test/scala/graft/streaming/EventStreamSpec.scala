@@ -829,6 +829,24 @@ class EventStreamSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 4.0, 4.0)))
   }
 
+  test("disorderAudit: lateness vs per-user running max in arrival (event_id) order") {
+    val s = spark
+    import s.implicits._
+    val us = 1000L // ns per us
+    val ev = Seq(
+      (1L, 1L, "a", 100 * us), // first arrival: never late
+      (2L, 1L, "a", 50 * us),  // 50us behind the running max (100)
+      (3L, 1L, "a", 200 * us), // ahead: on time
+      (4L, 1L, "a", 180 * us), // 20us behind max (200)
+      (5L, 2L, "b", 10 * us)   // other user, single event
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.disorderAudit(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out("a") == ((4L, 2L, 500000L, 50L, 70L)))
+    assert(out("b") == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("activityHistogram: distinct days per user, then user counts per day-count") {
     val s = spark
     import s.implicits._

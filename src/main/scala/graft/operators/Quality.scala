@@ -719,6 +719,34 @@ object Quality {
       .select(inline(array(pairRows: _*)))
   }
 
+  /** Candidate-key discovery — which column combinations actually
+    * identify rows (the schema-on-read step before declaring a primary
+    * key or choosing a join/bucketing key): per candidate combo, one row
+    * (candidate, n_rows, n_groups, dup_rows, unique_ppm, is_key).
+    * `dup_rows = n_rows − n_groups` counts the rows that would collide
+    * under that key; `is_key` = 1 iff the combo is duplicate-free. NULLs
+    * group as a value of their own (SQL GROUP BY semantics — a "key"
+    * with two all-NULL rows is NOT unique).
+    *
+    * Scale shape: one partial-aggregated count groupBy per candidate on
+    * ITS OWN key (different keys cannot share a shuffle), each collapsing
+    * to a one-row summary before the tiny union. Nothing driver-side. */
+  def keyCandidates(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty, "keyCandidates needs at least one combo")
+    combos.map { cols =>
+      require(cols.nonEmpty, "candidate column list must be non-empty")
+      df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("nrows"))
+        .agg(sum("nrows").as("n_rows"), count(lit(1)).as("n_groups"))
+        .select(lit(cols.mkString(",")).as("candidate"),
+          col("n_rows"), col("n_groups"),
+          (col("n_rows") - col("n_groups")).as("dup_rows"),
+          expr("(n_groups * 1000000L) div n_rows").as("unique_ppm"),
+          when(col("n_rows") === col("n_groups"), 1L).otherwise(0L)
+            .as("is_key"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Functional-dependency audit — does `det → dep` actually hold in the
     * data (the schema-on-read reality check behind normalization and
     * join-key trust): per declared dependency, the number of determinant

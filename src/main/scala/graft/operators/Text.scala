@@ -1195,6 +1195,29 @@ object Text {
         col("s4").as("n_out")))))
   }
 
+  /** Stratified inspection sample — the per-stratum manifest a human
+    * review (or an eval-set draw) starts from: the `k` documents of each
+    * stratum with the smallest `md5('ss_' || id)` — a pure function of
+    * the id set, so every engine, run, and partitioning draws the SAME
+    * manifest, and a re-run after appending data only ever ADDS lower
+    * hashes (stable review queues). Returns (stratum, id, rank).
+    *
+    * Scale shape: one rank window per stratum (hash-partitioned on the
+    * stratum key); at scale replace with a per-partition top-k +
+    * k-row merge if strata are huge — the hash order makes both give
+    * identical output. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy("h", "id")
+    df.select(col(strataCol).as("stratum"), col(idCol).cast("long").as("id"),
+        md5(concat(lit("ss_"), col(idCol).cast("string"))).as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("stratum", "id", "rank")
+  }
+
   /** Token-budget clipping — the context-window guillotine a training
     * pipeline runs before packing (every example must fit `budget`
     * tokens, cut at a token boundary, never mid-word): per document

@@ -818,6 +818,26 @@ object MiscQueries {
     "qs13_disorder_audit" -> { (s, d) =>
       graft.streaming.EventStream.disorderAudit(t(s, d, "events"))
         .orderBy("event_type")
+    },
+    // Weekday-adjusted daily volume anomalies: >10% off the type's own
+    // dow baseline, pure integer epoch arithmetic.
+    "qw07_seasonal_anomaly" -> { (s, d) =>
+      graft.streaming.EventStream.seasonalAnomaly(
+          t(s, d, "events"), thresholdPpm = 100000L)
+        .orderBy("event_type", "day")
+    },
+    // Heavy-user frequency cap: deterministic md5-rank downsampling,
+    // per-type attrition report.
+    "qx13_freq_capped_sample" -> { (s, d) =>
+      graft.streaming.EventStream.freqCappedSample(t(s, d, "events"), cap = 40)
+        .orderBy("event_type")
+    },
+    // Candidate-key discovery over orders: uniqueness ppm per combo.
+    "qq21_key_candidates" -> { (s, d) =>
+      graft.operators.Quality.keyCandidates(t(s, d, "orders"), Seq(
+          Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
+          Seq("o_custkey", "o_orderdate")))
+        .orderBy("candidate")
     }
   )
 
@@ -1960,7 +1980,52 @@ object MiscQueries {
         |    * 1000000) // COUNT(*) AS late_ppm,
         |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
         |  CAST(SUM(late_us) AS BIGINT) AS sum_late_us
-        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "qw07_seasonal_anomaly" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, (day + 3) % 7 AS dow FROM daily),
+        |b AS (SELECT event_type, dow, CAST(SUM(n) AS BIGINT) AS base_num,
+        |    CAST(COUNT(*) AS BIGINT) AS base_den FROM d2 GROUP BY 1, 2)
+        |SELECT d2.event_type, day, d2.dow, n, base_num, base_den,
+        |  ABS((n * base_den * 1000000) // base_num - 1000000) AS dev_ppm
+        |FROM d2 JOIN b ON b.event_type = d2.event_type AND b.dow = d2.dow
+        |WHERE ABS((n * base_den * 1000000) // base_num - 1000000) > 100000
+        |ORDER BY d2.event_type, day""".stripMargin,
+    "qx13_freq_capped_sample" ->
+      """WITH r AS (SELECT event_id, user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY md5('fc_' || CAST(event_id AS VARCHAR)), event_id) AS rk
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_before,
+        |  COALESCE(CAST(SUM(CASE WHEN rk <= 40 THEN 1 END) AS BIGINT), 0)
+        |    AS n_after,
+        |  (COALESCE(CAST(SUM(CASE WHEN rk <= 40 THEN 1 END) AS BIGINT), 0)
+        |    * 1000000) // COUNT(*) AS kept_ppm
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "qq21_key_candidates" ->
+      """WITH c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM orders
+        |    GROUP BY o_orderkey),
+        |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM orders
+        |    GROUP BY o_custkey),
+        |c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM orders
+        |    GROUP BY o_orderdate),
+        |c4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM orders
+        |    GROUP BY o_custkey, o_orderdate),
+        |u AS (
+        |  SELECT 'o_orderkey' AS candidate, CAST(SUM(nr) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups FROM c1
+        |  UNION ALL SELECT 'o_custkey', CAST(SUM(nr) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM c2
+        |  UNION ALL SELECT 'o_orderdate', CAST(SUM(nr) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM c3
+        |  UNION ALL SELECT 'o_custkey,o_orderdate', CAST(SUM(nr) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT) FROM c4)
+        |SELECT candidate, n_rows, n_groups, n_rows - n_groups AS dup_rows,
+        |  (n_groups * 1000000) // n_rows AS unique_ppm,
+        |  CASE WHEN n_rows = n_groups THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS is_key
+        |FROM u ORDER BY candidate""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -801,6 +801,13 @@ object TextOps {
       graft.operators.Text.clipToTokenBudget(
           t(s, d, "documents"), "text", "doc_id", budget = 48)
         .orderBy("id")
+    },
+    // Stratified inspection manifest: 5 md5-smallest docs per source —
+    // the same manifest from any engine or partitioning.
+    "qd72_stratified_sample" -> { (s, d) =>
+      graft.operators.Text.stratifiedSample(
+          t(s, d, "documents"), "source", "doc_id", k = 5)
+        .orderBy("stratum", "rank")
     }
   )
 
@@ -2034,6 +2041,13 @@ object TextOps {
         |    THEN 1 ELSE 0 END AS BIGINT) AS clipped,
         |  CAST(len(array_to_string((string_split(text, ' '))[1:48], ' '))
         |    AS BIGINT) AS clipped_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "qd72_stratified_sample" ->
+      """WITH r AS (SELECT source AS stratum, doc_id AS id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5('ss_' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |SELECT stratum, CAST(id AS BIGINT) AS id, rank FROM r WHERE rank <= 5
+        |ORDER BY stratum, rank""".stripMargin
   )
 }

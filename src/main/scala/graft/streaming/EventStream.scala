@@ -1162,6 +1162,64 @@ object EventStream {
         "sum_late_us")
   }
 
+  /** Seasonality-adjusted volume anomaly — daily event counts judged
+    * against their own weekday's baseline (a Saturday dip is not an
+    * incident; a Tuesday at Saturday volume is): per (event_type, day),
+    * deviation from the mean observed count of that type's same weekday,
+    * in ppm of the baseline — `dev_ppm = |n·den·10⁶ div num − 10⁶|`
+    * where num/den are the (type, dow) sum and day-count. Rows over
+    * `thresholdPpm` are the anomalies. Returns
+    * (event_type, day, dow, n, base_num, base_den, dev_ppm), flagged
+    * days only, all integer arithmetic (epoch-day dow, no calendar
+    * functions).
+    *
+    * Scale shape: one (type, day) count pass, one (type, dow) rollup of
+    * that (≤ 7·|types| rows, broadcast back), one filter. */
+  def seasonalAnomaly(events: DataFrame,
+      thresholdPpm: Long = 300000L): DataFrame = {
+    require(thresholdPpm >= 0, s"thresholdPpm out of range: $thresholdPpm")
+    val daily = tsNanos(events)
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("(day + 3) % 7"))
+    val base = daily.groupBy("event_type", "dow")
+      .agg(sum("n").as("base_num"), count(lit(1)).as("base_den"))
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .withColumn("dev_ppm",
+        abs(expr("(n * base_den * 1000000L) div base_num") - 1000000L))
+      .filter(col("dev_ppm") > thresholdPpm)
+      .select("event_type", "day", "dow", "n", "base_num", "base_den",
+        "dev_ppm")
+  }
+
+  /** Frequency-capped sampling — the heavy-user down-sampler a training
+    * pipeline runs so one bot or power user cannot dominate the corpus
+    * (the per-author cap in LLM data curation): each user keeps at most
+    * `cap` events, chosen by md5 rank (a pure function of event ids —
+    * any engine, any partitioning, any day draws the SAME sample).
+    * Returns the per-type attrition report:
+    * (event_type, n_before, n_after, kept_ppm).
+    *
+    * Scale shape: one rank window per user (hash-partitioned on
+    * user_id, partition size = that user's row count), one count
+    * aggregation. The sample itself (rank <= cap) is a filter on the
+    * same frame — callers wanting rows instead of the report take it
+    * before the final groupBy. */
+  def freqCappedSample(events: DataFrame, cap: Int = 50): DataFrame = {
+    require(cap >= 1, s"cap out of range: $cap")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy("h", "event_id")
+    tsNanos(events)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        md5(concat(lit("fc_"), col("event_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_before"),
+        coalesce(sum(when(col("rk") <= cap, 1L)), lit(0L)).as("n_after"))
+      .withColumn("kept_ppm", expr("(n_after * 1000000L) div n_before"))
+  }
+
   /** Power-user curve — the engagement histogram (how many users were
     * active exactly k distinct days): per user, distinct epoch-days with
     * any event; then days_active → n_users. Returns

@@ -375,6 +375,22 @@ class QualitySpec extends SparkSpec {
       one.getLong(4) == 0L && one.getLong(5) == 0L)
   }
 
+  test("keyCandidates: uniqueness per combo; nulls group as a value") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1L), "a"), (Some(2L), "a"), (Some(3L), "b"),
+      (None, "b"), (None, "b")
+    ).toDF("id", "grp")
+    val out = Quality.keyCandidates(df, Seq(Seq("id"), Seq("grp"),
+        Seq("id", "grp")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(out("id") == ((5L, 4L, 1L, 0L)))  // two NULL ids collide
+    assert(out("grp") == ((5L, 2L, 3L, 0L)))
+    assert(out("id,grp") == ((5L, 4L, 1L, 0L)))
+  }
+
   test("corrMatrix: exact r2 for perfectly correlated / independent pairs") {
     val s = spark
     import s.implicits._

@@ -732,6 +732,21 @@ class TextSpec extends SparkSpec {
     assert(rows(3).getLong(4) == 1L) // one survivor
   }
 
+  test("stratifiedSample: k per stratum, stable under re-partitioning") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 20L).map(i => (if (i <= 12) "a" else "b", i))
+      .toDF("src", "doc_id")
+    val out = Text.stratifiedSample(docs, "src", "doc_id", k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    assert(out.keys.count(_._1 == "a") == 3 && out.keys.count(_._1 == "b") == 3)
+    // identical manifest from a different physical partitioning
+    val again = Text.stratifiedSample(docs.repartition(7), "src", "doc_id", 3)
+      .collect().map(r => (r.getString(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("clipToTokenBudget: boundary cut, exact kept-prefix char length") {
     val s = spark
     import s.implicits._

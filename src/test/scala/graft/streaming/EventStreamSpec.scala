@@ -829,6 +829,37 @@ class EventStreamSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 4.0, 4.0)))
   }
 
+  test("seasonalAnomaly: deviation judged against the same weekday's baseline") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    // Mondays (epoch days 4, 11, 18): counts 10, 10, 40 -> base 20
+    def burst(d: Long, n: Int) = (1 to n).map(i =>
+      (d * 1000 + i, 1L, "a", d * day + i * 1000L))
+    val ev = (burst(4, 10) ++ burst(11, 10) ++ burst(18, 40))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.seasonalAnomaly(ev, thresholdPpm = 400000L)
+      .collect().map(r => r.getLong(1) -> r.getLong(6)).toMap
+    // 10 vs 20 -> 500000 ppm off; 40 vs 20 -> 1000000 ppm off
+    assert(out == Map(4L -> 500000L, 11L -> 500000L, 18L -> 1000000L))
+  }
+
+  test("freqCappedSample: per-user cap, deterministic md5 choice") {
+    val s = spark
+    import s.implicits._
+    val ev = ((1 to 10).map(i => (i.toLong, 1L, "a", i * 1000L)) ++
+      Seq((100L, 2L, "b", 1L))).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.freqCappedSample(ev, cap = 4).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("a") == ((10L, 4L, 400000L)))
+    assert(out("b") == ((1L, 1L, 1000000L))) // under cap: everything kept
+    // repeated run draws the identical sample
+    val again = EventStream.freqCappedSample(ev, cap = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again("a") == 4L)
+  }
+
   test("disorderAudit: lateness vs per-user running max in arrival (event_id) order") {
     val s = spark
     import s.implicits._

@@ -708,4 +708,62 @@ object Dedup {
       .filter(col("dist_ppm") <= maxDistPpm)
       .select(col("id_a"), col("id_b"), col("dist"), col("dist_ppm"))
   }
+
+  /** MinHash-LSH index calibration — the measured precision/recall a
+    * banded index actually delivers on THIS corpus (the banding formula
+    * predicts it; tune bands/rows on evidence, like [[Sketches.bloomFpr]]
+    * for Bloom filters): ground truth is every same-block pair at
+    * distinct-token Jaccard ≥ `thresholdPpm` (exact, integer-compared:
+    * inter·10⁶ ≥ t·union); predictions are [[lshCandidatePairs]]
+    * restricted to same-block. One row:
+    * (n_candidates, n_truth, true_pos, precision_ppm, recall_ppm).
+    *
+    * Scale shape: candidates come from the capped band buckets;
+    * exact-verification joins token sets to CANDIDATE pairs only
+    * (shuffle-hash, cost ∝ candidates); ground truth reuses the
+    * block-bounded [[tokenJaccardPairs]] bucket pipeline. The final
+    * cross of three one-row aggregates is driver-free. */
+  def lshCalibration(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, thresholdPpm: Long = 500000L,
+      numHashes: Int = 4, rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm out of range: $thresholdPpm")
+    val ids = df.select(col(idCol).cast("long").as("id"),
+      col(blockCol).as("blk"))
+    val cand = lshCandidatePairs(df, textCol, idCol, numHashes, rowsPerBand,
+        maxBucket)
+      .join(ids.select(col("id").as("id_a"), col("blk").as("ba"))
+        .hint("shuffle_hash"), "id_a")
+      .join(ids.select(col("id").as("id_b"), col("blk").as("bb"))
+        .hint("shuffle_hash"), "id_b")
+      .filter(col("ba") === col("bb"))
+      .select("id_a", "id_b")
+    val tk = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(toks(col(textCol))).as("tk"))
+    val candJ = cand
+      .join(tk.select(col("id").as("id_a"), col("tk").as("ta"))
+        .hint("shuffle_hash"), "id_a")
+      .join(tk.select(col("id").as("id_b"), col("tk").as("tb"))
+        .hint("shuffle_hash"), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .withColumn("hit",
+        (col("inter") * 1000000L >= lit(thresholdPpm) * col("uni"))
+          .cast("long"))
+    val truth = tokenJaccardPairs(df, textCol, idCol, blockCol)
+      .filter(col("inter").cast("long") * 1000000L >=
+        lit(thresholdPpm) *
+          (col("na").cast("long") + col("nb").cast("long") - col("inter")))
+    val cOut = candJ.agg(count(lit(1)).as("n_candidates"),
+      coalesce(sum("hit"), lit(0L)).as("true_pos"))
+    val tOut = truth.agg(count(lit(1)).as("n_truth"))
+    cOut.crossJoin(tOut)
+      .select(col("n_candidates"), col("n_truth"), col("true_pos"),
+        expr("(true_pos * 1000000L) div greatest(1L, n_candidates)")
+          .as("precision_ppm"),
+        expr("(true_pos * 1000000L) div greatest(1L, n_truth)")
+          .as("recall_ppm"))
+  }
 }

@@ -719,6 +719,39 @@ object Quality {
       .select(inline(array(pairRows: _*)))
   }
 
+  /** Weighted percentile — the percentile of a value distribution where
+    * each row counts `weightCol` times (unit-weighted percentiles
+    * misstate volume-weighted questions: "the median shipped DOLLAR went
+    * out at what price?"): per group, the smallest value v whose
+    * cumulative weight reaches `pPpm` of the group's total
+    * (cumw·10⁶ ≥ p·total — all integer, no interpolation). Returns
+    * (group..., wpct, total_w).
+    *
+    * Scale shape: equal values collapse FIRST via a (group, value)
+    * partial-aggregated groupBy — the window then runs over the DISTINCT
+    * value list per group (bounded by value cardinality, tie-order
+    * irrelevant by construction), one cumulative frame, one filter. */
+  def weightedPercentile(df: DataFrame, valueCol: String, weightCol: String,
+      groupCols: Seq[String], pPpm: Long = 500000L): DataFrame = {
+    require(pPpm >= 1 && pPpm <= 1000000L, s"pPpm out of range: $pPpm")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(groupCols.map(col) ++
+        Seq(col(valueCol).as("v"), col(weightCol).cast("long").as("wt")): _*)
+      .groupBy(groupCols.map(col) :+ col("v"): _*)
+      .agg(sum("wt").as("w"))
+    val cum = Window.partitionBy(groupCols.map(col): _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCols.map(col): _*)
+    base
+      .withColumn("cumw", sum("w").over(cum))
+      .withColumn("total", sum("w").over(tot))
+      .filter(col("cumw") * 1000000L >= lit(pPpm) * col("total"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min("v").as("wpct"), max("total").as("total_w"))
+  }
+
   /** Candidate-key discovery — which column combinations actually
     * identify rows (the schema-on-read step before declaring a primary
     * key or choosing a join/bucketing key): per candidate combo, one row

@@ -838,6 +838,27 @@ object MiscQueries {
           Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
           Seq("o_custkey", "o_orderdate")))
         .orderBy("candidate")
+    },
+    // Alert debouncing: consecutive anomalous days coalesce into
+    // episodes (gaps-and-islands).
+    "qw08_alert_episodes" -> { (s, d) =>
+      graft.streaming.EventStream.alertEpisodes(
+          t(s, d, "events"), thresholdPpm = 100000L)
+        .orderBy("event_type", "start_day")
+    },
+    // Quantity-weighted median price per return flag: integer cumulative
+    // weights over the collapsed distinct-value list.
+    "qp05_weighted_median" -> { (s, d) =>
+      graft.operators.Quality.weightedPercentile(t(s, d, "lineitem"),
+          "l_extendedprice", "l_quantity", Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("wpct").as("median_price"),
+          col("total_w"))
+        .orderBy("l_returnflag")
+    },
+    // Freshness/staleness SLA audit per event type.
+    "qq22_freshness_lag" -> { (s, d) =>
+      graft.streaming.EventStream.freshnessLag(t(s, d, "events"))
+        .orderBy("event_type")
     }
   )
 
@@ -2025,7 +2046,50 @@ object MiscQueries {
         |  (n_groups * 1000000) // n_rows AS unique_ppm,
         |  CASE WHEN n_rows = n_groups THEN CAST(1 AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS is_key
-        |FROM u ORDER BY candidate""".stripMargin
+        |FROM u ORDER BY candidate""".stripMargin,
+    "qw08_alert_episodes" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, (day + 3) % 7 AS dow FROM daily),
+        |b AS (SELECT event_type, dow, CAST(SUM(n) AS BIGINT) AS base_num,
+        |    CAST(COUNT(*) AS BIGINT) AS base_den FROM d2 GROUP BY 1, 2),
+        |fl AS (SELECT d2.event_type, day,
+        |    ABS((n * base_den * 1000000) // base_num - 1000000) AS dev_ppm
+        |  FROM d2 JOIN b ON b.event_type = d2.event_type AND b.dow = d2.dow
+        |  WHERE ABS((n * base_den * 1000000) // base_num - 1000000) > 100000),
+        |isl AS (SELECT event_type, day, dev_ppm,
+        |    day - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS island
+        |  FROM fl)
+        |SELECT event_type, CAST(MIN(day) AS BIGINT) AS start_day,
+        |  CAST(MAX(day) AS BIGINT) AS end_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(MAX(dev_ppm) AS BIGINT) AS peak_dev_ppm
+        |FROM isl GROUP BY event_type, island
+        |ORDER BY event_type, start_day""".stripMargin,
+    "qp05_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT g, v, w,
+        |    CAST(SUM(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumw,
+        |    CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS total FROM b)
+        |SELECT g AS l_returnflag, MIN(v) AS median_price,
+        |  CAST(MAX(total) AS BIGINT) AS total_w
+        |FROM c WHERE cumw * 1000000 >= 500000 * total
+        |GROUP BY g ORDER BY g""".stripMargin,
+    "qq22_freshness_lag" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+        |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT CAST(MAX(last_us) AS BIGINT) AS gmax FROM p)
+        |SELECT event_type, first_us, last_us,
+        |  last_us - first_us AS span_us, gmax - last_us AS lag_us, n
+        |FROM p, g ORDER BY event_type""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

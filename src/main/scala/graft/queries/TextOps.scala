@@ -808,6 +808,13 @@ object TextOps {
       graft.operators.Text.stratifiedSample(
           t(s, d, "documents"), "source", "doc_id", k = 5)
         .orderBy("stratum", "rank")
+    },
+    // MinHash-LSH calibration: measured precision/recall of the banded
+    // index vs exact same-source Jaccard >= 0.8 (integer-compared).
+    "qd73_lsh_calibration" -> { (s, d) =>
+      graft.operators.Dedup.lshCalibration(
+        t(s, d, "documents"), "text", "doc_id", "source",
+        thresholdPpm = 800000L)
     }
   )
 
@@ -2048,6 +2055,47 @@ object TextOps {
         |      ORDER BY md5('ss_' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
         |  FROM documents)
         |SELECT stratum, CAST(id AS BIGINT) AS id, rank FROM r WHERE rank <= 5
-        |ORDER BY stratum, rank""".stripMargin
+        |ORDER BY stratum, rank""".stripMargin,
+    "qd73_lsh_calibration" ->
+      """WITH docs AS (SELECT source, doc_id,
+        |    list_distinct(str_split(text, ' ')) AS tk,
+        |    len(list_distinct(str_split(text, ' '))) AS nt FROM documents),
+        |tok AS (SELECT source, doc_id, unnest(tk) AS tok FROM docs),
+        |sig AS (SELECT doc_id,
+        |    MIN(md5('s0_' || tok)) AS mh0, MIN(md5('s1_' || tok)) AS mh1,
+        |    MIN(md5('s2_' || tok)) AS mh2, MIN(md5('s3_' || tok)) AS mh3
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, md5('0' || mh0 || mh1) AS band FROM sig
+        |  UNION ALL SELECT doc_id, md5('1' || mh2 || mh3) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band
+        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand0 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band),
+        |cand AS (SELECT ia, ib FROM cand0
+        |  JOIN docs x ON x.doc_id = ia JOIN docs y ON y.doc_id = ib
+        |  WHERE x.source = y.source),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.tok = b.tok
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cj AS (SELECT c.ia, c.ib, COALESCE(i.i, 0) AS inter,
+        |    x.nt + y.nt - COALESCE(i.i, 0) AS uni
+        |  FROM cand c JOIN docs x ON x.doc_id = c.ia
+        |  JOIN docs y ON y.doc_id = c.ib
+        |  LEFT JOIN inter i ON i.ia = c.ia AND i.ib = c.ib),
+        |truth AS (SELECT i.ia, i.ib FROM inter i
+        |  JOIN docs x ON x.doc_id = i.ia JOIN docs y ON y.doc_id = i.ib
+        |  WHERE i.i * 1000000 >= 800000 * (x.nt + y.nt - i.i)),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |    COALESCE(CAST(SUM(CASE WHEN inter * 1000000 >= 800000 * uni
+        |      THEN 1 END) AS BIGINT), 0) AS true_pos
+        |  FROM cj),
+        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+        |SELECT n_candidates, n_truth, true_pos,
+        |  (true_pos * 1000000) // GREATEST(1, n_candidates) AS precision_ppm,
+        |  (true_pos * 1000000) // GREATEST(1, n_truth) AS recall_ppm
+        |FROM m, tr""".stripMargin
   )
 }

@@ -1193,6 +1193,48 @@ object EventStream {
         "dev_ppm")
   }
 
+  /** Alert debouncing — coalesce [[seasonalAnomaly]]'s flagged days into
+    * EPISODES (ops pages on incidents, not on every anomalous sample):
+    * consecutive flagged days of one event type merge via the
+    * gaps-and-islands identity (day − row_number is constant inside a
+    * run). Per episode:
+    * (event_type, start_day, end_day, n_days, peak_dev_ppm).
+    *
+    * Scale shape: the input is the (tiny) flagged-day table; one
+    * row_number window per type and one (type, island) aggregate. */
+  def alertEpisodes(events: DataFrame,
+      thresholdPpm: Long = 100000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    seasonalAnomaly(events, thresholdPpm)
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("event_type", "island")
+      .agg(min("day").as("start_day"), max("day").as("end_day"),
+        count(lit(1)).as("n_days"), max("dev_ppm").as("peak_dev_ppm"))
+      .select("event_type", "start_day", "end_day", "n_days", "peak_dev_ppm")
+  }
+
+  /** Source freshness audit — the data-SLA staleness table (which feeds
+    * are behind?): per event type, first/last event time, span, the lag
+    * behind the NEWEST event anywhere, and the row count. Returns
+    * (event_type, first_us, last_us, span_us, lag_us, n).
+    *
+    * Scale shape: one min/max/count aggregation per type; the global
+    * newest timestamp is a one-row broadcast rejoined to the tiny
+    * per-type table. */
+  def freshnessLag(events: DataFrame): DataFrame = {
+    val per = tsNanos(events)
+      .select(col("event_type"), expr("ts div 1000").as("tus"))
+      .groupBy("event_type")
+      .agg(min("tus").as("first_us"), max("tus").as("last_us"),
+        count(lit(1)).as("n"))
+    val global = broadcast(per.agg(max("last_us").as("gmax")))
+    per.crossJoin(global)
+      .select(col("event_type"), col("first_us"), col("last_us"),
+        (col("last_us") - col("first_us")).as("span_us"),
+        (col("gmax") - col("last_us")).as("lag_us"), col("n"))
+  }
+
   /** Frequency-capped sampling — the heavy-user down-sampler a training
     * pipeline runs so one bot or power user cannot dominate the corpus
     * (the per-author cap in LLM data curation): each user keeps at most

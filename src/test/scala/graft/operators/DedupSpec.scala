@@ -303,4 +303,21 @@ class DedupSpec extends SparkSpec {
     assert(strict.count() == 1L) // cont_b = 1.0 clears the max-side bar
   }
 
+  test("lshCalibration: identical docs are candidates AND truth; disjoint docs are neither") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma delta"),
+      (2L, "a", "alpha beta gamma delta"), // exact dup of 1: truth + candidate
+      (3L, "a", "zz yy xx ww"),            // disjoint: nothing
+      (4L, "b", "alpha beta gamma delta")  // dup text, DIFFERENT block: excluded
+    ).toDF("doc_id", "src", "txt")
+    val r = Dedup.lshCalibration(docs, "txt", "doc_id", "src",
+      thresholdPpm = 900000L).head()
+    assert(r.getAs[Long]("n_truth") == 1L)     // only (1,2)
+    assert(r.getAs[Long]("true_pos") == 1L)    // LSH must find exact dups
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    assert(r.getAs[Long]("n_candidates") >= 1L)
+  }
+
 }

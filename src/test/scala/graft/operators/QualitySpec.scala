@@ -375,6 +375,25 @@ class QualitySpec extends SparkSpec {
       one.getLong(4) == 0L && one.getLong(5) == 0L)
   }
 
+  test("weightedPercentile: cumulative-weight crossing, ties collapse first") {
+    val s = spark
+    import s.implicits._
+    // group g: values 1(w=1), 2(w=1+1 split across rows), 10(w=1):
+    // total 4, median crossing at cumw >= 2 -> value 2
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 2.0, 1L),
+      ("g", 10.0, 1L), ("h", 5.0, 100L), ("h", 99.0, 1L))
+      .toDF("grp", "v", "wt")
+    val out = Quality.weightedPercentile(df, "v", "wt", Seq("grp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(out("g") == ((2.0, 4L)))
+    assert(out("h") == ((5.0, 101L))) // heavy value dominates
+    // p90: g crosses 3.6 at value 10
+    val p90 = Quality.weightedPercentile(df, "v", "wt", Seq("grp"),
+      pPpm = 900000L).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(p90("g") == 10.0)
+  }
+
   test("keyCandidates: uniqueness per combo; nulls group as a value") {
     val s = spark
     import s.implicits._

@@ -60,7 +60,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qx10_negative_samples", // broadcast catalog slice (caller-bounded, SCALE CONTRACT)
     "qq16_ks_test", // broadcast (n_a, n_b) totals (1 row)
     "qq17_cramers_v2", // broadcast (n, nr, nc) totals (1 row) + broadcast row-marginal grid join
-    "qx12_bloom_fpr") // cross of four 1-row scalar aggregates (member/bit/probe/fp counts)
+    "qx12_bloom_fpr", // cross of four 1-row scalar aggregates (member/bit/probe/fp counts)
+    "qd73_lsh_calibration", // cross of the 1-row candidate and 1-row truth aggregates
+    "qq22_freshness_lag") // broadcast global-newest timestamp (1 row)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

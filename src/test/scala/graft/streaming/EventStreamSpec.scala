@@ -844,6 +844,46 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map(4L -> 500000L, 11L -> 500000L, 18L -> 1000000L))
   }
 
+  test("alertEpisodes: consecutive flagged days coalesce; a gap splits episodes") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    // same-dow baseline across 4 weeks: days 0,7,14,21 with counts
+    // 10, 40, 40, 10 -> base 25, all four deviate 60% -> all flagged;
+    // two NON-adjacent day pairs (0,7) vs (14,21) are 7 apart, so each
+    // flagged day is its own episode (gap > 1)
+    def burst(d: Long, n: Int) = (1 to n).map(i =>
+      (d * 1000 + i, 1L, "a", d * day + i * 1000L))
+    val ev = (burst(0, 10) ++ burst(7, 40) ++ burst(14, 40) ++ burst(21, 10))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val eps = EventStream.alertEpisodes(ev, thresholdPpm = 400000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(eps.length == 4 && eps.forall(e => e._1 == e._2 && e._3 == 1L))
+    // adjacent flagged days merge: days 0 and 1, same dow impossible —
+    // use two types? simpler: consecutive days flagged via distinct dows
+    val ev2 = (burst(0, 10) ++ burst(7, 40) ++ // dow 3 base 25
+      burst(1, 10) ++ burst(8, 40))            // dow 4 base 25
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val eps2 = EventStream.alertEpisodes(ev2, thresholdPpm = 400000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(eps2 == Set((0L, 1L, 2L), (7L, 8L, 2L))) // runs of 2 merge
+  }
+
+  test("freshnessLag: per-type staleness vs the global newest event") {
+    val s = spark
+    import s.implicits._
+    val us = 1000L
+    val ev = Seq(
+      (1L, 1L, "a", 100 * us), (2L, 1L, "a", 500 * us),
+      (3L, 1L, "b", 200 * us)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.freshnessLag(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out("a") == ((100L, 500L, 400L, 0L, 2L)))
+    assert(out("b") == ((200L, 200L, 0L, 300L, 1L)))
+  }
+
   test("freqCappedSample: per-user cap, deterministic md5 choice") {
     val s = spark
     import s.implicits._

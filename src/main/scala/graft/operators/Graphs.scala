@@ -618,6 +618,44 @@ object Graphs {
         "(num * 1000L - pmod(num * 1000L, greatest(1L, den))) div greatest(1L, den)"))
   }
 
+  /** Edge-sampling fidelity audit — what a deterministic edge sample
+    * does to the degree structure (the check before training a GNN or
+    * estimating graph stats on a subsample): keep an edge when
+    * `md5('es_' || u || '_' || v)`'s 52-bit prefix mod 10⁶ < `keepPpm`
+    * (a pure function of the edge, so every engine and every run keeps
+    * the SAME edges), then compare the degree-octave histograms
+    * (bucket = bit length of degree, the qa13 binary-log) of the full
+    * vs sampled graph. Returns
+    * (bucket, nodes_full, nodes_sample), full-outer per bucket.
+    *
+    * Scale shape: the sample is a per-edge filter; each side's degrees
+    * are one groupBy; the histograms are octave-keyed counts (≤ 64
+    * rows) joined full-outer. Nothing quadratic. */
+  def edgeSampleAudit(edges0: DataFrame, aCol: String, bCol: String,
+      keepPpm: Long = 500000L): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L,
+      s"keepPpm out of range: $keepPpm")
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val sampled = edges.filter(
+      conv(substring(md5(concat(lit("es_"), col("u").cast("string"),
+        lit("_"), col("v").cast("string"))), 1, 13), 16, 10)
+        .cast("long") % 1000000L < keepPpm)
+    def octaves(e: DataFrame, out: String) =
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .select(length(bin(col("d"))).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+    octaves(edges, "nodes_full")
+      .join(octaves(sampled, "nodes_sample"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("nodes_full"), lit(0L)).as("nodes_full"),
+        coalesce(col("nodes_sample"), lit(0L)).as("nodes_sample"))
+  }
+
   /** Item-item collaborative filtering — the "customers also bought"
     * serving table from co-occurrence alone (Linden et al. 2003,
     * Amazon item-to-item CF): over (basket, item) pairs, each item's

@@ -719,6 +719,33 @@ object Quality {
       .select(inline(array(pairRows: _*)))
   }
 
+  /** Smoothed target encoding — the mean-encoding feature transform for
+    * high-cardinality categoricals (Micci-Barreca 2001): per category,
+    * the target rate shrunk toward the GLOBAL prior by `alpha`
+    * pseudo-counts, all in integer ppm:
+    *   enc_ppm = (pos·10⁶ + alpha·prior_ppm) div (n + alpha),
+    *   prior_ppm = global_pos·10⁶ div global_n.
+    * Rare categories sit near the prior; popular ones near their own
+    * rate — the standard leakage-resistant encoding for tree models.
+    * Returns (category, n, n_pos, prior_ppm, enc_ppm).
+    *
+    * Scale shape: one count groupBy on the category, a one-row broadcast
+    * global prior, a per-summary-row formula. One corpus scan. */
+  def targetEncode(df: DataFrame, catCol: String, target: Column,
+      alpha: Long = 10L): DataFrame = {
+    require(alpha >= 0, s"alpha out of range: $alpha")
+    val per = df.select(col(catCol).cast("string").as("category"),
+        when(target, 1L).otherwise(0L).as("y"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val prior = broadcast(per.agg(
+      expr("(sum(n_pos) * 1000000L) div sum(n)").as("prior_ppm")))
+    per.crossJoin(prior)
+      .select(col("category"), col("n"), col("n_pos"), col("prior_ppm"),
+        expr(s"(n_pos * 1000000L + ${alpha}L * prior_ppm) div (n + ${alpha}L)")
+          .as("enc_ppm"))
+  }
+
   /** Weighted percentile — the percentile of a value distribution where
     * each row counts `weightCol` times (unit-weighted percentiles
     * misstate volume-weighted questions: "the median shipped DOLLAR went

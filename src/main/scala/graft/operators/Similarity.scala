@@ -1083,6 +1083,44 @@ object Similarity {
           sqrt(col("norm2_b").cast("double"))))
   }
 
+  /** ANN recall calibration — the measured recall@k of the binary
+    * sign-sketch Hamming index against exact cosine ground truth (the
+    * FAISS-bench ritual, run in-engine: advertised recall is a paper
+    * number, this is YOUR corpus): for every query in the deterministic
+    * `id % queryMod == 0` panel, exact top-k ([[batchTopKCosine]], one
+    * corpus scan for the whole panel) vs Hamming top-k over
+    * [[signSketch]]es (deterministic (hamming, id) tie-break), then
+    * per-query overlap. Returns (query_id, hits, recall_ppm).
+    *
+    * Scale shape: both searches are ONE corpus scan against the
+    * broadcast query panel (fan-out = |panel|, caller-bounded via
+    * queryMod); top-k is a rank window per query; the overlap is a
+    * semi-join of two k·|panel|-row lists. */
+  def hammingRecall(df: DataFrame, embCol: String, idCol: String,
+      queryMod: Long, k: Int, dim: Int = 64): DataFrame = {
+    require(queryMod >= 1, s"queryMod out of range: $queryMod")
+    require(k >= 1, s"k out of range: $k")
+    val queries = df.filter(col(idCol) % queryMod === 0)
+    val exact = batchTopKCosine(df, queries, embCol, idCol, idCol, k)
+      .select(col("query_id"), col(idCol).as("id"))
+    val sk = df.select(col(idCol).as("id"), signSketch(col(embCol), dim).as("sk"))
+    val qsk = broadcast(sk.filter(col("id") % queryMod === 0)
+      .select(col("id").as("query_id"), col("sk").as("qsk")))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("id"))
+    val approx = sk.join(qsk, col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        bit_count(col("sk").bitwiseXOR(col("qsk"))).cast("long").as("hamming"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "id")
+    val hits = exact.join(approx, Seq("query_id", "id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    queries.select(col(idCol).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits"),
+        expr(s"(coalesce(h, 0L) * 1000000L) div ${k}L").as("recall_ppm"))
+  }
+
   /** Label-centroid purity — the embedding-quality scorecard (does the
     * label structure survive in vector space?): per label, how many of
     * its vectors sit closest (by cosine) to their OWN label's centroid.

@@ -1195,6 +1195,38 @@ object Text {
         col("s4").as("n_out")))))
   }
 
+  /** Corpus release diff — what changed between two dataset snapshots
+    * (the dataset-versioning changelog a release note quotes): per
+    * group, counts of ADDED ids (only in `b`), REMOVED ids (only in
+    * `a`), CHANGED ids (both, text md5 differs) and UNCHANGED. Returns
+    * (grp, n_added, n_removed, n_changed, n_unchanged).
+    *
+    * Scale shape: one full-outer hash join on the id key with texts
+    * reduced to md5 BEFORE the join (fixed-width compare, no long
+    * strings through the shuffle), then one count aggregation. */
+  def corpusDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, groupCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(col(idCol).cast("long").as("id"),
+        col(groupCol).as(s"g$tag"), md5(col(textCol)).as(s"h$tag"))
+    side(a, "a").join(side(b, "b"), Seq("id"), "full_outer")
+      .select(coalesce(col("ga"), col("gb")).as("grp"),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("grp")
+      .agg(
+        coalesce(sum(when(col("status") === "added", 1L)), lit(0L))
+          .as("n_added"),
+        coalesce(sum(when(col("status") === "removed", 1L)), lit(0L))
+          .as("n_removed"),
+        coalesce(sum(when(col("status") === "changed", 1L)), lit(0L))
+          .as("n_changed"),
+        coalesce(sum(when(col("status") === "unchanged", 1L)), lit(0L))
+          .as("n_unchanged"))
+  }
+
   /** Stratified inspection sample — the per-stratum manifest a human
     * review (or an eval-set draw) starts from: the `k` documents of each
     * stratum with the smallest `md5('ss_' || id)` — a pure function of

@@ -859,6 +859,24 @@ object MiscQueries {
     "qq22_freshness_lag" -> { (s, d) =>
       graft.streaming.EventStream.freshnessLag(t(s, d, "events"))
         .orderBy("event_type")
+    },
+    // Smoothed target encoding of order priority vs F-status rate.
+    "qa17_target_encoding" -> { (s, d) =>
+      graft.operators.Quality.targetEncode(t(s, d, "orders"),
+          "o_orderpriority", col("o_orderstatus") === "F", alpha = 10L)
+        .orderBy("category")
+    },
+    // Deterministic edge-sample fidelity: degree-octave histogram of the
+    // co-purchase graph, full vs md5-kept half.
+    "qg15_edge_sample_audit" -> { (s, d) =>
+      val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.edgeSampleAudit(edges, "pa", "pb",
+          keepPpm = 500000L)
+        .orderBy("bucket")
     }
   )
 
@@ -2089,7 +2107,47 @@ object MiscQueries {
         |g AS (SELECT CAST(MAX(last_us) AS BIGINT) AS gmax FROM p)
         |SELECT event_type, first_us, last_us,
         |  last_us - first_us AS span_us, gmax - last_us AS lag_us, n
-        |FROM p, g ORDER BY event_type""".stripMargin
+        |FROM p, g ORDER BY event_type""".stripMargin,
+    "qa17_target_encoding" ->
+      """WITH per AS (SELECT o_orderpriority AS category,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+        |      AS BIGINT), 0) AS n_pos
+        |  FROM orders GROUP BY 1),
+        |pr AS (SELECT (CAST(SUM(n_pos) AS BIGINT) * 1000000)
+        |    // CAST(SUM(n) AS BIGINT) AS prior_ppm FROM per)
+        |SELECT category, n, n_pos, prior_ppm,
+        |  (n_pos * 1000000 + 10 * prior_ppm) // (n + 10) AS enc_ppm
+        |FROM per, pr ORDER BY category""".stripMargin,
+    "qg15_edge_sample_audit" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u,
+        |    GREATEST(a.p, b.p) AS v
+        |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+        |  WHERE a.p <> b.p),
+        |samp AS (SELECT u, v FROM edges
+        |  WHERE CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |    CAST(instr('0123456789abcdef', substr(md5('es_'
+        |      || CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)),
+        |      CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |    * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 1000000
+        |    < 500000),
+        |df AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY n),
+        |ds AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM samp UNION ALL SELECT v FROM samp)
+        |  GROUP BY n),
+        |hf AS (SELECT CAST(len(bin(d)) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS nodes_full FROM df GROUP BY 1),
+        |hs AS (SELECT CAST(len(bin(d)) AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS nodes_sample FROM ds GROUP BY 1)
+        |SELECT COALESCE(hf.bucket, hs.bucket) AS bucket,
+        |  COALESCE(nodes_full, 0) AS nodes_full,
+        |  COALESCE(nodes_sample, 0) AS nodes_sample
+        |FROM hf FULL OUTER JOIN hs ON hs.bucket = hf.bucket
+        |ORDER BY bucket""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

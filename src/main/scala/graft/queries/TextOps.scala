@@ -815,6 +815,18 @@ object TextOps {
       graft.operators.Dedup.lshCalibration(
         t(s, d, "documents"), "text", "doc_id", "source",
         thresholdPpm = 800000L)
+    },
+    // Release-to-release corpus diff: snapshot B deterministically drops
+    // %17 ids, revises %13 texts, and adds %19 clones under new ids.
+    "qd74_corpus_diff" -> { (s, d) =>
+      val a = t(s, d, "documents")
+      val b = a.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .unionAll(a.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.operators.Text.corpusDiff(a, b, "doc_id", "text", "source")
+        .orderBy("grp")
     }
   )
 
@@ -2096,6 +2108,30 @@ object TextOps {
         |SELECT n_candidates, n_truth, true_pos,
         |  (true_pos * 1000000) // GREATEST(1, n_candidates) AS precision_ppm,
         |  (true_pos * 1000000) // GREATEST(1, n_truth) AS recall_ppm
-        |FROM m, tr""".stripMargin
+        |FROM m, tr""".stripMargin,
+    "qd74_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, text, source FROM documents),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END
+        |      AS text, source
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents
+        |  WHERE doc_id % 19 = 0),
+        |j AS (SELECT COALESCE(a.source, b.source) AS grp,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id)
+        |SELECT grp,
+        |  COALESCE(CAST(SUM(CASE WHEN status = 'added' THEN 1 END)
+        |    AS BIGINT), 0) AS n_added,
+        |  COALESCE(CAST(SUM(CASE WHEN status = 'removed' THEN 1 END)
+        |    AS BIGINT), 0) AS n_removed,
+        |  COALESCE(CAST(SUM(CASE WHEN status = 'changed' THEN 1 END)
+        |    AS BIGINT), 0) AS n_changed,
+        |  COALESCE(CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 END)
+        |    AS BIGINT), 0) AS n_unchanged
+        |FROM j GROUP BY grp ORDER BY grp""".stripMargin
   )
 }

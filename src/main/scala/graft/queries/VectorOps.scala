@@ -81,6 +81,14 @@ object VectorOps {
           t(s, d, "embeddings"), "embedding", "label", "vec_id")
         .orderBy("label")
     },
+    // ANN recall calibration: sign-sketch Hamming top-10 vs exact cosine
+    // top-10 for the id%97 query panel — measured recall@k per query.
+    "qv23_hamming_recall" -> { (s, d) =>
+      graft.operators.Similarity.hammingRecall(
+          t(s, d, "embeddings"), "embedding", "vec_id", queryMod = 97L,
+          k = 10)
+        .orderBy("query_id")
+    },
     // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
     // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
     // in the hot path; the index is 32x smaller than the vectors).
@@ -311,6 +319,41 @@ object VectorOps {
         |  (COALESCE(CAST(SUM(CASE WHEN clabel = label THEN 1 END) AS BIGINT), 0)
         |    * 1000000) // COUNT(*) AS acc_ppm
         |FROM best WHERE rk = 1 GROUP BY label ORDER BY label""".stripMargin,
+    "qv23_hamming_recall" ->
+      """WITH emb AS (SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, q AS xq, embedding AS xe
+        |  FROM emb WHERE vec_id % 97 = 0),
+        |ex0 AS (SELECT qs.query_id, e.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> e.q[i] * qs.xq[i])) AS DOUBLE) /
+        |     (SQRT(CAST(list_sum(list_transform(range(1, 65),
+        |        i -> e.q[i] * e.q[i])) AS DOUBLE)) *
+        |      SQRT(CAST(list_sum(list_transform(range(1, 65),
+        |        i -> qs.xq[i] * qs.xq[i])) AS DOUBLE))) AS cos_sim
+        |  FROM emb e, qs WHERE e.vec_id <> qs.query_id),
+        |exact AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rk FROM ex0) WHERE rk <= 10),
+        |ap0 AS (SELECT qs.query_id, e.vec_id,
+        |    CAST(len(list_filter(range(1, 65), i ->
+        |      (CAST(e.embedding[i] AS DOUBLE) > 0)
+        |        <> (CAST(qs.xe[i] AS DOUBLE) > 0))) AS BIGINT) AS hamming
+        |  FROM emb e, qs WHERE e.vec_id <> qs.query_id),
+        |approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, vec_id) AS rk FROM ap0) WHERE rk <= 10),
+        |h AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM exact e JOIN approx a ON a.query_id = e.query_id
+        |    AND a.vec_id = e.vec_id
+        |  GROUP BY e.query_id)
+        |SELECT q.query_id, COALESCE(h.hits, 0) AS hits,
+        |  (COALESCE(h.hits, 0) * 1000000) // 10 AS recall_ppm
+        |FROM (SELECT DISTINCT query_id FROM qs) q
+        |LEFT JOIN h ON h.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
     "qv16_sq_ann" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -362,6 +362,19 @@ class GraphsSpec extends SparkSpec {
     assert(near.getLong(1) == 1L && near.getLong(3) == 1000000L)
   }
 
+  test("edgeSampleAudit: keepPpm=1e6 keeps everything, 0 keeps nothing; buckets are octaves") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
+    val all = Graphs.edgeSampleAudit(edges, "a", "b", keepPpm = 1000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // degrees: 1->3 (bucket 2), 2->2 (bucket 2), 3->2 (bucket 2), 4->1 (bucket 1)
+    assert(all == Map(1L -> ((1L, 1L)), 2L -> ((3L, 3L))))
+    val none = Graphs.edgeSampleAudit(edges, "a", "b", keepPpm = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none.values.forall(_ == 0L))
+  }
+
   test("itemCf: cosine^2-ppm on co-occurrence counts; hub baskets dropped") {
     val s = spark
     import s.implicits._

@@ -375,6 +375,25 @@ class QualitySpec extends SparkSpec {
       one.getLong(4) == 0L && one.getLong(5) == 0L)
   }
 
+  test("targetEncode: rare categories shrink to the prior, popular ones keep their rate") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // 100 rows of 'big' at 50% positive, 1 row of 'rare' at 100%
+    val rows = (1 to 100).map(i => ("big", i % 2 == 0)) :+ (("rare", true))
+    val df = rows.toDF("cat", "y")
+    val out = Quality.targetEncode(df, "cat", col("y"), alpha = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val prior = 51L * 1000000L / 101L // 504950
+    assert(out("big")._3 == prior && out("rare")._3 == prior)
+    // big: (50e6 + 10*prior)/(110) ~ its own 500000
+    assert(math.abs(out("big")._4 - 500000L) < 10000L)
+    // rare: (1e6 + 10*prior)/11 -> pulled well below 1.0 toward the prior
+    assert(out("rare")._4 == (1000000L + 10L * prior) / 11L)
+    assert(out("rare")._4 < 600000L)
+  }
+
   test("weightedPercentile: cumulative-weight crossing, ties collapse first") {
     val s = spark
     import s.implicits._

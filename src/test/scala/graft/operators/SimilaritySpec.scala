@@ -656,6 +656,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rc.getAs[Long]("norm2_a") == 18L) // (-3)^2 + 3^2
   }
 
+  test("hammingRecall: sign-identical corpus gives full recall; zero-hit queries still report") {
+    val s = spark
+    import s.implicits._
+    // vectors whose cosine order IS their sign-pattern order: recall = 1
+    val df = Seq(
+      (0L, Array(1.0f, 1.0f, -1.0f)),
+      (1L, Array(0.9f, 0.8f, -1.0f)),  // same signs as query 0
+      (2L, Array(-1.0f, -1.0f, 1.0f)), // opposite
+      (3L, Array(1.0f, 0.9f, -0.9f))   // same signs
+    ).toDF("vec_id", "emb")
+    val out = Similarity.hammingRecall(df, "emb", "vec_id", queryMod = 4L,
+        k = 2, dim = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // query 0: exact top-2 = {1, 3} (cosine), hamming top-2 = {1, 3} (0 bits)
+    assert(out(0L) == ((2L, 1000000L)))
+  }
+
   test("centroidPurity: separable labels score 100%, a flipped vector is impure") {
     val s = spark
     import s.implicits._

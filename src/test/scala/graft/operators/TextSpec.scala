@@ -732,6 +732,20 @@ class TextSpec extends SparkSpec {
     assert(rows(3).getLong(4) == 1L) // one survivor
   }
 
+  test("corpusDiff: added/removed/changed/unchanged classified per group") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "g", "one"), (2L, "g", "two"), (3L, "h", "three"))
+      .toDF("doc_id", "src", "txt")
+    val b = Seq((1L, "g", "one"), (2L, "g", "two CHANGED"),
+      (4L, "h", "four")).toDF("doc_id", "src", "txt")
+    val out = Text.corpusDiff(a, b, "doc_id", "txt", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("g") == ((0L, 0L, 1L, 1L)))
+    assert(out("h") == ((1L, 1L, 0L, 0L)))
+  }
+
   test("stratifiedSample: k per stratum, stable under re-partitioning") {
     val s = spark
     import s.implicits._

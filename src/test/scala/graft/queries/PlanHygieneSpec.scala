@@ -62,7 +62,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qq17_cramers_v2", // broadcast (n, nr, nc) totals (1 row) + broadcast row-marginal grid join
     "qx12_bloom_fpr", // cross of four 1-row scalar aggregates (member/bit/probe/fp counts)
     "qd73_lsh_calibration", // cross of the 1-row candidate and 1-row truth aggregates
-    "qq22_freshness_lag") // broadcast global-newest timestamp (1 row)
+    "qq22_freshness_lag", // broadcast global-newest timestamp (1 row)
+    "qa17_target_encoding", // broadcast global prior rate (1 row)
+    "qv23_hamming_recall") // broadcast query panel (id%queryMod-bounded) scored vs corpus
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

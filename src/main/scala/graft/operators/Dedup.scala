@@ -709,6 +709,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"), col("dist_ppm"))
   }
 
+  /** Dedup threshold sweep — the duplicate-rate curve that picks the
+    * Jaccard cutoff (0.7 vs 0.8 changes how much corpus survives; sweep
+    * once, decide on evidence): over the block-bounded exact pair table,
+    * for each candidate threshold, how many pairs clear it and how many
+    * DOCUMENTS are implicated (would be dropped or clustered). Returns
+    * (threshold_ppm, n_pairs, n_docs), one row per threshold.
+    *
+    * Scale shape: the pair table is computed ONCE ([[tokenJaccardPairs]],
+    * block-bounded); the sweep explodes each pair into its qualifying
+    * thresholds (fan-out ≤ |thresholds|, a constant) and counts; doc
+    * counts are a distinct over (threshold, id). */
+  def thresholdSweep(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String,
+      thresholdsPpm: Seq[Long] = Seq(500000L, 600000L, 700000L, 800000L,
+        900000L)): DataFrame = {
+    require(thresholdsPpm.nonEmpty, "thresholdsPpm must be non-empty")
+    require(thresholdsPpm.forall(t => t >= 0 && t <= 1000000L),
+      s"thresholds in [0, 1e6]: $thresholdsPpm")
+    val pairs = tokenJaccardPairs(df, textCol, idCol, blockCol)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("long") * 1000000L).as("num"),
+        (col("na").cast("long") + col("nb").cast("long") -
+          col("inter").cast("long")).as("uni"))
+    val th = array(thresholdsPpm.map(lit): _*)
+    val hit = pairs.select(col("id_a"), col("id_b"),
+        explode(filter(th, t => col("num") >= t * col("uni"))).as("t"))
+    val pairCounts = hit.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val docCounts = hit.select(col("t"), col("id_a").as("id"))
+      .unionAll(hit.select(col("t"), col("id_b").as("id")))
+      .distinct()
+      .groupBy("t").agg(count(lit(1)).as("n_docs"))
+    val allT = df.sparkSession.range(1)
+      .select(explode(th).as("t"))
+    allT.join(pairCounts, Seq("t"), "left_outer")
+      .join(docCounts, Seq("t"), "left_outer")
+      .select(col("t").as("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** MinHash-LSH index calibration — the measured precision/recall a
     * banded index actually delivers on THIS corpus (the banding formula
     * predicts it; tune bands/rows on evidence, like [[Sketches.bloomFpr]]

@@ -719,6 +719,37 @@ object Quality {
       .select(inline(array(pairRows: _*)))
   }
 
+  /** Sentinel / disguised-missing-value audit — the scan that catches
+    * -1s, 0-defaults and magic numbers masquerading as data (a column
+    * whose mode covers 40% of rows is usually hiding NULLs): per
+    * requested numeric column, one row
+    * (column, n_nonnull, n_zero, n_negative, top_value, top_n, top_ppm)
+    * where top_value is the modal value (rendered as string; ties break
+    * to the smallest value string).
+    *
+    * Scale shape: per column, the scalar counts are ONE partial agg over
+    * the raw values; the mode is a (value) count groupBy taken by
+    * TakeOrdered (per-partition top-1 + a 1-row merge — never a global
+    * sort); the two 1-row frames cross driver-free. */
+  def sentinelAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "sentinelAudit needs at least one column")
+    cols.map { c =>
+      val vals = df.select(col(c).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val scalars = vals.agg(count(lit(1)).as("n_nonnull"),
+        coalesce(sum(when(col("v") === 0d, 1L)), lit(0L)).as("n_zero"),
+        coalesce(sum(when(col("v") < 0d, 1L)), lit(0L)).as("n_negative"))
+      val top = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("v").cast("string"))
+        .limit(1)
+      scalars.crossJoin(top)
+        .select(lit(c).as("column"), col("n_nonnull"), col("n_zero"),
+          col("n_negative"), col("v").cast("string").as("top_value"),
+          col("cnt").as("top_n"),
+          expr("(cnt * 1000000L) div n_nonnull").as("top_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Smoothed target encoding — the mean-encoding feature transform for
     * high-cardinality categoricals (Micci-Barreca 2001): per category,
     * the target rate shrunk toward the GLOBAL prior by `alpha`

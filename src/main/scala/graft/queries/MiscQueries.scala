@@ -877,6 +877,23 @@ object MiscQueries {
       graft.operators.Graphs.edgeSampleAudit(edges, "pa", "pb",
           keepPpm = 500000L)
         .orderBy("bucket")
+    },
+    // Deterministic salted-md5 A/B assignment + conversion readout.
+    "qa18_ab_assignment" -> { (s, d) =>
+      graft.streaming.EventStream.abAssignment(t(s, d, "events"))
+        .orderBy("arm")
+    },
+    // Majority-successor baseline: how predictable is the next event.
+    "qa19_markov_accuracy" -> { (s, d) =>
+      graft.streaming.EventStream.markovAccuracy(t(s, d, "events"))
+        .orderBy("prev")
+    },
+    // Disguised-missing-value audit: modal value share + zero/negative
+    // counts per numeric column.
+    "qq23_sentinel_audit" -> { (s, d) =>
+      graft.operators.Quality.sentinelAudit(t(s, d, "lineitem"),
+          Seq("l_discount", "l_tax", "l_quantity"))
+        .orderBy("column")
     }
   )
 
@@ -2147,7 +2164,63 @@ object MiscQueries {
         |  COALESCE(nodes_full, 0) AS nodes_full,
         |  COALESCE(nodes_sample, 0) AS nodes_sample
         |FROM hf FULL OUTER JOIN hs ON hs.bucket = hf.bucket
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+    "qa18_ab_assignment" ->
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT CASE WHEN
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('ab_exp1_'
+        |        || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm, converted FROM u)
+        |SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  (CAST(SUM(converted) AS BIGINT) * 1000000) // COUNT(*) AS conv_ppm
+        |FROM a GROUP BY arm ORDER BY arm""".stripMargin,
+    "qa19_markov_accuracy" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |s AS (SELECT event_type AS prev,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS next
+        |  FROM e),
+        |bi AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS c FROM s
+        |  WHERE next IS NOT NULL GROUP BY 1, 2),
+        |rk AS (SELECT prev, next, c,
+        |    CAST(SUM(c) OVER (PARTITION BY prev) AS BIGINT) AS total,
+        |    ROW_NUMBER() OVER (PARTITION BY prev ORDER BY c DESC, next) AS r
+        |  FROM bi)
+        |SELECT prev, next AS top_next, c AS top_count, total,
+        |  (c * 1000000) // total AS acc_ppm
+        |FROM rk WHERE r = 1 ORDER BY prev""".stripMargin,
+    "qq23_sentinel_audit" ->
+      """WITH t1 AS (
+        |  SELECT 'l_discount' AS col0, CAST(l_discount AS DOUBLE) AS v
+        |    FROM lineitem WHERE l_discount IS NOT NULL
+        |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+        |    WHERE l_tax IS NOT NULL
+        |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE)
+        |    FROM lineitem WHERE l_quantity IS NOT NULL),
+        |sc AS (SELECT col0, CAST(COUNT(*) AS BIGINT) AS n_nonnull,
+        |    COALESCE(CAST(SUM(CASE WHEN v = 0 THEN 1 END) AS BIGINT), 0)
+        |      AS n_zero,
+        |    COALESCE(CAST(SUM(CASE WHEN v < 0 THEN 1 END) AS BIGINT), 0)
+        |      AS n_negative
+        |  FROM t1 GROUP BY col0),
+        |cnt AS (SELECT col0, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM t1
+        |  GROUP BY col0, v),
+        |top AS (SELECT col0, v, cnt FROM (SELECT col0, v, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY col0
+        |      ORDER BY cnt DESC, CAST(v AS VARCHAR)) AS r FROM cnt)
+        |  WHERE r = 1)
+        |SELECT sc.col0 AS "column", n_nonnull, n_zero, n_negative,
+        |  CAST(top.v AS VARCHAR) AS top_value, top.cnt AS top_n,
+        |  (top.cnt * 1000000) // n_nonnull AS top_ppm
+        |FROM sc JOIN top ON top.col0 = sc.col0 ORDER BY sc.col0""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -827,6 +827,13 @@ object TextOps {
           .withColumn("doc_id", col("doc_id") + 1000000L))
       graft.operators.Text.corpusDiff(a, b, "doc_id", "text", "source")
         .orderBy("grp")
+    },
+    // Dedup threshold sweep: the duplicate-rate curve over candidate
+    // Jaccard cutoffs, pairs computed once.
+    "qd75_threshold_sweep" -> { (s, d) =>
+      graft.operators.Dedup.thresholdSweep(
+          t(s, d, "documents"), "text", "doc_id", "source")
+        .orderBy("threshold_ppm")
     }
   )
 
@@ -2132,6 +2139,31 @@ object TextOps {
         |    AS BIGINT), 0) AS n_changed,
         |  COALESCE(CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 END)
         |    AS BIGINT), 0) AS n_unchanged
-        |FROM j GROUP BY grp ORDER BY grp""".stripMargin
+        |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
+    "qd75_threshold_sweep" ->
+      """WITH docs AS (SELECT source, doc_id,
+        |    list_distinct(str_split(text, ' ')) AS tk,
+        |    len(list_distinct(str_split(text, ' '))) AS nt FROM documents),
+        |tok AS (SELECT source, doc_id, unnest(tk) AS tok FROM docs),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(COUNT(*) AS BIGINT) AS i
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.tok = b.tok
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT i.ia, i.ib, i.i * 1000000 AS num,
+        |    x.nt + y.nt - i.i AS uni
+        |  FROM inter i JOIN docs x ON x.doc_id = i.ia
+        |  JOIN docs y ON y.doc_id = i.ib),
+        |th AS (SELECT unnest([500000, 600000, 700000, 800000, 900000]) AS t),
+        |hit AS (SELECT th.t, p.ia, p.ib FROM p JOIN th ON p.num >= th.t * p.uni),
+        |pc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hit
+        |  GROUP BY t),
+        |dc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs FROM
+        |  (SELECT DISTINCT t, id FROM (SELECT t, ia AS id FROM hit
+        |    UNION ALL SELECT t, ib FROM hit)) GROUP BY t)
+        |SELECT th.t AS threshold_ppm, COALESCE(pc.n_pairs, 0) AS n_pairs,
+        |  COALESCE(dc.n_docs, 0) AS n_docs
+        |FROM th LEFT JOIN pc ON pc.t = th.t LEFT JOIN dc ON dc.t = th.t
+        |ORDER BY threshold_ppm""".stripMargin
   )
 }

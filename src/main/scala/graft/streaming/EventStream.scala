@@ -1193,6 +1193,61 @@ object EventStream {
         "dev_ppm")
   }
 
+  /** Deterministic A/B assignment + outcome readout — the experiment
+    * table with the assignment a re-run can reproduce (md5 of the user
+    * id, salted per experiment — no RNG, no assignment log to lose):
+    * per arm, exposed users, converters (any `convType` event), and the
+    * conversion rate in ppm. Returns (arm, n_users, n_converted,
+    * conv_ppm) with arm ∈ {'A','B'}.
+    *
+    * Scale shape: one distinct over (user, converted-flag aggregates) —
+    * a per-user groupBy — then a 2-row arm rollup. The assignment is a
+    * pure per-row hash. */
+  def abAssignment(events: DataFrame, convType: String = "purchase",
+      salt: String = "exp1"): DataFrame = {
+    val perUser = tsNanos(events)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat(lit(s"ab_${salt}_"),
+          col("user_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"))
+      .withColumn("conv_ppm", expr("(n_converted * 1000000L) div n_users"))
+  }
+
+  /** Markov baseline accuracy — how predictable is the NEXT event from
+    * the current one alone (the majority-class baseline any sequence
+    * model must beat, measured on the same corpus the [[transitionMatrix]]
+    * was counted from): per state, the most frequent successor (count
+    * tie broken by successor name), and the share of transitions it
+    * explains. Returns (prev, top_next, top_count, total, acc_ppm).
+    *
+    * Scale shape: successor extraction is one lead window per user;
+    * bigram counts one groupBy; the per-state argmax a rank window over
+    * the |states|² count table. */
+  def markovAccuracy(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tus", "event_id")
+    val bi = tsNanos(events)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("event_type").as("prev"))
+      .withColumn("next", lead("prev", 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("c"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("prev").orderBy(col("c").desc, col("next"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("prev")
+    bi.withColumn("total", sum("c").over(tot))
+      .withColumn("r", row_number().over(rk))
+      .filter(col("r") === 1)
+      .select(col("prev"), col("next").as("top_next"),
+        col("c").as("top_count"), col("total"),
+        expr("(c * 1000000L) div total").as("acc_ppm"))
+  }
+
   /** Alert debouncing — coalesce [[seasonalAnomaly]]'s flagged days into
     * EPISODES (ops pages on incidents, not on every anomalous sample):
     * consecutive flagged days of one event type merge via the

@@ -303,6 +303,23 @@ class DedupSpec extends SparkSpec {
     assert(strict.count() == 1L) // cont_b = 1.0 clears the max-side bar
   }
 
+  test("thresholdSweep: monotone curve; thresholds with no pairs report zero") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "g", "a b c d"), (2L, "g", "a b c d"),   // jacc 1.0
+      (3L, "g", "a b c x"), (4L, "g", "p q r s")    // (1,3)/(2,3) jacc 0.6
+    ).toDF("doc_id", "src", "txt")
+    val out = Dedup.thresholdSweep(docs, "txt", "doc_id", "src",
+        thresholdsPpm = Seq(500000L, 900000L, 1000000L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(500000L) == ((3L, 3L))) // pairs (1,2),(1,3),(2,3); docs 1,2,3
+    assert(out(900000L) == ((1L, 2L))) // only the exact dup
+    assert(out(1000000L) == ((1L, 2L)))
+    // monotone non-increasing in the threshold
+    assert(out(500000L)._1 >= out(900000L)._1)
+  }
+
   test("lshCalibration: identical docs are candidates AND truth; disjoint docs are neither") {
     val s = spark
     import s.implicits._

@@ -375,6 +375,19 @@ class QualitySpec extends SparkSpec {
       one.getLong(4) == 0L && one.getLong(5) == 0L)
   }
 
+  test("sentinelAudit: modal value, zero/negative counts, per column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0.0, 5.0), (0.0, -1.0), (0.0, 2.0), (1.5, 2.0))
+      .toDF("a", "b")
+    val out = Quality.sentinelAudit(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out("a") == ((4L, 3L, 0L, "0.0", 3L, 750000L)))
+    assert(out("b") == ((4L, 0L, 1L, "2.0", 2L, 500000L)))
+  }
+
   test("targetEncode: rare categories shrink to the prior, popular ones keep their rate") {
     val s = spark
     import s.implicits._

@@ -64,7 +64,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qd73_lsh_calibration", // cross of the 1-row candidate and 1-row truth aggregates
     "qq22_freshness_lag", // broadcast global-newest timestamp (1 row)
     "qa17_target_encoding", // broadcast global prior rate (1 row)
-    "qv23_hamming_recall") // broadcast query panel (id%queryMod-bounded) scored vs corpus
+    "qv23_hamming_recall", // broadcast query panel (id%queryMod-bounded) scored vs corpus
+    "qq23_sentinel_audit") // cross of the 1-row scalar agg and the TakeOrdered 1-row mode
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -829,6 +829,40 @@ class EventStreamSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 4.0, 4.0)))
   }
 
+  test("abAssignment: hash split is deterministic and covers every user once") {
+    val s = spark
+    import s.implicits._
+    val ev = (1L to 40L).flatMap(u => Seq(
+      (u * 10, u, "view", u * 1000L),
+      (u * 10 + 1, u, if (u % 4 == 0) "purchase" else "click", u * 2000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.abAssignment(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out.values.map(_._1).sum == 40L) // every user in exactly one arm
+    assert(out.values.map(_._2).sum == 10L) // all converters accounted for
+    val again = EventStream.abAssignment(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out.map { case (k, v) => k -> v._1 })
+  }
+
+  test("markovAccuracy: majority successor per state with name tie-break") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000000L
+    // user 1: a->b, a->b, a->c  => top(a)=b, 2/3
+    val ev = Seq(
+      (1L, 1L, "a", 1 * sec), (2L, 1L, "b", 2 * sec),
+      (3L, 1L, "a", 3 * sec), (4L, 1L, "b", 4 * sec),
+      (5L, 1L, "a", 5 * sec), (6L, 1L, "c", 6 * sec)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.markovAccuracy(ev).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out("a") == (("b", 2L, 3L, 666666L)))
+    assert(out("b") == (("a", 2L, 2L, 1000000L)))
+  }
+
   test("seasonalAnomaly: deviation judged against the same weekday's baseline") {
     val s = spark
     import s.implicits._

@@ -618,6 +618,51 @@ object Graphs {
         "(num * 1000L - pmod(num * 1000L, greatest(1L, den))) div greatest(1L, den)"))
   }
 
+  /** Community conductance — how well-separated the detected
+    * communities actually are (label propagation finds SOMETHING; this
+    * says whether it found structure): per community from
+    * [[labelPropagation]] after `iters` rounds,
+    *   φ(C) = cut(C) / min(vol(C), vol(G) − vol(C))
+    * in ppm, with `cut` the edges leaving C and `vol` the summed
+    * degrees of C's members. Low φ = real community; φ → 1 = noise.
+    * Returns (community, n_nodes, volume, cut, conductance_ppm).
+    *
+    * Scale shape: labels come from the fixed-round propagation (one
+    * shuffle per round); degrees are one groupBy; cut is two hash joins
+    * of the edge list against the label table; everything after runs on
+    * the |communities|-row summary. */
+  def communityConductance(edges0: DataFrame, aCol: String, bCol: String,
+      iters: Int = 4): DataFrame = {
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val labels = labelPropagation(edges0, aCol, bCol, iters)
+    val dir = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+    val deg = dir.groupBy("n").agg(count(lit(1)).as("d"))
+    val vol = labels.join(deg.hint("shuffle_hash"), "n")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("volume"))
+    val tot = broadcast(vol.agg(sum("volume").as("total_vol")))
+    val crossEdges = edges
+      .join(labels.select(col("n").as("u"), col("label").as("lu"))
+        .hint("shuffle_hash"), "u")
+      .join(labels.select(col("n").as("v"), col("label").as("lv"))
+        .hint("shuffle_hash"), "v")
+      .filter(col("lu") =!= col("lv"))
+    val cut = crossEdges.select(col("lu").as("community"))
+      .unionAll(crossEdges.select(col("lv").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("cut"))
+    vol.join(cut, Seq("community"), "left_outer").crossJoin(tot)
+      .select(col("community"), col("n_nodes"), col("volume"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        expr("(coalesce(cut, 0L) * 1000000L) div " +
+          "greatest(1L, least(volume, total_vol - volume))")
+          .as("conductance_ppm"))
+  }
+
   /** Edge-sampling fidelity audit — what a deterministic edge sample
     * does to the degree structure (the check before training a GNN or
     * estimating graph stats on a subsample): keep an edge when

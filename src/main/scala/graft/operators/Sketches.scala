@@ -340,6 +340,34 @@ object Sketches {
         expr("(inter * 1000000L) div greatest(1L, kk)").as("jaccard_ppm"))
   }
 
+  /** Sampling-accuracy audit — what a deterministic md5 row sample does
+    * to group-level estimates (the check before trusting sampled
+    * dashboards at 100 TB): rows whose `md5('sa_' || id)` 52-bit prefix
+    * mod 10⁶ falls under `ratePpm` form the sample; each group's
+    * scaled-up estimate `sample_n · 10⁶ div ratePpm` is compared to its
+    * exact count. Returns
+    * (group, exact_n, sample_n, est_n, err_ppm) with
+    * err_ppm = |est − exact|·10⁶ div exact.
+    *
+    * Scale shape: the sample is a per-row hash filter riding the SAME
+    * scan as the exact count (one groupBy computes both via a
+    * conditional sum). One pass, no joins. */
+  def sampleAccuracy(df: DataFrame, idCol: String, groupCol: String,
+      ratePpm: Long = 100000L): DataFrame = {
+    require(ratePpm >= 1 && ratePpm <= 1000000L,
+      s"ratePpm out of range: $ratePpm")
+    val inSample =
+      conv(substring(md5(concat(lit("sa_"), col(idCol).cast("string"))),
+        1, 13), 16, 10).cast("long") % 1000000L < ratePpm
+    df.select(col(groupCol).as("group"),
+        when(inSample, 1L).otherwise(0L).as("s"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("exact_n"), sum("s").as("sample_n"))
+      .withColumn("est_n", expr(s"(sample_n * 1000000L) div ${ratePpm}L"))
+      .withColumn("err_ppm",
+        expr("(abs(est_n - exact_n) * 1000000L) div greatest(1L, exact_n)"))
+  }
+
   /** Bloom-filter build + MEASURED false-positive rate — the calibration
     * run before shipping a membership filter to the scan side of a
     * 100 TB join (the advertised FPR is a formula; this is the ground

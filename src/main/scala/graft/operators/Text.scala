@@ -1195,6 +1195,34 @@ object Text {
         col("s4").as("n_out")))))
   }
 
+  /** Boilerplate-header detection — which shared opening lines dominate
+    * a source (crawler banners, licence headers, template intros): per
+    * group, the most common `k`-token document PREFIX and the share of
+    * documents carrying it; a share near 1 means the source needs a
+    * header-strip pass. Returns
+    * (grp, n_docs, top_prefix, n_with_top, share_ppm).
+    *
+    * Scale shape: the prefix is per-row Column algebra; one (group,
+    * prefix) count groupBy; the per-group argmax is a rank window over
+    * the (group, distinct-prefix) table. */
+  def headerBoilerplate(df: DataFrame, textCol: String, groupCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    val pre = df.select(col(groupCol).as("grp"),
+      concat_ws(" ", slice(tokens(col(textCol)), 1, k)).as("prefix"))
+    val counts = pre.groupBy("grp", "prefix").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("c").desc, col("prefix"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    counts
+      .withColumn("n_docs", sum("c").over(tot))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("grp"), col("n_docs"), col("prefix").as("top_prefix"),
+        col("c").as("n_with_top"),
+        expr("(c * 1000000L) div n_docs").as("share_ppm"))
+  }
+
   /** Corpus release diff — what changed between two dataset snapshots
     * (the dataset-versioning changelog a release note quotes): per
     * group, counts of ADDED ids (only in `b`), REMOVED ids (only in

@@ -894,6 +894,30 @@ object MiscQueries {
       graft.operators.Quality.sentinelAudit(t(s, d, "lineitem"),
           Seq("l_discount", "l_tax", "l_quantity"))
         .orderBy("column")
+    },
+    // Community conductance over the qg05 label-prop communities.
+    "qg16_conductance" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.communityConductance(edges, "pa", "pb",
+          iters = 4)
+        .orderBy("community")
+    },
+    // DAU / trailing-7-day WAU / stickiness per day.
+    "qa20_dau_wau" -> { (s, d) =>
+      graft.streaming.EventStream.dauWau(t(s, d, "events"))
+        .orderBy("day")
+    },
+    // Sampling-accuracy audit: 10% md5 sample estimates vs exact counts.
+    "qx14_sample_accuracy" -> { (s, d) =>
+      graft.operators.Sketches.sampleAccuracy(t(s, d, "events"),
+          "event_id", "event_type", ratePpm = 100000L)
+        .orderBy("group")
     }
   )
 
@@ -1139,6 +1163,7 @@ object MiscQueries {
         |    // greatest((n * (n - 1)) // 2, 1) AS rand_ppm
         |FROM p, a2, b2""".stripMargin,
     "qg05_label_prop" -> labelPropOracle(iters = 4),
+    "qg16_conductance" -> conductanceOracle(iters = 4),
     "qg06_kcore" -> kCoreOracle(k = 3, rounds = 3),
     "qg07_link_pred" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -2220,7 +2245,34 @@ object MiscQueries {
         |SELECT sc.col0 AS "column", n_nonnull, n_zero, n_negative,
         |  CAST(top.v AS VARCHAR) AS top_value, top.cnt AS top_n,
         |  (top.cnt * 1000000) // n_nonnull AS top_ppm
-        |FROM sc JOIN top ON top.col0 = sc.col0 ORDER BY sc.col0""".stripMargin
+        |FROM sc JOIN top ON top.col0 = sc.col0 ORDER BY sc.col0""".stripMargin,
+    "qa20_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY day),
+        |sp AS (SELECT DISTINCT user_id, day + g AS day FROM ud,
+        |  (SELECT unnest(generate_series(0, 6)) AS g)),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM sp
+        |  GROUP BY day)
+        |SELECT dau.day, dau, wau, (dau * 1000000) // wau AS stickiness_ppm
+        |FROM dau JOIN wau ON wau.day = dau.day ORDER BY dau.day""".stripMargin,
+    "qx14_sample_accuracy" ->
+      """WITH f AS (SELECT event_type AS "group",
+        |    CASE WHEN CAST(list_sum(list_transform(generate_series(1, 13),
+        |      j -> CAST(instr('0123456789abcdef', substr(md5('sa_'
+        |        || CAST(event_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 1000000
+        |      < 100000
+        |    THEN 1 ELSE 0 END AS s
+        |  FROM events)
+        |SELECT "group", CAST(COUNT(*) AS BIGINT) AS exact_n,
+        |  CAST(SUM(s) AS BIGINT) AS sample_n,
+        |  (CAST(SUM(s) AS BIGINT) * 1000000) // 100000 AS est_n,
+        |  (ABS((CAST(SUM(s) AS BIGINT) * 1000000) // 100000 - COUNT(*))
+        |    * 1000000) // GREATEST(1, COUNT(*)) AS err_ppm
+        |FROM f GROUP BY "group" ORDER BY "group"""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS
@@ -2316,6 +2368,46 @@ object MiscQueries {
     * unrolled as one CTE per round — per-dst neighbour-label counts
     * ranked (count DESC, label ASC), ROW_NUMBER = 1 is exactly the
     * operator's `min_by(lbl, (-count, lbl))`. */
+  /** The qg16 oracle: the identical unrolled label propagation (the qg05
+    * oracle's steps verbatim) followed by conductance algebra on the
+    * converged communities. */
+  private def conductanceOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""l$k AS (SELECT n, lbl FROM (
+         |  SELECT dir.dst AS n, p.lbl,
+         |    ROW_NUMBER() OVER (PARTITION BY dir.dst
+         |      ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
+         |  FROM l${k - 1} p JOIN dir ON dir.src = p.n
+         |  GROUP BY dir.dst, p.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |  WHERE l_orderkey % 50 = 0),
+       |edges AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+       |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+       |dir AS (SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL SELECT v, u FROM edges),
+       |l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM dir),
+       |$steps,
+       |comm AS (SELECT n, lbl FROM l$iters),
+       |deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d FROM dir
+       |  GROUP BY src),
+       |vol AS (SELECT c.lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg.d) AS BIGINT) AS volume
+       |  FROM comm c JOIN deg ON deg.n = c.n GROUP BY c.lbl),
+       |m2 AS (SELECT CAST(SUM(volume) AS BIGINT) AS total_vol FROM vol),
+       |ce AS (SELECT cu.lbl AS lu, cv.lbl AS lv FROM edges e
+       |  JOIN comm cu ON cu.n = e.u JOIN comm cv ON cv.n = e.v
+       |  WHERE cu.lbl <> cv.lbl),
+       |cut AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+       |    SELECT lu AS community FROM ce UNION ALL SELECT lv FROM ce)
+       |  GROUP BY community)
+       |SELECT v.community, n_nodes, volume, COALESCE(cut.cut, 0) AS cut,
+       |  (COALESCE(cut.cut, 0) * 1000000) //
+       |    GREATEST(1, LEAST(volume, total_vol - volume)) AS conductance_ppm
+       |FROM vol v CROSS JOIN m2 LEFT JOIN cut ON cut.community = v.community
+       |ORDER BY v.community""".stripMargin
+  }
+
   private def labelPropOracle(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""l$k AS (SELECT n, lbl FROM (

@@ -834,6 +834,16 @@ object TextOps {
       graft.operators.Dedup.thresholdSweep(
           t(s, d, "documents"), "text", "doc_id", "source")
         .orderBy("threshold_ppm")
+    },
+    // Boilerplate-header detection: a shared 3-token opening injected
+    // into a third of each source's docs must surface as the top prefix.
+    "qd76_header_boilerplate" -> { (s, d) =>
+      val docs = t(s, d, "documents").withColumn("txt",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("terms of service apply "), col("text")))
+          .otherwise(col("text")))
+      graft.operators.Text.headerBoilerplate(docs, "txt", "source", k = 3)
+        .orderBy("grp")
     }
   )
 
@@ -2164,6 +2174,23 @@ object TextOps {
         |SELECT th.t AS threshold_ppm, COALESCE(pc.n_pairs, 0) AS n_pairs,
         |  COALESCE(dc.n_docs, 0) AS n_docs
         |FROM th LEFT JOIN pc ON pc.t = th.t LEFT JOIN dc ON dc.t = th.t
-        |ORDER BY threshold_ppm""".stripMargin
+        |ORDER BY threshold_ppm""".stripMargin,
+    "qd76_header_boilerplate" ->
+      """WITH d AS (SELECT source AS grp,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'terms of service apply ' || text ELSE text END AS txt
+        |  FROM documents),
+        |p AS (SELECT grp,
+        |    array_to_string((string_split(txt, ' '))[1:3], ' ') AS prefix
+        |  FROM d),
+        |c AS (SELECT grp, prefix, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT grp, prefix, c,
+        |    CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n_docs,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c DESC, prefix) AS r
+        |  FROM c)
+        |SELECT grp, n_docs, prefix AS top_prefix, c AS n_with_top,
+        |  (c * 1000000) // n_docs AS share_ppm
+        |FROM r WHERE r = 1 ORDER BY grp""".stripMargin
   )
 }

@@ -1193,6 +1193,38 @@ object EventStream {
         "dev_ppm")
   }
 
+  /** DAU / trailing-WAU / stickiness — the engagement dashboard's
+    * backbone: per epoch-day, the distinct daily actives, the distinct
+    * actives over the trailing 7 days, and DAU/WAU stickiness in ppm.
+    * The trailing-window distinct does NOT re-scan 7 days per day: each
+    * (user, active-day) fact fans out to the ≤ 7 future days it keeps
+    * alive, and WAU is a plain distinct count per target day. Only days
+    * with at least one active user appear. Returns
+    * (day, dau, wau, stickiness_ppm).
+    *
+    * Scale shape: one (user, day) distinct; DAU one groupBy; WAU an
+    * explode by the CONSTANT window length + distinct + groupBy.
+    * Fan-out = 7×, independent of data volume or skew. */
+  def dauWau(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"windowDays out of range: $windowDays")
+    val ud = tsNanos(events)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    // only real activity days (the explode also creates the windowDays-1
+    // ghost days after the last event)
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000L) div wau").as("stickiness_ppm"))
+  }
+
   /** Deterministic A/B assignment + outcome readout — the experiment
     * table with the assignment a re-run can reproduce (md5 of the user
     * id, salted per experiment — no RNG, no assignment log to lose):

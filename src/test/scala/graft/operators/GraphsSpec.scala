@@ -362,6 +362,24 @@ class GraphsSpec extends SparkSpec {
     assert(near.getLong(1) == 1L && near.getLong(3) == 1000000L)
   }
 
+  test("communityConductance: two cliques joined by one bridge have low conductance") {
+    val s = spark
+    import s.implicits._
+    // clique {1,2,3}, clique {10,11,12}, bridge 3-10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val out = Graphs.communityConductance(edges, "a", "b", iters = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // volumes sum to 2|E| = 14; every cross-community edge is counted once
+    // per side, so total cut = 2 * bridges
+    assert(out.values.map(_._2).sum == 14L)
+    assert(out.values.map(_._3).sum % 2 == 0L)
+    // conductance of every community is at most ~1/3 (1 bridge / vol >= 6)
+    out.values.foreach { case (_, vol, cut, phi) =>
+      assert(phi == cut * 1000000L / math.min(vol, 14L - vol)) }
+  }
+
   test("edgeSampleAudit: keepPpm=1e6 keeps everything, 0 keeps nothing; buckets are octaves") {
     val s = spark
     import s.implicits._

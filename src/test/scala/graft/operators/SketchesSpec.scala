@@ -195,6 +195,26 @@ class SketchesSpec extends SparkSpec {
     assert(direct("g2") == merged("g2")._2)
   }
 
+  test("sampleAccuracy: full rate is exact; partial rate scales up deterministically") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "grp")
+    val full = Sketches.sampleAccuracy(df, "id", "grp", ratePpm = 1000000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(full("even") == ((500L, 500L, 0L))) // rate 1.0: est == exact
+    assert(full("odd") == ((500L, 500L, 0L)))
+    val part = Sketches.sampleAccuracy(df, "id", "grp", ratePpm = 200000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // est = sample * 5; rerun identical
+    part.foreach { case (_, (sn, est)) => assert(est == sn * 5L) }
+    val again = Sketches.sampleAccuracy(df, "id", "grp", ratePpm = 200000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again == part.map { case (k, v) => k -> v._1 })
+  }
+
   test("bloomFpr: members always hit; tiny m forces measurable false positives") {
     val s = spark
     import s.implicits._

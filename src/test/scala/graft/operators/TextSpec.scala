@@ -732,6 +732,22 @@ class TextSpec extends SparkSpec {
     assert(rows(3).getLong(4) == 1L) // one survivor
   }
 
+  test("headerBoilerplate: the dominant k-token prefix surfaces with its share") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("g", "terms of service apply here now"),
+      ("g", "terms of service apply to all"),
+      ("g", "something else entirely unrelated"),
+      ("h", "short")  // fewer than k tokens: the whole doc is the prefix
+    ).toDF("src", "txt")
+    val out = Text.headerBoilerplate(docs, "txt", "src", k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("g") == ((3L, "terms of service", 2L, 666666L)))
+    assert(out("h") == ((1L, "short", 1L, 1000000L)))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged classified per group") {
     val s = spark
     import s.implicits._

@@ -65,7 +65,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qq22_freshness_lag", // broadcast global-newest timestamp (1 row)
     "qa17_target_encoding", // broadcast global prior rate (1 row)
     "qv23_hamming_recall", // broadcast query panel (id%queryMod-bounded) scored vs corpus
-    "qq23_sentinel_audit") // cross of the 1-row scalar agg and the TakeOrdered 1-row mode
+    "qq23_sentinel_audit", // cross of the 1-row scalar agg and the TakeOrdered 1-row mode
+    "qg16_conductance") // broadcast total-volume scalar (1 row)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

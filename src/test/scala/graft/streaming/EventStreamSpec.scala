@@ -829,6 +829,26 @@ class EventStreamSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 4.0, 4.0)))
   }
 
+  test("dauWau: trailing-7 window via fan-out; stickiness exact") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, 1L, "a", 0 * day), (2L, 2L, "a", 0 * day), // day 0: u1, u2
+      (3L, 1L, "a", 3 * day),                         // day 3: u1
+      (4L, 3L, "a", 10 * day)                         // day 10: u3 (window reset)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.dauWau(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) == ((2L, 2L, 1000000L)))
+    // day 3: active u1; trailing 7 days (day -3..3) saw u1, u2
+    assert(out(3L) == ((1L, 2L, 500000L)))
+    // day 10: only u3 in the trailing week
+    assert(out(10L) == ((1L, 1L, 1000000L)))
+    assert(out.keySet == Set(0L, 3L, 10L)) // no ghost days
+  }
+
   test("abAssignment: hash split is deterministic and covers every user once") {
     val s = spark
     import s.implicits._

@@ -124,4 +124,40 @@ object Cdc {
           coalesce(col("__ds"), lit(0).cast("decimal(30,2)")))
           .cast("decimal(30,2)").as(sumCol))
   }
+
+  /** Point-in-time dimension enrichment — join each fact to the SCD2
+    * dimension version that was VALID AT the fact's own time (the
+    * training-feature form of "as of": joining today's dimension row to
+    * last year's fact leaks the future): `dims` is [[scd2History]]
+    * output (key…, attrs, valid_from, valid_to, is_current); a fact at
+    * time t takes the interval with valid_from ≤ t < valid_to
+    * (valid_to NULL = open). Facts before the key's first version keep
+    * NULL attrs (left join — a fact is never dropped by enrichment).
+    *
+    * Scale shape: one hash equi-join on the key (per-key version counts
+    * are changelog-bounded, so the equi-key already bounds the fan-out —
+    * no range-binning needed), then one per-fact rank window to collapse
+    * back to exactly one output row per fact: the valid interval when
+    * one exists (intervals are disjoint, so at most one qualifies),
+    * otherwise the fact with NULLed attrs. */
+  def pitEnrich(facts: DataFrame, dims: DataFrame, keyCols: Seq[String],
+      factIdCol: String, factTimeCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val t = col(factTimeCol)
+    val attrCols = dims.columns
+      .filterNot(keyCols.contains)
+      .filterNot(Seq("valid_from", "valid_to", "is_current").contains).toSeq
+    val d = dims.select(
+      (keyCols.map(col) ++ attrCols.map(c => col(c).as(s"__dim_$c")) ++
+        Seq(col("valid_from").as("__vf"), col("valid_to").as("__vt"))): _*)
+    val ok = col("__vf").isNotNull && col("__vf") <= t &&
+      (col("__vt").isNull || t < col("__vt"))
+    val w = Window.partitionBy(factIdCol)
+      .orderBy(when(ok, 0).otherwise(1), col("__vf").asc_nulls_last)
+    facts.join(d, keyCols, "left_outer")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(facts.columns.map(col) ++
+        attrCols.map(c => when(ok, col(s"__dim_$c")).as(s"dim_$c")): _*)
+  }
 }

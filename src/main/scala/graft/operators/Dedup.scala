@@ -709,6 +709,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"), col("dist_ppm"))
   }
 
+  /** Dedup savings report — what exact dedup actually buys, per source
+    * (the ROI table that justifies the pass): keep the smallest-id copy
+    * of each identical text; everything else is "saved". Returns
+    * (grp, n_docs, total_chars, dup_docs, saved_chars, savings_ppm).
+    *
+    * Scale shape: one content-hash window (partitioned by md5, the
+    * [[dropExactDuplicates]] shuffle) marks survivors; one group
+    * aggregation folds the report. */
+  def dedupSavings(df: DataFrame, textCol: String, idCol: String,
+      sizeCol: String, groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("id")
+    df.select(col(groupCol).as("grp"), col(idCol).cast("long").as("id"),
+        col(sizeCol).cast("long").as("sz"), md5(col(textCol)).as("h"))
+      .withColumn("dup", (row_number().over(w) > 1).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum("sz").as("total_chars"),
+        coalesce(sum("dup"), lit(0L)).as("dup_docs"),
+        coalesce(sum(col("dup") * col("sz")), lit(0L)).as("saved_chars"))
+      .withColumn("savings_ppm",
+        expr("(saved_chars * 1000000L) div greatest(1L, total_chars)"))
+  }
+
   /** Dedup threshold sweep — the duplicate-rate curve that picks the
     * Jaccard cutoff (0.7 vs 0.8 changes how much corpus survives; sweep
     * once, decide on evidence): over the block-bounded exact pair table,

@@ -1083,6 +1083,35 @@ object Similarity {
           sqrt(col("norm2_b").cast("double"))))
   }
 
+  /** IVF index-balance audit — the health check before trusting an IVF
+    * index's latency story (one hot cell = brute force with extra
+    * steps): assign every vector to its nearest coarse centroid (the
+    * same deterministic `id % sampleMod` sample [[ivfTopK]] searches,
+    * same exact-BIGINT L2 argmin) and report each cell's population and
+    * corpus share — EMPTY cells included (they waste probe budget).
+    * Returns (cell, n_vecs, share_ppm), one row per centroid.
+    *
+    * Scale shape: assignment is the native pq_encode scan against the
+    * inlined ≤ maxCentroids codebook (one pass, no shuffle); the
+    * histogram is one groupBy over ≤ maxCentroids keys; empty cells
+    * rejoin from the literal centroid list. */
+  def ivfCellBalance(df: DataFrame, embCol: String, idCol: String,
+      sampleMod: Int = 53, maxCentroids: Int = 64): DataFrame = {
+    val emb = quantized(df, embCol, idCol)
+    val (cids, cb) = collectCents(centroidSample(emb, idCol, sampleMod,
+      maxCentroids))
+    val per = assignCells(emb, cids, cb)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+    val cells = df.sparkSession.range(cids.length)
+      .select(element_at(typedLit(cids.toSeq), col("id").cast("int") + 1)
+        .as("cid"))
+    val tot = broadcast(per.agg(sum("n").as("tot")))
+    cells.join(per, Seq("cid"), "left_outer").crossJoin(tot)
+      .select(col("cid").as("cell"),
+        coalesce(col("n"), lit(0L)).as("n_vecs"),
+        expr("(coalesce(n, 0L) * 1000000L) div tot").as("share_ppm"))
+  }
+
   /** ANN recall calibration — the measured recall@k of the binary
     * sign-sketch Hamming index against exact cosine ground truth (the
     * FAISS-bench ritual, run in-engine: advertised recall is a paper

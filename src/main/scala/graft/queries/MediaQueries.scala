@@ -379,6 +379,23 @@ object MediaQueries {
       graft.operators.Layout.shardPacking(
         Relational.t(s, d, "documents"), "n_chars", "source", "doc_id",
         targetBytes = 4096L)
+    },
+    // Point-in-time SCD2 enrichment: each purchase takes the dimension
+    // version valid AT its own event time (leakage-safe joins).
+    "qc06_pit_enrich" -> { (s, d) =>
+      val ev = Relational.t(s, d, "events")
+      val delta = ev.filter(col("user_id") < 50)
+        .select(col("user_id"), expr("ts div 1000").as("seq"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      val dims = graft.operators.Cdc.scd2History(delta, Seq("user_id"),
+          "seq", "op")
+        .select("user_id", "value", "valid_from", "valid_to", "is_current")
+      val facts = ev
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"))
+      graft.operators.Cdc.pitEnrich(facts, dims, Seq("user_id"),
+          "event_id", "tus")
+        .orderBy("event_id")
     }
   )
 
@@ -671,6 +688,20 @@ object MediaQueries {
         |SELECT grp, bef // 4096 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(sz) AS BIGINT) AS bytes,
         |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
-        |FROM d GROUP BY grp, bef // 4096 ORDER BY grp, shard""".stripMargin
+        |FROM d GROUP BY grp, bef // 4096 ORDER BY grp, shard""".stripMargin,
+    "qc06_pit_enrich" ->
+      """WITH dl AS (SELECT user_id, epoch_us(ts) AS seq, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events WHERE user_id < 50),
+        |hist AS (SELECT user_id, value, seq AS valid_from,
+        |    LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+        |  FROM dl QUALIFY op <> 'D'),
+        |facts AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 50)
+        |SELECT f.event_id, f.user_id, f.tus, h.value AS dim_value
+        |FROM facts f LEFT JOIN hist h ON h.user_id = f.user_id
+        |  AND h.valid_from <= f.tus
+        |  AND (h.valid_to IS NULL OR f.tus < h.valid_to)
+        |ORDER BY f.event_id""".stripMargin
   )
 }

@@ -918,6 +918,12 @@ object MiscQueries {
       graft.operators.Sketches.sampleAccuracy(t(s, d, "events"),
           "event_id", "event_type", ratePpm = 100000L)
         .orderBy("group")
+    },
+    // Seasonal-naive backtest: predict today = same weekday last week;
+    // WAPE in ppm per type.
+    "qw09_naive_backtest" -> { (s, d) =>
+      graft.streaming.EventStream.naiveBacktest(t(s, d, "events"))
+        .orderBy("event_type")
     }
   )
 
@@ -2272,7 +2278,18 @@ object MiscQueries {
         |  (CAST(SUM(s) AS BIGINT) * 1000000) // 100000 AS est_n,
         |  (ABS((CAST(SUM(s) AS BIGINT) * 1000000) // 100000 - COUNT(*))
         |    * 1000000) // GREATEST(1, COUNT(*)) AS err_ppm
-        |FROM f GROUP BY "group" ORDER BY "group"""".stripMargin
+        |FROM f GROUP BY "group" ORDER BY "group"""".stripMargin,
+    "qw09_naive_backtest" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(ABS(a.n - p.n)) AS BIGINT) AS sum_abs_err,
+        |  CAST(SUM(a.n) AS BIGINT) AS sum_actual,
+        |  (CAST(SUM(ABS(a.n - p.n)) AS BIGINT) * 1000000)
+        |    // GREATEST(1, CAST(SUM(a.n) AS BIGINT)) AS wape_ppm
+        |FROM daily a JOIN daily p ON p.event_type = a.event_type
+        |  AND p.day = a.day - 7
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -844,6 +844,16 @@ object TextOps {
           .otherwise(col("text")))
       graft.operators.Text.headerBoilerplate(docs, "txt", "source", k = 3)
         .orderBy("grp")
+    },
+    // Dedup ROI report: exact-dup savings per source, with injected
+    // clones so every SF has real duplicates.
+    "qd77_dedup_savings" -> { (s, d) =>
+      val a = t(s, d, "documents")
+      val docs = a.unionAll(a.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.operators.Dedup.dedupSavings(docs, "text", "doc_id",
+          "n_chars", "source")
+        .orderBy("grp")
     }
   )
 
@@ -2191,6 +2201,21 @@ object TextOps {
         |  FROM c)
         |SELECT grp, n_docs, prefix AS top_prefix, c AS n_with_top,
         |  (c * 1000000) // n_docs AS share_ppm
-        |FROM r WHERE r = 1 ORDER BY grp""".stripMargin
+        |FROM r WHERE r = 1 ORDER BY grp""".stripMargin,
+    "qd77_dedup_savings" ->
+      """WITH docs AS (SELECT source, doc_id, n_chars, text FROM documents
+        |  UNION ALL SELECT source, doc_id + 1000000, n_chars, text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |f AS (SELECT source AS grp, n_chars,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS dup
+        |  FROM docs)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(dup) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(dup * n_chars) AS BIGINT) AS saved_chars,
+        |  (CAST(SUM(dup * n_chars) AS BIGINT) * 1000000)
+        |    // GREATEST(1, CAST(SUM(n_chars) AS BIGINT)) AS savings_ppm
+        |FROM f GROUP BY grp ORDER BY grp""".stripMargin
   )
 }

@@ -89,6 +89,13 @@ object VectorOps {
           k = 10)
         .orderBy("query_id")
     },
+    // IVF index-balance audit: per-cell population of the qv04 coarse
+    // cells, empty cells included.
+    "qv24_ivf_balance" -> { (s, d) =>
+      graft.operators.Similarity.ivfCellBalance(
+          t(s, d, "embeddings"), "embedding", "vec_id")
+        .orderBy("cell")
+    },
     // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
     // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
     // in the hot path; the index is 32x smaller than the vectors).
@@ -354,6 +361,30 @@ object VectorOps {
         |FROM (SELECT DISTINCT query_id FROM qs) q
         |LEFT JOIN h ON h.query_id = q.query_id
         |ORDER BY q.query_id""".stripMargin,
+    "qv24_ivf_balance" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq
+        | FROM emb),
+        |cents AS (SELECT vec_id AS cid, q AS cq, qq AS cc FROM nemb
+        |  WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 64),
+        |assigned AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      e.qq + c.cc - 2 * list_sum(list_transform(range(1, 65),
+        |        i -> e.q[i] * c.cq[i])),
+        |      c.cid) AS rn
+        |  FROM nemb e, cents c) WHERE rn = 1),
+        |per AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM assigned
+        |  GROUP BY cid),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM per)
+        |SELECT c.cid AS cell, COALESCE(per.n, 0) AS n_vecs,
+        |  (COALESCE(per.n, 0) * 1000000) // tot AS share_ppm
+        |FROM cents c LEFT JOIN per ON per.cid = c.cid CROSS JOIN tot
+        |ORDER BY cell""".stripMargin,
     "qv16_sq_ann" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -1193,6 +1193,33 @@ object EventStream {
         "dev_ppm")
   }
 
+  /** Seasonal-naive forecast backtest — the accuracy floor every real
+    * forecast must beat (predict today = same weekday last week), scored
+    * on the corpus itself: per event type, over every day with a
+    * week-ago observation, the WAPE (weighted absolute percentage error)
+    * in ppm. Returns
+    * (event_type, n_days, sum_abs_err, sum_actual, wape_ppm).
+    *
+    * Scale shape: one (type, day) count pass; the backtest is a
+    * self-equi-join on (type, day − 7) over the tiny daily table. */
+  def naiveBacktest(events: DataFrame, lagDays: Int = 7): DataFrame = {
+    require(lagDays >= 1, s"lagDays out of range: $lagDays")
+    val daily = tsNanos(events)
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val pred = daily.select(col("event_type"),
+      (col("day") + lagDays).as("day"), col("n").as("pred"))
+    daily.join(pred, Seq("event_type", "day"))
+      .select(col("event_type"), abs(col("n") - col("pred")).as("ae"),
+        col("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("ae").as("sum_abs_err"),
+        sum("n").as("sum_actual"))
+      .withColumn("wape_ppm",
+        expr("(sum_abs_err * 1000000L) div greatest(1L, sum_actual)"))
+  }
+
   /** DAU / trailing-WAU / stickiness — the engagement dashboard's
     * backbone: per epoch-day, the distinct daily actives, the distinct
     * actives over the trailing 7 days, and DAU/WAU stickiness in ppm.

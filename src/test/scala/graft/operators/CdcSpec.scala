@@ -106,4 +106,30 @@ class CdcSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(same == Map(1L -> 1L))
   }
+
+  test("pitEnrich: fact takes the version valid AT its time; gaps and pre-history null") {
+    val s = spark
+    import s.implicits._
+    // key 1: v=10 on [100, 200), v=20 on [200, 300), DELETED at 300,
+    // v=30 from 400 (open)
+    val delta = Seq(
+      (1L, 100L, 10.0, "U"), (1L, 200L, 20.0, "U"),
+      (1L, 300L, 0.0, "D"), (1L, 400L, 30.0, "U")
+    ).toDF("k", "seq", "value", "op")
+    val dims = Cdc.scd2History(delta, Seq("k"), "seq", "op")
+    val facts = Seq(
+      (1L, 1L, 50L),   // before history: null
+      (2L, 1L, 150L),  // v=10
+      (3L, 1L, 200L),  // boundary: the NEW version, v=20
+      (4L, 1L, 350L),  // deleted gap: null
+      (5L, 1L, 999L),  // open current: v=30
+      (6L, 2L, 100L)   // unknown key: null, row kept
+    ).toDF("fid", "k", "t")
+    val out = Cdc.pitEnrich(facts, dims, Seq("k"), "fid", "t")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("dim_value"))).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out == Map(1L -> None, 2L -> Some(10.0), 3L -> Some(20.0),
+      4L -> None, 5L -> Some(30.0), 6L -> None))
+  }
 }

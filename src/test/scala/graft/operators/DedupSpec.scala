@@ -303,6 +303,22 @@ class DedupSpec extends SparkSpec {
     assert(strict.count() == 1L) // cont_b = 1.0 clears the max-side bar
   }
 
+  test("dedupSavings: non-first copies count as saved, per source") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "g", "same text", 9L), (2L, "g", "same text", 9L), // dup of 1
+      (3L, "g", "unique", 6L),
+      (4L, "h", "same text", 9L) // same content, other source: ALSO a dup
+    ).toDF("doc_id", "src", "txt", "nc")
+    val out = Dedup.dedupSavings(docs, "txt", "doc_id", "nc", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("g") == ((3L, 24L, 1L, 9L, 9L * 1000000L / 24L)))
+    assert(out("h") == ((1L, 9L, 1L, 9L, 1000000L))) // keeper lives in g
+  }
+
   test("thresholdSweep: monotone curve; thresholds with no pairs report zero") {
     val s = spark
     import s.implicits._

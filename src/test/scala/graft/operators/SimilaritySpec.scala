@@ -656,6 +656,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rc.getAs[Long]("norm2_a") == 18L) // (-3)^2 + 3^2
   }
 
+  test("ivfCellBalance: populations sum to the corpus; empty cells reported") {
+    val s = spark
+    import s.implicits._
+    // ids 0..9; centroids = ids 0 and 5 (mod 5, cap 2); vectors cluster
+    // around the two centroids
+    val df = (0L to 9L).map { i =>
+      val base = if (i < 5) 1.0f else -1.0f
+      (i, Array(base, base * 0.9f))
+    }.toDF("vec_id", "emb")
+    val out = Similarity.ivfCellBalance(df, "emb", "vec_id",
+        sampleMod = 5, maxCentroids = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 5L))
+    assert(out.values.map(_._1).sum == 10L)
+    assert(out(0L)._1 == 5L && out(5L)._1 == 5L)
+    assert(out(0L)._2 == 500000L)
+  }
+
   test("hammingRecall: sign-identical corpus gives full recall; zero-hit queries still report") {
     val s = spark
     import s.implicits._

@@ -66,7 +66,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qa17_target_encoding", // broadcast global prior rate (1 row)
     "qv23_hamming_recall", // broadcast query panel (id%queryMod-bounded) scored vs corpus
     "qq23_sentinel_audit", // cross of the 1-row scalar agg and the TakeOrdered 1-row mode
-    "qg16_conductance") // broadcast total-volume scalar (1 row)
+    "qg16_conductance", // broadcast total-volume scalar (1 row)
+    "qv24_ivf_balance") // cross of the <=maxCentroids cell list and the 1-row total
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -829,6 +829,22 @@ class EventStreamSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 4.0, 4.0)))
   }
 
+  test("naiveBacktest: WAPE against same-weekday-last-week; lead-in days excluded") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    def burst(d: Long, n: Int) = (1 to n).map(i =>
+      (d * 1000 + i, 1L, "a", d * day + i * 1000L))
+    // day 0: 10; day 7: 15; day 14: 15
+    val ev = (burst(0, 10) ++ burst(7, 15) ++ burst(14, 15))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = EventStream.naiveBacktest(ev).head()
+    assert(r.getLong(1) == 2L)             // only days 7 and 14 have a lag-7
+    assert(r.getLong(2) == 5L)             // |15-10| + |15-15|
+    assert(r.getLong(3) == 30L)
+    assert(r.getLong(4) == 5L * 1000000L / 30L)
+  }
+
   test("dauWau: trailing-7 window via fan-out; stickiness exact") {
     val s = spark
     import s.implicits._

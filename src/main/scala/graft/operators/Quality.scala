@@ -719,6 +719,38 @@ object Quality {
       .select(inline(array(pairRows: _*)))
   }
 
+  /** Single-feature ranking power — the exact Mann-Whitney AUC of an
+    * integer feature against a binary label (the "is this feature worth
+    * anything" screen before training; AUC 0.5 = noise): with per-value
+    * positive/negative counts and W = concordant (pos > neg) pairs,
+    * T = tied pairs,
+    *   AUC = (W + T/2) / (n₁·n₀)  →  auc_ppm = (2W + T)·10⁶ div (2·n₁·n₀)
+    * — all BIGINT, no ranks, no floats. Returns one row
+    * (n_pos, n_neg, wins, ties, auc_ppm).
+    *
+    * Scale shape: one (value) count groupBy collapses the data to its
+    * distinct feature values; the concordance prefix runs over THAT
+    * table (bounded by feature cardinality — for count-valued features,
+    * tiny); the closing Σ is one row. */
+  def featureAuc(df: DataFrame, featureCol: String,
+      label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.select(col(featureCol).cast("long").as("v"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("v")
+      .agg(coalesce(sum("y"), lit(0L)).as("np"),
+        sum(lit(1L) - col("y")).as("nn"))
+    val prefix = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("neg_below", coalesce(sum("nn").over(prefix), lit(0L)))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * col("neg_below")).as("wins"),
+        sum(col("np") * col("nn")).as("ties"))
+      .withColumn("auc_ppm", expr(
+        "((2L * wins + ties) * 1000000L) div greatest(1L, 2L * n_pos * n_neg)"))
+  }
+
   /** Sentinel / disguised-missing-value audit — the scan that catches
     * -1s, 0-defaults and magic numbers masquerading as data (a column
     * whose mode covers 40% of rows is usually hiding NULLs): per

@@ -1083,6 +1083,26 @@ object Similarity {
           sqrt(col("norm2_b").cast("double"))))
   }
 
+  /** Embedding norm profile — the degenerate-vector screen (zero
+    * vectors crash cosine; near-zero ones amplify noise; a bimodal norm
+    * histogram usually means two encoders got mixed): quantized norm²
+    * bucketed by binary octave (bit length), zero vectors in their own
+    * bucket 0. Returns (bucket, n_vecs, min_n2, max_n2), ordered.
+    *
+    * Scale shape: one pure-projection scan (integer dot of each vector
+    * with itself) + one ≤64-key groupBy. */
+  def normProfile(df: DataFrame, embCol: String, idCol: String): DataFrame = {
+    val d = dot(df) _
+    df.select(col(idCol),
+        d(quantize(col(embCol)), quantize(col(embCol))).as("n2"))
+      .select(when(col("n2") === 0L, 0L)
+        .otherwise(length(bin(col("n2"))).cast("long")).as("bucket"),
+        col("n2"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min("n2").as("min_n2"),
+        max("n2").as("max_n2"))
+  }
+
   /** IVF index-balance audit — the health check before trusting an IVF
     * index's latency story (one hot cell = brute force with extra
     * steps): assign every vector to its nearest coarse centroid (the

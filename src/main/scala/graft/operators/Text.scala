@@ -1195,6 +1195,34 @@ object Text {
         col("s4").as("n_out")))))
   }
 
+  /** Quality-sorted token-budget curve — how many tokens the corpus
+    * yields as the quality bar drops (the data-constrained-scaling
+    * question: "what does raising the cutoff cost?"): docs bucket by
+    * integer type-token-ratio percent (the qd02 diversity signal), and
+    * the curve accumulates docs/tokens from the BEST bucket down.
+    * Returns (score_bucket, n_docs, tokens, cum_docs, cum_tokens),
+    * descending buckets.
+    *
+    * Scale shape: per-row scoring + one ≤101-key groupBy; the
+    * cumulative window runs over ≤101 bucket rows. No global sort of
+    * documents — the bucket grid IS the sort. */
+  def budgetCurve(df: DataFrame, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    val bucketed = df.select(
+        expr(s"(size(array_distinct(split($textCol, ' '))) * 100) div " +
+          s"size(split($textCol, ' '))").as("score_bucket"),
+        size(tk).cast("long").as("nt"))
+      .groupBy("score_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_tokens", sum("tokens").over(w))
+  }
+
   /** Boilerplate-header detection — which shared opening lines dominate
     * a source (crawler banners, licence headers, template intros): per
     * group, the most common `k`-token document PREFIX and the share of

@@ -924,6 +924,20 @@ object MiscQueries {
     "qw09_naive_backtest" -> { (s, d) =>
       graft.streaming.EventStream.naiveBacktest(t(s, d, "events"))
         .orderBy("event_type")
+    },
+    // Watermark loss sweep: events dropped per candidate watermark.
+    "qs15_watermark_sweep" -> { (s, d) =>
+      graft.streaming.EventStream.watermarkSweep(t(s, d, "events"))
+        .orderBy("event_type", "watermark_us")
+    },
+    // Exact Mann-Whitney AUC of prior-view count predicting purchase.
+    "qa21_feature_auc" -> { (s, d) =>
+      val perUser = t(s, d, "events").groupBy("user_id").agg(
+        coalesce(sum(when(col("event_type") === "view", 1L)), lit(0L))
+          .as("f"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("yy"))
+      graft.operators.Quality.featureAuc(perUser, "f", col("yy") === 1L)
     }
   )
 
@@ -2289,7 +2303,47 @@ object MiscQueries {
         |    // GREATEST(1, CAST(SUM(a.n) AS BIGINT)) AS wape_ppm
         |FROM daily a JOIN daily p ON p.event_type = a.event_type
         |  AND p.day = a.day - 7
-        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+    "qs15_watermark_sweep" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |l AS (SELECT event_type,
+        |    GREATEST(COALESCE(MAX(tus) OVER (PARTITION BY user_id
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - tus, 0), 0)
+        |      AS late_us
+        |  FROM e),
+        |c AS (SELECT unnest([0, 1000000, 10000000, 60000000, 600000000])
+        |  AS watermark_us)
+        |SELECT event_type, watermark_us, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  COALESCE(CAST(SUM(CASE WHEN late_us > watermark_us THEN 1 END)
+        |    AS BIGINT), 0) AS n_dropped,
+        |  (COALESCE(CAST(SUM(CASE WHEN late_us > watermark_us THEN 1 END)
+        |    AS BIGINT), 0) * 1000000) // COUNT(*) AS drop_ppm
+        |FROM l CROSS JOIN c GROUP BY event_type, watermark_us
+        |ORDER BY event_type, watermark_us""".stripMargin,
+    "qa21_feature_auc" ->
+      """WITH u AS (SELECT user_id,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+        |      AS BIGINT), 0) AS f,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |per AS (SELECT f AS v, CAST(SUM(y) AS BIGINT) AS np,
+        |    CAST(SUM(1 - y) AS BIGINT) AS nn FROM u GROUP BY f),
+        |pre AS (SELECT v, np, nn,
+        |    COALESCE(CAST(SUM(nn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS neg_below
+        |  FROM per)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(np * neg_below) AS BIGINT) AS wins,
+        |  CAST(SUM(np * nn) AS BIGINT) AS ties,
+        |  ((2 * CAST(SUM(np * neg_below) AS BIGINT)
+        |    + CAST(SUM(np * nn) AS BIGINT)) * 1000000)
+        |    // GREATEST(1, 2 * CAST(SUM(np) AS BIGINT)
+        |      * CAST(SUM(nn) AS BIGINT)) AS auc_ppm
+        |FROM pre""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

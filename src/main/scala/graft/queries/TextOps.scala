@@ -854,6 +854,12 @@ object TextOps {
       graft.operators.Dedup.dedupSavings(docs, "text", "doc_id",
           "n_chars", "source")
         .orderBy("grp")
+    },
+    // Quality-sorted token-budget curve: cumulative docs/tokens from the
+    // most lexically diverse bucket down.
+    "qd78_budget_curve" -> { (s, d) =>
+      graft.operators.Text.budgetCurve(t(s, d, "documents"), "text")
+        .orderBy(col("score_bucket").desc)
     }
   )
 
@@ -2216,6 +2222,21 @@ object TextOps {
         |  CAST(SUM(dup * n_chars) AS BIGINT) AS saved_chars,
         |  (CAST(SUM(dup * n_chars) AS BIGINT) * 1000000)
         |    // GREATEST(1, CAST(SUM(n_chars) AS BIGINT)) AS savings_ppm
-        |FROM f GROUP BY grp ORDER BY grp""".stripMargin
+        |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
+    "qd78_budget_curve" ->
+      """WITH b AS (SELECT (len(list_distinct(string_split(text, ' '))) * 100)
+        |    // len(string_split(text, ' ')) AS score_bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |g AS (SELECT score_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS tokens FROM b GROUP BY score_bucket)
+        |SELECT score_bucket, n_docs, tokens,
+        |  CAST(SUM(n_docs) OVER (ORDER BY score_bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_docs,
+        |  CAST(SUM(tokens) OVER (ORDER BY score_bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |FROM g ORDER BY score_bucket DESC""".stripMargin
   )
 }

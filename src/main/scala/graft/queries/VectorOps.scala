@@ -96,6 +96,13 @@ object VectorOps {
           t(s, d, "embeddings"), "embedding", "vec_id")
         .orderBy("cell")
     },
+    // Embedding norm profile: octave histogram of quantized norm^2,
+    // zero vectors in bucket 0.
+    "qv25_norm_profile" -> { (s, d) =>
+      graft.operators.Similarity.normProfile(
+          t(s, d, "embeddings"), "embedding", "vec_id")
+        .orderBy("bucket")
+    },
     // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
     // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
     // in the hot path; the index is 32x smaller than the vectors).
@@ -385,6 +392,21 @@ object VectorOps {
         |  (COALESCE(per.n, 0) * 1000000) // tot AS share_ppm
         |FROM cents c LEFT JOIN per ON per.cid = c.cid CROSS JOIN tot
         |ORDER BY cell""".stripMargin,
+    "qv25_norm_profile" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |n AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i]))
+        |    AS BIGINT) AS n2
+        | FROM emb)
+        |SELECT CASE WHEN n2 = 0 THEN 0
+        |    ELSE CAST(len(bin(n2)) AS BIGINT) END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(MIN(n2) AS BIGINT) AS min_n2,
+        |  CAST(MAX(n2) AS BIGINT) AS max_n2
+        |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin,
     "qv16_sq_ann" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

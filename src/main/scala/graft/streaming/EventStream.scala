@@ -1376,6 +1376,40 @@ object EventStream {
       .withColumn("kept_ppm", expr("(n_after * 1000000L) div n_before"))
   }
 
+  /** Watermark loss sweep — for each candidate watermark, how many
+    * events a streaming job would DROP (arrive later than the watermark
+    * allows), per type ([[disorderAudit]] sizes the lossless watermark;
+    * this prices the lossy ones): lateness is the per-user
+    * running-max deficit in arrival (event_id) order. Returns
+    * (event_type, watermark_us, n_events, n_dropped, drop_ppm), one row
+    * per (type, candidate).
+    *
+    * Scale shape: ONE cumulative-max window pass computes lateness; the
+    * sweep explodes each event into the candidate list (constant
+    * fan-out) and counts. */
+  def watermarkSweep(events: DataFrame,
+      candidatesUs: Seq[Long] = Seq(0L, 1000000L, 10000000L, 60000000L,
+        600000000L)): DataFrame = {
+    require(candidatesUs.nonEmpty, "candidatesUs must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val late = tsNanos(events)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+      .withColumn("late_us",
+        greatest(coalesce(max("tus").over(w) - col("tus"), lit(0L)), lit(0L)))
+    val cand = array(candidatesUs.map(lit): _*)
+    late
+      .select(col("event_type"), col("late_us"),
+        explode(cand).as("watermark_us"))
+      .groupBy("event_type", "watermark_us")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("late_us") > col("watermark_us"), 1L)),
+          lit(0L)).as("n_dropped"))
+      .withColumn("drop_ppm", expr("(n_dropped * 1000000L) div n_events"))
+  }
+
   /** Power-user curve — the engagement histogram (how many users were
     * active exactly k distinct days): per user, distinct epoch-days with
     * any event; then days_active → n_users. Returns

@@ -375,6 +375,24 @@ class QualitySpec extends SparkSpec {
       one.getLong(4) == 0L && one.getLong(5) == 0L)
   }
 
+  test("featureAuc: perfect separation = 1.0, anti-separation = 0, all-tied = 0.5") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // positives all have larger feature values: AUC = 1
+    val sep = Seq((10L, 1L), (11L, 1L), (1L, 0L), (2L, 0L)).toDF("f", "y")
+    assert(Quality.featureAuc(sep, "f", col("y") === 1L)
+      .head().getAs[Long]("auc_ppm") == 1000000L)
+    // inverted
+    val inv = Seq((1L, 1L), (10L, 0L)).toDF("f", "y")
+    assert(Quality.featureAuc(inv, "f", col("y") === 1L)
+      .head().getAs[Long]("auc_ppm") == 0L)
+    // one shared value: every pair tied -> exactly 1/2
+    val tied = Seq((5L, 1L), (5L, 0L), (5L, 1L)).toDF("f", "y")
+    val r = Quality.featureAuc(tied, "f", col("y") === 1L).head()
+    assert(r.getAs[Long]("ties") == 2L && r.getAs[Long]("auc_ppm") == 500000L)
+  }
+
   test("sentinelAudit: modal value, zero/negative counts, per column") {
     val s = spark
     import s.implicits._

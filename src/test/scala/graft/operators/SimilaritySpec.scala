@@ -656,6 +656,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rc.getAs[Long]("norm2_a") == 18L) // (-3)^2 + 3^2
   }
 
+  test("normProfile: zero vectors isolate in bucket 0; octaves split by bit length") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)),      // n2 = 0 -> bucket 0
+      (2L, Array(0.0001f, 0.0f)),   // q = (1, 0), n2 = 1 -> bucket 1
+      (3L, Array(0.0003f, 0.0f))    // q = (3, 0), n2 = 9 -> bucket 4
+    ).toDF("vec_id", "emb")
+    val out = Similarity.normProfile(df, "emb", "vec_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out(0L) == ((1L, 0L, 0L)))
+    assert(out(1L) == ((1L, 1L, 1L)))
+    assert(out(4L) == ((1L, 9L, 9L)))
+  }
+
   test("ivfCellBalance: populations sum to the corpus; empty cells reported") {
     val s = spark
     import s.implicits._

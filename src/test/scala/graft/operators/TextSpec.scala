@@ -732,6 +732,21 @@ class TextSpec extends SparkSpec {
     assert(rows(3).getLong(4) == 1L) // one survivor
   }
 
+  test("budgetCurve: cumulative runs best-bucket-first and ends at the corpus totals") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "a b c d",     // ttr 100
+      "a a a a",     // ttr 25
+      "x y z z"      // ttr 75
+    ).toDF("text")
+    val rows = Text.budgetCurve(docs, "text")
+      .orderBy(col("score_bucket").desc).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(100L, 75L, 25L))
+    assert(rows.last.getLong(3) == 3L && rows.last.getLong(4) == 12L)
+    assert(rows.head.getLong(3) == 1L) // only the perfect-diversity doc
+  }
+
   test("headerBoilerplate: the dominant k-token prefix surfaces with its share") {
     val s = spark
     import s.implicits._

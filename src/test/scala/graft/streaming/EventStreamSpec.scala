@@ -829,6 +829,23 @@ class EventStreamSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 4.0, 4.0)))
   }
 
+  test("watermarkSweep: drop counts fall as the watermark grows; zero at the max lateness") {
+    val s = spark
+    import s.implicits._
+    val us = 1000L
+    val ev = Seq(
+      (1L, 1L, "a", 1000 * us),
+      (2L, 1L, "a", 400 * us),  // 600us late
+      (3L, 1L, "a", 995 * us)   // 5us late
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.watermarkSweep(ev,
+        candidatesUs = Seq(0L, 10L, 1000L))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((3L, 2L)))    // both late events dropped
+    assert(out(10L) == ((3L, 1L)))   // the 5us one survives
+    assert(out(1000L) == ((3L, 0L))) // watermark >= max lateness: lossless
+  }
+
   test("naiveBacktest: WAPE against same-weekday-last-week; lead-in days excluded") {
     val s = spark
     import s.implicits._

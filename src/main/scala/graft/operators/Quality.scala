@@ -719,6 +719,37 @@ object Quality {
       .select(inline(array(pairRows: _*)))
   }
 
+  /** Pseudonymization collision audit — before shipping hashed ids as
+    * the privacy layer, measure what the hash space actually does to
+    * key identity (a collision silently MERGES two users' histories):
+    * pseudonym = 52-bit md5 prefix mod 2^bits; one row
+    * (space, n_keys, n_pseudonyms, n_collisions, max_bucket,
+    * collision_ppm) where `n_collisions = n_keys − n_pseudonyms` (keys
+    * that lost a distinct identity) and `max_bucket` is the worst
+    * pseudonym's key count.
+    *
+    * Scale shape: one distinct over keys, one count groupBy on the
+    * pseudonym, one one-row rollup. The mapping is a pure function —
+    * re-running on any engine reproduces the identical pseudonyms. */
+  def pseudonymAudit(df: DataFrame, keyCol: String,
+      bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 52, s"bits out of range: $bits")
+    val space = 1L << bits
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).distinct()
+      .withColumn("p",
+        conv(substring(md5(concat(lit("pn_"), col("k"))), 1, 13), 16, 10)
+          .cast("long") % space)
+    keys.groupBy("p").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n_keys"), count(lit(1)).as("n_pseudonyms"),
+        max("cnt").as("max_bucket"))
+      .select(lit(space).as("space"), col("n_keys"), col("n_pseudonyms"),
+        (col("n_keys") - col("n_pseudonyms")).as("n_collisions"),
+        col("max_bucket"),
+        expr("((n_keys - n_pseudonyms) * 1000000L) div greatest(1L, n_keys)")
+          .as("collision_ppm"))
+  }
+
   /** Single-feature ranking power — the exact Mann-Whitney AUC of an
     * integer feature against a binary label (the "is this feature worth
     * anything" screen before training; AUC 0.5 = noise): with per-value

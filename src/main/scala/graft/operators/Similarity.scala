@@ -1083,6 +1083,40 @@ object Similarity {
           sqrt(col("norm2_b").cast("double"))))
   }
 
+  /** Label-noise screening — the Cleanlab-style "is this label wrong?"
+    * sweep over embedding space: a vector is SUSPECT when a strict
+    * majority of its k nearest bucket-mates ([[knnGraph]] — LSH-bounded,
+    * never all-pairs) carry a different label. Per label:
+    * (label, n_scored, n_suspect, suspect_ppm) — `n_scored` counts
+    * vectors that had at least one bucket-mate (isolated vectors can't
+    * vote and are excluded, not presumed clean).
+    *
+    * Scale shape: the k-NN graph's own bucket-capped pipeline + two
+    * shuffle-hash label joins on the candidate edges + two tiny
+    * aggregations. */
+  def labelNoise(df: DataFrame, embCol: String, labelCol: String,
+      idCol: String, k: Int = 5): DataFrame = {
+    val g = knnGraph(df, embCol, idCol, k)
+    val lbl = df.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("lbl"))
+    g.select(col("src").cast("long").as("src"),
+        col("nbr").cast("long").as("nbr"))
+      .join(lbl.select(col("id").as("src"), col("lbl").as("ls"))
+        .hint("shuffle_hash"), "src")
+      .join(lbl.select(col("id").as("nbr"), col("lbl").as("ln"))
+        .hint("shuffle_hash"), "nbr")
+      .groupBy("src", "ls")
+      .agg(count(lit(1)).as("n_nbrs"),
+        coalesce(sum(when(col("ln") =!= col("ls"), 1L)), lit(0L))
+          .as("n_dis"))
+      .withColumn("suspect", (col("n_dis") * 2 > col("n_nbrs")).cast("long"))
+      .groupBy(col("ls").as("label"))
+      .agg(count(lit(1)).as("n_scored"),
+        coalesce(sum("suspect"), lit(0L)).as("n_suspect"))
+      .withColumn("suspect_ppm",
+        expr("(n_suspect * 1000000L) div n_scored"))
+  }
+
   /** Embedding norm profile — the degenerate-vector screen (zero
     * vectors crash cosine; near-zero ones amplify noise; a bimodal norm
     * histogram usually means two encoders got mixed): quantized norm²

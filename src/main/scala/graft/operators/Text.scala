@@ -1195,6 +1195,34 @@ object Text {
         col("s4").as("n_out")))))
   }
 
+  /** Generic marker scan — the configurable cousin of
+    * [[complianceMarkers]] (prompt-injection phrases, refusal strings,
+    * policy markers — whatever this corpus's release review needs to
+    * count): per (group, marker), documents matching the marker's regex
+    * and the hit rate. Returns (grp, marker, n_docs, n_hits, hit_ppm),
+    * long format so adding a marker never changes the schema.
+    *
+    * Scale shape: ONE projection evaluates every marker's rlike flag,
+    * one group aggregation folds all counts, and the long format unrolls
+    * from the group row via `inline` — markers add columns to the same
+    * scan, not scans. */
+  def markerScan(df: DataFrame, textCol: String, groupCol: String,
+      markers: Seq[(String, String)]): DataFrame = {
+    require(markers.nonEmpty, "markerScan needs at least one marker")
+    val flags = df.select(col(groupCol).as("grp") +:
+      markers.zipWithIndex.map { case ((_, re), i) =>
+        when(col(textCol).rlike(re), 1L).otherwise(0L).as(s"__m$i") }: _*)
+    val agg = flags.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        markers.indices.map(i => sum(col(s"__m$i")).as(s"__s$i")): _*)
+    agg.select(col("grp"), col("n_docs"), inline(array(
+      markers.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("marker"), col(s"__s$i").as("n_hits"),
+          expr(s"(__s$i * 1000000L) div n_docs").as("hit_ppm"))
+      }: _*)))
+      .select("grp", "marker", "n_docs", "n_hits", "hit_ppm")
+  }
+
   /** Quality-sorted token-budget curve — how many tokens the corpus
     * yields as the quality bar drops (the data-constrained-scaling
     * question: "what does raising the cutoff cost?"): docs bucket by

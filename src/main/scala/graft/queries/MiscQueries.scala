@@ -938,6 +938,11 @@ object MiscQueries {
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("yy"))
       graft.operators.Quality.featureAuc(perUser, "f", col("yy") === 1L)
+    },
+    // Pseudonymization collision audit: 10-bit hash space over custkeys.
+    "qq24_pseudonym_audit" -> { (s, d) =>
+      graft.operators.Quality.pseudonymAudit(t(s, d, "orders"),
+        "o_custkey", bits = 10)
     }
   )
 
@@ -2343,7 +2348,25 @@ object MiscQueries {
         |    + CAST(SUM(np * nn) AS BIGINT)) * 1000000)
         |    // GREATEST(1, 2 * CAST(SUM(np) AS BIGINT)
         |      * CAST(SUM(nn) AS BIGINT)) AS auc_ppm
-        |FROM pre""".stripMargin
+        |FROM pre""".stripMargin,
+    "qq24_pseudonym_audit" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |p AS (SELECT CAST(list_sum(list_transform(generate_series(1, 13),
+        |    j -> CAST(instr('0123456789abcdef', substr(md5('pn_' || k),
+        |      CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |    * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 1024 AS p
+        |  FROM k),
+        |c AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY p)
+        |SELECT CAST(1024 AS BIGINT) AS space,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_keys,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pseudonyms,
+        |  CAST(SUM(cnt) AS BIGINT) - CAST(COUNT(*) AS BIGINT)
+        |    AS n_collisions,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+        |  ((CAST(SUM(cnt) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000)
+        |    // GREATEST(1, CAST(SUM(cnt) AS BIGINT)) AS collision_ppm
+        |FROM c""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

@@ -103,6 +103,13 @@ object VectorOps {
           t(s, d, "embeddings"), "embedding", "vec_id")
         .orderBy("bucket")
     },
+    // Label-noise screen: majority-disagreeing k-NN neighborhoods flag
+    // suspect labels, per label.
+    "qv26_label_noise" -> { (s, d) =>
+      graft.operators.Similarity.labelNoise(
+          t(s, d, "embeddings"), "embedding", "label", "vec_id", k = 5)
+        .orderBy("label")
+    },
     // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
     // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
     // in the hot path; the index is 32x smaller than the vectors).
@@ -527,6 +534,47 @@ object VectorOps {
         |  FROM pairs)
         |SELECT src, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
         |ORDER BY src, rank""".stripMargin,
+    "qv26_label_noise" ->
+      """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings), unnest(range(1, 65)) t(i)),
+        |planes AS (SELECT vec_id, p, qe,
+        |  CASE WHEN instr('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 < 8
+        |    THEN 1 ELSE -1 END AS comp
+        | FROM el, (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS p)),
+        |signs AS (SELECT vec_id, p, SUM(comp * qe) AS proj FROM planes
+        |  GROUP BY vec_id, p),
+        |buckets AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM signs GROUP BY vec_id),
+        |q AS (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |v AS (SELECT b.vec_id, b.bucket, q.q,
+        |    sqrt(CAST(CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+        |  FROM buckets b JOIN q ON q.vec_id = b.vec_id),
+        |pairs AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, nbr, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rank
+        |  FROM pairs),
+        |g AS (SELECT src, nbr FROM r WHERE rank <= 5),
+        |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+        |per AS (SELECT g.src, ls.lbl AS ls, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+        |    COALESCE(CAST(SUM(CASE WHEN ln.lbl <> ls.lbl THEN 1 END)
+        |      AS BIGINT), 0) AS n_dis
+        |  FROM g JOIN lb ls ON ls.vec_id = g.src
+        |  JOIN lb ln ON ln.vec_id = g.nbr
+        |  GROUP BY g.src, ls.lbl),
+        |sus AS (SELECT ls AS label,
+        |    CASE WHEN n_dis * 2 > n_nbrs THEN 1 ELSE 0 END AS s FROM per)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  CAST(SUM(s) AS BIGINT) AS n_suspect,
+        |  (CAST(SUM(s) AS BIGINT) * 1000000) // COUNT(*) AS suspect_ppm
+        |FROM sus GROUP BY label ORDER BY label""".stripMargin,
     "qv08_hamming_ann" ->
       """WITH sk AS (SELECT vec_id,
         |  CAST(list_sum(list_transform(range(0, 64), i ->

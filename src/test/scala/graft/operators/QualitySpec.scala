@@ -375,6 +375,21 @@ class QualitySpec extends SparkSpec {
       one.getLong(4) == 0L && one.getLong(5) == 0L)
   }
 
+  test("pseudonymAudit: tiny space forces collisions; huge space has none") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).toDF("k")
+    val tiny = Quality.pseudonymAudit(df, "k", bits = 4).head()
+    assert(tiny.getAs[Long]("space") == 16L)
+    assert(tiny.getAs[Long]("n_keys") == 100L)
+    assert(tiny.getAs[Long]("n_pseudonyms") <= 16L)
+    assert(tiny.getAs[Long]("n_collisions") ==
+      100L - tiny.getAs[Long]("n_pseudonyms"))
+    val big = Quality.pseudonymAudit(df, "k", bits = 52).head()
+    assert(big.getAs[Long]("n_collisions") == 0L)
+    assert(big.getAs[Long]("max_bucket") == 1L)
+  }
+
   test("featureAuc: perfect separation = 1.0, anti-separation = 0, all-tied = 0.5") {
     val s = spark
     import s.implicits._

@@ -656,6 +656,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rc.getAs[Long]("norm2_a") == 18L) // (-3)^2 + 3^2
   }
 
+  test("labelNoise: a mislabeled vector inside a tight cluster is flagged") {
+    val s = spark
+    import s.implicits._
+    // 5 near-identical vectors; 4 labeled 0, one labeled 1 -> the odd one
+    // out has all-disagreeing neighbors; the 0s keep majority agreement
+    val df = (0L to 4L).map { i =>
+      (i, if (i == 4) 1 else 0, Array(1.0f, 0.001f * i))
+    }.toDF("vec_id", "label", "emb")
+    val out = Similarity.labelNoise(df, "emb", "label", "vec_id", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((4L, 0L, 0L)))       // clean majority class
+    assert(out(1L) == ((1L, 1L, 1000000L))) // the flipped label is suspect
+  }
+
   test("normProfile: zero vectors isolate in bucket 0; octaves split by bit length") {
     val s = spark
     import s.implicits._

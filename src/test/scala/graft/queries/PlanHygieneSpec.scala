@@ -67,7 +67,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qv23_hamming_recall", // broadcast query panel (id%queryMod-bounded) scored vs corpus
     "qq23_sentinel_audit", // cross of the 1-row scalar agg and the TakeOrdered 1-row mode
     "qg16_conductance", // broadcast total-volume scalar (1 row)
-    "qv24_ivf_balance") // cross of the <=maxCentroids cell list and the 1-row total
+    "qv24_ivf_balance", // cross of the <=maxCentroids cell list and the 1-row total
+    "qv26_label_noise") // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

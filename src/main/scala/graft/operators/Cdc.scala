@@ -125,6 +125,44 @@ object Cdc {
           .cast("decimal(30,2)").as(sumCol))
   }
 
+  /** Changelog compaction — collapse a long changelog to its NET effect
+    * per key (ship/replay one op per key instead of the whole history;
+    * the Kafka-compaction semantics as an operator):
+    *   - first op I, last op D  → key never existed downstream: emit
+    *     nothing;
+    *   - last op D (first not I) → one D;
+    *   - first op I (last not D) → one I carrying the LAST values;
+    *   - otherwise → one U carrying the LAST values.
+    * The emitted seq is the key's max seq, so replay ordering survives.
+    * Invariant (spec-pinned): applyChangelog(snapshot, compacted) ==
+    * applyChangelog(snapshot, full) whenever the changelog is consistent
+    * with the snapshot (I only for absent keys).
+    *
+    * Scale shape: one window over the delta's own key shuffle
+    * (delta-sized); first/last resolve via rank in both directions. */
+  def compactChangelog(delta: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val valueCols = delta.columns
+      .filterNot(keyCols.contains).filterNot(Seq(seqCol, opCol).contains)
+      .toSeq
+    val asc = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    val desc = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    delta
+      .withColumn("__firstOp", first(col(opCol)).over(asc))
+      .withColumn("__rnd", row_number().over(desc))
+      .filter(col("__rnd") === 1)
+      .withColumn("__net",
+        when(col("__firstOp") === "I" && col(opCol) === "D", "X")
+          .when(col(opCol) === "D", "D")
+          .when(col("__firstOp") === "I", "I")
+          .otherwise("U"))
+      .filter(col("__net") =!= "X")
+      .select(keyCols.map(col) ++ Seq(col(seqCol), col("__net").as(opCol)) ++
+        valueCols.map(col): _*)
+  }
+
   /** Point-in-time dimension enrichment — join each fact to the SCD2
     * dimension version that was VALID AT the fact's own time (the
     * training-feature form of "as of": joining today's dimension row to

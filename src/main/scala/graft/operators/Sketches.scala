@@ -340,6 +340,45 @@ object Sketches {
         expr("(inter * 1000000L) div greatest(1L, kk)").as("jaccard_ppm"))
   }
 
+  /** Mergeable quantile-sketch rollup — the federated cousin of
+    * [[sampleQuantiles]]: each partition/source ships only its k
+    * smallest-(md5-)hash (hash, value) pairs, and merging re-ranks those
+    * summaries — bottom-k(∪ bottom-ks) = bottom-k(∪), so the rolled-up
+    * quantiles are DIGIT-IDENTICAL to a single-pass sample of the union
+    * (the qx11 KMV mergeability argument, applied to value sketches).
+    * Returns one row per quantile: (q, value, sample_n, n_parts).
+    *
+    * Scale shape: per-part bottom-k is a rank window on the part's own
+    * partitioning; the merge re-ranks parts·k summary rows; raw rows are
+    * touched once. */
+  def quantileRollup(df: DataFrame, valueCol: String, idCol: String,
+      partCol: String, quantiles: Seq[Double], k: Int = 1024): DataFrame = {
+    require(k >= 2, s"k >= 2: $k")
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles in (0,1]: $quantiles")
+    val fine = df.select(col(partCol).cast("string").as("part"),
+        md5(concat(lit("sq_"), col(idCol).cast("string"))).as("h"),
+        col(valueCol).as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("part").orderBy("h")))
+      .filter(col("rn") <= k)
+    val nParts = fine.agg(countDistinct("part").as("n_parts"))
+    val merged = fine.select("h", "v")
+      .withColumn("rn", row_number().over(Window.orderBy("h")))
+      .filter(col("rn") <= k)
+    val ranked = merged
+      .withColumn("rv", row_number().over(Window.orderBy(col("v"), col("h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .select(col("rv"), col("v"), col("n"),
+        explode(array(quantiles.map(q => lit(q).cast("double")): _*)).as("q"))
+      .filter(col("rv") === greatest(lit(1L), ceil(col("q") * col("n"))))
+      .crossJoin(broadcast(nParts))
+      .select(col("q"), col("v").as("value"), col("n").as("sample_n"),
+        col("n_parts"))
+      .orderBy("q")
+  }
+
   /** Sampling-accuracy audit — what a deterministic md5 row sample does
     * to group-level estimates (the check before trusting sampled
     * dashboards at 100 TB): rows whose `md5('sa_' || id)` 52-bit prefix

@@ -1195,6 +1195,30 @@ object Text {
         col("s4").as("n_out")))))
   }
 
+  /** Span-corruption prep — the T5/FIM-style masking manifest (which
+    * span of each document becomes the denoising target), with the span
+    * chosen by hash so every engine, run, and shard masks the SAME
+    * tokens: start = 1 + md5(id) mod (n − len) (clamped for short
+    * docs), span = the `maskLen` tokens from there. Returns
+    * (id, n_tokens, mask_start, mask_len, span_text).
+    *
+    * Scale shape: pure per-row Column algebra — hash, slice, join; zero
+    * shuffle. */
+  def spanCorruption(df: DataFrame, textCol: String, idCol: String,
+      maskLen: Int = 3): DataFrame = {
+    require(maskLen >= 1, s"maskLen out of range: $maskLen")
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val h = conv(substring(md5(concat(lit("sc_"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val start = lit(1L) + h % greatest(n - maskLen, lit(1L))
+    val len = least(lit(maskLen.toLong), n - start + 1L)
+    df.select(col(idCol).cast("long").as("id"), n.as("n_tokens"),
+        start.as("mask_start"), len.as("mask_len"),
+        concat_ws(" ", slice(toks, start.cast("int"), len.cast("int")))
+          .as("span_text"))
+  }
+
   /** Generic marker scan — the configurable cousin of
     * [[complianceMarkers]] (prompt-injection phrases, refusal strings,
     * policy markers — whatever this corpus's release review needs to

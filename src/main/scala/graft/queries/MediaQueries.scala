@@ -396,6 +396,17 @@ object MediaQueries {
       graft.operators.Cdc.pitEnrich(facts, dims, Seq("user_id"),
           "event_id", "tus")
         .orderBy("event_id")
+    },
+    // Kafka-style changelog compaction: one net op per key; I..D pairs
+    // annihilate entirely.
+    "qc07_changelog_compact" -> { (s, d) =>
+      val delta = Relational.t(s, d, "events").filter(col("user_id") < 80)
+        .select(col("user_id"), expr("ts div 1000").as("seq"), col("value"),
+          when(col("event_type") === "error", "D")
+            .when(col("event_type") === "signup", "I").otherwise("U")
+            .as("op"))
+      graft.operators.Cdc.compactChangelog(delta, Seq("user_id"), "seq", "op")
+        .orderBy("user_id")
     }
   )
 
@@ -702,6 +713,22 @@ object MediaQueries {
         |FROM facts f LEFT JOIN hist h ON h.user_id = f.user_id
         |  AND h.valid_from <= f.tus
         |  AND (h.valid_to IS NULL OR f.tus < h.valid_to)
-        |ORDER BY f.event_id""".stripMargin
+        |ORDER BY f.event_id""".stripMargin,
+    "qc07_changelog_compact" ->
+      """WITH dl AS (SELECT user_id, epoch_us(ts) AS seq, value,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op
+        |  FROM events WHERE user_id < 80),
+        |w AS (SELECT user_id, seq, value, op,
+        |    FIRST_VALUE(op) OVER (PARTITION BY user_id ORDER BY seq) AS fop,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rnd
+        |  FROM dl),
+        |l AS (SELECT user_id, seq, value, op, fop FROM w WHERE rnd = 1)
+        |SELECT user_id, seq,
+        |  CASE WHEN op = 'D' THEN 'D'
+        |       WHEN fop = 'I' THEN 'I' ELSE 'U' END AS op, value
+        |FROM l
+        |WHERE NOT (fop = 'I' AND op = 'D')
+        |ORDER BY user_id""".stripMargin
   )
 }

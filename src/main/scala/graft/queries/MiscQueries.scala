@@ -943,6 +943,15 @@ object MiscQueries {
     "qq24_pseudonym_audit" -> { (s, d) =>
       graft.operators.Quality.pseudonymAudit(t(s, d, "orders"),
         "o_custkey", bits = 10)
+    },
+    // Mergeable quantile-sketch rollup: per-returnflag bottom-k samples
+    // merged globally; the oracle draws the direct global sample (the
+    // mergeability invariant makes them identical).
+    "qx15_quantile_rollup" -> { (s, d) =>
+      val li = t(s, d, "lineitem").withColumn("uid",
+        col("l_orderkey") * 10 + col("l_linenumber"))
+      graft.operators.Sketches.quantileRollup(li, "l_extendedprice",
+        "uid", "l_returnflag", Seq(0.25, 0.5, 0.75, 0.95), k = 512)
     }
   )
 
@@ -2366,7 +2375,20 @@ object MiscQueries {
         |  CAST(MAX(cnt) AS BIGINT) AS max_bucket,
         |  ((CAST(SUM(cnt) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000)
         |    // GREATEST(1, CAST(SUM(cnt) AS BIGINT)) AS collision_ppm
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "qx15_quantile_rollup" ->
+      """WITH s AS (SELECT md5('sq_' || CAST(uid AS VARCHAR)) AS h, v FROM
+        |  (SELECT l_orderkey * 10 + l_linenumber AS uid,
+        |     l_extendedprice AS v FROM lineitem)
+        |  ORDER BY h LIMIT 512),
+        |r AS (SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS rv,
+        |    COUNT(*) OVER () AS n FROM s),
+        |np AS (SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
+        |  AS n_parts FROM lineitem)
+        |SELECT q, v AS value, CAST(n AS BIGINT) AS sample_n, n_parts
+        |FROM r, (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q), np
+        |WHERE rv = GREATEST(1, CAST(ceil(q * n) AS BIGINT))
+        |ORDER BY q""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

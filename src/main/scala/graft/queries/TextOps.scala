@@ -877,6 +877,13 @@ object TextOps {
           "system_prompt" -> "(?i)system: you are",
           "developer_mode" -> "(?i)developer mode"))
         .orderBy("grp", "marker")
+    },
+    // T5/FIM span-corruption manifest: hash-chosen mask spans, identical
+    // from any engine or shard.
+    "qd80_span_corruption" -> { (s, d) =>
+      graft.operators.Text.spanCorruption(
+          t(s, d, "documents"), "text", "doc_id", maskLen = 4)
+        .orderBy("id")
     }
   )
 
@@ -2279,6 +2286,24 @@ object TextOps {
         |  (s1 * 1000000) // n_docs FROM f
         |UNION ALL SELECT grp, 'developer_mode', n_docs, s2,
         |  (s2 * 1000000) // n_docs FROM f
-        |ORDER BY grp, marker""".stripMargin
+        |ORDER BY grp, marker""".stripMargin,
+    "qd80_span_corruption" ->
+      """WITH t1 AS (SELECT doc_id AS id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    string_split(text, ' ') AS toks,
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('sc_'
+        |        || CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT id, n, toks, 1 + h % GREATEST(n - 4, 1) AS start
+        |  FROM t1),
+        |q AS (SELECT id, n, start, LEAST(4, n - start + 1) AS len, toks
+        |  FROM p)
+        |SELECT id, n AS n_tokens, CAST(start AS BIGINT) AS mask_start,
+        |  CAST(len AS BIGINT) AS mask_len,
+        |  array_to_string(toks[start:start + len - 1], ' ') AS span_text
+        |FROM q ORDER BY id""".stripMargin
   )
 }

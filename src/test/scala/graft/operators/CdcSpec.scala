@@ -107,6 +107,29 @@ class CdcSpec extends SparkSpec {
     assert(same == Map(1L -> 1L))
   }
 
+  test("compactChangelog: net op per key; I..D annihilates; replay equivalence") {
+    val s = spark
+    import s.implicits._
+    val delta = Seq(
+      (1L, 1L, 10.0, "I"), (1L, 2L, 11.0, "U"),  // I..U -> I(latest)
+      (2L, 1L, 20.0, "U"), (2L, 2L, 21.0, "U"),  // U..U -> U(latest)
+      (3L, 1L, 30.0, "I"), (3L, 2L, 0.0, "D"),   // I..D -> nothing
+      (4L, 1L, 40.0, "U"), (4L, 2L, 0.0, "D")    // U..D -> D
+    ).toDF("k", "seq", "value", "op")
+    val c = Cdc.compactChangelog(delta, Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    assert(c == Map(1L -> (("I", 11.0)), 2L -> (("U", 21.0)),
+      4L -> (("D", 0.0))))
+    // replay equivalence on a consistent snapshot (keys 2 and 4 exist)
+    val snap = Seq((2L, 2.0), (4L, 4.0)).toDF("k", "value")
+    def applied(d: org.apache.spark.sql.DataFrame) =
+      Cdc.applyChangelog(snap, d, Seq("k"), "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(applied(Cdc.compactChangelog(delta, Seq("k"), "seq", "op")) ==
+      applied(delta))
+  }
+
   test("pitEnrich: fact takes the version valid AT its time; gaps and pre-history null") {
     val s = spark
     import s.implicits._

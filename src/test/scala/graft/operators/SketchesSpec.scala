@@ -195,6 +195,24 @@ class SketchesSpec extends SparkSpec {
     assert(direct("g2") == merged("g2")._2)
   }
 
+  test("quantileRollup: merged per-part sketches equal the direct global sample") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).map(i => (i, (i % 3).toString, i.toDouble))
+      .toDF("id", "part", "v")
+    val rolled = Sketches.quantileRollup(df, "v", "id", "part",
+        Seq(0.5, 0.9), k = 64)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // direct global sample via sampleQuantiles (same hash prefix "sq_")
+    val direct = Sketches.sampleQuantiles(df, "v", "id", Seq(0.5, 0.9), k = 64)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(rolled == direct)
+    // n_parts reported
+    val np = Sketches.quantileRollup(df, "v", "id", "part", Seq(0.5), 64)
+      .head().getAs[Long]("n_parts")
+    assert(np == 3L)
+  }
+
   test("sampleAccuracy: full rate is exact; partial rate scales up deterministically") {
     val s = spark
     import s.implicits._

@@ -732,6 +732,26 @@ class TextSpec extends SparkSpec {
     assert(rows(3).getLong(4) == 1L) // one survivor
   }
 
+  test("spanCorruption: hash-deterministic spans inside bounds; short docs clamp") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y")).toDF("doc_id", "txt")
+    val out = Text.spanCorruption(docs, "txt", "doc_id", maskLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val (n1, st1, len1, span1) = out(1L)
+    assert(n1 == 8L && st1 >= 1L && st1 + len1 - 1 <= 8L && len1 == 3L)
+    assert(span1.split(" ").length == 3)
+    // 2-token doc: start clamps to 1, span truncates to what exists
+    val (n2, st2, len2, span2) = out(2L)
+    assert(n2 == 2L && st2 >= 1L && len2 == 2L - st2 + 1)
+    assert(span2.nonEmpty)
+    // deterministic across runs
+    val again = Text.spanCorruption(docs, "txt", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(again(1L) == span1)
+  }
+
   test("markerScan: long format, one row per (group, marker), regex hit counts") {
     val s = spark
     import s.implicits._

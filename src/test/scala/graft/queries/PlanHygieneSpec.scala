@@ -68,7 +68,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qq23_sentinel_audit", // cross of the 1-row scalar agg and the TakeOrdered 1-row mode
     "qg16_conductance", // broadcast total-volume scalar (1 row)
     "qv24_ivf_balance", // cross of the <=maxCentroids cell list and the 1-row total
-    "qv26_label_noise") // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
+    "qv26_label_noise", // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
+    "qx15_quantile_rollup") // broadcast n_parts scalar (1 row)
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -719,6 +719,38 @@ object Quality {
       .select(inline(array(pairRows: _*)))
   }
 
+  /** Train/test support coverage — how much of the evaluation slice
+    * lives on feature territory the training slice actually covered
+    * (rows on unseen buckets are extrapolation, and their metrics are
+    * fiction): bucket the feature columns, then per bucket-presence:
+    * one row (n_test, n_covered, n_unseen, coverage_ppm, n_train_buckets,
+    * n_test_buckets).
+    *
+    * Scale shape: two distinct-bucket relations + one semi-join on the
+    * bucket key; the test rows rejoin their bucket's coverage flag via
+    * one hash join. No row-level train×test join. */
+  def supportCoverage(train: DataFrame, test: DataFrame,
+      bucketCols: Seq[String]): DataFrame = {
+    require(bucketCols.nonEmpty, "supportCoverage needs bucket columns")
+    def b(df: DataFrame) = df.select(
+      concat_ws("|", bucketCols.map(c => col(c).cast("string")): _*)
+        .as("bk"))
+    val trainB = b(train).distinct()
+    val testRows = b(test)
+    val covered = testRows.join(trainB.hint("shuffle_hash"),
+      Seq("bk"), "left_semi")
+    val s1 = testRows.agg(count(lit(1)).as("n_test"))
+    val s2 = covered.agg(count(lit(1)).as("n_covered"))
+    val s3 = trainB.agg(count(lit(1)).as("n_train_buckets"))
+    val s4 = testRows.distinct().agg(count(lit(1)).as("n_test_buckets"))
+    s1.crossJoin(s2).crossJoin(s3).crossJoin(s4)
+      .select(col("n_test"), col("n_covered"),
+        (col("n_test") - col("n_covered")).as("n_unseen"),
+        expr("(n_covered * 1000000L) div greatest(1L, n_test)")
+          .as("coverage_ppm"),
+        col("n_train_buckets"), col("n_test_buckets"))
+  }
+
   /** Pseudonymization collision audit — before shipping hashed ids as
     * the privacy layer, measure what the hash space actually does to
     * key identity (a collision silently MERGES two users' histories):

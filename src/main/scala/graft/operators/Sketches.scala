@@ -340,6 +340,31 @@ object Sketches {
         expr("(inter * 1000000L) div greatest(1L, kk)").as("jaccard_ppm"))
   }
 
+  /** CMS top-k fidelity — does the Count-Min sketch's heavy-hitter
+    * RANKING survive its collisions (estimates over-count; what matters
+    * is whether the top-k set is still the top-k): overlap of the
+    * CMS-estimate top-k with the exact-count top-k, both from
+    * [[cmsHeavyHitters]]'s own output, deterministic (count desc, value)
+    * tie-break. One row: (k, hits, recall_ppm).
+    *
+    * Scale shape: the sketch pipeline's own cost + two TakeOrdered
+    * top-k selections over the distinct-value relation + a k-row join. */
+  def cmsTopKRecall(df: DataFrame, valueCol: String, k: Int = 10,
+      depth: Int = 3, width: Int = 512): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    val hh = cmsHeavyHitters(df, valueCol, depth, width, minEst = 1L)
+    val exactTop = hh.orderBy(col("exact_count").desc, col(valueCol))
+      .limit(k).select(col(valueCol).as("v"))
+    val estTop = hh.orderBy(col("cms_est").desc, col(valueCol))
+      .limit(k).select(col(valueCol).as("v"))
+    val hits = exactTop.join(estTop, Seq("v"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val kk = exactTop.agg(count(lit(1)).as("k"))
+    kk.crossJoin(hits)
+      .select(col("k"), col("hits"),
+        expr("(hits * 1000000L) div greatest(1L, k)").as("recall_ppm"))
+  }
+
   /** Mergeable quantile-sketch rollup — the federated cousin of
     * [[sampleQuantiles]]: each partition/source ships only its k
     * smallest-(md5-)hash (hash, value) pairs, and merging re-ranks those

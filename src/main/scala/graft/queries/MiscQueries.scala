@@ -952,6 +952,21 @@ object MiscQueries {
         col("l_orderkey") * 10 + col("l_linenumber"))
       graft.operators.Sketches.quantileRollup(li, "l_extendedprice",
         "uid", "l_returnflag", Seq(0.25, 0.5, 0.75, 0.95), k = 512)
+    },
+    // Train/test support coverage over (type, value-bucket) features.
+    "qq25_support_coverage" -> { (s, d) =>
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+        floor(col("value")).cast("long").as("vb"))
+      graft.operators.Quality.supportCoverage(
+        ev.filter(col("user_id") % 5 =!= 0),
+        ev.filter(col("user_id") % 5 === 0),
+        Seq("event_type", "vb"))
+    },
+    // CMS ranking fidelity: top-10 by estimate vs top-10 by exact count
+    // under a deliberately collision-heavy 2x64 sketch.
+    "qx16_cms_recall" -> { (s, d) =>
+      graft.operators.Sketches.cmsTopKRecall(t(s, d, "events"),
+        "user_id", k = 10, depth = 2, width = 64)
     }
   )
 
@@ -2388,7 +2403,51 @@ object MiscQueries {
         |SELECT q, v AS value, CAST(n AS BIGINT) AS sample_n, n_parts
         |FROM r, (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q), np
         |WHERE rv = GREATEST(1, CAST(ceil(q * n) AS BIGINT))
-        |ORDER BY q""".stripMargin
+        |ORDER BY q""".stripMargin,
+    "qq25_support_coverage" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(FLOOR(value) AS BIGINT) AS vb FROM events),
+        |tr AS (SELECT DISTINCT event_type || '|' || CAST(vb AS VARCHAR)
+        |  AS bk FROM ev WHERE user_id % 5 <> 0),
+        |te AS (SELECT event_type || '|' || CAST(vb AS VARCHAR) AS bk
+        |  FROM ev WHERE user_id % 5 = 0)
+        |SELECT CAST((SELECT COUNT(*) FROM te) AS BIGINT) AS n_test,
+        |  CAST((SELECT COUNT(*) FROM te WHERE bk IN (SELECT bk FROM tr))
+        |    AS BIGINT) AS n_covered,
+        |  CAST((SELECT COUNT(*) FROM te) AS BIGINT)
+        |    - CAST((SELECT COUNT(*) FROM te
+        |        WHERE bk IN (SELECT bk FROM tr)) AS BIGINT) AS n_unseen,
+        |  (CAST((SELECT COUNT(*) FROM te WHERE bk IN (SELECT bk FROM tr))
+        |    AS BIGINT) * 1000000)
+        |    // GREATEST(1, (SELECT COUNT(*) FROM te)) AS coverage_ppm,
+        |  CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train_buckets,
+        |  CAST((SELECT COUNT(DISTINCT bk) FROM te) AS BIGINT)
+        |    AS n_test_buckets""".stripMargin,
+    "qx16_cms_recall" ->
+      """WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+        |b AS (SELECT v, i,
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef',
+        |        substr(md5('c' || i || '_' || v), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 64 AS bkt
+        |  FROM vals CROSS JOIN (SELECT unnest([0, 1]) AS i)),
+        |counters AS (SELECT i, bkt, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |probe AS (SELECT DISTINCT v, i, bkt FROM b),
+        |est AS (SELECT v, MIN(c) AS cms_est FROM probe
+        |  JOIN counters USING (i, bkt) GROUP BY v),
+        |exact AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS exact_count
+        |  FROM vals GROUP BY v),
+        |hh AS (SELECT exact.v, exact_count, cms_est FROM exact
+        |  JOIN est USING (v)),
+        |et AS (SELECT v FROM hh ORDER BY exact_count DESC, v LIMIT 10),
+        |at AS (SELECT v FROM hh ORDER BY cms_est DESC, v LIMIT 10),
+        |h2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM et
+        |  WHERE v IN (SELECT v FROM at)),
+        |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM et)
+        |SELECT k, hits, (hits * 1000000) // GREATEST(1, k) AS recall_ppm
+        |FROM kk, h2""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

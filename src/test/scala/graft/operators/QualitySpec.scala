@@ -375,6 +375,23 @@ class QualitySpec extends SparkSpec {
       one.getLong(4) == 0L && one.getLong(5) == 0L)
   }
 
+  test("supportCoverage: rows on unseen buckets counted; identical slices = full coverage") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("t", "vb")
+    val test = Seq(("a", 1L), ("a", 1L), ("b", 9L), ("c", 1L))
+      .toDF("t", "vb")
+    val r = Quality.supportCoverage(train, test, Seq("t", "vb")).head()
+    assert(r.getAs[Long]("n_test") == 4L)
+    assert(r.getAs[Long]("n_covered") == 2L) // the two (a,1) rows
+    assert(r.getAs[Long]("n_unseen") == 2L)
+    assert(r.getAs[Long]("coverage_ppm") == 500000L)
+    assert(r.getAs[Long]("n_train_buckets") == 3L)
+    assert(r.getAs[Long]("n_test_buckets") == 3L)
+    val full = Quality.supportCoverage(train, train, Seq("t", "vb")).head()
+    assert(full.getAs[Long]("coverage_ppm") == 1000000L)
+  }
+
   test("pseudonymAudit: tiny space forces collisions; huge space has none") {
     val s = spark
     import s.implicits._

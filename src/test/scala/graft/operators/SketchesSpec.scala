@@ -195,6 +195,23 @@ class SketchesSpec extends SparkSpec {
     assert(direct("g2") == merged("g2")._2)
   }
 
+  test("cmsTopKRecall: a wide collision-free sketch ranks top-k perfectly") {
+    val s = spark
+    import s.implicits._
+    // skewed counts over few values; wide sketch -> no collisions ->
+    // estimates equal exact -> recall 1.0
+    val df = (1 to 10).flatMap(v => Seq.fill(v * 3)(v.toString)).toDF("v")
+    val r = Sketches.cmsTopKRecall(df, "v", k = 5, depth = 3, width = 4096)
+      .head()
+    assert(r.getAs[Long]("k") == 5L)
+    assert(r.getAs[Long]("hits") == 5L)
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    // fewer distinct values than k: k reports the actual set size
+    val tiny = (1 to 3).map(_.toString).toDF("v")
+    assert(Sketches.cmsTopKRecall(tiny, "v", k = 10).head()
+      .getAs[Long]("k") == 3L)
+  }
+
   test("quantileRollup: merged per-part sketches equal the direct global sample") {
     val s = spark
     import s.implicits._

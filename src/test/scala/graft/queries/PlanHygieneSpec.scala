@@ -69,7 +69,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qg16_conductance", // broadcast total-volume scalar (1 row)
     "qv24_ivf_balance", // cross of the <=maxCentroids cell list and the 1-row total
     "qv26_label_noise", // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
-    "qx15_quantile_rollup") // broadcast n_parts scalar (1 row)
+    "qx15_quantile_rollup", // broadcast n_parts scalar (1 row)
+    "qq25_support_coverage", // cross of four 1-row count aggregates
+    "qx16_cms_recall") // cross of the 1-row k and 1-row hits aggregates
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -1083,6 +1083,30 @@ object Similarity {
           sqrt(col("norm2_b").cast("double"))))
   }
 
+  /** Exact-duplicate vector groups — repeated embeddings mean repeated
+    * content or a collapsed encoder, and they silently bias every
+    * nearest-neighbor statistic: vectors group by the md5 of their
+    * quantized integer grid (bit-exact identity on the grid — the same
+    * identity every other operator here scores with). One row:
+    * (n_vecs, n_groups, n_dup_vecs, max_group, dup_ppm).
+    *
+    * Scale shape: one quantize+hash projection, one count groupBy on
+    * the content hash, one one-row rollup — [[Dedup.exactGroups]] for
+    * vectors. */
+  def duplicateVectorGroups(df: DataFrame, embCol: String,
+      idCol: String): DataFrame = {
+    df.select(md5(concat_ws(",",
+        quantize(col(embCol)).cast("array<string>"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n_vecs"), count(lit(1)).as("n_groups"),
+        max("cnt").as("max_group"))
+      .select(col("n_vecs"), col("n_groups"),
+        (col("n_vecs") - col("n_groups")).as("n_dup_vecs"),
+        col("max_group"),
+        expr("((n_vecs - n_groups) * 1000000L) div greatest(1L, n_vecs)")
+          .as("dup_ppm"))
+  }
+
   /** Label-noise screening — the Cleanlab-style "is this label wrong?"
     * sweep over embedding space: a vector is SUSPECT when a strict
     * majority of its k nearest bucket-mates ([[knnGraph]] — LSH-bounded,

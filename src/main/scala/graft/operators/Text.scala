@@ -1195,6 +1195,34 @@ object Text {
         col("s4").as("n_out")))))
   }
 
+  /** OOV-rate audit — what share of each source's token stream falls
+    * outside a fixed-size vocabulary (the tokenizer-coverage question:
+    * a source with high OOV will fragment into bytes and train badly):
+    * the vocabulary is the corpus's own top-`vocabSize` tokens by count
+    * (count desc, token asc — deterministic), and the report is
+    * per-source (grp, n_tokens, n_oov, oov_ppm).
+    *
+    * Scale shape: vocabulary selection is a TakeOrdered over the token
+    * count table (never a global sort); the membership check is one
+    * broadcast semi-join of the exploded stream against the ≤vocabSize
+    * vocab. One corpus scan feeds both. */
+  def oovRate(df: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int = 500): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize out of range: $vocabSize")
+    val toks = df.select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabSize)
+      .select("token")
+    val flagged = toks.join(broadcast(vocab).withColumn("__in", lit(1L)),
+        Seq("token"), "left_outer")
+      .select(col("grp"), coalesce(col("__in"), lit(0L)).as("in_vocab"))
+    flagged.groupBy("grp")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(lit(1L) - col("in_vocab")).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000L) div n_tokens"))
+  }
+
   /** Span-corruption prep — the T5/FIM-style masking manifest (which
     * span of each document becomes the denoising target), with the span
     * chosen by hash so every engine, run, and shard masks the SAME

@@ -884,6 +884,13 @@ object TextOps {
       graft.operators.Text.spanCorruption(
           t(s, d, "documents"), "text", "doc_id", maskLen = 4)
         .orderBy("id")
+    },
+    // Tokenizer-coverage audit: OOV share per source against the
+    // corpus's own top-30 vocabulary.
+    "qd81_oov_rate" -> { (s, d) =>
+      graft.operators.Text.oovRate(t(s, d, "documents"), "text",
+          "source", vocabSize = 30)
+        .orderBy("grp")
     }
   )
 
@@ -2304,6 +2311,17 @@ object TextOps {
         |SELECT id, n AS n_tokens, CAST(start AS BIGINT) AS mask_start,
         |  CAST(len AS BIGINT) AS mask_len,
         |  array_to_string(toks[start:start + len - 1], ' ') AS span_text
-        |FROM q ORDER BY id""".stripMargin
+        |FROM q ORDER BY id""".stripMargin,
+    "qd81_oov_rate" ->
+      """WITH toks AS (SELECT source AS grp, unnest(string_split(text, ' '))
+        |  AS token FROM documents),
+        |vocab AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM toks
+        |  GROUP BY token ORDER BY c DESC, token LIMIT 30)),
+        |f AS (SELECT grp, CASE WHEN token IN (SELECT token FROM vocab)
+        |    THEN 1 ELSE 0 END AS iv FROM toks)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(1 - iv) AS BIGINT) AS n_oov,
+        |  (CAST(SUM(1 - iv) AS BIGINT) * 1000000) // COUNT(*) AS oov_ppm
+        |FROM f GROUP BY grp ORDER BY grp""".stripMargin
   )
 }

@@ -110,6 +110,15 @@ object VectorOps {
           t(s, d, "embeddings"), "embedding", "label", "vec_id", k = 5)
         .orderBy("label")
     },
+    // Exact-duplicate vector groups over the quantized grid, with
+    // injected clones so every SF has real duplicates.
+    "qv27_dup_vectors" -> { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val withClones = e.unionAll(e.filter(col("vec_id") % 37 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000L))
+      graft.operators.Similarity.duplicateVectorGroups(
+        withClones, "embedding", "vec_id")
+    },
     // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
     // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
     // in the hot path; the index is 32x smaller than the vectors).
@@ -575,6 +584,22 @@ object VectorOps {
         |  CAST(SUM(s) AS BIGINT) AS n_suspect,
         |  (CAST(SUM(s) AS BIGINT) * 1000000) // COUNT(*) AS suspect_ppm
         |FROM sus GROUP BY label ORDER BY label""".stripMargin,
+    "qv27_dup_vectors" ->
+      """WITH all_v AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+        |  WHERE vec_id % 37 = 0),
+        |h AS (SELECT md5(array_to_string(list_transform(embedding,
+        |    e -> CAST(CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)
+        |      AS VARCHAR)), ',')) AS h
+        |  FROM all_v),
+        |c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY h)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(cnt) AS BIGINT) - CAST(COUNT(*) AS BIGINT) AS n_dup_vecs,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_group,
+        |  ((CAST(SUM(cnt) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000)
+        |    // GREATEST(1, CAST(SUM(cnt) AS BIGINT)) AS dup_ppm
+        |FROM c""".stripMargin,
     "qv08_hamming_ann" ->
       """WITH sk AS (SELECT vec_id,
         |  CAST(list_sum(list_transform(range(0, 64), i ->

@@ -656,6 +656,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rc.getAs[Long]("norm2_a") == 18L) // (-3)^2 + 3^2
   }
 
+  test("duplicateVectorGroups: grid-identical vectors group; distinct ones don't") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(0.1f, 0.2f)), (2L, Array(0.1f, 0.2f)),     // exact dup
+      (3L, Array(0.10004f, 0.2f)),                          // same grid cell (x10000 rounds to 1000)
+      (4L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "emb")
+    val r = Similarity.duplicateVectorGroups(df, "emb", "vec_id").head()
+    assert(r.getAs[Long]("n_vecs") == 4L)
+    assert(r.getAs[Long]("n_groups") == 2L) // {1,2,3} and {4}
+    assert(r.getAs[Long]("n_dup_vecs") == 2L)
+    assert(r.getAs[Long]("max_group") == 3L)
+    assert(r.getAs[Long]("dup_ppm") == 500000L)
+  }
+
   test("labelNoise: a mislabeled vector inside a tight cluster is flagged") {
     val s = spark
     import s.implicits._

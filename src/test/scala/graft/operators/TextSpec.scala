@@ -732,6 +732,20 @@ class TextSpec extends SparkSpec {
     assert(rows(3).getLong(4) == 1L) // one survivor
   }
 
+  test("oovRate: tokens outside the top-k vocabulary count as OOV per group") {
+    val s = spark
+    import s.implicits._
+    // 'a' x4 and 'b' x3 dominate; vocabSize=2 leaves 'z' and 'q' OOV
+    val docs = Seq(
+      ("g", "a a b z"), ("g", "a b q"), ("h", "a b a")
+    ).toDF("src", "txt")
+    val out = Text.oovRate(docs, "txt", "src", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("g") == ((7L, 2L, 2L * 1000000L / 7L)))
+    assert(out("h") == ((3L, 0L, 0L)))
+  }
+
   test("spanCorruption: hash-deterministic spans inside bounds; short docs clamp") {
     val s = spark
     import s.implicits._

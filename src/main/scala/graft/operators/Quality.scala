@@ -719,6 +719,36 @@ object Quality {
       .select(inline(array(pairRows: _*)))
   }
 
+  /** Join fan-out audit — the cardinality profile of a parent→child
+    * relationship BEFORE you join on it (a hidden 10 000-row hub parent
+    * turns a "1:few" join into a skew incident): one row
+    * (rel, n_parents, n_children, childless_parents, avg_x100,
+    * max_per_parent) where avg counts children per MATCHED parent,
+    * ×100 fixed point.
+    *
+    * Scale shape: one count groupBy on the child FK, one distinct-key
+    * anti-join for childless parents, two 1-row rollups. Never a
+    * row-level parent×child join. */
+  def fanoutAudit(parent: DataFrame, parentKey: String,
+      child: DataFrame, childKey: String, rel: String): DataFrame = {
+    val pk = parent.select(col(parentKey).cast("long").as("k")).distinct()
+    val counts = child.select(col(childKey).cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val matched = counts.join(pk, Seq("k"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"), sum("c").as("n_children"),
+        max("c").as("max_per_parent"))
+    val childless = pk.join(counts, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("childless_parents"))
+    val nP = pk.agg(count(lit(1)).as("n_parents"))
+    nP.crossJoin(matched).crossJoin(childless)
+      .select(lit(rel).as("rel"), col("n_parents"),
+        coalesce(col("n_children"), lit(0L)).as("n_children"),
+        col("childless_parents"),
+        expr("(coalesce(n_children, 0L) * 100L) div greatest(1L, n_matched)")
+          .as("avg_x100"),
+        coalesce(col("max_per_parent"), lit(0L)).as("max_per_parent"))
+  }
+
   /** Train/test support coverage — how much of the evaluation slice
     * lives on feature territory the training slice actually covered
     * (rows on unseen buckets are extrapolation, and their metrics are

@@ -967,6 +967,18 @@ object MiscQueries {
     "qx16_cms_recall" -> { (s, d) =>
       graft.operators.Sketches.cmsTopKRecall(t(s, d, "events"),
         "user_id", k = 10, depth = 2, width = 64)
+    },
+    // Conversion-time CDF: share of signups converted within each
+    // whole-day offset.
+    "qa22_conversion_curve" -> { (s, d) =>
+      graft.streaming.EventStream.conversionCurve(t(s, d, "events"))
+        .orderBy("day_offset")
+    },
+    // Join fan-out audit of orders -> lineitem.
+    "qq26_fanout_audit" -> { (s, d) =>
+      graft.operators.Quality.fanoutAudit(
+        t(s, d, "orders"), "o_orderkey",
+        t(s, d, "lineitem"), "l_orderkey", "orders->lineitem")
     }
   )
 
@@ -2447,7 +2459,44 @@ object MiscQueries {
         |  WHERE v IN (SELECT v FROM at)),
         |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM et)
         |SELECT k, hits, (hits * 1000000) // GREATEST(1, k) AS recall_ppm
-        |FROM kk, h2""".stripMargin
+        |FROM kk, h2""".stripMargin,
+    "qa22_conversion_curve" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(tus) AS s FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signups FROM f),
+        |d AS (SELECT e.user_id,
+        |    MIN((e.tus - f.s) // 86400000000) AS day_offset
+        |  FROM e JOIN f ON f.user_id = e.user_id AND e.tus >= f.s
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |pd AS (SELECT day_offset, CAST(COUNT(*) AS BIGINT) AS n_new FROM d
+        |  GROUP BY day_offset)
+        |SELECT CAST(day_offset AS BIGINT) AS day_offset, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_converted,
+        |  (CAST(SUM(n_new) OVER (ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    * 1000000) // n_signups AS cdf_ppm
+        |FROM pd CROSS JOIN ns ORDER BY day_offset""".stripMargin,
+    "qq26_fanout_audit" ->
+      """WITH pk AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |counts AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY l_orderkey),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |    CAST(SUM(c) AS BIGINT) AS n_children,
+        |    CAST(MAX(c) AS BIGINT) AS max_per_parent
+        |  FROM counts WHERE k IN (SELECT k FROM pk)),
+        |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS childless_parents FROM pk
+        |  WHERE k NOT IN (SELECT k FROM counts)),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parents FROM pk)
+        |SELECT 'orders->lineitem' AS rel, n_parents,
+        |  COALESCE(n_children, 0) AS n_children, childless_parents,
+        |  (COALESCE(n_children, 0) * 100) // GREATEST(1, n_matched)
+        |    AS avg_x100,
+        |  COALESCE(max_per_parent, 0) AS max_per_parent
+        |FROM np, m, cl""".stripMargin
   )
 
   /** The qg08 oracle: the identical L∞-normalized integer HITS

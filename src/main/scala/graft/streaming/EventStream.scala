@@ -1193,6 +1193,40 @@ object EventStream {
         "dev_ppm")
   }
 
+  /** Conversion-time CDF — the curve behind "how long until signups
+    * convert" (the discrete, integer-exact face of a survival analysis):
+    * per whole-day offset from each user's first signup, how many users
+    * converted AT that offset, cumulatively, and the share of ALL
+    * signups converted within it. Returns
+    * (day_offset, n_new, cum_converted, cdf_ppm).
+    *
+    * Scale shape: two per-user min aggregations, one ≤span-days groupBy,
+    * one cumulative window over that tiny table, one 1-row signup-count
+    * broadcast. */
+  def conversionCurve(events: DataFrame, fromType: String = "signup",
+      toType: String = "purchase"): DataFrame = {
+    val base = tsNanos(events)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_type"))
+    val from = base.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min("tus").as("s"))
+    val nSignups = broadcast(from.agg(count(lit(1)).as("n_signups")))
+    val perDay = base.filter(col("event_type") === toType)
+      .join(from, "user_id")
+      .filter(col("tus") >= col("s"))
+      .groupBy("user_id").agg(min(expr("(tus - s) div 86400000000"))
+        .as("day_offset"))
+      .groupBy("day_offset").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day_offset")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perDay
+      .withColumn("cum_converted", sum("n_new").over(w))
+      .crossJoin(nSignups)
+      .select(col("day_offset"), col("n_new"), col("cum_converted"),
+        expr("(cum_converted * 1000000L) div n_signups").as("cdf_ppm"))
+  }
+
   /** Seasonal-naive forecast backtest — the accuracy floor every real
     * forecast must beat (predict today = same weekday last week), scored
     * on the corpus itself: per event type, over every day with a

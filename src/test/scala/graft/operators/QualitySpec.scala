@@ -375,6 +375,22 @@ class QualitySpec extends SparkSpec {
       one.getLong(4) == 0L && one.getLong(5) == 0L)
   }
 
+  test("fanoutAudit: children per matched parent, childless parents, orphans excluded") {
+    val s = spark
+    import s.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    // parent 1 has 3 children, parent 2 has 1, parent 3 none;
+    // child of parent 9 is an orphan (not counted as a child of the rel)
+    val child = Seq(1L, 1L, 1L, 2L, 9L).toDF("fk")
+    val r = Quality.fanoutAudit(parent, "pk", child, "fk", "p->c").head()
+    assert(r.getAs[String]("rel") == "p->c")
+    assert(r.getAs[Long]("n_parents") == 3L)
+    assert(r.getAs[Long]("n_children") == 4L) // orphan excluded
+    assert(r.getAs[Long]("childless_parents") == 1L)
+    assert(r.getAs[Long]("avg_x100") == 200L) // 4 children / 2 matched
+    assert(r.getAs[Long]("max_per_parent") == 3L)
+  }
+
   test("supportCoverage: rows on unseen buckets counted; identical slices = full coverage") {
     val s = spark
     import s.implicits._

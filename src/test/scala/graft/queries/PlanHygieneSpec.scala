@@ -71,7 +71,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qv26_label_noise", // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
     "qx15_quantile_rollup", // broadcast n_parts scalar (1 row)
     "qq25_support_coverage", // cross of four 1-row count aggregates
-    "qx16_cms_recall") // cross of the 1-row k and 1-row hits aggregates
+    "qx16_cms_recall", // cross of the 1-row k and 1-row hits aggregates
+    "qa22_conversion_curve", // broadcast signup-count scalar (1 row)
+    "qq26_fanout_audit") // cross of three 1-row relationship rollups
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

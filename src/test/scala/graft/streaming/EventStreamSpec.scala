@@ -829,6 +829,24 @@ class EventStreamSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 4.0, 4.0)))
   }
 
+  test("conversionCurve: first-conversion day offsets; CDF over ALL signups") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, 1L, "signup", 0L), (2L, 1L, "purchase", day / 2),  // day 0
+      (3L, 2L, "signup", 0L), (4L, 2L, "purchase", 3 * day),  // day 3
+      (5L, 2L, "purchase", 5 * day),                          // later: ignored
+      (6L, 3L, "signup", 0L)                                  // never converts
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStream.conversionCurve(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) == ((1L, 1L, 333333L)))
+    assert(out(3L) == ((1L, 2L, 666666L))) // 2 of 3 signups within 3 days
+    assert(!out.contains(5L)) // only FIRST conversions count
+  }
+
   test("watermarkSweep: drop counts fall as the watermark grows; zero at the max lateness") {
     val s = spark
     import s.implicits._

@@ -198,4 +198,33 @@ object Cdc {
       .select(facts.columns.map(col) ++
         attrCols.map(c => when(ok, col(s"__dim_$c")).as(s"dim_$c")): _*)
   }
+
+  /** Time-travel read — reconstruct the table AS OF a past sequence
+    * point from the changelog alone (no table format, no stored
+    * snapshots): the latest op per key with `seqCol <= asOfSeq` wins
+    * under [[applyChangelog]]'s exact total order (seq desc,
+    * delete-first at equal seq, value tuple, op), D winners erase the
+    * key. The missing verb of the CDC algebra here: [[applyChangelog]]
+    * rolls forward, [[snapshotDiff]] derives deltas, [[compactChangelog]]
+    * bounds retention, [[scd2History]] materializes all versions — this
+    * answers "what did the table say on Tuesday" with one scan. Output:
+    * (keys..., values...).
+    *
+    * Shape: the seq filter prunes at the scan, then ONE window over the
+    * changelog's key shuffle — identical cost to reading the changelog
+    * once. Beware compacted logs: ops older than the compaction horizon
+    * are gone, so `asOfSeq` must postdate the last compaction. */
+  def snapshotAsOf(changelog: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String, asOfSeq: Long): DataFrame = {
+    require(keyCols.nonEmpty)
+    val valueCols = changelog.columns
+      .filterNot((keyCols ++ Seq(seqCol, opCol)).contains).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(Seq(col(seqCol).desc, when(col(opCol) === "D", 0).otherwise(1),
+        struct(valueCols.map(col): _*).desc_nulls_last, col(opCol).desc): _*)
+    changelog.filter(col(seqCol) <= asOfSeq)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .filter(col(opCol) =!= "D")
+      .select(keyCols.map(col) ++ valueCols.map(col): _*)
+  }
 }

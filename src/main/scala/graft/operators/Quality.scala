@@ -711,8 +711,13 @@ object Quality {
       def varOf(n: String) =
         col("__n").cast("double") * col(s"__sxx_$n").cast("double") -
           col(s"__sx_$n").cast("double") * col(s"__sx_$n").cast("double")
+      // Zero-variance guard: a constant column makes vv = 0 and the
+      // ratio NaN — Spark's cast would silently emit 0 while DuckDB's
+      // CAST(FLOOR(NaN)) errors. NULL is the honest answer on both.
+      val vv = varOf(a) * varOf(b)
       struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
-        floor(cov * cov / (varOf(a) * varOf(b)) * 1e6).cast("long").as("r2_ppm"),
+        when(vv === 0d, lit(null).cast("long"))
+          .otherwise(floor(cov * cov / vv * 1e6).cast("long")).as("r2_ppm"),
         signum(cov).cast("long").as("sgn"))
     }
     df.agg(aggs.head, aggs.tail: _*)
@@ -762,8 +767,13 @@ object Quality {
   def supportCoverage(train: DataFrame, test: DataFrame,
       bucketCols: Seq[String]): DataFrame = {
     require(bucketCols.nonEmpty, "supportCoverage needs bucket columns")
+    // NULL bucket values are encoded with an explicit sentinel: concat_ws
+    // silently SKIPS nulls, which would coalesce (NULL,"x") and ("x")
+    // into one key — a spurious coverage match the ||-propagating oracle
+    // would disagree with; the \u0001 prefix cannot occur in cast output.
     def b(df: DataFrame) = df.select(
-      concat_ws("|", bucketCols.map(c => col(c).cast("string")): _*)
+      concat_ws("|", bucketCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0001null"))): _*)
         .as("bk"))
     val trainB = b(train).distinct()
     val testRows = b(test)
@@ -999,5 +1009,45 @@ object Quality {
         .select(lit(name).as("fd"), col("n_groups"), col("violating_groups"),
           col("violating_rows"), col("max_distinct_dep"))
     }.reduce(_ unionAll _)
+  }
+
+  /** Cross-table reconciliation — does the header's stored total equal
+    * the sum of its detail rows (the invoice-vs-lines audit every
+    * warehouse runs before trusting either table): per `groupCol`, how
+    * many headers reconcile within `tolMicros` (µ-units) of their
+    * detail-sum, the worst absolute divergence, and headers with no
+    * detail rows at all (counted separately — a missing-children header
+    * is a different defect than a wrong total). One row per group:
+    * (grp, n_headers, n_no_detail, n_mismatch, max_abs_diff_micros).
+    *
+    * Determinism contract: `headerTotal` and `detailAmount` must be
+    * INTEGER µ-unit expressions (scale-and-round BIGINT, the disc100
+    * idiom — NOT decimals: a decimal product that outgrows width 38
+    * silently degrades to double in some engines), so the per-header
+    * sum and the diff are exact 64-bit integers everywhere.
+    *
+    * Shape: detail pre-aggregates to one row per header key on its own
+    * shuffle (map-side combine), then ONE left hash join against the
+    * header relation and a groups-sized aggregate. Never a row-level
+    * header×detail comparison. */
+  def reconcile(header: DataFrame, headerKey: String, headerTotal: Column,
+      groupCol: String, detail: DataFrame, detailKey: String,
+      detailAmount: Column, tolMicros: Long = 0L): DataFrame = {
+    require(tolMicros >= 0, s"tolMicros out of range: $tolMicros")
+    val sums = detail.groupBy(col(detailKey).as("__k"))
+      .agg(sum(detailAmount.cast("long")).as("__detail_sum"))
+    header.select(col(headerKey).as("__k"), col(groupCol).as("grp"),
+        headerTotal.cast("long").as("__total"))
+      .join(sums.hint("shuffle_hash"), Seq("__k"), "left_outer")
+      .withColumn("__diff_micros",
+        abs(col("__total") - col("__detail_sum")))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_headers"),
+        coalesce(sum(when(col("__detail_sum").isNull, 1L)), lit(0L))
+          .as("n_no_detail"),
+        coalesce(sum(when(col("__diff_micros") > tolMicros, 1L)), lit(0L))
+          .as("n_mismatch"),
+        coalesce(max(col("__diff_micros")), lit(0L))
+          .as("max_abs_diff_micros"))
   }
 }

@@ -1093,10 +1093,13 @@ object Similarity {
     * Scale shape: one quantize+hash projection, one count groupBy on
     * the content hash, one one-row rollup — [[Dedup.exactGroups]] for
     * vectors. */
-  def duplicateVectorGroups(df: DataFrame, embCol: String,
-      idCol: String): DataFrame = {
+  def duplicateVectorGroups(df: DataFrame, embCol: String): DataFrame = {
+    // NULL elements are encoded with a \u0001 sentinel before hashing:
+    // concat_ws silently DROPS null array elements, which would collide
+    // [1,NULL,2] with [1,2] into one "duplicate" group.
     df.select(md5(concat_ws(",",
-        quantize(col(embCol)).cast("array<string>"))).as("h"))
+        transform(quantize(col(embCol)),
+          e => coalesce(e.cast("string"), lit("\u0001"))))).as("h"))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
       .agg(sum("cnt").as("n_vecs"), count(lit(1)).as("n_groups"),
         max("cnt").as("max_group"))
@@ -1272,5 +1275,78 @@ object Similarity {
         coalesce(sum(when(col("clabel") === col("label"), 1L)), lit(0L))
           .as("n_correct"))
       .withColumn("acc_ppm", expr("(n_correct * 1000000L) div n_vecs"))
+  }
+
+  /** Coreset coverage audit — how well the deterministic centroid sample
+    * actually REPRESENTS the corpus (the companion question to qv24's
+    * "are the cells balanced": a balanced cell whose members barely
+    * resemble their centroid is still a bad coarse quantizer). Every
+    * vector is assigned to its nearest sampled centroid
+    * ([[centroidSample]] + the zero-shuffle `pq_encode` argmin), then per
+    * NON-EMPTY cell: (cid, n_assigned, min_cos_ppm, sum_cos_ppm) — the
+    * floor(cos·10⁶) of each member against its centroid, worst and
+    * summed (sum, not mean: the sum is exact BIGINT in every engine;
+    * divide where you consume it). Empty cells are qv24's subject.
+    *
+    * Scale shape: one corpus scan (per-row argmin against the ≤
+    * maxCentroids inlined codebook) + one groupBy on the ≤ maxCentroids
+    * cell key. No joins, no pair expansion. */
+  def coresetCoverage(df: DataFrame, embCol: String, idCol: String,
+      sampleMod: Int = 53, maxCentroids: Int = 64): DataFrame = {
+    val d = dot(df) _
+    val emb = quantized(df, embCol, idCol)
+    val (cids, cb) = collectCents(
+      centroidSample(emb, idCol, sampleMod, maxCentroids))
+    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    val ccLit = typedLit(cb.map(v => v.map(x => x * x).sum).toSeq)
+    assignCells(emb, cids, cb)
+      .withColumn("cq", element_at(cbLit, col("__code") + 1))
+      .withColumn("cc", element_at(ccLit, col("__code") + 1))
+      .withColumn("ppm", floor(d(col("q"), col("cq")).cast("double") /
+        (sqrt(col("qq").cast("double")) * sqrt(col("cc").cast("double")))
+        * 1e6).cast("long"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_assigned"), min("ppm").as("min_cos_ppm"),
+        sum("ppm").as("sum_cos_ppm"))
+  }
+
+  /** PQ reconstruction-distortion audit — the codebook-quality number
+    * behind every ADC ranking ([[pqTopK]]): per vector, the exact L2²
+    * between the vector and its PQ reconstruction (per subspace, the
+    * nearest centroid slice — by construction the minimum slice
+    * distance, so the measured value is independent of tie-break). One
+    * row: (m, n_vecs, total_qq, total_dist2, max_dist2,
+    * distortion_ppm = total_dist2·10⁶ div total_qq) — the relative
+    * energy the encoding throws away; 0 ppm ⟺ lossless (spec-pinned via
+    * the sampleMod=1 every-vector-its-own-centroid degenerate case).
+    *
+    * Scale shape: one corpus scan — native `pq_encode` per row, the
+    * reconstruction assembled in-row from the inlined ≤ maxCentroids
+    * codebook, one 1-row rollup. Zero shuffles over the corpus. */
+  def pqDistortion(df: DataFrame, embCol: String, idCol: String,
+      m: Int = 8, sampleMod: Int = 53, maxCentroids: Int = 64): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    graft.functions.TextHashes.register(df.sparkSession)
+    val emb = quantized(df, embCol, idCol)
+    val cents: Array[Array[Long]] = collectCents(
+      centroidSample(emb, idCol, sampleMod, maxCentroids))._2
+    val dim = cents(0).length
+    require(dim % m == 0, s"m=$m must divide dim $dim")
+    val sub = dim / m
+    val cbLit = typedLit(cents.map(_.toSeq).toSeq)
+    val recon = flatten(transform(sequence(lit(1), lit(m)), j =>
+      slice(element_at(cbLit,
+          element_at(call_function("pq_encode", col("q"), cbLit, lit(m)), j)
+            + 1),
+        (j - lit(1)) * sub + 1, lit(sub))))
+    emb.withColumn("dist2",
+        aggregate(zip_with(col("q"), recon, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .agg(count(lit(1)).as("n_vecs"), sum("qq").as("total_qq"),
+        sum("dist2").as("total_dist2"), max("dist2").as("max_dist2"))
+      .select(lit(m.toLong).as("m"), col("n_vecs"), col("total_qq"),
+        col("total_dist2"), col("max_dist2"),
+        expr("(total_dist2 * 1000000L) div greatest(1L, total_qq)")
+          .as("distortion_ppm"))
   }
 }

@@ -1044,13 +1044,15 @@ object Text {
     * (bucket, n_occs, reused_occs, reuse_ppm). Complements Heaps growth:
     * that counts novel TYPES, this weighs recycled VOLUME.
     *
-    * Scale shape: one shingle explode → per-doc distinct; the
-    * first-bucket table is a hash-aggregated min groupBy on the shingle
-    * key rejoined shuffle-hash (the shingle space is corpus-sized —
-    * never broadcast). The explode is evaluated for both consumers, but
-    * that beats the alternative: a min window PARTITIONED BY the
-    * shingle key sorts millions of one-row partitions and measured ~5×
-    * slower; hash agg + hash join never sorts. Final agg is nBuckets
+    * Scale shape: one shingle explode → per-doc distinct, evaluated
+    * EXACTLY ONCE: occurrences pre-aggregate to (shingle, bucket) →
+    * count with map-side combine, then one groupBy on the shingle key
+    * folds each shingle's ≤ nBuckets rows into min(bucket) + a
+    * bounded-by-construction per-bucket list that unrolls in place — no
+    * first-bucket self-join, no second scan of the explode (the joined
+    * form re-evaluated it and measured ~2× slower), and never a min
+    * window PARTITIONED BY the corpus-sized shingle key (sorts millions
+    * of one-row partitions, measured ~5× slower). Final agg is nBuckets
     * rows. */
   def shingleReuse(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8, nBuckets: Int = 10): DataFrame = {
@@ -1067,12 +1069,15 @@ object Text {
       .crossJoin(bounds)
       .select(expr(s"((id - lo) * $nBuckets) div (hi - lo + 1)").as("bucket"),
         explode(col("ws")).as("sh"))
-    val first = occ.groupBy("sh").agg(min("bucket").as("first_bucket"))
-    occ.join(first.hint("shuffle_hash"), "sh")
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_occs"),
-        coalesce(sum(when(col("first_bucket") < col("bucket"), 1L)), lit(0L))
-          .as("reused_occs"))
+    val perBucket = occ.groupBy("sh", "bucket").agg(count(lit(1)).as("c"))
+    perBucket.groupBy("sh")
+      .agg(min("bucket").as("first_bucket"),
+        collect_list(struct(col("bucket"), col("c"))).as("bl"))
+      .select(col("first_bucket"), explode(col("bl")).as("b"))
+      .groupBy(col("b.bucket").as("bucket"))
+      .agg(sum("b.c").as("n_occs"),
+        coalesce(sum(when(col("first_bucket") < col("b.bucket"), col("b.c"))),
+          lit(0L)).as("reused_occs"))
       .select(col("bucket"), col("n_occs"), col("reused_occs"),
         expr("(reused_occs * 1000000L) div greatest(1L, n_occs)")
           .as("reuse_ppm"))
@@ -1226,9 +1231,10 @@ object Text {
   /** Span-corruption prep — the T5/FIM-style masking manifest (which
     * span of each document becomes the denoising target), with the span
     * chosen by hash so every engine, run, and shard masks the SAME
-    * tokens: start = 1 + md5(id) mod (n − len) (clamped for short
-    * docs), span = the `maskLen` tokens from there. Returns
-    * (id, n_tokens, mask_start, mask_len, span_text).
+    * tokens: start = 1 + md5(id) mod (n − len + 1) (clamped for short
+    * docs; the +1 makes every valid start reachable, so the final token
+    * can end a full-length mask), span = the `maskLen` tokens from
+    * there. Returns (id, n_tokens, mask_start, mask_len, span_text).
     *
     * Scale shape: pure per-row Column algebra — hash, slice, join; zero
     * shuffle. */
@@ -1239,7 +1245,7 @@ object Text {
     val n = size(toks).cast("long")
     val h = conv(substring(md5(concat(lit("sc_"),
       col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
-    val start = lit(1L) + h % greatest(n - maskLen, lit(1L))
+    val start = lit(1L) + h % greatest(n - maskLen + 1L, lit(1L))
     val len = least(lit(maskLen.toLong), n - start + 1L)
     df.select(col(idCol).cast("long").as("id"), n.as("n_tokens"),
         start.as("mask_start"), len.as("mask_len"),
@@ -1405,5 +1411,122 @@ object Text {
         (size(toks) > budget).cast("long").as("clipped"),
         length(concat_ws(" ", slice(toks, 1, budget))).cast("long")
           .as("clipped_chars"))
+  }
+
+  /** Benchmark decontamination audit — the GPT-3-appendix test-set
+    * overlap scan: a training document is CONTAMINATED when it shares
+    * ANY single `n`-token shingle with the held-out evaluation corpus
+    * (metrics computed on leaked eval data are fiction). Per `groupCol`:
+    * (grp, n_docs, n_contaminated, contam_ppm). Documents shorter than
+    * `n` tokens contribute no shingles and can never flag — the audit
+    * measures n-gram leakage, not short-doc identity (use D1 exact
+    * dedup for that). Complements
+    * [[graft.operators.Dedup.crossCorpusContamination]]: that is the
+    * pair FINDER (which doc leaked from which benchmark item, df-capped,
+    * ≥ minShared scored); this is the release-gate REPORT under the
+    * strict any-one-shingle rule, per source — no df cap, because a
+    * boilerplate shingle shared with eval is still (conservatively)
+    * contamination under the rule.
+    *
+    * Scale shape: both corpora explode to DISTINCT md5'd shingles; the
+    * eval shingle set is ∝ the eval corpus, so membership is one
+    * shuffle-hash LEFT SEMI join on the shingle hash — never broadcast
+    * (an eval suite can be millions of shingles), never doc×doc. The
+    * flagged-id set rejoins the corpus once on the doc key. */
+  def decontaminationAudit(corpus: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, groupCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n out of range: $n")
+    def shingles(df: DataFrame, cols: Column*): DataFrame = {
+      val tk = split(col(textCol), " ")
+      val ws = when(size(tk) >= n,
+        array_distinct(transform(sequence(lit(1), size(tk) - n + 1),
+          i => md5(concat_ws(" ", slice(tk, i, lit(n)))))))
+        .otherwise(array().cast("array<string>"))
+      df.select(cols :+ explode(ws).as("sh"): _*)
+    }
+    val evalSet = shingles(evalDocs).select("sh").distinct()
+    val flagged = shingles(corpus, col(idCol).cast("long").as("id"))
+      .join(evalSet.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .select("id").distinct()
+      .withColumn("__hit", lit(1L))
+    corpus.select(col(idCol).cast("long").as("id"),
+        col(groupCol).as("grp"))
+      .join(flagged.hint("shuffle_hash"), Seq("id"), "left_outer")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("__hit"), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_ppm",
+        expr("(n_contaminated * 1000000L) div greatest(1L, n_docs)"))
+  }
+
+  /** Vocabulary-size coverage sweep — the "how big must the tokenizer
+    * vocab be" curve ([[oovRate]] answers it for ONE size; this sweeps):
+    * token types rank by (count desc, token asc), and each candidate
+    * size reports the share of token OCCURRENCES its top-V types cover.
+    * Returns (vocab_size, covered_occurrences, total_occurrences,
+    * coverage_ppm), one row per candidate; a candidate larger than the
+    * true vocabulary covers everything.
+    *
+    * Scale shape: one token-count aggregation; the ranked head is a
+    * TakeOrdered LIMIT max(sizes) (bounded by the largest candidate —
+    * never a global sort of the corpus-sized type table); the cumulative
+    * window and the candidate join run over that ≤ max(sizes)-row
+    * relation. The sizes×head inequality join is bounded×bounded (BNLJ
+    * by design, whitelisted). */
+  def vocabCoverageSweep(df: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), "sizes must be >= 1")
+    require(sizes.max <= 100000, s"largest candidate too big: ${sizes.max}")
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total_occurrences"))
+    val head = counts.orderBy(col("c").desc, col("token")).limit(sizes.max)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("c").desc, col("token"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = head.withColumn("cum", sum("c").over(w))
+      .withColumn("rn", row_number().over(
+        W.orderBy(col("c").desc, col("token"))))
+    val cand = df.sparkSession.range(1)
+      .select(explode(typedLit(sizes.distinct.sorted)).as("vocab_size"))
+    cand.join(cum, col("rn") <= col("vocab_size"), "left_outer")
+      .groupBy("vocab_size")
+      .agg(coalesce(max("cum"), lit(0L)).as("covered_occurrences"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_ppm",
+        expr("(covered_occurrences * 1000000L) div " +
+          "greatest(1L, total_occurrences)"))
+      .select(col("vocab_size").cast("long").as("vocab_size"),
+        col("covered_occurrences"), col("total_occurrences"),
+        col("coverage_ppm"))
+  }
+
+  /** PII scrubbing — the transform half of [[complianceMarkers]]'s
+    * audit: emails → `<EMAIL>`, URLs → `<URL>`, then 7+-digit runs →
+    * `<NUM>` (phone/account-shaped; applied AFTER the URL pass so a
+    * digit run inside a URL is already gone), each via a regex shared
+    * verbatim by Java and RE2 dialects. Per document:
+    * (id, n_emails, n_urls, n_longnums, chars_removed, scrub_md5) —
+    * counts from the raw text, the md5 fingerprinting the scrubbed
+    * output so any engine's rewrite is byte-comparable without shipping
+    * the text twice.
+    *
+    * Scale shape: pure per-row projection, zero shuffles; at 100 TB this
+    * is a map-only rewrite pass. */
+  def scrubPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val urlRe = "https?://[^ ]+"
+    val numRe = "[0-9]{7,}"
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, urlRe, "<URL>")
+    val t3 = regexp_replace(t2, numRe, "<NUM>")
+    df.select(col(idCol).cast("long").as("id"),
+      regexp_count(t0, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t0, lit(urlRe)).cast("long").as("n_urls"),
+      regexp_count(t0, lit(numRe)).cast("long").as("n_longnums"),
+      (length(t0) - length(t3)).cast("long").as("chars_removed"),
+      md5(t3).as("scrub_md5"))
   }
 }

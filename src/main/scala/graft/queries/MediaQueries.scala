@@ -187,7 +187,11 @@ object MediaQueries {
     // because the estimate is a pure function of the k smallest hashes.
     "qx05_kmv_windowed" -> { (s, d) =>
       import s.implicits._
-      val rows = t(s, d, "events").select("user_id", "ts")
+      // Replay set bounded by a deterministic key filter (qs08's
+      // discipline): the driver gather stays O(|user_id<300|) at every
+      // SF instead of collecting the whole events relation.
+      val rows = t(s, d, "events").filter(col("user_id") < 300)
+        .select("user_id", "ts")
         .as[(Long, Long)].collect().sortBy(_._2)
       val sentinelTs = rows.last._2 + 10L * 24 * 3600 * 1000000000L
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -255,6 +259,54 @@ object MediaQueries {
         .select(col("key").as("user_id"),
           col("payload").cast("double").as("value"))
         .orderBy("user_id")
+    },
+    // Time-travel read: the table AS OF the midpoint of the event-time
+    // range, reconstructed from the changelog alone (latest op per key
+    // with seq <= asof under the applyChangelog total order; D erases).
+    "qc08_snapshot_asof" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      // one bounded 1-row gather fixes the as-of point deterministically
+      val b = ev.agg(min(expr("ts div 1000")).as("lo"),
+        max(expr("ts div 1000")).as("hi")).head()
+      val asOf = (b.getLong(0) + b.getLong(1)) / 2
+      val delta = ev.select(col("user_id"), expr("ts div 1000").as("seq"),
+        col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+      graft.operators.Cdc.snapshotAsOf(delta, Seq("user_id"), "seq", "op",
+          asOf)
+        .orderBy("user_id")
+    },
+    // STREAM-STATIC dimension enrichment under the oracle: events replay
+    // through a MemoryStream, each micro-batch broadcast-joined to the
+    // static customer dimension (stateless append — Structured
+    // Streaming's stream-static join); the oracle is the plain batch
+    // left join. Unknown users keep NULL dim columns.
+    "qs14_stream_enrich" -> { (s, d) =>
+      import s.implicits._
+      val rows = t(s, d, "events").filter(col("user_id") < 300)
+        .select("event_id", "user_id", "value")
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      val dim = t(s, d, "customer")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val name = s"qs14_sink_${cdcSinkSeq.incrementAndGet()}"
+      val q = EventStream.enrichStatic(
+          mem.toDF.toDF("event_id", "user_id", "value"), dim,
+          "user_id", "c_custkey", Seq("c_mktsegment", "c_nationkey"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      val n = rows.length
+      Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+          rows.slice(2 * n / 3, n))
+        .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+      q.stop()
+      s.table(name).select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"),
+          col("c_nationkey").as("nationkey"), col("value"))
+        .orderBy("event_id")
     },
     // SCD-type-2 history: one validity interval per change, closed by
     // the next change's sequence; deletes close without opening.
@@ -480,7 +532,7 @@ object MediaQueries {
         |ORDER BY ua, sa, ub, sb""".stripMargin,
     "qx05_kmv_windowed" ->
       """WITH d AS (SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS w,
-        |  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |  md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE user_id < 300),
         |r AS (SELECT w, h, ROW_NUMBER() OVER (PARTITION BY w ORDER BY h) AS rn FROM d),
         |kk AS (SELECT w, CAST(list_sum(list_transform(generate_series(1, 13), j ->
         |    CAST(instr('0123456789abcdef', substr(h, CAST(j AS INT), 1)) - 1 AS BIGINT)
@@ -501,6 +553,26 @@ object MediaQueries {
         |FROM v JOIN c ON c.user_id = v.user_id
         | AND c.us >= v.us AND c.us <= v.us + 1800000000
         |ORDER BY v.user_id, left_us, right_us""".stripMargin,
+    "qc08_snapshot_asof" ->
+      """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+        |    AS cut_us FROM events),
+        |dl AS (SELECT user_id, epoch_us(ts) AS seq, value,
+        |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+        |      ELSE 'U' END AS op
+        |  FROM events WHERE epoch_us(ts) <= (SELECT cut_us FROM b)),
+        |latest AS (SELECT user_id, op, value FROM (
+        |    SELECT user_id, op, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC,
+        |        CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+        |        CAST(value AS VARCHAR) DESC NULLS LAST, op DESC) AS rn
+        |    FROM dl) WHERE rn = 1)
+        |SELECT user_id, value FROM latest WHERE op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+    "qs14_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        |  c.c_nationkey AS nationkey, e.value
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |WHERE e.user_id < 300 ORDER BY e.event_id""".stripMargin,
     "qc03_cdc_stream" ->
       """WITH snap AS (SELECT DISTINCT user_id, CAST(0.0 AS DOUBLE) AS value
         |  FROM events WHERE user_id % 2 = 0 AND user_id < 300),

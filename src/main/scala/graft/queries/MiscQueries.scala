@@ -841,6 +841,14 @@ object MiscQueries {
     },
     // Alert debouncing: consecutive anomalous days coalesce into
     // episodes (gaps-and-islands).
+    // Zero-traffic outage scan: gaps of silent minutes in the event
+    // stream — the missing-data windows qw08's episode debouncer can't
+    // see (it debounces alerts; this finds the silence).
+    "qw10_outage_scan" -> { (s, d) =>
+      graft.streaming.EventStream.outageScan(t(s, d, "events"),
+          minMissing = 1)
+        .orderBy("gap_start_min")
+    },
     "qw08_alert_episodes" -> { (s, d) =>
       graft.streaming.EventStream.alertEpisodes(
           t(s, d, "events"), thresholdPpm = 100000L)
@@ -952,6 +960,20 @@ object MiscQueries {
         col("l_orderkey") * 10 + col("l_linenumber"))
       graft.operators.Sketches.quantileRollup(li, "l_extendedprice",
         "uid", "l_returnflag", Seq(0.25, 0.5, 0.75, 0.95), k = 512)
+    },
+    // Header-vs-detail reconciliation: o_totalprice against the exact
+    // µ-unit lineitem charge sum, per order status (synthetic totals
+    // do NOT reconcile — the audit reports the real divergence).
+    "qq27_reconcile" -> { (s, d) =>
+      val totalMicros =
+        round(col("o_totalprice") * 100).cast("long") * lit(10000L)
+      val chargeMicros = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long")) *
+        (lit(100L) + round(col("l_tax") * 100).cast("long"))
+      graft.operators.Quality.reconcile(
+          t(s, d, "orders"), "o_orderkey", totalMicros, "o_orderstatus",
+          t(s, d, "lineitem"), "l_orderkey", chargeMicros)
+        .orderBy("grp")
     },
     // Train/test support coverage over (type, value-bucket) features.
     "qq25_support_coverage" -> { (s, d) =>
@@ -2017,7 +2039,9 @@ object MiscQueries {
         |  UNION ALL SELECT 'disc100', 'tax100', nb,
         |    n*sdt - sd*st, (n*sdd - sd*sd) * (n*stt - st*st) FROM m)
         |SELECT col_a, col_b, n,
-        |  CAST(FLOOR(cov * cov / vv * 1000000.0) AS BIGINT) AS r2_ppm,
+        |  CASE WHEN vv = 0 THEN NULL
+        |    ELSE CAST(FLOOR(cov * cov / vv * 1000000.0) AS BIGINT)
+        |  END AS r2_ppm,
         |  CAST(SIGN(cov) AS BIGINT) AS sgn
         |FROM pairs ORDER BY col_a, col_b""".stripMargin,
     "qr03_pit_features" ->
@@ -2168,6 +2192,14 @@ object MiscQueries {
         |  CASE WHEN n_rows = n_groups THEN CAST(1 AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS is_key
         |FROM u ORDER BY candidate""".stripMargin,
+    "qw10_outage_scan" ->
+      """WITH mins AS (SELECT DISTINCT epoch_us(ts) // 60000000 AS m
+        |  FROM events),
+        |l AS (SELECT m, LAG(m) OVER (ORDER BY m) AS prev FROM mins)
+        |SELECT prev + 1 AS gap_start_min, m - 1 AS gap_end_min,
+        |  m - prev - 1 AS missing_minutes
+        |FROM l WHERE prev IS NOT NULL AND m - prev > 1
+        |ORDER BY gap_start_min""".stripMargin,
     "qw08_alert_episodes" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
@@ -2416,12 +2448,31 @@ object MiscQueries {
         |FROM r, (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q), np
         |WHERE rv = GREATEST(1, CAST(ceil(q * n) AS BIGINT))
         |ORDER BY q""".stripMargin,
+    "qq27_reconcile" ->
+      """WITH ls AS (SELECT l_orderkey AS k,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+        |      * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) AS s
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o.o_orderstatus AS grp,
+        |    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 10000 AS total,
+        |    ls.s AS s
+        |  FROM orders o LEFT JOIN ls ON ls.k = o.o_orderkey)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_headers,
+        |  COALESCE(CAST(SUM(CASE WHEN s IS NULL THEN 1 END) AS BIGINT), 0)
+        |    AS n_no_detail,
+        |  COALESCE(CAST(SUM(CASE WHEN ABS(total - s) > 0 THEN 1 END)
+        |    AS BIGINT), 0) AS n_mismatch,
+        |  COALESCE(MAX(ABS(total - s)), 0) AS max_abs_diff_micros
+        |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
     "qq25_support_coverage" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    CAST(FLOOR(value) AS BIGINT) AS vb FROM events),
-        |tr AS (SELECT DISTINCT event_type || '|' || CAST(vb AS VARCHAR)
+        |tr AS (SELECT DISTINCT COALESCE(event_type, chr(1) || 'null')
+        |    || '|' || COALESCE(CAST(vb AS VARCHAR), chr(1) || 'null')
         |  AS bk FROM ev WHERE user_id % 5 <> 0),
-        |te AS (SELECT event_type || '|' || CAST(vb AS VARCHAR) AS bk
+        |te AS (SELECT COALESCE(event_type, chr(1) || 'null')
+        |    || '|' || COALESCE(CAST(vb AS VARCHAR), chr(1) || 'null') AS bk
         |  FROM ev WHERE user_id % 5 = 0)
         |SELECT CAST((SELECT COUNT(*) FROM te) AS BIGINT) AS n_test,
         |  CAST((SELECT COUNT(*) FROM te WHERE bk IN (SELECT bk FROM tr))

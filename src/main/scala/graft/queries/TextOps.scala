@@ -676,6 +676,39 @@ object TextOps {
     // Compliance-marker audit per source (emails / URLs / copyright /
     // rights-reserved), with markers injected deterministically so the
     // scan has real positives at every SF.
+    // Vocab-size sweep: occurrence coverage of the top-V token types at
+    // five candidate sizes — the tokenizer-budget curve.
+    "qd83_vocab_sweep" -> { (s, d) =>
+      graft.operators.Text.vocabCoverageSweep(t(s, d, "documents"), "text",
+          sizes = Seq(10, 30, 100, 300, 1000))
+        .orderBy("vocab_size")
+    },
+    // Benchmark decontamination: training docs sharing any 8-gram with
+    // the held-out eval slice (doc_id % 97 = 0) — which includes the
+    // eval docs themselves when they leak into the training corpus, the
+    // realistic contamination case.
+    "qd68_decontamination" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Text.decontaminationAudit(
+          docs, docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", "source", n = 8)
+        .orderBy("grp")
+    },
+    // PII scrub: emails/URLs/7+-digit runs rewritten to placeholders,
+    // with positives injected deterministically (qd69's discipline) so
+    // every SF has real scrub work; the md5 fingerprints the rewrite.
+    "qd82_scrub_pii" -> { (s, d) =>
+      val docs = t(s, d, "documents").withColumn("txt",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact us at legal@example.com")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" see https://example.com/license")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(" call 5551234567 now")).otherwise(lit(""))))
+      graft.operators.Text.scrubPii(docs, "txt", "doc_id")
+        .orderBy("id")
+    },
     "qd69_compliance" -> { (s, d) =>
       val docs = t(s, d, "documents").withColumn("txt",
         concat(col("text"),
@@ -1722,6 +1755,72 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd83_vocab_sweep" ->
+      """WITH counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS token
+        |        FROM documents) GROUP BY token),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_occurrences
+        |  FROM counts),
+        |hd AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rn
+        |  FROM counts ORDER BY c DESC, token LIMIT 1000),
+        |cum AS (SELECT rn,
+        |    SUM(c) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cm
+        |  FROM hd),
+        |sizes AS (SELECT CAST(unnest([10, 30, 100, 300, 1000]) AS BIGINT)
+        |  AS vocab_size)
+        |SELECT s.vocab_size,
+        |  COALESCE(CAST(MAX(cum.cm) AS BIGINT), 0) AS covered_occurrences,
+        |  (SELECT total_occurrences FROM tot) AS total_occurrences,
+        |  (COALESCE(CAST(MAX(cum.cm) AS BIGINT), 0) * 1000000)
+        |    // GREATEST(1, (SELECT total_occurrences FROM tot))
+        |    AS coverage_ppm
+        |FROM sizes s LEFT JOIN cum ON cum.rn <= s.vocab_size
+        |GROUP BY s.vocab_size ORDER BY s.vocab_size""".stripMargin,
+    "qd68_decontamination" ->
+      """WITH ev AS (SELECT DISTINCT
+        |    md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS sh
+        |  FROM (SELECT str_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id % 97 = 0),
+        |       unnest(range(1, len(w) - 8 + 2)) t(i)),
+        |cs AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS sh
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |       unnest(range(1, len(w) - 8 + 2)) t(i)),
+        |hit AS (SELECT DISTINCT doc_id FROM cs
+        |  WHERE sh IN (SELECT sh FROM ev))
+        |SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  COALESCE(CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hit)
+        |    THEN 1 END) AS BIGINT), 0) AS n_contaminated,
+        |  (COALESCE(CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hit)
+        |    THEN 1 END) AS BIGINT), 0) * 1000000)
+        |    // GREATEST(1, COUNT(*)) AS contam_ppm
+        |FROM documents GROUP BY source ORDER BY grp""".stripMargin,
+    "qd82_scrub_pii" ->
+      """WITH d AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact us at legal@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ' see https://example.com/license' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN ' call 5551234567 now' ELSE '' END AS txt
+        |  FROM documents),
+        |s AS (SELECT doc_id AS id, txt,
+        |    regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |      '<EMAIL>', 'g'), 'https?://[^ ]+', '<URL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g') AS t3,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |      AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(txt, 'https?://[^ ]+'))
+        |      AS BIGINT) AS n_urls,
+        |    CAST(len(regexp_extract_all(txt, '[0-9]{7,}'))
+        |      AS BIGINT) AS n_longnums
+        |  FROM d)
+        |SELECT id, n_emails, n_urls, n_longnums,
+        |  CAST(len(txt) - len(t3) AS BIGINT) AS chars_removed,
+        |  md5(t3) AS scrub_md5
+        |FROM s ORDER BY id""".stripMargin,
     "qd69_compliance" ->
       """WITH d AS (SELECT source, text
         |    || CASE WHEN doc_id % 7 = 0
@@ -2304,7 +2403,7 @@ object TextOps {
         |        AS BIGINT)
         |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) AS h
         |  FROM documents),
-        |p AS (SELECT id, n, toks, 1 + h % GREATEST(n - 4, 1) AS start
+        |p AS (SELECT id, n, toks, 1 + h % GREATEST(n - 3, 1) AS start
         |  FROM t1),
         |q AS (SELECT id, n, start, LEAST(4, n - start + 1) AS len, toks
         |  FROM p)

@@ -117,7 +117,22 @@ object VectorOps {
       val withClones = e.unionAll(e.filter(col("vec_id") % 37 === 0)
         .withColumn("vec_id", col("vec_id") + 100000L))
       graft.operators.Similarity.duplicateVectorGroups(
-        withClones, "embedding", "vec_id")
+        withClones, "embedding")
+    },
+    // Coreset coverage: per non-empty cell, how well members resemble
+    // their centroid (worst + summed cos ppm) — qv24's balance audit
+    // answers "even cells?", this answers "representative centroids?".
+    "qv28_coreset_coverage" -> { (s, d) =>
+      graft.operators.Similarity.coresetCoverage(
+          t(s, d, "embeddings"), "embedding", "vec_id",
+          sampleMod = 53, maxCentroids = 64)
+        .orderBy("cid")
+    },
+    // PQ reconstruction distortion: the relative L2² energy the m=8
+    // encoding throws away, one corpus scan, one row.
+    "qv29_pq_distortion" -> { (s, d) =>
+      graft.operators.Similarity.pqDistortion(
+        t(s, d, "embeddings"), "embedding", "vec_id", m = 8)
     },
     // Binary-quantized ANN: 64-dim float32 -> one sign-bit bigint per
     // row, top-k by codegen'd bit_count(xor) Hamming scan (no float math
@@ -531,9 +546,12 @@ object VectorOps {
         |q AS (SELECT vec_id,
         |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
         |  FROM embeddings),
+        |bc AS (SELECT bucket FROM buckets GROUP BY bucket
+        |  HAVING COUNT(*) <= 10000),
         |v AS (SELECT b.vec_id, b.bucket, q.q,
         |    sqrt(CAST(CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
-        |  FROM buckets b JOIN q ON q.vec_id = b.vec_id),
+        |  FROM buckets b JOIN bc ON bc.bucket = b.bucket
+        |  JOIN q ON q.vec_id = b.vec_id),
         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
         |    CAST(CAST(list_sum(list_transform(range(1, 65),
         |      i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cos
@@ -560,9 +578,12 @@ object VectorOps {
         |q AS (SELECT vec_id,
         |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
         |  FROM embeddings),
+        |bc AS (SELECT bucket FROM buckets GROUP BY bucket
+        |  HAVING COUNT(*) <= 10000),
         |v AS (SELECT b.vec_id, b.bucket, q.q,
         |    sqrt(CAST(CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
-        |  FROM buckets b JOIN q ON q.vec_id = b.vec_id),
+        |  FROM buckets b JOIN bc ON bc.bucket = b.bucket
+        |  JOIN q ON q.vec_id = b.vec_id),
         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
         |    CAST(CAST(list_sum(list_transform(range(1, 65),
         |      i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cos
@@ -589,8 +610,8 @@ object VectorOps {
         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
         |  WHERE vec_id % 37 = 0),
         |h AS (SELECT md5(array_to_string(list_transform(embedding,
-        |    e -> CAST(CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)
-        |      AS VARCHAR)), ',')) AS h
+        |    e -> COALESCE(CAST(CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)
+        |      AS VARCHAR), chr(1))), ',')) AS h
         |  FROM all_v),
         |c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY h)
         |SELECT CAST(SUM(cnt) AS BIGINT) AS n_vecs,
@@ -600,6 +621,54 @@ object VectorOps {
         |  ((CAST(SUM(cnt) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000)
         |    // GREATEST(1, CAST(SUM(cnt) AS BIGINT)) AS dup_ppm
         |FROM c""".stripMargin,
+    "qv28_coreset_coverage" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
+        |cents AS (SELECT vec_id AS cid, q AS cq,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS cc
+        |  FROM nemb WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 64),
+        |assigned AS (SELECT cid, cc, qq,
+        |    list_sum(list_transform(range(1, 65), i -> q[i] * cq[i])) AS dp
+        |  FROM (
+        |    SELECT e.vec_id, e.q, e.qq, c.cid, c.cq, c.cc,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        e.qq + c.cc
+        |          - 2 * list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cq[i])),
+        |        c.cid) AS rn
+        |    FROM nemb e, cents c) WHERE rn = 1),
+        |p AS (SELECT cid, CAST(FLOOR(CAST(dp AS DOUBLE)
+        |    / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS ppm FROM assigned)
+        |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+        |  MIN(ppm) AS min_cos_ppm, CAST(SUM(ppm) AS BIGINT) AS sum_cos_ppm
+        |FROM p GROUP BY cid ORDER BY cid""".stripMargin,
+    "qv29_pq_distortion" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
+        |cents AS (SELECT q AS cq FROM nemb WHERE vec_id % 53 = 0
+        |  ORDER BY vec_id LIMIT 64),
+        |sd AS (SELECT e.vec_id, s.j,
+        |    MIN(list_sum(list_transform(range(s.j * 8 + 1, s.j * 8 + 9),
+        |      i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))) AS d2
+        |  FROM nemb e, cents c,
+        |       (SELECT unnest(generate_series(0, 7)) AS j) s
+        |  GROUP BY e.vec_id, s.j),
+        |per AS (SELECT vec_id, CAST(SUM(d2) AS BIGINT) AS dist2
+        |  FROM sd GROUP BY vec_id),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(qq) AS BIGINT) AS total_qq FROM nemb),
+        |agg AS (SELECT CAST(SUM(dist2) AS BIGINT) AS total_dist2,
+        |    CAST(MAX(dist2) AS BIGINT) AS max_dist2 FROM per)
+        |SELECT CAST(8 AS BIGINT) AS m, n_vecs, total_qq, total_dist2,
+        |  max_dist2,
+        |  (total_dist2 * 1000000) // GREATEST(1, total_qq) AS distortion_ppm
+        |FROM tot, agg""".stripMargin,
     "qv08_hamming_ann" ->
       """WITH sk AS (SELECT vec_id,
         |  CAST(list_sum(list_transform(range(0, 64), i ->

@@ -1465,6 +1465,55 @@ object EventStream {
     else t.dropDuplicates(idCol)
   }
 
+  /** Zero-traffic outage scan — the missing-data windows in an event
+    * stream (a pipeline that silently dropped a feed shows up as minute
+    * gaps long before any metric alert): distinct active minutes, then
+    * every gap of at least `minMissing` consecutive silent minutes
+    * becomes one row (gap_start_min, gap_end_min, missing_minutes),
+    * minutes as epoch-minute longs. Complements qw08 (which debounces
+    * alert EPISODES); this finds the silence itself.
+    *
+    * Scale shape: the corpus collapses to DISTINCT minutes first — the
+    * window then runs over a relation bounded by the TIME SPAN (one row
+    * per active minute), not by event volume; at 100 TB over a year
+    * that is ≤ ~526 k rows, a deliberate bounded single-partition sort
+    * (same contract as the span-days CDF window). */
+  def outageScan(events: DataFrame, minMissing: Int = 1): DataFrame = {
+    require(minMissing >= 1, s"minMissing out of range: $minMissing")
+    val minutes = tsNanos(events)
+      .select(expr("ts div 60000000000").as("m")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("m")
+    minutes.withColumn("prev", lag("m", 1).over(w))
+      .filter(col("prev").isNotNull &&
+        col("m") - col("prev") > minMissing.toLong)
+      .select((col("prev") + 1L).as("gap_start_min"),
+        (col("m") - 1L).as("gap_end_min"),
+        (col("m") - col("prev") - 1L).as("missing_minutes"))
+  }
+
+  /** Stream-static dimension enrichment — the serving-side join every
+    * event pipeline runs first (attach the user's segment/region to each
+    * event as it arrives): a BROADCAST left join of the event stream
+    * against a static dimension table. Works identically on a batch or
+    * streaming events frame; on a stream it is Structured Streaming's
+    * stream-static join — stateless, append-mode, no watermark needed
+    * (the static side is re-broadcast per micro-batch, so a dim refresh
+    * between batches is picked up — the semantics production relies on).
+    * Unmatched events keep NULL dim columns (left join — an unknown
+    * user is a real, reportable case, not a dropped event).
+    *
+    * Scale shape: dim must be broadcast-sized (segments, geos, SKUs —
+    * dimension tables, not fact tables); the stream side never
+    * shuffles. */
+  def enrichStatic(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String, dimCols: Seq[String]): DataFrame = {
+    require(dimCols.nonEmpty, "enrichStatic needs dimension columns")
+    val d = dim.select(col(dimKey).cast("long").as(eventKey) +:
+      dimCols.map(col): _*)
+    events.withColumn(eventKey, col(eventKey).cast("long"))
+      .join(broadcast(d), Seq(eventKey), "left_outer")
+  }
+
   /** Run `tumblingCounts` as a real streaming query over the parquet dir
     * (memory sink, processed synchronously); returns the materialized
     * result for comparison against the batch plan. Complete mode: with a

@@ -155,4 +155,28 @@ class CdcSpec extends SparkSpec {
     assert(out == Map(1L -> None, 2L -> Some(10.0), 3L -> Some(20.0),
       4L -> None, 5L -> Some(30.0), 6L -> None))
   }
+
+  test("snapshotAsOf: time travel — latest op at the point wins, later ops invisible, D erases") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, 100L, 10.0, "I"), (1L, 200L, 20.0, "U"), (1L, 400L, 30.0, "U"),
+      (2L, 150L, 5.0, "I"), (2L, 250L, 0.0, "D"),
+      (3L, 350L, 7.0, "I")
+    ).toDF("k", "seq", "value", "op")
+    def asOf(t: Long) = graft.operators.Cdc
+      .snapshotAsOf(log, Seq("k"), "seq", "op", t)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // at 299: key1 has v=20 (seq 400 invisible), key2 deleted, key3 not yet
+    assert(asOf(299L) == Map(1L -> 20.0))
+    // at 199: key1 v=10, key2 v=5
+    assert(asOf(199L) == Map(1L -> 10.0, 2L -> 5.0))
+    // at the end: key1 v=30, key3 v=7, key2 stays erased
+    assert(asOf(999L) == Map(1L -> 30.0, 3L -> 7.0))
+    // delete tied at the same seq as an update does not resurrect
+    val tied = log.unionAll(
+      Seq((3L, 350L, 0.0, "D")).toDF("k", "seq", "value", "op"))
+    assert(graft.operators.Cdc.snapshotAsOf(tied, Seq("k"), "seq", "op", 999L)
+      .filter($"k" === 3L).count() == 0L)
+  }
 }

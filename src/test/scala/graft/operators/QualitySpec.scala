@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class QualitySpec extends SparkSpec {
   import spark.implicits._
@@ -523,4 +524,46 @@ class QualitySpec extends SparkSpec {
     assert(out(("y", "z")) == out(("x", "z"))) //  same geometry
   }
 
+  test("corrMatrix: a constant column yields NULL r2_ppm, not a silent 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "c")
+    val r = Quality.corrMatrix(df, Seq("x" -> col("x"), "c" -> col("c")))
+      .head()
+    assert(r.isNullAt(r.fieldIndex("r2_ppm")))
+  }
+
+  test("reconcile: match, mismatch beyond tolerance, and no-detail headers split out") {
+    val s = spark
+    import s.implicits._
+    val header = Seq(
+      (1L, "A", 1000000L),  // reconciles exactly
+      (2L, "A", 5000000L),  // details sum to 4_000_000 -> mismatch 1e6
+      (3L, "B", 777L)       // no detail rows
+    ).toDF("hk", "grp0", "total")
+    val detail = Seq(
+      (1L, 400000L), (1L, 600000L),
+      (2L, 4000000L)
+    ).toDF("dk", "amt")
+    val out = Quality.reconcile(header, "hk", col("total"), "grp0",
+        detail, "dk", col("amt"), tolMicros = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") == ((2L, 0L, 1L, 1000000L)))
+    assert(out("B") == ((1L, 1L, 0L, 0L)))
+  }
+
+  test("supportCoverage: NULL bucket values do not collide with absent columns") {
+    val s = spark
+    import s.implicits._
+    // train has bucket ("x", 1); test row (NULL, 1) must read UNSEEN —
+    // concat_ws without the sentinel would collapse both keys to "1"...
+    // here to ("x|1" vs "1") so craft the colliding shape directly:
+    // train ("1", NULL) vs test (NULL, "1") — unsentineled both become "1"
+    val train = Seq(("1", None: Option[String])).toDF("a", "b")
+    val test0 = Seq((None: Option[String], "1")).toDF("a", "b")
+    val r = Quality.supportCoverage(train, test0, Seq("a", "b")).head()
+    assert(r.getAs[Long]("n_covered") == 0L)
+    assert(r.getAs[Long]("n_unseen") == 1L)
+  }
 }

@@ -664,12 +664,62 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(0.10004f, 0.2f)),                          // same grid cell (x10000 rounds to 1000)
       (4L, Array(0.5f, 0.5f))
     ).toDF("vec_id", "emb")
-    val r = Similarity.duplicateVectorGroups(df, "emb", "vec_id").head()
+    val r = Similarity.duplicateVectorGroups(df, "emb").head()
     assert(r.getAs[Long]("n_vecs") == 4L)
     assert(r.getAs[Long]("n_groups") == 2L) // {1,2,3} and {4}
     assert(r.getAs[Long]("n_dup_vecs") == 2L)
     assert(r.getAs[Long]("max_group") == 3L)
     assert(r.getAs[Long]("dup_ppm") == 500000L)
+  }
+
+  test("duplicateVectorGroups: null elements do not collide with shorter vectors") {
+    val s = spark
+    import s.implicits._
+    // [1,NULL,2] must NOT hash equal to [1,2]: concat_ws drops nulls,
+    // so without the sentinel these would merge into one group.
+    val df = Seq(
+      (1L, Array[java.lang.Float](0.1f, null, 0.2f)),
+      (2L, Array[java.lang.Float](0.1f, 0.2f))
+    ).toDF("vec_id", "emb")
+    val r = Similarity.duplicateVectorGroups(df, "emb").head()
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("n_dup_vecs") == 0L)
+  }
+
+  test("coresetCoverage: members score against their own centroid; sums exact") {
+    val s = spark
+    import s.implicits._
+    // sampleMod=2 -> centroids are ids 0,2; id 1 matches 0's direction,
+    // id 3 matches 2's. Cells must be {0:(0,1)}, {2:(2,3)}.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 3.0f))
+    ).toDF("vec_id", "emb")
+    val out = Similarity.coresetCoverage(df, "emb", "vec_id",
+        sampleMod = 2, maxCentroids = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // perfect alignment: cos = 1.0 -> 1e6 ppm each, 2 members per cell
+    assert(out == Map(0L -> ((2L, 1000000L, 2000000L)),
+      2L -> ((2L, 1000000L, 2000000L))))
+  }
+
+  test("pqDistortion: sampleMod=1 every-vector-a-centroid is lossless (0 ppm)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L to 7L).map(i =>
+      (i, Array.tabulate(8)(j => (i + j).toFloat / 10f)))
+      .toDF("vec_id", "emb")
+    val r = Similarity.pqDistortion(df, "emb", "vec_id", m = 4,
+      sampleMod = 1, maxCentroids = 64).head()
+    assert(r.getAs[Long]("total_dist2") == 0L)
+    assert(r.getAs[Long]("distortion_ppm") == 0L)
+    assert(r.getAs[Long]("n_vecs") == 8L)
+    // a coarser codebook (one centroid) must lose energy
+    val r2 = Similarity.pqDistortion(df, "emb", "vec_id", m = 4,
+      sampleMod = 1000, maxCentroids = 1).head()
+    assert(r2.getAs[Long]("total_dist2") > 0L)
+    assert(r2.getAs[Long]("max_dist2") > 0L)
   }
 
   test("labelNoise: a mislabeled vector inside a tight cluster is flagged") {

@@ -856,4 +856,68 @@ class TextSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, 0L, 5L))) // under budget: untouched
   }
 
+  test("vocabCoverageSweep: coverage at each size; oversize covers all") {
+    val s = spark
+    import s.implicits._
+    // counts: aa x4, bb x2, cc x1 -> total 7
+    val docs = Seq((1L, "aa aa bb cc"), (2L, "aa aa bb")).toDF("id", "txt")
+    val out = Text.vocabCoverageSweep(docs, "txt", Seq(1, 2, 10))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 7L, 4L * 1000000L / 7L)))
+    assert(out(2L) == ((6L, 7L, 6L * 1000000L / 7L)))
+    assert(out(10L) == ((7L, 7L, 1000000L)))
+  }
+
+  test("decontaminationAudit: shared n-gram flags, clean and short docs don't") {
+    val s = spark
+    import s.implicits._
+    val evalDocs = Seq((100L, "s", "the quick brown fox")).toDF("id", "src", "txt")
+    val corpus = Seq(
+      (1L, "a", "intro words then the quick brown fox appears here"), // leaked
+      (2L, "a", "completely different content with no overlap at all"),
+      (3L, "b", "too short"),                                         // < n
+      (4L, "b", "the quick brown fox")                                // exact
+    ).toDF("id", "src", "txt")
+    val out = Text.decontaminationAudit(corpus, evalDocs, "txt", "id", "src",
+        n = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((2L, 1L, 500000L)))
+    assert(out("b") == ((2L, 1L, 500000L)))
+  }
+
+  test("scrubPii: email/url/number rewrite, counts, exact fingerprint") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail bob@corp.example.org or see https://x.example/path ref 12345678 ok"),
+      (2L, "no pii here 123")
+    ).toDF("doc_id", "txt")
+    val out = Text.scrubPii(docs, "txt", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L && out(1L)._3 == 1L)
+    val expected1 = "mail <EMAIL> or see <URL> ref <NUM> ok"
+    val raw1 = "mail bob@corp.example.org or see https://x.example/path ref 12345678 ok"
+    assert(out(1L)._4 == (raw1.length - expected1.length).toLong)
+    assert(out(1L)._5 == java.security.MessageDigest.getInstance("MD5")
+      .digest(expected1.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(out(2L) == ((0L, 0L, 0L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("no pii here 123".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+  }
+
+  test("spanCorruption: a full-length mask can end at the final token") {
+    val s = spark
+    import s.implicits._
+    // with n=4, maskLen=3 the start range is [1, 2]: both starts must be
+    // reachable across ids (the pre-fix formula could never draw start 2)
+    val docs = (1L to 40L).map(i => (i, "a b c d")).toDF("doc_id", "txt")
+    val starts = Text.spanCorruption(docs, "txt", "doc_id", maskLen = 3)
+      .select("mask_start").collect().map(_.getLong(0)).toSet
+    assert(starts == Set(1L, 2L))
+  }
 }

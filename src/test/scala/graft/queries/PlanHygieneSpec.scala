@@ -73,7 +73,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qq25_support_coverage", // cross of four 1-row count aggregates
     "qx16_cms_recall", // cross of the 1-row k and 1-row hits aggregates
     "qa22_conversion_curve", // broadcast signup-count scalar (1 row)
-    "qq26_fanout_audit") // cross of three 1-row relationship rollups
+    "qq26_fanout_audit", // cross of three 1-row relationship rollups
+    "qd83_vocab_sweep") // |sizes| candidates x <=max(sizes) ranked head (bounded x bounded) + 1-row total broadcast
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

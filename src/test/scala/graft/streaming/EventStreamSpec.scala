@@ -1036,4 +1036,51 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map(2L -> 1L, 1L -> 1L)) // u1: 2 days, u2: 1 day
   }
 
+  test("outageScan: silent-minute gaps become rows; contiguous traffic doesn't") {
+    val s = spark
+    import s.implicits._
+    val min = 60000000000L // a minute of nanos
+    // active minutes 0,1,2, 5, 9 -> gaps [3,4] (2 min) and [6,8] (3 min)
+    val ev = Seq(0L, 1L, 1L, 2L, 5L, 9L).map(m => (m, m * min))
+      .toDF("user_id", "ts")
+    val out = EventStream.outageScan(ev, minMissing = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((3L, 4L, 2L), (6L, 8L, 3L)))
+    // threshold above the widest gap silences everything
+    assert(EventStream.outageScan(ev, minMissing = 4).count() == 0L)
+  }
+
+  test("enrichStatic: broadcast left join, unknown keys keep NULL dims; stream ≡ batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B")).toDF("ck", "seg")
+    val events = Seq((10L, 1L, 1.0), (11L, 2L, 2.0), (12L, 9L, 3.0))
+      .toDF("event_id", "user_id", "value")
+    val batch = EventStream.enrichStatic(events, dim, "user_id", "ck",
+        Seq("seg"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[String]("seg")), r.getDouble(r.fieldIndex("value"))))
+      .toMap
+    assert(batch == Map(10L -> (Some("SEG_A"), 1.0),
+      11L -> (Some("SEG_B"), 2.0), 12L -> (None, 3.0)))
+    // the same operator on a streaming frame: stream-static join, append
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = EventStream.enrichStatic(
+        mem.toDF.toDF("event_id", "user_id", "value"), dim,
+        "user_id", "ck", Seq("seg"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_static_spec").start()
+    mem.addData((10L, 1L, 1.0), (11L, 2L, 2.0))
+    q.processAllAvailable()
+    mem.addData((12L, 9L, 3.0)) // second micro-batch re-joins the dim
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("enrich_static_spec")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[String]("seg")), r.getDouble(r.fieldIndex("value"))))
+      .toMap
+    assert(streamed == batch)
+  }
 }

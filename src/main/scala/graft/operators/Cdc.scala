@@ -199,6 +199,61 @@ object Cdc {
         attrCols.map(c => when(ok, col(s"__dim_$c")).as(s"dim_$c")): _*)
   }
 
+  /** Two-master merge-conflict detection — two sites applied changes
+    * independently and must reconcile (multi-master replication, offline
+    * sync, branch merges-as-data): each side collapses to its latest op
+    * per key under [[applyChangelog]]'s total order, then per key
+    * touched by EITHER side: status `a_only` / `b_only` / `agree`
+    * (both sides landed on the identical op + value tuple, null-safe) /
+    * `conflict`. Returns (keys..., op_a, op_b, status) — the conflict
+    * rows are the manual-review queue; `agree` rows merge mechanically.
+    *
+    * Shape: one window per side on its own key shuffle + ONE full-outer
+    * hash join; cost ∝ the changelogs, never a snapshot. */
+  def mergeConflicts(logA: DataFrame, logB: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val valueCols = logA.columns
+      .filterNot((keyCols ++ Seq(seqCol, opCol)).contains).toSeq
+    def latest(log: DataFrame, tag: String) = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(Seq(col(seqCol).desc,
+          when(col(opCol) === "D", 0).otherwise(1),
+          struct(valueCols.map(col): _*).desc_nulls_last,
+          col(opCol).desc): _*)
+      log.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(keyCols.map(col) :+ col(opCol).as(s"op_$tag") :+
+          struct(valueCols.map(col): _*).as(s"__v_$tag"): _*)
+    }
+    val same = col("op_a") === col("op_b") &&
+      valueCols.map(c => col(s"__v_a.$c") <=> col(s"__v_b.$c"))
+        .foldLeft(lit(true))(_ && _)
+    latest(logA, "a").join(latest(logB, "b"), keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(col("op_a"), col("op_b"),
+        when(col("op_b").isNull, "a_only")
+          .when(col("op_a").isNull, "b_only")
+          .when(same, "agree")
+          .otherwise("conflict").as("status")): _*)
+  }
+
+  /** Changelog health profile — the ops-side view of a CDC feed BEFORE
+    * applying it (a changelog whose update:insert ratio or per-key churn
+    * suddenly shifts usually means an upstream bug, not real change):
+    * per op in {I, U, D}: (op, n_ops, n_keys, max_per_key) — volume,
+    * breadth, and the hottest key's op count.
+    *
+    * Shape: one (key, op) pre-aggregation with map-side combine, then a
+    * 3-row op rollup. Never a per-key driver structure. */
+  def changelogStats(delta: DataFrame, keyCols: Seq[String],
+      opCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    delta.groupBy((keyCols.map(col) :+ col(opCol).as("op")): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy("op")
+      .agg(sum("c").as("n_ops"), count(lit(1)).as("n_keys"),
+        max("c").as("max_per_key"))
+  }
+
   /** Time-travel read — reconstruct the table AS OF a past sequence
     * point from the changelog alone (no table format, no stored
     * snapshots): the latest op per key with `seqCol <= asOfSeq` wins

@@ -108,6 +108,57 @@ object Dedup {
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
   }
 
+  /** Incremental LSH candidate pairs — the nightly-delta discipline at
+    * 100 TB: the corpus is represented by its STORED MinHash signature
+    * table ([[minhashSignatures]] output, numHashes md5s per doc — tiny
+    * next to the text) and is never re-read or re-shingled; only the
+    * `delta` documents are hashed fresh. Candidates are every LSH band
+    * collision that TOUCHES the delta (delta↔corpus and delta↔delta —
+    * corpus-internal pairs were found when those docs were themselves
+    * deltas). Provably equal to running [[lshCandidatePairs]] over
+    * corpus ∪ delta and keeping pairs with a delta member (spec-pinned):
+    * banding, bucket caps, and pair expansion are byte-identical; only
+    * the signature recomputation is skipped.
+    *
+    * Scale shape: band keys of stored signatures + fresh delta
+    * signatures, one bucket groupBy with the same `maxBucket` cap before
+    * in-row pair expansion, then the delta filter — one semi-ish hash
+    * join per pair side against the delta id set. */
+  def lshIncrementalPairs(corpusSigs: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 4,
+      rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    graft.functions.TextHashes.register(delta.sparkSession)
+    val dsig = minhashSignatures(delta, textCol, idCol, numHashes)
+    def bandsOf(sig: DataFrame) =
+      (0 until numHashes / rowsPerBand).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh$i"))
+        sig.select(col(idCol), md5(concat(lit(s"$b") +: cols: _*)).as("band"))
+      }.reduce(_ unionAll _)
+    val pairs = bandsOf(corpusSigs).unionAll(bandsOf(dsig))
+      .groupBy("band")
+      .agg(collect_list(col(idCol).cast("long")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(expr("packed_pairs(ds)")).as("pair")).distinct()
+      .select(shiftright(col("pair"), 32).as("id_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+    // delta membership via two equi semi-joins (an OR join condition
+    // would plan as a nested loop against a delta-sized relation)
+    val deltaIds = delta.select(col(idCol).cast("long").as("__did")).distinct()
+    pairs.join(deltaIds.select(col("__did").as("id_a")).hint("shuffle_hash"),
+        Seq("id_a"), "left_semi")
+      .select("id_a", "id_b")
+      .unionAll(pairs.join(
+          deltaIds.select(col("__did").as("id_b")).hint("shuffle_hash"),
+          Seq("id_b"), "left_semi")
+        // a USING join fronts its key — re-select so the positional
+        // union doesn't swap the pair
+        .select("id_a", "id_b"))
+      .distinct()
+  }
+
   /** Shared gram-bucket Jaccard pipeline. Input `docs` must have columns
     * (block, id: long, grams: array<long> distinct, ng: int). Output one
     * row per *overlapping* pair: (block, id_a, id_b, inter, na, nb, jacc).

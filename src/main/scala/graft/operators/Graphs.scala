@@ -88,6 +88,63 @@ object Graphs {
     (edges, deg, wedge)
   }
 
+  /** k-truss peeling — the community backbone stronger than k-core (an
+    * edge survives only while it closes ≥ k−2 triangles with OTHER
+    * survivors; spam link-farms and crawl artifacts dissolve, dense
+    * communities keep their skeleton): `iters` FIXED peeling rounds —
+    * each recomputes per-edge triangle support over the current
+    * survivors and drops edges below k−2. Fixed-round semantics make
+    * the result engine-deterministic with or without convergence; a
+    * round that drops nothing exits early (identical result — the
+    * remaining rounds are no-ops). Returns the surviving edges with
+    * their support IN THE FINAL GRAPH: (u, v, support).
+    *
+    * Scale shape: per round, one degree-oriented wedge join (the
+    * [[triangleStats]] plan — wedges from the low-degree endpoint, so
+    * hub vertices never fan out quadratically) + one explode(3) +
+    * support groupBy; survivors are `localCheckpoint`ed every round
+    * (the kCore lesson: linear lineage, one bounded job per round,
+    * exact size stats for AQE). */
+  def kTruss(edges0: DataFrame, aCol: String, bCol: String, k: Int,
+      iters: Int = 3): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    def support(edges: DataFrame): DataFrame = {
+      val (e, _, wedge) = orientedWedges(edges, "u", "v")
+      wedge.join(e, col("x") === col("u") && col("y") === col("v"))
+        .select(explode(array(
+          struct(least(col("s"), col("x")).as("u"),
+            greatest(col("s"), col("x")).as("v")),
+          struct(least(col("s"), col("y")).as("u"),
+            greatest(col("s"), col("y")).as("v")),
+          struct(col("x").as("u"), col("y").as("v")))).as("e"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+    }
+    var cur = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      val before = cur.count()
+      val kept = cur.join(
+          support(cur).filter(col("support") >= (k - 2).toLong)
+            .select("u", "v").hint("shuffle_hash"),
+          Seq("u", "v"), "left_semi")
+        .localCheckpoint(true)
+      converged = kept.count() == before
+      cur = kept
+      i += 1
+    }
+    cur.join(support(cur).hint("shuffle_hash"), Seq("u", "v"), "left_outer")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Fixed-iteration PageRank over an undirected edge list, in scaled
     * 64-bit integer arithmetic so the result is bit-identical across
     * engines: ranks are longs in units of `1/scale`, every division is

@@ -1011,6 +1011,34 @@ object Quality {
     }.reduce(_ unionAll _)
   }
 
+  /** Order-independent content checksum — the migration/replication
+    * fingerprint (run it on both sides of a copy and compare three
+    * numbers per group instead of rows): per `groupCol`,
+    * (grp, n_rows, xor_hash, sum_mod) where each row canonicalizes to
+    * the \u0001-null-sentineled '|' join of `cols` (caller-chosen and
+    * ORDER-SIGNIFICANT — pass integers/strings, not raw doubles or
+    * timestamps, whose text renderings are engine-specific), hashes to
+    * its 52-bit md5 prefix, and folds by XOR (order-independent,
+    * overflow-free) plus the sum of `h mod 1000003` (catches the
+    * paired-duplicate changes XOR cancels; exact while
+    * rows·10⁶ < 2⁶³).
+    *
+    * Scale shape: one projection + one group aggregation with map-side
+    * combine. The checksum never leaves the engine as more than
+    * 3 numbers per group. */
+  def contentChecksum(df: DataFrame, groupCol: String,
+      cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty, "contentChecksum needs content columns")
+    val rowStr = concat_ws("|", cols.map(c =>
+      coalesce(c.cast("string"), lit("\u0001null"))): _*)
+    val h = conv(substring(md5(rowStr), 1, 13), 16, 10).cast("long")
+    df.select(col(groupCol).as("grp"), h.as("__h"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_hash"),
+        sum(pmod(col("__h"), lit(1000003L))).as("sum_mod"))
+  }
+
   /** Cross-table reconciliation — does the header's stored total equal
     * the sum of its detail rows (the invoice-vs-lines audit every
     * warehouse runs before trusting either table): per `groupCol`, how

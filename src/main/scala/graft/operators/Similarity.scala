@@ -1277,6 +1277,62 @@ object Similarity {
       .withColumn("acc_ppm", expr("(n_correct * 1000000L) div n_vecs"))
   }
 
+  /** Scalar-quantization distortion sweep — [[pqDistortion]]'s question
+    * asked of the SIMPLER index family (per-dimension bit truncation, no
+    * codebook): for each candidate bit width b, the exact L2² energy
+    * dropped by keeping only the top b bits of each grid coordinate
+    * (truncation toward −∞ — the floor-to-multiple `x − pmod(x, 2^s)`,
+    * identical arithmetic in any engine; no shift-semantics traps on
+    * negatives). Per candidate: (bits, total_qq, total_dist2, max_dist2,
+    * distortion_ppm). The curve answers "how many bits does this
+    * embedding actually need" before choosing an index.
+    *
+    * Scale shape: ONE corpus scan; candidates fan out in-row with
+    * constant multiplicity (|bits|), then a |bits|-row rollup. */
+  def sqDistortionSweep(df: DataFrame, embCol: String,
+      bits: Seq[Int] = Seq(4, 6, 8, 10)): DataFrame = {
+    require(bits.nonEmpty && bits.forall(b => b >= 1 && b <= 13),
+      s"bits in [1,13]: $bits")
+    val emb = df.select(quantize(col(embCol)).as("q"))
+      .withColumn("qq", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+    val perB = bits.distinct.sorted.map { b =>
+      val m = 1L << (13 - b)
+      struct(lit(b.toLong).as("bits"),
+        aggregate(transform(col("q"), x => pmod(x, lit(m)) * pmod(x, lit(m))),
+          lit(0L), (a, x) => a + x).as("dist2"))
+    }
+    emb.select(col("qq"), explode(array(perB: _*)).as("e"))
+      .groupBy(col("e.bits").as("bits"))
+      .agg(sum("qq").as("total_qq"), sum("e.dist2").as("total_dist2"),
+        max("e.dist2").as("max_dist2"))
+      .withColumn("distortion_ppm",
+        expr("(total_dist2 * 1000000L) div greatest(1L, total_qq)"))
+  }
+
+  /** k-NN hubness audit — the in-degree distribution of the k-NN graph
+    * (Radovanović et al. JMLR 2010: in high dimensions a few "hub"
+    * vectors appear in everyone's neighbor lists while many are never
+    * retrieved at all, silently skewing every k-NN-based screen —
+    * retrieval, label-noise voting, dedup): per in-degree value, how
+    * many vectors have it — including the never-retrieved at 0. A heavy
+    * right tail plus a large zero bucket = hubness; act (normalize,
+    * re-embed) before trusting k-NN votes. Returns (in_degree, n_vecs).
+    *
+    * Scale shape: [[knnGraph]]'s own bucket-capped pipeline, one count
+    * groupBy on the neighbor key, one left join back to the id relation
+    * (for the zero bucket), one histogram groupBy — output bounded by
+    * the max in-degree, not the corpus. */
+  def hubnessAudit(df: DataFrame, embCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    val ind = knnGraph(df, embCol, idCol, k)
+      .groupBy(col("nbr").cast("long").as("id"))
+      .agg(count(lit(1)).as("in_degree"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(ind.hint("shuffle_hash"), Seq("id"), "left_outer")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Coreset coverage audit — how well the deterministic centroid sample
     * actually REPRESENTS the corpus (the companion question to qv24's
     * "are the cells balanced": a balanced cell whose members barely

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -476,5 +476,53 @@ object Sketches {
         col("n_false_pos"),
         expr("(n_false_pos * 1000000L) div greatest(1L, n_probes)")
           .as("fpr_ppm"))
+  }
+
+  /** Neyman sample allocation — split an inspection/eval budget across
+    * strata ∝ N_h·S_h (big AND noisy strata earn more samples than
+    * proportional allocation gives them — the survey-sampling optimum
+    * for a fixed budget): per stratum (stratum, n_rows, sd_x1000,
+    * alloc), with Σ alloc = budget EXACTLY via integer largest-remainder
+    * apportionment. All engine-portable: variance from exact integer
+    * moments (`valueCol` must be an integer-scaled expression; the
+    * (n·Σx² − (Σx)²) moment is carried in DECIMAL(38) so ~10⁶ rows of
+    * ~10⁶-unit values cannot overflow), sd floored to ×1000 BIGINT, and
+    * the apportionment entirely in BIGINT — weights, floor shares, and
+    * the remainder ranking ((budget·w) mod total desc, stratum asc), so
+    * no float sum-order can flip an allocation.
+    *
+    * Scale shape: one moment aggregation over the corpus, then windows
+    * over the |strata|-row table. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget out of range: $budget")
+    val x = valueCol.cast("long")
+    val m = df.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_rows"), sum(x).as("sx"),
+        sum(x.cast("decimal(38,0)") * x.cast("decimal(38,0)")).as("sxx"))
+    val a = col("n_rows").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)")
+    val varD = a.cast("double") /
+      (col("n_rows").cast("double") * col("n_rows").cast("double"))
+    // weight floor of 1: a zero-variance stratum keeps a token claim, and
+    // total_w > 0 always, so largest-remainder apportionment is exact
+    // (Σ alloc = budget) even on degenerate inputs
+    val wtab = m.withColumn("sd_x1000",
+        floor(sqrt(varD) * 1000d).cast("long"))
+      .withColumn("w", greatest(col("n_rows") * col("sd_x1000"), lit(1L)))
+    val wAll = Window.orderBy("stratum")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val shares = wtab
+      .withColumn("total_w", sum("w").over(wAll))
+      .withColumn("base",
+        expr(s"(${budget}L * w) div greatest(1L, total_w)"))
+      .withColumn("rem", expr(s"(${budget}L * w) % greatest(1L, total_w)"))
+      .withColumn("left_over",
+        lit(budget) - sum("base").over(wAll))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy(col("rem").desc, col("stratum"))))
+    shares.select(col("stratum"), col("n_rows"), col("sd_x1000"),
+      (col("base") + when(col("rrank") <= col("left_over"), 1L)
+        .otherwise(0L)).as("alloc"))
   }
 }

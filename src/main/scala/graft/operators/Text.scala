@@ -211,10 +211,14 @@ object Text {
     * is scrubbed as part of the URL it sits in only if the URL pattern
     * fires first — here emails win on purpose (the tag survives inside
     * the URL tag's place). */
+  private[operators] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[operators] val urlRe = "https?://[^ ]+"
+  private[operators] val numRe = "[0-9]{6,}"
+
   def scrub(c: Column): Column = {
-    val noEmail = regexp_replace(c, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
-    val noUrl = regexp_replace(noEmail, "https?://[^ ]+", "<URL>")
-    regexp_replace(noUrl, "[0-9]{6,}", "<NUM>")
+    val noEmail = regexp_replace(c, emailRe, "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, urlRe, "<URL>")
+    regexp_replace(noUrl, numRe, "<NUM>")
   }
 
   /** Canonical text form for dedup keys and token counts: Unicode NFC
@@ -1460,6 +1464,44 @@ object Text {
         expr("(n_contaminated * 1000000L) div greatest(1L, n_docs)"))
   }
 
+  /** Unicode anomaly audit — the invisible-character screen a corpus
+    * needs before training or rendering (bidi overrides enable
+    * Trojan-Source-style display spoofing, zero-width characters carry
+    * watermarks/evade dedup, C0 controls break tokenizers, U+FFFD marks
+    * upstream mojibake): per `groupCol`, documents containing each
+    * class and the any-anomaly rate. Returns (grp, n_docs, with_control,
+    * with_zero_width, with_bidi, with_replacement, anomaly_ppm). The
+    * character classes are literal codepoint sets shared verbatim by
+    * Java and RE2 regex dialects.
+    *
+    * Scale shape: ONE projection evaluates all four rlike flags, one
+    * group aggregation — classes add columns, not scans (the
+    * [[markerScan]] discipline). */
+  def unicodeAnomalies(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val control = "[\\x{01}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]"
+    val zeroWidth = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+    val bidi = "[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]"
+    val replacement = "\\x{FFFD}"
+    val t = col(textCol)
+    val flags = df.select(col(groupCol).as("grp"),
+      t.rlike(control).cast("long").as("__c"),
+      t.rlike(zeroWidth).cast("long").as("__z"),
+      t.rlike(bidi).cast("long").as("__b"),
+      t.rlike(replacement).cast("long").as("__r"))
+    flags.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("__c"), lit(0L)).as("with_control"),
+        coalesce(sum("__z"), lit(0L)).as("with_zero_width"),
+        coalesce(sum("__b"), lit(0L)).as("with_bidi"),
+        coalesce(sum("__r"), lit(0L)).as("with_replacement"),
+        coalesce(sum(greatest(col("__c"), col("__z"), col("__b"),
+          col("__r"))), lit(0L)).as("n_any"))
+      .withColumn("anomaly_ppm",
+        expr("(n_any * 1000000L) div greatest(1L, n_docs)"))
+      .drop("n_any")
+  }
+
   /** Vocabulary-size coverage sweep — the "how big must the tokenizer
     * vocab be" curve ([[oovRate]] answers it for ONE size; this sweeps):
     * token types rank by (count desc, token asc), and each candidate
@@ -1502,31 +1544,24 @@ object Text {
         col("coverage_ppm"))
   }
 
-  /** PII scrubbing — the transform half of [[complianceMarkers]]'s
-    * audit: emails → `<EMAIL>`, URLs → `<URL>`, then 7+-digit runs →
-    * `<NUM>` (phone/account-shaped; applied AFTER the URL pass so a
-    * digit run inside a URL is already gone), each via a regex shared
-    * verbatim by Java and RE2 dialects. Per document:
+  /** PII scrubbing audit — the per-document REPORT face of the [[scrub]]
+    * transform (same three regexes, verbatim — emails → `<EMAIL>`, URLs
+    * → `<URL>`, 6+-digit runs → `<NUM>`; [[scrub]] answers "rewrite the
+    * corpus", this answers "what did the rewrite touch, prove it"):
     * (id, n_emails, n_urls, n_longnums, chars_removed, scrub_md5) —
-    * counts from the raw text, the md5 fingerprinting the scrubbed
+    * match counts from the raw text, the md5 fingerprinting the scrubbed
     * output so any engine's rewrite is byte-comparable without shipping
     * the text twice.
     *
     * Scale shape: pure per-row projection, zero shuffles; at 100 TB this
     * is a map-only rewrite pass. */
   def scrubPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-    val urlRe = "https?://[^ ]+"
-    val numRe = "[0-9]{7,}"
     val t0 = col(textCol)
-    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
-    val t2 = regexp_replace(t1, urlRe, "<URL>")
-    val t3 = regexp_replace(t2, numRe, "<NUM>")
     df.select(col(idCol).cast("long").as("id"),
       regexp_count(t0, lit(emailRe)).cast("long").as("n_emails"),
       regexp_count(t0, lit(urlRe)).cast("long").as("n_urls"),
       regexp_count(t0, lit(numRe)).cast("long").as("n_longnums"),
-      (length(t0) - length(t3)).cast("long").as("chars_removed"),
-      md5(t3).as("scrub_md5"))
+      (length(t0) - length(scrub(t0))).cast("long").as("chars_removed"),
+      md5(scrub(t0)).as("scrub_md5"))
   }
 }

@@ -260,6 +260,61 @@ object MediaQueries {
           col("payload").cast("double").as("value"))
         .orderBy("user_id")
     },
+    // Two-master merge conflicts: events split by parity into two sites'
+    // changelogs, each collapsed to latest-per-key, classified
+    // a_only / b_only / agree / conflict — the reconciliation queue.
+    "qc10_merge_conflicts" -> { (s, d) =>
+      val ev = t(s, d, "events").filter(col("user_id") < 300)
+      def site(m: Int) = ev.filter(col("event_id") % 2 === m)
+        .select(col("user_id"), expr("ts div 1000").as("seq"), col("value"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"))
+      graft.operators.Cdc.mergeConflicts(site(0), site(1),
+          Seq("user_id"), "seq", "op")
+        .orderBy("user_id")
+    },
+    // Changelog health profile: per op, volume / key breadth / hottest
+    // key — the upstream-bug tripwire read BEFORE applying a feed.
+    "qc09_changelog_stats" -> { (s, d) =>
+      val delta = t(s, d, "events").select(col("user_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+      graft.operators.Cdc.changelogStats(delta, Seq("user_id"), "op")
+        .orderBy("op")
+    },
+    // EXACT windowed distinct users under the oracle — the precise face
+    // of qx05's KMV estimate: dropDuplicatesWithinWatermark on
+    // (window, user) chained into an append-mode windowed count, across
+    // the same 3-micro-batch replay + far-future sentinel harness.
+    "qs16_distinct_windowed" -> { (s, d) =>
+      import s.implicits._
+      val rows = t(s, d, "events").filter(col("user_id") < 300)
+        .select("user_id", "ts")
+        .as[(Long, Long)].collect().sortBy(_._2)
+      val sentinelTs = rows.last._2 + 10L * 24 * 3600 * 1000000000L
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val name = s"qs16_sink_${cdcSinkSeq.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = EventStream.distinctWindowed(
+            mem.toDF.toDF("user_id", "ts"), "user_id")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        val n = rows.length
+        Seq(rows.slice(0, n / 3).toSeq, rows.slice(n / 3, 2 * n / 3).toSeq,
+            rows.slice(2 * n / 3, n).toSeq, Seq((999999L, sentinelTs)))
+          .foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sentinelW = sentinelTs / 1000 - (sentinelTs / 1000) % 3600000000L
+      s.table(name).filter(col("wstart_us") < sentinelW)
+        .orderBy("wstart_us")
+    },
     // Time-travel read: the table AS OF the midpoint of the event-time
     // range, reconstructed from the changelog alone (latest op per key
     // with seq <= asof under the applyChangelog total order; D erases).
@@ -553,6 +608,46 @@ object MediaQueries {
         |FROM v JOIN c ON c.user_id = v.user_id
         | AND c.us >= v.us AND c.us <= v.us + 1800000000
         |ORDER BY v.user_id, left_us, right_us""".stripMargin,
+    "qc10_merge_conflicts" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS seq, value,
+        |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+        |      ELSE 'U' END AS op
+        |  FROM events WHERE user_id < 300),
+        |la AS (SELECT user_id, op AS op_a, value AS v_a FROM (
+        |    SELECT user_id, op, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC,
+        |        CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+        |        CAST(value AS VARCHAR) DESC NULLS LAST, op DESC) AS rn
+        |    FROM ev WHERE event_id % 2 = 0) WHERE rn = 1),
+        |lb AS (SELECT user_id, op AS op_b, value AS v_b FROM (
+        |    SELECT user_id, op, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC,
+        |        CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+        |        CAST(value AS VARCHAR) DESC NULLS LAST, op DESC) AS rn
+        |    FROM ev WHERE event_id % 2 = 1) WHERE rn = 1)
+        |SELECT COALESCE(la.user_id, lb.user_id) AS user_id, op_a, op_b,
+        |  CASE WHEN op_b IS NULL THEN 'a_only'
+        |    WHEN op_a IS NULL THEN 'b_only'
+        |    WHEN op_a = op_b AND v_a IS NOT DISTINCT FROM v_b THEN 'agree'
+        |    ELSE 'conflict' END AS status
+        |FROM la FULL OUTER JOIN lb ON lb.user_id = la.user_id
+        |ORDER BY user_id""".stripMargin,
+    "qc09_changelog_stats" ->
+      """WITH dl AS (SELECT user_id,
+        |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+        |      ELSE 'U' END AS op
+        |  FROM events),
+        |pk AS (SELECT user_id, op, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM dl GROUP BY 1, 2)
+        |SELECT op, CAST(SUM(c) AS BIGINT) AS n_ops,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS max_per_key
+        |FROM pk GROUP BY op ORDER BY op""".stripMargin,
+    "qs16_distinct_windowed" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS wstart_us,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events WHERE user_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "qc08_snapshot_asof" ->
       """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
         |    AS cut_us FROM events),

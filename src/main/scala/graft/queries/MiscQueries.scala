@@ -205,6 +205,27 @@ object MiscQueries {
     // Exact triangle count over the co-purchase graph (parts sharing an
     // order), degree-ordered orientation bounding wedge fan-out — the
     // "curse of the last reducer" fix, under the oracle.
+    // k-truss backbone: 2 fixed peeling rounds at k=4 (edges must close
+    // >= 2 triangles with surviving edges); output = survivors with
+    // their support in the FINAL graph.
+    "qg17_ktruss" -> { (s, d) =>
+      val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.kTruss(edges, "pa", "pb", k = 4, iters = 2)
+        .orderBy("u", "v")
+    },
+    // Neyman budget allocation: 1000 inspection samples split across
+    // order priorities proportional to N_h * sd_h, exact integer
+    // largest-remainder apportionment (sums to the budget).
+    "qx17_neyman_alloc" -> { (s, d) =>
+      graft.operators.Sketches.neymanAllocation(t(s, d, "orders"),
+          "o_orderpriority", floor(col("o_totalprice")), budget = 1000L)
+        .orderBy("stratum")
+    },
     "qg01_triangles" -> { (s, d) =>
       val pp = t(s, d, "lineitem")
         .filter(col("l_orderkey") % 20 === 0)
@@ -841,6 +862,29 @@ object MiscQueries {
     },
     // Alert debouncing: consecutive anomalous days coalesce into
     // episodes (gaps-and-islands).
+    // Order-independent content checksum per status: xor + mod-sum of
+    // 52-bit row hashes over integer-stable renderings — the two-sided
+    // migration fingerprint.
+    "qq28_content_checksum" -> { (s, d) =>
+      graft.operators.Quality.contentChecksum(t(s, d, "orders"),
+          "o_orderstatus",
+          Seq(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long")))
+        .orderBy("grp")
+    },
+    // SRE error-budget burn: trailing 1h/6h error-rate ppm over hourly
+    // buckets (RANGE frames — silent hours count as elapsed time), page
+    // when both windows exceed budget.
+    "qw11_burn_rate" -> { (s, d) =>
+      graft.streaming.EventStream.burnRate(t(s, d, "events"))
+        .orderBy("hr")
+    },
+    // Growth-accounting grid: weekly new/retained/resurrected/churned
+    // decomposition — the canonical growth dashboard, exact integers.
+    "qa23_growth_accounting" -> { (s, d) =>
+      graft.streaming.EventStream.growthAccounting(t(s, d, "events"))
+        .orderBy("wk")
+    },
     // Zero-traffic outage scan: gaps of silent minutes in the event
     // stream — the missing-data windows qw08's episode debouncer can't
     // see (it debounces alerts; this finds the silence).
@@ -1005,6 +1049,59 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "qg17_ktruss" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey % 20 = 0),
+        |e0 AS (SELECT DISTINCT LEAST(a.p, b.p) AS u, GREATEST(a.p, b.p) AS v
+        |  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+        |a0 AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+        |s0 AS (SELECT e.u, e.v, COUNT(*) AS sup
+        |  FROM e0 e JOIN a0 x ON x.s = e.u
+        |  JOIN a0 y ON y.s = e.v AND y.t = x.t
+        |  GROUP BY e.u, e.v),
+        |e1 AS (SELECT u, v FROM s0 WHERE sup >= 2),
+        |a1 AS (SELECT u AS s, v AS t FROM e1 UNION ALL SELECT v, u FROM e1),
+        |s1 AS (SELECT e.u, e.v, COUNT(*) AS sup
+        |  FROM e1 e JOIN a1 x ON x.s = e.u
+        |  JOIN a1 y ON y.s = e.v AND y.t = x.t
+        |  GROUP BY e.u, e.v),
+        |e2 AS (SELECT u, v FROM s1 WHERE sup >= 2),
+        |a2 AS (SELECT u AS s, v AS t FROM e2 UNION ALL SELECT v, u FROM e2),
+        |s2 AS (SELECT e.u, e.v, COUNT(*) AS sup
+        |  FROM e2 e JOIN a2 x ON x.s = e.u
+        |  JOIN a2 y ON y.s = e.v AND y.t = x.t
+        |  GROUP BY e.u, e.v)
+        |SELECT e.u, e.v, COALESCE(s.sup, 0) AS support
+        |FROM e2 e LEFT JOIN s2 s ON s.u = e.u AND s.v = e.v
+        |ORDER BY e.u, e.v""".stripMargin,
+    "qx17_neyman_alloc" ->
+      """WITH m AS (SELECT o_orderpriority AS stratum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS HUGEINT) AS sx,
+        |    SUM(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS HUGEINT)
+        |      * CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS HUGEINT)) AS sxx
+        |  FROM orders GROUP BY 1),
+        |w0 AS (SELECT stratum, n_rows,
+        |    CAST(FLOOR(SQRT(CAST(CAST(n_rows AS HUGEINT) * sxx - sx * sx
+        |        AS DOUBLE)
+        |      / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))) * 1000.0)
+        |      AS BIGINT) AS sd_x1000
+        |  FROM m),
+        |w1 AS (SELECT stratum, n_rows, sd_x1000,
+        |    GREATEST(n_rows * sd_x1000, 1) AS w FROM w0),
+        |w2 AS (SELECT stratum, n_rows, sd_x1000, w,
+        |    SUM(w) OVER () AS total_w FROM w1),
+        |w3 AS (SELECT stratum, n_rows, sd_x1000,
+        |    (1000 * w) // GREATEST(1, total_w) AS base,
+        |    (1000 * w) % GREATEST(1, total_w) AS rem FROM w2),
+        |w4 AS (SELECT stratum, n_rows, sd_x1000, base, rem,
+        |    1000 - SUM(base) OVER () AS left_over,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rrank
+        |  FROM w3)
+        |SELECT stratum, n_rows, sd_x1000,
+        |  CAST(base + CASE WHEN rrank <= left_over THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM w4 ORDER BY stratum""".stripMargin,
     "qg01_triangles" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         |  WHERE l_orderkey % 20 = 0),
@@ -2192,6 +2289,73 @@ object MiscQueries {
         |  CASE WHEN n_rows = n_groups THEN CAST(1 AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS is_key
         |FROM u ORDER BY candidate""".stripMargin,
+    "qq28_content_checksum" ->
+      """WITH r AS (SELECT o_orderstatus AS grp,
+        |    md5(CAST(o_orderkey AS VARCHAR) || '|'
+        |      || CAST(o_custkey AS VARCHAR) || '|'
+        |      || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |           AS VARCHAR)) AS h
+        |  FROM orders),
+        |hi AS (SELECT grp,
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(h, CAST(j AS INT), 1))
+        |        - 1 AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) AS hv
+        |  FROM r)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(hv) AS BIGINT) AS xor_hash,
+        |  CAST(SUM(hv % 1000003) AS BIGINT) AS sum_mod
+        |FROM hi GROUP BY grp ORDER BY grp""".stripMargin,
+    "qw11_burn_rate" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS tot,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END)
+        |      AS BIGINT), 0) AS err
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT hr,
+        |    CAST(SUM(err) OVER (ORDER BY hr
+        |      RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS err_short,
+        |    CAST(SUM(tot) OVER (ORDER BY hr
+        |      RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS tot_short,
+        |    CAST(SUM(err) OVER (ORDER BY hr
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS err_long,
+        |    CAST(SUM(tot) OVER (ORDER BY hr
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS tot_long
+        |  FROM h)
+        |SELECT hr, err_short, tot_short, err_long, tot_long,
+        |  (err_short * 1000000) // GREATEST(1, tot_short) AS short_ppm,
+        |  (err_long * 1000000) // GREATEST(1, tot_long) AS long_ppm,
+        |  CAST(CASE WHEN (err_short * 1000000) // GREATEST(1, tot_short)
+        |      > 100000
+        |    AND (err_long * 1000000) // GREATEST(1, tot_long) > 50000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS page
+        |FROM w ORDER BY hr""".stripMargin,
+    "qa23_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 86400000000) // 7 AS wk FROM events),
+        |mx AS (SELECT MAX(wk) AS last_wk FROM uw),
+        |f AS (SELECT user_id, wk,
+        |    MIN(wk) OVER (PARTITION BY user_id ORDER BY wk
+        |      ROWS UNBOUNDED PRECEDING) AS first_wk,
+        |    LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+        |    LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        |  FROM uw)
+        |SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  COALESCE(CAST(SUM(CASE WHEN wk = first_wk THEN 1 END)
+        |    AS BIGINT), 0) AS n_new,
+        |  COALESCE(CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 END)
+        |    AS BIGINT), 0) AS n_retained,
+        |  COALESCE(CAST(SUM(CASE WHEN prev_wk IS NOT NULL
+        |      AND prev_wk < wk - 1 THEN 1 END) AS BIGINT), 0)
+        |    AS n_resurrected,
+        |  COALESCE(CAST(SUM(CASE WHEN wk < (SELECT last_wk FROM mx)
+        |      AND (next_wk IS NULL OR next_wk > wk + 1) THEN 1 END)
+        |    AS BIGINT), 0) AS n_churned_next
+        |FROM f GROUP BY wk ORDER BY wk""".stripMargin,
     "qw10_outage_scan" ->
       """WITH mins AS (SELECT DISTINCT epoch_us(ts) // 60000000 AS m
         |  FROM events),

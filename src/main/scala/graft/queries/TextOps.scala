@@ -676,6 +676,32 @@ object TextOps {
     // Compliance-marker audit per source (emails / URLs / copyright /
     // rights-reserved), with markers injected deterministically so the
     // scan has real positives at every SF.
+    // Unicode anomaly audit: bidi overrides / zero-width / C0 controls /
+    // U+FFFD per source, with anomalies injected deterministically so
+    // every SF has real positives.
+    "qd85_unicode_audit" -> { (s, d) =>
+      val docs = t(s, d, "documents").withColumn("txt",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit("\u200B")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\u202E" + "rtl")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("\uFFFD")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit("\u0007")).otherwise(lit(""))))
+      graft.operators.Text.unicodeAnomalies(docs, "txt", "source")
+        .orderBy("grp")
+    },
+    // Incremental LSH dedup: the corpus enters as its STORED signature
+    // table (never re-shingled), only the delta hashes fresh; candidates
+    // are band collisions touching the delta.
+    "qd84_lsh_incremental" -> { (s, d) =>
+      val base = withDups(s, d).filter(col("doc_id") % 10 === 0)
+      val corpus = base.filter(col("doc_id") % 3 =!= 0)
+      val delta = base.filter(col("doc_id") % 3 === 0)
+      val stored = graft.operators.Dedup.minhashSignatures(
+        corpus, "text", "doc_id", numHashes = 4)
+      graft.operators.Dedup.lshIncrementalPairs(stored, delta,
+          "text", "doc_id", numHashes = 4, rowsPerBand = 2)
+        .orderBy("id_a", "id_b")
+    },
     // Vocab-size sweep: occurrence coverage of the top-V token types at
     // five candidate sizes — the tokenizer-budget curve.
     "qd83_vocab_sweep" -> { (s, d) =>
@@ -1755,6 +1781,57 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd85_unicode_audit" ->
+      """WITH d AS (SELECT source, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(8203) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(8238) || 'rtl'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(65533) ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END AS txt
+        |  FROM documents),
+        |f AS (SELECT source AS grp,
+        |    CASE WHEN regexp_matches(txt,
+        |      '[\x{01}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]') THEN 1 ELSE 0
+        |    END AS c,
+        |    CASE WHEN regexp_matches(txt, '[\x{200B}-\x{200D}\x{FEFF}]')
+        |      THEN 1 ELSE 0 END AS z,
+        |    CASE WHEN regexp_matches(txt,
+        |      '[\x{202A}-\x{202E}\x{2066}-\x{2069}]') THEN 1 ELSE 0
+        |    END AS b,
+        |    CASE WHEN regexp_matches(txt, '\x{FFFD}') THEN 1 ELSE 0
+        |    END AS r
+        |  FROM d)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  COALESCE(CAST(SUM(c) AS BIGINT), 0) AS with_control,
+        |  COALESCE(CAST(SUM(z) AS BIGINT), 0) AS with_zero_width,
+        |  COALESCE(CAST(SUM(b) AS BIGINT), 0) AS with_bidi,
+        |  COALESCE(CAST(SUM(r) AS BIGINT), 0) AS with_replacement,
+        |  (COALESCE(CAST(SUM(GREATEST(c, z, b, r)) AS BIGINT), 0)
+        |    * 1000000) // GREATEST(1, COUNT(*)) AS anomaly_ppm
+        |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
+    "qd84_lsh_incremental" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' ')))
+        |    AS tok
+        |  FROM all_docs WHERE doc_id % 10 = 0),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('s0_' || tok)) AS mh0, MIN(md5('s1_' || tok)) AS mh1,
+        |  MIN(md5('s2_' || tok)) AS mh2, MIN(md5('s3_' || tok)) AS mh3
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, md5('0' || mh0 || mh1) AS band FROM sig
+        |  UNION ALL SELECT doc_id, md5('1' || mh2 || mh3) AS band FROM sig),
+        |ok AS (SELECT band FROM bands GROUP BY band
+        |  HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.doc_id < b.doc_id
+        |  JOIN ok o ON o.band = a.band)
+        |SELECT id_a, id_b FROM cand
+        |WHERE id_a % 3 = 0 OR id_b % 3 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
     "qd83_vocab_sweep" ->
       """WITH counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
         |  FROM (SELECT unnest(str_split(text, ' ')) AS token
@@ -1806,15 +1883,15 @@ object TextOps {
         |  FROM documents),
         |s AS (SELECT doc_id AS id, txt,
         |    regexp_replace(regexp_replace(regexp_replace(txt,
-        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
         |      '<EMAIL>', 'g'), 'https?://[^ ]+', '<URL>', 'g'),
-        |      '[0-9]{7,}', '<NUM>', 'g') AS t3,
+        |      '[0-9]{6,}', '<NUM>', 'g') AS t3,
         |    CAST(len(regexp_extract_all(txt,
-        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
         |      AS BIGINT) AS n_emails,
         |    CAST(len(regexp_extract_all(txt, 'https?://[^ ]+'))
         |      AS BIGINT) AS n_urls,
-        |    CAST(len(regexp_extract_all(txt, '[0-9]{7,}'))
+        |    CAST(len(regexp_extract_all(txt, '[0-9]{6,}'))
         |      AS BIGINT) AS n_longnums
         |  FROM d)
         |SELECT id, n_emails, n_urls, n_longnums,
@@ -1833,7 +1910,7 @@ object TextOps {
         |  FROM documents)
         |SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  COALESCE(CAST(SUM(CASE WHEN regexp_matches(txt,
-        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') THEN 1 END)
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 END)
         |    AS BIGINT), 0) AS with_email,
         |  COALESCE(CAST(SUM(CASE WHEN regexp_matches(txt, 'https?://')
         |    THEN 1 END) AS BIGINT), 0) AS with_url,

@@ -119,6 +119,20 @@ object VectorOps {
       graft.operators.Similarity.duplicateVectorGroups(
         withClones, "embedding")
     },
+    // Scalar-quantization distortion sweep: energy dropped at 4/6/8/10
+    // bits per grid coordinate — the "how many bits do we need" curve.
+    "qv31_sq_sweep" -> { (s, d) =>
+      graft.operators.Similarity.sqDistortionSweep(
+          t(s, d, "embeddings"), "embedding", bits = Seq(4, 6, 8, 10))
+        .orderBy("bits")
+    },
+    // k-NN hubness: in-degree histogram of the qv20 graph including the
+    // never-retrieved zero bucket — the retrieval-health screen.
+    "qv30_hubness" -> { (s, d) =>
+      graft.operators.Similarity.hubnessAudit(
+          t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
+        .orderBy("in_degree")
+    },
     // Coreset coverage: per non-empty cell, how well members resemble
     // their centroid (worst + summed cos ppm) — qv24's balance audit
     // answers "even cells?", this answers "representative centroids?".
@@ -605,6 +619,63 @@ object VectorOps {
         |  CAST(SUM(s) AS BIGINT) AS n_suspect,
         |  (CAST(SUM(s) AS BIGINT) * 1000000) // COUNT(*) AS suspect_ppm
         |FROM sus GROUP BY label ORDER BY label""".stripMargin,
+    "qv31_sq_sweep" ->
+      """WITH emb AS (SELECT
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |base AS (SELECT q,
+        |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qq
+        |  FROM emb),
+        |b AS (SELECT bits, (1::BIGINT << CAST(13 - bits AS INT)) AS m
+        |  FROM (SELECT CAST(unnest([4, 6, 8, 10]) AS BIGINT) AS bits)),
+        |d AS (SELECT b.bits, base.qq,
+        |    CAST(list_sum(list_transform(base.q, x ->
+        |      ((x % b.m + b.m) % b.m) * ((x % b.m + b.m) % b.m)))
+        |      AS BIGINT) AS dist2
+        |  FROM base CROSS JOIN b)
+        |SELECT bits, CAST(SUM(qq) AS BIGINT) AS total_qq,
+        |  CAST(SUM(dist2) AS BIGINT) AS total_dist2,
+        |  CAST(MAX(dist2) AS BIGINT) AS max_dist2,
+        |  (CAST(SUM(dist2) AS BIGINT) * 1000000)
+        |    // GREATEST(1, CAST(SUM(qq) AS BIGINT)) AS distortion_ppm
+        |FROM d GROUP BY bits ORDER BY bits""".stripMargin,
+    "qv30_hubness" ->
+      """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings), unnest(range(1, 65)) t(i)),
+        |planes AS (SELECT vec_id, p, qe,
+        |  CASE WHEN instr('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 < 8
+        |    THEN 1 ELSE -1 END AS comp
+        | FROM el, (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS p)),
+        |signs AS (SELECT vec_id, p, SUM(comp * qe) AS proj FROM planes
+        |  GROUP BY vec_id, p),
+        |buckets AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM signs GROUP BY vec_id),
+        |q AS (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |bc AS (SELECT bucket FROM buckets GROUP BY bucket
+        |  HAVING COUNT(*) <= 10000),
+        |v AS (SELECT b.vec_id, b.bucket, q.q,
+        |    sqrt(CAST(CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+        |  FROM buckets b JOIN bc ON bc.bucket = b.bucket
+        |  JOIN q ON q.vec_id = b.vec_id),
+        |pairs AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, nbr, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rank
+        |  FROM pairs),
+        |g AS (SELECT src, nbr FROM r WHERE rank <= 5),
+        |ind AS (SELECT e.vec_id AS id, COALESCE(c.cnt, 0) AS in_degree
+        |  FROM embeddings e LEFT JOIN (SELECT nbr,
+        |      CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY nbr) c
+        |    ON c.nbr = e.vec_id)
+        |SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |FROM ind GROUP BY in_degree ORDER BY in_degree""".stripMargin,
     "qv27_dup_vectors" ->
       """WITH all_v AS (SELECT vec_id, embedding FROM embeddings
         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings

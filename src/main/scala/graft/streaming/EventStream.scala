@@ -1465,6 +1465,126 @@ object EventStream {
     else t.dropDuplicates(idCol)
   }
 
+  /** Error-budget burn-rate monitor — the SRE multi-window alert (a
+    * short window catches fast burns, a long window keeps the alert from
+    * flapping; page only when BOTH exceed the budget): per hour,
+    * trailing error-rate ppm over the short and long windows (RANGE
+    * frames over the hour value, so silent hours count as elapsed time,
+    * not skipped rows) and the page flag
+    * `short_ppm > 2·budget AND long_ppm > budget`. Returns
+    * (hr, err_short, tot_short, err_long, tot_long, short_ppm,
+    * long_ppm, page).
+    *
+    * Scale shape: the corpus collapses to hourly (errors, total) counts
+    * first; both trailing windows ride ONE hour-ordered sort over the
+    * span-bounded hourly relation (the qa22/qw10 span contract). */
+  def burnRate(events: DataFrame, budgetPpm: Long = 50000L,
+      shortHours: Int = 1, longHours: Int = 6): DataFrame = {
+    require(budgetPpm >= 1 && shortHours >= 1 && longHours > shortHours,
+      s"bad burn config: $budgetPpm/$shortHours/$longHours")
+    val hourly = tsNanos(events)
+      .select(expr("(ts div 1000) div 3600000000").as("hr"),
+        (col("event_type") === "error").cast("long").as("e"))
+      .groupBy("hr")
+      .agg(count(lit(1)).as("tot"), coalesce(sum("e"), lit(0L)).as("err"))
+    val W = org.apache.spark.sql.expressions.Window
+    def trailing(h: Int) = W.orderBy("hr").rangeBetween(-(h - 1L), 0L)
+    hourly
+      .withColumn("err_short", sum("err").over(trailing(shortHours)))
+      .withColumn("tot_short", sum("tot").over(trailing(shortHours)))
+      .withColumn("err_long", sum("err").over(trailing(longHours)))
+      .withColumn("tot_long", sum("tot").over(trailing(longHours)))
+      .withColumn("short_ppm",
+        expr("(err_short * 1000000L) div greatest(1L, tot_short)"))
+      .withColumn("long_ppm",
+        expr("(err_long * 1000000L) div greatest(1L, tot_long)"))
+      .withColumn("page",
+        (col("short_ppm") > 2 * budgetPpm &&
+          col("long_ppm") > budgetPpm).cast("long"))
+      .select("hr", "err_short", "tot_short", "err_long", "tot_long",
+        "short_ppm", "long_ppm", "page")
+  }
+
+  /** Growth-accounting grid — the canonical weekly user-growth
+    * decomposition (every active user is exactly one of new / retained /
+    * resurrected; churn reads forward): per activity week,
+    * (wk, n_active, n_new, n_retained, n_resurrected, n_churned_next)
+    * where new = first-ever week, retained = also active the previous
+    * week, resurrected = active before but not the previous week, and
+    * churned_next = active this week with no activity next week
+    * (reported 0 for the final observed week — its churn is unknowable
+    * yet, not zero; the column reads with that boundary).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (user, week) first;
+    * everything after is two windows on the user key and one
+    * weeks-sized groupBy. The global last week is a 1-row broadcast. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = tsNanos(events)
+      .select(col("user_id"),
+        expr("((ts div 1000) div 86400000000) div 7").as("wk"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("wk")
+    val maxWk = broadcast(uw.agg(max("wk").as("last_wk")))
+    uw.withColumn("first_wk", min("wk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("prev_wk", lag("wk", 1).over(w))
+      .withColumn("next_wk", lead("wk", 1).over(w))
+      .crossJoin(maxWk)
+      .select(col("wk"),
+        (col("wk") === col("first_wk")).cast("long").as("is_new"),
+        (col("prev_wk") === col("wk") - 1).cast("long").as("is_ret"),
+        (col("prev_wk").isNotNull && col("prev_wk") < col("wk") - 1)
+          .cast("long").as("is_res"),
+        (col("wk") < col("last_wk") &&
+          (col("next_wk").isNull || col("next_wk") > col("wk") + 1))
+          .cast("long").as("is_churn"))
+      .groupBy("wk")
+      .agg(count(lit(1)).as("n_active"),
+        coalesce(sum("is_new"), lit(0L)).as("n_new"),
+        coalesce(sum("is_ret"), lit(0L)).as("n_retained"),
+        coalesce(sum("is_res"), lit(0L)).as("n_resurrected"),
+        coalesce(sum("is_churn"), lit(0L)).as("n_churned_next"))
+  }
+
+  /** Exact windowed distinct counts — the precise face of qx05's KMV
+    * estimate: per tumbling window, the EXACT number of distinct
+    * `valueCol` values, streaming-correct via two watermark-bounded
+    * stages (dedup on (window, value) with
+    * `dropDuplicatesWithinWatermark` — state for closed windows is
+    * reclaimed — then a windowed count in append mode). Use this when
+    * per-window cardinalities fit state (users per hour); use the KMV
+    * sketch when they don't. Batch frames take the equivalent
+    * distinct + groupBy path: stream ≡ batch ≡ oracle.
+    * Output: (wstart_us, n_distinct).
+    *
+    * Scale shape: streaming state = one row per (open window, distinct
+    * value) plus the window counts; batch = one distinct + one groupBy
+    * on the window key. */
+  def distinctWindowed(events: DataFrame, valueCol: String,
+      window_ : String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    // window struct computed BEFORE the watermark declaration: a window
+    // over an already-watermarked column inherits the event-time tag and
+    // the downstream aggregation would see two event-time columns
+    val t = withTs(events)
+      .select(window(col("ets"), window_).as("w"),
+        col(valueCol).as("__v"), col("ets"))
+      .withWatermark("ets", lateness)
+    val deduped =
+      if (events.isStreaming) t.dropDuplicatesWithinWatermark("w", "__v")
+      else t.dropDuplicates("w", "__v")
+    // the dedup-key window struct inherits the event-time tag — drop it
+    // so `ets` is the stream's single event-time column, then recompute
+    // the (identical) window for the aggregation: the surviving ets is
+    // an arbitrary member of its window, so the recomputed window and
+    // the distinct count are deterministic
+    deduped.drop("w")
+      .groupBy(window(col("ets"), window_))
+      .agg(count(lit(1)).as("n_distinct"))
+      .select(unix_micros(col("window.start")).as("wstart_us"),
+        col("n_distinct"))
+  }
+
   /** Zero-traffic outage scan — the missing-data windows in an event
     * stream (a pipeline that silently dropped a feed shows up as minute
     * gaps long before any metric alert): distinct active minutes, then

@@ -179,4 +179,41 @@ class CdcSpec extends SparkSpec {
     assert(graft.operators.Cdc.snapshotAsOf(tied, Seq("k"), "seq", "op", 999L)
       .filter($"k" === 3L).count() == 0L)
   }
+  test("changelogStats: per-op volume, key breadth, hottest key") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, "U"), (1L, "U"), (1L, "U"), (2L, "U"),
+      (1L, "I"), (3L, "I"),
+      (2L, "D")
+    ).toDF("k", "op")
+    val out = graft.operators.Cdc.changelogStats(log, Seq("k"), "op")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map("U" -> ((4L, 2L, 3L)), "I" -> ((2L, 2L, 1L)),
+      "D" -> ((1L, 1L, 1L))))
+  }
+
+  test("mergeConflicts: a_only / b_only / agree / conflict classification") {
+    val s = spark
+    import s.implicits._
+    val logA = Seq(
+      (1L, 10L, 1.0, "U"),               // agree with B
+      (2L, 10L, 2.0, "U"),               // conflict: B has 2.5
+      (3L, 10L, 3.0, "U"),               // a_only
+      (5L, 10L, 5.0, "U"), (5L, 20L, 0.0, "D") // latest D vs B's U -> conflict
+    ).toDF("k", "seq", "value", "op")
+    val logB = Seq(
+      (1L, 99L, 1.0, "U"),
+      (2L, 99L, 2.5, "U"),
+      (4L, 99L, 4.0, "I"),               // b_only
+      (5L, 99L, 5.5, "U")
+    ).toDF("k", "seq", "value", "op")
+    val out = graft.operators.Cdc.mergeConflicts(logA, logB,
+        Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "agree", 2L -> "conflict", 3L -> "a_only",
+      4L -> "b_only", 5L -> "conflict"))
+  }
+
 }

@@ -353,4 +353,28 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_candidates") >= 1L)
   }
 
+  test("lshIncrementalPairs: equals the full recompute restricted to delta-touching pairs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"), (4L, "epsilon zeta eta theta"),
+      (5L, "iota kappa lambda mu"), (6L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" <= 4)
+    val delta = docs.filter($"doc_id" > 4)
+    val stored = Dedup.minhashSignatures(corpus, "text", "doc_id", 4)
+    val inc = Dedup.lshIncrementalPairs(stored, delta, "text", "doc_id",
+        numHashes = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltaIds = Set(5L, 6L)
+    val full = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+        numHashes = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(inc == full)
+    assert(inc.contains((1L, 6L))) // delta clone finds its corpus twins
+    assert(!inc.contains((1L, 2L))) // corpus-internal pair NOT re-reported
+  }
+
 }

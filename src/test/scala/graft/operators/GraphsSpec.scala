@@ -416,4 +416,20 @@ class GraphsSpec extends SparkSpec {
     assert(!out.keys.exists(_._1 == 4L))
   }
 
+  test("kTruss: k=4 keeps the 4-clique, peels the pendant triangle; k=3 keeps both") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (every edge closes 2 triangles) + a triangle
+    // {4,5,6} hanging off it (each of its edges closes exactly 1)
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val tri = Seq((4L,5L),(5L,6L),(4L,6L))
+    val edges = (k4 ++ tri).toDF("a", "b")
+    val out4 = Graphs.kTruss(edges, "a", "b", k = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out4.keySet == k4.toSet)
+    assert(out4.values.forall(_ == 2L))
+    val out3 = Graphs.kTruss(edges, "a", "b", k = 3, iters = 3)
+    assert(out3.count() == 9L) // every edge closes >= 1 triangle
+  }
+
 }

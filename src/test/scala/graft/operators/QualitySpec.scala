@@ -566,4 +566,25 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("n_covered") == 0L)
     assert(r.getAs[Long]("n_unseen") == 1L)
   }
+  test("contentChecksum: order/partitioning-invariant, value-sensitive, dup pairs caught") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "g", 10L), (2L, "g", 20L), (3L, "g", 30L))
+      .toDF("id", "grp0", "v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Quality.contentChecksum(df, "grp0", Seq(col("id"), col("v")))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val base = sums(a)
+    assert(sums(a.orderBy(col("id").desc).repartition(5)) == base)
+    // one changed value flips the fingerprint
+    val changed = sums(Seq((1L, "g", 10L), (2L, "g", 21L), (3L, "g", 30L))
+      .toDF("id", "grp0", "v"))
+    assert(changed._2 != base._2 || changed._3 != base._3)
+    // an identical pair of extra rows: XOR cancels, count + sum_mod don't
+    val dup = sums(a.unionAll(Seq((9L, "g", 90L), (9L, "g", 90L))
+      .toDF("id", "grp0", "v")))
+    assert(dup._2 == base._2) // the xor blind spot, by construction
+    assert(dup._1 == base._1 + 2 && dup._3 != base._3)
+  }
+
 }

@@ -804,4 +804,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L)._3 == 2000000L / 3L)
   }
 
+  test("hubnessAudit: in-degree histogram includes the never-retrieved zero bucket") {
+    val s = spark
+    import s.implicits._
+    // four colinear vectors share an LSH bucket (identical plane signs)
+    // and retrieve each other (in-degree 3 each); the negated vector
+    // lands in the complement bucket alone (in-degree 0, never retrieved)
+    val base = Array.tabulate(64)(j => (j + 1).toFloat / 64f)
+    val df = (1L to 4L).map(i => (i, base.map(_ * i)))
+      .:+((5L, base.map(v => -v))).toDF("vec_id", "emb")
+    val out = Similarity.hubnessAudit(df, "emb", "vec_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 3L -> 4L))
+  }
+
+  test("sqDistortionSweep: 13 bits lossless on the grid; fewer bits lose monotonically") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array(0.5f, -0.25f, 0.1234f, 0.9999f))).toDF("vec_id", "emb")
+    val out = Similarity.sqDistortionSweep(df, "emb", bits = Seq(4, 8, 13))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // bits -> total_dist2
+    assert(out(13L) == 0L) // m = 1: nothing dropped
+    assert(out(8L) > 0L && out(4L) > out(8L))
+    // hand check at 8 bits: m = 32; pmod of each grid value
+    val m = 32L
+    val grid = Seq(5000L, -2500L, 1234L, 9999L)
+    val exp = grid.map(x => { val p = ((x % m) + m) % m; p * p }).sum
+    assert(out(8L) == exp)
+  }
+
 }

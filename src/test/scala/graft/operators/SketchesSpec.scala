@@ -270,4 +270,20 @@ class SketchesSpec extends SparkSpec {
     assert(selfProbe.getAs[Long]("n_false_pos") == 50L)
   }
 
+  test("neymanAllocation: budget sums exactly; noisy strata out-earn constant ones") {
+    val s = spark
+    import s.implicits._
+    val df = (
+      (1 to 100).map(i => ("flat", 500L)) ++           // sd = 0
+      (1 to 100).map(i => ("wild", (i * 100).toLong))  // large sd
+    ).toDF("grp", "x")
+    val out = Sketches.neymanAllocation(df, "grp", $"x", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("flat")._2 == 0L) // constant stratum: sd 0
+    assert(out("wild")._2 > 0L)
+    assert(out.values.map(_._3).sum == 100L) // exact apportionment
+    assert(out("wild")._3 > out("flat")._3)
+  }
+
 }

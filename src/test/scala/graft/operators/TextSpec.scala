@@ -920,4 +920,23 @@ class TextSpec extends SparkSpec {
       .select("mask_start").collect().map(_.getLong(0)).toSet
     assert(starts == Set(1L, 2L))
   }
+  test("unicodeAnomalies: each class flags independently; clean docs pass") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a", "plain text"),
+      ("a", "zero\u200Bwidth"),
+      ("a", "bidi \u202E attack"),
+      ("b", "bell \u0007 control"),
+      ("b", "mojibake \uFFFD here"),
+      ("b", "tab\tand newline\nare fine")
+    ).toDF("src", "txt")
+    val out = Text.unicodeAnomalies(docs, "txt", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out("a") == ((3L, 0L, 1L, 1L, 0L, 666666L)))
+    assert(out("b") == ((3L, 1L, 0L, 0L, 1L, 666666L)))
+  }
+
 }

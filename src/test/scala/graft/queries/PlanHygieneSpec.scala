@@ -74,7 +74,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qx16_cms_recall", // cross of the 1-row k and 1-row hits aggregates
     "qa22_conversion_curve", // broadcast signup-count scalar (1 row)
     "qq26_fanout_audit", // cross of three 1-row relationship rollups
-    "qd83_vocab_sweep") // |sizes| candidates x <=max(sizes) ranked head (bounded x bounded) + 1-row total broadcast
+    "qd83_vocab_sweep", // |sizes| candidates x <=max(sizes) ranked head (bounded x bounded) + 1-row total broadcast
+    "qa23_growth_accounting", // broadcast global last-week scalar (1 row)
+    "qv30_hubness") // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

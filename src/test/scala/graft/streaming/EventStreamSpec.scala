@@ -1083,4 +1083,80 @@ class EventStreamSpec extends SparkSpec {
       .toMap
     assert(streamed == batch)
   }
+  test("distinctWindowed: exact per-window distinct; stream replay ≡ batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hour = 3600L * 1000000000L
+    // hour 0: users 1,2,1 -> 2 distinct; hour 1: users 1,3,4,4 -> 3
+    val data = Seq((1L, 0L), (2L, hour / 4), (1L, hour / 2),
+      (1L, hour + 1L), (3L, hour + 2L), (4L, hour + 3L), (4L, hour + 4L))
+    val batch = EventStream.distinctWindowed(
+        data.toDF("user_id", "ts"), "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == Map(0L -> 2L, hour / 1000L -> 3L))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStream.distinctWindowed(
+        mem.toDF.toDF("user_id", "ts"), "user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("distinct_windowed_spec").start()
+    mem.addData(data.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(data.drop(3): _*)
+    q.processAllAvailable()
+    mem.addData((99L, 100L * hour)) // sentinel closes the real windows
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.table("distinct_windowed_spec")
+      .filter($"wstart_us" < 50L * hour / 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("growthAccounting: new/retained/resurrected partition actives; churn reads forward") {
+    val s = spark
+    import s.implicits._
+    val wkNanos = 7L * 86400L * 1000000000L
+    // u1 active wk 0,1,3 ; u2 active wk 1 only ; u3 active wk 0,3
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L), (3L, 0L), (3L, 3L))
+      .map { case (u, w) => (u, w * wkNanos + 5L) }
+      .toDF("user_id", "ts")
+    val out = EventStream.growthAccounting(ev)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // wk0: u1,u3 new; both skip wk1? u1 active wk1 -> churn counts u3 only
+    assert(out(0L) == ((2L, 2L, 0L, 0L, 1L)))
+    // wk1: u1 retained, u2 new; next week nobody active -> both churned
+    assert(out(1L) == ((2L, 1L, 1L, 0L, 2L)))
+    // wk3 (final): u1,u3 resurrected; churn unknowable -> 0
+    assert(out(3L) == ((2L, 0L, 0L, 2L, 0L)))
+    // every active user is exactly one of new/retained/resurrected
+    out.values.foreach { case (a, n, r2, re, _) => assert(a == n + r2 + re) }
+  }
+
+  test("burnRate: trailing RANGE windows span silent hours; page needs both windows hot") {
+    val s = spark
+    import s.implicits._
+    val hr = 3600L * 1000000000L
+    // hour 0: 10 ok; hour 1: 10 errors (fast burn); hour 7: 10 ok
+    // (hour 7 is > 6h after hour 1, so its long window forgets the burn)
+    val ev = ((1 to 10).map(i => (0L, "view")) ++
+      (1 to 10).map(i => (1L, "error")) ++
+      (1 to 10).map(i => (7L, "view")))
+      .zipWithIndex.map { case ((h, t), i) => (i.toLong, h * hr + i, t) }
+      .toDF("user_id", "ts", "event_type")
+    val out = EventStream.burnRate(ev, budgetPpm = 50000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toMap
+    // hour 1: short 100% (10/10), long 50% (10/20) -> page
+    assert(out(1L) == ((10L, 10L, 1000000L, 500000L, 1L)))
+    // hour 0: clean
+    assert(out(0L)._5 == 0L)
+    // hour 7: short clean; the burn at hour 1 is outside the 6h range
+    assert(out(7L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
 }

@@ -497,6 +497,43 @@ object Graphs {
     visited
   }
 
+  /** Double-sweep diameter estimate — the standard two-BFS lower bound
+    * (Magnien-Latapy-Habib): BFS from a seed, take the farthest reached
+    * vertex (ties to the smaller id), BFS again from there; the second
+    * eccentricity is a diameter lower bound that is exact on trees and
+    * empirically tight on real graphs. One row: (start_n, sweep1_far,
+    * sweep1_ecc, sweep2_far, diameter_lb, n_reached) — n_reached from
+    * the second sweep (the seed's component size within `maxHops`).
+    *
+    * Scale shape: two [[shortestHops]] runs (frontier BFS, checkpointed
+    * rounds, O(E) amortized) + two bounded 1-row driver gathers for the
+    * argmax hand-off between sweeps. Distances cap at `maxHops` — size
+    * it above the expected diameter or read the bound as "≥ cap". */
+  def doubleSweepDiameter(edges: DataFrame, aCol: String, bCol: String,
+      seed: Long, maxHops: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def seedDf(n: Long) = spark.createDataFrame(
+      java.util.Arrays.asList(Row(n)),
+      StructType(Seq(StructField("n", LongType))))
+    def farthest(d: DataFrame): (Long, Long) = {
+      val r = d.orderBy(col("dist").desc, col("n")).limit(1).head()
+      (r.getLong(0), r.getAs[Number]("dist").longValue())
+    }
+    val d1 = shortestHops(edges, aCol, bCol, seedDf(seed), "n", maxHops)
+    val (far1, ecc1) = farthest(d1)
+    val d2 = shortestHops(edges, aCol, bCol, seedDf(far1), "n", maxHops)
+    val (far2, ecc2) = farthest(d2)
+    val nReached = d2.count()
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(seed, far1, ecc1, far2, ecc2, nReached)),
+      StructType(Seq(StructField("start_n", LongType),
+        StructField("sweep1_far", LongType), StructField("sweep1_ecc", LongType),
+        StructField("sweep2_far", LongType), StructField("diameter_lb", LongType),
+        StructField("n_reached", LongType))))
+  }
+
   /** Newman modularity of a candidate partitioning — the score that says
     * whether a community assignment (label propagation, connected
     * components, a hash-bucket null model) beats random chance on this

@@ -1011,6 +1011,64 @@ object Quality {
     }.reduce(_ unionAll _)
   }
 
+  /** JSON value-type inference — the types half of schema-on-read
+    * ([[jsonKeyProfile]] answers which keys exist; this answers what
+    * COLUMN TYPE each key's values support, so the extraction select
+    * can be written with casts that won't silently null): per key,
+    * (key, n_values, n_int, n_double, n_bool, suggested) where the
+    * classes are REGEX-decided ('^-?[0-9]+$' etc. — deliberately not
+    * try_cast, whose string→int semantics differ across engines:
+    * some round '1.5', some reject it), integers count as doubles, and
+    * `suggested` is the narrowest type every value fits (bigint →
+    * double → boolean → varchar).
+    *
+    * Scale shape: one key explode + one key groupBy — same plan class
+    * as the key profiler. */
+  def jsonTypeInference(df: DataFrame, jsonCol: String): DataFrame = {
+    val intRe = "^-?[0-9]+$"
+    val dblRe = "^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$"
+    df.select(col(jsonCol).as("j"))
+      .filter(col("j").isNotNull)
+      .select(explode(json_object_keys(col("j"))).as("key"), col("j"))
+      .withColumn("v", expr("get_json_object(j, concat('$.', key))"))
+      .filter(col("v").isNotNull)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_values"),
+        coalesce(sum(col("v").rlike(intRe).cast("long")), lit(0L))
+          .as("n_int"),
+        coalesce(sum(col("v").rlike(dblRe).cast("long")), lit(0L))
+          .as("n_double"),
+        coalesce(sum(col("v").isin("true", "false").cast("long")), lit(0L))
+          .as("n_bool"))
+      .withColumn("suggested",
+        when(col("n_int") === col("n_values"), "bigint")
+          .when(col("n_double") === col("n_values"), "double")
+          .when(col("n_bool") === col("n_values"), "boolean")
+          .otherwise("varchar"))
+  }
+
+  /** Slice completeness matrix — null-share per column PER SLICE (a
+    * column that is 99% complete globally but empty for one source is a
+    * broken upstream feed, invisible to the global profile): long
+    * format (grp, col_name, n_rows, n_nonnull, nonnull_ppm), one row
+    * per (slice, audited column).
+    *
+    * Scale shape: ONE group aggregation computes every column's
+    * non-null count (columns add agg expressions, not scans); the long
+    * format unrolls from the group row via `inline`. */
+  def completenessMatrix(df: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "completenessMatrix needs audited columns")
+    val agg = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.map(c => coalesce(sum(col(c).isNotNull.cast("long")), lit(0L))
+          .as(s"__nn_$c")): _*)
+    agg.select(col("grp"), col("n_rows"), inline(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(s"__nn_$c").as("n_nonnull"),
+        expr(s"(__nn_$c * 1000000L) div greatest(1L, n_rows)")
+          .as("nonnull_ppm"))): _*)))
+  }
+
   /** Order-independent content checksum — the migration/replication
     * fingerprint (run it on both sides of a copy and compare three
     * numbers per group instead of rows): per `groupCol`,

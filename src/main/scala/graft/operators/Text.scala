@@ -1464,6 +1464,48 @@ object Text {
         expr("(n_contaminated * 1000000L) div greatest(1L, n_docs)"))
   }
 
+  /** Source-overlap provenance matrix — which sources copy from which
+    * (a crawl slice that shares half its shingles with another source is
+    * a mirror, not new data; [[shingleReuse]] sees recycling over TIME,
+    * this sees it across SOURCES): per overlapping source pair
+    * (grp_a < grp_b): shared distinct `n`-gram shingles, each side's
+    * distinct-shingle count, DIRECTIONAL containment ppm (shared ÷ each
+    * side — the mirror reads near 10⁶ on its side even when the host is
+    * huge) and Jaccard ppm. Non-overlapping pairs emit nothing.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, shingle-md5)
+    * first; the shingle self-join's fan-out is bounded by
+    * sources-per-shingle ≤ |sources| (a dimension, not the corpus);
+    * per-source totals rejoin on the source key. Never doc×doc, never
+    * corpus×corpus. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n out of range: $n")
+    val tk = split(col(textCol), " ")
+    val ws = when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(1), size(tk) - n + 1),
+        i => md5(concat_ws(" ", slice(tk, i, lit(n)))))))
+      .otherwise(array().cast("array<string>"))
+    val gs = df.select(col(groupCol).as("grp"), explode(ws).as("sh"))
+      .distinct()
+    val totals = gs.groupBy("grp").agg(count(lit(1)).as("n_sh"))
+    val shared = gs.as("a").join(gs.as("b"),
+        col("a.sh") === col("b.sh") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(totals.select(col("grp").as("grp_a"), col("n_sh").as("n_a")),
+        "grp_a")
+      .join(totals.select(col("grp").as("grp_b"), col("n_sh").as("n_b")),
+        "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("shared"), col("n_a"),
+        col("n_b"),
+        expr("(shared * 1000000L) div n_a").as("contain_a_ppm"),
+        expr("(shared * 1000000L) div n_b").as("contain_b_ppm"),
+        expr("(shared * 1000000L) div (n_a + n_b - shared)")
+          .as("jaccard_ppm"))
+  }
+
   /** Unicode anomaly audit — the invisible-character screen a corpus
     * needs before training or rendering (bidi overrides enable
     * Trojan-Source-style display spoofing, zero-width characters carry

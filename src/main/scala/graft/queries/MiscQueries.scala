@@ -205,6 +205,27 @@ object MiscQueries {
     // Exact triangle count over the co-purchase graph (parts sharing an
     // order), degree-ordered orientation bounding wedge fan-out — the
     // "curse of the last reducer" fix, under the oracle.
+    // Double-sweep diameter: BFS from the min vertex, re-BFS from the
+    // farthest reached — the standard two-sweep lower bound.
+    "qg18_diameter" -> { (s, d) =>
+      val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      // bounded 1-row gather picks the deterministic start vertex
+      val seed = edges.agg(min("pa")).head().getLong(0)
+      graft.operators.Graphs.doubleSweepDiameter(edges, "pa", "pb", seed,
+        maxHops = 10)
+    },
+    // Slice completeness: null-share per audited column per event type —
+    // the per-feed completeness board.
+    "qq29_completeness" -> { (s, d) =>
+      graft.operators.Quality.completenessMatrix(t(s, d, "events"),
+          "event_type", Seq("user_id", "value", "props"))
+        .orderBy("grp", "col_name")
+    },
     // k-truss backbone: 2 fixed peeling rounds at k=4 (edges must close
     // >= 2 triangles with surviving edges); output = survivors with
     // their support in the FINAL graph.
@@ -444,6 +465,26 @@ object MiscQueries {
     // Semi-structured profiler over a synthesized three-variant JSON
     // column: per top-level key, row coverage + distinct/min/max of the
     // extracted text — the "what is actually in this props blob" view.
+    // JSON value-type inference over the qq05 blobs plus a
+    // decimal-as-string amount (the number-shipped-as-string case type
+    // inference exists for): the narrowest safe extraction type per key.
+    "qq30_json_types" -> { (s, d) =>
+      val cents = abs(round(col("value") * 100)).cast("long")
+      val js = when(col("event_id") % 3 === 0,
+          format_string(
+            "{\"uid\": %d, \"type\": \"%s\", \"amt\": \"%d.%02d\"}",
+            col("user_id"), col("event_type"),
+            expr("abs(cast(round(value * 100) as bigint)) div 100"),
+            pmod(cents, lit(100L))))
+        .when(col("event_id") % 3 === 1,
+          format_string("{\"uid\": %d}", col("user_id")))
+        .otherwise(format_string(
+          "{\"uid\": %d, \"type\": \"%s\", \"flag\": true}",
+          col("user_id"), col("event_type")))
+      graft.operators.Quality.jsonTypeInference(
+          t(s, d, "events").select(js.as("j")), "j")
+        .orderBy("key")
+    },
     "qq05_json_profile" -> { (s, d) =>
       val js = when(col("event_id") % 3 === 0,
           format_string("{\"uid\": %d, \"type\": \"%s\"}",
@@ -1049,6 +1090,45 @@ object MiscQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "qg18_diameter" ->
+      """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM pp a JOIN pp b
+        |  ON a.o = b.o AND a.p < b.p),
+        |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |s0 AS (SELECT MIN(u) AS n FROM e0),
+        |r1(n, dd) AS (SELECT n, 0 FROM s0
+        |  UNION SELECT e.v, r.dd + 1 FROM r1 r JOIN edges e ON e.u = r.n
+        |  WHERE r.dd < 10),
+        |d1 AS (SELECT n, MIN(dd) AS dist FROM r1 GROUP BY n),
+        |far1 AS (SELECT n, dist FROM d1 ORDER BY dist DESC, n LIMIT 1),
+        |r2(n, dd) AS (SELECT n, 0 FROM far1
+        |  UNION SELECT e.v, r.dd + 1 FROM r2 r JOIN edges e ON e.u = r.n
+        |  WHERE r.dd < 10),
+        |d2 AS (SELECT n, MIN(dd) AS dist FROM r2 GROUP BY n),
+        |far2 AS (SELECT n, dist FROM d2 ORDER BY dist DESC, n LIMIT 1)
+        |SELECT CAST((SELECT n FROM s0) AS BIGINT) AS start_n,
+        |  CAST((SELECT n FROM far1) AS BIGINT) AS sweep1_far,
+        |  CAST((SELECT dist FROM far1) AS BIGINT) AS sweep1_ecc,
+        |  CAST((SELECT n FROM far2) AS BIGINT) AS sweep2_far,
+        |  CAST((SELECT dist FROM far2) AS BIGINT) AS diameter_lb,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d2) AS n_reached""".stripMargin,
+    "qq29_completeness" ->
+      """WITH g AS (SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    COALESCE(CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 END)
+        |      AS BIGINT), 0) AS nn_u,
+        |    COALESCE(CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 END)
+        |      AS BIGINT), 0) AS nn_v,
+        |    COALESCE(CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 END)
+        |      AS BIGINT), 0) AS nn_p
+        |  FROM events GROUP BY 1)
+        |SELECT grp, n_rows, 'user_id' AS col_name, nn_u AS n_nonnull,
+        |  (nn_u * 1000000) // GREATEST(1, n_rows) AS nonnull_ppm FROM g
+        |UNION ALL SELECT grp, n_rows, 'value', nn_v,
+        |  (nn_v * 1000000) // GREATEST(1, n_rows) FROM g
+        |UNION ALL SELECT grp, n_rows, 'props', nn_p,
+        |  (nn_p * 1000000) // GREATEST(1, n_rows) FROM g
+        |ORDER BY grp, col_name""".stripMargin,
     "qg17_ktruss" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         |  WHERE l_orderkey % 20 = 0),
@@ -1435,6 +1515,40 @@ object MiscQueries {
         |    * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) AS uv FROM w)
         |SELECT id, weight, uv // greatest(weight, 1) AS priority FROM u
         |ORDER BY priority, id LIMIT 100""".stripMargin,
+    "qq30_json_types" ->
+      """WITH c AS (SELECT event_id, user_id, event_type,
+        |    ABS(CAST(ROUND(value * 100) AS BIGINT)) AS cents FROM events),
+        |j AS (SELECT CASE
+        |    WHEN event_id % 3 = 0 THEN
+        |      '{"uid": ' || user_id || ', "type": "' || event_type
+        |        || '", "amt": "' || (cents // 100) || '.'
+        |        || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') || '"}'
+        |    WHEN event_id % 3 = 1 THEN '{"uid": ' || user_id || '}'
+        |    ELSE '{"uid": ' || user_id || ', "type": "' || event_type
+        |      || '", "flag": true}' END AS js
+        |  FROM c),
+        |keys AS (SELECT js, unnest(json_keys(js)) AS key FROM j),
+        |kv AS (SELECT key, js ->> key AS v FROM keys WHERE js ->> key
+        |  IS NOT NULL),
+        |f AS (SELECT key,
+        |    CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 1 ELSE 0 END
+        |      AS is_i,
+        |    CASE WHEN regexp_matches(v,
+        |      '^-?[0-9]+(\.[0-9]+)?([eE][-+]?[0-9]+)?$') THEN 1 ELSE 0 END
+        |      AS is_d,
+        |    CASE WHEN v IN ('true', 'false') THEN 1 ELSE 0 END AS is_b
+        |  FROM kv),
+        |g AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    CAST(SUM(is_i) AS BIGINT) AS n_int,
+        |    CAST(SUM(is_d) AS BIGINT) AS n_double,
+        |    CAST(SUM(is_b) AS BIGINT) AS n_bool
+        |  FROM f GROUP BY key)
+        |SELECT key, n_values, n_int, n_double, n_bool,
+        |  CASE WHEN n_int = n_values THEN 'bigint'
+        |    WHEN n_double = n_values THEN 'double'
+        |    WHEN n_bool = n_values THEN 'boolean'
+        |    ELSE 'varchar' END AS suggested
+        |FROM g ORDER BY key""".stripMargin,
     "qq05_json_profile" ->
       """WITH j AS (SELECT CASE
         |    WHEN event_id % 3 = 0 THEN

@@ -676,6 +676,13 @@ object TextOps {
     // Compliance-marker audit per source (emails / URLs / copyright /
     // rights-reserved), with markers injected deterministically so the
     // scan has real positives at every SF.
+    // Source-overlap provenance matrix: shared distinct 8-gram shingles
+    // per source pair with directional containment — the mirror finder.
+    "qd86_source_overlap" -> { (s, d) =>
+      graft.operators.Text.sourceOverlapMatrix(
+          t(s, d, "documents"), "text", "source", n = 8)
+        .orderBy("grp_a", "grp_b")
+    },
     // Unicode anomaly audit: bidi overrides / zero-width / C0 controls /
     // U+FFFD per source, with anomalies injected deterministically so
     // every SF has real positives.
@@ -1781,6 +1788,24 @@ object TextOps {
         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
         |  FROM c)
         |SELECT pair, cnt, rank FROM r WHERE rank <= 40 ORDER BY rank""".stripMargin,
+    "qd86_source_overlap" ->
+      """WITH gs AS (SELECT DISTINCT source AS grp,
+        |    md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS sh
+        |  FROM (SELECT source, str_split(text, ' ') AS w FROM documents),
+        |       unnest(range(1, len(w) - 8 + 2)) t(i)),
+        |tot AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_sh
+        |  FROM gs GROUP BY grp),
+        |sh AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM gs a JOIN gs b ON a.sh = b.sh AND a.grp < b.grp
+        |  GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+        |  (shared * 1000000) // ta.n_sh AS contain_a_ppm,
+        |  (shared * 1000000) // tb.n_sh AS contain_b_ppm,
+        |  (shared * 1000000) // (ta.n_sh + tb.n_sh - shared) AS jaccard_ppm
+        |FROM sh JOIN tot ta ON ta.grp = sh.grp_a
+        |JOIN tot tb ON tb.grp = sh.grp_b
+        |ORDER BY grp_a, grp_b""".stripMargin,
     "qd85_unicode_audit" ->
       """WITH d AS (SELECT source, text
         |    || CASE WHEN doc_id % 7 = 0 THEN chr(8203) ELSE '' END

@@ -432,4 +432,20 @@ class GraphsSpec extends SparkSpec {
     assert(out3.count() == 9L) // every edge closes >= 1 triangle
   }
 
+  test("doubleSweepDiameter: exact on a path graph; ties break to smaller id") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 plus a spur 3-9: diameter = 4 (1..5)
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(3L,9L)).toDF("a","b")
+    val r = Graphs.doubleSweepDiameter(edges, "a", "b", seed = 3L,
+      maxHops = 10).head()
+    // from 3: farthest are 1,5,9 at dist 2 -> tie picks 1; from 1:
+    // farthest is 5 at dist 4 = the true diameter
+    assert(r.getAs[Long]("sweep1_far") == 1L)
+    assert(r.getAs[Long]("sweep1_ecc") == 2L)
+    assert(r.getAs[Long]("sweep2_far") == 5L)
+    assert(r.getAs[Long]("diameter_lb") == 4L)
+    assert(r.getAs[Long]("n_reached") == 6L)
+  }
+
 }

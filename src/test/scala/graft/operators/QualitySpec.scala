@@ -587,4 +587,37 @@ class QualitySpec extends SparkSpec {
     assert(dup._1 == base._1 + 2 && dup._3 != base._3)
   }
 
+  test("completenessMatrix: per-slice null shares; a slice-dead column is visible") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("web", Some(1L), Some("x")), ("web", Some(2L), None),
+      ("app", None, Some("y")), ("app", None, Some("z"))
+    ).toDF("src", "uid", "tag")
+    val out = Quality.completenessMatrix(df, "src", Seq("uid", "tag"))
+      .collect().map(r => (r.getString(0), r.getString(2)) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("web", "uid")) == ((2L, 2L, 1000000L)))
+    assert(out(("web", "tag")) == ((2L, 1L, 500000L)))
+    assert(out(("app", "uid")) == ((2L, 0L, 0L))) // dead for this slice
+    assert(out(("app", "tag")) == ((2L, 2L, 1000000L)))
+  }
+
+  test("jsonTypeInference: narrowest type wins; mixed keys fall back to varchar") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      """{"i": 5, "d": "1.25", "b": true, "m": 7}""",
+      """{"i": -3, "d": "2e3", "b": false, "m": "oops"}"""
+    ).toDF("j")
+    val out = Quality.jsonTypeInference(df, "j")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    assert(out("i") == ((2L, 2L, 2L, 0L, "bigint"))) // ints are doubles too
+    assert(out("d") == ((2L, 0L, 2L, 0L, "double")))
+    assert(out("b") == ((2L, 0L, 0L, 2L, "boolean")))
+    assert(out("m") == ((2L, 1L, 1L, 0L, "varchar")))
+  }
+
 }

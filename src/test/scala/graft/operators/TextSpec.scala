@@ -939,4 +939,25 @@ class TextSpec extends SparkSpec {
     assert(out("b") == ((3L, 1L, 0L, 0L, 1L, 666666L)))
   }
 
+  test("sourceOverlapMatrix: containment is directional; disjoint pairs emit nothing") {
+    val s = spark
+    import s.implicits._
+    val big = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"  // 8 shingles of 4
+    val docs = Seq(
+      ("host", big),                       // 8 distinct 4-gram shingles
+      ("mirror", "t1 t2 t3 t4"),           // 1 shingle, contained in host
+      ("other", "u1 u2 u3 u4 u5")          // disjoint
+    ).toDF("src", "txt")
+    val out = Text.sourceOverlapMatrix(docs, "txt", "src", n = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // only (host, mirror) overlaps; 8 vs 1 shingles, 1 shared
+    assert(out.keySet == Set(("host", "mirror")))
+    val (shared, na, nb, ca, cb) = out(("host", "mirror"))
+    assert(shared == 1L && na == 8L && nb == 1L)
+    assert(ca == 125000L)  // 1/8 of host
+    assert(cb == 1000000L) // the mirror is fully contained
+  }
+
 }

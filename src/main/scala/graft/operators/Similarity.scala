@@ -1277,6 +1277,26 @@ object Similarity {
       .withColumn("acc_ppm", expr("(n_correct * 1000000L) div n_vecs"))
   }
 
+  /** Per-dimension clip-range calibration — the numbers a scalar
+    * quantizer is actually PARAMETERIZED with (clip each dimension to
+    * [p01, p99] before assigning bits, or one outlier coordinate eats
+    * the whole range — the calibration step [[sqDistortionSweep]]
+    * presumes): per dimension, (dim, n, min_v, p01, p50, p99, max_v)
+    * over the exact integer grid, percentiles via the engine-portable
+    * interpolated `percentile` (the qp04 Spark ≡ DuckDB
+    * `quantile_cont` parity).
+    *
+    * Scale shape: one posexplode collapses the corpus to |dims| groups;
+    * everything after is a |dims|-row aggregate. */
+  def clipCalibration(df: DataFrame, embCol: String): DataFrame =
+    df.select(posexplode(quantize(col(embCol))).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"),
+        expr("percentile(v, 0.01)").as("p01"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.99)").as("p99"),
+        max("v").as("max_v"))
+
   /** Scalar-quantization distortion sweep — [[pqDistortion]]'s question
     * asked of the SIMPLER index family (per-dimension bit truncation, no
     * codebook): for each candidate bit width b, the exact L2² energy

@@ -119,6 +119,13 @@ object VectorOps {
       graft.operators.Similarity.duplicateVectorGroups(
         withClones, "embedding")
     },
+    // Per-dimension clip calibration: the [p01, p99] ranges a scalar
+    // quantizer clips to before assigning bits.
+    "qv32_clip_calibration" -> { (s, d) =>
+      graft.operators.Similarity.clipCalibration(
+          t(s, d, "embeddings"), "embedding")
+        .orderBy("dim")
+    },
     // Scalar-quantization distortion sweep: energy dropped at 4/6/8/10
     // bits per grid coordinate — the "how many bits do we need" curve.
     "qv31_sq_sweep" -> { (s, d) =>
@@ -619,6 +626,17 @@ object VectorOps {
         |  CAST(SUM(s) AS BIGINT) AS n_suspect,
         |  (CAST(SUM(s) AS BIGINT) * 1000000) // COUNT(*) AS suspect_ppm
         |FROM sus GROUP BY label ORDER BY label""".stripMargin,
+    "qv32_clip_calibration" ->
+      """WITH el AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v
+        |  FROM embeddings, unnest(range(1, 65)) t(i))
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(v) AS BIGINT) AS min_v,
+        |  quantile_cont(v, 0.01) AS p01,
+        |  quantile_cont(v, 0.5) AS p50,
+        |  quantile_cont(v, 0.99) AS p99,
+        |  CAST(MAX(v) AS BIGINT) AS max_v
+        |FROM el GROUP BY dim ORDER BY dim""".stripMargin,
     "qv31_sq_sweep" ->
       """WITH emb AS (SELECT
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -833,4 +833,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out(8L) == exp)
   }
 
+  test("clipCalibration: per-dimension exact ranges; outlier only widens its own dim") {
+    val s = spark
+    import s.implicits._
+    // dim 0: constant 0.1; dim 1: 1..100 plus one huge outlier
+    val df = (1 to 100).map(i =>
+      (i.toLong, Array(0.1f, if (i == 100) 1000f else i / 1000f)))
+      .toDF("vec_id", "emb")
+    val out = Similarity.clipCalibration(df, "emb")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getDouble(5), r.getLong(6))).toMap
+    assert(out(0) == ((1000L, 1000.0, 1000L))) // constant: p99 = min = max
+    val (mn, p99, mx) = out(1)
+    assert(mn == 10L && mx == 10000000L)
+    assert(p99 < 1000000.0) // the p99 clip excludes the outlier
+  }
+
 }

@@ -836,4 +836,61 @@ object Graphs {
       .filter(col("rank") <= k)
       .select("item", "rec", "c_ab", "score_ppm", "rank")
   }
+
+  /** Deterministic random-walk corpus — DeepWalk's training-data step
+    * (Perozzi et al. 2014: truncated random walks become the "sentences"
+    * a skip-gram embedding trains on): `walksPerNode` fixed-length walks
+    * from every vertex, the step-i successor drawn by an md5 hash of
+    * (walk id, step) over the current vertex's SORTED neighbor list — a
+    * pure function of the graph, so any engine replays the identical
+    * corpus (no RNG state, resumable, audit-friendly). Returns
+    * (walk_id, seed, step, node); step 0 is the seed;
+    * walk_id = seed·walksPerNode + walk index.
+    *
+    * Scale shape: the adjacency gets (rank, degree) in ONE window pass
+    * over the mirrored edge relation; each of the `len` steps is ONE
+    * equi-join of the frontier (≤ nodes × walksPerNode rows — no per-walk
+    * state beyond the current vertex) against (source, rank), with the
+    * hash-pick as a residual predicate on the source's partition. The
+    * walk length is a constant, so the plan has bounded depth — no
+    * fixpoint iteration, no driver state. Undirected mirroring means
+    * every reachable vertex has degree ≥ 1: walks never dead-end. */
+  def randomWalks(edges0: DataFrame, aCol: String, bCol: String,
+      len: Int = 4, walksPerNode: Int = 2): DataFrame = {
+    require(len >= 1 && len <= 16, s"len out of range: $len")
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode out of range: $walksPerNode")
+    val canon = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy("t")
+    val adj = canon.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(canon.select(col("v").as("s"), col("u").as("t")))
+      .select(col("s"), col("t"), row_number().over(w).as("rn"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("s"))
+          .as("deg"))
+    val start = adj.select(col("s").as("seed")).distinct()
+      .select(col("seed"),
+        explode(array((0 until walksPerNode).map(i => lit(i.toLong)): _*))
+          .as("wk"))
+      .select((col("seed") * walksPerNode + col("wk")).as("walk_id"),
+        col("seed"), col("seed").as("node"))
+    val steps = Iterator.iterate((start, 0)) { case (cur, i) =>
+      val step = i + 1
+      val pick = conv(substring(md5(concat_ws(":", lit("rw"),
+        col("walk_id"), lit(step))), 1, 13), 16, 10).cast("long")
+      val next = cur.join(adj, col("node") === col("s") &&
+          col("rn") === pick % col("deg") + 1)
+        .select(col("walk_id"), col("seed"), col("t").as("node"))
+      (next, step)
+    }.take(len + 1).toSeq
+    steps.map { case (df, i) =>
+      df.select(col("walk_id"), col("seed"), lit(i.toLong).as("step"),
+        col("node"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -1136,4 +1136,48 @@ object Quality {
         coalesce(max(col("__diff_micros")), lit(0L))
           .as("max_abs_diff_micros"))
   }
+
+  /** Multi-feature Hellinger drift gate — ONE bounded score per feature
+    * between a reference slice and a current slice: H²·10⁶ where
+    * H²(P,Q) = ½·Σ(√p−√q)², the [0,1]-bounded distance a monitoring
+    * threshold wants ("alert any feature past 0.05"). Complements
+    * [[distributionDrift]], which details ONE feature per-category with
+    * an unbounded chi-square-shaped contribution; this is the
+    * cross-feature scoreboard. PSI's ln() is not engine-exact, but √ is
+    * IEEE-754 correctly rounded everywhere, and each bucket's term is
+    * rounded to an integer BEFORE the sum — the score is bit-identical
+    * in any engine. NULL buckets are coalesced to an explicit sentinel
+    * (the qq25 lesson: a silently skipped NULL diverges engines).
+    * Output: (feature, n_buckets, h2_ppm), one row per feature.
+    *
+    * Scale shape: per feature, two partial-aggregated counts on the
+    * bucket key, a full-outer join of the two category-sized count
+    * tables, and two one-row total broadcasts; raw rows are scanned once
+    * per side per feature. Output is |features| rows. */
+  def hellingerGate(a: DataFrame, b: DataFrame,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "at least one feature")
+    val sentinel = lit("\u0001null")
+    features.map { case (name, f) =>
+      def counts(df: DataFrame, tag: String) =
+        df.select(coalesce(f.cast("string"), sentinel).as("value"))
+          .groupBy("value").agg(count(lit(1)).as(s"n_$tag"))
+      val na = broadcast(a.agg(count(lit(1)).as("na")))
+      val nb = broadcast(b.agg(count(lit(1)).as("nb")))
+      counts(a, "a").join(counts(b, "b"), Seq("value"), "full_outer")
+        .na.fill(0L, Seq("n_a", "n_b"))
+        .crossJoin(na).crossJoin(nb)
+        .select(
+          expr("(n_a * 1000000L) div greatest(1L, na)").as("pa_ppm"),
+          expr("(n_b * 1000000L) div greatest(1L, nb)").as("pb_ppm"))
+        .select(expr(
+          """cast(round(
+            |  (sqrt(cast(pa_ppm as double)) - sqrt(cast(pb_ppm as double)))
+            |  * (sqrt(cast(pa_ppm as double)) - sqrt(cast(pb_ppm as double)))
+            |) as bigint)""".stripMargin).as("term"))
+        .agg(count(lit(1)).as("n_buckets"), sum("term").as("t2"))
+        .select(lit(name).as("feature"), col("n_buckets"),
+          expr("t2 div 2L").as("h2_ppm"))
+    }.reduce(_ unionAll _)
+  }
 }

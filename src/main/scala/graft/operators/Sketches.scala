@@ -525,4 +525,55 @@ object Sketches {
       (col("base") + when(col("rrank") <= col("left_over"), 1L)
         .otherwise(0L)).as("alloc"))
   }
+
+  /** AMS second-moment (F₂) sketch — Alon–Matias–Szegedy 1996, the
+    * classic estimate of Σ_v f_v², i.e. the SELF-JOIN SIZE on a key (what
+    * an optimizer wants before committing to a join order, what a skew
+    * monitor wants as one number): `depth`×`width` ±1 counters with
+    * deterministic md5 sign hashes, estimate = median over `depth` rows
+    * of the mean over `width` of (Σ_v s_j(v)·f_v)². Pure function of the
+    * data — any engine reproduces the estimate bit-for-bit (the KMV
+    * discipline, qx02). One row: (n_rows, n_distinct, f2_exact, f2_est,
+    * err_ppm).
+    *
+    * Scale shape: ONE count groupBy collapses the corpus to its distinct
+    * values; the ×(depth·width) sign expansion runs on that DISTINCT
+    * relation only and immediately folds to depth·width counter rows;
+    * means and the median are constant-size. In production you ship the
+    * counters (mergeable: counters of a union = sum of counters), not
+    * the values — this form keeps the exact F₂ beside the estimate
+    * because the gate needs both. Overflow: |Σ s·f| ≤ n, so counters²
+    * and f2 need n < 3·10⁹ at BIGINT — per group/partition scale; above
+    * that, widen to decimal. */
+  def amsF2(df: DataFrame, valueCol: String, depth: Int = 5,
+      width: Int = 8): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1 && depth <= 21,
+      s"depth must be odd, 1..21: $depth")
+    require(width >= 1 && width <= 64, s"width out of range: $width")
+    val freq = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("f"))
+    // sign from the parity of the first md5 hex digit — engine-portable
+    // without any hex->int conversion
+    val even = Seq("0", "2", "4", "6", "8", "a", "c", "e").map(lit)
+    val counters = freq
+      .select(col("v"), col("f"),
+        explode(array((0 until depth * width).map(i => lit(i)): _*)).as("j"))
+      .withColumn("sgn",
+        when(substring(md5(concat_ws(":", lit("ams"), col("j"), col("v"))),
+          1, 1).isin(even: _*), lit(1L)).otherwise(lit(-1L)))
+      .groupBy("j").agg(sum(col("sgn") * col("f")).as("z"))
+    val est = counters
+      .select((col("j") % depth).as("r"), (col("z") * col("z")).as("x"))
+      .groupBy("r").agg(expr(s"sum(x) div ${width}L").as("m"))
+      .agg(sort_array(collect_list("m")).as("ms"))
+      .select(element_at(col("ms"), (depth + 1) / 2).as("f2_est"))
+    val exact = freq.agg(sum("f").as("n_rows"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("f") * col("f")).as("f2_exact"))
+    // two one-row frames: the cross join is a 1x1 BNLJ by construction
+    exact.crossJoin(est)
+      .withColumn("err_ppm",
+        expr("abs(f2_est - f2_exact) * 1000000L div greatest(1L, f2_exact)"))
+  }
 }

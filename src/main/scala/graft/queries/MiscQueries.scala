@@ -247,6 +247,40 @@ object MiscQueries {
           "o_orderpriority", floor(col("o_totalprice")), budget = 1000L)
         .orderBy("stratum")
     },
+    // AMS F2 sketch: self-join size of orders on custkey from 5x8 +/-1
+    // counters, exact F2 beside the estimate.
+    "qx18_ams_f2" -> { (s, d) =>
+      graft.operators.Sketches.amsF2(t(s, d, "orders"), "o_custkey",
+        depth = 5, width = 8)
+    },
+    // DeepWalk training corpus: 2 deterministic 3-step random walks from
+    // every vertex of the co-purchase graph.
+    "qg19_random_walks" -> { (s, d) =>
+      val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.randomWalks(edges, "pa", "pb",
+          len = 3, walksPerNode = 2)
+        .orderBy("walk_id", "step")
+    },
+    // Hellinger drift gate: one bounded score per feature between the
+    // first and second half of the event-time range.
+    "qq31_hellinger_gate" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      // bounded 1-row gather picks the deterministic split point
+      val bounds = ev.agg(min("ts"), max("ts")).head()
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      graft.operators.Quality.hellingerGate(
+        ev.filter(col("ts") < mid), ev.filter(col("ts") >= mid), Seq(
+          "event_type" -> col("event_type"),
+          "hour_of_day" -> expr("(ts div 3600000000000L) % 24"),
+          "value_bucket" ->
+            expr("cast(greatest(floor(value), 0L) as bigint) div 20")))
+        .orderBy("feature")
+    },
     "qg01_triangles" -> { (s, d) =>
       val pp = t(s, d, "lineitem")
         .filter(col("l_orderkey") % 20 === 0)
@@ -1182,6 +1216,106 @@ object MiscQueries {
         |  CAST(base + CASE WHEN rrank <= left_over THEN 1 ELSE 0 END
         |    AS BIGINT) AS alloc
         |FROM w4 ORDER BY stratum""".stripMargin,
+    "qx18_ams_f2" ->
+      """WITH freq AS (SELECT CAST(o_custkey AS VARCHAR) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |cnt AS (SELECT j, CAST(SUM(CASE WHEN substr(md5('ams:'
+        |      || CAST(j AS VARCHAR) || ':' || v), 1, 1)
+        |      IN ('0','2','4','6','8','a','c','e') THEN f ELSE -f END)
+        |    AS BIGINT) AS z
+        |  FROM freq, unnest(range(0, 40)) tt(j) GROUP BY j),
+        |mm AS (SELECT j % 5 AS r, CAST(SUM(z * z) AS BIGINT) // 8 AS m
+        |  FROM cnt GROUP BY 1),
+        |med AS (SELECT m AS f2_est FROM mm ORDER BY m LIMIT 1 OFFSET 2),
+        |ex AS (SELECT CAST(SUM(f) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(f * f) AS BIGINT) AS f2_exact FROM freq)
+        |SELECT ex.n_rows, ex.n_distinct, ex.f2_exact, med.f2_est,
+        |  abs(med.f2_est - ex.f2_exact) * 1000000
+        |    // GREATEST(1, ex.f2_exact) AS err_ppm
+        |FROM ex, med""".stripMargin,
+    "qg19_random_walks" ->
+      """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pp a JOIN pp b
+        |  ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+        |r AS (SELECT s, t, ROW_NUMBER() OVER (PARTITION BY s ORDER BY t) AS rn,
+        |    COUNT(*) OVER (PARTITION BY s) AS deg FROM adj),
+        |seeds AS (SELECT DISTINCT s FROM r),
+        |wk(walk_id, seed, step, node) AS (
+        |  SELECT s * 2 + w, s, 0, s FROM seeds, unnest([0, 1]) tt(w)
+        |  UNION ALL
+        |  SELECT wk.walk_id, wk.seed, wk.step + 1, r.t
+        |  FROM wk JOIN r ON r.s = wk.node
+        |    AND r.rn = 1 + (CAST(list_sum(list_transform(generate_series(1, 13),
+        |      j -> CAST(instr('0123456789abcdef', substr(md5('rw:'
+        |          || CAST(wk.walk_id AS VARCHAR) || ':'
+        |          || CAST(wk.step + 1 AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT) * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT)
+        |      % r.deg)
+        |  WHERE wk.step < 3)
+        |SELECT walk_id, seed, CAST(step AS BIGINT) AS step, node
+        |FROM wk ORDER BY walk_id, step""".stripMargin,
+    "qq31_hellinger_gate" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) * 1000 AS tsn, value
+        |  FROM events),
+        |mid AS (SELECT (MIN(tsn) + MAX(tsn)) // 2 AS m FROM e),
+        |ea AS (SELECT * FROM e, mid WHERE tsn < m),
+        |eb AS (SELECT * FROM e, mid WHERE tsn >= m),
+        |na AS (SELECT COUNT(*) AS n FROM ea),
+        |nb AS (SELECT COUNT(*) AS n FROM eb),
+        |f1a AS (SELECT COALESCE(event_type, chr(1) || 'null') AS value,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM ea GROUP BY 1),
+        |f1b AS (SELECT COALESCE(event_type, chr(1) || 'null') AS value,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM eb GROUP BY 1),
+        |f2a AS (SELECT COALESCE(CAST((tsn // 3600000000000) % 24 AS VARCHAR),
+        |  chr(1) || 'null') AS value, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM ea GROUP BY 1),
+        |f2b AS (SELECT COALESCE(CAST((tsn // 3600000000000) % 24 AS VARCHAR),
+        |  chr(1) || 'null') AS value, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM eb GROUP BY 1),
+        |f3a AS (SELECT COALESCE(CAST(CAST(GREATEST(FLOOR(value), 0)
+        |  AS BIGINT) // 20 AS VARCHAR), chr(1) || 'null') AS value,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM ea GROUP BY 1),
+        |f3b AS (SELECT COALESCE(CAST(CAST(GREATEST(FLOOR(value), 0)
+        |  AS BIGINT) // 20 AS VARCHAR), chr(1) || 'null') AS value,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM eb GROUP BY 1),
+        |h1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(CAST(round(
+        |    (sqrt(CAST(pa AS DOUBLE)) - sqrt(CAST(pb AS DOUBLE)))
+        |    * (sqrt(CAST(pa AS DOUBLE)) - sqrt(CAST(pb AS DOUBLE))))
+        |    AS BIGINT)) AS BIGINT) AS t2
+        |  FROM (SELECT (COALESCE(f1a.c, 0) * 1000000)
+        |      // GREATEST(1, (SELECT n FROM na)) AS pa,
+        |    (COALESCE(f1b.c, 0) * 1000000)
+        |      // GREATEST(1, (SELECT n FROM nb)) AS pb
+        |    FROM f1a FULL JOIN f1b USING (value))),
+        |h2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(CAST(round(
+        |    (sqrt(CAST(pa AS DOUBLE)) - sqrt(CAST(pb AS DOUBLE)))
+        |    * (sqrt(CAST(pa AS DOUBLE)) - sqrt(CAST(pb AS DOUBLE))))
+        |    AS BIGINT)) AS BIGINT) AS t2
+        |  FROM (SELECT (COALESCE(f2a.c, 0) * 1000000)
+        |      // GREATEST(1, (SELECT n FROM na)) AS pa,
+        |    (COALESCE(f2b.c, 0) * 1000000)
+        |      // GREATEST(1, (SELECT n FROM nb)) AS pb
+        |    FROM f2a FULL JOIN f2b USING (value))),
+        |h3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(CAST(round(
+        |    (sqrt(CAST(pa AS DOUBLE)) - sqrt(CAST(pb AS DOUBLE)))
+        |    * (sqrt(CAST(pa AS DOUBLE)) - sqrt(CAST(pb AS DOUBLE))))
+        |    AS BIGINT)) AS BIGINT) AS t2
+        |  FROM (SELECT (COALESCE(f3a.c, 0) * 1000000)
+        |      // GREATEST(1, (SELECT n FROM na)) AS pa,
+        |    (COALESCE(f3b.c, 0) * 1000000)
+        |      // GREATEST(1, (SELECT n FROM nb)) AS pb
+        |    FROM f3a FULL JOIN f3b USING (value)))
+        |SELECT 'event_type' AS feature, n_buckets, t2 // 2 AS h2_ppm FROM h1
+        |UNION ALL SELECT 'hour_of_day', n_buckets, t2 // 2 FROM h2
+        |UNION ALL SELECT 'value_bucket', n_buckets, t2 // 2 FROM h3
+        |ORDER BY feature""".stripMargin,
     "qg01_triangles" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         |  WHERE l_orderkey % 20 = 0),

@@ -448,4 +448,33 @@ class GraphsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_reached") == 6L)
   }
 
+  test("randomWalks: every step follows an edge, walks never dead-end, corpus is deterministic") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 plus pendant 3-4 (undirected mirroring: 4 can walk back)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graphs.randomWalks(edges, "a", "b", len = 3, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 4 nodes x 2 walks x 4 steps (0..3)
+    assert(out.length == 32)
+    val byWalk = out.groupBy(_._1)
+    assert(byWalk.size == 8)
+    val adj = Set((1L,2L),(2L,3L),(1L,3L),(3L,4L)).flatMap { case (u,v) =>
+      Set((u,v),(v,u)) }
+    byWalk.values.foreach { steps =>
+      val sorted = steps.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == Seq(0L, 1L, 2L, 3L)) // full length, no dead end
+      assert(sorted.head._4 == sorted.head._2) // step 0 is the seed
+      sorted.toSeq.sliding(2).foreach { pair =>
+        val (x, y) = (pair(0), pair(1))
+        assert(adj((x._4, y._4)), s"non-edge hop ${x._4}->${y._4}")
+      }
+    }
+    // pure function of the graph: identical corpus under any partitioning
+    val again = Graphs.randomWalks(edges.repartition(7), "a", "b",
+        len = 3, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(x => (x._1, x._3)).toSeq == out.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
 }

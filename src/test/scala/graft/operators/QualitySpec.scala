@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length}
 
 class QualitySpec extends SparkSpec {
   import spark.implicits._
@@ -427,7 +427,7 @@ class QualitySpec extends SparkSpec {
   test("featureAuc: perfect separation = 1.0, anti-separation = 0, all-tied = 0.5") {
     val s = spark
     import s.implicits._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, length}
     // positives all have larger feature values: AUC = 1
     val sep = Seq((10L, 1L), (11L, 1L), (1L, 0L), (2L, 0L)).toDF("f", "y")
     assert(Quality.featureAuc(sep, "f", col("y") === 1L)
@@ -458,7 +458,7 @@ class QualitySpec extends SparkSpec {
   test("targetEncode: rare categories shrink to the prior, popular ones keep their rate") {
     val s = spark
     import s.implicits._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, length}
     // 100 rows of 'big' at 50% positive, 1 row of 'rare' at 100%
     val rows = (1 to 100).map(i => ("big", i % 2 == 0)) :+ (("rare", true))
     val df = rows.toDF("cat", "y")
@@ -514,7 +514,7 @@ class QualitySpec extends SparkSpec {
     import s.implicits._
     val df = Seq((1L, 2L, 1L), (2L, 4L, -1L), (3L, 6L, 1L), (4L, 8L, -1L))
       .toDF("x", "y", "z")
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, length}
     val out = Quality.corrMatrix(df, Seq(
         "x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
@@ -618,6 +618,32 @@ class QualitySpec extends SparkSpec {
     assert(out("d") == ((2L, 0L, 2L, 0L, "double")))
     assert(out("b") == ((2L, 0L, 0L, 2L, "boolean")))
     assert(out("m") == ((2L, 1L, 1L, 0L, "varchar")))
+  }
+
+  test("hellingerGate: zero on identical slices, 1.0 on disjoint, NULL is its own bucket") {
+    val s = spark
+    import s.implicits._
+    val a = Seq("x", "x", "y", "z").toDF("c")
+    val same = Quality.hellingerGate(a, a, Seq("c" -> col("c"))).head()
+    assert(same.getString(0) == "c")
+    assert(same.getAs[Long]("n_buckets") == 3L)
+    assert(same.getAs[Long]("h2_ppm") == 0L)
+    // disjoint supports: H^2 = 1 exactly -> 1e6 ppm
+    val b = Seq("p", "q").toDF("c")
+    val dis = Quality.hellingerGate(a, b, Seq("c" -> col("c"))).head()
+    assert(dis.getAs[Long]("n_buckets") == 5L)
+    assert(dis.getAs[Long]("h2_ppm") == 1000000L)
+    // a NULL bucket is distinct from the literal string "null"
+    val withNull = Seq(Option.empty[String], None, Some("x")).toDF("c")
+    val litNull = Seq(Some("null"), Some("null"), Some("x")).toDF("c")
+    val nn = Quality.hellingerGate(withNull, litNull, Seq("c" -> col("c"))).head()
+    assert(nn.getAs[Long]("n_buckets") == 3L)
+    assert(nn.getAs[Long]("h2_ppm") > 500000L) // 2/3 of mass disagrees
+    // multi-feature: one row per feature, in input order semantics by name
+    val mf = Quality.hellingerGate(a, b,
+      Seq("f1" -> col("c"), "f2" -> length(col("c"))))
+      .collect().map(r => r.getString(0)).toSet
+    assert(mf == Set("f1", "f2"))
   }
 
 }

@@ -286,4 +286,26 @@ class SketchesSpec extends SparkSpec {
     assert(out("wild")._3 > out("flat")._3)
   }
 
+  test("amsF2: exact moments are exact; estimate is deterministic and in range") {
+    val s = spark
+    import s.implicits._
+    // freqs 1,2,3 -> n_rows 6, distinct 3, F2 = 1+4+9 = 14
+    val tiny = (Seq("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c")).toDF("v")
+    val r = Sketches.amsF2(tiny, "v").head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_distinct") == 3L)
+    assert(r.getAs[Long]("f2_exact") == 14L)
+    // 500 uniform values x 4 copies: F2 = 500 * 16 = 8000. AMS with
+    // width=16, depth=5 medians should land within a few x of exact.
+    val uni = (0 until 500).flatMap(i => Seq.fill(4)(s"u$i")).toDF("v")
+    val u = Sketches.amsF2(uni, "v", depth = 5, width = 16).head()
+    assert(u.getAs[Long]("f2_exact") == 8000L)
+    val est = u.getAs[Long]("f2_est")
+    assert(est > 2000L && est < 32000L, s"estimate wildly off: $est")
+    // deterministic under repartitioning (the KMV discipline)
+    val u2 = Sketches.amsF2(uni.repartition(11), "v", depth = 5, width = 16)
+      .head().getAs[Long]("f2_est")
+    assert(u2 == est)
+  }
+
 }

@@ -76,7 +76,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qq26_fanout_audit", // cross of three 1-row relationship rollups
     "qd83_vocab_sweep", // |sizes| candidates x <=max(sizes) ranked head (bounded x bounded) + 1-row total broadcast
     "qa23_growth_accounting", // broadcast global last-week scalar (1 row)
-    "qv30_hubness") // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
+    "qv30_hubness", // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
+    "qx18_ams_f2", // cross of the 1-row exact-F2 aggregate and 1-row median estimate
+    "qq31_hellinger_gate") // per-feature cross of the two 1-row side-total aggregates
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

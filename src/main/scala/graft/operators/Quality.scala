@@ -1180,4 +1180,52 @@ object Quality {
           expr("t2 div 2L").as("h2_ppm"))
     }.reduce(_ unionAll _)
   }
+
+  /** Simpson's-paradox audit — does the aggregate A-vs-B rate comparison
+    * REVERSE inside slices (Simpson 1951; the canonical Berkeley-admissions
+    * trap)? The eval-data hazard it guards: a model "better overall" that
+    * is worse in every slice because the slice mix differs between arms.
+    * Per slice: both arms' counts and exact integer success rates
+    * (succ·10⁶ div n), the slice's comparison sign, and `reverses` — true
+    * when the slice sign strictly opposes the OVERALL sign. The OVERALL
+    * row is appended with slice = 'OVERALL'. Rows with NULL group or
+    * success predicates count as arm B / failure (two-valued gates, the
+    * audit's contract); NULL slice keys get the explicit sentinel bucket
+    * (the qq25 lesson). Exact integers end to end.
+    *
+    * Scale shape: ONE slice-key groupBy with map-side combine carries
+    * every count; the overall row re-aggregates the |slices|-row table
+    * and rides a whitelisted 1-row broadcast into the reverses flag. */
+  def simpsonsAudit(df: DataFrame, slice: Column, groupA: Column,
+      success: Column): DataFrame = {
+    val per = df
+      .select(coalesce(slice.cast("string"), lit("\u0001null")).as("slice"),
+        coalesce(groupA, lit(false)).as("ga"),
+        coalesce(success, lit(false)).as("ok"))
+      .groupBy("slice")
+      .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("ga") && col("ok"), 1L).otherwise(0L)).as("succ_a"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("ga") && col("ok"), 1L).otherwise(0L)).as("succ_b"))
+    def withRates(d: DataFrame): DataFrame = d
+      .withColumn("rate_a_ppm",
+        expr("(succ_a * 1000000L) div greatest(1L, n_a)"))
+      .withColumn("rate_b_ppm",
+        expr("(succ_b * 1000000L) div greatest(1L, n_b)"))
+      .withColumn("sign",
+        expr("cast(sign(rate_a_ppm - rate_b_ppm) as bigint)"))
+    val overall = withRates(per.agg(sum("n_a").as("n_a"),
+      sum("succ_a").as("succ_a"), sum("n_b").as("n_b"),
+      sum("succ_b").as("succ_b")))
+    val cols = Seq("slice", "n_a", "succ_a", "n_b", "succ_b",
+      "rate_a_ppm", "rate_b_ppm", "sign", "reverses").map(col)
+    withRates(per)
+      .crossJoin(broadcast(overall.select(col("sign").as("osign"))))
+      .withColumn("reverses", col("sign") * col("osign") < 0)
+      .select(cols: _*)
+      .unionByName(overall
+        .withColumn("slice", lit("OVERALL"))
+        .withColumn("reverses", lit(false))
+        .select(cols: _*))
+  }
 }

@@ -1425,4 +1425,77 @@ object Similarity {
         expr("(total_dist2 * 1000000L) div greatest(1L, total_qq)")
           .as("distortion_ppm"))
   }
+
+  /** Matryoshka truncation sweep — Kusupati et al., NeurIPS 2022
+    * ("Matryoshka Representation Learning"): what does serving only the
+    * FIRST d' coordinates of the embedding cost? Per prefix length in
+    * `dims`, two answers: retained energy (prefix ‖·‖² over full ‖·‖²,
+    * summed corpus-wide in exact integers on the quantized grid) and
+    * recall@k of prefix-cosine against full-cosine truth for the bounded
+    * `id % queryMod` query panel. An MRL-trained encoder front-loads
+    * information so the curve picks the cheapest usable serving
+    * dimension; on any other embedding it prices the "just truncate"
+    * folk practice. Zero-norm prefixes score −2 (below every real
+    * cosine), never divide by zero. Returns one row per prefix:
+    * (dims, energy_ppm, n_queries, hits, recall_ppm).
+    *
+    * Scale shape: energy is ONE corpus scan (per-row |dims| prefix
+    * sums, then a |dims|-group aggregate with map-side combine); recall
+    * joins the corpus once against the BROADCAST ≤ corpus/queryMod
+    * panel, ranks full-dim cosine per query, then fans each pair out
+    * |dims| ways for the per-prefix rank windows — the qv23 cost class
+    * (|dims|·|panel|·corpus exact-integer dots), with the same panel
+    * bound. The 1-row panel count rides a whitelisted 1×N broadcast. */
+  def mrlTruncationSweep(df: DataFrame, embCol: String, idCol: String,
+      dims: Seq[Int], queryMod: Long, k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"dims out of range: $dims")
+    require(queryMod >= 1, s"queryMod out of range: $queryMod")
+    require(k >= 1, s"k out of range: $k")
+    val d = dot(df) _
+    val emb = quantized(df, embCol, idCol)
+    val dd = dims.distinct.sorted
+    def prefixSq(c: Column, n: Int): Column =
+      aggregate(slice(c, 1, n), lit(0L), (a, x) => a + x * x)
+    val energy = emb
+      .select(col("qq"), explode(array(dd.map(n =>
+        struct(lit(n.toLong).as("dims"), prefixSq(col("q"), n).as("pq"))): _*))
+        .as("e"))
+      .groupBy(col("e.dims").as("dims"))
+      .agg(sum("qq").as("tot"), sum(col("e.pq")).as("ptot"))
+      .select(col("dims"),
+        expr("(ptot * 1000000L) div greatest(1L, tot)").as("energy_ppm"))
+    val qs = broadcast(emb.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("query_id"), col("q").as("xq"),
+        col("qq").as("xqq")))
+    val nq = broadcast(qs.agg(count(lit(1)).as("n_queries")))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("cos_full").desc, col(idCol))
+    val pairs = emb.join(qs, col(idCol) =!= col("query_id"))
+      .withColumn("cos_full", d(col("q"), col("xq")).cast("double") /
+        (sqrt(col("qq").cast("double")) * sqrt(col("xqq").cast("double"))))
+      .withColumn("rk_full", row_number().over(wf))
+    val wp = Window.partitionBy("dims", "query_id")
+      .orderBy(col("cos_p").desc, col(idCol))
+    val hits = pairs
+      .select(col(idCol), col("query_id"), col("rk_full"),
+        explode(array(dd.map(n => struct(lit(n.toLong).as("dims"),
+          d(slice(col("q"), 1, n), slice(col("xq"), 1, n)).as("pd"),
+          prefixSq(col("q"), n).as("pqq"),
+          prefixSq(col("xq"), n).as("pxqq"))): _*)).as("e"))
+      .select(col(idCol), col("query_id"), col("rk_full"),
+        col("e.dims").as("dims"),
+        when(col("e.pqq") === 0 || col("e.pxqq") === 0, lit(-2.0))
+          .otherwise(col("e.pd").cast("double") /
+            (sqrt(col("e.pqq").cast("double")) *
+              sqrt(col("e.pxqq").cast("double")))).as("cos_p"))
+      .withColumn("rk_p", row_number().over(wp))
+      .filter(col("rk_p") <= k && col("rk_full") <= k)
+      .groupBy("dims").agg(count(lit(1)).as("hits"))
+    energy.join(hits, Seq("dims"), "left_outer")
+      .crossJoin(nq)
+      .select(col("dims"), col("energy_ppm"), col("n_queries"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"(coalesce(hits, 0L) * 1000000L) div " +
+          s"greatest(1L, n_queries * ${k}L)").as("recall_ppm"))
+  }
 }

@@ -281,6 +281,15 @@ object MiscQueries {
             expr("cast(greatest(floor(value), 0L) as bigint) div 20")))
         .orderBy("feature")
     },
+    // Simpson's-paradox audit: does the urgent-vs-other fulfillment-rate
+    // comparison reverse inside any order-year slice?
+    "qq32_simpsons" -> { (s, d) =>
+      graft.operators.Quality.simpsonsAudit(t(s, d, "orders"),
+        expr("cast(year(o_orderdate) as string)"),
+        expr("o_orderpriority in ('1-URGENT', '2-HIGH')"),
+        expr("o_orderstatus = 'F'"))
+        .orderBy("slice")
+    },
     "qg01_triangles" -> { (s, d) =>
       val pp = t(s, d, "lineitem")
         .filter(col("l_orderkey") % 20 === 0)
@@ -1316,6 +1325,49 @@ object MiscQueries {
         |UNION ALL SELECT 'hour_of_day', n_buckets, t2 // 2 FROM h2
         |UNION ALL SELECT 'value_bucket', n_buckets, t2 // 2 FROM h3
         |ORDER BY feature""".stripMargin,
+    "qq32_simpsons" ->
+      """WITH per AS (SELECT
+        |    COALESCE(CAST(year(o_orderdate) AS VARCHAR), chr(1) || 'null')
+        |      AS slice,
+        |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS succ_a,
+        |    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS succ_b
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT slice, n_a, succ_a, n_b, succ_b,
+        |    (succ_a * 1000000) // GREATEST(1, n_a) AS rate_a_ppm,
+        |    (succ_b * 1000000) // GREATEST(1, n_b) AS rate_b_ppm
+        |  FROM per),
+        |rs AS (SELECT *, CASE WHEN rate_a_ppm > rate_b_ppm THEN 1
+        |    WHEN rate_a_ppm < rate_b_ppm THEN -1 ELSE 0 END AS sign
+        |  FROM r),
+        |ov AS (SELECT CAST(SUM(n_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(succ_a) AS BIGINT) AS succ_a,
+        |    CAST(SUM(n_b) AS BIGINT) AS n_b,
+        |    CAST(SUM(succ_b) AS BIGINT) AS succ_b
+        |  FROM per),
+        |ovr AS (SELECT 'OVERALL' AS slice, n_a, succ_a, n_b, succ_b,
+        |    (succ_a * 1000000) // GREATEST(1, n_a) AS rate_a_ppm,
+        |    (succ_b * 1000000) // GREATEST(1, n_b) AS rate_b_ppm
+        |  FROM ov),
+        |ovs AS (SELECT *, CASE WHEN rate_a_ppm > rate_b_ppm THEN 1
+        |    WHEN rate_a_ppm < rate_b_ppm THEN -1 ELSE 0 END AS sign
+        |  FROM ovr)
+        |SELECT rs.slice, rs.n_a, rs.succ_a, rs.n_b, rs.succ_b,
+        |  rs.rate_a_ppm, rs.rate_b_ppm, CAST(rs.sign AS BIGINT) AS sign,
+        |  rs.sign * ovs.sign < 0 AS reverses
+        |FROM rs, ovs
+        |UNION ALL
+        |SELECT slice, n_a, succ_a, n_b, succ_b, rate_a_ppm, rate_b_ppm,
+        |  CAST(sign AS BIGINT) AS sign, FALSE AS reverses
+        |FROM ovs
+        |ORDER BY slice""".stripMargin,
     "qg01_triangles" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         |  WHERE l_orderkey % 20 = 0),

@@ -119,6 +119,14 @@ object VectorOps {
       graft.operators.Similarity.duplicateVectorGroups(
         withClones, "embedding")
     },
+    // Matryoshka truncation sweep: retained energy + recall@10 when the
+    // index serves only the first 8/16/32/64 dims.
+    "qv33_mrl_truncation" -> { (s, d) =>
+      graft.operators.Similarity.mrlTruncationSweep(
+          t(s, d, "embeddings"), "embedding", "vec_id",
+          dims = Seq(8, 16, 32, 64), queryMod = 97L, k = 10)
+        .orderBy("dims")
+    },
     // Per-dimension clip calibration: the [p01, p99] ranges a scalar
     // quantizer clips to before assigning bits.
     "qv32_clip_calibration" -> { (s, d) =>
@@ -626,6 +634,58 @@ object VectorOps {
         |  CAST(SUM(s) AS BIGINT) AS n_suspect,
         |  (CAST(SUM(s) AS BIGINT) * 1000000) // COUNT(*) AS suspect_ppm
         |FROM sus GROUP BY label ORDER BY label""".stripMargin,
+    "qv33_mrl_truncation" ->
+      """WITH emb AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qq
+        |  FROM emb),
+        |dl AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dims),
+        |en AS (SELECT dl.dims, CAST(SUM(e.qq) AS BIGINT) AS tot,
+        |    CAST(SUM(list_sum(list_transform(
+        |      range(1, CAST(dl.dims AS INT) + 1),
+        |      i -> e.q[i] * e.q[i]))) AS BIGINT) AS ptot
+        |  FROM nemb e CROSS JOIN dl GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id, q AS xq, qq AS xqq
+        |  FROM nemb WHERE vec_id % 97 = 0),
+        |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs),
+        |pf AS (SELECT query_id, vec_id, q, xq,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_full DESC, vec_id) AS rk_full
+        |  FROM (SELECT qs.query_id, e.vec_id, e.q, qs.xq,
+        |      CAST(list_sum(list_transform(range(1, 65),
+        |        i -> e.q[i] * qs.xq[i])) AS DOUBLE) /
+        |       (SQRT(CAST(e.qq AS DOUBLE)) * SQRT(CAST(qs.xqq AS DOUBLE)))
+        |        AS cos_full
+        |    FROM nemb e, qs WHERE e.vec_id <> qs.query_id)),
+        |pd AS (SELECT dl.dims, pf.query_id, pf.vec_id, pf.rk_full,
+        |    CAST(list_sum(list_transform(range(1, CAST(dl.dims AS INT) + 1),
+        |      i -> pf.q[i] * pf.xq[i])) AS BIGINT) AS pd,
+        |    CAST(list_sum(list_transform(range(1, CAST(dl.dims AS INT) + 1),
+        |      i -> pf.q[i] * pf.q[i])) AS BIGINT) AS pqq,
+        |    CAST(list_sum(list_transform(range(1, CAST(dl.dims AS INT) + 1),
+        |      i -> pf.xq[i] * pf.xq[i])) AS BIGINT) AS pxqq
+        |  FROM pf CROSS JOIN dl),
+        |pr AS (SELECT dims, query_id, vec_id, rk_full,
+        |    ROW_NUMBER() OVER (PARTITION BY dims, query_id
+        |      ORDER BY cos_p DESC, vec_id) AS rk_p
+        |  FROM (SELECT dims, query_id, vec_id, rk_full,
+        |      CASE WHEN pqq = 0 OR pxqq = 0 THEN -2.0
+        |        ELSE CAST(pd AS DOUBLE) /
+        |          (SQRT(CAST(pqq AS DOUBLE)) * SQRT(CAST(pxqq AS DOUBLE)))
+        |      END AS cos_p
+        |    FROM pd)),
+        |h AS (SELECT dims, CAST(COUNT(*) AS BIGINT) AS hits FROM pr
+        |  WHERE rk_p <= 10 AND rk_full <= 10 GROUP BY 1)
+        |SELECT en.dims,
+        |  (en.ptot * 1000000) // GREATEST(1, en.tot) AS energy_ppm,
+        |  nq.n_queries, COALESCE(h.hits, 0) AS hits,
+        |  (COALESCE(h.hits, 0) * 1000000)
+        |    // GREATEST(1, nq.n_queries * 10) AS recall_ppm
+        |FROM en LEFT JOIN h ON h.dims = en.dims, nq
+        |ORDER BY en.dims""".stripMargin,
     "qv32_clip_calibration" ->
       """WITH el AS (SELECT CAST(i - 1 AS INT) AS dim,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v

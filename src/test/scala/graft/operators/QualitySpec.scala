@@ -646,4 +646,28 @@ class QualitySpec extends SparkSpec {
     assert(mf == Set("f1", "f2"))
   }
 
+  test("simpsonsAudit: within-slice reversal is flagged, OVERALL row is appended") {
+    val s = spark
+    import s.implicits._
+    // classic reversal: B beats A in BOTH slices, A wins the aggregate
+    // because A's volume concentrates in the easy slice.
+    val rows =
+      Seq.fill(80)(("s1", true, true)) ++ Seq.fill(20)(("s1", true, false)) ++
+      Seq.fill(9)(("s1", false, true)) ++ Seq.fill(1)(("s1", false, false)) ++
+      Seq.fill(2)(("s2", true, true)) ++ Seq.fill(8)(("s2", true, false)) ++
+      Seq.fill(30)(("s2", false, true)) ++ Seq.fill(70)(("s2", false, false))
+    val df = rows.toDF("slice", "ga", "ok")
+    val out = Quality.simpsonsAudit(df, col("slice"), col("ga"), col("ok"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getBoolean(8))).toMap
+    assert(out.keySet == Set("s1", "s2", "OVERALL"))
+    val (n1, s1, ra1, rb1, sg1, rev1) = out("s1")
+    assert(n1 == 100L && s1 == 80L && ra1 == 800000L && rb1 == 900000L)
+    assert(sg1 == -1L && rev1) // B wins the slice, A wins overall -> flagged
+    assert(out("s2")._5 == -1L && out("s2")._6)
+    val (na, sa, rao, rbo, sgo, revo) = out("OVERALL")
+    assert(na == 110L && sa == 82L && rao > rbo && sgo == 1L && !revo)
+  }
+
 }

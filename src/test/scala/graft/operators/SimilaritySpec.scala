@@ -849,4 +849,32 @@ class SimilaritySpec extends SparkSpec {
     assert(p99 < 1000000.0) // the p99 clip excludes the outlier
   }
 
+  test("mrlTruncationSweep: full-dim recall is perfect, prefix energy is exact, zero prefixes guarded") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0.5f),
+      2L -> Seq(1f, 1f, 0.5f, 0f),
+      3L -> Seq(0.5f, 0f, 1f, 1f),
+      4L -> Seq(1f, 0.5f, 0.5f, 0.5f),
+      5L -> Seq(0f, 0f, 1f, 1f)) // zero 2-prefix: the -2 guard path
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.mrlTruncationSweep(df, "embedding", "vec_id",
+        dims = Seq(2, 4), queryMod = 3L, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(2L, 4L))
+    // exact integer energy on the e*10000 grid, mirrored in plain Scala
+    val q = vecs.map(_._2.map(e => math.round(e.toDouble * 10000)))
+    val tot = q.map(_.map(x => x * x).sum).sum
+    val p2 = q.map(_.take(2).map(x => x * x).sum).sum
+    assert(out(2L)._1 == p2 * 1000000L / tot)
+    assert(out(4L)._1 == 1000000L)
+    // panel = ids {0, 3}; full-dim prefix IS the truth -> perfect recall
+    assert(out(4L)._2 == 2L)
+    assert(out(4L)._4 == 1000000L)
+    assert(out(2L)._4 >= 0L && out(2L)._4 <= 1000000L)
+  }
+
 }

@@ -78,7 +78,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qa23_growth_accounting", // broadcast global last-week scalar (1 row)
     "qv30_hubness", // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
     "qx18_ams_f2", // cross of the 1-row exact-F2 aggregate and 1-row median estimate
-    "qq31_hellinger_gate") // per-feature cross of the two 1-row side-total aggregates
+    "qq31_hellinger_gate", // per-feature cross of the two 1-row side-total aggregates
+    "qv33_mrl_truncation", // broadcast query panel + 1-row panel-count scalar
+    "qq32_simpsons") // 1-row overall-sign broadcast into the reverses flag
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -893,4 +893,78 @@ object Graphs {
         col("node"))
     }.reduce(_ unionAll _)
   }
+
+  /** Deterministic node2vec walk corpus — Grover & Leskovec, KDD 2016:
+    * second-order biased walks whose next hop weighs each candidate `t`
+    * by where it sits relative to the PREVIOUS vertex: `wReturn` when
+    * t is the previous vertex itself (node2vec's 1/p), `wCommon` when t
+    * closes a triangle with it (distance 1), `wOut` otherwise (1/q) —
+    * BFS-ish exploration for wCommon-heavy settings, DFS-ish for
+    * wOut-heavy. Integer weights; the draw at step i is the md5 hash of
+    * (walk id, step) mod the candidate weight total over the SORTED
+    * neighbor list, so the corpus is a pure function of the graph (the
+    * [[randomWalks]] replay discipline — the first hop, with no
+    * previous vertex, is uniform). Returns (walk_id, seed, step, node);
+    * step 0 is the seed.
+    *
+    * Scale shape: each of the `len` steps is ONE frontier equi-join on
+    * the current vertex plus ONE equi-join of the candidate set against
+    * the edge relation on the composite (prev, t) key (the triangle
+    * flag — never a wedge materialization: the Σdeg² blowup stays out
+    * of the plan), then two frontier-partitioned windows for the
+    * cumulative-weight pick. Bounded plan depth, no driver state;
+    * frontier ≤ nodes × walksPerNode rows throughout. */
+  def node2vecWalks(edges0: DataFrame, aCol: String, bCol: String,
+      len: Int = 4, walksPerNode: Int = 1, wReturn: Int = 1,
+      wCommon: Int = 4, wOut: Int = 2): DataFrame = {
+    require(len >= 1 && len <= 12, s"len out of range: $len")
+    require(walksPerNode >= 1 && walksPerNode <= 64,
+      s"walksPerNode out of range: $walksPerNode")
+    require(wReturn >= 1 && wCommon >= 1 && wOut >= 1,
+      s"weights must be positive: $wReturn/$wCommon/$wOut")
+    val canon = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val adj = canon.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(canon.select(col("v").as("s"), col("u").as("t")))
+    val flag = adj.select(col("s").as("fp"), col("t").as("ft"),
+      lit(true).as("prev_adj"))
+    val start = adj.select(col("s").as("seed")).distinct()
+      .select(col("seed"),
+        explode(array((0 until walksPerNode).map(i => lit(i.toLong)): _*))
+          .as("wk"))
+      .select((col("seed") * walksPerNode + col("wk")).as("walk_id"),
+        col("seed"), lit(-1L).as("prev"), col("seed").as("node"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("walk_id").orderBy("t")
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("walk_id")
+    val steps = Iterator.iterate((start, 0)) { case (cur, i) =>
+      val step = i + 1
+      val draw = conv(substring(md5(concat_ws(":", lit("n2v"),
+        col("walk_id"), lit(step))), 1, 13), 16, 10).cast("long")
+      val next = cur.join(adj, col("node") === col("s"))
+        .join(flag,
+          col("prev") === col("fp") && col("t") === col("ft"), "left_outer")
+        .withColumn("w",
+          when(col("prev") < 0, lit(1L))
+            .when(col("t") === col("prev"), lit(wReturn.toLong))
+            .when(col("prev_adj").isNotNull, lit(wCommon.toLong))
+            .otherwise(lit(wOut.toLong)))
+        .withColumn("cum", sum("w").over(wCum))
+        .withColumn("tot", sum("w").over(wTot))
+        .withColumn("draw", draw % col("tot"))
+        .filter(col("draw") >= col("cum") - col("w") &&
+          col("draw") < col("cum"))
+        .select(col("walk_id"), col("seed"), col("node").as("prev"),
+          col("t").as("node"))
+      (next, step)
+    }.take(len + 1).toSeq
+    steps.map { case (df, i) =>
+      df.select(col("walk_id"), col("seed"), lit(i.toLong).as("step"),
+        col("node"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -1498,4 +1498,96 @@ object Similarity {
         expr(s"(coalesce(hits, 0L) * 1000000L) div " +
           s"greatest(1L, n_queries * ${k}L)").as("recall_ppm"))
   }
+
+  /** IVF probe-recall sweep — the cost/recall curve that picks `nprobe`
+    * (the FAISS-bench ritual run in-engine on YOUR corpus, the qv23/qv24
+    * calibration family): for each probe count in `probes`, every query
+    * in the bounded `id % queryMod` panel searches only its `np`
+    * nearest coarse cells; the row reports what fraction of the corpus
+    * that scanned (`scanned_ppm`) and what recall@k it bought against
+    * exact-cosine truth. Cells are the deterministic qv04 centroid
+    * sample (≤ maxCentroids, cid-ordered, inlined as literals); cell
+    * distance and ranking are exact integers with the (dist², cid)
+    * tie-break shared by the oracle. Returns one row per probe count:
+    * (nprobe, n_queries, scanned, scanned_ppm, hits, recall_ppm).
+    *
+    * Scale shape: cell ranking is per-query arithmetic over the ≤
+    * maxCentroids LITERAL codebook (no join); the probed (query, cell)
+    * relation is |panel|·Σprobes rows and BROADCASTS into ONE equi-join
+    * against the cell-assigned corpus — candidate fan-out is the scanned
+    * share itself, never all-pairs; exact truth is one batchTopKCosine
+    * panel scan. The 1-row panel/corpus counts ride whitelisted
+    * broadcasts. */
+  def ivfProbeSweep(df: DataFrame, embCol: String, idCol: String,
+      probes: Seq[Int] = Seq(1, 2, 4, 8), queryMod: Long = 97L,
+      k: Int = 10, sampleMod: Int = 53, maxCentroids: Int = 64): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"probes out of range: $probes")
+    require(queryMod >= 1 && k >= 1, s"queryMod/k out of range")
+    val d = dot(df) _
+    val emb = quantized(df, embCol, idCol)
+    val (cids, cb) = collectCents(centroidSample(emb, idCol, sampleMod,
+      maxCentroids))
+    val assigned = assignCells(emb, cids, cb)
+      .select(col(idCol).as("id"), col("q"), col("qq"), col("cid"))
+    val nCells = cids.length
+    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    val cidLit = typedLit(cids.toSeq)
+    val ccLit = typedLit(cb.map(c => c.map(v => v * v).sum).toSeq)
+    val pb = probes.distinct.sorted
+    // per query: cells sorted by (exact integer dist2, cid), probed
+    // prefixes exploded -> a |panel| x sum(probes) relation, broadcast
+    val probeRel = broadcast(emb.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("query_id"), col("q").as("xq"),
+        col("qq").as("xqq"))
+      .withColumn("cells", sort_array(transform(
+        sequence(lit(1), lit(nCells)), j => struct(
+          (col("xqq") + element_at(ccLit, j) -
+            aggregate(zip_with(col("xq"), element_at(cbLit, j),
+              (a, b) => a * b), lit(0L), (acc, x) => acc + x) * 2)
+            .as("d2"),
+          element_at(cidLit, j).as("cid")))))
+      .select(col("query_id"), col("xq"), col("xqq"),
+        explode(typedLit(pb.map(_.toLong))).as("nprobe"), col("cells"))
+      .select(col("query_id"), col("xq"), col("xqq"), col("nprobe"),
+        explode(expr("slice(cells, 1, int(nprobe))")).as("c"))
+      .select(col("query_id"), col("xq"), col("xqq"), col("nprobe"),
+        col("c.cid").as("cid")))
+    val cand = assigned.join(probeRel, Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+    val wc = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cos_sim").desc, col("id"))
+    val approx = cand
+      .select(col("nprobe"), col("query_id"), col("id"),
+        (d(col("q"), col("xq")).cast("double") /
+          (sqrt(col("qq").cast("double")) *
+            sqrt(col("xqq").cast("double")))).as("cos_sim"))
+      .withColumn("rk", row_number().over(wc))
+      .filter(col("rk") <= k)
+      .select(col("nprobe"), col("query_id"), col("id"))
+    val queries = df.filter(col(idCol) % queryMod === 0)
+    val exact = batchTopKCosine(df, queries, embCol, idCol, idCol, k)
+      .select(col("query_id"), col(idCol).as("id"))
+    val hits = approx.join(exact, Seq("query_id", "id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    val scanned = cand.groupBy("nprobe")
+      .agg(count(lit(1)).as("scanned"))
+    val nq = broadcast(queries.agg(count(lit(1)).as("n_queries")))
+    val nv = broadcast(df.agg(count(lit(1)).as("n_vecs")))
+    val base = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(pb.map(np => org.apache.spark.sql.Row(np.toLong)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("nprobe",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    base.join(scanned, Seq("nprobe"), "left_outer")
+      .join(hits, Seq("nprobe"), "left_outer")
+      .crossJoin(nq).crossJoin(nv)
+      .select(col("nprobe"), col("n_queries"),
+        coalesce(col("scanned"), lit(0L)).as("scanned"),
+        expr("(coalesce(scanned, 0L) * 1000000L) div " +
+          "greatest(1L, n_queries * (n_vecs - 1))").as("scanned_ppm"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"(coalesce(hits, 0L) * 1000000L) div " +
+          s"greatest(1L, n_queries * ${k}L)").as("recall_ppm"))
+  }
 }

@@ -266,6 +266,19 @@ object MiscQueries {
           len = 3, walksPerNode = 2)
         .orderBy("walk_id", "step")
     },
+    // node2vec corpus: deterministic second-order biased walks (return 1,
+    // triangle 4, outward 2) over the co-purchase graph.
+    "qg20_node2vec" -> { (s, d) =>
+      val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.node2vecWalks(edges, "pa", "pb",
+          len = 3, walksPerNode = 1, wReturn = 1, wCommon = 4, wOut = 2)
+        .orderBy("walk_id", "step")
+    },
     // Hellinger drift gate: one bounded score per feature between the
     // first and second half of the event-time range.
     "qq31_hellinger_gate" -> { (s, d) =>
@@ -1244,6 +1257,49 @@ object MiscQueries {
         |  abs(med.f2_est - ex.f2_exact) * 1000000
         |    // GREATEST(1, ex.f2_exact) AS err_ppm
         |FROM ex, med""".stripMargin,
+    "qg20_node2vec" ->
+      """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pp a JOIN pp b
+        |  ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS s, v AS t FROM e0 UNION ALL SELECT v, u FROM e0),
+        |r AS (SELECT s, t, ROW_NUMBER() OVER (PARTITION BY s ORDER BY t) AS rn,
+        |    COUNT(*) OVER (PARTITION BY s) AS deg FROM adj),
+        |cu AS (SELECT CAST(-1 AS BIGINT) AS prev, s AS cur, t,
+        |    CAST(1 AS BIGINT) AS w, CAST(rn AS BIGINT) AS cum,
+        |    CAST(deg AS BIGINT) AS tot FROM r),
+        |c2w AS (SELECT pe.s AS prev, pe.t AS cur, r.t AS t,
+        |    CASE WHEN r.t = pe.s THEN 1
+        |      WHEN f.s IS NOT NULL THEN 4 ELSE 2 END AS w
+        |  FROM adj pe JOIN r ON r.s = pe.t
+        |  LEFT JOIN adj f ON f.s = pe.s AND f.t = r.t),
+        |c2 AS (SELECT prev, cur, t, CAST(w AS BIGINT) AS w,
+        |    CAST(SUM(w) OVER (PARTITION BY prev, cur ORDER BY t)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(w) OVER (PARTITION BY prev, cur) AS BIGINT) AS tot
+        |  FROM c2w),
+        |cand AS (SELECT * FROM cu UNION ALL SELECT * FROM c2),
+        |seeds AS (SELECT DISTINCT s FROM r),
+        |wk(walk_id, seed, step, prev, node) AS (
+        |  SELECT s, s, 0, CAST(-1 AS BIGINT), s FROM seeds
+        |  UNION ALL
+        |  SELECT wk.walk_id, wk.seed, wk.step + 1, wk.node, c.t
+        |  FROM wk JOIN cand c ON c.cur = wk.node AND c.prev = wk.prev
+        |    AND (CAST(list_sum(list_transform(generate_series(1, 13),
+        |        j -> CAST(instr('0123456789abcdef', substr(md5('n2v:'
+        |            || CAST(wk.walk_id AS VARCHAR) || ':'
+        |            || CAST(wk.step + 1 AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |          AS BIGINT) * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT)
+        |      % c.tot) >= c.cum - c.w
+        |    AND (CAST(list_sum(list_transform(generate_series(1, 13),
+        |        j -> CAST(instr('0123456789abcdef', substr(md5('n2v:'
+        |            || CAST(wk.walk_id AS VARCHAR) || ':'
+        |            || CAST(wk.step + 1 AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |          AS BIGINT) * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT)
+        |      % c.tot) < c.cum
+        |  WHERE wk.step < 3)
+        |SELECT walk_id, seed, CAST(step AS BIGINT) AS step, node
+        |FROM wk ORDER BY walk_id, step""".stripMargin,
     "qg19_random_walks" ->
       """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem WHERE l_orderkey % 50 = 0),

@@ -119,6 +119,13 @@ object VectorOps {
       graft.operators.Similarity.duplicateVectorGroups(
         withClones, "embedding")
     },
+    // IVF cost/recall curve: scanned share and recall@10 at nprobe
+    // 1/2/4/8 over the qv04 coarse cells.
+    "qv34_ivf_probe_sweep" -> { (s, d) =>
+      graft.operators.Similarity.ivfProbeSweep(
+          t(s, d, "embeddings"), "embedding", "vec_id")
+        .orderBy("nprobe")
+    },
     // Matryoshka truncation sweep: retained energy + recall@10 when the
     // index serves only the first 8/16/32/64 dims.
     "qv33_mrl_truncation" -> { (s, d) =>
@@ -634,6 +641,71 @@ object VectorOps {
         |  CAST(SUM(s) AS BIGINT) AS n_suspect,
         |  (CAST(SUM(s) AS BIGINT) * 1000000) // COUNT(*) AS suspect_ppm
         |FROM sus GROUP BY label ORDER BY label""".stripMargin,
+    "qv34_ivf_probe_sweep" ->
+      """WITH emb AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qq
+        |  FROM emb),
+        |cents AS (SELECT vec_id AS cid, q AS cq, qq AS cc FROM nemb
+        |  WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 64),
+        |assigned AS (SELECT vec_id, q, qq, cid FROM (
+        |  SELECT e.vec_id, e.q, e.qq, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      e.qq + c.cc - 2 * list_sum(list_transform(range(1, 65),
+        |        i -> e.q[i] * c.cq[i])),
+        |      c.cid) AS rn
+        |  FROM nemb e, cents c) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, q AS xq, qq AS xqq FROM nemb
+        |  WHERE vec_id % 97 = 0),
+        |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM nemb),
+        |crank AS (SELECT query_id, cid, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY d2, cid) AS crk
+        |  FROM (SELECT qs.query_id, c.cid,
+        |      qs.xqq + c.cc - 2 * list_sum(list_transform(range(1, 65),
+        |        i -> qs.xq[i] * c.cq[i])) AS d2
+        |    FROM qs, cents c)),
+        |np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+        |probed AS (SELECT np.nprobe, crank.query_id, crank.cid
+        |  FROM crank, np WHERE crank.crk <= np.nprobe),
+        |cand AS (SELECT p.nprobe, p.query_id, a.vec_id, a.q, a.qq
+        |  FROM assigned a JOIN probed p ON p.cid = a.cid
+        |  WHERE a.vec_id <> p.query_id),
+        |sc AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS scanned
+        |  FROM cand GROUP BY 1),
+        |ap AS (SELECT nprobe, query_id, vec_id FROM (
+        |  SELECT c.nprobe, c.query_id, c.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY c.nprobe, c.query_id
+        |      ORDER BY CAST(list_sum(list_transform(range(1, 65),
+        |          i -> c.q[i] * qs.xq[i])) AS DOUBLE) /
+        |        (SQRT(CAST(c.qq AS DOUBLE)) * SQRT(CAST(qs.xqq AS DOUBLE)))
+        |        DESC, c.vec_id) AS rk
+        |  FROM cand c JOIN qs ON qs.query_id = c.query_id) WHERE rk <= 10),
+        |ex AS (SELECT query_id, vec_id FROM (
+        |  SELECT qs.query_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY qs.query_id
+        |      ORDER BY CAST(list_sum(list_transform(range(1, 65),
+        |          i -> e.q[i] * qs.xq[i])) AS DOUBLE) /
+        |        (SQRT(CAST(e.qq AS DOUBLE)) * SQRT(CAST(qs.xqq AS DOUBLE)))
+        |        DESC, e.vec_id) AS rk
+        |  FROM nemb e, qs WHERE e.vec_id <> qs.query_id) WHERE rk <= 10),
+        |h AS (SELECT a.nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM ap a JOIN ex ON ex.query_id = a.query_id
+        |    AND ex.vec_id = a.vec_id
+        |  GROUP BY 1)
+        |SELECT np.nprobe, nq.n_queries,
+        |  COALESCE(sc.scanned, 0) AS scanned,
+        |  (COALESCE(sc.scanned, 0) * 1000000)
+        |    // GREATEST(1, nq.n_queries * (nv.n_vecs - 1)) AS scanned_ppm,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  (COALESCE(h.hits, 0) * 1000000)
+        |    // GREATEST(1, nq.n_queries * 10) AS recall_ppm
+        |FROM np LEFT JOIN sc ON sc.nprobe = np.nprobe
+        |LEFT JOIN h ON h.nprobe = np.nprobe, nq, nv
+        |ORDER BY np.nprobe""".stripMargin,
     "qv33_mrl_truncation" ->
       """WITH emb AS (SELECT vec_id,
         |    list_transform(embedding,

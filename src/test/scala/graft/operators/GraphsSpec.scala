@@ -477,4 +477,42 @@ class GraphsSpec extends SparkSpec {
     assert(again.sortBy(x => (x._1, x._3)).toSeq == out.sortBy(x => (x._1, x._3)).toSeq)
   }
 
+  test("node2vecWalks: hops follow edges, degree-1 backtrack is forced, weights steer the corpus") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 with pendant 3-4: walks reaching 4 can only go back
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val adj = Set((1L,2L),(2L,3L),(1L,3L),(3L,4L)).flatMap { case (u,v) =>
+      Set((u,v),(v,u)) }
+    def corpus(wr: Int, wc: Int, wo: Int) =
+      Graphs.node2vecWalks(edges, "a", "b", len = 3, walksPerNode = 1,
+          wReturn = wr, wCommon = wc, wOut = wo)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = corpus(1, 4, 2)
+    assert(out.length == 16) // 4 seeds x 4 steps
+    out.groupBy(_._1).values.foreach { steps =>
+      val sorted = steps.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == Seq(0L, 1L, 2L, 3L))
+      assert(sorted.head._4 == sorted.head._2)
+      sorted.toSeq.sliding(2).foreach { pair =>
+        assert(adj((pair(0)._4, pair(1)._4)),
+          s"non-edge hop ${pair(0)._4}->${pair(1)._4}")
+      }
+      // forced backtrack: any visit to degree-1 node 4 must return to 3
+      sorted.toSeq.sliding(2).foreach { pair =>
+        if (pair(0)._4 == 4L) assert(pair(1)._4 == 3L)
+      }
+    }
+    // deterministic replay under any partitioning
+    val again = Graphs.node2vecWalks(edges.repartition(5), "a", "b",
+        len = 3, walksPerNode = 1, wReturn = 1, wCommon = 4, wOut = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(x => (x._1, x._3)).toSeq ==
+      out.sortBy(x => (x._1, x._3)).toSeq)
+    // the bias is live: crushing the return weight changes the corpus
+    val ret = corpus(1000000, 1, 1)
+    assert(ret.sortBy(x => (x._1, x._3)).toSeq !=
+      out.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
 }

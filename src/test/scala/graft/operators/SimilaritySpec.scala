@@ -877,4 +877,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L)._4 >= 0L && out(2L)._4 <= 1000000L)
   }
 
+  test("ivfProbeSweep: recall and scanned share are monotone in nprobe, all-cells probe is exact") {
+    val s = spark
+    import s.implicits._
+    // two clusters around ids 0 and 5 -> centroid sample {0, 5} at mod 5
+    val vecs = (0 until 10).map { i =>
+      val base = if (i < 5) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) =>
+        v + (if (j == 3) i * 0.01f else 0f) })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.ivfProbeSweep(df, "embedding", "vec_id",
+        probes = Seq(1, 2), queryMod = 4L, k = 2, sampleMod = 5,
+        maxCentroids = 64)
+      .orderBy("nprobe")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out.forall(_._2 == 3L)) // panel = ids 0, 4, 8
+    // probing every cell IS the exact scan
+    assert(out(1)._6 == 1000000L)
+    assert(out(1)._4 == 1000000L) // scanned everything (minus self)
+    // fewer probes never scan or recall more
+    assert(out(0)._3 <= out(1)._3 && out(0)._5 <= out(1)._5)
+  }
+
 }

@@ -80,7 +80,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qx18_ams_f2", // cross of the 1-row exact-F2 aggregate and 1-row median estimate
     "qq31_hellinger_gate", // per-feature cross of the two 1-row side-total aggregates
     "qv33_mrl_truncation", // broadcast query panel + 1-row panel-count scalar
-    "qq32_simpsons") // 1-row overall-sign broadcast into the reverses flag
+    "qq32_simpsons", // 1-row overall-sign broadcast into the reverses flag
+    "qv34_ivf_probe_sweep") // broadcast probed-cell panel + 1-row panel/corpus counts
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

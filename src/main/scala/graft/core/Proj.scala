@@ -16,7 +16,8 @@ package graft.core
   *  - ellipsoidal Mercator (EPSG:3395) — Snyder eq. 7-7
   *  - transverse Mercator, Krüger series 4th order in the third flattening
   *    n (Karney 2011 §3; sub-mm over a UTM zone) — UTM 326xx/327xx,
-  *    ETRS89 UTM 258xx, British National Grid 27700 (Airy 1830 +
+  *    ETRS89 UTM 258xx, NAD27 UTM 267xx (Clarke 1866 + CONUS
+  *    geocentric translation), British National Grid 27700 (Airy 1830 +
   *    7-parameter Helmert datum shift)
   *  - Lambert Conformal Conic 2SP (EPSG method 9802) — 2154/3347/3034
   *  - Albers Equal-Area (EPSG method 9822) — 5070
@@ -68,6 +69,8 @@ object Proj {
   val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
   /** Krassowsky 1940, EPSG ellipsoid 7024 — the Pulkovo 1942 grids. */
   val Krassowsky1940: Ellipsoid = Ellipsoid(6378245.0, 298.3)
+  /** Clarke 1866, EPSG ellipsoid 7008 — the NAD27 grids. */
+  val Clarke1866: Ellipsoid = Ellipsoid(6378206.4, 294.9786982)
 
   // ------------------------------------------------------------- datum shifts
 
@@ -158,6 +161,14 @@ object Proj {
     * can't be cross-checked offline, and a silent sign flip would cost
     * ~25 m; the translation-only form is convention-proof). */
   private val Wgs84ToPulkovo1942 = Helmert(-28.0, 130.0, 95.0, 0, 0, 0, 0)
+
+  /** WGS84 -> NAD27 (reverse of EPSG transformation 1173, the published
+    * CONUS NAD27 -> WGS84 geocentric translation tx/ty/tz = −8/160/176 m;
+    * ~10 m class over the CONUS interior — the grids-free fidelity pyproj
+    * also falls back to without NADCON files, and the same contract as
+    * the OSGB36/Pulkovo entries above; the exact transform is the NADCON
+    * grid, out of scope offline). */
+  private val Wgs84ToNad27 = Helmert(8.0, -160.0, -176.0, 0, 0, 0, 0)
 
   /** geodetic (degrees, h=0) -> ECEF on `ell`. */
   private def toEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
@@ -809,6 +820,12 @@ object Proj {
         case c if c.length == 5 && c.startsWith("258") =>
           c.substring(3).toIntOption.filter(z => z >= 28 && z <= 38)
             .map(z => utm(z, north = true, GRS80))
+        // NAD27 / UTM zones 1N-23N (26701-26723): UTM on Clarke 1866
+        // plus the CONUS geocentric translation (reverse EPSG:1173)
+        case c if c.length == 5 && c.startsWith("267") =>
+          c.substring(3).toIntOption.filter(z => z >= 1 && z <= 23)
+            .map(z => Crs(Tmerc(0.0, z * 6 - 183, 0.9996, 500000.0, 0.0),
+              Clarke1866, Some(Wgs84ToNad27)))
         // NAD83 / UTM zones 1N-23N (26901-26923): standard UTM bundle on
         // GRS80; NAD83 ≡ WGS84 at this fidelity (the ETRS89/NZGD2000
         // convention used for 258xx)
@@ -873,10 +890,6 @@ object Proj {
     // the raw integer; error text should name the registry)
     val disp = if (code.nonEmpty && code.forall(_.isDigit)) s"EPSG:$code" else srs
     val hint = code.toIntOption.collect {
-      case c if c >= 26701 && c <= 26723 =>
-        s"NAD27 UTM zone ${c - 26700} — NAD27→WGS84 shifts reach ~100 m " +
-          s"(no exact transform without grid files); reproject the source " +
-          s"to EPSG:${26900 + (c - 26700)} (NAD83 UTM, supported)"
       case c if c >= 32201 && c <= 32260 =>
         s"WGS72 UTM zone ${c - 32200}N — the ~10 m WGS72→WGS84 shift isn't " +
           s"modeled; use EPSG:${32600 + (c - 32200)} (WGS84 UTM, supported)"
@@ -893,7 +906,7 @@ object Proj {
     }
     s"unsupported SRS '$disp'" + hint.map("; " + _).getOrElse(
       "; supported families: 4326/3857/900913/3395, UTM 326xx/327xx, " +
-        "ETRS89 258xx, NAD83 269xx, MGA 283xx/78xx, SIRGAS 319xx, " +
+        "ETRS89 258xx, NAD83 269xx, NAD27 267xx, MGA 283xx/78xx, SIRGAS 319xx, " +
         "Pulkovo GK 284xx, DHDN GK 3146x, JPRCS 6669-6687, LCC " +
         "2154/3347/3034, Albers 5070, polar stereo 3413/3976/3031/3995, " +
         "27700, 2193, 3375/29873, 3035, 2056, 5514")

@@ -501,9 +501,31 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("NAD27 UTM 267xx: genuine datum shift, round-trip exact, sane offset from NAD83") {
+    // zone 14 over Kansas: the CONUS translation moves the projected
+    // point by the real NAD27<->WGS84 separation (tens of metres)
+    val withDatum = Proj.forward("epsg:26714").get
+    val kernelOnly = Proj.Crs(
+      Proj.Tmerc(0.0, -99.0, 0.9996, 500000.0, 0.0), Proj.Clarke1866)
+    val (gx, gy) = withDatum(-98.0, 38.0)
+    val (kx, ky) = kernelOnly.forward(-98.0, 38.0)
+    val shift = math.hypot(gx - kx, gy - ky)
+    assert(shift > 10 && shift < 400, s"datum shift $shift m")
+    // vs NAD83 zone 14 (same kernel family, GRS80, no shift): the
+    // published NAD27->NAD83 coordinate change in CONUS is metres to
+    // ~100 m level combined with the ellipsoid change
+    val (nx, ny) = Proj.forward("epsg:26914").get(-98.0, 38.0)
+    val d = math.hypot(gx - nx, gy - ny)
+    assert(d > 5 && d < 400, s"NAD27 vs NAD83 offset $d m")
+    // forward-inverse closes to machine precision
+    val inv = Proj.inverse("epsg:26714").get
+    val (lo, la) = inv(gx, gy)
+    assert(math.abs(lo + 98.0) < 1e-9 && math.abs(la - 38.0) < 1e-9)
+    // out-of-range zone still refuses
+    assert(Proj.forward("epsg:26730").isEmpty)
+  }
+
   test("unsupportedMessage: near-miss EPSG blocks name the supported workaround") {
-    val nad27 = Proj.unsupportedMessage("epsg:26717")
-    assert(nad27.contains("NAD27") && nad27.contains("26917"), nad27)
     val wgs72n = Proj.unsupportedMessage("epsg:32217")
     assert(wgs72n.contains("32617"), wgs72n)
     val tokyo = Proj.unsupportedMessage("epsg:30169")
@@ -513,9 +535,6 @@ class ProjSpec extends AnyFunSuite {
     // unknown code outside any known block lists the supported families
     val generic = Proj.unsupportedMessage("epsg:99999")
     assert(generic.contains("supported families"), generic)
-    // codes the table DOES support never reach the message path in
-    // production, but the text stays truthful if they do
-    assert(Proj.forward("epsg:26717").isEmpty)
   }
 
   test("transformBounds: densified UTM bbox covers the corner-only bbox (curved edges)") {

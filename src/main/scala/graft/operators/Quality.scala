@@ -1228,4 +1228,108 @@ object Quality {
         .withColumn("reverses", lit(false))
         .select(cols: _*))
   }
+
+  /** Krippendorff's alpha, nominal scale — the inter-annotator agreement
+    * coefficient that, unlike [[cohenKappa]], handles ANY number of
+    * raters per unit and missing ratings (Krippendorff, "Content
+    * Analysis", ch. 12): alpha = 1 − D_o/D_e with D_o the within-unit
+    * pairwise disagreement Σ_u Σ_c n_uc(m_u−n_uc)/(m_u−1) and D_e its
+    * chance expectation from the pooled value counts. Units with one
+    * rating are excluded (nothing pairable). Per-unit terms are scaled
+    * by 720720 (lcm 1..16) so the division by m_u−1 is EXACT for up to
+    * 17 ratings per unit and deterministic integer-truncated beyond;
+    * the final ratio is evaluated in double over exact integer moments
+    * — identical in any engine. One row: (n_units, n_values,
+    * n_pairable, do_scaled, de, alpha_ppm).
+    *
+    * Scale shape: one (unit, value) count groupBy, one unit-level
+    * rollup, one value-level rollup — all map-side-combined; every
+    * other relation is one row. BIGINT moments hold to ~10⁹ pairable
+    * ratings; widen to decimal beyond. */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      labelCol: String): DataFrame = {
+    val scale = 720720L
+    val uc = df.select(col(unitCol).cast("string").as("u"),
+        col(labelCol).cast("string").as("c"))
+      .filter(col("u").isNotNull && col("c").isNotNull)
+      .groupBy("u", "c").agg(count(lit(1)).as("nuc"))
+    val units = uc.groupBy("u")
+      .agg(sum("nuc").as("mu"), sum(col("nuc") * col("nuc")).as("sq"))
+      .filter(col("mu") >= 2)
+    // S_u = Σ_c n_uc(m_u − n_uc) = m_u² − Σ_c n_uc²
+    val duo = units
+      .select(expr(s"((mu * mu - sq) * ${scale}L) div (mu - 1L)").as("t"),
+        col("mu"))
+      .agg(count(lit(1)).as("n_units"), sum("t").as("do_scaled"),
+        sum("mu").as("n_pairable"))
+    val vals = uc.join(units.select("u"), Seq("u"), "left_semi")
+      .groupBy("c").agg(sum("nuc").as("nc"))
+    val de = vals.agg(count(lit(1)).as("n_values"), sum("nc").as("n"),
+      sum(col("nc") * col("nc")).as("ncsq"))
+    duo.crossJoin(broadcast(de))
+      .select(col("n_units"), col("n_values"), col("n_pairable"),
+        col("do_scaled"), (col("n") * col("n") - col("ncsq")).as("de"),
+        expr(s"""cast(floor(1000000.0d * (1.0d -
+          |  (cast((n_pairable - 1) * do_scaled as double) /
+          |   cast(${scale}L * greatest(1L, n * n - ncsq) as double))))
+          |as bigint)""".stripMargin).as("alpha_ppm"))
+  }
+
+  /** Delete-one-block jackknife confidence interval for a mean
+    * (Quenouille 1956 / Tukey 1958 — the variance machinery a
+    * distributed engine can run without ANY randomness: blocks come
+    * from an md5 hash of the row key, so the interval replays
+    * bit-identically anywhere): rows land in `blocks` hash blocks;
+    * each leave-one-block-out mean yields a pseudovalue
+    * B·mean − (B−1)·mean₋ᵦ; the jackknife SE is the pseudovalue
+    * standard error. Values enter as exact integer micro-units; the
+    * final means/SE are doubles over exact integer sums floored to
+    * micro-units — deterministic in any engine. One row:
+    * (n, mean_micros, jk_mean_micros, se_micros, ci_lo_micros,
+    * ci_hi_micros) at ±1.96·SE.
+    *
+    * Scale shape: ONE pass builds the B-row block table (map-side
+    * combine on the block key); the global totals re-aggregate those B
+    * rows; every later relation is ≤ B rows. */
+  def jackknifeCi(df: DataFrame, key: Column, valueMicros: Column,
+      blocks: Int = 32): DataFrame = {
+    require(blocks >= 2 && blocks <= 4096, s"blocks out of range: $blocks")
+    val b = df
+      .select((conv(substring(md5(concat_ws(":", lit("jk"),
+          key.cast("string"))), 1, 13), 16, 10).cast("long") % blocks)
+        .as("blk"), valueMicros.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("blk").agg(count(lit(1)).as("nb"), sum("v").as("sb"))
+    val tot = broadcast(b.agg(sum("nb").as("n"), sum("sb").as("s"),
+      count(lit(1)).as("bn")))
+    // each block's pseudovalue double is built from exact integers by one
+    // fixed expression tree — bit-identical in any engine — and is then
+    // FLOORED to integer micros and centered on the global mean, so the
+    // cross-block moments are exact integer/decimal sums (a raw double
+    // sum is summation-order-dependent across engines; the ≤1 micro
+    // quantization is noise against any real CI width)
+    val pseudo = b.crossJoin(tot)
+      .filter(col("n") > col("nb")) // a block holding everything can't leave
+      .select(col("n"), col("s"), col("bn"),
+        (expr("""cast(floor(
+          |  cast(bn as double) * (cast(s as double) / cast(n as double)) -
+          |  cast(bn - 1 as double) *
+          |    (cast(s - sb as double) / cast(n - nb as double))
+          |) as bigint)""".stripMargin) - expr("s div n")).as("ci"))
+    pseudo.groupBy("n", "s", "bn")
+      .agg(count(lit(1)).as("bused"), sum("ci").as("sc"),
+        sum(col("ci").cast("decimal(38,0)") * col("ci")).as("scsq"))
+      .withColumn("jm",
+        expr("cast(s div n as double) + cast(sc as double) / bused"))
+      .withColumn("se", expr("""sqrt(greatest(0.0d,
+        |  (cast(scsq as double) / bused -
+        |   (cast(sc as double) / bused) * (cast(sc as double) / bused))
+        |  / (bused - 1)))""".stripMargin))
+      .select(col("n"),
+        expr("s div n").as("mean_micros"),
+        expr("cast(floor(jm) as bigint)").as("jk_mean_micros"),
+        expr("cast(floor(se) as bigint)").as("se_micros"),
+        expr("cast(floor(jm - 1.96d * se) as bigint)").as("ci_lo_micros"),
+        expr("cast(floor(jm + 1.96d * se) as bigint)").as("ci_hi_micros"))
+  }
 }

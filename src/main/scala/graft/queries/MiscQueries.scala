@@ -294,6 +294,18 @@ object MiscQueries {
             expr("cast(greatest(floor(value), 0L) as bigint) div 20")))
         .orderBy("feature")
     },
+    // Krippendorff alpha: do an order's line items "agree" on the return
+    // flag? (any-number-of-raters agreement, units = orders)
+    "qq33_krippendorff" -> { (s, d) =>
+      graft.operators.Quality.krippendorffAlpha(t(s, d, "lineitem"),
+        "l_orderkey", "l_returnflag")
+    },
+    // Hash-block jackknife CI for the mean extended price, micro-units.
+    "qq34_jackknife" -> { (s, d) =>
+      graft.operators.Quality.jackknifeCi(t(s, d, "lineitem"),
+        expr("concat(l_orderkey, ':', l_linenumber)"),
+        expr("cast(l_extendedprice * 1000000 as bigint)"), blocks = 32)
+    },
     // Simpson's-paradox audit: does the urgent-vs-other fulfillment-rate
     // comparison reverse inside any order-year slice?
     "qq32_simpsons" -> { (s, d) =>
@@ -1381,6 +1393,75 @@ object MiscQueries {
         |UNION ALL SELECT 'hour_of_day', n_buckets, t2 // 2 FROM h2
         |UNION ALL SELECT 'value_bucket', n_buckets, t2 // 2 FROM h3
         |ORDER BY feature""".stripMargin,
+    "qq33_krippendorff" ->
+      """WITH uc AS (SELECT CAST(l_orderkey AS VARCHAR) AS u,
+        |    CAST(l_returnflag AS VARCHAR) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS nuc
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY 1, 2),
+        |units AS (SELECT u, CAST(SUM(nuc) AS BIGINT) AS mu,
+        |    CAST(SUM(nuc * nuc) AS BIGINT) AS sq
+        |  FROM uc GROUP BY 1 HAVING SUM(nuc) >= 2),
+        |duo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(((mu * mu - sq) * 720720) // (mu - 1)) AS BIGINT)
+        |      AS do_scaled,
+        |    CAST(SUM(mu) AS BIGINT) AS n_pairable
+        |  FROM units),
+        |vals AS (SELECT c, CAST(SUM(nuc) AS BIGINT) AS nc FROM uc
+        |  WHERE u IN (SELECT u FROM units) GROUP BY 1),
+        |de AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    CAST(SUM(nc) AS BIGINT) AS n,
+        |    CAST(SUM(nc * nc) AS BIGINT) AS ncsq
+        |  FROM vals)
+        |SELECT duo.n_units, de.n_values, duo.n_pairable, duo.do_scaled,
+        |  de.n * de.n - de.ncsq AS de,
+        |  CAST(FLOOR(1000000.0 * (1.0 -
+        |    (CAST((duo.n_pairable - 1) * duo.do_scaled AS DOUBLE) /
+        |     CAST(720720 * GREATEST(1, de.n * de.n - de.ncsq) AS DOUBLE))))
+        |  AS BIGINT) AS alpha_ppm
+        |FROM duo, de""".stripMargin,
+    "qq34_jackknife" ->
+      """WITH rows0 AS (SELECT
+        |    CAST(list_sum(list_transform(generate_series(1, 13),
+        |      j -> CAST(instr('0123456789abcdef', substr(md5('jk:'
+        |          || CAST(l_orderkey AS VARCHAR) || ':'
+        |          || CAST(l_linenumber AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT) * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 32 AS blk,
+        |    CAST(l_extendedprice * 1000000 AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(v) AS BIGINT) AS sb
+        |  FROM rows0 WHERE v IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+        |    CAST(SUM(sb) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS bn FROM b),
+        |ps AS (SELECT tot.n, tot.s, tot.bn,
+        |    CAST(FLOOR(
+        |      CAST(tot.bn AS DOUBLE) *
+        |        (CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)) -
+        |      CAST(tot.bn - 1 AS DOUBLE) *
+        |        (CAST(tot.s - b.sb AS DOUBLE) /
+        |         CAST(tot.n - b.nb AS DOUBLE))
+        |    ) AS BIGINT) - tot.s // tot.n AS ci
+        |  FROM b, tot WHERE tot.n > b.nb),
+        |ag AS (SELECT n, s, bn, CAST(COUNT(*) AS BIGINT) AS bused,
+        |    CAST(SUM(ci) AS BIGINT) AS sc,
+        |    SUM(CAST(ci AS HUGEINT) * ci) AS scsq
+        |  FROM ps GROUP BY 1, 2, 3),
+        |fin AS (SELECT n, s, bused,
+        |    CAST(s // n AS DOUBLE) + CAST(sc AS DOUBLE) / bused AS jm,
+        |    sqrt(GREATEST(0.0,
+        |      (CAST(scsq AS DOUBLE) / bused -
+        |       (CAST(sc AS DOUBLE) / bused) * (CAST(sc AS DOUBLE) / bused))
+        |      / (bused - 1))) AS se
+        |  FROM ag)
+        |SELECT n, s // n AS mean_micros,
+        |  CAST(FLOOR(jm) AS BIGINT) AS jk_mean_micros,
+        |  CAST(FLOOR(se) AS BIGINT) AS se_micros,
+        |  CAST(FLOOR(jm - 1.96 * se) AS BIGINT) AS ci_lo_micros,
+        |  CAST(FLOOR(jm + 1.96 * se) AS BIGINT) AS ci_hi_micros
+        |FROM fin""".stripMargin,
     "qq32_simpsons" ->
       """WITH per AS (SELECT
         |    COALESCE(CAST(year(o_orderdate) AS VARCHAR), chr(1) || 'null')

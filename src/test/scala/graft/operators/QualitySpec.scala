@@ -670,4 +670,46 @@ class QualitySpec extends SparkSpec {
     assert(na == 110L && sa == 82L && rao > rbo && sgo == 1L && !revo)
   }
 
+  test("krippendorffAlpha: perfect agreement is 1e6, the worked 2x2 case is 0, singletons drop") {
+    val s = spark
+    import s.implicits._
+    val perfect = Seq(("u1", "x"), ("u1", "x"), ("u2", "y"), ("u2", "y"))
+      .toDF("u", "c")
+    val p = Quality.krippendorffAlpha(perfect, "u", "c").head()
+    assert(p.getAs[Long]("alpha_ppm") == 1000000L)
+    // hand case: (a,a) + (a,b): D_o/D_e works out to exactly 1 -> alpha 0
+    val mixed = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"))
+      .toDF("u", "c")
+    val m = Quality.krippendorffAlpha(mixed, "u", "c").head()
+    assert(m.getAs[Long]("n_units") == 2L)
+    assert(m.getAs[Long]("n_pairable") == 4L)
+    assert(m.getAs[Long]("alpha_ppm") == 0L)
+    // a single-rating unit contributes nothing pairable
+    val withSingleton = mixed.unionAll(Seq(("u3", "z")).toDF("u", "c"))
+    val w = Quality.krippendorffAlpha(withSingleton, "u", "c").head()
+    assert(w.getAs[Long]("n_units") == 2L)
+    assert(w.getAs[Long]("n_pairable") == 4L)
+  }
+
+  test("jackknifeCi: constant data collapses the interval, the mean stays inside it") {
+    val s = spark
+    import s.implicits._
+    val const = (1 to 500).map(i => (i.toLong, 7000000L)).toDF("k", "v")
+    val c = Quality.jackknifeCi(const, col("k"), col("v"), blocks = 16).head()
+    assert(c.getAs[Long]("n") == 500L)
+    assert(c.getAs[Long]("mean_micros") == 7000000L)
+    assert(c.getAs[Long]("se_micros") == 0L)
+    assert(c.getAs[Long]("ci_lo_micros") == 7000000L)
+    assert(c.getAs[Long]("ci_hi_micros") == 7000000L)
+    val varied = (1 to 2000).map(i => (i.toLong, (i % 100) * 1000000L))
+      .toDF("k", "v")
+    val v = Quality.jackknifeCi(varied, col("k"), col("v"), blocks = 32).head()
+    val (lo, hi) = (v.getAs[Long]("ci_lo_micros"), v.getAs[Long]("ci_hi_micros"))
+    assert(lo < hi)
+    assert(v.getAs[Long]("mean_micros") >= lo &&
+      v.getAs[Long]("mean_micros") <= hi)
+    assert(v.getAs[Long]("se_micros") > 0L &&
+      v.getAs[Long]("se_micros") < 5000000L) // ~ sd/sqrt(n) scale, not sd
+  }
+
 }

@@ -81,7 +81,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qq31_hellinger_gate", // per-feature cross of the two 1-row side-total aggregates
     "qv33_mrl_truncation", // broadcast query panel + 1-row panel-count scalar
     "qq32_simpsons", // 1-row overall-sign broadcast into the reverses flag
-    "qv34_ivf_probe_sweep") // broadcast probed-cell panel + 1-row panel/corpus counts
+    "qv34_ivf_probe_sweep", // broadcast probed-cell panel + 1-row panel/corpus counts
+    "qq33_krippendorff", // cross of the 1-row D_o and 1-row D_e moment aggregates
+    "qq34_jackknife") // 1-row global-totals broadcast into every block's pseudovalue
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

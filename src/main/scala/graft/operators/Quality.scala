@@ -1332,4 +1332,52 @@ object Quality {
         expr("cast(floor(jm - 1.96d * se) as bigint)").as("ci_lo_micros"),
         expr("cast(floor(jm + 1.96d * se) as bigint)").as("ci_hi_micros"))
   }
+
+  /** Rank-biased-overlap top-k drift — Webber, Moffat & Zobel, TOIS 2010:
+    * how much did the top-k leaderboard (keys ranked by count) change
+    * between two slices? Truncated RBO at persistence p = ½ — each depth
+    * d contributes overlap@d/(d·2^d), so agreement NEAR THE TOP dominates
+    * (the property set-Jaccard lacks: swapping ranks 1 and 20 matters,
+    * swapping 19 and 20 barely does). Per-depth terms are exact integer
+    * divisions — deterministic anywhere. Also reports the plain churn:
+    * keys that stayed, entered, and exited the top-k. One row:
+    * (k, n_stay, n_entered, n_exited, rbo_ppm). Ranks tie-break by key.
+    *
+    * Scale shape: each side is ONE count groupBy collapsed by a
+    * TakeOrdered top-k (never a global sort); everything after — the
+    * rank windows, the full-outer join, the depth fan-out — runs on ≤ k
+    * rows (the ≤ k² depth expansion is a whitelisted bounded BNLJ). */
+  def rboTopkDrift(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 60, s"k out of range: $k")
+    def topk(df: DataFrame, tag: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("key"))
+      df.select(col(keyCol).cast("string").as("key"))
+        .filter(col("key").isNotNull)
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("key")).limit(k)
+        .select(col("key"), row_number().over(w).as(s"r_$tag"))
+    }
+    val joined = topk(a, "a").join(topk(b, "b"), Seq("key"), "full_outer")
+    val churn = joined.agg(
+      coalesce(sum(when(col("r_a").isNotNull && col("r_b").isNotNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_stay"),
+      coalesce(sum(when(col("r_a").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_entered"),
+      coalesce(sum(when(col("r_b").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_exited"))
+    val m = joined.filter(col("r_a").isNotNull && col("r_b").isNotNull)
+      .select(greatest(col("r_a"), col("r_b")).cast("long").as("m"))
+    val depths = a.sparkSession.range(1, k + 1)
+      .select((col("id")).as("d"))
+    val rbo = depths.join(m, col("m") <= col("d"), "left_outer")
+      .groupBy("d").agg(count(col("m")).as("ov"))
+      .select(expr("(1000000L * ov) div (d * shiftleft(1L, int(d)))")
+        .as("term"))
+      .agg(coalesce(sum("term"), lit(0L)).as("rbo_ppm"))
+    churn.crossJoin(broadcast(rbo))
+      .select(lit(k.toLong).as("k"), col("n_stay"), col("n_entered"),
+        col("n_exited"), col("rbo_ppm"))
+  }
 }

@@ -1044,6 +1044,25 @@ object MiscQueries {
       graft.streaming.EventStream.abAssignment(t(s, d, "events"))
         .orderBy("arm")
     },
+    // CUPED variance-reduced A/B readout: pre-period activity as the
+    // covariate, arms from the qa18 md5 coin.
+    "qa24_cuped" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      // bounded 1-row gather picks the deterministic pre/post split
+      val bounds = ev.agg(min("ts"), max("ts")).head()
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      graft.streaming.EventStream.cuped(ev, mid).orderBy("arm")
+    },
+    // Top-20 leaderboard drift between the two event-time halves:
+    // rank-biased overlap + churn.
+    "qq35_rbo_drift" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val bounds = ev.agg(min("ts"), max("ts")).head()
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      graft.operators.Quality.rboTopkDrift(
+        ev.filter(col("ts") < mid), ev.filter(col("ts") >= mid),
+        "user_id", k = 20)
+    },
     // Majority-successor baseline: how predictable is the next event.
     "qa19_markov_accuracy" -> { (s, d) =>
       graft.streaming.EventStream.markovAccuracy(t(s, d, "events"))
@@ -2884,6 +2903,100 @@ object MiscQueries {
         |  COALESCE(nodes_sample, 0) AS nodes_sample
         |FROM hf FULL OUTER JOIN hs ON hs.bucket = hf.bucket
         |ORDER BY bucket""".stripMargin,
+    "qa24_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS tsn FROM events),
+        |mid AS (SELECT (MIN(tsn) + MAX(tsn)) // 2 AS m FROM e),
+        |u0 AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN tsn < (SELECT m FROM mid) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN tsn >= (SELECT m FROM mid) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM e GROUP BY user_id),
+        |u AS (SELECT *, CASE WHEN
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('ab_exp1_'
+        |        || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm FROM u0),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM u),
+        |ar AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(x) AS BIGINT) AS sum_x,
+        |    CAST(SUM(y) AS BIGINT) AS sum_y,
+        |    CAST(SUM(x * x) AS BIGINT) AS axx,
+        |    CAST(SUM(y * y) AS BIGINT) AS ayy,
+        |    CAST(SUM(x * y) AS BIGINT) AS axy
+        |  FROM u GROUP BY arm),
+        |th AS (SELECT ar.*, g.n, g.sx, g.sy,
+        |    CAST(g.sxx AS DOUBLE) / g.n -
+        |      (CAST(g.sx AS DOUBLE) / g.n) * (CAST(g.sx AS DOUBLE) / g.n)
+        |      AS varx_g
+        |  FROM ar, g),
+        |t2 AS (SELECT *, CASE WHEN varx_g <= 0.0 THEN 0.0
+        |    ELSE (CAST(sxy AS DOUBLE) / n -
+        |      (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / varx_g
+        |    END AS theta,
+        |    CAST(sum_x AS DOUBLE) / n_users AS mx,
+        |    CAST(sum_y AS DOUBLE) / n_users AS my
+        |  FROM (SELECT th.*, g2.sxy FROM th, (SELECT sxy FROM g) g2)),
+        |t3 AS (SELECT *,
+        |    CAST(ayy AS DOUBLE) / n_users - my * my AS vy,
+        |    CAST(axx AS DOUBLE) / n_users - mx * mx AS vx,
+        |    CAST(axy AS DOUBLE) / n_users - mx * my AS cxy
+        |  FROM t2),
+        |t4 AS (SELECT *,
+        |    vy - 2.0 * theta * cxy + theta * theta * vx AS vc
+        |  FROM t3)
+        |SELECT arm, n_users, sum_x, sum_y,
+        |  CAST(FLOOR(theta * 1000000.0) AS BIGINT) AS theta_ppm,
+        |  CAST(FLOOR(my * 1000000.0) AS BIGINT) AS mean_y_micros,
+        |  CAST(FLOOR((my - theta * (mx - CAST(sx AS DOUBLE) / n))
+        |    * 1000000.0) AS BIGINT) AS mean_cuped_micros,
+        |  CAST(FLOOR(1000000.0 * (1.0 -
+        |    CASE WHEN vy <= 0.0 THEN 1.0 ELSE vc / vy END)) AS BIGINT)
+        |    AS reduction_ppm
+        |FROM t4 ORDER BY arm""".stripMargin,
+    "qq35_rbo_drift" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS tsn FROM events
+        |  WHERE user_id IS NOT NULL),
+        |mid AS (SELECT (MIN(tsn) + MAX(tsn)) // 2 AS m FROM e),
+        |ta AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e, mid WHERE tsn < m GROUP BY 1
+        |  ORDER BY cnt DESC, key LIMIT 20),
+        |tb AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e, mid WHERE tsn >= m GROUP BY 1
+        |  ORDER BY cnt DESC, key LIMIT 20),
+        |ra AS (SELECT key, ROW_NUMBER() OVER (ORDER BY cnt DESC, key)
+        |  AS r_a FROM ta),
+        |rb AS (SELECT key, ROW_NUMBER() OVER (ORDER BY cnt DESC, key)
+        |  AS r_b FROM tb),
+        |j AS (SELECT ra.key AS ka, rb.key AS kb, ra.r_a, rb.r_b
+        |  FROM ra FULL JOIN rb ON rb.key = ra.key),
+        |churn AS (SELECT
+        |    COALESCE(CAST(SUM(CASE WHEN r_a IS NOT NULL AND r_b IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_stay,
+        |    COALESCE(CAST(SUM(CASE WHEN r_a IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0) AS n_entered,
+        |    COALESCE(CAST(SUM(CASE WHEN r_b IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0) AS n_exited
+        |  FROM j),
+        |mm AS (SELECT GREATEST(r_a, r_b) AS m FROM j
+        |  WHERE r_a IS NOT NULL AND r_b IS NOT NULL),
+        |dd AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS d),
+        |ov AS (SELECT dd.d, CAST(COUNT(mm.m) AS BIGINT) AS ov
+        |  FROM dd LEFT JOIN mm ON mm.m <= dd.d GROUP BY 1),
+        |rbo AS (SELECT COALESCE(CAST(SUM((1000000 * ov)
+        |    // (d * (1::BIGINT << CAST(d AS INT)))) AS BIGINT), 0)
+        |  AS rbo_ppm FROM ov)
+        |SELECT CAST(20 AS BIGINT) AS k, churn.n_stay, churn.n_entered,
+        |  churn.n_exited, rbo.rbo_ppm
+        |FROM churn, rbo""".stripMargin,
     "qa18_ab_assignment" ->
       """WITH u AS (SELECT user_id,
         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -1650,4 +1650,70 @@ object EventStream {
     q.stop()
     spark.table(name)
   }
+
+  /** CUPED variance-reduced experiment readout — Deng, Xu, Kohavi & Walker,
+    * WSDM 2013 ("Improving the sensitivity of online controlled
+    * experiments"): per user, X = pre-period activity (events before
+    * `splitNanos`), Y = experiment-period activity; arms from the
+    * [[abAssignment]] md5 coin; theta = cov(X,Y)/var(X) over ALL users;
+    * the adjusted metric Y − θ(X − X̄) keeps each arm's mean comparison
+    * unbiased while shrinking its variance by the pre-period correlation
+    * — the smaller sample a significant readout needs. Every moment is
+    * an exact BIGINT sum of per-user counts; theta, the adjusted means,
+    * and the variance-reduction ratio are doubles over those exact
+    * integers, floored to micro/ppm — identical in any engine (var(X)=0
+    * degenerates to theta = 0, unadjusted). One row per arm:
+    * (arm, n_users, sum_x, sum_y, theta_ppm, mean_y_micros,
+    * mean_cuped_micros, reduction_ppm).
+    *
+    * Scale shape: ONE user groupBy builds (x, y) with map-side combine;
+    * ONE arm groupBy folds the five arm moments; the 1-row pooled-moment
+    * relation broadcasts into the 2-row arm table. No second pass over
+    * raw events — var(Y−θX) expands through the moments. */
+  def cuped(events: DataFrame, splitNanos: Long,
+      salt: String = "exp1"): DataFrame = {
+    val perUser = tsNanos(events)
+      .groupBy("user_id")
+      .agg(sum(when(col("ts") < splitNanos, 1L).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= splitNanos, 1L).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat(lit(s"ab_${salt}_"),
+          col("user_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    val pooled = broadcast(perUser.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy")))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sum_x"),
+        sum("y").as("sum_y"), sum(col("x") * col("x")).as("axx"),
+        sum(col("y") * col("y")).as("ayy"),
+        sum(col("x") * col("y")).as("axy"))
+      .crossJoin(pooled)
+      .withColumn("varx_g", expr(
+        "cast(sxx as double) / n - (cast(sx as double) / n) * (cast(sx as double) / n)"))
+      .withColumn("theta", expr("""case when varx_g <= 0.0d then 0.0d
+        |else (cast(sxy as double) / n -
+        |  (cast(sx as double) / n) * (cast(sy as double) / n)) / varx_g
+        |end""".stripMargin))
+      .withColumn("mx", expr("cast(sum_x as double) / n_users"))
+      .withColumn("my", expr("cast(sum_y as double) / n_users"))
+      .withColumn("vy", expr(
+        "cast(ayy as double) / n_users - my * my"))
+      .withColumn("vx", expr(
+        "cast(axx as double) / n_users - mx * mx"))
+      .withColumn("cxy", expr(
+        "cast(axy as double) / n_users - mx * my"))
+      .withColumn("vc", expr(
+        "vy - 2.0d * theta * cxy + theta * theta * vx"))
+      .select(col("arm"), col("n_users"), col("sum_x"), col("sum_y"),
+        expr("cast(floor(theta * 1000000.0d) as bigint)").as("theta_ppm"),
+        expr("cast(floor(my * 1000000.0d) as bigint)").as("mean_y_micros"),
+        expr("""cast(floor((my - theta * (mx - cast(sx as double) / n))
+          |  * 1000000.0d) as bigint)""".stripMargin)
+          .as("mean_cuped_micros"),
+        expr("""cast(floor(1000000.0d * (1.0d -
+          |  case when vy <= 0.0d then 1.0d else vc / vy end))
+          |as bigint)""".stripMargin).as("reduction_ppm"))
+  }
 }

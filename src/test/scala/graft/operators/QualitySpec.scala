@@ -712,4 +712,30 @@ class QualitySpec extends SparkSpec {
       v.getAs[Long]("se_micros") < 5000000L) // ~ sd/sqrt(n) scale, not sd
   }
 
+  test("rboTopkDrift: identical lists max out, disjoint lists zero out, top swaps cost more") {
+    val s = spark
+    import s.implicits._
+    def corpus(keys: Seq[(String, Int)]) =
+      keys.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+    val a = corpus(Seq("x" -> 50, "y" -> 40, "z" -> 30, "w" -> 20, "v" -> 10))
+    val same = Quality.rboTopkDrift(a, a, "k", k = 5).head()
+    // identical lists: ov_d = d, term = 1e6 div 2^d (exact truncation)
+    val maxRbo = (1 to 5).map(d => 1000000L >> d).sum
+    assert(same.getAs[Long]("n_stay") == 5L)
+    assert(same.getAs[Long]("n_entered") == 0L)
+    assert(same.getAs[Long]("rbo_ppm") == maxRbo)
+    val b = corpus(Seq("p" -> 50, "q" -> 40, "r" -> 30, "s" -> 20, "t" -> 10))
+    val dis = Quality.rboTopkDrift(a, b, "k", k = 5).head()
+    assert(dis.getAs[Long]("n_stay") == 0L)
+    assert(dis.getAs[Long]("n_entered") == 5L &&
+      dis.getAs[Long]("n_exited") == 5L)
+    assert(dis.getAs[Long]("rbo_ppm") == 0L)
+    // swapping ranks 1/2 hurts more than swapping 4/5 (top-weightedness)
+    val swapTop = corpus(Seq("y" -> 50, "x" -> 40, "z" -> 30, "w" -> 20, "v" -> 10))
+    val swapBot = corpus(Seq("x" -> 50, "y" -> 40, "z" -> 30, "v" -> 20, "w" -> 10))
+    val st = Quality.rboTopkDrift(a, swapTop, "k", k = 5).head().getAs[Long]("rbo_ppm")
+    val sb = Quality.rboTopkDrift(a, swapBot, "k", k = 5).head().getAs[Long]("rbo_ppm")
+    assert(st < sb && sb < maxRbo)
+  }
+
 }

@@ -1159,4 +1159,35 @@ class EventStreamSpec extends SparkSpec {
     assert(out(7L) == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("cuped: perfect pre-period correlation removes all variance; flat X degenerates to theta 0") {
+    val s = spark
+    import s.implicits._
+    // user u emits (u % 7 + 1) events before the split and the SAME count
+    // after: Y = X exactly -> theta = 1, var(Y - X) = 0
+    val rows = (1 to 40).flatMap { u =>
+      val m = u % 7 + 1
+      (1 to m).map(i => (u.toLong, i.toLong * 10L)) ++
+        (1 to m).map(i => (u.toLong, 1000L + i.toLong * 10L))
+    }
+    val ev = rows.toDF("user_id", "ts")
+    val out = EventStream.cuped(ev, splitNanos = 500L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(7))).toMap
+    assert(out.keySet == Set("A", "B"))
+    out.values.foreach { case (n, theta, red) =>
+      assert(n > 0L)
+      assert(theta == 1000000L)
+      assert(red == 1000000L)
+    }
+    // constant X across users: var(X) = 0 -> theta 0, nothing reduced
+    val flat = (1 to 20).flatMap { u =>
+      Seq((u.toLong, 10L)) ++ (1 to u % 5 + 1).map(i => (u.toLong, 1000L + i))
+    }.toDF("user_id", "ts")
+    val f = EventStream.cuped(flat, splitNanos = 500L).collect()
+    f.foreach { r =>
+      assert(r.getLong(4) == 0L) // theta_ppm
+      assert(r.getLong(7) == 0L) // reduction_ppm
+    }
+  }
+
 }

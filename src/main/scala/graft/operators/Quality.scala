@@ -1380,4 +1380,48 @@ object Quality {
       .select(lit(k.toLong).as("k"), col("n_stay"), col("n_entered"),
         col("n_exited"), col("rbo_ppm"))
   }
+
+  /** l-diversity audit — Machanavajjhala et al., ICDE 2006: k-anonymity's
+    * [[kAnonymity]] blind spot is a large quasi-identifier group whose
+    * SENSITIVE value is constant (group size 50, every row the same
+    * diagnosis — re-identification discloses it anyway). Per quasi group
+    * this measures distinct-l (how many distinct sensitive values) and the
+    * top sensitive value's share; a group is weak when distinct < l. One
+    * summary row mirroring kAnonymity's gate shape: (l, n_rows, n_groups,
+    * weak_groups, rows_at_risk, min_distinct, max_topshare_ppm) — all
+    * exact integers, the share an integer div.
+    *
+    * NULL sensitive values coalesce to a sentinel (a NULL "value" is
+    * itself a disclosure class, and concat/grouping must not silently
+    * merge it with an empty string — the qq25 lesson).
+    *
+    * Scale shape: two stacked groupBys, both map-side combined — (quasi,
+    * sensitive) counts, then quasi rollup — and a 1-row final aggregate.
+    * Group count is bounded by quasi-space cardinality, never row count. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi column")
+    require(l >= 2 && l <= 1000000, s"l out of range: $l")
+    val cells = df
+      .withColumn("__sv", coalesce(col(sensitiveCol).cast("string"),
+        lit("null")))
+      .groupBy((quasiCols.map(col) :+ col("__sv")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val groups = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+    groups.agg(
+      coalesce(sum("n"), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(when(col("n_distinct") < l, 1L).otherwise(0L)), lit(0L))
+        .as("weak_groups"),
+      coalesce(sum(when(col("n_distinct") < l, col("n")).otherwise(0L)),
+        lit(0L)).as("rows_at_risk"),
+      min("n_distinct").as("min_distinct"),
+      max(expr("(top_cnt * 1000000L) div n")).as("max_topshare_ppm"))
+      .select(lit(l.toLong).as("l"), col("n_rows"), col("n_groups"),
+        col("weak_groups"), col("rows_at_risk"),
+        coalesce(col("min_distinct"), lit(0L)).as("min_distinct"),
+        coalesce(col("max_topshare_ppm"), lit(0L)).as("max_topshare_ppm"))
+  }
 }

@@ -1063,6 +1063,28 @@ object MiscQueries {
         ev.filter(col("ts") < mid), ev.filter(col("ts") >= mid),
         "user_id", k = 20)
     },
+    // Reliability table + ECE: does a first-half rate table's score MEAN
+    // its value on the second half (calibration, beside qa21's ranking)?
+    "qa25_calibration" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val bounds = ev.agg(min("ts"), max("ts")).head()
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      graft.streaming.EventStream.calibration(ev, mid).orderBy("bin")
+    },
+    // Discrete survival curve with right-censoring: per-lifetime risk
+    // set, hazard, and Nelson-Aalen cumulative hazard.
+    "qa26_survival" -> { (s, d) =>
+      graft.streaming.EventStream.survivalCurve(t(s, d, "events"))
+        .orderBy("duration_days")
+    },
+    // l-diversity audit: the constant-sensitive-value group k-anonymity
+    // misses (qq08's companion gate).
+    "qq36_l_diversity" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("lang"),
+        expr("n_chars div 500").as("len_bin"), col("source"))
+      graft.operators.Quality.lDiversity(
+        docs, Seq("lang", "len_bin"), "source", l = 3)
+    },
     // Majority-successor baseline: how predictable is the next event.
     "qa19_markov_accuracy" -> { (s, d) =>
       graft.streaming.EventStream.markovAccuracy(t(s, d, "events"))
@@ -2997,6 +3019,93 @@ object MiscQueries {
         |SELECT CAST(20 AS BIGINT) AS k, churn.n_stay, churn.n_entered,
         |  churn.n_exited, rbo.rbo_ppm
         |FROM churn, rbo""".stripMargin,
+    "qa25_calibration" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) * 1000 AS tsn
+        |  FROM events),
+        |mid AS (SELECT (MIN(tsn) + MAX(tsn)) // 2 AS m FROM e),
+        |tr AS (SELECT user_id,
+        |    LEAST(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT), 20) AS fb,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM e, mid WHERE tsn < m GROUP BY user_id),
+        |te AS (SELECT user_id,
+        |    LEAST(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT), 20) AS fb,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM e, mid WHERE tsn >= m GROUP BY user_id),
+        |r AS (SELECT fb, (1000000 * CAST(SUM(y) AS BIGINT))
+        |    // CAST(COUNT(*) AS BIGINT) AS rate_ppm
+        |  FROM tr GROUP BY fb),
+        |g AS (SELECT (1000000 * CAST(SUM(y) AS BIGINT))
+        |    // GREATEST(1, CAST(COUNT(*) AS BIGINT)) AS g_ppm FROM tr),
+        |sc AS (SELECT te.y, COALESCE(r.rate_ppm, g.g_ppm) AS pred_ppm
+        |  FROM te LEFT JOIN r USING (fb) CROSS JOIN g),
+        |b AS (SELECT pred_ppm // 100000 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(pred_ppm) AS BIGINT) AS sum_pred,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM sc GROUP BY 1),
+        |b2 AS (SELECT b, n_users, sum_pred // n_users AS conf_ppm,
+        |    (1000000 * pos) // n_users AS acc_ppm FROM b),
+        |b3 AS (SELECT b, n_users, conf_ppm, acc_ppm,
+        |    ABS(conf_ppm - acc_ppm) AS gap_ppm FROM b2),
+        |ov AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_users,
+        |    CAST(SUM(n_users * conf_ppm) AS BIGINT)
+        |      // GREATEST(1, CAST(SUM(n_users) AS BIGINT)) AS conf_ppm,
+        |    CAST(SUM(n_users * acc_ppm) AS BIGINT)
+        |      // GREATEST(1, CAST(SUM(n_users) AS BIGINT)) AS acc_ppm,
+        |    CAST(SUM(n_users * gap_ppm) AS BIGINT)
+        |      // GREATEST(1, CAST(SUM(n_users) AS BIGINT)) AS gap_ppm
+        |  FROM b3)
+        |SELECT 'b' || lpad(CAST(b AS VARCHAR), 2, '0') AS bin, n_users,
+        |  conf_ppm, acc_ppm, gap_ppm FROM b3
+        |UNION ALL
+        |SELECT 'overall' AS bin, n_users, conf_ppm, acc_ppm, gap_ppm
+        |FROM ov ORDER BY bin""".stripMargin,
+    "qa26_survival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) * 1000 AS tsn FROM events),
+        |u AS (SELECT user_id, MIN(tsn) AS f, MAX(tsn) AS l
+        |  FROM e GROUP BY user_id),
+        |ed AS (SELECT MAX(l) AS g_max FROM u),
+        |d AS (SELECT (l - f) // 86400000000000 AS duration_days,
+        |    CASE WHEN l < g_max - 7 * 86400000000000 THEN 1 ELSE 0 END
+        |      AS churned
+        |  FROM u CROSS JOIN ed),
+        |dd AS (SELECT duration_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(churned) AS BIGINT) AS n_churned
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT *, CAST(SUM(n_users) OVER (ORDER BY duration_days
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |    AS n_risk FROM dd),
+        |h AS (SELECT *, (1000000 * n_churned) // n_risk AS hazard_ppm
+        |  FROM r)
+        |SELECT duration_days, n_users, n_churned, n_risk, hazard_ppm,
+        |  CAST(SUM(hazard_ppm) OVER (ORDER BY duration_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_hazard_ppm
+        |FROM h ORDER BY duration_days""".stripMargin,
+    "qq36_l_diversity" ->
+      """WITH c AS (SELECT lang, n_chars // 500 AS len_bin,
+        |    COALESCE(CAST(source AS VARCHAR), 'null') AS sv,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, len_bin, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(MAX(cnt) AS BIGINT) AS top_cnt
+        |  FROM c GROUP BY 1, 2)
+        |SELECT CAST(3 AS BIGINT) AS l,
+        |  COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  COALESCE(CAST(SUM(CASE WHEN n_distinct < 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS weak_groups,
+        |  COALESCE(CAST(SUM(CASE WHEN n_distinct < 3 THEN n ELSE 0 END)
+        |    AS BIGINT), 0) AS rows_at_risk,
+        |  COALESCE(CAST(MIN(n_distinct) AS BIGINT), 0) AS min_distinct,
+        |  COALESCE(CAST(MAX((top_cnt * 1000000) // n) AS BIGINT), 0)
+        |    AS max_topshare_ppm
+        |FROM g""".stripMargin,
     "qa18_ab_assignment" ->
       """WITH u AS (SELECT user_id,
         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

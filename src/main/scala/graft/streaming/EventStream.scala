@@ -1716,4 +1716,116 @@ object EventStream {
           |  case when vy <= 0.0d then 1.0d else vc / vy end))
           |as bigint)""".stripMargin).as("reduction_ppm"))
   }
+
+  /** Calibration audit (reliability table + ECE) — Naeini et al., AAAI
+    * 2015 framing: the Mann-Whitney AUC (qa21) measures whether a score
+    * RANKS positives above negatives; this measures
+    * whether the score's VALUE means what it says (a 0.30 bucket should
+    * convert 30% of the time). The "model" is the honest baseline a
+    * feature table supports: a view-count → purchase-rate table learned on
+    * the pre-`splitNanos` half, applied to post-split users, compared
+    * against their actual post-split outcomes. Rates live as integer ppm
+    * from birth, so every bin moment is an exact BIGINT sum — no
+    * order-dependent float anywhere, identical in any engine. Output: one
+    * row per predicted-rate decile (bin "b00".."b10") with
+    * (n_users, conf_ppm, acc_ppm, gap_ppm), plus an "overall" row whose
+    * gap_ppm IS the expected calibration error Σ nᵦ·|accᵦ−confᵦ| / N
+    * (computed from exact integers, floored once).
+    *
+    * Scale shape: two per-user groupBys (train/test halves) with map-side
+    * combine; the rate table is ≤ maxBucket+1 rows and broadcast-joins
+    * onto test users; the global-fallback rate is a 1-row broadcast; the
+    * bin rollup is ≤ 11 rows. No second pass over raw events. */
+  def calibration(events: DataFrame, splitNanos: Long,
+      maxBucket: Int = 20): DataFrame = {
+    require(maxBucket >= 1 && maxBucket <= 1000,
+      s"maxBucket out of range: $maxBucket")
+    val ev = tsNanos(events)
+    def half(pred: org.apache.spark.sql.Column): DataFrame = ev.filter(pred)
+      .groupBy("user_id")
+      .agg(least(sum(when(col("event_type") === "view", 1L).otherwise(0L)),
+        lit(maxBucket.toLong)).as("fb"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val rates = half(col("ts") < splitNanos)
+      .groupBy("fb").agg(count(lit(1)).as("n_tr"), sum("y").as("pos_tr"))
+      .select(col("fb"), expr("(1000000L * pos_tr) div n_tr").as("rate_ppm"))
+    val fallback = broadcast(half(col("ts") < splitNanos)
+      .agg(count(lit(1)).as("n_g"), sum("y").as("pos_g"))
+      .select(expr("(1000000L * pos_g) div greatest(1L, n_g)").as("g_ppm")))
+    val scored = half(col("ts") >= splitNanos)
+      .join(broadcast(rates), Seq("fb"), "left_outer")
+      .crossJoin(fallback)
+      .select(col("y"),
+        coalesce(col("rate_ppm"), col("g_ppm")).as("pred_ppm"))
+    val bins = scored
+      .groupBy(expr("pred_ppm div 100000").as("b"))
+      .agg(count(lit(1)).as("n_users"), sum("pred_ppm").as("sum_pred"),
+        sum("y").as("pos"))
+      .select(col("b"), col("n_users"),
+        expr("sum_pred div n_users").as("conf_ppm"),
+        expr("(1000000L * pos) div n_users").as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+    val overall = bins.agg(
+      coalesce(sum("n_users"), lit(0L)).as("n_users"),
+      expr("sum(n_users * conf_ppm) div greatest(1L, sum(n_users))")
+        .as("conf_ppm"),
+      expr("sum(n_users * acc_ppm) div greatest(1L, sum(n_users))")
+        .as("acc_ppm"),
+      expr("sum(n_users * gap_ppm) div greatest(1L, sum(n_users))")
+        .as("gap_ppm"))
+    bins.select(concat(lit("b"), lpad(col("b").cast("string"), 2, "0"))
+        .as("bin"), col("n_users"), col("conf_ppm"), col("acc_ppm"),
+        col("gap_ppm"))
+      .unionByName(overall.select(lit("overall").as("bin"), col("n_users"),
+        col("conf_ppm"), col("acc_ppm"), col("gap_ppm")))
+  }
+
+  /** Discrete survival curve with right-censoring — the Kaplan-Meier
+    * lifetime question ("how long do users stay?") a plain churn rate
+    * answers wrongly, because users still active at the observation edge
+    * have not churned, they are CENSORED: dropping them biases lifetimes
+    * short, counting them as churned biases rates high. Per user,
+    * observed lifetime = days between first and last event; a user whose
+    * last event is within `horizonDays` of the corpus edge is censored
+    * (leaves the risk set at their lifetime without a churn event). Per
+    * distinct lifetime d: the risk set n_risk (users observed ≥ d days),
+    * churn events at d, the discrete hazard λ_d = events/n_risk in
+    * integer ppm, and the Nelson-Aalen cumulative hazard Σ_{d'≤d} λ_d' —
+    * an ordered integer cumulative sum, engine-exact where a cumulative
+    * PRODUCT (classic KM survival) would need exp/ln and lose
+    * cross-engine bit parity. Output ordered by duration_days:
+    * (duration_days, n_users, n_churned, n_risk, hazard_ppm,
+    * cum_hazard_ppm).
+    *
+    * Scale shape: ONE user groupBy (min/max ts with map-side combine), a
+    * 1-row corpus-edge broadcast, then a duration-days rollup; both
+    * windows ride the ≤ span-days relation (the qw10/qa22 bounded-span
+    * window class — a year is ~366 rows at any corpus size). */
+  def survivalCurve(events: DataFrame, horizonDays: Int = 7): DataFrame = {
+    require(horizonDays >= 1 && horizonDays <= 3650,
+      s"horizonDays out of range: $horizonDays")
+    val day = 86400L * 1000000000L
+    val perUser = tsNanos(events).groupBy("user_id")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+    val edge = broadcast(perUser.agg(max("last_ts").as("g_max")))
+    val durations = perUser.crossJoin(edge)
+      .select(expr(s"(last_ts - first_ts) div ${day}L").as("duration_days"),
+        when(col("last_ts") < col("g_max") - lit(horizonDays * day), 1L)
+          .otherwise(0L).as("churned"))
+      .groupBy("duration_days")
+      .agg(count(lit(1)).as("n_users"), sum("churned").as("n_churned"))
+    val wRisk = org.apache.spark.sql.expressions.Window
+      .orderBy("duration_days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("duration_days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    durations
+      .withColumn("n_risk", sum("n_users").over(wRisk))
+      .withColumn("hazard_ppm", expr("(1000000L * n_churned) div n_risk"))
+      .withColumn("cum_hazard_ppm", sum("hazard_ppm").over(wCum))
+  }
 }

@@ -738,4 +738,27 @@ class QualitySpec extends SparkSpec {
     assert(st < sb && sb < maxRbo)
   }
 
+  test("lDiversity: constant-sensitive group flags weak, NULL is its own class") {
+    val s = spark
+    import s.implicits._
+    val df = (
+      Seq.fill(4)(("a", "x")) ++ // 4 rows, 1 distinct -> weak at l=3
+        Seq(("b", "x"), ("b", "y"), ("b", "z")) ++ // 3 distinct -> ok
+        Seq(("c", "x"), ("c", "x"), ("c", "y"), ("c", null)) // null counts
+    ).toDF("grp", "sens")
+    val r = Quality.lDiversity(df, Seq("grp"), "sens", l = 3).head()
+    assert(r.getAs[Long]("n_rows") == 11L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("weak_groups") == 1L)
+    assert(r.getAs[Long]("rows_at_risk") == 4L)
+    assert(r.getAs[Long]("min_distinct") == 1L)
+    // group a: top share 4/4 = 1.0
+    assert(r.getAs[Long]("max_topshare_ppm") == 1000000L)
+    // all-diverse input: zero weak groups, zero rows at risk
+    val ok = Quality.lDiversity(
+      df.filter(col("grp") =!= "a"), Seq("grp"), "sens", l = 3).head()
+    assert(ok.getAs[Long]("weak_groups") == 0L &&
+      ok.getAs[Long]("rows_at_risk") == 0L)
+  }
+
 }

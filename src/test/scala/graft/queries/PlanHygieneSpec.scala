@@ -85,7 +85,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qq33_krippendorff", // cross of the 1-row D_o and 1-row D_e moment aggregates
     "qq34_jackknife", // 1-row global-totals broadcast into every block's pseudovalue
     "qa24_cuped", // 1-row pooled-moment broadcast into the 2-row arm table
-    "qq35_rbo_drift") // ≤k² bounded depth fan-out + 1-row churn×rbo cross
+    "qq35_rbo_drift", // ≤k² bounded depth fan-out + 1-row churn×rbo cross
+    "qa25_calibration", // 1-row global-fallback-rate broadcast
+    "qa26_survival") // 1-row corpus-edge broadcast
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

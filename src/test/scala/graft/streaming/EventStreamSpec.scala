@@ -1190,4 +1190,52 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("calibration: replayed behavior is perfectly calibrated; unseen bucket falls back to the global rate") {
+    val s = spark
+    import s.implicits._
+    // 8 users, SAME behavior in both halves: fb=1 users convert 2/4,
+    // fb=2 users convert 4/4 -> the learned rate table is exact on test
+    def halfRows(off: Long) = (1 to 8).flatMap { u =>
+      val views = if (u <= 4) 1 else 2
+      val buys = if (u <= 4) (if (u % 2 == 0) 1 else 0) else 1
+      (1 to views).map(i => (u.toLong, off + i, "view")) ++
+        (1 to buys).map(i => (u.toLong, off + 100L + i, "purchase"))
+    }
+    val ev = (halfRows(0L) ++ halfRows(1000L) ++
+      // user 100: 5 views, second half ONLY -> fb=5 unseen in train
+      (1 to 5).map(i => (100L, 1000L + i.toLong, "view")))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventStream.calibration(ev, splitNanos = 500L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // fb=1 -> rate 500000 -> bin 5; fb=2 -> 1000000 -> bin 10: both exact
+    assert(out("b05") == ((4L, 500000L, 500000L, 0L)))
+    assert(out("b10") == ((4L, 1000000L, 1000000L, 0L)))
+    // fallback: global train rate 6/8 = 750000 -> bin 7, acc 0, gap 750000
+    assert(out("b07") == ((1L, 750000L, 0L, 750000L)))
+    // overall ECE = (8*0 + 1*750000) div 9 = 83333
+    assert(out("overall") == ((9L, 750000L, 666666L, 83333L)))
+  }
+
+  test("survivalCurve: censored users stay in the risk set without a churn event") {
+    val s = spark
+    import s.implicits._
+    val D = 86400000000000L // one day of nanos
+    val ev = Seq(
+      (1L, 90 * D), (1L, 100 * D), // duration 10, last == edge: censored
+      (2L, 0L), (2L, 2 * D), //       duration 2, churned
+      (3L, 0L), (3L, 0L), //          duration 0, churned
+      (4L, 95 * D), (4L, 96 * D) //   duration 1, within 7d of edge: censored
+    ).toDF("user_id", "ts")
+    val rows = EventStream.survivalCurve(ev, horizonDays = 7)
+      .orderBy("duration_days").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 10L))
+    assert(rows(0L) == ((1L, 1L, 4L, 250000L, 250000L)))
+    assert(rows(1L) == ((1L, 0L, 3L, 0L, 250000L)))
+    assert(rows(2L) == ((1L, 1L, 2L, 500000L, 750000L)))
+    assert(rows(10L) == ((1L, 0L, 1L, 0L, 750000L)))
+  }
+
 }

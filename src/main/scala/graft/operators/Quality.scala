@@ -1424,4 +1424,51 @@ object Quality {
         coalesce(col("min_distinct"), lit(0L)).as("min_distinct"),
         coalesce(col("max_topshare_ppm"), lit(0L)).as("max_topshare_ppm"))
   }
+
+  /** Inclusion-dependency / foreign-key-candidate discovery — the SINDY
+    * (Kruse et al., BTW 2015) question over a declared candidate list:
+    * for every ordered column pair, what share of the child column's
+    * DISTINCT values exists in the parent column? containment_ppm =
+    * 1 000 000 with parent_unique = 1 is a foreign-key candidate — the
+    * join-graph discovery step schema-less lakes need before qq11's FD
+    * audit or qq26's fan-out audit can run. Every ordered pair appears
+    * (zero-match pairs included), NULLs excluded on both sides (SQL FK
+    * semantics). Output: (child, parent, n_child_distinct, n_matched,
+    * containment_ppm, parent_unique) — all exact integers.
+    *
+    * Scale shape: each column collapses to its DISTINCT values + a
+    * max-multiplicity flag FIRST (one map-side-combined groupBy per
+    * column — domain-sized, not row-sized); the stacked value relation
+    * self-joins on value (fan-out per value ≤ |cols|², cols capped at
+    * 16); the complete pair grid is a ≤ 16×16 broadcast cross of the
+    * 1-row-per-column stats relation. */
+  def fkCandidates(cols: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"fkCandidates needs 2..16 columns, got ${cols.size}")
+    require(cols.map(_._1).distinct.size == cols.size,
+      "fkCandidates needs distinct column labels")
+    val vals = cols.map { case (name, df, c) =>
+      df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("long").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(name).as("rel"), col("value"), col("cnt"))
+    }.reduce(_ unionByName _)
+    val stats = vals.groupBy("rel").agg(count(lit(1)).as("n_distinct"),
+      max("cnt").as("max_cnt"))
+    val matched = vals.select(col("rel").as("child"), col("value"))
+      .join(vals.select(col("rel").as("parent"), col("value")), Seq("value"))
+      .filter(col("child") =!= col("parent"))
+      .groupBy("child", "parent").agg(count(lit(1)).as("n_matched"))
+    val grid = stats.select(col("rel").as("child"),
+        col("n_distinct").as("n_child_distinct"))
+      .crossJoin(broadcast(stats.select(col("rel").as("parent"),
+        when(col("max_cnt") === 1L, 1L).otherwise(0L).as("parent_unique"))))
+      .filter(col("child") =!= col("parent"))
+    grid.join(matched, Seq("child", "parent"), "left_outer")
+      .select(col("child"), col("parent"), col("n_child_distinct"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        expr("(coalesce(n_matched, 0L) * 1000000L) div n_child_distinct")
+          .as("containment_ppm"),
+        col("parent_unique"))
+  }
 }

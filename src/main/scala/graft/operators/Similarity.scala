@@ -1590,4 +1590,49 @@ object Similarity {
         expr(s"(coalesce(hits, 0L) * 1000000L) div " +
           s"greatest(1L, n_queries * ${k}L)").as("recall_ppm"))
   }
+
+  /** Simplified silhouette per IVF cell — Rousseeuw 1987, the centroid
+    * variant: per vector, a = L2² to its own (nearest) centroid, b = L2²
+    * to the runner-up, s = (b − a)/max(a, b) ∈ [0, 1] here (a is the min
+    * by construction). Low mean-s cells are smeared between centroids —
+    * the partition-quality answer [[centroidPurity]]'s label agreement
+    * and coresetCoverage's absolute-cosine can't give: how SEPARATED the
+    * cells are from each other. Distances are exact grid integers; the
+    * single ratio is floored to ppm — engine-portable. Output per cell:
+    * (cid, n_members, mean_sil_ppm, min_sil_ppm), mean an integer div of
+    * the floored per-vector scores. Degenerate a = b = 0 scores 0.
+    *
+    * Scale shape: the ≤ maxCentroids codebook inlines as literals, so the
+    * per-(vector, centroid) distance fan-out (≤ 64× row growth) is ONE
+    * scan with no join at all; the only exchange is the per-vector rank
+    * window's id shuffle, then a ≤ |cents|-row rollup. */
+  def silhouette(df: DataFrame, embCol: String, idCol: String,
+      sampleMod: Int = 53, maxCentroids: Int = 64): DataFrame = {
+    val emb = quantized(df, embCol, idCol)
+    val (cids, cb) = collectCents(
+      centroidSample(emb, idCol, sampleMod, maxCentroids))
+    require(cids.length >= 2, "silhouette needs at least 2 centroids")
+    val d = dot(df) _
+    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    val cidLit = typedLit(cids.toSeq)
+    val ccLit = typedLit(cb.map(v => v.map(x => x * x).sum).toSeq)
+    val fan = emb.select(col(idCol).as("id"), col("q"), col("qq"),
+        posexplode(cidLit).as(Seq("pos", "cid")))
+      .withColumn("d2", col("qq") + element_at(ccLit, col("pos") + 1) -
+        lit(2L) * d(col("q"), element_at(cbLit, col("pos") + 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("d2"), col("cid"))
+    val ab = fan.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("id").agg(
+        max(when(col("rn") === 1, col("cid"))).as("cid"),
+        max(when(col("rn") === 1, col("d2"))).as("a2"),
+        max(when(col("rn") === 2, col("d2"))).as("b2"))
+    ab.withColumn("sppm", when(greatest(col("a2"), col("b2")) === 0L, 0L)
+        .otherwise(expr("""cast(floor((1000000.0d * cast(b2 - a2 as double))
+          |  / cast(greatest(a2, b2) as double)) as bigint)""".stripMargin)))
+      .groupBy("cid").agg(count(lit(1)).as("n_members"),
+        expr("sum(sppm) div count(1)").as("mean_sil_ppm"),
+        min("sppm").as("min_sil_ppm"))
+  }
 }

@@ -1077,6 +1077,19 @@ object MiscQueries {
       graft.streaming.EventStream.survivalCurve(t(s, d, "events"))
         .orderBy("duration_days")
     },
+    // Inclusion-dependency discovery: containment of each key column's
+    // distinct values in every other — the FK-candidate scan.
+    "qq37_fk_candidates" -> { (s, d) =>
+      graft.operators.Quality.fkCandidates(Seq(
+        ("nation.n_nationkey", t(s, d, "nation"), "n_nationkey"),
+        ("nation.n_regionkey", t(s, d, "nation"), "n_regionkey"),
+        ("region.r_regionkey", t(s, d, "region"), "r_regionkey"),
+        ("customer.c_custkey", t(s, d, "customer"), "c_custkey"),
+        ("customer.c_nationkey", t(s, d, "customer"), "c_nationkey"),
+        ("orders.o_custkey", t(s, d, "orders"), "o_custkey"),
+        ("supplier.s_nationkey", t(s, d, "supplier"), "s_nationkey")))
+        .orderBy("child", "parent")
+    },
     // l-diversity audit: the constant-sensitive-value group k-anonymity
     // misses (qq08's companion gate).
     "qq36_l_diversity" -> { (s, d) =>
@@ -3086,6 +3099,54 @@ object MiscQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_hazard_ppm
         |FROM h ORDER BY duration_days""".stripMargin,
+    "qq37_fk_candidates" ->
+      """WITH vals AS (
+        |  SELECT 'nation.n_nationkey' AS rel, CAST(n_nationkey AS BIGINT)
+        |    AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM nation WHERE n_nationkey IS NOT NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey', CAST(n_regionkey AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM nation WHERE n_regionkey IS NOT NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'region.r_regionkey', CAST(r_regionkey AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM region WHERE r_regionkey IS NOT NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey', CAST(c_custkey AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey', CAST(c_nationkey AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey', CAST(s_nationkey AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM supplier WHERE s_nationkey IS NOT NULL GROUP BY 2),
+        |stats AS (SELECT rel, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |  FROM vals GROUP BY rel),
+        |matched AS (SELECT a.rel AS child, b.rel AS parent,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matched
+        |  FROM vals a JOIN vals b ON b.value = a.value
+        |  WHERE a.rel <> b.rel GROUP BY 1, 2),
+        |grid AS (SELECT c.rel AS child, c.n_distinct AS n_child_distinct,
+        |    p.rel AS parent,
+        |    CASE WHEN p.max_cnt = 1 THEN 1 ELSE 0 END AS parent_unique
+        |  FROM stats c CROSS JOIN stats p WHERE c.rel <> p.rel)
+        |SELECT g.child, g.parent, g.n_child_distinct,
+        |  COALESCE(m.n_matched, 0) AS n_matched,
+        |  (COALESCE(m.n_matched, 0) * 1000000) // g.n_child_distinct
+        |    AS containment_ppm,
+        |  CAST(g.parent_unique AS BIGINT) AS parent_unique
+        |FROM grid g LEFT JOIN matched m
+        |  ON m.child = g.child AND m.parent = g.parent
+        |ORDER BY g.child, g.parent""".stripMargin,
     "qq36_l_diversity" ->
       """WITH c AS (SELECT lang, n_chars // 500 AS len_bin,
         |    COALESCE(CAST(source AS VARCHAR), 'null') AS sv,

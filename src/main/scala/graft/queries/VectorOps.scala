@@ -155,6 +155,15 @@ object VectorOps {
           t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
         .orderBy("in_degree")
     },
+    // Simplified silhouette per cell: separation between centroids —
+    // qv22 asks "labels agree?", qv28 "members resemble the centroid?",
+    // this asks "are the cells distinct from EACH OTHER?".
+    "qv35_silhouette" -> { (s, d) =>
+      graft.operators.Similarity.silhouette(
+          t(s, d, "embeddings"), "embedding", "vec_id",
+          sampleMod = 53, maxCentroids = 64)
+        .orderBy("cid")
+    },
     // Coreset coverage: per non-empty cell, how well members resemble
     // their centroid (worst + summed cos ppm) — qv24's balance audit
     // answers "even cells?", this answers "representative centroids?".
@@ -842,6 +851,38 @@ object VectorOps {
         |  ((CAST(SUM(cnt) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000)
         |    // GREATEST(1, CAST(SUM(cnt) AS BIGINT)) AS dup_ppm
         |FROM c""".stripMargin,
+    "qv35_silhouette" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
+        |cents AS (SELECT vec_id AS cid, q AS cq,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS cc
+        |  FROM nemb WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT 64),
+        |d AS (SELECT vec_id, cid, d2, rn FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    e.qq + c.cc
+        |      - 2 * list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cq[i])) AS d2,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      e.qq + c.cc
+        |        - 2 * list_sum(list_transform(range(1, 65), i -> e.q[i] * c.cq[i])),
+        |      c.cid) AS rn
+        |  FROM nemb e, cents c) WHERE rn <= 2),
+        |ab AS (SELECT vec_id,
+        |    MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+        |    MAX(CASE WHEN rn = 1 THEN d2 END) AS a2,
+        |    MAX(CASE WHEN rn = 2 THEN d2 END) AS b2
+        |  FROM d GROUP BY vec_id),
+        |s AS (SELECT cid, CASE WHEN GREATEST(a2, b2) = 0 THEN 0
+        |    ELSE CAST(FLOOR((1000000.0 * CAST(b2 - a2 AS DOUBLE))
+        |      / CAST(GREATEST(a2, b2) AS DOUBLE)) AS BIGINT) END AS sppm
+        |  FROM ab)
+        |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(sppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+        |    AS mean_sil_ppm,
+        |  MIN(sppm) AS min_sil_ppm
+        |FROM s GROUP BY cid ORDER BY cid""".stripMargin,
     "qv28_coreset_coverage" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -761,4 +761,23 @@ class QualitySpec extends SparkSpec {
       ok.getAs[Long]("rows_at_risk") == 0L)
   }
 
+  test("fkCandidates: full containment into a unique parent; zero-match pairs still appear") {
+    val s = spark
+    import s.implicits._
+    val p = Seq(1L, 2L, 3L, 4L, 5L).toDF("k") // unique parent
+    val c = Seq(1L, 1L, 2L).toDF("k") //          duplicated child, subset of p
+    val x = Seq(9L, 10L).toDF("k") //             disjoint from both
+    val out = Quality.fkCandidates(Seq(
+        ("p", p, "k"), ("c", c, "k"), ("x", x, "k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.size == 6) // every ordered pair, including zero-match ones
+    // c into p: 2/2 distinct contained, p unique -> FK candidate
+    assert(out(("c", "p")) == ((2L, 2L, 1000000L, 1L)))
+    // p into c: 2/5 contained, c NOT unique (value 1 repeats)
+    assert(out(("p", "c")) == ((5L, 2L, 400000L, 0L)))
+    assert(out(("x", "p")) == ((2L, 0L, 0L, 1L)))
+    assert(out(("x", "c")) == ((2L, 0L, 0L, 0L)))
+  }
+
 }

@@ -902,4 +902,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0)._3 <= out(1)._3 && out(0)._5 <= out(1)._5)
   }
 
+  test("silhouette: centroids score 1, equidistant point scores 0 with cid tie-break") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)), // centroid of cell 0
+      (1L, Seq(0.0, 1.0)), // centroid of cell 1
+      (2L, Seq(1.0, 0.1)), // near cell 0
+      (3L, Seq(0.0, 0.9)), // near cell 1
+      (4L, Seq(0.5, 0.5)) //  exactly between -> cid 0 by tie-break, s = 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.silhouette(df, "embedding", "vec_id",
+        sampleMod = 1, maxCentroids = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // id2: a=1000^2, b=10000^2+9000^2 -> floor(1e6*180e6/181e6) = 994475
+    assert(out(0L) == ((3L, 664825L, 0L))) // {0 -> 1e6, 2 -> 994475, 4 -> 0}
+    assert(out(1L) == ((2L, 997237L, 994475L)))
+  }
+
 }

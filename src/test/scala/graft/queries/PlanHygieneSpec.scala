@@ -87,7 +87,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qa24_cuped", // 1-row pooled-moment broadcast into the 2-row arm table
     "qq35_rbo_drift", // ≤k² bounded depth fan-out + 1-row churn×rbo cross
     "qa25_calibration", // 1-row global-fallback-rate broadcast
-    "qa26_survival") // 1-row corpus-edge broadcast
+    "qa26_survival", // 1-row corpus-edge broadcast
+    "qq37_fk_candidates") // ≤16×16 pair grid: broadcast cross of the per-column stats
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -381,4 +381,32 @@ object Multimodal {
   /** Real decode for AVI/MJPEG, deterministic stub for anything else. */
   def autoSampler(media: Array[Byte], n: Int): Seq[Array[Byte]] =
     if (isAvi(media)) sampleFramesAvi(media, n) else sampleFramesStub(media, n)
+
+  /** Column-level content-type sniffing — the ingest dispatch a crawled
+    * media lake needs BEFORE any decoder runs (extensions lie; servers
+    * mislabel): classify each binary payload by its magic number alone.
+    * Pure Spark column functions (hex of the first bytes, codegen'd — no
+    * JVM round trip, no UDF), so unlike the JVM-side decoders above this
+    * step is DuckDB-oracle-checkable end to end. Recognizes the headers
+    * the rest of this object consumes: PNG (\x89PNG\r\n\x1a\n),
+    * JPEG (\xFF\xD8\xFF), GIF (GIF8), RIFF containers (AVI/WAV — the
+    * [[isAvi]]/[[decodeWavMeta]] front door), PDF (%PDF-); anything else
+    * is "unknown" and routes to the quarantine/text path. Adds `out`
+    * (default `content_type`) as a string column.
+    *
+    * Scale shape: one projection over the first 8 bytes per row —
+    * whole-stage codegen, no shuffle, no data movement beyond the scan. */
+  def sniffContentType(df: DataFrame, binaryCol: String,
+      out: String = "content_type"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h8 = hex(substring(col(binaryCol), 1, 8))
+    df.withColumn(out,
+      when(col(binaryCol).isNull, "missing")
+        .when(h8.startsWith("89504E470D0A1A0A"), "png")
+        .when(h8.startsWith("FFD8FF"), "jpeg")
+        .when(h8.startsWith("47494638"), "gif")
+        .when(h8.startsWith("52494646"), "riff")
+        .when(h8.startsWith("255044462D"), "pdf")
+        .otherwise("unknown"))
+  }
 }

@@ -1606,6 +1606,44 @@ object Similarity {
     * per-(vector, centroid) distance fan-out (≤ 64× row growth) is ONE
     * scan with no join at all; the only exchange is the per-vector rank
     * window's id shuffle, then a ≤ |cents|-row rollup. */
+  /** Embedding-space benchmark decontamination — the semantic sibling of
+    * the n-gram scans (qd22/qd32/qd68), the screen modern pretraining
+    * pipelines add because paraphrased eval leakage has no shared
+    * n-grams: every corpus vector's best cosine against the eval panel
+    * (`id % evalMod == 0` — in production the eval set, bounded by
+    * construction), banded into dup (≥ dupPpm), near (≥ nearPpm), clean.
+    * Cosine in the established exact-grid form (integer dot, one double
+    * ratio, floored to ppm). Output per band: (band, n_vectors,
+    * max_cos_ppm) — the dup band is the removal list's size, max_cos the
+    * worst leak.
+    *
+    * Scale shape: ONE corpus scan against the broadcast panel (the qv23
+    * cost class); per-vector max folds in the same pass's groupBy; the
+    * band rollup is 3 rows. */
+  def embeddingDecontam(df: DataFrame, embCol: String, idCol: String,
+      evalMod: Long = 97, dupPpm: Long = 990000L,
+      nearPpm: Long = 950000L): DataFrame = {
+    require(evalMod >= 2, s"evalMod out of range: $evalMod")
+    require(nearPpm <= dupPpm && dupPpm <= 1000000L && nearPpm >= -1000000L,
+      s"bad bands: near=$nearPpm dup=$dupPpm")
+    val d = dot(df) _
+    val emb = quantized(df, embCol, idCol)
+    val panel = broadcast(emb.filter(col(idCol) % evalMod === 0)
+      .select(col("q").as("eq"), col("qq").as("ecc")))
+    emb.filter(col(idCol) % evalMod =!= 0)
+      .join(panel)
+      .select(col(idCol).as("id"),
+        floor(d(col("q"), col("eq")).cast("double") /
+          (sqrt(col("qq").cast("double")) * sqrt(col("ecc").cast("double")))
+          * 1000000.0).cast("long").as("cos_ppm"))
+      .groupBy("id").agg(max("cos_ppm").as("m"))
+      .select(when(col("m") >= dupPpm, "dup")
+        .when(col("m") >= nearPpm, "near").otherwise("clean").as("band"),
+        col("m"))
+      .groupBy("band").agg(count(lit(1)).as("n_vectors"),
+        max("m").as("max_cos_ppm"))
+  }
+
   def silhouette(df: DataFrame, embCol: String, idCol: String,
       sampleMod: Int = 53, maxCentroids: Int = 64): DataFrame = {
     val emb = quantized(df, embCol, idCol)

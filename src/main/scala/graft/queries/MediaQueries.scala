@@ -32,6 +32,26 @@ object MediaQueries {
         .withColumn("resize_h", (col("height") / 2).cast("int"))
         .orderBy("doc_id")
     },
+    // Content-type sniffing dispatch: magic-number classification of
+    // binary payloads (deterministically injected headers by doc_id % 5)
+    // — the pre-decoder routing step, oracle-checked byte for byte.
+    "qm04_content_sniff" -> { (s, d) =>
+      val pfx = when(col("doc_id") % 5 === 0,
+          lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
+            0x1A, 0x0A)))
+        .when(col("doc_id") % 5 === 1,
+          lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)))
+        .when(col("doc_id") % 5 === 2, lit("GIF89a".getBytes("UTF-8")))
+        .when(col("doc_id") % 5 === 3, lit("RIFF".getBytes("UTF-8")))
+        .otherwise(lit(Array.empty[Byte]))
+      val docs = t(s, d, "documents")
+        .withColumn("media", concat(pfx, encode(col("text"), "UTF-8")))
+      graft.multimodal.Multimodal.sniffContentType(docs, "media")
+        .groupBy("content_type")
+        .agg(count(lit(1)).as("n_items"),
+          sum(length(col("media"))).as("total_bytes"))
+        .orderBy("content_type")
+    },
     // WebDataset tar-shard round trip UNDER THE ORACLE: documents ->
     // writeShards (4 tars, one per partition, pure-JVM ustar writer) ->
     // samples (streamed parse, one task per shard) -> byte length + md5
@@ -518,6 +538,26 @@ object MediaQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "qm04_content_sniff" ->
+      """WITH m AS (SELECT doc_id,
+        |    (CASE doc_id % 5
+        |      WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB
+        |      WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
+        |      WHEN 2 THEN 'GIF89a'::BLOB
+        |      WHEN 3 THEN 'RIFF'::BLOB
+        |      ELSE ''::BLOB END) || encode(text) AS media
+        |  FROM documents),
+        |c AS (SELECT media,
+        |    CASE WHEN hex(media) LIKE '89504E470D0A1A0A%' THEN 'png'
+        |      WHEN hex(media) LIKE 'FFD8FF%' THEN 'jpeg'
+        |      WHEN hex(media) LIKE '47494638%' THEN 'gif'
+        |      WHEN hex(media) LIKE '52494646%' THEN 'riff'
+        |      WHEN hex(media) LIKE '255044462D%' THEN 'pdf'
+        |      ELSE 'unknown' END AS content_type
+        |  FROM m)
+        |SELECT content_type, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(octet_length(media)) AS BIGINT) AS total_bytes
+        |FROM c GROUP BY content_type ORDER BY content_type""".stripMargin,
     "qm01_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INT) AS byte_len,

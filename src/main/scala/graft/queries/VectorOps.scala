@@ -155,6 +155,17 @@ object VectorOps {
           t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
         .orderBy("in_degree")
     },
+    // Embedding-space decontamination: best cosine of every corpus
+    // vector against the id%97 eval panel, banded dup/near/clean — the
+    // paraphrase-leak screen n-gram scans (qd22/qd68) can't give.
+    // Bands data-scaled for the synthetic near-random corpus (best-cos
+    // tops out ~0.40 here; production defaults are 0.95/0.99).
+    "qv36_embedding_decontam" -> { (s, d) =>
+      graft.operators.Similarity.embeddingDecontam(
+          t(s, d, "embeddings"), "embedding", "vec_id", evalMod = 97,
+          dupPpm = 350000L, nearPpm = 250000L)
+        .orderBy("band")
+    },
     // Simplified silhouette per cell: separation between centroids —
     // qv22 asks "labels agree?", qv28 "members resemble the centroid?",
     // this asks "are the cells distinct from EACH OTHER?".
@@ -851,6 +862,24 @@ object VectorOps {
         |  ((CAST(SUM(cnt) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000)
         |    // GREATEST(1, CAST(SUM(cnt) AS BIGINT)) AS dup_ppm
         |FROM c""".stripMargin,
+    "qv36_embedding_decontam" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |nemb AS (SELECT vec_id, q,
+        |  list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS qq FROM emb),
+        |panel AS (SELECT q AS eq, qq AS ecc FROM nemb WHERE vec_id % 97 = 0),
+        |best AS (SELECT e.vec_id,
+        |    MAX(CAST(FLOOR(CAST(list_sum(list_transform(range(1, 65),
+        |        i -> e.q[i] * p.eq[i])) AS DOUBLE)
+        |      / (SQRT(CAST(e.qq AS DOUBLE)) * SQRT(CAST(p.ecc AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT)) AS m
+        |  FROM nemb e CROSS JOIN panel p WHERE e.vec_id % 97 <> 0
+        |  GROUP BY e.vec_id)
+        |SELECT CASE WHEN m >= 350000 THEN 'dup'
+        |    WHEN m >= 250000 THEN 'near' ELSE 'clean' END AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors, MAX(m) AS max_cos_ppm
+        |FROM best GROUP BY 1 ORDER BY band""".stripMargin,
     "qv35_silhouette" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -250,4 +250,22 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((10L, 20L)), s"expected the near-dup videos' frames paired, got $pairs")
   }
+
+  test("sniffContentType: each magic routes to its type, junk and null fall through") {
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> (Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A,
+        0x0A) ++ "body".getBytes),
+      2L -> (Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+        ++ "jfif".getBytes),
+      3L -> "GIF89a-body".getBytes.toArray,
+      4L -> "RIFFxxxxWAVE".getBytes.toArray,
+      5L -> "%PDF-1.7 obj".getBytes.toArray,
+      6L -> "plain text".getBytes.toArray,
+      7L -> null)
+    val df = rows.toDF("id", "media")
+    val out = Multimodal.sniffContentType(df, "media")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "png", 2L -> "jpeg", 3L -> "gif", 4L -> "riff",
+      5L -> "pdf", 6L -> "unknown", 7L -> "missing"))
+  }
 }

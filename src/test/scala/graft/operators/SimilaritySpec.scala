@@ -921,4 +921,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == ((2L, 997237L, 994475L)))
   }
 
+  test("embeddingDecontam: exact copy lands in dup, 0.96 in near, orthogonal in clean") {
+    val s = spark
+    import s.implicits._
+    // panel = ids % 3 == 0; (0.3, 0.4) has integer norm 5000 on the grid,
+    // so the identical-vector cosine is EXACTLY 1.0 (no floor slip)
+    val df = Seq(
+      (0L, Seq(0.3, 0.4)), //  panel
+      (3L, Seq(0.3, 0.4)), //  panel
+      (1L, Seq(0.3, 0.4)), //  exact copy -> dup, 1000000
+      (2L, Seq(0.4, 0.3)), //  cos 24/25 -> near, 960000
+      (4L, Seq(0.4, -0.3)) // orthogonal -> clean, 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDecontam(df, "embedding", "vec_id",
+        evalMod = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("dup" -> ((1L, 1000000L)), "near" -> ((1L, 960000L)),
+      "clean" -> ((1L, 0L))))
+  }
+
 }

@@ -88,7 +88,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qq35_rbo_drift", // ≤k² bounded depth fan-out + 1-row churn×rbo cross
     "qa25_calibration", // 1-row global-fallback-rate broadcast
     "qa26_survival", // 1-row corpus-edge broadcast
-    "qq37_fk_candidates") // ≤16×16 pair grid: broadcast cross of the per-column stats
+    "qq37_fk_candidates", // ≤16×16 pair grid: broadcast cross of the per-column stats
+    "qv36_embedding_decontam") // broadcast eval panel (id%evalMod-bounded) scored vs corpus
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {
     val dir = sf("sf0.001")

@@ -269,6 +269,38 @@ object Cdc {
     * changelog's key shuffle — identical cost to reading the changelog
     * once. Beware compacted logs: ops older than the compaction horizon
     * are gone, so `asOfSeq` must postdate the last compaction. */
+  /** Bitemporal point read — Snodgrass's two-axis question
+    * [[snapshotAsOf]] can't ask: "what did the system KNOW at commit
+    * time T about the state EFFECTIVE at valid time V?". A late-arriving
+    * correction (high tx, low valid time) is visible only to readers
+    * whose txAsOf has passed its commit — exactly how a compliance
+    * re-run reproduces a historical report after backfills landed.
+    * Filter tx ≤ txAsOf (knowledge horizon) and valid ≤ validAsOf
+    * (effective horizon), then latest-per-key by valid time with tx as
+    * the first tie-break (a later commit about the same effective
+    * instant wins — the correction), then the [[applyChangelog]] total
+    * order; deletes drop.
+    *
+    * Scale shape: both horizon filters push into the scan; one key
+    * window on the key's own shuffle — the snapshotAsOf plan class with
+    * a second pushed predicate. */
+  def bitemporalAsOf(changelog: DataFrame, keyCols: Seq[String],
+      validCol: String, txCol: String, opCol: String,
+      validAsOf: Long, txAsOf: Long): DataFrame = {
+    require(keyCols.nonEmpty)
+    val valueCols = changelog.columns
+      .filterNot((keyCols ++ Seq(validCol, txCol, opCol)).contains).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(Seq(col(validCol).desc, col(txCol).desc,
+        when(col(opCol) === "D", 0).otherwise(1),
+        struct(valueCols.map(col): _*).desc_nulls_last,
+        col(opCol).desc): _*)
+    changelog.filter(col(txCol) <= txAsOf && col(validCol) <= validAsOf)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .filter(col(opCol) =!= "D")
+      .select(keyCols.map(col) ++ valueCols.map(col): _*)
+  }
+
   def snapshotAsOf(changelog: DataFrame, keyCols: Seq[String],
       seqCol: String, opCol: String, asOfSeq: Long): DataFrame = {
     require(keyCols.nonEmpty)

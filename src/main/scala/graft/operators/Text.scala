@@ -188,6 +188,39 @@ object Text {
     withHits.withColumn("predicted", predicted)
   }
 
+  /** Code-switching / mixed-language scan — the [[languageId]] blind
+    * spot: a document whose halves vote for DIFFERENT languages gets one
+    * confident-looking whole-doc label, but a monolingual training
+    * mixture wants it flagged (or routed to a bilingual bucket). Votes
+    * the marker heuristic on the first and second character halves
+    * independently (both in ONE projection — no join, no second scan)
+    * and reports the half-pair matrix with a `mixed` flag (halves
+    * disagree AND both are known). The char-midpoint split can cut a
+    * word; both engines cut identically, so the comparison is exact.
+    * Output: (lang_first, lang_second, mixed, n_docs).
+    *
+    * Scale shape: one projection evaluates both halves' marker hits
+    * (the markerScan discipline), then a ≤ (|langs|+1)²-row rollup. */
+  def codeSwitchScan(df: DataFrame, textCol: String, idCol: String,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    require(markers.nonEmpty, "need at least one language's markers")
+    val halves = df.select(col(idCol),
+      expr(s"substring($textCol, 1, length($textCol) div 2)").as("__h1"),
+      expr(s"substring($textCol, length($textCol) div 2 + 1)").as("__h2"))
+    val first = languageId(halves, "__h1", markers)
+      .withColumnRenamed("predicted", "lang_first")
+      .drop(markers.map { case (l, _) => s"hits_$l" }: _*)
+    val both = languageId(first, "__h2", markers)
+      .withColumnRenamed("predicted", "lang_second")
+      .drop(markers.map { case (l, _) => s"hits_$l" }: _*)
+    both.select(col("lang_first"), col("lang_second"),
+        when(col("lang_first") =!= col("lang_second") &&
+          col("lang_first") =!= "unknown" &&
+          col("lang_second") =!= "unknown", 1L).otherwise(0L).as("mixed"))
+      .groupBy("lang_first", "lang_second", "mixed")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** 16-bit SimHash over the token multiset: per-token md5, one bit per
     * nibble-derived position, majority vote per bit. (doc_id, simhash).
     *

@@ -338,6 +338,26 @@ object MediaQueries {
     // Time-travel read: the table AS OF the midpoint of the event-time
     // range, reconstructed from the changelog alone (latest op per key
     // with seq <= asof under the applyChangelog total order; D erases).
+    // Bitemporal point read: what the system KNEW at commit horizon
+    // t_cut about the state EFFECTIVE at valid horizon v_cut — late
+    // corrections (high tx, low valid time) visible only past their
+    // commit. Valid time = event time, tx time = event_id ingest order
+    // (their disagreement is exactly what qs13's disorder audit counts).
+    "qc11_bitemporal" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val b = ev.agg(min(expr("ts div 1000")).as("lo"),
+        max(expr("ts div 1000")).as("hi"),
+        min("event_id").as("elo"), max("event_id").as("ehi")).head()
+      val validAsOf = (b.getLong(0) + b.getLong(1)) / 2
+      val txAsOf = (b.getLong(2) + b.getLong(3)) / 2
+      val delta = ev.select(col("user_id"), expr("ts div 1000").as("vt"),
+        col("event_id").as("tx"), col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+      graft.operators.Cdc.bitemporalAsOf(delta, Seq("user_id"), "vt",
+        "tx", "op", validAsOf, txAsOf).orderBy("user_id")
+    },
     "qc08_snapshot_asof" -> { (s, d) =>
       val ev = t(s, d, "events")
       // one bounded 1-row gather fixes the as-of point deterministically
@@ -688,6 +708,23 @@ object MediaQueries {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events WHERE user_id < 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qc11_bitemporal" ->
+      """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+        |    AS v_cut,
+        |    (MIN(event_id) + MAX(event_id)) // 2 AS t_cut FROM events),
+        |dl AS (SELECT user_id, epoch_us(ts) AS vt, event_id AS tx, value,
+        |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+        |      ELSE 'U' END AS op
+        |  FROM events, b
+        |  WHERE event_id <= t_cut AND epoch_us(ts) <= v_cut),
+        |latest AS (SELECT user_id, op, value FROM (
+        |    SELECT user_id, op, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vt DESC,
+        |        tx DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+        |        CAST(value AS VARCHAR) DESC NULLS LAST, op DESC) AS rn
+        |    FROM dl) WHERE rn = 1)
+        |SELECT user_id, value FROM latest WHERE op <> 'D'
+        |ORDER BY user_id""".stripMargin,
     "qc08_snapshot_asof" ->
       """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
         |    AS cut_us FROM events),

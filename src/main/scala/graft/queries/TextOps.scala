@@ -80,6 +80,16 @@ object TextOps {
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     },
+    // Code-switching scan: half-pair language matrix + mixed flag — the
+    // bilingual documents a single whole-doc langid label hides.
+    "qd87_code_switch" -> { (s, d) =>
+      val markers = Seq(
+        "en" -> Seq("the", "and", "of"), "fr" -> Seq("le", "la", "et"),
+        "de" -> Seq("der", "und", "die"), "es" -> Seq("el", "los", "y"))
+      graft.operators.Text.codeSwitchScan(
+          t(s, d, "documents"), "text", "doc_id", markers)
+        .orderBy("lang_first", "lang_second")
+    },
     // Exact dedup: content-hash groups, keeper = min id, copies counted.
     "qd04_exact_dedup" -> { (s, d) =>
       graft.operators.Dedup.exactGroups(withDups(s, d), "text", "doc_id")
@@ -1017,6 +1027,40 @@ object TextOps {
         |  ELSE 'es' END AS predicted FROM scored)
         |SELECT lang, predicted, COUNT(*) AS n FROM pred
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "qd87_code_switch" ->
+      """WITH h AS (SELECT substr(text, 1, length(text) // 2) AS h1,
+        |    substr(text, length(text) // 2 + 1) AS h2 FROM documents),
+        |tk AS (SELECT str_split(h1, ' ') AS t1, str_split(h2, ' ') AS t2
+        |  FROM h),
+        |sc AS (SELECT
+        |  len(list_filter(t1, x -> list_contains(['the','and','of'], x))) AS a_en,
+        |  len(list_filter(t1, x -> list_contains(['le','la','et'], x))) AS a_fr,
+        |  len(list_filter(t1, x -> list_contains(['der','und','die'], x))) AS a_de,
+        |  len(list_filter(t1, x -> list_contains(['el','los','y'], x))) AS a_es,
+        |  len(list_filter(t2, x -> list_contains(['the','and','of'], x))) AS b_en,
+        |  len(list_filter(t2, x -> list_contains(['le','la','et'], x))) AS b_fr,
+        |  len(list_filter(t2, x -> list_contains(['der','und','die'], x))) AS b_de,
+        |  len(list_filter(t2, x -> list_contains(['el','los','y'], x))) AS b_es
+        | FROM tk),
+        |p AS (SELECT CASE
+        |    WHEN GREATEST(a_en, a_fr, a_de, a_es) = 0 THEN 'unknown'
+        |    WHEN a_en = GREATEST(a_en, a_fr, a_de, a_es) THEN 'en'
+        |    WHEN a_fr = GREATEST(a_en, a_fr, a_de, a_es) THEN 'fr'
+        |    WHEN a_de = GREATEST(a_en, a_fr, a_de, a_es) THEN 'de'
+        |    ELSE 'es' END AS lang_first,
+        |  CASE
+        |    WHEN GREATEST(b_en, b_fr, b_de, b_es) = 0 THEN 'unknown'
+        |    WHEN b_en = GREATEST(b_en, b_fr, b_de, b_es) THEN 'en'
+        |    WHEN b_fr = GREATEST(b_en, b_fr, b_de, b_es) THEN 'fr'
+        |    WHEN b_de = GREATEST(b_en, b_fr, b_de, b_es) THEN 'de'
+        |    ELSE 'es' END AS lang_second FROM sc)
+        |SELECT lang_first, lang_second,
+        |  CAST(CASE WHEN lang_first <> lang_second
+        |    AND lang_first <> 'unknown' AND lang_second <> 'unknown'
+        |    THEN 1 ELSE 0 END AS BIGINT) AS mixed,
+        |  COUNT(*) AS n_docs
+        |FROM p GROUP BY 1, 2, 3
+        |ORDER BY lang_first, lang_second""".stripMargin,
     "qd04_exact_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -216,4 +216,25 @@ class CdcSpec extends SparkSpec {
       4L -> "b_only", 5L -> "conflict"))
   }
 
+  test("bitemporalAsOf: a late correction is visible only past its commit; deletes honor the tx horizon") {
+    val log = Seq(
+      (1L, 10L, 1L, 1.0, "I"),
+      (1L, 20L, 2L, 2.0, "U"),
+      (1L, 15L, 5L, 9.0, "U"), // late correction: low valid, high tx
+      (2L, 5L, 1L, 7.0, "I"),
+      (2L, 12L, 3L, 0.0, "D")
+    ).toDF("k", "vt", "tx", "value", "op")
+    def read(v: Long, t: Long): Map[Long, Double] =
+      Cdc.bitemporalAsOf(log, Seq("k"), "vt", "tx", "op", v, t)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same valid horizon 18, different knowledge horizons:
+    assert(read(18L, 3L).get(1L).contains(1.0)) // correction not yet known
+    assert(read(18L, 5L).get(1L).contains(9.0)) // correction now visible
+    // the correction does NOT override a later effective state
+    assert(read(25L, 5L).get(1L).contains(2.0))
+    // key 2's delete commits at tx 3: known -> gone, not yet -> present
+    assert(!read(18L, 5L).contains(2L))
+    assert(read(18L, 2L).get(2L).contains(7.0))
+  }
+
 }

@@ -960,4 +960,24 @@ class TextSpec extends SparkSpec {
     assert(cb == 1000000L) // the mirror is fully contained
   }
 
+  test("codeSwitchScan: bilingual halves flag mixed, monolingual and unknown do not") {
+    val s = spark
+    import s.implicits._
+    val markers = Seq("en" -> Seq("the", "and", "of"),
+      "fr" -> Seq("le", "la", "et"))
+    val docs = Seq(
+      (1L, "the and of the"), //        en | en  -> not mixed
+      (2L, "the the the le la et"), //  en | fr  -> MIXED
+      (3L, "zzz qqq zz qq") //          unknown | unknown -> not mixed
+    ).toDF("doc_id", "text")
+    val out = Text.codeSwitchScan(docs, "text", "doc_id", markers)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(out(("en", "fr", 1L)) == 1L)
+    assert(out(("en", "en", 0L)) == 1L)
+    assert(out(("unknown", "unknown", 0L)) == 1L)
+    assert(out.values.sum == 3L)
+  }
+
 }

@@ -1471,4 +1471,84 @@ object Quality {
           .as("containment_ppm"),
         col("parent_unique"))
   }
+
+  /** t-closeness audit — Li, Li & Venkatasubramanian, ICDE 2007: the
+    * [[lDiversity]] blind spot is a quasi group whose sensitive values
+    * are DISTINCT but skewed (10 distinct diagnoses, 95% of the group is
+    * one of them — distinct-l passes, disclosure remains). Per quasi
+    * group this measures the earth-mover's distance between the group's
+    * sensitive-value distribution and the GLOBAL one over the value
+    * ordering (Li's ordered-attribute EMD: mean |cumulative p−q|), all
+    * in exact integers — per value d = cnt·N − gcnt·n_g, cumulative-sum
+    * over the global value order, emd_ppm = Σ|cum|·10⁶ div
+    * ((m−1)·n_g·N). One gate row mirroring [[kAnonymity]]/[[lDiversity]]:
+    * (t_ppm, n_rows, n_groups, weak_groups, rows_at_risk, max_emd_ppm).
+    *
+    * NULLs: the sensitive value AND every quasi column coalesce to a
+    * null sentinel (the qq25 lesson, and here quasi NULLs would
+    * otherwise silently miss the grid join's null-unsafe equality and
+    * inflate every EMD).
+    *
+    * Scale shape: one map-side-combined (quasi, sv) count; the global
+    * value distribution is a bounded, LOUDLY capped (≤ maxValues,
+    * require) driver gather — domain-sized, never row-sized — replayed
+    * into the plan as a literal array explode, so the group×value grid
+    * needs NO cross join; then one left join + one window + one rollup,
+    * all on the quasi key's own shuffle. Exact-integer window: the ppm
+    * multiply needs (m−1)·max(n_g)·N < 9.2×10¹²; past that (≈10⁶ rows
+    * at m=1000), quantize the global distribution to ppm first. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tPpm: Long, maxValues: Int = 1024): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi column")
+    require(tPpm >= 0 && tPpm <= 1000000L, s"tPpm out of range: $tPpm")
+    val nullS = "\u0001null" // qq25 sentinel: never collides with a real "null"
+    val qKeys = quasiCols.indices.map(i => s"__q$i")
+    val keyed = df.select(
+      quasiCols.zip(qKeys).map { case (c, k) =>
+        coalesce(col(c).cast("string"), lit(nullS)).as(k)
+      } :+ coalesce(col(sensitiveCol).cast("string"), lit(nullS)).as("__sv"): _*)
+    val cells = keyed.groupBy((qKeys.map(col) :+ col("__sv")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // reused by the glob gather AND the grid join
+    val globRows = cells.groupBy("__sv").agg(sum("cnt").as("gcnt"))
+      .orderBy("__sv").collect() // bounded: sensitive-value domain, capped
+    require(globRows.length <= maxValues,
+      s"tCloseness: sensitive cardinality ${globRows.length} exceeds " +
+        s"maxValues=$maxValues — bin the sensitive column first")
+    val n = globRows.map(_.getLong(1)).sum
+    val m = globRows.length.toLong
+    val valueArr = array(globRows.zipWithIndex.map { case (r, i) =>
+      struct(lit(i.toLong).as("rnk"), lit(r.getString(0)).as("__sv"),
+        lit(r.getLong(1)).as("gcnt"))
+    }: _*)
+    val groups = cells.groupBy(qKeys.map(col): _*).agg(sum("cnt").as("ng"))
+    val grid =
+      if (m == 0) groups.withColumn("rnk", lit(0L))
+        .withColumn("__sv", lit(nullS)).withColumn("gcnt", lit(0L))
+        .filter(lit(false))
+      else groups.select(qKeys.map(col) :+ col("ng") :+
+          explode(valueArr).as("v"): _*)
+        .select(qKeys.map(col) :+ col("ng") :+ col("v.rnk").as("rnk") :+
+          col("v.__sv").as("__sv") :+ col("v.gcnt").as("gcnt"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qKeys.map(col): _*).orderBy("rnk")
+    val emd = grid.join(cells, (qKeys :+ "__sv").toSeq, "left_outer")
+      .withColumn("d", coalesce(col("cnt"), lit(0L)) * n - col("gcnt") * col("ng"))
+      .withColumn("cd", sum("d").over(w))
+      .groupBy((qKeys.map(col) :+ col("ng")): _*)
+      .agg(sum(abs(col("cd"))).as("s_abs"))
+      .withColumn("emd_ppm",
+        expr(s"(s_abs * 1000000L) div (${math.max(m - 1, 1)}L * ng * " +
+          s"greatest(${n}L, 1L))"))
+    emd.agg(
+        coalesce(sum("ng"), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("emd_ppm") > tPpm, 1L).otherwise(0L)), lit(0L))
+          .as("weak_groups"),
+        coalesce(sum(when(col("emd_ppm") > tPpm, col("ng")).otherwise(0L)),
+          lit(0L)).as("rows_at_risk"),
+        coalesce(max("emd_ppm"), lit(0L)).as("max_emd_ppm"))
+      .select(lit(tPpm).as("t_ppm"), col("n_rows"), col("n_groups"),
+        col("weak_groups"), col("rows_at_risk"), col("max_emd_ppm"))
+  }
 }

@@ -576,4 +576,46 @@ object Sketches {
       .withColumn("err_ppm",
         expr("abs(f2_est - f2_exact) * 1000000L div greatest(1L, f2_exact)"))
   }
+
+  /** Horvitz-Thompson stratified expansion estimator audit — the
+    * companion to [[sampleAccuracy]] (uniform rate, counts) for the
+    * design every production metrics sample actually uses: UNEQUAL
+    * per-stratum inclusion probabilities (census the rare heavy-tail
+    * stratum, thin the bulk) expanding a CONTINUOUS metric back to the
+    * population total, ŷ_h = Σ_{i∈s_h} y_i / π_h (Horvitz & Thompson,
+    * JASA 1952). Inclusion is the deterministic md5 coin (`'ht_' || id`
+    * 52-bit prefix mod 10⁶ < ratePpm) so any engine draws the identical
+    * sample; the metric totals in floor-cents BIGINTs; the expansion is
+    * the exact integer `sampled_cents · 10⁶ div ratePpm`. Per stratum:
+    * (stratum, rate_ppm, n, n_sampled, exact_cents, ht_cents, err_ppm) —
+    * a census stratum (rate 10⁶) must read err_ppm = 0.
+    *
+    * Scale shape: the sample rides the SAME scan as the exact total (one
+    * conditional sum in one map-side-combined groupBy) — one pass, no
+    * joins, stratum-domain-sized output. */
+  def htStratifiedTotal(df: DataFrame, idCol: String, strataCol: String,
+      metricCol: String, ratesPpm: Map[String, Long],
+      defaultRatePpm: Long = 100000L): DataFrame = {
+    require((ratesPpm.values.toSeq :+ defaultRatePpm)
+      .forall(r => r >= 1 && r <= 1000000L), "rates are ppm in [1, 10^6]")
+    val rate = ratesPpm.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) {
+        case (acc, (s, r)) => acc.when(col(strataCol) === s, lit(r))
+      }.otherwise(lit(defaultRatePpm))
+    val inSample =
+      conv(substring(md5(concat(lit("ht_"), col(idCol).cast("string"))),
+        1, 13), 16, 10).cast("long") % 1000000L < rate
+    df.select(col(strataCol).as("stratum"), rate.as("rate_ppm"),
+        floor(col(metricCol) * 100).cast("long").as("cents"),
+        when(inSample, 1L).otherwise(0L).as("s"))
+      .groupBy("stratum", "rate_ppm")
+      .agg(count(lit(1)).as("n"), sum("s").as("n_sampled"),
+        sum("cents").as("exact_cents"),
+        sum(col("s") * col("cents")).as("s_cents"))
+      .withColumn("ht_cents", expr("(s_cents * 1000000L) div rate_ppm"))
+      .withColumn("err_ppm",
+        expr("(abs(ht_cents - exact_cents) * 1000000L) div " +
+          "greatest(1L, abs(exact_cents))"))
+      .drop("s_cents")
+  }
 }

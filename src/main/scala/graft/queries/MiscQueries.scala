@@ -1098,6 +1098,23 @@ object MiscQueries {
       graft.operators.Quality.lDiversity(
         docs, Seq("lang", "len_bin"), "source", l = 3)
     },
+    // t-closeness audit: the skewed-but-distinct sensitive distribution
+    // l-diversity misses — per-group EMD vs the global source mix.
+    "qq38_t_closeness" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("lang"),
+        expr("n_chars div 2000").as("len_bin"), col("source"))
+      graft.operators.Quality.tCloseness(
+        docs, Seq("lang", "len_bin"), "source", tPpm = 200000L)
+    },
+    // Horvitz-Thompson stratified expansion: census purchases, thin the
+    // bulk; the estimator audit behind every sampled revenue dashboard.
+    "qx19_ht_estimator" -> { (s, d) =>
+      graft.operators.Sketches.htStratifiedTotal(t(s, d, "events"),
+          "event_id", "event_type", "value",
+          Map("purchase" -> 1000000L, "click" -> 100000L),
+          defaultRatePpm = 50000L)
+        .orderBy("stratum")
+    },
     // Majority-successor baseline: how predictable is the next event.
     "qa19_markov_accuracy" -> { (s, d) =>
       graft.streaming.EventStream.markovAccuracy(t(s, d, "events"))
@@ -3167,6 +3184,68 @@ object MiscQueries {
         |  COALESCE(CAST(MAX((top_cnt * 1000000) // n) AS BIGINT), 0)
         |    AS max_topshare_ppm
         |FROM g""".stripMargin,
+    "qq38_t_closeness" ->
+      """WITH c AS (SELECT
+        |    COALESCE(CAST(lang AS VARCHAR), chr(1) || 'null') AS q0,
+        |    COALESCE(CAST(n_chars // 2000 AS VARCHAR), chr(1) || 'null')
+        |      AS q1,
+        |    COALESCE(CAST(source AS VARCHAR), chr(1) || 'null') AS sv,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3),
+        |gl AS (SELECT sv, CAST(SUM(cnt) AS BIGINT) AS gcnt
+        |  FROM c GROUP BY 1),
+        |glr AS (SELECT sv, gcnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY sv) AS BIGINT) AS rnk,
+        |    CAST(SUM(gcnt) OVER () AS BIGINT) AS n_tot,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM gl),
+        |g AS (SELECT q0, q1, CAST(SUM(cnt) AS BIGINT) AS ng
+        |  FROM c GROUP BY 1, 2),
+        |dd AS (SELECT g.q0, g.q1, g.ng, r.rnk, r.m, r.n_tot,
+        |    COALESCE(c.cnt, 0) * r.n_tot - r.gcnt * g.ng AS d
+        |  FROM g CROSS JOIN glr r LEFT JOIN c
+        |    ON c.q0 = g.q0 AND c.q1 = g.q1 AND c.sv = r.sv),
+        |cum AS (SELECT q0, q1, ng, m, n_tot,
+        |    CAST(SUM(d) OVER (PARTITION BY q0, q1 ORDER BY rnk)
+        |      AS BIGINT) AS cd FROM dd),
+        |emd AS (SELECT q0, q1, ng,
+        |    (CAST(SUM(ABS(cd)) AS BIGINT) * 1000000)
+        |      // (GREATEST(m - 1, 1) * ng * GREATEST(n_tot, 1))
+        |      AS emd_ppm
+        |  FROM cum GROUP BY q0, q1, ng, m, n_tot)
+        |SELECT CAST(200000 AS BIGINT) AS t_ppm,
+        |  COALESCE(CAST(SUM(ng) AS BIGINT), 0) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  COALESCE(CAST(SUM(CASE WHEN emd_ppm > 200000 THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS weak_groups,
+        |  COALESCE(CAST(SUM(CASE WHEN emd_ppm > 200000 THEN ng ELSE 0 END)
+        |    AS BIGINT), 0) AS rows_at_risk,
+        |  COALESCE(CAST(MAX(emd_ppm) AS BIGINT), 0) AS max_emd_ppm
+        |FROM emd""".stripMargin,
+    "qx19_ht_estimator" ->
+      """WITH f AS (SELECT event_type AS stratum,
+        |    CAST(CASE event_type WHEN 'purchase' THEN 1000000
+        |      WHEN 'click' THEN 100000 ELSE 50000 END AS BIGINT)
+        |      AS rate_ppm,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN CAST(list_sum(list_transform(generate_series(1, 13),
+        |      j -> CAST(instr('0123456789abcdef', substr(md5('ht_'
+        |        || CAST(event_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 1000000
+        |      < CASE event_type WHEN 'purchase' THEN 1000000
+        |        WHEN 'click' THEN 100000 ELSE 50000 END
+        |    THEN 1 ELSE 0 END AS s
+        |  FROM events),
+        |g AS (SELECT stratum, rate_ppm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(s) AS BIGINT) AS n_sampled,
+        |    CAST(SUM(cents) AS BIGINT) AS exact_cents,
+        |    CAST(SUM(s * cents) AS BIGINT) AS s_cents
+        |  FROM f GROUP BY 1, 2)
+        |SELECT stratum, rate_ppm, n, n_sampled, exact_cents,
+        |  (s_cents * 1000000) // rate_ppm AS ht_cents,
+        |  (ABS((s_cents * 1000000) // rate_ppm - exact_cents) * 1000000)
+        |    // GREATEST(1, ABS(exact_cents)) AS err_ppm
+        |FROM g ORDER BY stratum""".stripMargin,
     "qa18_ab_assignment" ->
       """WITH u AS (SELECT user_id,
         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -780,4 +780,38 @@ class QualitySpec extends SparkSpec {
     assert(out(("x", "c")) == ((2L, 0L, 0L, 0L)))
   }
 
+  test("tCloseness: global-mirroring group scores 0, skewed group scores high, NULL sensitive is its own class") {
+    // global: x=3, y=3 (N=6, m=2). group a = (3x,1y), group b = (0x,2y)
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "y"), ("b", "y")
+    ).toDF("grp", "sv")
+    val r = Quality.tCloseness(df, Seq("grp"), "sv", tPpm = 300000L).head()
+    // a: |d| cum = 6 -> emd = 6e6/(1*4*6) = 250000 (under t)
+    // b: |d| cum = 6 -> emd = 6e6/(1*2*6) = 500000 (over t)
+    assert(r.getAs[Long]("t_ppm") == 300000L)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("weak_groups") == 1L)
+    assert(r.getAs[Long]("rows_at_risk") == 2L)
+    assert(r.getAs[Long]("max_emd_ppm") == 500000L)
+    // a group identical to the global distribution scores exactly 0
+    val same = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("grp", "sv")
+    assert(Quality.tCloseness(same, Seq("grp"), "sv", 1L)
+      .head().getAs[Long]("max_emd_ppm") == 0L)
+    // NULL sensitive value is a distinct disclosure class, not merged
+    val withNull = Seq(("a", Some("x")), ("a", None), ("b", Some("x")),
+      ("b", Some("x"))).toDF("grp", "sv")
+    assert(Quality.tCloseness(withNull, Seq("grp"), "sv", 100000L)
+      .head().getAs[Long]("weak_groups") == 2L) // both diverge from 75/25
+  }
+
+  test("tCloseness: sensitive cardinality above maxValues fails loudly") {
+    val df = (1 to 50).map(i => ("g", s"v$i")).toDF("grp", "sv")
+    val e = intercept[IllegalArgumentException](
+      Quality.tCloseness(df, Seq("grp"), "sv", 100000L, maxValues = 10))
+    assert(e.getMessage.contains("maxValues"))
+  }
+
 }

@@ -308,4 +308,28 @@ class SketchesSpec extends SparkSpec {
     assert(u2 == est)
   }
 
+  test("htStratifiedTotal: a census stratum expands exactly; the HT identity holds per stratum") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 200).map { i =>
+      (i.toLong, if (i % 2 == 0) "big" else "rare", (i % 7) + 0.25)
+    }.toDF("id", "stratum", "value")
+    val out = Sketches.htStratifiedTotal(df, "id", "stratum", "value",
+        Map("rare" -> 1000000L), defaultRatePpm = 200000L)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    val rare = out("rare")
+    assert(rare.getAs[Long]("n_sampled") == rare.getAs[Long]("n"))
+    assert(rare.getAs[Long]("ht_cents") == rare.getAs[Long]("exact_cents"))
+    assert(rare.getAs[Long]("err_ppm") == 0L)
+    val big = out("big")
+    assert(big.getAs[Long]("n_sampled") <= big.getAs[Long]("n"))
+    // determinism under repartitioning (the md5-coin discipline)
+    val again = Sketches.htStratifiedTotal(df.repartition(13), "id",
+        "stratum", "value", Map("rare" -> 1000000L), 200000L)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        r.getAs[Long]("ht_cents")).toMap
+    assert(again("big") == big.getAs[Long]("ht_cents"))
+    assert(again("rare") == rare.getAs[Long]("ht_cents"))
+  }
+
 }

@@ -314,4 +314,48 @@ object Cdc {
       .filter(col(opCol) =!= "D")
       .select(keyCols.map(col) ++ valueCols.map(col): _*)
   }
+
+  /** Snapshot diff between two time-travel horizons — "what changed
+    * between Monday's and Tuesday's state?" as rows, not a re-read of
+    * either snapshot: per key present at either horizon, `change` ∈
+    * {added, removed, changed} with the old/new value columns side by
+    * side (`old_<c>` / `new_<c>`); keys whose values are identical at
+    * both horizons are not emitted. Value comparison is null-safe —
+    * NULL→NULL is unchanged, NULL→x is changed. Both states replay
+    * [[snapshotAsOf]]'s exact total order, so the diff inherits its
+    * pinned tie semantics.
+    *
+    * Scale shape: two snapshotAsOf window passes (each ONE shuffle on
+    * the key partitioning) + one full-outer hash join on the same key —
+    * no extra exchange beyond the snapshots' own; output is bounded by
+    * the number of keys that actually changed. */
+  def snapshotDiff(changelog: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String, seqFrom: Long, seqTo: Long)
+      : DataFrame = {
+    require(seqFrom <= seqTo, s"seqFrom $seqFrom > seqTo $seqTo")
+    val valueCols = changelog.columns
+      .filterNot((keyCols ++ Seq(seqCol, opCol)).contains).toSeq
+    val a = snapshotAsOf(changelog, keyCols, seqCol, opCol, seqFrom)
+      .select(keyCols.map(col) ++
+        valueCols.map(c => col(c).as(s"old_$c")): _*)
+    val b = snapshotAsOf(changelog, keyCols, seqCol, opCol, seqTo)
+      .select(keyCols.map(col) ++
+        valueCols.map(c => col(c).as(s"new_$c")): _*)
+    // explicit presence markers: an all-NULL value row must not read as
+    // absent, so old_/new_ NULLs can't stand in for side membership
+    val joined = a.withColumn("__in_a", lit(1))
+      .join(b.withColumn("__in_b", lit(1)), keyCols.toSeq, "full_outer")
+    val same = valueCols
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    joined
+      .withColumn("change",
+        when(col("__in_a").isNull, "added")
+          .when(col("__in_b").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .filter(col("change") =!= "unchanged")
+      .select(keyCols.map(col) ++ Seq(col("change")) ++
+        valueCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
 }

@@ -1551,4 +1551,96 @@ object Quality {
       .select(lit(tPpm).as("t_ppm"), col("n_rows"), col("n_groups"),
         col("weak_groups"), col("rows_at_risk"), col("max_emd_ppm"))
   }
+
+  /** Deterministic block-bootstrap percentile CI for a mean — the
+    * resampling complement to [[jackknifeCi]] (jackknife is cheap but
+    * symmetric-normal by construction; the bootstrap sees skew). Zero
+    * RNG anywhere: rows land in `blocks` md5-hash blocks; resample r
+    * draws `blocks` block indexes via md5("bs:r:j") over the PRESENT
+    * blocks (ranked by block id), and each resample mean is an exact
+    * integer division of exact BIGINT block sums — so the whole
+    * resample distribution, and therefore the nearest-rank percentile
+    * interval, replays bit-identically on any engine. One row:
+    * (n, mean_micros, r, ci_lo_micros, ci_hi_micros) at the 2.5 %/97.5 %
+    * nearest ranks (lo rank = ⌈R/40⌉, hi rank = R+1−lo).
+    *
+    * Scale shape: ONE pass builds the ≤ `blocks`-row block table
+    * (map-side combine on the block key); the draw grid is a constant
+    * R·blocks rows joined to the ranked block table by index; every
+    * later relation is ≤ R rows. Raw data is scanned exactly once. */
+  def bootstrapCi(df: DataFrame, key: Column, valueMicros: Column,
+      blocks: Int = 32, resamples: Int = 200): DataFrame = {
+    require(blocks >= 2 && blocks <= 4096, s"blocks out of range: $blocks")
+    require(resamples >= 40 && resamples <= 10000,
+      s"resamples out of range: $resamples")
+    val spark = df.sparkSession
+    val b = df
+      .select((conv(substring(md5(concat_ws(":", lit("jk"),
+          key.cast("string"))), 1, 13), 16, 10).cast("long") % blocks)
+        .as("blk"), valueMicros.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("blk").agg(count(lit(1)).as("nb"), sum("v").as("sb"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("blk")
+    val ranked = b.select((row_number().over(wb) - 1).cast("long").as("rk"),
+      col("nb"), col("sb"))
+    val p = broadcast(ranked.agg(count(lit(1)).as("p"),
+      sum("nb").as("n"), sum("sb").as("s")))
+    val draws = spark.range(1, resamples + 1L).select(col("id").as("r"))
+      .crossJoin(spark.range(0, blocks.toLong).select(col("id").as("j")))
+      .crossJoin(p)
+      .select(col("r"), col("n"), col("s"),
+        (conv(substring(md5(concat_ws(":", lit("bs"), col("r"), col("j"))),
+          1, 13), 16, 10).cast("long") % col("p")).as("rk"))
+    val means = draws.join(broadcast(ranked), Seq("rk"))
+      .groupBy("r", "n", "s")
+      .agg(expr("sum(sb) div greatest(sum(nb), 1L)").as("mr"))
+    val loRank = (resamples + 39) / 40 // ceil(R/40) = 2.5 % nearest rank
+    val hiRank = resamples + 1 - loRank
+    val wr = org.apache.spark.sql.expressions.Window.orderBy("mr", "r")
+    means.select(col("n"), col("s"), col("mr"),
+        row_number().over(wr).as("rnk"))
+      .filter(col("rnk") === loRank || col("rnk") === hiRank)
+      .agg(first("n").as("n"), first("s").as("s"),
+        min("mr").as("lo"), max("mr").as("hi"))
+      .select(col("n"), expr("s div greatest(n, 1L)").as("mean_micros"),
+        lit(resamples.toLong).as("r"), col("lo").as("ci_lo_micros"),
+        col("hi").as("ci_hi_micros"))
+  }
+
+  /** Spearman rank correlation matrix — [[corrMatrix]]'s Pearson answers
+    * "linear?"; Spearman answers "monotone?" and shrugs at outliers
+    * (one 10⁹-valued corruption row saturates Pearson but moves a rank
+    * by 1). Ranks use the standard mid-rank tie treatment, carried as
+    * 2×rank so they stay exact integers: rank2(v) = 2·(#strictly
+    * smaller) + (#equal) + 1. Rows with a NULL in ANY column are
+    * dropped first so every column ranks the same row set. Output
+    * mirrors corrMatrix: (col_a, col_b, n, r2_ppm, sgn) where r2_ppm is
+    * ⌊10⁶·ρ²⌋ and sgn the sign of ρ — exact integer moments, one IEEE
+    * expression shape at the end.
+    *
+    * Scale shape: per column, ONE distinct-value count groupBy + a
+    * cumulative window over the value domain (never raw rows), then one
+    * hash join back on the value key; the final corrMatrix pass is a
+    * single aggregate. The corrMatrix BIGINT contract (n·max(x)² < 2⁶³)
+    * binds at n ≈ 1.9 M rows when x is a 2×rank ≤ 2n; past that,
+    * quantize the value domain first (rank over equi-depth buckets) so
+    * ranks stay small — the monotone statistic is bucket-stable. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[(String, Column)])
+      : DataFrame = {
+    require(cols.size >= 2, "spearmanMatrix needs at least two columns")
+    val named = cols.map { case (n, c) => n -> c.cast("long") }
+    var rows = df.select(named.map { case (n, c) => c.as(s"__v_$n") }: _*)
+    named.foreach { case (n, _) =>
+      rows = rows.filter(col(s"__v_$n").isNotNull) }
+    named.foreach { case (n, _) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(s"__v_$n"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranks = rows.groupBy(s"__v_$n").agg(count(lit(1)).as("__c"))
+        .select(col(s"__v_$n"),
+          (coalesce(sum("__c").over(w), lit(0L)) * 2 + col("__c") + 1)
+            .as(s"__r_$n"))
+      rows = rows.join(ranks, Seq(s"__v_$n"))
+    }
+    corrMatrix(rows, named.map { case (n, _) => n -> col(s"__r_$n") })
+  }
 }

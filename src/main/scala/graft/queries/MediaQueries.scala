@@ -358,6 +358,22 @@ object MediaQueries {
       graft.operators.Cdc.bitemporalAsOf(delta, Seq("user_id"), "vt",
         "tx", "op", validAsOf, txAsOf).orderBy("user_id")
     },
+    // Snapshot diff between two time-travel horizons (1/3 and 2/3 of
+    // the event range): added/removed/changed keys with old/new values.
+    "qc12_snapshot_diff" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val b = ev.agg(min(expr("ts div 1000")).as("lo"),
+        max(expr("ts div 1000")).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val delta = ev.select(col("user_id"), expr("ts div 1000").as("seq"),
+        col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+      graft.operators.Cdc.snapshotDiff(delta, Seq("user_id"), "seq", "op",
+          (2 * lo + hi) / 3, (lo + 2 * hi) / 3)
+        .orderBy("user_id")
+    },
     "qc08_snapshot_asof" -> { (s, d) =>
       val ev = t(s, d, "events")
       // one bounded 1-row gather fixes the as-of point deterministically
@@ -724,6 +740,42 @@ object MediaQueries {
         |        CAST(value AS VARCHAR) DESC NULLS LAST, op DESC) AS rn
         |    FROM dl) WHERE rn = 1)
         |SELECT user_id, value FROM latest WHERE op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+    "qc12_snapshot_diff" ->
+      """WITH b AS (SELECT
+        |    (2 * MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 3 AS c1,
+        |    (MIN(epoch_us(ts)) + 2 * MAX(epoch_us(ts))) // 3 AS c2
+        |  FROM events),
+        |dl AS (SELECT user_id, epoch_us(ts) AS seq, value,
+        |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+        |      ELSE 'U' END AS op
+        |  FROM events),
+        |s1 AS (SELECT user_id, value FROM (
+        |    SELECT user_id, op, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC,
+        |        CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+        |        CAST(value AS VARCHAR) DESC NULLS LAST, op DESC) AS rn
+        |    FROM dl WHERE seq <= (SELECT c1 FROM b))
+        |  WHERE rn = 1 AND op <> 'D'),
+        |s2 AS (SELECT user_id, value FROM (
+        |    SELECT user_id, op, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC,
+        |        CASE WHEN op = 'D' THEN 0 ELSE 1 END,
+        |        CAST(value AS VARCHAR) DESC NULLS LAST, op DESC) AS rn
+        |    FROM dl WHERE seq <= (SELECT c2 FROM b))
+        |  WHERE rn = 1 AND op <> 'D'),
+        |j AS (SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+        |    s1.value AS old_value, s2.value AS new_value,
+        |    (s1.user_id IS NOT NULL) AS ina,
+        |    (s2.user_id IS NOT NULL) AS inb
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+        |SELECT user_id,
+        |  CASE WHEN NOT ina THEN 'added' WHEN NOT inb THEN 'removed'
+        |    ELSE 'changed' END AS change,
+        |  old_value, new_value
+        |FROM j
+        |WHERE NOT (ina AND inb
+        |  AND (old_value IS NOT DISTINCT FROM new_value))
         |ORDER BY user_id""".stripMargin,
     "qc08_snapshot_asof" ->
       """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2

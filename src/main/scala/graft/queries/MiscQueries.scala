@@ -306,6 +306,23 @@ object MiscQueries {
         expr("concat(l_orderkey, ':', l_linenumber)"),
         expr("cast(l_extendedprice * 1000000 as bigint)"), blocks = 32)
     },
+    // Deterministic block-bootstrap percentile CI for the mean extended
+    // price — the skew-seeing complement to qq34's jackknife.
+    "qq39_bootstrap_ci" -> { (s, d) =>
+      graft.operators.Quality.bootstrapCi(t(s, d, "lineitem"),
+        expr("concat(l_orderkey, ':', l_linenumber)"),
+        expr("cast(round(l_extendedprice * 1000000) as bigint)"),
+        blocks = 32, resamples = 200)
+    },
+    // Spearman rank correlation over the qq20 feature set: monotone
+    // association, outlier-immune, exact 2x-rank integers.
+    "qq40_spearman" -> { (s, d) =>
+      graft.operators.Quality.spearmanMatrix(t(s, d, "lineitem"), Seq(
+          "qty" -> expr("cast(round(l_quantity * 1000000) as bigint)"),
+          "price" -> expr("cast(round(l_extendedprice * 1000000) as bigint)"),
+          "disc" -> expr("cast(round(l_discount * 1000000) as bigint)")))
+        .orderBy("col_a", "col_b")
+    },
     // Simpson's-paradox audit: does the urgent-vs-other fulfillment-rate
     // comparison reverse inside any order-year slice?
     "qq32_simpsons" -> { (s, d) =>
@@ -1039,6 +1056,13 @@ object MiscQueries {
           keepPpm = 500000L)
         .orderBy("bucket")
     },
+    // Benjamini-Hochberg FDR gate over the event-type metric panel:
+    // which per-user reach deltas between the qa18 arms survive
+    // multiple-testing control? (Chebyshev p-proxy, step-up rule.)
+    "qa27_fdr_gate" -> { (s, d) =>
+      graft.streaming.EventStream.fdrGate(t(s, d, "events"),
+        alphaPpm = 50000L)
+    },
     // Deterministic salted-md5 A/B assignment + conversion readout.
     "qa18_ab_assignment" -> { (s, d) =>
       graft.streaming.EventStream.abAssignment(t(s, d, "events"))
@@ -1533,6 +1557,85 @@ object MiscQueries {
         |  CAST(FLOOR(jm - 1.96 * se) AS BIGINT) AS ci_lo_micros,
         |  CAST(FLOOR(jm + 1.96 * se) AS BIGINT) AS ci_hi_micros
         |FROM fin""".stripMargin,
+    "qq39_bootstrap_ci" ->
+      """WITH rows0 AS (SELECT
+        |    CAST(list_sum(list_transform(generate_series(1, 13),
+        |      j -> CAST(instr('0123456789abcdef', substr(md5('jk:'
+        |          || CAST(l_orderkey AS VARCHAR) || ':'
+        |          || CAST(l_linenumber AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT) * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 32 AS blk,
+        |    CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(v) AS BIGINT) AS sb
+        |  FROM rows0 WHERE v IS NOT NULL GROUP BY 1),
+        |ranked AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY blk) - 1 AS BIGINT)
+        |    AS rk, nb, sb FROM b),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS p,
+        |    CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(sb) AS BIGINT) AS s
+        |  FROM ranked),
+        |draws AS (SELECT r.r, p.n, p.s,
+        |    CAST(list_sum(list_transform(generate_series(1, 13),
+        |      k -> CAST(instr('0123456789abcdef', substr(md5('bs:'
+        |          || CAST(r.r AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),
+        |          CAST(k AS INT), 1)) - 1
+        |        AS BIGINT) * CAST(16 ** (13 - k) AS BIGINT))) AS BIGINT)
+        |      % p.p AS rk
+        |  FROM generate_series(1, 200) AS r(r)
+        |  CROSS JOIN generate_series(0, 31) AS j(j), p),
+        |means AS (SELECT r, n, s,
+        |    CAST(SUM(sb) AS BIGINT) // GREATEST(CAST(SUM(nb) AS BIGINT), 1)
+        |      AS mr
+        |  FROM draws JOIN ranked USING (rk) GROUP BY 1, 2, 3),
+        |rk2 AS (SELECT n, s, mr,
+        |    ROW_NUMBER() OVER (ORDER BY mr, r) AS rnk FROM means)
+        |SELECT FIRST(n) AS n, FIRST(s) // GREATEST(FIRST(n), 1) AS mean_micros,
+        |  CAST(200 AS BIGINT) AS r,
+        |  MIN(mr) AS ci_lo_micros, MAX(mr) AS ci_hi_micros
+        |FROM rk2 WHERE rnk = 5 OR rnk = 196""".stripMargin,
+    "qq40_spearman" ->
+      """WITH rows0 AS (SELECT
+        |    CAST(ROUND(l_quantity * 1000000) AS BIGINT) AS vq,
+        |    CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) AS vp,
+        |    CAST(ROUND(l_discount * 1000000) AS BIGINT) AS vd
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |gq AS (SELECT vq, CAST(COUNT(*) AS BIGINT) AS c FROM rows0 GROUP BY 1),
+        |rq AS (SELECT vq, 2 * COALESCE(CAST(SUM(c) OVER (ORDER BY vq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + c + 1 AS r FROM gq),
+        |gp AS (SELECT vp, CAST(COUNT(*) AS BIGINT) AS c FROM rows0 GROUP BY 1),
+        |rp AS (SELECT vp, 2 * COALESCE(CAST(SUM(c) OVER (ORDER BY vp
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + c + 1 AS r FROM gp),
+        |gd AS (SELECT vd, CAST(COUNT(*) AS BIGINT) AS c FROM rows0 GROUP BY 1),
+        |rd AS (SELECT vd, 2 * COALESCE(CAST(SUM(c) OVER (ORDER BY vd
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + c + 1 AS r FROM gd),
+        |jn AS (SELECT rq.r AS xq, rp.r AS xp, rd.r AS xd
+        |  FROM rows0 JOIN rq USING (vq) JOIN rp USING (vp) JOIN rd USING (vd)),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(xq) AS DOUBLE) AS sq, CAST(SUM(xp) AS DOUBLE) AS sp,
+        |    CAST(SUM(xd) AS DOUBLE) AS sd,
+        |    CAST(SUM(xq*xq) AS DOUBLE) AS sqq, CAST(SUM(xp*xp) AS DOUBLE) AS spp,
+        |    CAST(SUM(xd*xd) AS DOUBLE) AS sdd,
+        |    CAST(SUM(xq*xp) AS DOUBLE) AS sqp, CAST(SUM(xq*xd) AS DOUBLE) AS sqd,
+        |    CAST(SUM(xp*xd) AS DOUBLE) AS spd
+        |  FROM jn),
+        |pairs AS (
+        |  SELECT 'qty' AS col_a, 'price' AS col_b, nb AS n,
+        |    n*sqp - sq*sp AS cov, (n*sqq - sq*sq) * (n*spp - sp*sp) AS vv FROM m
+        |  UNION ALL SELECT 'qty', 'disc', nb,
+        |    n*sqd - sq*sd, (n*sqq - sq*sq) * (n*sdd - sd*sd) FROM m
+        |  UNION ALL SELECT 'price', 'disc', nb,
+        |    n*spd - sp*sd, (n*spp - sp*sp) * (n*sdd - sd*sd) FROM m)
+        |SELECT col_a, col_b, n,
+        |  CASE WHEN vv = 0 THEN NULL
+        |    ELSE CAST(FLOOR(cov * cov / vv * 1000000.0) AS BIGINT)
+        |  END AS r2_ppm,
+        |  CAST(SIGN(cov) AS BIGINT) AS sgn
+        |FROM pairs ORDER BY col_a, col_b""".stripMargin,
     "qq32_simpsons" ->
       """WITH per AS (SELECT
         |    COALESCE(CAST(year(o_orderdate) AS VARCHAR), chr(1) || 'null')
@@ -3262,6 +3365,45 @@ object MiscQueries {
         |  CAST(SUM(converted) AS BIGINT) AS n_converted,
         |  (CAST(SUM(converted) AS BIGINT) * 1000000) // COUNT(*) AS conv_ppm
         |FROM a GROUP BY arm ORDER BY arm""".stripMargin,
+    "qa27_fdr_gate" ->
+      """WITH armed AS (SELECT user_id, event_type,
+        |    (CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('ab_exp1_'
+        |        || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 2 = 0) AS arm
+        |  FROM events),
+        |tot AS (SELECT
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM (SELECT DISTINCT user_id, arm FROM armed)),
+        |x AS (SELECT metric,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS xb
+        |  FROM (SELECT DISTINCT event_type AS metric, user_id, arm
+        |        FROM armed)
+        |  GROUP BY 1),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM x),
+        |scored AS (SELECT metric, na, nb, xa, xb, m,
+        |    CASE WHEN na = 0 OR nb = 0 OR (xa + xb) = 0
+        |        OR (xa + xb) = (na + nb) OR (xa * nb - xb * na) = 0
+        |      THEN CAST(1000000 AS BIGINT)
+        |      ELSE CAST(FLOOR(LEAST(1000000.0,
+        |        (1000000.0 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |          * CAST(xa + xb AS DOUBLE)
+        |          * CAST(na + nb - xa - xb AS DOUBLE))
+        |        / (CAST(na + nb AS DOUBLE)
+        |          * CAST(xa * nb - xb * na AS DOUBLE)
+        |          * CAST(xa * nb - xb * na AS DOUBLE)))) AS BIGINT)
+        |    END AS p_ppm
+        |  FROM x, tot, mm),
+        |ranked AS (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY p_ppm, metric) AS rnk FROM scored),
+        |ks AS (SELECT COALESCE(MAX(rnk), 0) AS kstar FROM ranked
+        |  WHERE p_ppm * m <= 50000 * rnk)
+        |SELECT metric, na AS n_a, nb AS n_b, xa AS x_a, xb AS x_b,
+        |  p_ppm, rnk, (rnk <= ks.kstar) AS discovery
+        |FROM ranked, ks ORDER BY rnk""".stripMargin,
     "qa19_markov_accuracy" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
         |  FROM events),

@@ -1828,4 +1828,70 @@ object EventStream {
       .withColumn("hazard_ppm", expr("(1000000L * n_churned) div n_risk"))
       .withColumn("cum_hazard_ppm", sum("hazard_ppm").over(wCum))
   }
+
+  /** Benjamini–Hochberg FDR gate over a metric panel (JRSS-B 1995) —
+    * the multiple-testing discipline every "we moved 40 metrics!"
+    * experiment readout needs: test each event type's per-user reach
+    * between the two [[abAssignment]] arms, then admit only the
+    * discoveries the step-up rule p₍ᵢ₎ ≤ i·α/m allows. The per-metric
+    * score is the exact-integer two-proportion z²
+    * (n·Δ² / (n_a·n_b·x·(n−x)), Δ = x_a·n_b − x_b·n_a) and the p-value
+    * proxy is Chebyshev's distribution-free bound p ≤ 1/z² — loose but
+    * assumption-free and, like everything here, engine-exact: the ratio
+    * is one fixed IEEE expression over exact BIGINT factors, and the BH
+    * comparison p_ppm·m ≤ α_ppm·i is pure integer arithmetic. Returns
+    * per metric (metric, n_a, n_b, x_a, x_b, p_ppm, rnk, discovery),
+    * ranked by (p_ppm, metric).
+    *
+    * Scale shape: one distinct over (metric, user, arm) then a
+    * metric-keyed count groupBy; the arm totals and metric count m are
+    * 1-row broadcasts; the BH scan is a rank window + max over the
+    * |metrics|-row table. Raw events are scanned twice (user table +
+    * reach table), never joined row-level. */
+  def fdrGate(events: DataFrame, alphaPpm: Long = 50000L,
+      salt: String = "exp1"): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L, s"alphaPpm: $alphaPpm")
+    val armed = tsNanos(events)
+      .select(col("user_id"), col("event_type"),
+        (conv(substring(md5(concat(lit(s"ab_${salt}_"),
+          col("user_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % 2 === 0).as("arm"))
+    val tot = broadcast(armed.select("user_id", "arm").distinct()
+      .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("arm"), 1L).otherwise(0L)).as("nb")))
+    val x = armed.select(col("event_type").as("metric"), col("user_id"),
+        col("arm")).distinct()
+      .groupBy("metric")
+      .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("xa"),
+        sum(when(!col("arm"), 1L).otherwise(0L)).as("xb"))
+    val m = broadcast(x.agg(count(lit(1)).as("m")))
+    // Chebyshev p <= 1/z^2 in ppm; degenerate panels (empty arm, zero or
+    // full reach, zero effect) carry no evidence -> p_ppm = 1e6. The
+    // double ratio is ONE fixed expression over exact BIGINT factors —
+    // identical IEEE digits on any engine (the corrMatrix contract).
+    val scored = x.crossJoin(tot).crossJoin(m)
+      .withColumn("p_ppm", expr(
+        """case when na = 0 or nb = 0 or (xa + xb) = 0
+          |    or (xa + xb) = (na + nb) or (xa * nb - xb * na) = 0
+          |  then 1000000L
+          |  else cast(floor(least(1000000.0d,
+          |    (1000000.0d * (cast(na as double) * cast(nb as double))
+          |      * cast(xa + xb as double)
+          |      * cast(na + nb - xa - xb as double))
+          |    / (cast(na + nb as double)
+          |      * cast(xa * nb - xb * na as double)
+          |      * cast(xa * nb - xb * na as double)))) as bigint)
+          |end""".stripMargin))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy("p_ppm", "metric")
+    val ranked = scored.withColumn("rnk", row_number().over(wr).cast("long"))
+    val kstar = broadcast(ranked
+      .filter(col("p_ppm") * col("m") <= lit(alphaPpm) * col("rnk"))
+      .agg(coalesce(max("rnk"), lit(0L)).as("kstar")))
+    ranked.crossJoin(kstar)
+      .select(col("metric"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("xa").as("x_a"), col("xb").as("x_b"), col("p_ppm"), col("rnk"),
+        (col("rnk") <= col("kstar")).as("discovery"))
+      .orderBy("rnk")
+  }
 }

@@ -237,4 +237,29 @@ class CdcSpec extends SparkSpec {
     assert(read(18L, 2L).get(2L).contains(7.0))
   }
 
+  test("snapshotDiff: added/removed/changed between horizons, unchanged and NULL-stable keys suppressed") {
+    val log = Seq(
+      (1L, 1L, Some(10.0), "I"),                            // unchanged
+      (2L, 1L, Some(1.0), "I"), (2L, 5L, Some(2.0), "U"),   // changed
+      (3L, 5L, Some(3.0), "I"),                             // added
+      (4L, 1L, Some(4.0), "I"), (4L, 6L, Some(0.0), "D"),   // removed
+      (5L, 2L, None, "I"), (5L, 7L, Some(5.0), "U"),        // null -> 5
+      (6L, 9L, Some(9.0), "I"),                             // added at edge
+      (7L, 3L, None, "I")                                   // NULL == NULL
+    ).toDF("k", "seq", "value", "op")
+    val out = Cdc.snapshotDiff(log, Seq("k"), "seq", "op", 4L, 9L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out == Map(
+      2L -> (("changed", Some(1.0), Some(2.0))),
+      3L -> (("added", None, Some(3.0))),
+      4L -> (("removed", Some(4.0), None)),
+      5L -> (("changed", None, Some(5.0))),
+      6L -> (("added", None, Some(9.0)))))
+    // keys 1 (identical) and 7 (NULL at both horizons) must not appear
+    assert(!out.contains(1L) && !out.contains(7L))
+  }
+
 }

@@ -814,4 +814,49 @@ class QualitySpec extends SparkSpec {
     assert(e.getMessage.contains("maxValues"))
   }
 
+  test("bootstrapCi: constant data collapses the interval, the mean stays inside, replay is deterministic") {
+    val s = spark
+    import s.implicits._
+    val const = (1 to 500).map(i => (i.toLong, 42000000L)).toDF("k", "v")
+    val c = Quality.bootstrapCi(const, col("k"), col("v"),
+      blocks = 16, resamples = 40).head()
+    assert(c.getAs[Long]("n") == 500L)
+    assert(c.getAs[Long]("mean_micros") == 42000000L)
+    assert(c.getAs[Long]("ci_lo_micros") == 42000000L)
+    assert(c.getAs[Long]("ci_hi_micros") == 42000000L)
+    val varied = (1 to 2000).map(i => (i.toLong, (i % 100) * 1000000L))
+      .toDF("k", "v")
+    val v1 = Quality.bootstrapCi(varied, col("k"), col("v")).head()
+    val (lo, hi) =
+      (v1.getAs[Long]("ci_lo_micros"), v1.getAs[Long]("ci_hi_micros"))
+    assert(lo < hi)
+    assert(v1.getAs[Long]("mean_micros") >= lo &&
+      v1.getAs[Long]("mean_micros") <= hi)
+    // zero RNG: the same inputs give the same interval, run to run
+    val v2 = Quality.bootstrapCi(varied, col("k"), col("v")).head()
+    assert(v1 == v2)
+  }
+
+  test("spearmanMatrix: monotone = 1e6 regardless of shape or outliers, sign tracks direction, ties match the hand case") {
+    val s = spark
+    import s.implicits._
+    // y = x^3 (nonlinear but monotone) and one huge outlier that stays
+    // rank-consistent: Spearman maxes out where Pearson would not.
+    val mono = (1L to 9L).map(x => (x, x * x * x, -x)) :+
+      ((1000000L, 1000000000000000000L, -1000000L))
+    val m = Quality.spearmanMatrix(mono.toDF("x", "y", "z"),
+        Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("r2_ppm"), r.getAs[Long]("sgn"))).toMap
+    assert(m(("x", "y")) == ((1000000L, 1L)))
+    assert(m(("x", "z")) == ((1000000L, -1L)))
+    assert(m(("y", "z")) == ((1000000L, -1L)))
+    // hand case with ties: x=(1,1,2), y=(3,4,5) -> rho^2 = 0.75
+    val tied = Seq((1L, 3L), (1L, 4L), (2L, 5L)).toDF("a", "b")
+    val t = Quality.spearmanMatrix(tied,
+      Seq("a" -> col("a"), "b" -> col("b"))).head()
+    assert(t.getAs[Long]("r2_ppm") == 750000L)
+    assert(t.getAs[Long]("sgn") == 1L)
+  }
+
 }

@@ -89,6 +89,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qa25_calibration", // 1-row global-fallback-rate broadcast
     "qa26_survival", // 1-row corpus-edge broadcast
     "qq37_fk_candidates", // ≤16×16 pair grid: broadcast cross of the per-column stats
+    "qq39_bootstrap_ci", // 1-row present-block totals broadcast into the constant draw grid
+    "qa27_fdr_gate", // 1-row arm-total / metric-count / k* broadcasts into the metric table
     "qv36_embedding_decontam") // broadcast eval panel (id%evalMod-bounded) scored vs corpus
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {

@@ -1238,4 +1238,36 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(10L) == ((1L, 0L, 1L, 0L, 750000L)))
   }
 
+  test("fdrGate: a pure arm-aligned metric is discovered, a universal metric is not, discoveries form a rank prefix") {
+    val s = spark
+    import s.implicits._
+    // recover each user's md5 arm with the operator's own coin so the
+    // planted signal is EXACTLY arm-aligned
+    val armOf = spark.range(1, 401)
+      .select(col("id"), (expr("conv(substring(md5(concat('ab_exp1_', " +
+        "cast(id as string))), 1, 13), 16, 10)").cast("long") % 2 === 0)
+        .as("a"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val rows = (1L to 400L).flatMap { u =>
+      Seq((u, "base")) ++ // every user: x = n -> no-evidence guard
+        (if (armOf(u)) Seq((u, "promo")) else Nil) ++ // pure arm signal
+        (if (u % 3 == 0) Seq((u, "noise")) else Nil) // ~arm-independent
+    }
+    val out = EventStream.fdrGate(rows.toDF("user_id", "event_type"),
+        alphaPpm = 50000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("p_ppm"), r.getAs[Long]("rnk"),
+          r.getAs[Boolean]("discovery"))).toMap
+    assert(out("base")._1 == 1000000L && !out("base")._3)
+    assert(out("promo")._2 == 1L && out("promo")._3)
+    assert(out("promo")._1 < out("noise")._1)
+    // BH admits a prefix of the p-ranked list, never a gap
+    val byRank = out.values.toSeq.sortBy(_._2).map(_._3)
+    assert(!byRank.zip(byRank.tail).exists { case (a, b) => !a && b })
+    val e = intercept[IllegalArgumentException](
+      EventStream.fdrGate(rows.toDF("user_id", "event_type"),
+        alphaPpm = 0L))
+    assert(e.getMessage.contains("alphaPpm"))
+  }
+
 }

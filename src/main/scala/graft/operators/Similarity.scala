@@ -109,13 +109,13 @@ object Similarity {
     * broadcast array rows; each projection is a single codegen'd
     * dot_long. `dim` must match the embedding length. */
   def lshBuckets(df: DataFrame, embCol: String, idCol: String,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      numPlanes: Int = 8, dim: Int = 64, salt: String = ""): DataFrame = {
     val d = dot(df) _
     val planes = df.sparkSession.range(numPlanes)
       .select(col("id").cast("int").as("p"))
       .withColumn("comp", expr(
         s"""transform(sequence(0, ${dim - 1}), i ->
-           |  CASE WHEN instr('0123456789abcdef', substring(md5(concat(p, '_', i)), 1, 1)) - 1 < 8
+           |  CASE WHEN instr('0123456789abcdef', substring(md5(concat('$salt', p, '_', i)), 1, 1)) - 1 < 8
            |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)""".stripMargin))
     val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
     emb.crossJoin(broadcast(planes))
@@ -141,11 +141,12 @@ object Similarity {
     * window on the bucket join's own output. Nothing all-pairs, nothing
     * driver-side. */
   def knnGraph(df: DataFrame, embCol: String, idCol: String, k: Int,
-      numPlanes: Int = 8, dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
+      numPlanes: Int = 8, dim: Int = 64, maxBucket: Int = 10000,
+      salt: String = ""): DataFrame = {
     require(k >= 1, s"k >= 1: $k")
     require(maxBucket >= 2, s"maxBucket >= 2: $maxBucket")
     val d = dot(df) _
-    val buckets = lshBuckets(df, embCol, idCol, numPlanes, dim)
+    val buckets = lshBuckets(df, embCol, idCol, numPlanes, dim, salt)
       .withColumnRenamed(idCol, "id")
     val emb = df.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .withColumn("nrm", sqrt(d(col("q"), col("q")).cast("double")))
@@ -160,6 +161,60 @@ object Similarity {
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** One NN-descent refinement round — Dong, Moses & Li, WWW 2011: "a
+    * neighbour of my neighbour is probably my neighbour". A single LSH
+    * [[knnGraph]] is bucket-CLOSED — every edge joins bucket-mates, so
+    * two-hops never leave the bucket and descent alone can't recover a
+    * neighbour the hash family missed. The fix NN-descent implementations
+    * actually use is seed diversity: this round seeds with TWO
+    * independent hash families (the production graph + a salted second
+    * bucketing), takes the undirected closure plus its two-hop
+    * composition — which NOW crosses family-A buckets through family-B
+    * edges — re-scores candidates with the exact cosine, and keeps the
+    * per-source top-k. `is_new` marks edges absent from the production
+    * graph: the round's measured recall gain. Output shape extends
+    * knnGraph: (src, nbr, cos, rank, is_new).
+    *
+    * Scale shape: the candidate relation is bounded by construction —
+    * ≤ 4k undirected seed edges per vertex and ≤ (4k)² two-hop pairs,
+    * never corpus²; the two-hop composition and both embedding re-joins
+    * are shuffle-hash equi-joins on the id key; the top-k is a rank
+    * window on the candidate relation's own output. */
+  def nnDescentRound(df: DataFrame, embCol: String, idCol: String, k: Int,
+      numPlanes: Int = 8, dim: Int = 64, maxBucket: Int = 10000)
+      : DataFrame = {
+    val d = dot(df) _
+    val g = knnGraph(df, embCol, idCol, k, numPlanes, dim, maxBucket)
+      .select(col("src"), col("nbr"))
+    val g2 = knnGraph(df, embCol, idCol, k, numPlanes, dim, maxBucket,
+        salt = "b_")
+      .select(col("src"), col("nbr"))
+    val seed = g.union(g2)
+    val und = seed
+      .union(seed.select(col("nbr").as("src"), col("src").as("nbr")))
+      .distinct()
+    val twoHop = und.as("x")
+      .join(und.as("y").hint("shuffle_hash"), col("x.nbr") === col("y.src"))
+      .select(col("x.src").as("src"), col("y.nbr").as("nbr"))
+      .filter(col("src") =!= col("nbr"))
+    val cand = und.union(twoHop).distinct()
+    val emb = df.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .withColumn("nrm", sqrt(d(col("q"), col("q")).cast("double")))
+    val scored = cand
+      .join(emb.select(col("id").as("src"), col("q").as("qa"),
+        col("nrm").as("na")).hint("shuffle_hash"), "src")
+      .join(emb.select(col("id").as("nbr"), col("q").as("qb"),
+        col("nrm").as("nb")).hint("shuffle_hash"), "nbr")
+      .select(col("src"), col("nbr"),
+        (d(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb"))).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .join(g.withColumn("__old", lit(1)), Seq("src", "nbr"), "left_outer")
+      .select(col("src"), col("nbr"), col("cos"), col("rank"),
+        col("__old").isNull.as("is_new"))
   }
 
   /** Doc-frequency-weighted (TF-IDF-style, binary TF) cosine similarity

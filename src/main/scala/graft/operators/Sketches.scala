@@ -618,4 +618,32 @@ object Sketches {
           "greatest(1L, abs(exact_cents))"))
       .drop("s_cents")
   }
+
+  /** Deterministic weighted sample — priority sampling (Duffield, Lund
+    * & Thorup, JACM 2007) with the RNG replaced by the md5 coin: each
+    * row draws priority = hash(key) div weight and the k SMALLEST
+    * priorities win, so selection probability grows ∝ weight (a
+    * 100×-heavier row's priority is 100× smaller) while the sample
+    * stays a pure function of the key set — rerun anywhere, same rows.
+    * The data-mixing primitive: sample documents ∝ length/quality
+    * weight for a training shard without an RNG state to lose. Rows
+    * with NULL or non-positive weight are excluded (a zero weight must
+    * never be drawn, and h div 0 is undefined). Returns the k selected
+    * rows (key, weight, priority) ordered by (priority, key).
+    *
+    * Scale shape: one projection computes every priority; the bottom-k
+    * is a TakeOrdered (per-partition heaps + driver merge of k·P rows),
+    * never a global sort. */
+  def prioritySample(df: DataFrame, keyCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k out of range: $k")
+    df.select(keyCol.cast("string").as("key"),
+        weightCol.cast("long").as("weight"))
+      .filter(col("key").isNotNull && col("weight").isNotNull &&
+        col("weight") > 0)
+      .withColumn("priority", expr(
+        "cast(conv(substring(md5(concat('ps:', key)), 1, 13), 16, 10) " +
+          "as bigint) div weight"))
+      .orderBy(col("priority"), col("key")).limit(k)
+  }
 }

@@ -242,6 +242,13 @@ object MiscQueries {
     // Neyman budget allocation: 1000 inspection samples split across
     // order priorities proportional to N_h * sd_h, exact integer
     // largest-remainder apportionment (sums to the budget).
+    // Deterministic weighted corpus sample (Duffield-Lund-Thorup JACM'07
+    // priority sampling, md5 coin): 100 documents drawn with selection
+    // odds proportional to length — the data-mixing shard draw.
+    "qx20_priority_sample" -> { (s, d) =>
+      graft.operators.Sketches.prioritySample(t(s, d, "documents"),
+        col("doc_id"), col("n_chars"), k = 100)
+    },
     "qx17_neyman_alloc" -> { (s, d) =>
       graft.operators.Sketches.neymanAllocation(t(s, d, "orders"),
           "o_orderpriority", floor(col("o_totalprice")), budget = 1000L)
@@ -1317,6 +1324,19 @@ object MiscQueries {
         |SELECT e.u, e.v, COALESCE(s.sup, 0) AS support
         |FROM e2 e LEFT JOIN s2 s ON s.u = e.u AND s.v = e.v
         |ORDER BY e.u, e.v""".stripMargin,
+    "qx20_priority_sample" ->
+      """SELECT key, weight, priority FROM (
+        |  SELECT CAST(doc_id AS VARCHAR) AS key,
+        |    CAST(n_chars AS BIGINT) AS weight,
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('ps:'
+        |          || CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT)
+        |      // CAST(n_chars AS BIGINT) AS priority
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
+        |ORDER BY priority, key LIMIT 100""".stripMargin,
     "qx17_neyman_alloc" ->
       """WITH m AS (SELECT o_orderpriority AS stratum,
         |    CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -65,6 +65,14 @@ object VectorOps {
         .knnGraph(t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
         .orderBy("src", "rank")
     },
+    // One NN-descent round over the qv20 bucket graph (WWW'11): the
+    // undirected two-hop candidate expansion re-scored with the exact
+    // cosine; is_new marks the recall the LSH buckets missed.
+    "qv37_nn_descent" -> { (s, d) =>
+      graft.operators.Similarity
+        .nnDescentRound(t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
+        .orderBy("src", "rank")
+    },
     // Embedding-space drift between the even and odd vec_id halves:
     // exact integer mean-vector dot/norms + the cosine between means
     // (an encoder swap or topic shift moves cos_mean off ~1).
@@ -617,6 +625,81 @@ object VectorOps {
         |  FROM pairs)
         |SELECT src, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
         |ORDER BY src, rank""".stripMargin,
+    "qv37_nn_descent" ->
+      """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings), unnest(range(1, 65)) t(i)),
+        |planes AS (SELECT vec_id, p, qe,
+        |  CASE WHEN instr('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 < 8
+        |    THEN 1 ELSE -1 END AS comp
+        | FROM el, (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS p)),
+        |signs AS (SELECT vec_id, p, SUM(comp * qe) AS proj FROM planes
+        |  GROUP BY vec_id, p),
+        |buckets AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM signs GROUP BY vec_id),
+        |q AS (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |bc AS (SELECT bucket FROM buckets GROUP BY bucket
+        |  HAVING COUNT(*) <= 10000),
+        |v AS (SELECT b.vec_id, b.bucket, q.q,
+        |    sqrt(CAST(CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+        |  FROM buckets b JOIN bc ON bc.bucket = b.bucket
+        |  JOIN q ON q.vec_id = b.vec_id),
+        |pairs AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, nbr, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rank
+        |  FROM pairs),
+        |g AS (SELECT src, nbr FROM r WHERE rank <= 5),
+        |planesb AS (SELECT vec_id, p, qe,
+        |  CASE WHEN instr('0123456789abcdef', substr(md5('b_' || p || '_' || i), 1, 1)) - 1 < 8
+        |    THEN 1 ELSE -1 END AS comp
+        | FROM el, (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS p)),
+        |signsb AS (SELECT vec_id, p, SUM(comp * qe) AS proj FROM planesb
+        |  GROUP BY vec_id, p),
+        |bucketsb AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM signsb GROUP BY vec_id),
+        |bcb AS (SELECT bucket FROM bucketsb GROUP BY bucket
+        |  HAVING COUNT(*) <= 10000),
+        |vb AS (SELECT b.vec_id, b.bucket, q.q,
+        |    sqrt(CAST(CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+        |  FROM bucketsb b JOIN bcb ON bcb.bucket = b.bucket
+        |  JOIN q ON q.vec_id = b.vec_id),
+        |pairsb AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+        |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |rb AS (SELECT src, nbr, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rank
+        |  FROM pairsb),
+        |gb AS (SELECT src, nbr FROM rb WHERE rank <= 5),
+        |seed AS (SELECT src, nbr FROM g UNION ALL SELECT src, nbr FROM gb),
+        |und AS (SELECT src, nbr FROM seed
+        |  UNION SELECT nbr AS src, src AS nbr FROM seed),
+        |two AS (SELECT x.src AS src, y.nbr AS nbr FROM und x
+        |  JOIN und y ON x.nbr = y.src WHERE x.src <> y.nbr),
+        |cand AS (SELECT src, nbr FROM und UNION SELECT src, nbr FROM two),
+        |v2 AS (SELECT vec_id, q.q,
+        |    sqrt(CAST(CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS nrm
+        |  FROM q),
+        |sc AS (SELECT c.src, c.nbr,
+        |    CAST(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE) / (a.nrm * b.nrm) AS cos
+        |  FROM cand c JOIN v2 a ON a.vec_id = c.src
+        |  JOIN v2 b ON b.vec_id = c.nbr),
+        |ref AS (SELECT src, nbr, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rank
+        |  FROM sc)
+        |SELECT rf.src, rf.nbr, rf.cos, CAST(rf.rank AS INT) AS rank,
+        |  (g.src IS NULL) AS is_new
+        |FROM ref rf LEFT JOIN g ON g.src = rf.src AND g.nbr = rf.nbr
+        |WHERE rf.rank <= 5 ORDER BY rf.src, rf.rank""".stripMargin,
     "qv26_label_noise" ->
       """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
         | FROM (SELECT vec_id,

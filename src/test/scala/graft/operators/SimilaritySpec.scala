@@ -941,4 +941,33 @@ class SimilaritySpec extends SparkSpec {
       "clean" -> ((1L, 0L))))
   }
 
+  test("nnDescentRound: candidates contain the bucket graph, so every source's k-th neighbour can only improve; is_new tracks graph membership") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 500)
+    val g = Similarity.knnGraph(emb, "embedding", "vec_id", k = 5)
+      .select(col("src"), col("rank"), col("nbr"), col("cos").as("cos0"))
+    val r = Similarity.nnDescentRound(emb, "embedding", "vec_id", k = 5)
+    // rank-wise dominance: the candidate set contains every production
+    // edge, so the refined rank-i neighbour is at least as close as the
+    // production rank-i neighbour (lists may be LONGER — a source with 2
+    // bucket-mates can gain a worse-than-2nd 5th — but never worse at
+    // the same rank)
+    val cmp = g.select("src", "rank", "cos0")
+      .join(r.select("src", "rank", "cos"), Seq("src", "rank"))
+    assert(cmp.filter(col("cos") < col("cos0")).count() == 0)
+    // the round actually recovers cross-bucket neighbours on real data
+    val newEdges = r.filter(col("is_new")).count()
+    assert(newEdges > 0)
+    // is_new is exactly non-membership in the bucket graph
+    val wrong = r.join(g.select("src", "nbr").withColumn("m", lit(1)),
+        Seq("src", "nbr"), "left_outer")
+      .filter(col("is_new") =!= col("m").isNull)
+    assert(wrong.count() == 0)
+    // ranks are a clean 1..n prefix per source
+    val badRank = r.groupBy("src")
+      .agg(max("rank").as("mx"), count(lit(1)).as("c"))
+      .filter(col("mx") =!= col("c") || col("mx") > 5)
+    assert(badRank.count() == 0)
+  }
+
 }

@@ -332,4 +332,31 @@ class SketchesSpec extends SparkSpec {
     assert(again("rare") == rare.getAs[Long]("ht_cents"))
   }
 
+  test("prioritySample: k rows, deterministic, weight-dominant keys win, degenerate weights excluded") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 200L).map(i => (i, Some(10L))) ++ Seq(
+      (900L, Some(1000000000000L)), // priority ~ fold/1e12: certain pick
+      (901L, Some(0L)), (902L, Some(-5L)), (903L, None) // excluded
+    )).toDF("k", "w")
+    val out = Sketches.prioritySample(df, col("k"), col("w"), k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 50)
+    assert(out.map(_._1).contains("900")) // the heavy row is drawn
+    assert(!out.map(_._1).exists(Set("901", "902", "903"))) // degenerate out
+    // sorted by (priority, key), priorities reproduce h div w exactly
+    assert(out.map(t => (t._3, t._1)).toSeq ==
+      out.map(t => (t._3, t._1)).sortBy(identity).toSeq)
+    val verify = df.filter(col("w").isNotNull && col("w") > 0)
+      .select(col("k").cast("string").as("key"),
+        expr("cast(conv(substring(md5(concat('ps:', cast(k as string))), " +
+          "1, 13), 16, 10) as bigint) div w").as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (key, _, pri) => assert(verify(key) == pri) }
+    // zero RNG: a rerun returns the identical sample
+    val again = Sketches.prioritySample(df, col("k"), col("w"), k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
 }

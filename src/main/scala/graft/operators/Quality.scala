@@ -1607,6 +1607,54 @@ object Quality {
         col("hi").as("ci_hi_micros"))
   }
 
+  /** Monotonicity audit — the isotonic sanity check behind "this
+    * feature should only ever push the outcome one way" (price ↑ →
+    * conversion ↓; quality score ↑ → accept rate ↑): equi-width-bucket
+    * the feature, compute each bucket's exact outcome rate, and count
+    * adjacent-bucket steps with and against the dominant direction. A
+    * feature a model treats as monotone that ISN'T (or vice versa) is
+    * a modelling bug this row catches before training does. One row:
+    * (n_buckets, n_rows, n_steps, n_up, n_down, dir, n_violations,
+    * monotone) — all exact integers, dir the majority step direction,
+    * violations the steps against it.
+    *
+    * Scale shape: one min/max rollup (1-row broadcast), ONE bucket
+    * groupBy with map-side combine, then a lag window + rollup over the
+    * ≤ `buckets`-row rate table. */
+  def monotonicityAudit(df: DataFrame, featureCol: Column,
+      outcomeCol: Column, buckets: Int = 20): DataFrame = {
+    require(buckets >= 2 && buckets <= 10000,
+      s"buckets out of range: $buckets")
+    val base = df.select(featureCol.cast("long").as("f"),
+        outcomeCol.cast("boolean").as("y"))
+      .filter(col("f").isNotNull && col("y").isNotNull)
+    val mm = broadcast(base.agg(min("f").as("lo"), max("f").as("hi")))
+    val rates = base.crossJoin(mm)
+      .select(expr(s"least(CAST(${buckets - 1} AS BIGINT), " +
+        s"((f - lo) * ${buckets}L) div greatest(hi - lo + 1, 1L))").as("b"),
+        col("y"))
+      .groupBy("b").agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .withColumn("rate_ppm", expr("(pos * 1000000L) div n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+    val steps = rates.withColumn("prev", lag("rate_ppm", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .agg(
+        coalesce(sum(when(col("rate_ppm") > col("prev"), 1L).otherwise(0L)),
+          lit(0L)).as("n_up"),
+        coalesce(sum(when(col("rate_ppm") < col("prev"), 1L).otherwise(0L)),
+          lit(0L)).as("n_down"),
+        count(col("prev")).as("n_steps"))
+    val tot = broadcast(rates.agg(count(lit(1)).as("n_buckets"),
+      coalesce(sum("n"), lit(0L)).as("n_rows")))
+    steps.crossJoin(tot)
+      .select(col("n_buckets"), col("n_rows"), col("n_steps"),
+        col("n_up"), col("n_down"),
+        when(col("n_up") >= col("n_down"), "up").otherwise("down").as("dir"),
+        least(col("n_up"), col("n_down")).as("n_violations"),
+        (least(col("n_up"), col("n_down")) === 0L).as("monotone"))
+  }
+
   /** Spearman rank correlation matrix — [[corrMatrix]]'s Pearson answers
     * "linear?"; Spearman answers "monotone?" and shrugs at outliers
     * (one 10⁹-valued corruption row saturates Pearson but moves a rank

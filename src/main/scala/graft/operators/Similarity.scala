@@ -217,6 +217,63 @@ object Similarity {
         col("__old").isNull.as("is_new"))
   }
 
+  /** Multi-probe LSH search — Lv, Josephson, Wang, Charikar & Li,
+    * VLDB 2007: instead of stacking hash tables for recall, probe the
+    * query's OWN bucket plus the buckets reached by flipping the sign
+    * bits whose hyperplane projections are smallest in magnitude (the
+    * planes the query sits closest to — exactly where its true
+    * neighbours fall on the other side). Probe choice is deterministic:
+    * rank planes by (|proj|, p), flip the top `probes`−1. Candidates
+    * from the probed buckets re-score with the exact cosine; returns
+    * the top-k (id, cos_sim, bucket) ordered by (cos desc, id).
+    *
+    * Scale shape: bucketing is [[lshBuckets]]' one pass (broadcast
+    * planes); the probe list (≤ `probes` rows) and the 1-row query
+    * vector broadcast into ONE filtered corpus scan; top-k is a
+    * TakeOrdered. No second hash table, no index to store. */
+  def multiProbeTopK(df: DataFrame, embCol: String, idCol: String,
+      queryId: Long, k: Int, numPlanes: Int = 8, dim: Int = 64,
+      probes: Int = 3): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    require(probes >= 1 && probes <= numPlanes + 1,
+      s"probes out of range: $probes")
+    val d = dot(df) _
+    val planes = df.sparkSession.range(numPlanes)
+      .select(col("id").cast("int").as("p"))
+      .withColumn("comp", expr(
+        s"""transform(sequence(0, ${dim - 1}), i ->
+           |  CASE WHEN instr('0123456789abcdef', substring(md5(concat('', p, '_', i)), 1, 1)) - 1 < 8
+           |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)""".stripMargin))
+    val emb = df.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    val qrow = emb.filter(col("id") === queryId)
+    val qproj = qrow.crossJoin(broadcast(planes))
+      .select(col("p"), d(col("q"), col("comp")).as("proj"))
+    val qbucket = qproj.agg(sum(when(col("proj") >= 0,
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
+      .otherwise(0L)).as("bucket"))
+    val wf = Window.orderBy(abs(col("proj")), col("p"))
+    val flips = qproj.withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= probes - 1)
+      .crossJoin(broadcast(qbucket.select(col("bucket").as("base"))))
+      .select(expr("base ^ shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")
+        .as("bucket"))
+    val probeSet = qbucket.union(flips)
+    val qv = qrow.select(col("q").as("qv"))
+      .withColumn("qn", sqrt(d(col("qv"), col("qv")).cast("double")))
+    val buckets = lshBuckets(df, embCol, idCol, numPlanes, dim)
+      .withColumnRenamed(idCol, "id")
+    emb.join(buckets.hint("shuffle_hash"), "id")
+      .join(broadcast(probeSet), "bucket")
+      .filter(col("id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("id").as(idCol), col("bucket"),
+        (d(col("q"), col("qv")).cast("double") /
+          (sqrt(d(col("q"), col("q")).cast("double")) * col("qn")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+      .select(col(idCol), col("cos_sim"), col("bucket"))
+  }
+
   /** Doc-frequency-weighted (TF-IDF-style, binary TF) cosine similarity
     * for every overlapping document pair within a block: (block, id_a,
     * id_b, cos). Token weight is the integer-rational IDF

@@ -330,6 +330,13 @@ object MiscQueries {
           "disc" -> expr("cast(round(l_discount * 1000000) as bigint)")))
         .orderBy("col_a", "col_b")
     },
+    // Isotonic sanity check: does the return rate move one way with the
+    // discount? Equi-width ppm buckets, exact adjacent-step counts.
+    "qq41_monotonicity" -> { (s, d) =>
+      graft.operators.Quality.monotonicityAudit(t(s, d, "lineitem"),
+        expr("cast(round(l_discount * 1000000) as bigint)"),
+        expr("l_returnflag = 'R'"), buckets = 10)
+    },
     // Simpson's-paradox audit: does the urgent-vs-other fulfillment-rate
     // comparison reverse inside any order-year slice?
     "qq32_simpsons" -> { (s, d) =>
@@ -1613,6 +1620,40 @@ object MiscQueries {
         |  CAST(200 AS BIGINT) AS r,
         |  MIN(mr) AS ci_lo_micros, MAX(mr) AS ci_hi_micros
         |FROM rk2 WHERE rnk = 5 OR rnk = 196""".stripMargin,
+    "qq41_monotonicity" ->
+      """WITH base AS (SELECT CAST(ROUND(l_discount * 1000000) AS BIGINT) AS f,
+        |    (l_returnflag = 'R') AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        |mm AS (SELECT CAST(MIN(f) AS BIGINT) AS lo,
+        |    CAST(MAX(f) AS BIGINT) AS hi FROM base),
+        |rates AS (SELECT
+        |    LEAST(CAST(9 AS BIGINT),
+        |      ((f - lo) * 10) // GREATEST(hi - lo + 1, 1)) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM base, mm GROUP BY 1),
+        |r2 AS (SELECT b, n, (pos * 1000000) // n AS rate_ppm FROM rates),
+        |st AS (SELECT
+        |    CAST(SUM(CASE WHEN rate_ppm > prev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up,
+        |    CAST(SUM(CASE WHEN rate_ppm < prev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down,
+        |    CAST(COUNT(prev) AS BIGINT) AS n_steps
+        |  FROM (SELECT rate_ppm, LAG(rate_ppm) OVER (ORDER BY b) AS prev
+        |        FROM r2)
+        |  WHERE prev IS NOT NULL),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows FROM r2)
+        |SELECT tt.n_buckets, tt.n_rows, st.n_steps,
+        |  COALESCE(st.n_up, 0) AS n_up, COALESCE(st.n_down, 0) AS n_down,
+        |  CASE WHEN COALESCE(st.n_up, 0) >= COALESCE(st.n_down, 0)
+        |    THEN 'up' ELSE 'down' END AS dir,
+        |  LEAST(COALESCE(st.n_up, 0), COALESCE(st.n_down, 0))
+        |    AS n_violations,
+        |  (LEAST(COALESCE(st.n_up, 0), COALESCE(st.n_down, 0)) = 0)
+        |    AS monotone
+        |FROM st, tt""".stripMargin,
     "qq40_spearman" ->
       """WITH rows0 AS (SELECT
         |    CAST(ROUND(l_quantity * 1000000) AS BIGINT) AS vq,

@@ -65,6 +65,13 @@ object VectorOps {
         .knnGraph(t(s, d, "embeddings"), "embedding", "vec_id", k = 5)
         .orderBy("src", "rank")
     },
+    // Multi-probe LSH (VLDB'07): probe the query's bucket plus the two
+    // nearest-margin bit flips, exact-cosine re-rank — recall without
+    // stacking hash tables.
+    "qv38_multiprobe" -> { (s, d) =>
+      graft.operators.Similarity.multiProbeTopK(t(s, d, "embeddings"),
+        "embedding", "vec_id", queryId = 0L, k = 10, probes = 3)
+    },
     // One NN-descent round over the qv20 bucket graph (WWW'11): the
     // undirected two-hop candidate expansion re-scored with the exact
     // cosine; is_new marks the recall the LSH buckets missed.
@@ -625,6 +632,45 @@ object VectorOps {
         |  FROM pairs)
         |SELECT src, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
         |ORDER BY src, rank""".stripMargin,
+    "qv38_multiprobe" ->
+      """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings), unnest(range(1, 65)) t(i)),
+        |planes AS (SELECT vec_id, p, qe,
+        |  CASE WHEN instr('0123456789abcdef', substr(md5(p || '_' || i), 1, 1)) - 1 < 8
+        |    THEN 1 ELSE -1 END AS comp
+        | FROM el, (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS p)),
+        |signs AS (SELECT vec_id, p, SUM(comp * qe) AS proj FROM planes
+        |  GROUP BY vec_id, p),
+        |buckets AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM signs GROUP BY vec_id),
+        |q AS (SELECT vec_id,
+        |   list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qp AS (SELECT p, CAST(proj AS BIGINT) AS proj FROM signs
+        |  WHERE vec_id = 0),
+        |qb AS (SELECT CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p)
+        |    ELSE 0 END) AS BIGINT) AS bucket FROM qp),
+        |fl AS (SELECT xor(qb.bucket, (1::BIGINT << p)) AS bucket
+        |  FROM (SELECT p, ROW_NUMBER() OVER (ORDER BY ABS(proj), p) AS rnk
+        |        FROM qp), qb
+        |  WHERE rnk <= 2),
+        |pr AS (SELECT bucket FROM qb UNION ALL SELECT bucket FROM fl),
+        |qv AS (SELECT q.q,
+        |    sqrt(CAST(CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS DOUBLE)) AS qn
+        |  FROM q WHERE vec_id = 0),
+        |cand AS (SELECT b.vec_id, b.bucket FROM buckets b
+        |  JOIN pr ON pr.bucket = b.bucket WHERE b.vec_id <> 0)
+        |SELECT c.vec_id,
+        |  CAST(CAST(list_sum(list_transform(range(1, 65),
+        |    i -> a.q[i] * qv.q[i])) AS BIGINT) AS DOUBLE)
+        |  / (sqrt(CAST(CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS DOUBLE)) * qv.qn)
+        |    AS cos_sim,
+        |  c.bucket
+        |FROM cand c JOIN q a ON a.vec_id = c.vec_id, qv
+        |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin,
     "qv37_nn_descent" ->
       """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
         | FROM (SELECT vec_id,

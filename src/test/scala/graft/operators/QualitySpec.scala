@@ -814,6 +814,33 @@ class QualitySpec extends SparkSpec {
     assert(e.getMessage.contains("maxValues"))
   }
 
+  test("monotonicityAudit: dip against the trend counted, clean trend flagged monotone, flat is vacuously monotone") {
+    val s = spark
+    import s.implicits._
+    def mk(rates: Seq[Int]): org.apache.spark.sql.DataFrame =
+      rates.zipWithIndex.flatMap { case (pct, i) =>
+        (1 to 100).map(j => (i.toLong + 1, j <= pct))
+      }.toDF("f", "y")
+    // rates 0%, 50%, 25%, 100% over buckets 1..4: up, down, up
+    val dip = Quality.monotonicityAudit(mk(Seq(0, 50, 25, 100)),
+      col("f"), col("y"), buckets = 4).head()
+    assert(dip.getAs[Long]("n_buckets") == 4L)
+    assert(dip.getAs[Long]("n_steps") == 3L)
+    assert(dip.getAs[Long]("n_up") == 2L)
+    assert(dip.getAs[Long]("n_down") == 1L)
+    assert(dip.getAs[String]("dir") == "up")
+    assert(dip.getAs[Long]("n_violations") == 1L)
+    assert(!dip.getAs[Boolean]("monotone"))
+    val clean = Quality.monotonicityAudit(mk(Seq(10, 20, 30, 40)),
+      col("f"), col("y"), buckets = 4).head()
+    assert(clean.getAs[Boolean]("monotone") &&
+      clean.getAs[Long]("n_violations") == 0L)
+    val flat = Quality.monotonicityAudit(mk(Seq(30, 30, 30)),
+      col("f"), col("y"), buckets = 3).head()
+    assert(flat.getAs[Boolean]("monotone") &&
+      flat.getAs[Long]("n_up") == 0L && flat.getAs[Long]("n_down") == 0L)
+  }
+
   test("bootstrapCi: constant data collapses the interval, the mean stays inside, replay is deterministic") {
     val s = spark
     import s.implicits._

@@ -941,6 +941,27 @@ class SimilaritySpec extends SparkSpec {
       "clean" -> ((1L, 0L))))
   }
 
+  test("multiProbeTopK: extra probes dominate rank-wise, probe set is bounded, rerun is identical") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 1000)
+    def run(p: Int) = Similarity.multiProbeTopK(
+        emb, "embedding", "vec_id", queryId = 0L, k = 10, probes = p)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val one = run(1)
+    val three = run(3)
+    assert(one.length <= 10 && three.length <= 10)
+    // probes=1 candidates are a subset of probes=3 candidates, so the
+    // rank-i result can only get closer
+    assert(three.length >= one.length)
+    one.zip(three).foreach { case ((_, c1, _), (_, c3, _)) =>
+      assert(c3 >= c1) }
+    // <= `probes` distinct buckets appear in the results
+    assert(three.map(_._3).distinct.length <= 3)
+    assert(one.map(_._3).distinct.length == 1)
+    // deterministic: zero RNG anywhere
+    assert(run(3).toSeq == three.toSeq)
+  }
+
   test("nnDescentRound: candidates contain the bucket graph, so every source's k-th neighbour can only improve; is_new tracks graph membership") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .filter(col("vec_id") < 500)

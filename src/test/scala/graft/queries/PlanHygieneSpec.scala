@@ -92,6 +92,8 @@ class PlanHygieneSpec extends SparkSpec {
     "qq39_bootstrap_ci", // 1-row present-block totals broadcast into the constant draw grid
     "qa27_fdr_gate", // 1-row arm-total / metric-count / k* broadcasts into the metric table
     "qv37_nn_descent", // broadcast hyperplanes (8 rows) inside knnGraph's lshBuckets
+    "qv38_multiprobe", // broadcast hyperplanes + <=probes probe list + 1-row query vector
+    "qq41_monotonicity", // 1-row min/max + bucket-count broadcasts into the rate table
     "qv36_embedding_decontam") // broadcast eval panel (id%evalMod-bounded) scored vs corpus
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {

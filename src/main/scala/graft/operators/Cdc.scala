@@ -315,7 +315,7 @@ object Cdc {
       .select(keyCols.map(col) ++ valueCols.map(col): _*)
   }
 
-  /** Snapshot diff between two time-travel horizons — "what changed
+  /** Time-travel diff — "what changed
     * between Monday's and Tuesday's state?" as rows, not a re-read of
     * either snapshot: per key present at either horizon, `change` ∈
     * {added, removed, changed} with the old/new value columns side by
@@ -329,7 +329,7 @@ object Cdc {
     * the key partitioning) + one full-outer hash join on the same key —
     * no extra exchange beyond the snapshots' own; output is bounded by
     * the number of keys that actually changed. */
-  def snapshotDiff(changelog: DataFrame, keyCols: Seq[String],
+  def timeTravelDiff(changelog: DataFrame, keyCols: Seq[String],
       seqCol: String, opCol: String, seqFrom: Long, seqTo: Long)
       : DataFrame = {
     require(seqFrom <= seqTo, s"seqFrom $seqFrom > seqTo $seqTo")

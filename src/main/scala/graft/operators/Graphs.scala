@@ -591,6 +591,64 @@ object Graphs {
         perC.agg(sum("contrib_ppm").as("modularity_ppm"))))
   }
 
+  /** One synchronized Louvain sweep from singletons — Blondel et al.,
+    * J.Stat.Mech 2008, round one: every vertex weighs moving into a
+    * neighbour's community by the exact modularity gain. From singleton
+    * communities that gain reduces to ΔQ·4m² = 4m·A_ij − 2·k_i·k_j, so
+    * the best target is the MINIMUM-degree neighbour (ties to the
+    * smallest id) and the merge happens iff 4m − 2·k_i·k_j > 0 — pure
+    * integer arithmetic, deterministic in any engine (the sequential
+    * visit order classic Louvain depends on is gone: all vertices move
+    * simultaneously against the singleton state). A merging vertex
+    * takes community id least(i, j) — mutual choices COALESCE instead
+    * of swapping labels past each other, the synchronized-round
+    * artifact that leaves every pair in distinct communities. The
+    * resulting partition is scored with [[modularity]]'s exact scaled
+    * terms. One row: (n_vertices, n_edges, n_merged, n_communities,
+    * modularity_ppm).
+    *
+    * Scale shape: one degree groupBy; the per-vertex argmin is a rank
+    * window on the adjacency's own partitioning; the edge count m is a
+    * 1-row broadcast; scoring reuses modularity's two hash joins.
+    * BIGINT holds while 2·k_i·k_j < 2⁶³ (degrees to ~2·10⁹). */
+  def louvainSweep(edges0: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val edges = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val m = broadcast(edges.agg(count(lit(1)).as("m")))
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val adj = edges.select(col("u").as("i"), col("v").as("j"))
+      .unionAll(edges.select(col("v").as("i"), col("u").as("j")))
+      .join(deg.select(col("n").as("j"), col("deg").as("kj"))
+        .hint("shuffle_hash"), "j")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i").orderBy(col("kj"), col("j"))
+    val choice = adj.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(deg.select(col("n").as("i"), col("deg").as("ki"))
+        .hint("shuffle_hash"), "i")
+      .crossJoin(m)
+      .select(col("i").as("n"),
+        when(lit(4L) * col("m") - lit(2L) * col("ki") * col("kj") > 0,
+          least(col("i"), col("j"))).otherwise(col("i")).as("c"),
+        (lit(4L) * col("m") - lit(2L) * col("ki") * col("kj") > 0)
+          .as("merged"))
+    val q = modularity(edges, "u", "v", choice.select("n", "c"), "n", "c")
+      .agg(max("modularity_ppm").as("modularity_ppm"))
+    val mv = choice
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(when(col("merged"), 1L).otherwise(0L)).as("n_merged"),
+        count_distinct(col("c")).as("n_communities"))
+    mv.crossJoin(m).crossJoin(broadcast(q))
+      .select(col("n_vertices"), col("m").as("n_edges"), col("n_merged"),
+        col("n_communities"), col("modularity_ppm"))
+  }
+
   /** Market-basket association rules — directed `ante → cons` pairs
     * with support, confidence, and lift in integer ppm (the co-purchase
     * recommender and the data-curation "which sources co-occur" view):

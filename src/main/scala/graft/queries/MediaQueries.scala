@@ -370,7 +370,7 @@ object MediaQueries {
         when(col("event_type") === "signup", "I")
           .when(col("event_type") === "error", "D")
           .otherwise("U").as("op"))
-      graft.operators.Cdc.snapshotDiff(delta, Seq("user_id"), "seq", "op",
+      graft.operators.Cdc.timeTravelDiff(delta, Seq("user_id"), "seq", "op",
           (2 * lo + hi) / 3, (lo + 2 * hi) / 3)
         .orderBy("user_id")
     },

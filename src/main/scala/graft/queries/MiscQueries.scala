@@ -428,6 +428,19 @@ object MiscQueries {
       graft.operators.Graphs.labelPropagation(edges, "pa", "pb", iters = 4)
         .orderBy("n")
     },
+    // One synchronized Louvain sweep from singletons on the co-purchase
+    // graph: exact-integer merge gains (min-degree target, least-label
+    // coalescing), modularity of the resulting partition.
+    "qg21_louvain" -> { (s, d) =>
+      val pp = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pp.as("a").join(pp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      graft.operators.Graphs.louvainSweep(edges, "pa", "pb")
+    },
     // Fixed-round 3-core peeling on the same co-purchase graph; the
     // oracle unrolls the identical peel rounds.
     "qg06_kcore" -> { (s, d) =>
@@ -1981,6 +1994,50 @@ object MiscQueries {
         |    // greatest((n * (n - 1)) // 2, 1) AS rand_ppm
         |FROM p, a2, b2""".stripMargin,
     "qg05_label_prop" -> labelPropOracle(iters = 4),
+    "qg21_louvain" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |e0 AS (SELECT a.p AS pa, b.p AS pb FROM pp a
+        |  JOIN pp b ON a.o = b.o AND a.p < b.p),
+        |edges AS (SELECT DISTINCT LEAST(pa, pb) AS u, GREATEST(pa, pb) AS v
+        |  FROM e0 WHERE pa <> pb),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |adj AS (SELECT a.i, a.j, dj.deg AS kj FROM
+        |  (SELECT u AS i, v AS j FROM edges
+        |   UNION ALL SELECT v, u FROM edges) a
+        |  JOIN deg dj ON dj.n = a.j),
+        |ch0 AS (SELECT i, j, kj,
+        |    ROW_NUMBER() OVER (PARTITION BY i ORDER BY kj, j) AS rn
+        |  FROM adj),
+        |choice AS (SELECT c.i AS n,
+        |    CASE WHEN 4 * m.m - 2 * di.deg * c.kj > 0
+        |      THEN LEAST(c.i, c.j) ELSE c.i END AS c,
+        |    (4 * m.m - 2 * di.deg * c.kj > 0) AS merged
+        |  FROM ch0 c JOIN deg di ON di.n = c.i, m WHERE c.rn = 1),
+        |tagged AS (SELECT e.u, e.v, cu.c AS cu, cv.c AS cv FROM edges e
+        |  JOIN choice cu ON cu.n = e.u JOIN choice cv ON cv.n = e.v),
+        |ein AS (SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        |  FROM tagged WHERE cu = cv GROUP BY 1),
+        |dsum AS (SELECT c.c AS community, CAST(SUM(d.deg) AS BIGINT) AS d_sum
+        |  FROM choice c JOIN deg d ON d.n = c.n GROUP BY 1),
+        |perc AS (SELECT ds.community,
+        |    (COALESCE(e.e_in, 0) * 1000000) // GREATEST(1, m.m)
+        |      - (ds.d_sum * ds.d_sum * 1000000) // GREATEST(1, 4 * m.m * m.m)
+        |      AS contrib
+        |  FROM dsum ds LEFT JOIN ein e ON e.community = ds.community, m),
+        |qq AS (SELECT CAST(SUM(contrib) AS BIGINT) AS modularity_ppm
+        |  FROM perc),
+        |mv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |    CAST(SUM(CASE WHEN merged THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_merged,
+        |    CAST(COUNT(DISTINCT c) AS BIGINT) AS n_communities
+        |  FROM choice)
+        |SELECT mv.n_vertices, m.m AS n_edges, mv.n_merged,
+        |  mv.n_communities, qq.modularity_ppm
+        |FROM mv, m, qq""".stripMargin,
     "qg16_conductance" -> conductanceOracle(iters = 4),
     "qg06_kcore" -> kCoreOracle(k = 3, rounds = 3),
     "qg07_link_pred" ->

@@ -237,7 +237,7 @@ class CdcSpec extends SparkSpec {
     assert(read(18L, 2L).get(2L).contains(7.0))
   }
 
-  test("snapshotDiff: added/removed/changed between horizons, unchanged and NULL-stable keys suppressed") {
+  test("timeTravelDiff: added/removed/changed between horizons, unchanged and NULL-stable keys suppressed") {
     val log = Seq(
       (1L, 1L, Some(10.0), "I"),                            // unchanged
       (2L, 1L, Some(1.0), "I"), (2L, 5L, Some(2.0), "U"),   // changed
@@ -247,7 +247,7 @@ class CdcSpec extends SparkSpec {
       (6L, 9L, Some(9.0), "I"),                             // added at edge
       (7L, 3L, None, "I")                                   // NULL == NULL
     ).toDF("k", "seq", "value", "op")
-    val out = Cdc.snapshotDiff(log, Seq("k"), "seq", "op", 4L, 9L)
+    val out = Cdc.timeTravelDiff(log, Seq("k"), "seq", "op", 4L, 9L)
       .collect()
       .map(r => r.getLong(0) -> (r.getString(1),
         Option(r.get(2)).map(_.asInstanceOf[Double]),

@@ -477,6 +477,28 @@ class GraphsSpec extends SparkSpec {
     assert(again.sortBy(x => (x._1, x._3)).toSeq == out.sortBy(x => (x._1, x._3)).toSeq)
   }
 
+  test("louvainSweep: triangles coalesce by least label, the hand modularity matches exactly") {
+    val s = spark
+    import s.implicits._
+    // two triangles joined by a bridge (the qg11 modularity fixture)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val out = Graphs.louvainSweep(edges, "a", "b").head()
+    assert(out.getAs[Long]("n_vertices") == 6L)
+    assert(out.getAs[Long]("n_edges") == 7L)
+    // every vertex has a positive singleton-merge gain (4m = 28 > 2kikj)
+    assert(out.getAs[Long]("n_merged") == 6L)
+    // least-label coalescing: {1,2,3} via min-degree targets, {5,6}
+    // mutual pair, 4 alone (its min-degree target 5 labels as 4? no —
+    // 4 -> least(4,5) = 4, 5 -> least(5,6) = 5, 6 -> least(5,6) = 5)
+    assert(out.getAs[Long]("n_communities") == 3L)
+    // hand modularity of {1,2,3},{4},{5,6} at m = 7, scale 1e6:
+    //  c1: 3e6 div 7 - 49e6 div 196 = 428571 - 250000 = 178571
+    //  c4: 0       - 9e6 div 196  =        - 45918
+    //  c5: 1e6 div 7 - 16e6 div 196 = 142857 - 81632 = 61225
+    assert(out.getAs[Long]("modularity_ppm") == 178571L - 45918L + 61225L)
+  }
+
   test("node2vecWalks: hops follow edges, degree-1 backtrack is forced, weights steer the corpus") {
     val s = spark
     import s.implicits._

@@ -1607,6 +1607,50 @@ object Quality {
         col("hi").as("ci_hi_micros"))
   }
 
+  /** Cronbach's alpha — Cronbach, Psychometrika 1951: do k parallel
+    * measurements of the same thing actually agree? (redundant quality
+    * scores, repeated rater passes, near-duplicate feature columns —
+    * the "are my k signals one signal" question [[krippendorffAlpha]]
+    * answers for categorical labels, here for numeric items):
+    * α = k/(k−1) · (1 − Σᵢvar(xᵢ) / var(Σᵢxᵢ)). Every variance enters
+    * as the exact integer n·Σx² − (Σx)², the biased/population scaling
+    * cancels in the ratio, and the final α is one fixed IEEE expression
+    * over those BIGINTs — engine-identical digits. Rows with a NULL in
+    * ANY item are dropped so all items see the same row set. One row:
+    * (k, n, alpha_ppm); a zero total variance (items cancel or constant
+    * total) yields NULL, not a fake 0.
+    *
+    * Scale shape: ONE aggregate pass computes every per-item and total
+    * moment — adding an item adds agg columns, not a scan (the
+    * corrMatrix contract). BIGINT holds while n·max(Σitems)² < 2⁶³. */
+  def cronbachAlpha(df: DataFrame, items: Seq[(String, Column)])
+      : DataFrame = {
+    require(items.size >= 2, "cronbachAlpha needs at least two items")
+    val named = items.map { case (n, c) => n -> c.cast("long") }
+    var rows = df.select(named.map { case (n, c) => c.as(s"__x_$n") }: _*)
+    named.foreach { case (n, _) =>
+      rows = rows.filter(col(s"__x_$n").isNotNull) }
+    rows = rows.withColumn("__t",
+      named.map { case (n, _) => col(s"__x_$n") }.reduce(_ + _))
+    val aggs = Seq(count(lit(1)).as("__n"),
+        sum(col("__t")).as("__st"), sum(col("__t") * col("__t")).as("__stt")) ++
+      named.flatMap { case (n, _) =>
+        Seq(sum(col(s"__x_$n")).as(s"__s_$n"),
+          sum(col(s"__x_$n") * col(s"__x_$n")).as(s"__ss_$n")) }
+    val k = items.size
+    val varSum = named.map { case (n, _) =>
+      col("__n") * col(s"__ss_$n") - col(s"__s_$n") * col(s"__s_$n") }
+      .reduce(_ + _)
+    val varTot = col("__n") * col("__stt") - col("__st") * col("__st")
+    rows.agg(aggs.head, aggs.tail: _*)
+      .select(lit(k.toLong).as("k"), col("__n").as("n"),
+        when(varTot === 0L, lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0d) *
+            (lit(k.toDouble) / lit((k - 1).toDouble)) *
+            (lit(1.0d) - varSum.cast("double") / varTot.cast("double")))
+            .cast("long")).as("alpha_ppm"))
+  }
+
   /** Monotonicity audit — the isotonic sanity check behind "this
     * feature should only ever push the outcome one way" (price ↑ →
     * conversion ↓; quality score ↑ → accept rate ↑): equi-width-bucket

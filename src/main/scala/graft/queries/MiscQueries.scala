@@ -330,6 +330,15 @@ object MiscQueries {
           "disc" -> expr("cast(round(l_discount * 1000000) as bigint)")))
         .orderBy("col_a", "col_b")
     },
+    // Cronbach's alpha over three fee-like measurements of a line item:
+    // are the "parallel" signals one signal? (Scales keep n * sum(t^2)
+    // inside BIGINT — the operator's documented moment bound.)
+    "qq42_cronbach" -> { (s, d) =>
+      graft.operators.Quality.cronbachAlpha(t(s, d, "lineitem"), Seq(
+        "qty" -> expr("cast(round(l_quantity * 10) as bigint)"),
+        "disc" -> expr("cast(round(l_discount * 1000) as bigint)"),
+        "tax" -> expr("cast(round(l_tax * 1000) as bigint)")))
+    },
     // Isotonic sanity check: does the return rate move one way with the
     // discount? Equi-width ppm buckets, exact adjacent-step counts.
     "qq41_monotonicity" -> { (s, d) =>
@@ -1090,6 +1099,11 @@ object MiscQueries {
       graft.streaming.EventStream.fdrGate(t(s, d, "events"),
         alphaPpm = 50000L)
     },
+    // Experiment-design readout: per metric, the smallest absolute rate
+    // delta detectable at alpha=5%/power=80% with the qa18 arms.
+    "qa28_power" -> { (s, d) =>
+      graft.streaming.EventStream.powerReadout(t(s, d, "events"))
+    },
     // Deterministic salted-md5 A/B assignment + conversion readout.
     "qa18_ab_assignment" -> { (s, d) =>
       graft.streaming.EventStream.abAssignment(t(s, d, "events"))
@@ -1633,6 +1647,33 @@ object MiscQueries {
         |  CAST(200 AS BIGINT) AS r,
         |  MIN(mr) AS ci_lo_micros, MAX(mr) AS ci_hi_micros
         |FROM rk2 WHERE rnk = 5 OR rnk = 196""".stripMargin,
+    "qq42_cronbach" ->
+      """WITH rows0 AS (SELECT
+        |    CAST(ROUND(l_quantity * 10) AS BIGINT) AS xq,
+        |    CAST(ROUND(l_discount * 1000) AS BIGINT) AS xd,
+        |    CAST(ROUND(l_tax * 1000) AS BIGINT) AS xt
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_tax IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xq + xd + xt) AS BIGINT) AS st,
+        |    CAST(SUM((xq + xd + xt) * (xq + xd + xt)) AS BIGINT) AS stt,
+        |    CAST(SUM(xq) AS BIGINT) AS sq, CAST(SUM(xq * xq) AS BIGINT) AS sqq,
+        |    CAST(SUM(xd) AS BIGINT) AS sd, CAST(SUM(xd * xd) AS BIGINT) AS sdd,
+        |    CAST(SUM(xt) AS BIGINT) AS sx, CAST(SUM(xt * xt) AS BIGINT) AS sxx
+        |  FROM rows0),
+        |v AS (SELECT n,
+        |    (n * sqq - sq * sq) + (n * sdd - sd * sd) + (n * sxx - sx * sx)
+        |      AS vsum,
+        |    n * stt - st * st AS vtot
+        |  FROM m)
+        |SELECT CAST(3 AS BIGINT) AS k, n,
+        |  CASE WHEN vtot = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(FLOOR(1000000.0 * (CAST(3.0 AS DOUBLE) / CAST(2.0 AS DOUBLE))
+        |      * (1.0 - CAST(vsum AS DOUBLE) / CAST(vtot AS DOUBLE)))
+        |      AS BIGINT)
+        |  END AS alpha_ppm
+        |FROM v""".stripMargin,
     "qq41_monotonicity" ->
       """WITH base AS (SELECT CAST(ROUND(l_discount * 1000000) AS BIGINT) AS f,
         |    (l_returnflag = 'R') AS y
@@ -3522,6 +3563,30 @@ object MiscQueries {
         |SELECT metric, na AS n_a, nb AS n_b, xa AS x_a, xb AS x_b,
         |  p_ppm, rnk, (rnk <= ks.kstar) AS discovery
         |FROM ranked, ks ORDER BY rnk""".stripMargin,
+    "qa28_power" ->
+      """WITH armed AS (SELECT user_id, event_type,
+        |    (CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('ab_exp1_'
+        |        || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 2 = 0) AS arm
+        |  FROM events),
+        |tot AS (SELECT
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM (SELECT DISTINCT user_id, arm FROM armed)),
+        |x AS (SELECT metric, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM (SELECT DISTINCT event_type AS metric, user_id FROM armed)
+        |  GROUP BY 1)
+        |SELECT metric, na AS n_a, nb AS n_b, x,
+        |  (x * 1000000) // GREATEST(na + nb, 1) AS p_ppm,
+        |  CASE WHEN na = 0 OR nb = 0 THEN CAST(NULL AS BIGINT)
+        |    ELSE CAST(FLOOR(1000000.0 * (CAST(2.8016 AS DOUBLE) * sqrt(
+        |      (CAST(x AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 - CAST(x AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+        |    ))) AS BIGINT) END AS mde_ppm
+        |FROM x, tot ORDER BY metric""".stripMargin,
     "qa19_markov_accuracy" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
         |  FROM events),

@@ -1829,6 +1829,47 @@ object EventStream {
       .withColumn("cum_hazard_ppm", sum("hazard_ppm").over(wCum))
   }
 
+  /** Minimum-detectable-effect readout — the experiment-DESIGN half
+    * [[fdrGate]] assumes away: for every metric panel (event type),
+    * given today's arm sizes and pooled per-user reach, the smallest
+    * absolute rate delta a two-sided α=5 % test would detect with 80 %
+    * power: MDE = (z₀.₉₇₅ + z₀.₈) · √(p(1−p)(1/n_a + 1/n_b)), the
+    * z-constant sum inlined as the single literal 2.8016 (a pre-added
+    * literal parses to the same double everywhere; adding 1.96d +
+    * 0.8416d at runtime could differ by an ulp from an engine that
+    * folds the sum in decimal first) so the whole expression is one
+    * fixed IEEE tree over exact BIGINT counts —
+    * engine-identical digits. "Can this experiment even see the lift
+    * you're hoping for?" answered per metric BEFORE launch. Returns
+    * (metric, n_a, n_b, x, p_ppm, mde_ppm) ordered by metric.
+    *
+    * Scale shape: the [[fdrGate]] reach pipeline — one (metric, user,
+    * arm) distinct + a metric groupBy; arm totals are a 1-row
+    * broadcast; the MDE projection runs on the |metrics|-row table. */
+  def powerReadout(events: DataFrame, salt: String = "exp1"): DataFrame = {
+    val armed = tsNanos(events)
+      .select(col("user_id"), col("event_type"),
+        (conv(substring(md5(concat(lit(s"ab_${salt}_"),
+          col("user_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % 2 === 0).as("arm"))
+    val tot = broadcast(armed.select("user_id", "arm").distinct()
+      .agg(sum(when(col("arm"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("arm"), 1L).otherwise(0L)).as("nb")))
+    armed.select(col("event_type").as("metric"), col("user_id")).distinct()
+      .groupBy("metric").agg(count(lit(1)).as("x"))
+      .crossJoin(tot)
+      .select(col("metric"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("x"),
+        expr("(x * 1000000L) div greatest(na + nb, 1L)").as("p_ppm"),
+        expr("""case when na = 0 or nb = 0 then cast(null as bigint)
+          |  else cast(floor(1000000.0d * (2.8016d * sqrt(
+          |    (cast(x as double) / cast(na + nb as double))
+          |    * (1.0d - cast(x as double) / cast(na + nb as double))
+          |    * (1.0d / cast(na as double) + 1.0d / cast(nb as double))
+          |  ))) as bigint) end""".stripMargin).as("mde_ppm"))
+      .orderBy("metric")
+  }
+
   /** Benjamini–Hochberg FDR gate over a metric panel (JRSS-B 1995) —
     * the multiple-testing discipline every "we moved 40 metrics!"
     * experiment readout needs: test each event type's per-user reach

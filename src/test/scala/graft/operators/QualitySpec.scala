@@ -814,6 +814,26 @@ class QualitySpec extends SparkSpec {
     assert(e.getMessage.contains("maxValues"))
   }
 
+  test("cronbachAlpha: duplicated item is perfectly consistent, cancelling items guard to NULL, hand case exact") {
+    val s = spark
+    import s.implicits._
+    val dup = Seq((1L, 1L), (2L, 2L), (7L, 7L)).toDF("a", "b")
+    val one = Quality.cronbachAlpha(dup,
+      Seq("a" -> col("a"), "b" -> col("b"))).head()
+    assert(one.getAs[Long]("k") == 2L && one.getAs[Long]("n") == 3L)
+    assert(one.getAs[Long]("alpha_ppm") == 1000000L)
+    // b = -a: the total is constant, variance 0 -> NULL, not a fake 0
+    val cancel = Quality.cronbachAlpha(
+      Seq((1L, -1L), (2L, -2L)).toDF("a", "b"),
+      Seq("a" -> col("a"), "b" -> col("b"))).head()
+    assert(cancel.isNullAt(cancel.fieldIndex("alpha_ppm")))
+    // hand case: x=(1,2,3), y=(1,3,2) -> alpha = 2(1 - 12/18) = 2/3
+    val hand = Quality.cronbachAlpha(
+      Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("a", "b"),
+      Seq("a" -> col("a"), "b" -> col("b"))).head()
+    assert(hand.getAs[Long]("alpha_ppm") == 666666L)
+  }
+
   test("monotonicityAudit: dip against the trend counted, clean trend flagged monotone, flat is vacuously monotone") {
     val s = spark
     import s.implicits._

@@ -1238,6 +1238,26 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(10L) == ((1L, 0L, 1L, 0L, 750000L)))
   }
 
+  test("powerReadout: universal reach needs no sample, and more users shrink the detectable effect") {
+    val s = spark
+    import s.implicits._
+    def mk(n: Long) = (1L to n).flatMap { u =>
+      Seq((u, "base")) ++ (if (u % 2 == 0) Seq((u, "half")) else Nil)
+    }.toDF("user_id", "event_type")
+    val big = EventStream.powerReadout(mk(400))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("p_ppm"), r.getAs[Long]("mde_ppm"))).toMap
+    // p = 1 -> p(1-p) = 0 -> nothing to detect
+    assert(big("base") == ((1000000L, 0L)))
+    // a real mid-range metric has a positive detectable floor
+    assert(big("half")._1 > 400000L && big("half")._1 < 600000L)
+    assert(big("half")._2 > 0L)
+    // quadrupling users roughly halves the MDE (1/sqrt(n) scaling)
+    val small = EventStream.powerReadout(mk(100))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("mde_ppm")).toMap
+    assert(small("half") > big("half")._2)
+  }
+
   test("fdrGate: a pure arm-aligned metric is discovered, a universal metric is not, discoveries form a rank prefix") {
     val s = spark
     import s.implicits._

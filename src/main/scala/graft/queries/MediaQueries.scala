@@ -467,6 +467,36 @@ object MediaQueries {
     // Online feature-store maintenance: the STREAMING mapGroupsWithState
     // path replayed over 3 micro-batches; each user's final emitted
     // feature row must equal the batch aggregate the oracle computes.
+    // Per-user token-bucket rate limiting under the oracle: the REAL
+    // streaming stateful operator (flatMapGroupsWithState, Append) fed
+    // a 3-micro-batch event-time-ordered replay; the oracle replays the
+    // identical integer micro-token fold in a recursive CTE.
+    "qs17_rate_limit" -> { (s, d) =>
+      import s.implicits._
+      val rows = EventStream.tsNanos(t(s, d, "events"))
+        .filter(col("user_id") < 300)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val name = s"qs17_sink_${cdcSinkSeq.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = EventStream.rateLimit(
+            mem.toDF.toDF("user_id", "event_id", "ts"),
+            capacity = 3, refillPerSec = 1)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        val n = rows.length
+        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+            rows.slice(2 * n / 3, n))
+          .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+        q.stop()
+        s.table(name).orderBy("user_id", "tus", "event_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    },
     "qs12_user_features" -> { (s, d) =>
       import s.implicits._
       val rows = EventStream.tsNanos(t(s, d, "events"))
@@ -900,6 +930,31 @@ object MediaQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the streaming path's final per-user state must equal the batch agg
+    "qs17_rate_limit" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS i
+        |  FROM events WHERE user_id < 300),
+        |st AS (
+        |  SELECT user_id, event_id, tus, i,
+        |    TRUE AS accepted,
+        |    CAST(2000000 AS BIGINT) AS level_after
+        |  FROM e WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.tus, e.i,
+        |    LEAST(3000000, st.level_after
+        |      + GREATEST(0, e.tus - st.tus) * 1) >= 1000000 AS accepted,
+        |    CASE WHEN LEAST(3000000, st.level_after
+        |        + GREATEST(0, e.tus - st.tus) * 1) >= 1000000
+        |      THEN LEAST(3000000, st.level_after
+        |        + GREATEST(0, e.tus - st.tus) * 1) - 1000000
+        |      ELSE LEAST(3000000, st.level_after
+        |        + GREATEST(0, e.tus - st.tus) * 1)
+        |    END AS level_after
+        |  FROM st JOIN e ON e.user_id = st.user_id AND e.i = st.i + 1)
+        |SELECT user_id, event_id, tus, accepted,
+        |  CAST(level_after AS BIGINT) AS level_after
+        |FROM st ORDER BY user_id, tus, event_id""".stripMargin,
     "qs12_user_features" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_tus,

@@ -1829,6 +1829,76 @@ object EventStream {
       .withColumn("cum_hazard_ppm", sum("hazard_ppm").over(wCum))
   }
 
+  final case class RateLimitIn(user_id: Long, event_id: Long, tus: Long)
+  final case class RateLimitState(level: Long, lastTus: Long)
+  final case class RateLimitOut(user_id: Long, event_id: Long, tus: Long,
+    accepted: Boolean, level_after: Long)
+
+  /** Per-user token-bucket rate limiting — the quota/abuse-control
+    * operator every ingest front door runs, as a replayable event-time
+    * computation: each user owns a bucket of `capacity` tokens refilled
+    * at `refillPerSec` tokens/second of EVENT time; each event takes one
+    * token or is marked throttled. All arithmetic is integer
+    * micro-tokens (1 token = 10⁶; refillPerSec tokens/s ≡ refillPerSec
+    * micro-tokens/µs), so the decision sequence replays digit-identically
+    * anywhere. Buckets start full; the fold orders each user's events by
+    * (event time, event_id). Emits one decision row per event:
+    * (user_id, event_id, tus, accepted, level_after).
+    *
+    * Batch inputs fold each user's full history in one pass; streaming
+    * inputs keep (level, last_tus) per user in `flatMapGroupsWithState`
+    * (Append) and fold each micro-batch — equal to the batch fold when
+    * batches arrive in event-time order per user (the qs12 replay
+    * discipline; qs13's disorder audit sizes how true that is), pinned
+    * by the batch ≡ 3-batch-replay spec.
+    *
+    * Scale shape: state = two longs per ACTIVE user; the batch path is
+    * one groupByKey fold over each user's own rows (per-user history
+    * must fit an executor — the per-key sequential-semantics floor; cap
+    * upstream with a time window when users are unbounded). */
+  def rateLimit(events: DataFrame, capacity: Long = 3,
+      refillPerSec: Long = 1): DataFrame = {
+    require(capacity >= 1 && capacity <= 1000000L, s"capacity: $capacity")
+    require(refillPerSec >= 0 && refillPerSec <= 1000000L,
+      s"refillPerSec: $refillPerSec")
+    val capMicro = capacity * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = tsNanos(events).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus")).as[RateLimitIn]
+    def fold(st0: RateLimitState, rs: Seq[RateLimitIn])
+        : (RateLimitState, Seq[RateLimitOut]) = {
+      var st = st0
+      val out = Seq.newBuilder[RateLimitOut]
+      rs.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+        val lvl =
+          if (st.lastTus == Long.MinValue) capMicro
+          else math.min(capMicro,
+            st.level + math.max(0L, r.tus - st.lastTus) * refillPerSec)
+        val acc = lvl >= 1000000L
+        val after = if (acc) lvl - 1000000L else lvl
+        st = RateLimitState(after, r.tus)
+        out += RateLimitOut(r.user_id, r.event_id, r.tus, acc, after)
+      }
+      (st, out.result())
+    }
+    if (!events.isStreaming) {
+      typed.groupByKey(_.user_id).flatMapGroups { (_, it) =>
+        fold(RateLimitState(capMicro, Long.MinValue), it.toSeq)._2.iterator
+      }.toDF()
+    } else {
+      typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState[RateLimitState, RateLimitOut](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+          val prev = state.getOption
+            .getOrElse(RateLimitState(capMicro, Long.MinValue))
+          val (next, out) = fold(prev, rows.toSeq)
+          state.update(next)
+          out.iterator
+        }.toDF()
+    }
+  }
+
   /** Minimum-detectable-effect readout — the experiment-DESIGN half
     * [[fdrGate]] assumes away: for every metric panel (event type),
     * given today's arm sizes and pooled per-user reach, the smallest

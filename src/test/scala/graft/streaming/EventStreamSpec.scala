@@ -1238,6 +1238,39 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(10L) == ((1L, 0L, 1L, 0L, 750000L)))
   }
 
+  test("rateLimit: bucket drains, throttles, and refills on the hand timeline; 3-batch replay equals the batch fold") {
+    val s = spark
+    import s.implicits._
+    // capacity 3, refill 1 token/s; events at 0, .1s, .2s, .3s, 10s
+    val tsUs = Seq(0L, 100000L, 200000L, 300000L, 10000000L)
+    val batchDf = tsUs.zipWithIndex
+      .map { case (t, i) => (1L, i.toLong + 1, t * 1000) }
+      .toDF("user_id", "event_id", "ts")
+    val batch = EventStream.rateLimit(batchDf, capacity = 3,
+        refillPerSec = 1)
+      .orderBy("tus").collect()
+      .map(r => (r.getAs[Boolean]("accepted"), r.getAs[Long]("level_after")))
+    assert(batch.toSeq == Seq((true, 2000000L), (true, 1100000L),
+      (true, 200000L), (false, 300000L), (true, 2000000L)))
+    // streaming: the same rows over 3 event-time-ordered micro-batches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val q = EventStream.rateLimit(
+        mem.toDF.toDF("user_id", "event_id", "ts"),
+        capacity = 3, refillPerSec = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rl_sink").start()
+    val rows = tsUs.zipWithIndex.map { case (t, i) =>
+      (1L, i.toLong + 1, t * 1000) }
+    Seq(rows.slice(0, 2), rows.slice(2, 4), rows.slice(4, 5))
+      .foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = s.table("rl_sink").orderBy("tus").collect()
+      .map(r => (r.getAs[Boolean]("accepted"), r.getAs[Long]("level_after")))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("powerReadout: universal reach needs no sample, and more users shrink the detectable effect") {
     val s = spark
     import s.implicits._

@@ -1099,6 +1099,17 @@ object MiscQueries {
       graft.streaming.EventStream.fdrGate(t(s, d, "events"),
         alphaPpm = 50000L)
     },
+    // Is traffic periodic? Hourly-volume autocorrelation at lags
+    // 1/24/168 over the DENSIFIED series (silent hours are zeros).
+    "qa30_autocorrelation" -> { (s, d) =>
+      graft.streaming.EventStream.autocorrelation(t(s, d, "events"))
+    },
+    // Trustworthy ratio-metric readout (KDD'18 delta method): CI for
+    // revenue-per-event per md5 arm — the variance the naive per-user
+    // t-interval gets wrong for ratios of sums.
+    "qa31_ratio_metric" -> { (s, d) =>
+      graft.streaming.EventStream.ratioMetricCi(t(s, d, "events"))
+    },
     // Experiment-design readout: per metric, the smallest absolute rate
     // delta detectable at alpha=5%/power=80% with the qa18 arms.
     "qa28_power" -> { (s, d) =>
@@ -3563,6 +3574,103 @@ object MiscQueries {
         |SELECT metric, na AS n_a, nb AS n_b, xa AS x_a, xb AS x_b,
         |  p_ppm, rnk, (rnk <= ks.kstar) AS discovery
         |FROM ranked, ks ORDER BY rnk""".stripMargin,
+    "qa30_autocorrelation" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hc),
+        |dense AS (SELECT t.h, COALESCE(hc.c, CAST(0 AS BIGINT)) AS c
+        |  FROM (SELECT UNNEST(generate_series((SELECT lo FROM b),
+        |    (SELECT hi FROM b))) AS h) t
+        |  LEFT JOIN hc ON hc.h = t.h),
+        |lg AS (SELECT c,
+        |    LAG(c, 1) OVER (ORDER BY h) AS x1,
+        |    LAG(c, 24) OVER (ORDER BY h) AS x24,
+        |    LAG(c, 168) OVER (ORDER BY h) AS x168
+        |  FROM dense),
+        |m AS (SELECT
+        |    CAST(COUNT(x1) AS BIGINT) AS n1b,
+        |    CAST(COUNT(x1) AS DOUBLE) AS n1,
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL THEN c END) AS DOUBLE) AS sy1,
+        |    CAST(SUM(x1) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CASE WHEN x1 IS NOT NULL THEN c * c END) AS DOUBLE) AS syy1,
+        |    CAST(SUM(x1 * x1) AS DOUBLE) AS sxx1,
+        |    CAST(SUM(c * x1) AS DOUBLE) AS sxy1,
+        |    CAST(COUNT(x24) AS BIGINT) AS n24b,
+        |    CAST(COUNT(x24) AS DOUBLE) AS n24,
+        |    CAST(SUM(CASE WHEN x24 IS NOT NULL THEN c END) AS DOUBLE) AS sy24,
+        |    CAST(SUM(x24) AS DOUBLE) AS sx24,
+        |    CAST(SUM(CASE WHEN x24 IS NOT NULL THEN c * c END) AS DOUBLE) AS syy24,
+        |    CAST(SUM(x24 * x24) AS DOUBLE) AS sxx24,
+        |    CAST(SUM(c * x24) AS DOUBLE) AS sxy24,
+        |    CAST(COUNT(x168) AS BIGINT) AS n168b,
+        |    CAST(COUNT(x168) AS DOUBLE) AS n168,
+        |    CAST(SUM(CASE WHEN x168 IS NOT NULL THEN c END) AS DOUBLE) AS sy168,
+        |    CAST(SUM(x168) AS DOUBLE) AS sx168,
+        |    CAST(SUM(CASE WHEN x168 IS NOT NULL THEN c * c END) AS DOUBLE) AS syy168,
+        |    CAST(SUM(x168 * x168) AS DOUBLE) AS sxx168,
+        |    CAST(SUM(c * x168) AS DOUBLE) AS sxy168
+        |  FROM lg),
+        |pairs AS (
+        |  SELECT CAST(1 AS BIGINT) AS lag_hours, n1b AS n_pairs,
+        |    n1 * sxy1 - sx1 * sy1 AS cov,
+        |    (n1 * sxx1 - sx1 * sx1) * (n1 * syy1 - sy1 * sy1) AS vv FROM m
+        |  UNION ALL SELECT CAST(24 AS BIGINT), n24b,
+        |    n24 * sxy24 - sx24 * sy24,
+        |    (n24 * sxx24 - sx24 * sx24) * (n24 * syy24 - sy24 * sy24) FROM m
+        |  UNION ALL SELECT CAST(168 AS BIGINT), n168b,
+        |    n168 * sxy168 - sx168 * sy168,
+        |    (n168 * sxx168 - sx168 * sx168) * (n168 * syy168 - sy168 * sy168)
+        |    FROM m)
+        |SELECT lag_hours, n_pairs,
+        |  CASE WHEN vv = 0 THEN NULL
+        |    ELSE CAST(FLOOR(cov * cov / vv * 1000000.0) AS BIGINT)
+        |  END AS r2_ppm,
+        |  CAST(SIGN(cov) AS BIGINT) AS sgn
+        |FROM pairs ORDER BY lag_hours""".stripMargin,
+    "qa31_ratio_metric" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS yu,
+        |    CAST(COUNT(*) AS BIGINT) AS nu
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CASE WHEN
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('ab_exp1_'
+        |        || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm, yu, nu FROM u),
+        |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(yu) AS BIGINT) AS sy, CAST(SUM(nu) AS BIGINT) AS sn,
+        |    SUM(CAST(yu AS HUGEINT) * yu) AS syy,
+        |    SUM(CAST(nu AS HUGEINT) * nu) AS snn,
+        |    SUM(CAST(yu AS HUGEINT) * nu) AS syn
+        |  FROM a GROUP BY 1),
+        |f AS (SELECT arm, k, sy, sn,
+        |    CAST(FLOOR(sqrt(GREATEST(0.0,
+        |      ((CAST(syy AS DOUBLE) / k
+        |          - (CAST(sy AS DOUBLE) / k) * (CAST(sy AS DOUBLE) / k))
+        |        - 2.0 * (CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE))
+        |          * (CAST(syn AS DOUBLE) / k
+        |            - (CAST(sy AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k))
+        |        + (CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE))
+        |          * (CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE))
+        |          * (CAST(snn AS DOUBLE) / k
+        |            - (CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k)))
+        |      / (CAST(k AS DOUBLE)
+        |        * (CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k))))
+        |    ) AS BIGINT) AS se_ppm
+        |  FROM g)
+        |SELECT arm, k AS k_users, sy AS sum_y_micros, sn AS sum_n,
+        |  sy // GREATEST(sn, 1) AS ratio_ppm, se_ppm,
+        |  sy // GREATEST(sn, 1)
+        |    - CAST(CEIL(CAST(1.96 AS DOUBLE) * se_ppm) AS BIGINT)
+        |    AS ci_lo_ppm,
+        |  sy // GREATEST(sn, 1)
+        |    + CAST(CEIL(CAST(1.96 AS DOUBLE) * se_ppm) AS BIGINT)
+        |    AS ci_hi_ppm
+        |FROM f ORDER BY arm""".stripMargin,
     "qa28_power" ->
       """WITH armed AS (SELECT user_id, event_type,
         |    (CAST(list_sum(list_transform(generate_series(1, 13), j ->

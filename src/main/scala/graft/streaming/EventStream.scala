@@ -1829,6 +1829,112 @@ object EventStream {
       .withColumn("cum_hazard_ppm", sum("hazard_ppm").over(wCum))
   }
 
+  /** Hourly autocorrelation — "is this traffic periodic, and at what
+    * period?" answered with exact arithmetic: the hourly volume series
+    * (DENSIFIED — silent hours are zeros, not gaps; an ACF over a
+    * gap-compressed series sees fake periodicity) paired with itself at
+    * each requested lag, Pearson's r per lag in the corrMatrix output
+    * convention (r²·10⁶ + sign over exact BIGINT moments, zero-variance
+    * → NULL). Lag 24 ≫ lag 1 means daily seasonality; 168 means weekly.
+    * Returns (lag_hours, n_pairs, r2_ppm, sgn) per requested lag.
+    *
+    * Scale shape: ONE hour-key count groupBy collapses raw events; the
+    * dense series, the lag windows, and the single moment aggregate all
+    * ride the ≤ span-hours relation (the qw10/qa22 span contract —
+    * ~8 760 rows/year at ANY corpus size). */
+  def autocorrelation(events: DataFrame,
+      lags: Seq[Int] = Seq(1, 24, 168)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(l => l >= 1 && l <= 100000),
+      s"lags out of range: $lags")
+    val hours = tsNanos(events)
+      .select(expr("(ts div 1000) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val bounds = broadcast(hours.agg(min("h").as("lo"), max("h").as("hi")))
+    val dense = bounds.select(explode(expr("sequence(lo, hi)")).as("h"))
+      .join(hours, Seq("h"), "left_outer")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("h")
+    var lagged = dense
+    lags.foreach { l =>
+      lagged = lagged.withColumn(s"x_$l", lag("c", l).over(w)) }
+    val aggs = lags.flatMap { l =>
+      val x = col(s"x_$l")
+      Seq(count(x).as(s"n_$l"),
+        sum(when(x.isNotNull, col("c"))).as(s"sy_$l"),
+        sum(x).as(s"sx_$l"),
+        sum(when(x.isNotNull, col("c") * col("c"))).as(s"syy_$l"),
+        sum(x * x).as(s"sxx_$l"),
+        sum(col("c") * x).as(s"sxy_$l"))
+    }
+    val rows = lags.map { l =>
+      def d(n: String) = col(s"${n}_$l").cast("double")
+      val cov = d("n") * d("sxy") - d("sx") * d("sy")
+      val vv = (d("n") * d("sxx") - d("sx") * d("sx")) *
+        (d("n") * d("syy") - d("sy") * d("sy"))
+      struct(lit(l.toLong).as("lag_hours"), col(s"n_$l").as("n_pairs"),
+        when(vv === 0d, lit(null).cast("long"))
+          .otherwise(floor(cov * cov / vv * 1e6).cast("long")).as("r2_ppm"),
+        signum(cov).cast("long").as("sgn"))
+    }
+    lagged.agg(aggs.head, aggs.tail: _*)
+      .select(inline(array(rows: _*)))
+      .orderBy("lag_hours")
+  }
+
+  /** Delta-method CI for a RATIO metric — Deng, Knoblich & Lu, KDD
+    * 2018: revenue-per-event, clicks-per-session and friends are ratios
+    * of SUMS whose denominator varies per user, so the naive per-user
+    * t-interval is simply wrong; the delta method expands
+    * var(Σy/Σn) ≈ (σ²_y − 2R·σ_yn + R²·σ²_n) / (k·n̄²) over per-user
+    * (y, n) pairs. Beside [[cuped]]'s variance reduction, this is
+    * the other half of a trustworthy experiment readout. Per
+    * [[abAssignment]] arm: (arm, k_users, sum_y_micros, sum_n,
+    * ratio_ppm, se_ppm, ci_lo_ppm, ci_hi_ppm) at ±1.96·SE — every
+    * moment an exact BIGINT (y in micro-units), the expansion one fixed
+    * IEEE tree.
+    *
+    * Scale shape: ONE per-user groupBy with map-side combine, then a
+    * 2-row arm rollup carrying the five cross-moments. */
+  def ratioMetricCi(events: DataFrame, numType: String = "purchase",
+      salt: String = "exp1"): DataFrame = {
+    val perUser = tsNanos(events)
+      .select(col("user_id"),
+        when(col("event_type") === numType,
+          (col("value").cast("decimal(30,6)") * 1000000)
+            .cast("long")).otherwise(0L).as("y"))
+      .groupBy("user_id")
+      .agg(sum("y").as("yu"), count(lit(1)).as("nu"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat(lit(s"ab_${salt}_"),
+          col("user_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("k"),
+        sum("yu").as("sy"), sum("nu").as("sn"),
+        sum(col("yu").cast("decimal(38,0)") * col("yu")).as("syy"),
+        sum(col("nu").cast("decimal(38,0)") * col("nu")).as("snn"),
+        sum(col("yu").cast("decimal(38,0)") * col("nu")).as("syn"))
+      .select(col("arm"), col("k").as("k_users"),
+        col("sy").as("sum_y_micros"), col("sn").as("sum_n"),
+        expr("sy div greatest(sn, 1L)").as("ratio_ppm"),
+        expr("""cast(floor(sqrt(greatest(0.0d,
+          |  ((cast(syy as double) / k
+          |      - (cast(sy as double) / k) * (cast(sy as double) / k))
+          |    - 2.0d * (cast(sy as double) / cast(sn as double))
+          |      * (cast(syn as double) / k
+          |        - (cast(sy as double) / k) * (cast(sn as double) / k))
+          |    + (cast(sy as double) / cast(sn as double))
+          |      * (cast(sy as double) / cast(sn as double))
+          |      * (cast(snn as double) / k
+          |        - (cast(sn as double) / k) * (cast(sn as double) / k)))
+          |  / (cast(k as double)
+          |    * (cast(sn as double) / k) * (cast(sn as double) / k))))
+          |) as bigint)""".stripMargin).as("se_ppm"))
+      .withColumn("ci_lo_ppm", expr("ratio_ppm - cast(ceil(1.96d * se_ppm) as bigint)"))
+      .withColumn("ci_hi_ppm", expr("ratio_ppm + cast(ceil(1.96d * se_ppm) as bigint)"))
+      .orderBy("arm")
+  }
+
   final case class RateLimitIn(user_id: Long, event_id: Long, tus: Long)
   final case class RateLimitState(level: Long, lastTus: Long)
   final case class RateLimitOut(user_id: Long, event_id: Long, tus: Long,

@@ -96,6 +96,7 @@ class PlanHygieneSpec extends SparkSpec {
     "qq41_monotonicity", // 1-row min/max + bucket-count broadcasts into the rate table
     "qg21_louvain", // 1-row edge-count m broadcast into the move gain + summary cross
     "qa28_power", // 1-row arm-total broadcast into the metric reach table
+    "qa30_autocorrelation", // 1-row hour-bounds broadcast seeds the dense series
     "qv36_embedding_decontam") // broadcast eval panel (id%evalMod-bounded) scored vs corpus
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {

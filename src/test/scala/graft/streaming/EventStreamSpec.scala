@@ -1238,6 +1238,46 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(10L) == ((1L, 0L, 1L, 0L, 750000L)))
   }
 
+  test("autocorrelation: an exactly 24-periodic series maxes lag 24, silent hours count as zeros") {
+    val s = spark
+    import s.implicits._
+    // hours 0..199: 5 events on multiples of 24, none on h%24==7 (the
+    // densifier must re-insert those as zeros), 1 event otherwise
+    val rows = (0 until 200).flatMap { h =>
+      val n = if (h % 24 == 0) 5 else if (h % 24 == 7) 0 else 1
+      (1 to n).map(i => (h.toLong * 3600000000000L, i.toLong))
+    }
+    val out = EventStream.autocorrelation(
+        rows.toDF("ts", "event_id"), lags = Seq(1, 24))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Long]("r2_ppm"), r.getAs[Long]("sgn"))).toMap
+    // hour 199 is itself silent (199 % 24 == 7), and a TRAILING silent
+    // hour is invisible to the densifier (no observed upper bound), so
+    // the dense span is 0..198 -> 199 hours -> 175 lag-24 pairs
+    assert(out(24L)._1 == 175L)
+    assert(out(24L)._2 == 1000000L && out(24L)._3 == 1L) // exact period
+    assert(out(1L)._2 < 1000000L) // adjacent hours are not the period
+  }
+
+  test("ratioMetricCi: identical users collapse the interval onto the exact ratio") {
+    val s = spark
+    import s.implicits._
+    // every user: one purchase of 2.0 + one view -> ratio = 1e6 exactly
+    val rows = (1L to 100L).flatMap { u =>
+      Seq((u, "purchase", 2.0), (u, "view", 0.0)) }
+    val out = EventStream.ratioMetricCi(
+        rows.toDF("user_id", "event_type", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("k_users"), r.getAs[Long]("ratio_ppm"),
+          r.getAs[Long]("se_ppm"), r.getAs[Long]("ci_lo_ppm"),
+          r.getAs[Long]("ci_hi_ppm"))).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out.values.map(_._1).sum == 100L)
+    out.values.foreach { case (_, ratio, se, lo, hi) =>
+      assert(ratio == 1000000L && se == 0L && lo == ratio && hi == ratio)
+    }
+  }
+
   test("rateLimit: bucket drains, throttles, and refills on the hand timeline; 3-batch replay equals the batch fold") {
     val s = spark
     import s.implicits._

@@ -186,8 +186,14 @@ object Similarity {
       numPlanes: Int = 8, dim: Int = 64, maxBucket: Int = 10000)
       : DataFrame = {
     val d = dot(df) _
+    // g is consumed twice (seed + the final is_new join) and und three
+    // times (both sides of the two-hop self-join + the candidate union);
+    // left lazy, each reference re-runs the whole LSH build — the qd63
+    // double-evaluation lesson. Both are compact (≤ n·k / ≤ 4·n·k
+    // 8-byte pair rows), so materialize once.
     val g = knnGraph(df, embCol, idCol, k, numPlanes, dim, maxBucket)
       .select(col("src"), col("nbr"))
+      .localCheckpoint()
     val g2 = knnGraph(df, embCol, idCol, k, numPlanes, dim, maxBucket,
         salt = "b_")
       .select(col("src"), col("nbr"))
@@ -195,6 +201,7 @@ object Similarity {
     val und = seed
       .union(seed.select(col("nbr").as("src"), col("src").as("nbr")))
       .distinct()
+      .localCheckpoint()
     val twoHop = und.as("x")
       .join(und.as("y").hint("shuffle_hash"), col("x.nbr") === col("y.src"))
       .select(col("x.src").as("src"), col("y.nbr").as("nbr"))
@@ -212,7 +219,8 @@ object Similarity {
           (col("na") * col("nb"))).as("cos"))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .join(g.withColumn("__old", lit(1)), Seq("src", "nbr"), "left_outer")
+      .join(g.withColumn("__old", lit(1)).hint("shuffle_hash"),
+        Seq("src", "nbr"), "left_outer")
       .select(col("src"), col("nbr"), col("cos"), col("rank"),
         col("__old").isNull.as("is_new"))
   }

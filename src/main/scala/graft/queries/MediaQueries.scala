@@ -943,13 +943,14 @@ object MediaQueries {
         |  UNION ALL
         |  SELECT e.user_id, e.event_id, e.tus, e.i,
         |    LEAST(3000000, st.level_after
-        |      + GREATEST(0, e.tus - st.tus) * 1) >= 1000000 AS accepted,
+        |      + LEAST(GREATEST(0, e.tus - st.tus), 3000001) * 1)
+        |      >= 1000000 AS accepted,
         |    CASE WHEN LEAST(3000000, st.level_after
-        |        + GREATEST(0, e.tus - st.tus) * 1) >= 1000000
+        |        + LEAST(GREATEST(0, e.tus - st.tus), 3000001) * 1) >= 1000000
         |      THEN LEAST(3000000, st.level_after
-        |        + GREATEST(0, e.tus - st.tus) * 1) - 1000000
+        |        + LEAST(GREATEST(0, e.tus - st.tus), 3000001) * 1) - 1000000
         |      ELSE LEAST(3000000, st.level_after
-        |        + GREATEST(0, e.tus - st.tus) * 1)
+        |        + LEAST(GREATEST(0, e.tus - st.tus), 3000001) * 1)
         |    END AS level_after
         |  FROM st JOIN e ON e.user_id = st.user_id AND e.i = st.i + 1)
         |SELECT user_id, event_id, tus, accepted,

@@ -1977,10 +1977,19 @@ object EventStream {
       var st = st0
       val out = Seq.newBuilder[RateLimitOut]
       rs.sortBy(r => (r.tus, r.event_id)).foreach { r =>
+        // overflow guard: a multi-year gap times refillPerSec can exceed
+        // 2^63 BEFORE the min() caps it (Spark would wrap silently,
+        // DuckDB would error — the worst kind of divergence). Capping the
+        // gap at capMicro/r + 1 keeps the product <= capMicro + r while
+        // provably saturating the bucket exactly when the raw product
+        // would have.
+        val gap = math.max(0L, r.tus - st.lastTus)
+        val gain =
+          if (refillPerSec == 0L) 0L
+          else math.min(gap, capMicro / refillPerSec + 1L) * refillPerSec
         val lvl =
           if (st.lastTus == Long.MinValue) capMicro
-          else math.min(capMicro,
-            st.level + math.max(0L, r.tus - st.lastTus) * refillPerSec)
+          else math.min(capMicro, st.level + gain)
         val acc = lvl >= 1000000L
         val after = if (acc) lvl - 1000000L else lvl
         st = RateLimitState(after, r.tus)

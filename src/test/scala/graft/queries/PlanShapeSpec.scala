@@ -165,4 +165,17 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1500))
     assert(!"HashAggregate.*distinct".r.findAllIn(p).hasNext, p.take(1500))
   }
+
+  test("qv37: the NN-descent seed graphs are materialized once and every re-score join hashes") {
+    val p = plan("qv37_nn_descent")
+    // g and und are localCheckpoint()ed — the plan must consume them as
+    // materialized RDD scans, not re-run the LSH build per reference
+    // (the 143-exchange lazy plan this anchor guards against)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "seed relations must be checkpointed:\n" + p.take(1500))
+    // the candidate re-score joins are hinted shuffle-hash; a sort-merge
+    // join here means a hint was dropped in a refactor
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join in the descent round:\n" + p.take(2000))
+  }
 }

@@ -409,4 +409,101 @@ object Multimodal {
         .when(h8.startsWith("255044462D"), "pdf")
         .otherwise("unknown"))
   }
+
+  final case class MetaAuditRow(doc_id: Long, kind: String,
+    has_meta: Boolean, meta_kind: String)
+
+  private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A,
+    0x0A).map(_.toByte)
+
+  /** Classify one payload's embedded-metadata exposure. Walks the REAL
+    * container structure (PNG chunk chain / JPEG marker segments — the
+    * same from-spec discipline as the decoders above), capped at the
+    * first 64 KiB: metadata segments live in the header by format
+    * design. Returns (kind, has_meta, meta_kind) with meta_kind ∈
+    * {exif, text, none, corrupt} — exif outranks text when both occur;
+    * a malformed chain reports corrupt WITHOUT claiming to know what it
+    * carries. */
+  def classifyMetadata(b: Array[Byte]): (String, Boolean, String) = {
+    def be32(o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    val limit = if (b == null) 0 else math.min(b.length, 65536)
+    if (b == null || limit < 4) return ("unknown", false, "none")
+    if (limit >= 8 && b.take(8).sameElements(PngSig)) {
+      var off = 8
+      var exif = false
+      var text = false
+      while (off + 8 <= limit) {
+        val clen = be32(off)
+        val ctype = new String(b, off + 4, 4, "ISO-8859-1")
+        if (clen < 0 || clen > Int.MaxValue - 12 - off)
+          return ("png", false, "corrupt")
+        ctype match {
+          case "eXIf" => exif = true
+          case "tEXt" | "iTXt" | "zTXt" => text = true
+          case "IEND" =>
+            return ("png",
+              exif || text,
+              if (exif) "exif" else if (text) "text" else "none")
+          case _ => ()
+        }
+        off += 12 + clen.toInt
+      }
+      // chain ran past the cap/end without IEND: report what was SEEN,
+      // but flag the walk as corrupt/truncated if nothing closed it
+      if (exif) ("png", true, "exif")
+      else if (text) ("png", true, "text")
+      else ("png", false, "corrupt")
+    } else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var off = 2
+      var exif = false
+      var text = false
+      while (off + 2 <= limit && (b(off) & 0xFF) == 0xFF) {
+        val marker = b(off + 1) & 0xFF
+        if (marker == 0xDA || marker == 0xD9)
+          return ("jpeg", exif || text,
+            if (exif) "exif" else if (text) "text" else "none")
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+          off += 2 // standalone markers carry no length
+        } else {
+          if (off + 4 > limit) return ("jpeg", false, "corrupt")
+          val seglen = (((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF))
+          if (seglen < 2) return ("jpeg", false, "corrupt")
+          if (marker == 0xE1 && seglen >= 8 && off + 10 <= limit &&
+              new String(b, off + 4, 6, "ISO-8859-1") == "Exif\u0000\u0000")
+            exif = true
+          if (marker == 0xED || marker == 0xFE) text = true // IPTC / COM
+          off += 2 + seglen
+        }
+      }
+      if (exif) ("jpeg", true, "exif")
+      else if (text) ("jpeg", true, "text")
+      else ("jpeg", false, "corrupt")
+    } else ("unknown", false, "none")
+  }
+
+  /** Embedded-metadata (EXIF/IPTC/text-chunk) audit — the privacy gate a
+    * crawled-media corpus runs BEFORE training: camera EXIF blocks carry
+    * GPS positions and serial numbers, PNG text chunks carry
+    * author/tool strings; a "stripped" corpus with one unstripped shard
+    * is a disclosure incident. One row per payload (doc_id, kind,
+    * has_meta, meta_kind) from [[classifyMetadata]]'s real header walk —
+    * a typed map (SerializeFromObject), not a UDF, so the hot path stays
+    * inside Tungsten serialization.
+    *
+    * Scale shape: one per-row header walk capped at 64 KiB, no shuffle;
+    * whatever aggregation follows is the caller's. */
+  def metadataAudit(df: DataFrame, idCol: String, binaryCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binaryCol))
+      .as[(Long, Array[Byte])]
+      .map { t =>
+        val (kind, has, mk) = classifyMetadata(t._2)
+        MetaAuditRow(t._1, kind, has, mk)
+      }.toDF()
+  }
 }

@@ -52,6 +52,36 @@ object MediaQueries {
           sum(length(col("media"))).as("total_bytes"))
         .orderBy("content_type")
     },
+    // Embedded-metadata privacy audit: REAL PNG-chunk / JPEG-marker
+    // header walks over deterministically injected payloads (doc_id % 5)
+    // — EXIF blocks carry GPS; one unstripped shard is an incident.
+    "qm05_exif_audit" -> { (s, d) =>
+      def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+        val len = data.length
+        Array[Byte](((len >> 24) & 0xFF).toByte, ((len >> 16) & 0xFF).toByte,
+          ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++
+          t.getBytes("ISO-8859-1") ++ data ++ Array[Byte](0, 0, 0, 0)
+      }
+      val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      val pngExif = sig ++ chunk("eXIf", Array[Byte](1, 2, 3, 4)) ++
+        chunk("IEND", Array.emptyByteArray)
+      val pngClean = sig ++ chunk("IEND", Array.emptyByteArray)
+      val jpegExif = Array(0xFF, 0xD8, 0xFF, 0xE1, 0x00, 0x08).map(_.toByte) ++
+        "Exif\u0000\u0000".getBytes("ISO-8859-1") ++
+        Array(0xFF, 0xDA).map(_.toByte)
+      val jpegClean = Array(0xFF, 0xD8, 0xFF, 0xDA).map(_.toByte)
+      val media = when(col("doc_id") % 5 === 0, lit(pngExif))
+        .when(col("doc_id") % 5 === 1, lit(pngClean))
+        .when(col("doc_id") % 5 === 2, lit(jpegExif))
+        .when(col("doc_id") % 5 === 3, lit(jpegClean))
+        .otherwise(lit("notmedia".getBytes("UTF-8")))
+      val docs = t(s, d, "documents").withColumn("media", media)
+      graft.multimodal.Multimodal.metadataAudit(docs, "doc_id", "media")
+        .groupBy("kind", "has_meta", "meta_kind")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("kind", "meta_kind")
+    },
     // WebDataset tar-shard round trip UNDER THE ORACLE: documents ->
     // writeShards (4 tars, one per partition, pure-JVM ustar writer) ->
     // samples (streamed parse, one task per shard) -> byte length + md5
@@ -624,6 +654,18 @@ object MediaQueries {
         |SELECT content_type, CAST(COUNT(*) AS BIGINT) AS n_items,
         |  CAST(SUM(octet_length(media)) AS BIGINT) AS total_bytes
         |FROM c GROUP BY content_type ORDER BY content_type""".stripMargin,
+    "qm05_exif_audit" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'png'
+        |      WHEN 2 THEN 'jpeg' WHEN 3 THEN 'jpeg'
+        |      ELSE 'unknown' END AS kind,
+        |    (doc_id % 5 = 0 OR doc_id % 5 = 2) AS has_meta,
+        |    CASE WHEN doc_id % 5 = 0 OR doc_id % 5 = 2 THEN 'exif'
+        |      ELSE 'none' END AS meta_kind
+        |  FROM documents)
+        |SELECT kind, has_meta, meta_kind,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM m GROUP BY 1, 2, 3 ORDER BY kind, meta_kind""".stripMargin,
     "qm01_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INT) AS byte_len,

@@ -268,4 +268,58 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> "png", 2L -> "jpeg", 3L -> "gif", 4L -> "riff",
       5L -> "pdf", 6L -> "unknown", 7L -> "missing"))
   }
+
+  test("classifyMetadata: real chunk/marker walks find EXIF and text, flag corruption, skip standalones") {
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val len = data.length
+      Array[Byte](((len >> 24) & 0xFF).toByte, ((len >> 16) & 0xFF).toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++
+        t.getBytes("ISO-8859-1") ++ data ++ Array[Byte](0, 0, 0, 0)
+    }
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    val iend = chunk("IEND", Array.emptyByteArray)
+    // PNG: eXIf chunk mid-chain, behind an innocuous IHDR-shaped chunk
+    val pngExif = sig ++ chunk("IHDR", new Array[Byte](13)) ++
+      chunk("eXIf", Array[Byte](1, 2)) ++ iend
+    assert(Multimodal.classifyMetadata(pngExif) == (("png", true, "exif")))
+    // PNG: tEXt only -> text; exif outranks text when both occur
+    val pngText = sig ++ chunk("tEXt", "Author".getBytes) ++ iend
+    assert(Multimodal.classifyMetadata(pngText) == (("png", true, "text")))
+    val pngBoth = sig ++ chunk("tEXt", "x".getBytes) ++
+      chunk("eXIf", Array[Byte](9)) ++ iend
+    assert(Multimodal.classifyMetadata(pngBoth) == (("png", true, "exif")))
+    // clean PNG
+    assert(Multimodal.classifyMetadata(sig ++ iend) ==
+      (("png", false, "none")))
+    // truncated chain (no IEND): corrupt, not a silent "none"
+    assert(Multimodal.classifyMetadata(
+      sig ++ chunk("IHDR", new Array[Byte](13)).dropRight(6)) ==
+      (("png", false, "corrupt")))
+    // JPEG: APP1 must carry the Exif\0\0 prefix to count
+    def jseg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xFF).toByte,
+        ((payload.length + 2) & 0xFF).toByte) ++ payload
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    val sos = Array(0xFF, 0xDA).map(_.toByte)
+    val exifSeg = jseg(0xE1, "Exif\u0000\u0000ab".getBytes("ISO-8859-1"))
+    assert(Multimodal.classifyMetadata(soi ++ exifSeg ++ sos) ==
+      (("jpeg", true, "exif")))
+    val xmpSeg = jseg(0xE1, "http://ns.adobe.com".getBytes)
+    assert(Multimodal.classifyMetadata(soi ++ xmpSeg ++ sos) ==
+      (("jpeg", false, "none")))
+    // COM segment -> text; standalone RST marker is stepped over
+    val rst = Array(0xFF.toByte, 0xD0.toByte)
+    val com = jseg(0xFE, "hello".getBytes)
+    assert(Multimodal.classifyMetadata(soi ++ rst ++ com ++ sos) ==
+      (("jpeg", true, "text")))
+    // truncated segment header -> corrupt
+    assert(Multimodal.classifyMetadata(
+      soi ++ Array(0xFF.toByte, 0xE1.toByte)) ==
+      (("jpeg", false, "corrupt")))
+    // non-media passes through untouched
+    assert(Multimodal.classifyMetadata("plain".getBytes) ==
+      (("unknown", false, "none")))
+  }
 }

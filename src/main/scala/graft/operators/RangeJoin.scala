@@ -62,4 +62,39 @@ object RangeJoin {
         expr(s"GREATEST($leftStart, $rightStart) DIV ${binSize}L"))
       .drop("__bin")
   }
+
+  /** Interval-union length (the classic merge-intervals sweep) — per
+    * key, the total UNIQUE time covered after overlaps collapse: the
+    * honest "engaged minutes" behind every activity metric (summing raw
+    * interval lengths double-counts overlapping sessions; X14's peak
+    * concurrency asks how DEEP the overlap gets, this asks how WIDE the
+    * union is). One ordered pass per key: sort by (start, end), track
+    * the running max end over PRIOR rows, and each interval contributes
+    * max(0, end − max(start, prior_max_end)) — exact integers, and the
+    * per-row contributions are order-symmetric under ties so the
+    * per-key SUM is engine-deterministic. Returns one row per key:
+    * (key, n_intervals, raw_us, union_us, span_us) — raw−union is the
+    * overlap the naive sum would have double-counted.
+    *
+    * Scale shape: ONE window + ONE aggregate, both on the key's own
+    * partitioning — no joins, no global sort; cost ∝ intervals. */
+  def intervalUnionLength(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+        col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__e") >= col("__s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+      .orderBy(col("__s"), col("__e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.withColumn("__pmax", max("__e").over(w))
+      .withColumn("__cov", greatest(lit(0L), col("__e") -
+        greatest(col("__s"), coalesce(col("__pmax"), col("__s")))))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__e") - col("__s")).as("raw_us"),
+        sum("__cov").as("union_us"),
+        (max("__e") - min("__s")).as("span_us"))
+  }
 }

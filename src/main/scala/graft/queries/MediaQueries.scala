@@ -156,6 +156,17 @@ object MediaQueries {
     "qs07_retention" -> { (s, d) =>
       EventStream.retentionCohorts(t(s, d, "events"))
     },
+    // Interval-union length (merge-intervals): per user, UNIQUE engaged
+    // time from overlapping 30-min engagement windows — raw minus union
+    // is exactly what a naive duration sum double-counts.
+    "qr04_interval_union" -> { (s, d) =>
+      val iv = t(s, d, "events").select(col("user_id"),
+        expr("ts div 1000").as("st"),
+        expr("ts div 1000 + 1800000000").as("en"))
+      graft.operators.RangeJoin.intervalUnionLength(iv, "user_id",
+          "st", "en")
+        .orderBy("user_id")
+    },
     // Interval OVERLAP join: cross-user pairs of concurrent sessions —
     // each side explodes into the 1-hour bins its interval touches, each
     // surviving pair attributed to the bin of its overlap start (no
@@ -733,6 +744,19 @@ object MediaQueries {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
         |ORDER BY ua, sa, ub, sb""".stripMargin,
+    "qr04_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e FROM events),
+        |sw AS (SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(e - s) AS BIGINT) AS raw_us,
+        |  CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pmax, s))))
+        |    AS BIGINT) AS union_us,
+        |  CAST(MAX(e) - MIN(s) AS BIGINT) AS span_us
+        |FROM sw GROUP BY 1 ORDER BY user_id""".stripMargin,
     "qx05_kmv_windowed" ->
       """WITH d AS (SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS w,
         |  md5(CAST(user_id AS VARCHAR)) AS h FROM events WHERE user_id < 300),

@@ -34,4 +34,24 @@ class RangeJoinSpec extends SparkSpec {
       Seq((2L, 10L, 20L)).toDF("bid", "sb", "eb"), "sa", "ea", "sb", "eb", 8)
     assert(touch.count() == 1)
   }
+
+  test("intervalUnionLength: overlap, nesting, touching and gaps on the hand timeline; keys are independent") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      // key 1: [0,10] + [5,20] overlap, [20,30] touches, [40,50] gapped
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 40L, 50L),
+      // key 2: nested interval adds nothing
+      (2L, 0L, 100L), (2L, 10L, 20L),
+      // key 3: zero-length interval covers nothing but counts
+      (3L, 7L, 7L)
+    ).toDF("k", "st", "en")
+    val out = graft.operators.RangeJoin
+      .intervalUnionLength(iv, "k", "st", "en")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((4L, 45L, 40L, 50L))) // raw 45, union 30+10, span 50
+    assert(out(2L) == ((2L, 110L, 100L, 100L)))
+    assert(out(3L) == ((1L, 0L, 0L, 0L)))
+  }
 }

@@ -417,17 +417,28 @@ object Multimodal {
     0x0A).map(_.toByte)
 
   /** Classify one payload's embedded-metadata exposure. Walks the REAL
-    * container structure (PNG chunk chain / JPEG marker segments — the
-    * same from-spec discipline as the decoders above), capped at the
-    * first 64 KiB: metadata segments live in the header by format
-    * design. Returns (kind, has_meta, meta_kind) with meta_kind ∈
-    * {exif, text, none, corrupt} — exif outranks text when both occur;
-    * a malformed chain reports corrupt WITHOUT claiming to know what it
-    * carries. */
+    * container structure (PNG chunk chain / JPEG marker segments / WebP
+    * RIFF chunk list / GIF block+extension stream — the same from-spec
+    * discipline as the decoders above), capped at the first 64 KiB:
+    * metadata segments live in the header by format design. Returns
+    * (kind, has_meta, meta_kind) with meta_kind ∈ {exif, xmp, text,
+    * none, corrupt} — exif outranks xmp outranks text when several
+    * occur; a malformed chain reports corrupt WITHOUT claiming to know
+    * what it carries. WebP metadata rides `EXIF`/`XMP ` chunks (WebP
+    * Container Specification §Extended file format); GIF metadata rides
+    * the comment extension (0x21 0xFE) and the `XMP DataXMP`
+    * application extension (GIF89a spec §25 + Adobe XMP Part 3 §1.1.2).
+    * The reference pipeline decodes crawled imagery via PIL/GDAL, which
+    * strip these silently (label_maker_dask/utils.py:52) — auditing
+    * them BEFORE the strip is the privacy gate's whole point. */
   def classifyMetadata(b: Array[Byte]): (String, Boolean, String) = {
     def be32(o: Int): Long =
       ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
         ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    def le32(o: Int): Long =
+      (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    def s4(o: Int): String = new String(b, o, 4, "ISO-8859-1")
     val limit = if (b == null) 0 else math.min(b.length, 65536)
     if (b == null || limit < 4) return ("unknown", false, "none")
     if (limit >= 8 && b.take(8).sameElements(PngSig)) {
@@ -460,6 +471,14 @@ object Multimodal {
       var exif = false
       var text = false
       while (off + 2 <= limit && (b(off) & 0xFF) == 0xFF) {
+        // JPEG permits runs of 0xFF fill bytes before a marker (ITU T.81
+        // §B.1.1.2): advance so b(off + 1) is the first non-FF byte —
+        // otherwise a padded-but-valid file misreads the fill byte's
+        // successor as a marker and the two after it as a length
+        while (off + 2 <= limit && (b(off + 1) & 0xFF) == 0xFF) off += 1
+        if (off + 2 > limit)
+          return ("jpeg", exif || text,
+            if (exif) "exif" else if (text) "text" else "corrupt")
         val marker = b(off + 1) & 0xFF
         if (marker == 0xDA || marker == 0xD9)
           return ("jpeg", exif || text,
@@ -480,6 +499,97 @@ object Multimodal {
       if (exif) ("jpeg", true, "exif")
       else if (text) ("jpeg", true, "text")
       else ("jpeg", false, "corrupt")
+    } else if (limit >= 12 && s4(0) == "RIFF" && s4(8) == "WEBP") {
+      // WebP container: RIFF size then a flat chunk list — fourCC,
+      // u32le payload length, payload padded to even. Metadata chunks
+      // are EXIF and "XMP " (container spec, extended format).
+      val declEnd = 8L + le32(4) // what the RIFF header claims the file spans
+      val riffEnd = math.min(declEnd, limit.toLong)
+      var off = 12
+      var exif = false
+      var xmp = false
+      while (off + 8 <= riffEnd) {
+        val fourcc = s4(off)
+        val clen = le32(off + 4)
+        if (clen < 0 || clen > Int.MaxValue - 9 - off)
+          return ("webp", exif || xmp,
+            if (exif) "exif" else if (xmp) "xmp" else "corrupt")
+        fourcc match {
+          case "EXIF" => exif = true
+          case "XMP " => xmp = true
+          case _      => ()
+        }
+        off += 8 + clen.toInt + (clen.toInt & 1)
+      }
+      // RIFF has no trailer: the clean exit is walking exactly to the
+      // DECLARED end with the whole declared span under the cap. A walk
+      // the cap truncated, or one that overshot the declared end
+      // mid-chunk, reports what it SAW — corrupt/truncated only when it
+      // saw nothing (the PNG-chain discipline above).
+      if (declEnd <= limit.toLong && off.toLong == declEnd)
+        ("webp", exif || xmp,
+          if (exif) "exif" else if (xmp) "xmp" else "none")
+      else if (exif) ("webp", true, "exif")
+      else if (xmp) ("webp", true, "xmp")
+      else ("webp", false, "corrupt")
+    } else if (limit >= 4 && s4(0) == "RIFF") {
+      ("riff", false, "none") // WAV/AVI: no EXIF/XMP surface audited here
+    } else if (limit >= 6 &&
+        (new String(b, 0, 6, "ISO-8859-1") == "GIF87a" ||
+          new String(b, 0, 6, "ISO-8859-1") == "GIF89a")) {
+      // GIF89a stream: logical screen descriptor (+ optional global
+      // color table), then blocks — 0x21 extensions (label + sub-block
+      // chain), 0x2C image descriptors (+ optional local color table +
+      // LZW sub-block chain), 0x3B trailer. Sub-block chain = length-
+      // prefixed runs ended by a 0x00 block.
+      if (limit < 13) return ("gif", false, "corrupt")
+      var text = false
+      var xmp = false
+      def done(closed: Boolean): (String, Boolean, String) =
+        if (xmp) ("gif", true, "xmp")
+        else if (text) ("gif", true, "text")
+        else if (closed) ("gif", false, "none")
+        else ("gif", false, "corrupt")
+      // returns the offset past the chain's 0x00 terminator, or -1 if
+      // the chain overruns the cap
+      def skipSubBlocks(start: Int): Int = {
+        var o = start
+        while (o < limit) {
+          val n = b(o) & 0xFF
+          if (n == 0) return o + 1
+          o += 1 + n
+        }
+        -1
+      }
+      val packed = b(10) & 0xFF
+      var off = 13
+      if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
+      while (off < limit) {
+        (b(off) & 0xFF) match {
+          case 0x3B => return done(closed = true)
+          case 0x21 =>
+            if (off + 2 > limit) return done(closed = false)
+            val label = b(off + 1) & 0xFF
+            if (label == 0xFE) text = true
+            if (label == 0xFF && off + 14 <= limit &&
+                (b(off + 2) & 0xFF) == 11 &&
+                new String(b, off + 3, 11, "ISO-8859-1") == "XMP DataXMP")
+              xmp = true
+            off = skipSubBlocks(off + 2)
+            if (off < 0) return done(closed = false)
+          case 0x2C =>
+            if (off + 10 > limit) return done(closed = false)
+            val lp = b(off + 9) & 0xFF
+            var o = off + 10
+            if ((lp & 0x80) != 0) o += 3 * (1 << ((lp & 7) + 1))
+            o += 1 // LZW minimum code size byte
+            if (o > limit) return done(closed = false)
+            off = skipSubBlocks(o)
+            if (off < 0) return done(closed = false)
+          case _ => return done(closed = false) // unknown block type
+        }
+      }
+      done(closed = false) // ran past cap/end without the 0x3B trailer
     } else ("unknown", false, "none")
   }
 

@@ -335,6 +335,10 @@ object Cdc {
     require(seqFrom <= seqTo, s"seqFrom $seqFrom > seqTo $seqTo")
     val valueCols = changelog.columns
       .filterNot((keyCols ++ Seq(seqCol, opCol)).contains).toSeq
+    require(valueCols.nonEmpty,
+      "timeTravelDiff needs at least one value column beyond " +
+        s"keys/$seqCol/$opCol (a key-only changelog has no changed/" +
+        "unchanged distinction — diff presence with snapshotAsOf instead)")
     val a = snapshotAsOf(changelog, keyCols, seqCol, opCol, seqFrom)
       .select(keyCols.map(col) ++
         valueCols.map(c => col(c).as(s"old_$c")): _*)

@@ -1556,8 +1556,11 @@ object Quality {
     * resampling complement to [[jackknifeCi]] (jackknife is cheap but
     * symmetric-normal by construction; the bootstrap sees skew). Zero
     * RNG anywhere: rows land in `blocks` md5-hash blocks; resample r
-    * draws `blocks` block indexes via md5("bs:r:j") over the PRESENT
-    * blocks (ranked by block id), and each resample mean is an exact
+    * draws p block indexes via md5("bs:r:j") over the p PRESENT
+    * blocks (ranked by block id — p = blocks unless the input has
+    * fewer distinct hash blocks than requested, in which case each
+    * resample is exactly p draws so its size matches the block count),
+    * and each resample mean is an exact
     * integer division of exact BIGINT block sums — so the whole
     * resample distribution, and therefore the nearest-rank percentile
     * interval, replays bit-identically on any engine. One row:
@@ -1585,12 +1588,19 @@ object Quality {
       col("nb"), col("sb"))
     val p = broadcast(ranked.agg(count(lit(1)).as("p"),
       sum("nb").as("n"), sum("sb").as("s")))
+    // p draws per resample over the p present blocks; greatest(p, 1)
+    // guards the empty-input degenerate case IDENTICALLY in both engines
+    // (Spark's % 0 is a silent NULL where DuckDB's raises — the
+    // cross-engine divergence class this file pins): p = 0 yields an
+    // empty join and one all-NULL CI row on both sides
     val draws = spark.range(1, resamples + 1L).select(col("id").as("r"))
-      .crossJoin(spark.range(0, blocks.toLong).select(col("id").as("j")))
       .crossJoin(p)
+      .select(col("r"), col("n"), col("s"), col("p"),
+        explode(expr("sequence(0L, greatest(p, 1L) - 1L)")).as("j"))
       .select(col("r"), col("n"), col("s"),
         (conv(substring(md5(concat_ws(":", lit("bs"), col("r"), col("j"))),
-          1, 13), 16, 10).cast("long") % col("p")).as("rk"))
+          1, 13), 16, 10).cast("long") % greatest(col("p"), lit(1L)))
+          .as("rk"))
     val means = draws.join(broadcast(ranked), Seq("rk"))
       .groupBy("r", "n", "s")
       .agg(expr("sum(sb) div greatest(sum(nb), 1L)").as("mr"))
@@ -1661,6 +1671,15 @@ object Quality {
     * (n_buckets, n_rows, n_steps, n_up, n_down, dir, n_violations,
     * monotone) — all exact integers, dir the majority step direction,
     * violations the steps against it.
+    *
+    * RANGE CONTRACT: the bucket index is (f − lo) · buckets div width,
+    * so (hi − lo) · buckets must stay below 2⁶³ — Spark wraps BIGINT
+    * overflow silently where DuckDB raises (the cross-engine divergence
+    * class this file pins). With the 10 000-bucket cap that bounds the
+    * feature SPAN at ~9.2 × 10¹⁴ (epoch-micros spans of ~29 years are
+    * fine; raw epoch-micro VALUES are fine too since lo is subtracted
+    * first — only a span wider than ~2⁶³/buckets breaks the contract).
+    * Pre-scale wider features (e.g. div to millis) before auditing.
     *
     * Scale shape: one min/max rollup (1-row broadcast), ONE bucket
     * groupBy with map-side combine, then a lag window + rollup over the
@@ -1734,5 +1753,75 @@ object Quality {
       rows = rows.join(ranks, Seq(s"__v_$n"))
     }
     corrMatrix(rows, named.map { case (n, _) => n -> col(s"__r_$n") })
+  }
+
+  /** Mann–Whitney U rank-sum test — Mann & Whitney, Ann. Math. Stat.
+    * 1947: the nonparametric two-sample readout ([[spearmanMatrix]]'s
+    * rank discipline applied to an A/B comparison). Does one arm's
+    * metric distribution stochastically dominate the other's, without
+    * assuming normality — the robust complement to a t-test/CUPED mean
+    * readout when the metric is skewed (revenue, latency). Ranks use
+    * the standard mid-rank tie treatment carried as 2×rank so they stay
+    * exact integers (rank2(v) = 2·(#strictly smaller) + (#equal) + 1),
+    * so U itself is carried as 2U = Σrank2 − n₁(n₁+1) — exact BIGINT.
+    * The tie-corrected normal approximation
+    * z = (U − n₁n₂/2) / √(n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+    * is emitted as ONE fixed IEEE expression over exact BIGINT inputs —
+    * engine-identical digits. One row: (g_a, g_b, n_a, n_b, u2x_a,
+    * u2x_b, tie_term, z). EXACTLY two groups required: any other group
+    * count yields zero rows (a total-count guard on the pairing window)
+    * — loud downstream, never a silently mispaired statistic.
+    *
+    * Scale shape: ranks come from ONE distinct-value groupBy + a
+    * cumulative window over the VALUE DOMAIN (never raw rows), one hash
+    * join back, one two-row group rollup. BIGINT contract: the exact
+    * tie/variance terms need (n+1)·n·(n−1) < 2⁶³ — n ≲ 2.1 M ranked
+    * rows; past that, rank equi-depth buckets instead (the
+    * [[spearmanMatrix]] guidance). */
+  def mannWhitneyU(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame = {
+    val base = df
+      .select(groupCol.cast("string").as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val counts = base.groupBy("v").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val ranks = counts.select(col("v"),
+      (coalesce(sum("c").over(w), lit(0L)) * 2 + col("c") + 1).as("r2"))
+    val tie = broadcast(counts.agg(
+      coalesce(sum(col("c") * col("c") * col("c") - col("c")), lit(0L))
+        .as("tie_term")))
+    val byG = base.join(ranks, Seq("v"))
+      .groupBy("g").agg(count(lit(1)).as("n_g"), sum("r2").as("r2sum"))
+    val wg = org.apache.spark.sql.expressions.Window.orderBy("g")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byG
+      .select(col("g").as("g_a"), col("n_g").as("n_a"),
+        col("r2sum").as("r2_a"),
+        lead("g", 1).over(wg).as("g_b"),
+        lead("n_g", 1).over(wg).as("n_b"),
+        lead("r2sum", 1).over(wg).as("r2_b"),
+        count(lit(1)).over(wAll).as("__ngroups"))
+      .filter(col("g_b").isNotNull && col("__ngroups") === 2)
+      .drop("__ngroups")
+      .crossJoin(tie)
+      .withColumn("u2x_a", col("r2_a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("u2x_b", col("r2_b") - col("n_b") * (col("n_b") + 1))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("u2x_a"), col("u2x_b"), col("tie_term"),
+        // z over 2U: Var(2U) = n₁n₂·((n+1)n(n−1) − T) / (3n(n−1)) —
+        // every inner term exact BIGINT, one fixed IEEE tree at the end
+        ((col("u2x_a").cast("double") - (col("n_a") * col("n_b"))
+            .cast("double")) /
+          sqrt((col("n_a") * col("n_b")).cast("double") *
+            ((col("n") + 1) * col("n") * (col("n") - 1) - col("tie_term"))
+              .cast("double") /
+            (lit(3L) * col("n") * (col("n") - 1)).cast("double")))
+          .as("z"))
   }
 }

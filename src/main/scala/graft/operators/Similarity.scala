@@ -108,15 +108,25 @@ object Similarity {
     * components are md5-derived +/-1, materialized ONCE as `numPlanes`
     * broadcast array rows; each projection is a single codegen'd
     * dot_long. `dim` must match the embedding length. */
-  def lshBuckets(df: DataFrame, embCol: String, idCol: String,
-      numPlanes: Int = 8, dim: Int = 64, salt: String = ""): DataFrame = {
-    val d = dot(df) _
-    val planes = df.sparkSession.range(numPlanes)
+  /** The `numPlanes` deterministic ±1 hyperplanes every sign-LSH operator
+    * hashes against. SINGLE SOURCE OF TRUTH: [[lshBuckets]]' corpus
+    * signatures and [[multiProbeTopK]]'s query-side projections must be
+    * byte-identical md5 formulas or a query's computed bucket silently
+    * stops matching its corpus bucket (zero candidates) — so both call
+    * THIS def rather than inlining the expression. */
+  private def hyperplanes(spark: org.apache.spark.sql.SparkSession,
+      numPlanes: Int, dim: Int, salt: String = ""): DataFrame =
+    spark.range(numPlanes)
       .select(col("id").cast("int").as("p"))
       .withColumn("comp", expr(
         s"""transform(sequence(0, ${dim - 1}), i ->
            |  CASE WHEN instr('0123456789abcdef', substring(md5(concat('$salt', p, '_', i)), 1, 1)) - 1 < 8
            |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)""".stripMargin))
+
+  def lshBuckets(df: DataFrame, embCol: String, idCol: String,
+      numPlanes: Int = 8, dim: Int = 64, salt: String = ""): DataFrame = {
+    val d = dot(df) _
+    val planes = hyperplanes(df.sparkSession, numPlanes, dim, salt)
     val emb = df.select(col(idCol), quantize(col(embCol)).as("q"))
     emb.crossJoin(broadcast(planes))
       .select(col(idCol), col("p"), d(col("q"), col("comp")).as("proj"))
@@ -246,12 +256,9 @@ object Similarity {
     require(probes >= 1 && probes <= numPlanes + 1,
       s"probes out of range: $probes")
     val d = dot(df) _
-    val planes = df.sparkSession.range(numPlanes)
-      .select(col("id").cast("int").as("p"))
-      .withColumn("comp", expr(
-        s"""transform(sequence(0, ${dim - 1}), i ->
-           |  CASE WHEN instr('0123456789abcdef', substring(md5(concat('', p, '_', i)), 1, 1)) - 1 < 8
-           |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)""".stripMargin))
+    // the SAME planes relation lshBuckets hashes the corpus with — see
+    // hyperplanes' single-source-of-truth contract
+    val planes = hyperplanes(df.sparkSession, numPlanes, dim)
     val emb = df.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
     val qrow = emb.filter(col("id") === queryId)
     val qproj = qrow.crossJoin(broadcast(planes))

@@ -924,10 +924,11 @@ object MiscQueries {
       val edges = pp.as("a").join(pp.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
-      val seeds = edges.select(col("pa").as("n"))
-        .unionAll(edges.select(col("pb").as("n")))
-        .distinct().orderBy("n").limit(3)
-        .collect().map(_.getLong(0)).toSeq
+      val seeds = graft.streaming.Replay.bounded(
+          edges.select(col("pa").as("n"))
+            .unionAll(edges.select(col("pb").as("n")))
+            .distinct().orderBy("n").limit(3), max = 3)
+        .map(_.getLong(0)).toSeq
       graft.operators.Graphs.closenessFromSeeds(edges, "pa", "pb", seeds,
           maxHops = 6)
         .orderBy("seed")
@@ -1114,6 +1115,23 @@ object MiscQueries {
     // delta detectable at alpha=5%/power=80% with the qa18 arms.
     "qa28_power" -> { (s, d) =>
       graft.streaming.EventStream.powerReadout(t(s, d, "events"))
+    },
+    // Mann-Whitney U rank-sum readout of per-user revenue between the
+    // qa18 md5 arms — the nonparametric complement to qa24's CUPED mean
+    // (revenue is skewed; rank stats don't care). 2x-rank exact
+    // integers; z floored to ppm for cross-engine digit identity.
+    // (The id reuses the qa29 numbering gap — r9 verdict item #5.)
+    "qa29_mannwhitney" -> { (s, d) =>
+      val perUser = t(s, d, "events").groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(30,2)") * 100).cast("long")
+          .as("cents"))
+        .withColumn("g",
+          when(conv(substring(md5(concat(lit("ab_exp1_"),
+            col("user_id").cast("string"))), 1, 13), 16, 10)
+            .cast("long") % 2 === 0, "A").otherwise("B"))
+      graft.operators.Quality.mannWhitneyU(perUser, col("g"), col("cents"))
+        .withColumn("z_ppm", floor(col("z") * 1000000).cast("long"))
+        .drop("z")
     },
     // Deterministic salted-md5 A/B assignment + conversion readout.
     "qa18_ab_assignment" -> { (s, d) =>
@@ -1645,9 +1663,10 @@ object MiscQueries {
         |          || CAST(r.r AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),
         |          CAST(k AS INT), 1)) - 1
         |        AS BIGINT) * CAST(16 ** (13 - k) AS BIGINT))) AS BIGINT)
-        |      % p.p AS rk
+        |      % GREATEST(p.p, 1) AS rk
         |  FROM generate_series(1, 200) AS r(r)
-        |  CROSS JOIN generate_series(0, 31) AS j(j), p),
+        |  CROSS JOIN generate_series(0, 31) AS j(j), p
+        |  WHERE j.j < GREATEST(p.p, 1)),
         |means AS (SELECT r, n, s,
         |    CAST(SUM(sb) AS BIGINT) // GREATEST(CAST(SUM(nb) AS BIGINT), 1)
         |      AS mr
@@ -3671,6 +3690,47 @@ object MiscQueries {
         |    + CAST(CEIL(CAST(1.96 AS DOUBLE) * se_ppm) AS BIGINT)
         |    AS ci_hi_ppm
         |FROM f ORDER BY arm""".stripMargin,
+    "qa29_mannwhitney" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,2)) * 100) AS BIGINT) AS v
+        |  FROM events GROUP BY user_id),
+        |armed AS (SELECT CASE WHEN
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('ab_exp1_'
+        |        || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS g, v FROM u),
+        |counts AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM armed GROUP BY v),
+        |ranks AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS r2
+        |  FROM counts),
+        |tie AS (SELECT CAST(COALESCE(SUM(c*c*c - c), 0) AS BIGINT)
+        |    AS tie_term FROM counts),
+        |byg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(r2) AS BIGINT) AS r2sum
+        |  FROM armed JOIN ranks USING (v) GROUP BY g),
+        |paired AS (SELECT g AS g_a, n_g AS n_a, r2sum AS r2_a,
+        |    LEAD(g) OVER (ORDER BY g) AS g_b,
+        |    LEAD(n_g) OVER (ORDER BY g) AS n_b,
+        |    LEAD(r2sum) OVER (ORDER BY g) AS r2_b,
+        |    COUNT(*) OVER () AS ngroups
+        |  FROM byg)
+        |SELECT g_a, g_b, n_a, n_b,
+        |  r2_a - n_a * (n_a + 1) AS u2x_a,
+        |  r2_b - n_b * (n_b + 1) AS u2x_b,
+        |  tie_term,
+        |  CAST(FLOOR((
+        |    (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+        |      - CAST(n_a * n_b AS DOUBLE)) /
+        |    sqrt(CAST(n_a * n_b AS DOUBLE)
+        |      * CAST((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1)
+        |          - tie_term AS DOUBLE)
+        |      / CAST(3 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))
+        |  ) * 1000000) AS BIGINT) AS z_ppm
+        |FROM paired, tie WHERE g_b IS NOT NULL AND ngroups = 2""".stripMargin,
     "qa28_power" ->
       """WITH armed AS (SELECT user_id, event_type,
         |    (CAST(list_sum(list_transform(generate_series(1, 13), j ->

@@ -42,8 +42,19 @@ object TextOps {
     // state probing is what's actually being verified.
     "qd29_streaming_neardup" -> { (s, d) =>
       import s.implicits._
-      val docs = withDups(s, d).filter(col("doc_id") % 10 === 0)
-        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      // Replay set bounded BEFORE dup injection (r9 verdict #3): doc_id <
+      // 2000 is a deterministic constant-size slice at every SF (<= 240
+      // replay rows: 200 originals at %10 + their 40 shifted %50 dups),
+      // where the old doc_id % 10 filter was linear in SF. Hard-capped by
+      // the shared Replay.bounded gather.
+      val base = t(s, d, "documents").filter(col("doc_id") < 2000)
+        .select("doc_id", "text")
+      val bounded = base.unionAll(
+        base.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val docs = graft.streaming.Replay.bounded(
+        bounded.filter(col("doc_id") % 10 === 0)
+          .as[(Long, String)], max = 1000).sortBy(_._1)
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       val name = s"qd29_sink_${sinkSeq.incrementAndGet()}"
@@ -784,9 +795,10 @@ object TextOps {
     // them as a tokenizer, report the top-20 symbol frequencies.
     "qd65_bpe_tokenize" -> { (s, d) =>
       val docs = t(s, d, "documents").filter(col("doc_id") < 200)
-      val merges = graft.operators.Text
-        .bpePairs(docs, "text", topK = 3, minCount = 2)
-        .orderBy("rank").collect().map(_.getString(0)).toSeq
+      val merges = graft.streaming.Replay.bounded(
+          graft.operators.Text.bpePairs(docs, "text", topK = 3, minCount = 2)
+            .orderBy("rank"), max = 3)
+        .map(_.getString(0)).toSeq
       graft.operators.Text.bpeApplyMerges(docs, "text", "doc_id", merges)
         .select(explode(col("syms")).as("sym"))
         .groupBy("sym").agg(count(lit(1)).as("cnt"))
@@ -975,8 +987,9 @@ object TextOps {
     // batch answer (see the qd29 query comment)
     "qd29_streaming_neardup" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id % 50 = 0 AND doc_id < 2000),
         |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
         |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
         |bits AS (SELECT doc_id, b,
@@ -1119,8 +1132,9 @@ object TextOps {
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qd20_lsh_verify" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id % 50 = 0 AND doc_id < 2000),
         |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
         |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM sub),
         |sig AS (SELECT doc_id,
@@ -1433,8 +1447,9 @@ object TextOps {
         |FROM v ORDER BY rank""".stripMargin,
     "qd25_hamming_pairs" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id % 50 = 0 AND doc_id < 2000),
         |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
         |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
         |bits AS (SELECT doc_id, b,
@@ -1618,8 +1633,9 @@ object TextOps {
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
     "qd40_overlap_f1" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id % 50 = 0 AND doc_id < 2000),
         |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
         |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM sub),
         |sig AS (SELECT doc_id,
@@ -1712,8 +1728,9 @@ object TextOps {
         |ORDER BY df DESC, phrase LIMIT 25""".stripMargin,
     "qd47_edit_distance" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id % 50 = 0 AND doc_id < 2000),
         |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
         |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM sub),
         |sig AS (SELECT doc_id,

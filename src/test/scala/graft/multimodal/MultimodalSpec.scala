@@ -321,5 +321,84 @@ class MultimodalSpec extends SparkSpec {
     // non-media passes through untouched
     assert(Multimodal.classifyMetadata("plain".getBytes) ==
       (("unknown", false, "none")))
+    // JPEG fill bytes: runs of 0xFF before a marker are padding (ITU
+    // T.81 B.1.1.2), not part of the marker itself
+    val fill = Array(0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    assert(Multimodal.classifyMetadata(soi ++ fill ++ com ++ sos) ==
+      (("jpeg", true, "text")))
+  }
+
+  test("classifyMetadata: WebP RIFF chunks and GIF extensions") {
+    def rchunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val len = data.length
+      cc.getBytes("ISO-8859-1") ++
+        Array[Byte]((len & 0xFF).toByte, ((len >> 8) & 0xFF).toByte,
+          ((len >> 16) & 0xFF).toByte, ((len >> 24) & 0xFF).toByte) ++
+        data ++
+        (if ((len & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    }
+    def webp(chunks: Array[Byte]*): Array[Byte] = {
+      val body = "WEBP".getBytes("ISO-8859-1") ++ chunks.flatten
+      val sz = body.length
+      "RIFF".getBytes("ISO-8859-1") ++
+        Array[Byte]((sz & 0xFF).toByte, ((sz >> 8) & 0xFF).toByte,
+          ((sz >> 16) & 0xFF).toByte, ((sz >> 24) & 0xFF).toByte) ++ body
+    }
+    val vp8l = rchunk("VP8L", Array[Byte](0x2F, 0, 0, 0, 0)) // odd: pads
+    assert(Multimodal.classifyMetadata(
+      webp(vp8l, rchunk("EXIF", Array[Byte](1, 2, 3, 4)))) ==
+      (("webp", true, "exif")))
+    assert(Multimodal.classifyMetadata(
+      webp(vp8l, rchunk("XMP ", "<x/>".getBytes))) ==
+      (("webp", true, "xmp")))
+    // exif outranks xmp when both ride the container
+    assert(Multimodal.classifyMetadata(
+      webp(rchunk("XMP ", "<x/>".getBytes),
+        rchunk("EXIF", Array[Byte](9, 9)))) == (("webp", true, "exif")))
+    assert(Multimodal.classifyMetadata(webp(vp8l)) ==
+      (("webp", false, "none")))
+    // declared size beyond the buffer with no metadata seen: corrupt,
+    // not a silent "none"
+    assert(Multimodal.classifyMetadata(webp(vp8l).dropRight(3)) ==
+      (("webp", false, "corrupt")))
+    // non-WebP RIFF (WAV/AVI) is recognized but not walked
+    assert(Multimodal.classifyMetadata("RIFFxxxxWAVEfmt ".getBytes) ==
+      (("riff", false, "none")))
+
+    val gifHdr = "GIF89a".getBytes("ISO-8859-1") ++
+      Array[Byte](1, 0, 1, 0, 0, 0, 0)
+    val trailer = Array[Byte](0x3B)
+    assert(Multimodal.classifyMetadata(gifHdr ++ trailer) ==
+      (("gif", false, "none")))
+    val comment = Array[Byte](0x21, 0xFE.toByte, 5) ++
+      "hello".getBytes ++ Array[Byte](0)
+    assert(Multimodal.classifyMetadata(gifHdr ++ comment ++ trailer) ==
+      (("gif", true, "text")))
+    val xmpExt = Array[Byte](0x21, 0xFF.toByte, 11) ++
+      "XMP DataXMP".getBytes("ISO-8859-1") ++ Array[Byte](4) ++
+      "<x/>".getBytes ++ Array[Byte](0)
+    assert(Multimodal.classifyMetadata(gifHdr ++ xmpExt ++ trailer) ==
+      (("gif", true, "xmp")))
+    // a NON-XMP application extension (e.g. NETSCAPE2.0) is stepped over
+    val netscape = Array[Byte](0x21, 0xFF.toByte, 11) ++
+      "NETSCAPE2.0".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 1, 0, 0, 0)
+    assert(Multimodal.classifyMetadata(
+      gifHdr ++ netscape ++ comment ++ trailer) == (("gif", true, "text")))
+    // global color table is skipped, not misread as a block
+    val gctHdr = "GIF89a".getBytes("ISO-8859-1") ++
+      Array[Byte](1, 0, 1, 0, 0x80.toByte, 0, 0) ++
+      new Array[Byte](3 * 2) // packed size bits 0 -> 2 entries
+    assert(Multimodal.classifyMetadata(gctHdr ++ comment ++ trailer) ==
+      (("gif", true, "text")))
+    // image descriptor with local color table + LZW sub-blocks skipped
+    val imgDesc = Array[Byte](0x2C, 0, 0, 0, 0, 1, 0, 1, 0,
+        0x80.toByte) ++ new Array[Byte](3 * 2) ++
+      Array[Byte](2) ++ Array[Byte](2) ++ Array[Byte](0x4C, 0x01) ++
+      Array[Byte](0)
+    assert(Multimodal.classifyMetadata(
+      gifHdr ++ imgDesc ++ comment ++ trailer) == (("gif", true, "text")))
+    // truncated stream (no trailer, nothing seen): corrupt
+    assert(Multimodal.classifyMetadata(gifHdr) == (("gif", false, "corrupt")))
   }
 }

@@ -906,4 +906,32 @@ class QualitySpec extends SparkSpec {
     assert(t.getAs[Long]("sgn") == 1L)
   }
 
+  test("mannWhitneyU: hand case, mid-rank ties, non-binary groupings yield zero rows") {
+    val s = spark
+    import s.implicits._
+    // complete separation A={1,2,3} < B={4,5,6}: U_A = 0, U_B = n1*n2,
+    // z = -9/sqrt(21) exactly (no ties)
+    val sep = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 4L), ("B", 5L), ("B", 6L)).toDF("g", "v")
+    val r = Quality.mannWhitneyU(sep, col("g"), col("v")).head()
+    assert(r.getAs[String]("g_a") == "A" && r.getAs[String]("g_b") == "B")
+    assert(r.getAs[Long]("u2x_a") == 0L && r.getAs[Long]("u2x_b") == 18L)
+    assert(r.getAs[Long]("tie_term") == 0L)
+    assert(math.abs(r.getAs[Double]("z") - (-9.0 / math.sqrt(21.0))) < 1e-12)
+    // mid-rank ties: A={1,1}, B={1,2} -> the three 1s share rank 2
+    // (rank2 = 4), U_A = 1 (u2x = 2), tie_term = 3^3 - 3 = 24
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val t2 = Quality.mannWhitneyU(tied, col("g"), col("v")).head()
+    assert(t2.getAs[Long]("u2x_a") == 2L && t2.getAs[Long]("u2x_b") == 6L)
+    assert(t2.getAs[Long]("tie_term") == 24L)
+    // u2x_a + u2x_b = 2*n1*n2 always
+    assert(t2.getAs[Long]("u2x_a") + t2.getAs[Long]("u2x_b") ==
+      2 * t2.getAs[Long]("n_a") * t2.getAs[Long]("n_b"))
+    // three groups or one group: zero rows, never a mispaired statistic
+    val three = Seq(("A", 1L), ("B", 2L), ("C", 3L)).toDF("g", "v")
+    assert(Quality.mannWhitneyU(three, col("g"), col("v")).count() == 0L)
+    val one = Seq(("A", 1L), ("A", 2L)).toDF("g", "v")
+    assert(Quality.mannWhitneyU(one, col("g"), col("v")).count() == 0L)
+  }
+
 }

@@ -97,6 +97,7 @@ class PlanHygieneSpec extends SparkSpec {
     "qg21_louvain", // 1-row edge-count m broadcast into the move gain + summary cross
     "qa28_power", // 1-row arm-total broadcast into the metric reach table
     "qa30_autocorrelation", // 1-row hour-bounds broadcast seeds the dense series
+    "qa29_mannwhitney", // 1-row tie-term aggregate broadcast into the 1-row pairing
     "qv36_embedding_decontam") // broadcast eval panel (id%evalMod-bounded) scored vs corpus
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {

@@ -17,8 +17,9 @@ package graft.core
   *  - transverse Mercator, Krüger series 4th order in the third flattening
   *    n (Karney 2011 §3; sub-mm over a UTM zone) — UTM 326xx/327xx,
   *    ETRS89 UTM 258xx, NAD27 UTM 267xx (Clarke 1866 + CONUS
-  *    geocentric translation), British National Grid 27700 (Airy 1830 +
-  *    7-parameter Helmert datum shift)
+  *    geocentric translation), WGS72 UTM 322xx/323xx (WGS72 ellipsoid +
+  *    the EPSG:1237 position-vector micro-shift), British National Grid
+  *    27700 (Airy 1830 + 7-parameter Helmert datum shift)
   *  - Lambert Conformal Conic 2SP (EPSG method 9802) — 2154/3347/3034
   *  - Albers Equal-Area (EPSG method 9822) — 5070
   *  - Polar Stereographic variant B (EPSG method 9829, Snyder eq.
@@ -71,6 +72,8 @@ object Proj {
   val Krassowsky1940: Ellipsoid = Ellipsoid(6378245.0, 298.3)
   /** Clarke 1866, EPSG ellipsoid 7008 — the NAD27 grids. */
   val Clarke1866: Ellipsoid = Ellipsoid(6378206.4, 294.9786982)
+  /** WGS 72, EPSG ellipsoid 7043 — the Transit-era WGS72 UTM grids. */
+  val Wgs72Ell: Ellipsoid = Ellipsoid(6378135.0, 298.26)
 
   // ------------------------------------------------------------- datum shifts
 
@@ -169,6 +172,14 @@ object Proj {
     * the OSGB36/Pulkovo entries above; the exact transform is the NADCON
     * grid, out of scope offline). */
   private val Wgs84ToNad27 = Helmert(8.0, -160.0, -176.0, 0, 0, 0, 0)
+
+  /** WGS84 -> WGS72 (sign-reversed EPSG transformation 1237, the
+    * published WGS72 -> WGS84 position-vector micro-shift
+    * tz = +4.5 m, rz = +0.554", ds = +0.2263 ppm — the Doppler/Transit
+    * era epoch correction, ~2-17 m over the globe; naive negation of a
+    * shift this small is sub-mm-exact, the OSGB/DHDN fidelity
+    * contract). */
+  private val Wgs84ToWgs72 = Helmert(0, 0, -4.5, 0, 0, -0.554, -0.2263)
 
   /** geodetic (degrees, h=0) -> ECEF on `ell`. */
   private def toEcef(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
@@ -826,6 +837,19 @@ object Proj {
           c.substring(3).toIntOption.filter(z => z >= 1 && z <= 23)
             .map(z => Crs(Tmerc(0.0, z * 6 - 183, 0.9996, 500000.0, 0.0),
               Clarke1866, Some(Wgs84ToNad27)))
+        // WGS72 / UTM zones 1N-60N (32201-32260) and 1S-60S
+        // (32301-32360): UTM on the WGS72 ellipsoid plus the published
+        // WGS72->WGS84 position-vector micro-shift (reverse EPSG:1237)
+        // — the Transit-era satellite datum still common in archival
+        // marine/seismic COGs
+        case c if c.length == 5 && c.startsWith("322") =>
+          c.substring(3).toIntOption.filter(z => z >= 1 && z <= 60)
+            .map(z => Crs(Tmerc(0.0, z * 6 - 183, 0.9996, 500000.0, 0.0),
+              Wgs72Ell, Some(Wgs84ToWgs72)))
+        case c if c.length == 5 && c.startsWith("323") =>
+          c.substring(3).toIntOption.filter(z => z >= 1 && z <= 60)
+            .map(z => Crs(Tmerc(0.0, z * 6 - 183, 0.9996, 500000.0,
+              10000000.0), Wgs72Ell, Some(Wgs84ToWgs72)))
         // NAD83 / UTM zones 1N-23N (26901-26923): standard UTM bundle on
         // GRS80; NAD83 ≡ WGS84 at this fidelity (the ETRS89/NZGD2000
         // convention used for 258xx)
@@ -890,12 +914,6 @@ object Proj {
     // the raw integer; error text should name the registry)
     val disp = if (code.nonEmpty && code.forall(_.isDigit)) s"EPSG:$code" else srs
     val hint = code.toIntOption.collect {
-      case c if c >= 32201 && c <= 32260 =>
-        s"WGS72 UTM zone ${c - 32200}N — the ~10 m WGS72→WGS84 shift isn't " +
-          s"modeled; use EPSG:${32600 + (c - 32200)} (WGS84 UTM, supported)"
-      case c if c >= 32301 && c <= 32360 =>
-        s"WGS72 UTM zone ${c - 32300}S — use EPSG:${32700 + (c - 32300)} " +
-          s"(WGS84 UTM, supported)"
       case c if c >= 30161 && c <= 30179 =>
         s"Tokyo-datum Plane Rectangular zone ${c - 30160} — the ~400 m " +
           s"Tokyo→JGD shift needs grid files; use EPSG:${6668 + (c - 30160)} " +
@@ -906,7 +924,8 @@ object Proj {
     }
     s"unsupported SRS '$disp'" + hint.map("; " + _).getOrElse(
       "; supported families: 4326/3857/900913/3395, UTM 326xx/327xx, " +
-        "ETRS89 258xx, NAD83 269xx, NAD27 267xx, MGA 283xx/78xx, SIRGAS 319xx, " +
+        "ETRS89 258xx, NAD83 269xx, NAD27 267xx, WGS72 322xx/323xx, " +
+        "MGA 283xx/78xx, SIRGAS 319xx, " +
         "Pulkovo GK 284xx, DHDN GK 3146x, JPRCS 6669-6687, LCC " +
         "2154/3347/3034, Albers 5070, polar stereo 3413/3976/3031/3995, " +
         "27700, 2193, 3375/29873, 3035, 2056, 5514")

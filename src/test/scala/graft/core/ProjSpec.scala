@@ -525,9 +525,40 @@ class ProjSpec extends AnyFunSuite {
     assert(Proj.forward("epsg:26730").isEmpty)
   }
 
+  test("WGS72 UTM 322xx/323xx: micro datum shift, round-trip exact, south FN") {
+    // zone 14 over Kansas vs WGS84 UTM 14N: the EPSG:1237 micro-shift
+    // (tz 4.5 m, rz 0.554", ds 0.2263 ppm) plus the 2 m ellipsoid
+    // change separates the grids by metres-to-tens-of-metres
+    val w72 = Proj.forward("epsg:32214").get
+    val w84 = Proj.forward("epsg:32614").get
+    val (ax, ay) = w72(-98.0, 38.0)
+    val (bx, by) = w84(-98.0, 38.0)
+    val d = math.hypot(ax - bx, ay - by)
+    assert(d > 1 && d < 40, s"WGS72 vs WGS84 offset $d m")
+    // the shift is GENUINE (not just the ellipsoid swap): kernel-only
+    // WGS72 ellipsoid differs from the datum-shifted result
+    val kernelOnly = Proj.Crs(
+      Proj.Tmerc(0.0, -99.0, 0.9996, 500000.0, 0.0), Proj.Wgs72Ell)
+    val (kx, ky) = kernelOnly.forward(-98.0, 38.0)
+    assert(math.hypot(ax - kx, ay - ky) > 1)
+    // forward-inverse closes to machine precision
+    val inv = Proj.inverse("epsg:32214").get
+    val (lo, la) = inv(ax, ay)
+    assert(math.abs(lo + 98.0) < 1e-9 && math.abs(la - 38.0) < 1e-9)
+    // southern zone: false northing 10^7, round-trip exact
+    val s56 = Proj.forward("epsg:32356").get
+    val (sx, sy) = s56(153.0, -27.5)
+    assert(sy > 6000000 && sy < 10000000, s"south northing $sy")
+    val sInv = Proj.inverse("epsg:32356").get
+    val (slo, sla) = sInv(sx, sy)
+    assert(math.abs(slo - 153.0) < 1e-9 && math.abs(sla + 27.5) < 1e-9)
+    // zone bounds refuse
+    assert(Proj.forward("epsg:32200").isEmpty)
+    assert(Proj.forward("epsg:32261").isEmpty)
+    assert(Proj.forward("epsg:32361").isEmpty)
+  }
+
   test("unsupportedMessage: near-miss EPSG blocks name the supported workaround") {
-    val wgs72n = Proj.unsupportedMessage("epsg:32217")
-    assert(wgs72n.contains("32617"), wgs72n)
     val tokyo = Proj.unsupportedMessage("epsg:30169")
     assert(tokyo.contains("6677"), tokyo)
     val jgd2000 = Proj.unsupportedMessage("epsg:2451")

@@ -1755,6 +1755,123 @@ object Quality {
     corrMatrix(rows, named.map { case (n, _) => n -> col(s"__r_$n") })
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the chi-square goodness-of-fit
+    * on assignment counts that every experimentation platform runs
+    * BEFORE reading a metric (Fabijan et al., KDD 2019 "Diagnosing
+    * Sample Ratio Mismatch"): if the arms don't hold their intended
+    * ratio, the randomizer (or a filter downstream of it) is broken and
+    * every readout on the experiment is invalid. `weights` are the
+    * intended integer allocation (e.g. A→1, B→1 for 50/50); arms with
+    * ZERO observed rows still enter the statistic (a vanished arm is
+    * the loudest SRM there is). Exact integer arithmetic throughout:
+    * with W = Σw, each arm's χ² term is
+    * (W·o_g − n·w_g)² / (W·n·w_g), emitted as the ppm floor
+    * 10⁶·(W·o_g − n·w_g)² div (W·n·w_g) — and the total χ²_ppm is the
+    * exact BIGINT SUM of those integer terms, so there is no
+    * order-dependent double accumulation anywhere. One row:
+    * (n_arms, n_total, df, chi2_ppm). Compare chi2_ppm against the
+    * caller's critical value (3 841 459 ≈ χ²₀.₀₅,df=1).
+    *
+    * Scale shape: ONE map-side-combined groupBy on the arm column,
+    * left-joined to the broadcast |weights|-row allocation table, one
+    * 1-row total broadcast, one ≤ |weights|-row rollup. BIGINT
+    * contract: 10⁶·(W·n)² < 2⁶³ — W·n ≲ 3 M assignment rows; past
+    * that, divide counts by a common factor first (the ratio is
+    * scale-free). */
+  def srmCheck(df: DataFrame, armCol: Column,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.size >= 2, "srmCheck needs at least two arms")
+    require(weights.forall(_._2 > 0), "allocation weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate arm in weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toDF("arm", "w"))
+    val obs = df.select(armCol.cast("string").as("arm"))
+      .filter(col("arm").isNotNull)
+      .groupBy("arm").agg(count(lit(1)).as("o"))
+    // weights LEFT join obs: a zero-count arm stays in the statistic;
+    // an OBSERVED arm with no weight is an assignment bug — surface it
+    // as a NULL-weight row the chi2 sum turns NULL (loud, not dropped)
+    val joined = wdf.join(obs, Seq("arm"), "left_outer")
+      .select(col("arm"), col("w"), coalesce(col("o"), lit(0L)).as("o"))
+      .unionByName(obs.join(wdf, Seq("arm"), "left_anti")
+        .select(col("arm"), lit(null).cast("long").as("w"), col("o")))
+    val tot = broadcast(joined.agg(sum("o").as("n"),
+      sum("w").as("bigw"), count(lit(1)).as("n_arms")))
+    joined.crossJoin(tot)
+      .select(col("n_arms"), col("n"),
+        expr("(1000000L * (bigw * o - n * w) * (bigw * o - n * w)) div " +
+          "(bigw * n * w)").as("term_ppm"))
+      .groupBy("n_arms", "n")
+      // SUM skips NULLs in both engines, so the stray-arm NULL term must
+      // be propagated explicitly or the broken assignment reads healthy
+      .agg(sum("term_ppm").as("__s"),
+        sum(when(col("term_ppm").isNull, 1L).otherwise(0L)).as("__nulls"))
+      .select(col("n_arms"), col("n").as("n_total"),
+        (col("n_arms") - 1).as("df"),
+        when(col("__nulls") > 0, lit(null).cast("long"))
+          .otherwise(col("__s")).as("chi2_ppm"))
+  }
+
+  /** Welch's unequal-variance t-test — Welch, Biometrika 1947: the
+    * two-sample mean comparison that does NOT assume equal arm
+    * variances (Student's pooled test silently inflates false positives
+    * when a treatment changes the variance too — almost always, for
+    * revenue metrics). The parametric complement to [[mannWhitneyU]]:
+    * MW-U asks "does one distribution dominate", this asks "do the
+    * MEANS differ" with full efficiency when normality roughly holds.
+    * Every moment is exact BIGINT (n, Σx, n·Σx² − (Σx)² per arm); the
+    * t statistic and the Welch–Satterthwaite degrees of freedom are
+    * each ONE fixed IEEE tree over those integers — engine-identical
+    * digits. One row: (g_a, g_b, n_a, n_b, sum_a, sum_b, dd_a, dd_b,
+    * t, df) with dd_g = n_g·Σx² − (Σx)² and
+    * v_g/n_g = dd_g / (n_g²·(n_g−1)). EXACTLY two groups required
+    * (the [[mannWhitneyU]] guard); each arm needs n ≥ 2.
+    *
+    * Scale shape: ONE aggregate pass per arm (map-side combine on the
+    * 2-row group key), a 2-row pairing window, zero joins on raw rows.
+    * BIGINT contract: n·max(x)² < 2⁶³ (the corrMatrix bound). */
+  def welchTTest(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame = {
+    val base = df
+      .select(groupCol.cast("string").as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val byG = base.groupBy("g").agg(count(lit(1)).as("n_g"),
+        sum("v").as("s_g"), sum(col("v") * col("v")).as("ss_g"))
+      .filter(col("n_g") >= 2)
+      .withColumn("dd_g", col("n_g") * col("ss_g") - col("s_g") * col("s_g"))
+    val wg = org.apache.spark.sql.expressions.Window.orderBy("g")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val paired = byG
+      .select(col("g").as("g_a"), col("n_g").as("n_a"),
+        col("s_g").as("sum_a"), col("dd_g").as("dd_a"),
+        lead("g", 1).over(wg).as("g_b"),
+        lead("n_g", 1).over(wg).as("n_b"),
+        lead("s_g", 1).over(wg).as("sum_b"),
+        lead("dd_g", 1).over(wg).as("dd_b"),
+        count(lit(1)).over(wAll).as("__ngroups"))
+      .filter(col("g_b").isNotNull && col("__ngroups") === 2)
+      .drop("__ngroups")
+    // va = v_a/n_a and vb = v_b/n_b as fixed IEEE subtrees shared by t
+    // and df — both engines must build the IDENTICAL tree shape
+    val va = col("dd_a").cast("double") /
+      (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
+    val vb = col("dd_b").cast("double") /
+      (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
+    paired.select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+      col("sum_a"), col("sum_b"), col("dd_a"), col("dd_b"),
+      ((col("sum_a").cast("double") / col("n_a").cast("double") -
+        col("sum_b").cast("double") / col("n_b").cast("double")) /
+        sqrt(va + vb)).as("t"),
+      (((va + vb) * (va + vb)) /
+        (va * va / (col("n_a") - 1).cast("double") +
+          vb * vb / (col("n_b") - 1).cast("double"))).as("df"))
+  }
+
   /** Mann–Whitney U rank-sum test — Mann & Whitney, Ann. Math. Stat.
     * 1947: the nonparametric two-sample readout ([[spearmanMatrix]]'s
     * rank discipline applied to an A/B comparison). Does one arm's

@@ -289,6 +289,46 @@ object MediaQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name).orderBy("user_id", "left_us", "right_us")
     },
+    // STREAM-STREAM LEFT OUTER interval join under the oracle
+    // (unattributed-impression accounting): qs08's inner join emits only
+    // matches as they arrive, but an outer join must EARN its NULL rows
+    // — an unmatched view emits null-extended only once the watermark
+    // proves no click can still land in its window. A far-future
+    // view+click sentinel pair advances both sides' watermarks so every
+    // pending left flushes; the oracle is the plain batch LEFT JOIN,
+    // which gets the same rows for free.
+    "qs18_stream_outer_join" -> { (s, d) =>
+      import s.implicits._
+      val rows = graft.streaming.Replay.bounded(
+        t(s, d, "events").filter(col("user_id") < 300)
+          .select("user_id", "event_type", "ts", "value")
+          .as[(Long, String, Long, Double)], max = 25000).sortBy(_._3)
+      val sentinelTs = rows.map(_._3).max + 10L * 24 * 3600 * 1000000000L
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long, Double)]
+      val name = s"qs18_sink_${cdcSinkSeq.incrementAndGet()}"
+      // same state-store economics as qs08: 4 stores/partition for a
+      // stream-stream join; the bounded replay runs at 2 partitions
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = EventStream.intervalJoinOuter(
+            mem.toDF.toDF("user_id", "event_type", "ts", "value"),
+            "view", "click", windowMinutes = 30)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        val n = rows.length
+        Seq(rows.slice(0, n / 3).toSeq, rows.slice(n / 3, 2 * n / 3).toSeq,
+            rows.slice(2 * n / 3, n).toSeq,
+            Seq((999999L, "view", sentinelTs, 0.0),
+              (999999L, "click", sentinelTs, 0.0)))
+          .foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).filter(col("user_id") < 300)
+        .orderBy("user_id", "left_us", "right_us")
+    },
     // STREAMING WINDOWED KMV sketch under the oracle: per-hour distinct
     // users estimated by the bottom-64 md5 state, emitted once per
     // window when the watermark closes it (a far-future sentinel closes
@@ -841,6 +881,16 @@ object MediaQueries {
         |   ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(MAX(hi) AS DOUBLE)
         | END AS est_distinct
         |FROM kk GROUP BY w ORDER BY wstart_us""".stripMargin,
+    "qs18_stream_outer_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'view' AND user_id < 300),
+        |c AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |  WHERE event_type = 'click' AND user_id < 300)
+        |SELECT v.user_id AS user_id, v.us AS left_us, c.us AS right_us,
+        | c.value AS value
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        | AND c.us >= v.us AND c.us <= v.us + 1800000000
+        |ORDER BY v.user_id, left_us, right_us""".stripMargin,
     "qs08_stream_join" ->
       """WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events
         |  WHERE event_type = 'view' AND user_id < 300),

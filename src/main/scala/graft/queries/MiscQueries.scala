@@ -1116,6 +1116,35 @@ object MiscQueries {
     "qa28_power" -> { (s, d) =>
       graft.streaming.EventStream.powerReadout(t(s, d, "events"))
     },
+    // Sample-ratio-mismatch gate on the qa18 md5 assignment: chi-square
+    // goodness-of-fit of per-arm user counts against the intended 1:1
+    // allocation, in exact integer ppm terms (the read-BEFORE-metrics
+    // experiment health check).
+    "qa32_srm_check" -> { (s, d) =>
+      val armed = t(s, d, "events").select(col("user_id")).distinct()
+        .withColumn("arm",
+          when(conv(substring(md5(concat(lit("ab_exp1_"),
+            col("user_id").cast("string"))), 1, 13), 16, 10)
+            .cast("long") % 2 === 0, "A").otherwise("B"))
+      graft.operators.Quality.srmCheck(armed, col("arm"),
+        Seq("A" -> 1L, "B" -> 1L))
+    },
+    // Welch's unequal-variance t-test on per-user revenue between the
+    // qa18 arms — the parametric mean readout beside qa29's rank test;
+    // exact BIGINT moments, t and Welch-Satterthwaite df floored to ppm.
+    "qa33_welch_ttest" -> { (s, d) =>
+      val perUser = t(s, d, "events").groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(30,2)") * 100).cast("long")
+          .as("cents"))
+        .withColumn("g",
+          when(conv(substring(md5(concat(lit("ab_exp1_"),
+            col("user_id").cast("string"))), 1, 13), 16, 10)
+            .cast("long") % 2 === 0, "A").otherwise("B"))
+      graft.operators.Quality.welchTTest(perUser, col("g"), col("cents"))
+        .withColumn("t_ppm", floor(col("t") * 1000000).cast("long"))
+        .withColumn("df_ppm", floor(col("df") * 1000000).cast("long"))
+        .drop("t", "df")
+    },
     // Mann-Whitney U rank-sum readout of per-user revenue between the
     // qa18 md5 arms — the nonparametric complement to qa24's CUPED mean
     // (revenue is skewed; rank stats don't care). 2x-rank exact
@@ -3690,6 +3719,63 @@ object MiscQueries {
         |    + CAST(CEIL(CAST(1.96 AS DOUBLE) * se_ppm) AS BIGINT)
         |    AS ci_hi_ppm
         |FROM f ORDER BY arm""".stripMargin,
+    "qa32_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |armed AS (SELECT CASE WHEN
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('ab_exp1_'
+        |        || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm FROM u),
+        |obs AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM armed GROUP BY arm),
+        |wt AS (SELECT 'A' AS arm, CAST(1 AS BIGINT) AS w
+        |  UNION ALL SELECT 'B', CAST(1 AS BIGINT)),
+        |j AS (SELECT wt.arm, wt.w, COALESCE(obs.o, 0) AS o
+        |  FROM wt LEFT JOIN obs USING (arm)),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(SUM(w) AS BIGINT) AS bigw,
+        |    CAST(COUNT(*) AS BIGINT) AS n_arms FROM j)
+        |SELECT n_arms, n AS n_total, n_arms - 1 AS df,
+        |  CAST(SUM((1000000 * (bigw * o - n * w) * (bigw * o - n * w))
+        |    // (bigw * n * w)) AS BIGINT) AS chi2_ppm
+        |FROM j, tot GROUP BY n_arms, n""".stripMargin,
+    "qa33_welch_ttest" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,2)) * 100) AS BIGINT) AS v
+        |  FROM events GROUP BY user_id),
+        |armed AS (SELECT CASE WHEN
+        |    CAST(list_sum(list_transform(generate_series(1, 13), j ->
+        |      CAST(instr('0123456789abcdef', substr(md5('ab_exp1_'
+        |        || CAST(user_id AS VARCHAR)), CAST(j AS INT), 1)) - 1
+        |        AS BIGINT)
+        |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS g, v FROM u),
+        |byg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(v) AS BIGINT) AS s_g, CAST(SUM(v * v) AS BIGINT) AS ss_g
+        |  FROM armed GROUP BY g HAVING COUNT(*) >= 2),
+        |dd AS (SELECT g, n_g, s_g, n_g * ss_g - s_g * s_g AS dd_g FROM byg),
+        |paired AS (SELECT g AS g_a, n_g AS n_a, s_g AS sum_a, dd_g AS dd_a,
+        |    LEAD(g) OVER (ORDER BY g) AS g_b,
+        |    LEAD(n_g) OVER (ORDER BY g) AS n_b,
+        |    LEAD(s_g) OVER (ORDER BY g) AS sum_b,
+        |    LEAD(dd_g) OVER (ORDER BY g) AS dd_b,
+        |    COUNT(*) OVER () AS ngroups
+        |  FROM dd),
+        |vv AS (SELECT g_a, g_b, n_a, n_b, sum_a, sum_b, dd_a, dd_b,
+        |    CAST(dd_a AS DOUBLE) / CAST(n_a * n_a * (n_a - 1) AS DOUBLE) AS va,
+        |    CAST(dd_b AS DOUBLE) / CAST(n_b * n_b * (n_b - 1) AS DOUBLE) AS vb
+        |  FROM paired WHERE g_b IS NOT NULL AND ngroups = 2)
+        |SELECT g_a, g_b, n_a, n_b, sum_a, sum_b, dd_a, dd_b,
+        |  CAST(FLOOR(((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt(va + vb)) * 1000000) AS BIGINT) AS t_ppm,
+        |  CAST(FLOOR((((va + vb) * (va + vb))
+        |    / (va * va / CAST(n_a - 1 AS DOUBLE)
+        |      + vb * vb / CAST(n_b - 1 AS DOUBLE))) * 1000000) AS BIGINT)
+        |    AS df_ppm
+        |FROM vv""".stripMargin,
     "qa29_mannwhitney" ->
       """WITH u AS (SELECT user_id,
         |    CAST(SUM(CAST(value AS DECIMAL(30,2)) * 100) AS BIGINT) AS v

@@ -479,6 +479,40 @@ object EventStream {
         col("r_us").as("right_us"), col("r_value").as("value"))
   }
 
+  /** The LEFT OUTER face of [[intervalJoin]] — unattributed-impression
+    * accounting: every `leftType` event emits, matched `rightType`
+    * events attach, and an UNMATCHED left emits with NULL right columns
+    * only once the watermark proves no match can still arrive (left
+    * state expires past `l_ets + window + lateness`). That
+    * watermark-gated null emission is the semantics a batch left join
+    * gets for free and a stream must EARN — which is exactly what the
+    * qs18 replay verifies against the batch-oracle answer. Same
+    * bounded-state time condition as the inner form; same output schema
+    * with right columns nullable.
+    *
+    * Scale shape: identical to [[intervalJoin]] — both sides
+    * watermarked, the range condition bounds each side's state to the
+    * window + lateness horizon; state is per-key-per-window, never
+    * unbounded. */
+  def intervalJoinOuter(events: DataFrame, leftType: String,
+      rightType: String, windowMinutes: Long = 30,
+      lateness: String = "10 minutes"): DataFrame = {
+    val streaming = events.isStreaming
+    def side(tpe: String, tag: String): DataFrame = {
+      val base = withTs(events).filter(col("event_type") === tpe)
+      val w = if (streaming) base.withWatermark("ets", lateness) else base
+      w.select(col("user_id").as(s"${tag}_uid"), col("ets").as(s"${tag}_ets"),
+        unix_micros(col("ets")).as(s"${tag}_us"), col("value").as(s"${tag}_value"))
+    }
+    side(leftType, "l").join(side(rightType, "r"),
+        col("l_uid") === col("r_uid") &&
+          col("r_ets") >= col("l_ets") &&
+          col("r_ets") <= col("l_ets") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("l_uid").as("user_id"), col("l_us").as("left_us"),
+        col("r_us").as("right_us"), col("r_value").as("value"))
+  }
+
   /** Ordered conversion funnel over N stages: stage 1 anchors at each
     * user's earliest stage-1 event; every later stage matches its
     * earliest event STRICTLY after the previous stage's match and within

@@ -934,4 +934,56 @@ class QualitySpec extends SparkSpec {
     assert(Quality.mannWhitneyU(one, col("g"), col("v")).count() == 0L)
   }
 
+  test("srmCheck: hand chi-square, zero-count arm counted, unweighted arm goes loud") {
+    val s = spark
+    import s.implicits._
+    // 60/40 on an intended 1:1 split of 100: chi2 = (60-50)^2/50 +
+    // (40-50)^2/50 = 4.0 exactly -> 4_000_000 ppm (df=1 critical value
+    // at 5% is ~3.84 -> this IS an SRM)
+    val df6040 = (Seq.fill(60)("A") ++ Seq.fill(40)("B")).toDF("arm")
+    val r = Quality.srmCheck(df6040, col("arm"), Seq("A" -> 1L, "B" -> 1L))
+      .head()
+    assert(r.getAs[Long]("n_arms") == 2L && r.getAs[Long]("n_total") == 100L)
+    assert(r.getAs[Long]("df") == 1L)
+    assert(r.getAs[Long]("chi2_ppm") == 4000000L)
+    // an arm with ZERO observed rows still enters the statistic
+    val onlyA = Seq.fill(10)("A").toDF("arm")
+    val z = Quality.srmCheck(onlyA, col("arm"), Seq("A" -> 1L, "B" -> 1L))
+      .head()
+    assert(z.getAs[Long]("chi2_ppm") == 10000000L) // 5.0 + 5.0
+    // an OBSERVED arm missing from the intended allocation nulls the
+    // statistic (loud), never silently drops
+    val stray = (Seq.fill(5)("A") ++ Seq.fill(5)("B") ++ Seq.fill(2)("C"))
+      .toDF("arm")
+    val st = Quality.srmCheck(stray, col("arm"), Seq("A" -> 1L, "B" -> 1L))
+      .head()
+    assert(st.isNullAt(st.fieldIndex("chi2_ppm")))
+    // perfectly balanced: chi2 = 0
+    val bal = (Seq.fill(50)("A") ++ Seq.fill(50)("B")).toDF("arm")
+    assert(Quality.srmCheck(bal, col("arm"), Seq("A" -> 1L, "B" -> 1L))
+      .head().getAs[Long]("chi2_ppm") == 0L)
+  }
+
+  test("welchTTest: hand case (t = -3*sqrt(3/2), df = 4), non-binary groupings empty") {
+    val s = spark
+    import s.implicits._
+    // A={1,2,3}, B={4,5,6}: equal variances 1, means 2 vs 5 ->
+    // t = -3/sqrt(2/3), Welch-Satterthwaite df = 4 exactly
+    val sep = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 4L), ("B", 5L), ("B", 6L)).toDF("g", "v")
+    val r = Quality.welchTTest(sep, col("g"), col("v")).head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("dd_a") == 6L && r.getAs[Long]("dd_b") == 6L)
+    assert(math.abs(r.getAs[Double]("t") - (-3.0 / math.sqrt(2.0 / 3.0)))
+      < 1e-12)
+    assert(math.abs(r.getAs[Double]("df") - 4.0) < 1e-12)
+    // singleton arm is excluded (variance undefined) -> one group left
+    // -> zero rows; three groups -> zero rows
+    val singleton = Seq(("A", 1L), ("A", 2L), ("B", 9L)).toDF("g", "v")
+    assert(Quality.welchTTest(singleton, col("g"), col("v")).count() == 0L)
+    val three = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 5L), ("C", 6L)).toDF("g", "v")
+    assert(Quality.welchTTest(three, col("g"), col("v")).count() == 0L)
+  }
+
 }

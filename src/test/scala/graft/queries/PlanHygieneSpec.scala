@@ -98,6 +98,7 @@ class PlanHygieneSpec extends SparkSpec {
     "qa28_power", // 1-row arm-total broadcast into the metric reach table
     "qa30_autocorrelation", // 1-row hour-bounds broadcast seeds the dense series
     "qa29_mannwhitney", // 1-row tie-term aggregate broadcast into the 1-row pairing
+    "qa32_srm_check", // 1-row totals broadcast into the |arms|-row allocation table
     "qv36_embedding_decontam") // broadcast eval panel (id%evalMod-bounded) scored vs corpus
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {

@@ -392,6 +392,44 @@ class EventStreamSpec extends SparkSpec {
       s"missing ${batch.diff(streamed).take(3)}, extra ${streamed.diff(batch).take(3)}")
   }
 
+  test("intervalJoinOuter: unmatched views emit NULL rows only after the watermark closes their window") {
+    // batch face: a LEFT join — every view appears, matched or not
+    val batch = EventStream.intervalJoinOuter(events, "view", "click", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val inner = EventStream.intervalJoin(events, "view", "click", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.filter(_._3 >= 0) == inner, "matched rows must equal the inner join")
+    assert(batch.exists(_._3 == -1L), "fixture needs at least one unmatched view")
+    // streaming replay: null rows require the watermark to pass the
+    // window — a far-future view+click sentinel pair flushes them
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events.select("user_id", "event_type", "ts", "value")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._3)
+    val sentinelTs = rows.map(_._3).max + 10L * 24 * 3600 * 1000000000L
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val q = EventStream.intervalJoinOuter(
+        mem.toDF.toDF("user_id", "event_type", "ts", "value"),
+        "view", "click", 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ijo_stream").start()
+    val n = rows.length
+    Seq(rows.slice(0, n / 2).toSeq, rows.slice(n / 2, n).toSeq,
+        Seq((999999L, "view", sentinelTs, 0.0),
+          (999999L, "click", sentinelTs, 0.0)))
+      .foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("ijo_stream")
+      .filter(col("user_id") =!= 999999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"missing ${batch.diff(streamed).take(3)}, extra ${streamed.diff(batch).take(3)}")
+  }
+
   test("funnelTransitions streaming: completed users are tombstoned — no re-anchor inside the live window") {
     val s = spark
     import s.implicits._

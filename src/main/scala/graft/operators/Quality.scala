@@ -1872,6 +1872,109 @@ object Quality {
           vb * vb / (col("n_b") - 1).cast("double"))).as("df"))
   }
 
+  /** Robust MAD outlier gate — the median/MAD z-score replacement for
+    * mean/stddev outlier fences (one corrupt 10⁹ row drags a mean fence
+    * to uselessness; the median doesn't move): flag values with
+    * |x − median| > k·MAD. ENTIRELY exact integer arithmetic via the
+    * 2× trick ([[spearmanMatrix]]'s discipline): the interpolated
+    * median is carried as med2 = v(⌈n/2⌉) + v(⌊n/2⌋+1) = 2·median
+    * (exact BIGINT), per-row deviations as dev2 = |2v − med2| =
+    * 2·|x − med|, the MAD as mad4 = 2×median of dev2 = 4·MAD, and the
+    * gate as the EXACT comparison 2·dev2 > k·mad4 — zero doubles, zero
+    * libm, digit-identical on any engine. One row:
+    * (n, med2, mad4, n_outliers, outlier_ppm).
+    *
+    * Scale shape: each median comes from a distinct-VALUE count groupBy
+    * + a cumulative window over the value domain (never a raw-row
+    * global sort) + one conditional-sum rollup; the per-row gate is a
+    * 1-row broadcast comparison. Two value-domain passes total. */
+  def madOutliers(df: DataFrame, valueCol: Column, k: Long = 3)
+      : DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val base = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    // med2 of an integer column: values at 1-based positions (n+1) div 2
+    // and n div 2 + 1 of the sorted multiset, summed
+    def med2Of(rows: DataFrame, c: String): DataFrame = {
+      val counts = rows.groupBy(c).agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(c)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ranked = counts.select(col(c).as("__v"), col("__c"),
+        coalesce(sum("__c").over(w), lit(0L)).as("__below"))
+      val tot = broadcast(counts.agg(sum("__c").as("__n")))
+      ranked.crossJoin(tot)
+        .select(col("__v"), col("__c"), col("__below"), col("__n"),
+          expr("(__n + 1) div 2").as("__lo"),
+          expr("__n div 2 + 1").as("__hi"))
+        .agg(first(col("__n")).as("n"),
+          (coalesce(sum(when(col("__below") < col("__lo") &&
+              col("__below") + col("__c") >= col("__lo"), col("__v"))),
+            lit(0L)) +
+           coalesce(sum(when(col("__below") < col("__hi") &&
+              col("__below") + col("__c") >= col("__hi"), col("__v"))),
+            lit(0L))).as("m2"))
+    }
+    val med = broadcast(med2Of(base, "v")
+      .select(col("n"), col("m2").as("med2")))
+    val devs = base.crossJoin(med)
+      .select(abs(col("v") * 2 - col("med2")).as("d2"), col("med2"))
+    val mad = broadcast(med2Of(devs.select(col("d2")), "d2")
+      .select(col("m2").as("mad4")))
+    devs.crossJoin(mad)
+      .agg(count(lit(1)).as("n"), first(col("med2")).as("med2"),
+        first(col("mad4")).as("mad4"),
+        coalesce(sum(when(col("d2") * 2 > lit(k) * col("mad4"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_outliers"))
+      .select(col("n"), col("med2"), col("mad4"), col("n_outliers"),
+        expr("(n_outliers * 1000000L) div greatest(n, 1L)")
+          .as("outlier_ppm"))
+  }
+
+  /** Benford first-digit audit — Newcomb 1881/Benford 1938, the
+    * fraud/data-quality classic: naturally-occurring positive amounts
+    * have leading digit d with probability log₁₀(1 + 1/d); fabricated
+    * or truncated columns don't. Nine rows (digit, obs, obs_ppm,
+    * exp_ppm, term_ppm): obs/obs_ppm exact integers, exp_ppm and each
+    * χ² term floor-ppm'd from a fixed IEEE tree whose only
+    * transcendental inputs are the nine log₁₀ values INLINED AS SOURCE
+    * LITERALS — identical bytes in the Spark expression and the oracle
+    * SQL, so no runtime libm call can drift an ulp between engines (the
+    * qa28 z-sum precedent; this file bans runtime ln/log everywhere).
+    * χ² = Σ term_ppm/10⁶ against χ²₀.₀₅,df=8 ≈ 15.507. Zero and
+    * negative values are excluded (Benford applies to positive
+    * magnitudes; the caller scales decimals to integers first).
+    *
+    * Scale shape: one first-digit projection + ONE map-side-combined
+    * 9-key groupBy, a broadcast 9-row digit table (zero-count digits
+    * stay in the statistic), a 1-row total broadcast. */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") > 0)
+    val obs = base
+      .select(expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+    val digits = broadcast(spark.range(1, 10).select(col("id").as("digit")))
+    val filled = digits.join(obs, Seq("digit"), "left_outer")
+      .select(col("digit"), coalesce(col("o"), lit(0L)).as("o"))
+    val tot = broadcast(filled.agg(sum("o").as("n")))
+    val p = "CASE digit WHEN 1 THEN 0.3010299956639812d " +
+      "WHEN 2 THEN 0.17609125905568124d WHEN 3 THEN 0.12493873660829992d " +
+      "WHEN 4 THEN 0.09691001300805642d WHEN 5 THEN 0.07918124604762482d " +
+      "WHEN 6 THEN 0.06694678963061322d WHEN 7 THEN 0.05799194697768673d " +
+      "WHEN 8 THEN 0.05115252244738129d ELSE 0.04575749056067514d END"
+    filled.crossJoin(tot)
+      .select(col("digit"), col("o").as("obs"),
+        expr("(o * 1000000L) div greatest(n, 1L)").as("obs_ppm"),
+        expr(s"CAST(floor(($p) * 1000000.0d) AS BIGINT)").as("exp_ppm"),
+        expr(s"CAST(floor(((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * ($p)) " +
+          s"* (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * ($p)) " +
+          s"/ (CAST(n AS DOUBLE) * ($p))) * 1000000.0d) AS BIGINT)")
+          .as("term_ppm"))
+  }
+
   /** Mann–Whitney U rank-sum test — Mann & Whitney, Ann. Math. Stat.
     * 1947: the nonparametric two-sample readout ([[spearmanMatrix]]'s
     * rank discipline applied to an A/B comparison). Does one arm's

@@ -1800,4 +1800,52 @@ object Similarity {
         expr("sum(sppm) div count(1)").as("mean_sil_ppm"),
         min("sppm").as("min_sil_ppm"))
   }
+  /** Filtered-ANN strategy audit — the pre-filter vs post-filter recall
+    * question every metadata-constrained vector search faces (Wang et
+    * al., "Filtered-DiskANN" WWW'23 frame it; every production vector
+    * store documents the same tradeoff): PRE-filter searches only the
+    * eligible rows and is exact but can't use a shared unfiltered index;
+    * POST-filter takes the unfiltered top-`overfetch` then keeps
+    * eligible rows, reusing the shared index but MISSING any truth
+    * neighbour that fell below the overfetch horizon — precisely when
+    * the filter is selective. One row quantifies the loss on this
+    * corpus/filter/query: (k, m, n_eligible, hits, recall_ppm) where
+    * hits = |pre-filter top-k ∩ post-filter top-k| and recall_ppm =
+    * 10⁶·hits div k. Deterministic end to end (exact cosine, (cos desc,
+    * id) tie-break); `overfetch` ≥ corpus makes the two strategies
+    * provably identical (the spec pin).
+    *
+    * Scale shape: ONE scored scan (1-row query vector broadcast)
+    * feeds both strategies; each top-k is a TakeOrdered (per-partition
+    * heaps, never a global sort); the intersection joins two ≤ k-row
+    * relations; the audit row is a 1-row × 1-row cross. */
+  def filteredTopKAudit(df: DataFrame, embCol: String, idCol: String,
+      queryId: Long, k: Int, overfetch: Int, eligible: Column)
+      : DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    require(overfetch >= k, s"overfetch $overfetch must be >= k $k")
+    val d = dot(df) _
+    val emb = df.select(col(idCol).as("id"), quantize(col(embCol)).as("q"),
+      eligible.cast("boolean").as("elig"))
+    val query = emb.filter(col("id") === queryId).select(col("q").as("qv"))
+    val scored = emb.filter(col("id") =!= queryId)
+      .join(broadcast(query))
+      .select(col("id"), col("elig"),
+        (d(col("q"), col("qv")).cast("double") /
+          (sqrt(d(col("q"), col("q")).cast("double")) *
+            sqrt(d(col("qv"), col("qv")).cast("double")))).as("cos"))
+    val truth = scored.filter(col("elig"))
+      .orderBy(col("cos").desc, col("id")).limit(k).select(col("id"))
+    val post = scored.orderBy(col("cos").desc, col("id")).limit(overfetch)
+      .filter(col("elig"))
+      .orderBy(col("cos").desc, col("id")).limit(k)
+      .select(col("id").as("pid"))
+    val nelig = scored.filter(col("elig"))
+      .agg(count(lit(1)).as("n_eligible"))
+    val hits = truth.join(post, col("id") === col("pid"))
+      .agg(count(lit(1)).as("hits"))
+    nelig.crossJoin(hits)
+      .select(lit(k).as("k"), lit(overfetch).as("m"), col("n_eligible"),
+        col("hits"), expr(s"(hits * 1000000L) div ${k}L").as("recall_ppm"))
+  }
 }

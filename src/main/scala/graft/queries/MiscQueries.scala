@@ -339,6 +339,21 @@ object MiscQueries {
         "disc" -> expr("cast(round(l_discount * 1000) as bigint)"),
         "tax" -> expr("cast(round(l_tax * 1000) as bigint)")))
     },
+    // Robust MAD outlier gate on extended-price cents: median/MAD fences
+    // in EXACT 2x/4x integers (med2 = 2*median, mad4 = 4*MAD, gate
+    // 2*dev2 > k*mad4) — zero doubles, zero libm.
+    "qq43_mad_outliers" -> { (s, d) =>
+      graft.operators.Quality.madOutliers(t(s, d, "lineitem"),
+        expr("cast(round(l_extendedprice * 100) as bigint)"), k = 3)
+    },
+    // Benford first-digit audit of extended-price cents: per-digit
+    // observed vs log10(1+1/d) expectation, chi-square terms ppm-floored
+    // from literal-inlined constants (no runtime ln).
+    "qq44_benford" -> { (s, d) =>
+      graft.operators.Quality.benfordAudit(t(s, d, "lineitem"),
+          expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .orderBy("digit")
+    },
     // Isotonic sanity check: does the return rate move one way with the
     // discount? Equi-width ppm buckets, exact adjacent-step counts.
     "qq41_monotonicity" -> { (s, d) =>
@@ -1706,6 +1721,64 @@ object MiscQueries {
         |  CAST(200 AS BIGINT) AS r,
         |  MIN(mr) AS ci_lo_micros, MAX(mr) AS ci_hi_micros
         |FROM rk2 WHERE rnk = 5 OR rnk = 196""".stripMargin,
+    "qq43_mad_outliers" ->
+      """WITH base AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    AS v FROM lineitem),
+        |c1 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY v),
+        |r1 AS (SELECT v, c, CAST(COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS below FROM c1),
+        |t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+        |m1 AS (SELECT n, CAST(
+        |    COALESCE(SUM(CASE WHEN below < (n + 1) // 2
+        |      AND below + c >= (n + 1) // 2 THEN v END), 0)
+        |    + COALESCE(SUM(CASE WHEN below < n // 2 + 1
+        |      AND below + c >= n // 2 + 1 THEN v END), 0) AS BIGINT) AS med2
+        |  FROM r1, t1 GROUP BY n),
+        |d AS (SELECT ABS(v * 2 - med2) AS d2 FROM base, m1),
+        |c2 AS (SELECT d2, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY d2),
+        |r2 AS (SELECT d2, c, CAST(COALESCE(SUM(c) OVER (ORDER BY d2
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS below FROM c2),
+        |m2 AS (SELECT CAST(
+        |    COALESCE(SUM(CASE WHEN below < (n + 1) // 2
+        |      AND below + c >= (n + 1) // 2 THEN d2 END), 0)
+        |    + COALESCE(SUM(CASE WHEN below < n // 2 + 1
+        |      AND below + c >= n // 2 + 1 THEN d2 END), 0) AS BIGINT) AS mad4
+        |  FROM r2, t1 GROUP BY n)
+        |SELECT t1.n AS n, m1.med2, m2.mad4,
+        |  COALESCE(CAST(SUM(CASE WHEN d.d2 * 2 > 3 * m2.mad4
+        |    THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_outliers,
+        |  (COALESCE(CAST(SUM(CASE WHEN d.d2 * 2 > 3 * m2.mad4
+        |    THEN 1 ELSE 0 END) AS BIGINT), 0) * 1000000)
+        |    // GREATEST(t1.n, 1) AS outlier_ppm
+        |FROM d, m1, m2, t1 GROUP BY 1, 2, 3""".stripMargin,
+    "qq44_benford" ->
+      """WITH base AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    AS v FROM lineitem),
+        |pos AS (SELECT v FROM base WHERE v IS NOT NULL AND v > 0),
+        |obs AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+        |    AS digit, CAST(COUNT(*) AS BIGINT) AS o FROM pos GROUP BY 1),
+        |digits AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
+        |    AS digit),
+        |filled AS (SELECT digits.digit, COALESCE(obs.o, 0) AS o
+        |  FROM digits LEFT JOIN obs USING (digit)),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM filled),
+        |pd AS (SELECT digit, o, n,
+        |    CASE digit WHEN 1 THEN 0.3010299956639812
+        |      WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992
+        |      WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482
+        |      WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673
+        |      WHEN 8 THEN 0.05115252244738129 ELSE 0.04575749056067514
+        |    END AS p
+        |  FROM filled, tot)
+        |SELECT digit, o AS obs,
+        |  (o * 1000000) // GREATEST(n, 1) AS obs_ppm,
+        |  CAST(FLOOR(p * 1000000.0) AS BIGINT) AS exp_ppm,
+        |  CAST(FLOOR(((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |    * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |    / (CAST(n AS DOUBLE) * p)) * 1000000.0) AS BIGINT) AS term_ppm
+        |FROM pd ORDER BY digit""".stripMargin,
     "qq42_cronbach" ->
       """WITH rows0 AS (SELECT
         |    CAST(ROUND(l_quantity * 10) AS BIGINT) AS xq,

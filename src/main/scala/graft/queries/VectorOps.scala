@@ -72,6 +72,15 @@ object VectorOps {
       graft.operators.Similarity.multiProbeTopK(t(s, d, "embeddings"),
         "embedding", "vec_id", queryId = 0L, k = 10, probes = 3)
     },
+    // Filtered-ANN strategy audit: exact pre-filter top-k vs
+    // overfetch-then-filter post-filter top-k on a label predicate —
+    // the recall a shared unfiltered index loses when the filter is
+    // selective, quantified on this corpus/query.
+    "qv39_filtered_ann" -> { (s, d) =>
+      graft.operators.Similarity.filteredTopKAudit(t(s, d, "embeddings"),
+        "embedding", "vec_id", queryId = 0L, k = 10, overfetch = 30,
+        eligible = col("label") % 3 === 0)
+    },
     // One NN-descent round over the qv20 bucket graph (WWW'11): the
     // undirected two-hop candidate expansion re-scored with the exact
     // cosine; is_new marks the recall the LSH buckets missed.
@@ -632,6 +641,29 @@ object VectorOps {
         |  FROM pairs)
         |SELECT src, nbr, cos, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
         |ORDER BY src, rank""".stripMargin,
+    "qv39_filtered_ann" ->
+      """WITH emb AS (SELECT vec_id, label,
+        |  list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+        | FROM embeddings),
+        |qv AS (SELECT q AS v FROM emb WHERE vec_id = 0),
+        |scored AS (SELECT e.vec_id, e.label % 3 = 0 AS elig,
+        |  CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * qv.v[i])) AS DOUBLE) /
+        |   (SQRT(CAST(list_sum(list_transform(range(1, 65), i -> e.q[i] * e.q[i])) AS DOUBLE)) *
+        |    SQRT(CAST(list_sum(list_transform(range(1, 65), i -> qv.v[i] * qv.v[i])) AS DOUBLE))) AS cos
+        | FROM emb e, qv WHERE e.vec_id <> 0),
+        |truth AS (SELECT vec_id FROM scored WHERE elig
+        |  ORDER BY cos DESC, vec_id LIMIT 10),
+        |post AS (SELECT vec_id FROM
+        |  (SELECT vec_id, elig, cos FROM scored ORDER BY cos DESC, vec_id
+        |   LIMIT 30)
+        |  WHERE elig ORDER BY cos DESC, vec_id LIMIT 10),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eligible
+        |  FROM scored WHERE elig),
+        |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM truth JOIN post USING (vec_id))
+        |SELECT CAST(10 AS INT) AS k, CAST(30 AS INT) AS m, n_eligible,
+        |  hits, (hits * 1000000) // 10 AS recall_ppm
+        |FROM ne, h""".stripMargin,
     "qv38_multiprobe" ->
       """WITH el AS (SELECT vec_id, CAST(i - 1 AS INT) AS i, q[i] AS qe
         | FROM (SELECT vec_id,

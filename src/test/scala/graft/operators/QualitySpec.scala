@@ -985,5 +985,53 @@ class QualitySpec extends SparkSpec {
       ("C", 5L), ("C", 6L)).toDF("g", "v")
     assert(Quality.welchTTest(three, col("g"), col("v")).count() == 0L)
   }
+  test("madOutliers: exact 2x/4x integers on a hand multiset; fence catches the corruption") {
+    val sp = spark
+    import sp.implicits._
+    // values 1..7 plus a 1e9 corruption: median of 8 values = (4+5)/2
+    // -> med2 = 9; deviations |x - 4.5| = 3.5,2.5,1.5,.5,.5,1.5,2.5,~1e9
+    // -> dev2 = 7,5,3,1,1,3,5,big -> sorted 1,1,3,3,5,5,7,big ->
+    // mad4 = 3+5 = 8 (MAD = 2.0); gate 2*dev2 > 3*8=24 flags ONLY the
+    // corruption (2*7=14 < 24)
+    val vals = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L) :+ 1000000000L).toDF("x")
+    val r = Quality.madOutliers(vals, col("x"), k = 3).head()
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("med2") == 9L)
+    assert(r.getAs[Long]("mad4") == 8L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Long]("outlier_ppm") == 125000L)
+    // odd count, no outliers: median exact, MAD exact, zero flagged
+    val clean = Seq(10L, 20L, 30L).toDF("x")
+    val c = Quality.madOutliers(clean, col("x"), k = 3).head()
+    assert(c.getAs[Long]("med2") == 40L) // 2 * 20
+    assert(c.getAs[Long]("mad4") == 40L) // dev2 = 20,0,20 -> 2*20... median 20 -> 4*MAD = 40
+    assert(c.getAs[Long]("n_outliers") == 0L)
+  }
 
+  test("benfordAudit: digits from a constructed corpus, zero-count digits present, ppm trees") {
+    val sp = spark
+    import sp.implicits._
+    // 30 values with first digit 1, 10 with first digit 2; zeros and
+    // negatives excluded
+    val vals = (Seq.fill(30)(123L) ++ Seq.fill(10)(250L) ++
+      Seq(0L, -5L)).toDF("x")
+    val rows = Quality.benfordAudit(vals, col("x"))
+      .orderBy("digit").collect()
+    assert(rows.length == 9)
+    val byD = rows.map(r => r.getAs[Long]("digit") ->
+      (r.getAs[Long]("obs"), r.getAs[Long]("obs_ppm"))).toMap
+    assert(byD(1L) == ((30L, 750000L)))
+    assert(byD(2L) == ((10L, 250000L)))
+    (3L to 9L).foreach(d => assert(byD(d)._1 == 0L, s"digit $d"))
+    // expectation literals: digit 1 = floor(1e6*log10(2)) = 301029
+    assert(rows(0).getAs[Long]("exp_ppm") == 301029L)
+    assert(rows(8).getAs[Long]("exp_ppm") == 45757L)
+    // a perfectly-Benford-ish corpus scores lower chi2 than an all-9s one
+    val all9 = Seq.fill(40)(900L).toDF("x")
+    val chi9 = Quality.benfordAudit(all9, col("x"))
+      .agg(org.apache.spark.sql.functions.sum("term_ppm")).head().getLong(0)
+    val chiMix = Quality.benfordAudit(vals, col("x"))
+      .agg(org.apache.spark.sql.functions.sum("term_ppm")).head().getLong(0)
+    assert(chi9 > chiMix)
+  }
 }

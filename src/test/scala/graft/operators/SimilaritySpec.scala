@@ -990,5 +990,42 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("mx") =!= col("c") || col("mx") > 5)
     assert(badRank.count() == 0)
   }
-
+  test("filteredTopKAudit: post-filter misses beyond the overfetch horizon; full overfetch = exact") {
+    val sp = spark
+    import sp.implicits._
+    // query = e1; ids 1-6 INELIGIBLE and closest to the query; ids
+    // 10-13 eligible but strictly farther. With k=2, m=4 the unfiltered
+    // top-4 is all ineligible -> post-filter finds NOTHING of the truth.
+    val rows = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)),
+      (1L, 1, Seq(1.0f, 0.01f)), (2L, 1, Seq(1.0f, 0.02f)),
+      (3L, 1, Seq(1.0f, 0.03f)), (4L, 1, Seq(1.0f, 0.04f)),
+      (5L, 1, Seq(1.0f, 0.05f)), (6L, 1, Seq(1.0f, 0.06f)),
+      (10L, 3, Seq(1.0f, 0.5f)), (11L, 3, Seq(1.0f, 0.6f)),
+      (12L, 3, Seq(1.0f, 0.7f)), (13L, 3, Seq(1.0f, 0.8f))
+    ).toDF("vec_id", "label", "embedding")
+    val starved = Similarity.filteredTopKAudit(rows, "embedding", "vec_id",
+      queryId = 0L, k = 2, overfetch = 4,
+      eligible = col("label") % 3 === 0).head()
+    assert(starved.getAs[Long]("n_eligible") == 4L)
+    assert(starved.getAs[Long]("hits") == 0L)
+    assert(starved.getAs[Long]("recall_ppm") == 0L)
+    // overfetch >= corpus: the two strategies are provably identical
+    val full = Similarity.filteredTopKAudit(rows, "embedding", "vec_id",
+      queryId = 0L, k = 2, overfetch = 20,
+      eligible = col("label") % 3 === 0).head()
+    assert(full.getAs[Long]("hits") == 2L)
+    assert(full.getAs[Long]("recall_ppm") == 1000000L)
+    // partial horizon: m=8 reaches 2 of the 4 eligible -> both of the
+    // truth's top-2 (10, 11) sit inside the top-8 by construction
+    val partial = Similarity.filteredTopKAudit(rows, "embedding", "vec_id",
+      queryId = 0L, k = 3, overfetch = 8,
+      eligible = col("label") % 3 === 0).head()
+    assert(partial.getAs[Long]("hits") == 2L)
+    assert(partial.getAs[Long]("recall_ppm") == 666666L)
+    val e = intercept[IllegalArgumentException](
+      Similarity.filteredTopKAudit(rows, "embedding", "vec_id", 0L,
+        k = 5, overfetch = 4, eligible = col("label") % 3 === 0))
+    assert(e.getMessage.contains("overfetch"))
+  }
 }

@@ -99,6 +99,9 @@ class PlanHygieneSpec extends SparkSpec {
     "qa30_autocorrelation", // 1-row hour-bounds broadcast seeds the dense series
     "qa29_mannwhitney", // 1-row tie-term aggregate broadcast into the 1-row pairing
     "qa32_srm_check", // 1-row totals broadcast into the |arms|-row allocation table
+    "qv39_filtered_ann", // 1-row query-vector broadcast + 1-row x 1-row audit cross
+    "qq43_mad_outliers", // 1-row med2/mad4 broadcasts into the per-row gate
+    "qq44_benford", // 1-row total broadcast into the 9-row digit table
     "qv36_embedding_decontam") // broadcast eval panel (id%evalMod-bounded) scored vs corpus
 
   test("no query plan contains a cartesian product, a UDF, or an unapproved nested-loop join") {

@@ -178,4 +178,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "no sort-merge join in the descent round:\n" + p.take(2000))
   }
+
+  test("qv39: both strategies are TakeOrdered over ONE scored scan - no hash shuffle anywhere") {
+    val p = plan("qv39_filtered_ann")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "filtered-ANN audit must not hash-shuffle (1-row query broadcast, " +
+        "TakeOrdered top-ks, k-row intersection): " + p.take(1500))
+    val topks = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(topks >= 2, s"expected both strategy top-ks as TakeOrdered, got $topks: " + p.take(1000))
+    assert(!p.contains("row_number"), "no window-argmin: " + p.take(800))
+  }
+
+  test("qq43: MAD medians exchange only on the VALUE DOMAIN (v/d2), never raw rows") {
+    val p = plan("qq43_mad_outliers")
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("v", "d2")),
+      s"unexpected shuffle keys $keys (medians must ride distinct-value " +
+        s"counts, not raw-row sorts): " + p.take(1500))
+    assert(p.contains("Window"), "expected the cumulative-count windows")
+  }
+
+  test("qq44: Benford digits shuffle only on the 9-key digit column") {
+    val p = plan("qq44_benford")
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("digit")),
+      s"unexpected shuffle keys $keys: " + p.take(1200))
+  }
 }

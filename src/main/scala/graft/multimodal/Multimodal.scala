@@ -407,6 +407,7 @@ object Multimodal {
         .when(h8.startsWith("47494638"), "gif")
         .when(h8.startsWith("52494646"), "riff")
         .when(h8.startsWith("255044462D"), "pdf")
+        .when(h8.startsWith("494433"), "mp3") // ID3v2-tagged MPEG audio
         .otherwise("unknown"))
   }
 
@@ -590,6 +591,78 @@ object Multimodal {
         }
       }
       done(closed = false) // ran past cap/end without the 0x3B trailer
+    } else if (limit >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2-tagged MPEG audio (id3.org spec): 10-byte header — "ID3",
+      // version major/revision, flags, 4 SYNCSAFE size bytes — then a
+      // frame chain. The privacy surface: PRIV frames (vendor purchase
+      // watermarks, e.g. store account fingerprints), GEOB/APIC binary
+      // objects, COMM/TXXX/T* text frames. v2.3/v2.4 frames carry
+      // 4-char ids + 4-byte sizes (v2.4 syncsafe, v2.3 plain BE);
+      // v2.2 carries 3-char ids + 3-byte sizes. Precedence:
+      // priv > binary > text.
+      val ver = b(3) & 0xFF
+      if ((b(6) | b(7) | b(8) | b(9)) < 0 ||
+          ((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0)
+        return ("mp3", false, "corrupt") // syncsafe bytes must be < 0x80
+      val tagSize = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      val end = math.min(10L + tagSize, limit.toLong).toInt
+      var off = 10
+      // v2.3/v2.4 extended header (flag bit 6): its first 4 bytes are
+      // its own size (syncsafe in v2.4, plain in v2.3) — skip it
+      if (ver >= 3 && ((b(5) & 0x40) != 0) && off + 4 <= end) {
+        val ehs =
+          if (ver >= 4)
+            ((b(off) & 0x7F) << 21) | ((b(off + 1) & 0x7F) << 14) |
+              ((b(off + 2) & 0x7F) << 7) | (b(off + 3) & 0x7F)
+          else be32(off).toInt + 4 // v2.3 size EXCLUDES its own 4 bytes
+        if (ehs < 4 || ehs > end - off) return ("mp3", false, "corrupt")
+        off += (if (ver >= 4) ehs else ehs)
+      }
+      var priv = false
+      var bin = false
+      var text = false
+      def verdict(ok: Boolean): (String, Boolean, String) =
+        if (priv) ("mp3", true, "priv")
+        else if (bin) ("mp3", true, "binary")
+        else if (text) ("mp3", true, "text")
+        else if (ok) ("mp3", false, "none")
+        else ("mp3", false, "corrupt")
+      val hdrLen = if (ver >= 3) 10 else 6
+      while (off + hdrLen <= end) {
+        if (b(off) == 0) return verdict(ok = true) // padding ends the chain
+        if (ver >= 3) {
+          val id = new String(b, off, 4, "ISO-8859-1")
+          val fs =
+            if (ver >= 4)
+              ((b(off + 4) & 0x7F) << 21) | ((b(off + 5) & 0x7F) << 14) |
+                ((b(off + 6) & 0x7F) << 7) | (b(off + 7) & 0x7F)
+            else be32(off + 4)
+          if (fs < 0 || fs > end - off - 10) return verdict(ok = false)
+          id match {
+            case "PRIV"          => priv = true
+            case "APIC" | "GEOB" => bin = true
+            case _ if id.head == 'T' || id == "COMM" => text = true
+            case _               => ()
+          }
+          off += 10 + fs.toInt
+        } else {
+          val id = new String(b, off, 3, "ISO-8859-1")
+          val fs = ((b(off + 3) & 0xFF) << 16) | ((b(off + 4) & 0xFF) << 8) |
+            (b(off + 5) & 0xFF)
+          if (fs < 0 || fs > end - off - 6) return verdict(ok = false)
+          id match {
+            case "PIC" | "GEO"                       => bin = true
+            case _ if id.head == 'T' || id == "COM"  => text = true
+            case _                                   => ()
+          }
+          off += 6 + fs
+        }
+      }
+      // reached the declared tag end (or the cap): a cleanly-walked tag
+      // with no metadata frames is "none" only when the whole declared
+      // tag fit under the cap — the WebP/PNG truncation discipline
+      verdict(ok = 10L + tagSize <= limit.toLong)
     } else ("unknown", false, "none")
   }
 

@@ -401,4 +401,63 @@ class MultimodalSpec extends SparkSpec {
     // truncated stream (no trailer, nothing seen): corrupt
     assert(Multimodal.classifyMetadata(gifHdr) == (("gif", false, "corrupt")))
   }
+  test("classifyMetadata: ID3v2 frame walks (v2.2/v2.3/v2.4), priv > binary > text") {
+    def syncsafe(n: Int): Array[Byte] = Array(
+      ((n >> 21) & 0x7F).toByte, ((n >> 14) & 0x7F).toByte,
+      ((n >> 7) & 0x7F).toByte, (n & 0x7F).toByte)
+    def f3(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ Array[Byte](0, 0,
+        ((data.length >> 8) & 0xFF).toByte, (data.length & 0xFF).toByte,
+        0, 0) ++ data
+    def f4(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ syncsafe(data.length) ++
+        Array[Byte](0, 0) ++ data
+    def tag(ver: Int, flags: Int, frames: Array[Byte]*): Array[Byte] = {
+      val body = frames.flatten.toArray
+      "ID3".getBytes("ISO-8859-1") ++
+        Array[Byte](ver.toByte, 0, flags.toByte) ++
+        syncsafe(body.length) ++ body
+    }
+    // v2.3: PRIV outranks COMM outranks none
+    assert(Multimodal.classifyMetadata(
+      tag(3, 0, f3("PRIV", "owner".getBytes), f3("COMM", "c".getBytes))) ==
+      (("mp3", true, "priv")))
+    assert(Multimodal.classifyMetadata(tag(3, 0, f3("COMM", "c".getBytes))) ==
+      (("mp3", true, "text")))
+    assert(Multimodal.classifyMetadata(tag(3, 0, f3("TIT2", "t".getBytes))) ==
+      (("mp3", true, "text")))
+    assert(Multimodal.classifyMetadata(
+      tag(3, 0, f3("APIC", Array[Byte](1, 2, 3)))) ==
+      (("mp3", true, "binary")))
+    assert(Multimodal.classifyMetadata(tag(3, 0)) == (("mp3", false, "none")))
+    // v2.4 syncsafe frame sizes
+    assert(Multimodal.classifyMetadata(tag(4, 0, f4("PRIV", "o".getBytes))) ==
+      (("mp3", true, "priv")))
+    // v2.3 extended header (flag 0x40): 4-byte size EXCLUDING itself,
+    // then the frame chain
+    val ext = Array[Byte](0, 0, 0, 6, 0, 0, 0, 0, 0, 0) // 6 bytes follow
+    val bodyE = ext ++ f3("COMM", "c".getBytes)
+    val tagE = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 0, 0x40.toByte) ++ syncsafe(bodyE.length) ++ bodyE
+    assert(Multimodal.classifyMetadata(tagE) == (("mp3", true, "text")))
+    // padding byte (0x00) cleanly ends the chain
+    val padded = tag(3, 0, f3("COMM", "c".getBytes) ++ Array[Byte](0, 0, 0))
+    assert(Multimodal.classifyMetadata(padded) == (("mp3", true, "text")))
+    // v2.2: 3-char ids, 3-byte sizes
+    val com22 = "COM".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 1, 9)
+    val v22 = "ID3".getBytes("ISO-8859-1") ++ Array[Byte](2, 0, 0) ++
+      syncsafe(com22.length) ++ com22
+    assert(Multimodal.classifyMetadata(v22) == (("mp3", true, "text")))
+    // non-syncsafe header size byte: corrupt
+    val bad = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 0, 0, 0x80.toByte, 0, 0, 0)
+    assert(Multimodal.classifyMetadata(bad) == (("mp3", false, "corrupt")))
+    // frame size overrunning the declared tag: corrupt, nothing claimed
+    val overrun = tag(3, 0).dropRight(0) ++ f3("COMM", "c".getBytes)
+    // (tag declares size 0 but bytes follow: the walk stops at the
+    // declared end and reports the clean empty tag)
+    assert(Multimodal.classifyMetadata(overrun) == (("mp3", false, "none")))
+    val truncated = tag(3, 0, f3("COMM", new Array[Byte](200))).take(20)
+    assert(Multimodal.classifyMetadata(truncated) == (("mp3", false, "corrupt")))
+  }
 }

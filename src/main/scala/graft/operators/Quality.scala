@@ -1755,6 +1755,47 @@ object Quality {
     corrMatrix(rows, named.map { case (n, _) => n -> col(s"__r_$n") })
   }
 
+  /** Functional-dependency audit — the single-table complement to
+    * [[fkCandidates]]' cross-column inclusion dependencies (TANE,
+    * Huhtala et al. Comp. J. 1999, scoped to DECLARED candidate
+    * dependencies rather than lattice search): does lhs → rhs hold,
+    * and if not, how badly? A dependency the schema claims ("order
+    * date is determined by order key") but the data violates is an
+    * upstream-join or ingest bug this row catches before training
+    * does. One row per dependency: (dep, n_groups,
+    * violating_groups = lhs groups with > 1 distinct rhs,
+    * max_rhs_per_lhs, violation_ppm = 10⁶·violating div groups) — all
+    * exact integers.
+    *
+    * Scale shape: one map-side-combined (lhs, rhs) DISTINCT + lhs
+    * re-aggregate per dependency (the two-level exact
+    * count-distinct shape), each riding its own lhs partitioning;
+    * results union as |deps| single rows. NULL rhs counts as a value
+    * (a NULL-vs-value split IS a violation); NULL lhs rows are one
+    * group per the groupBy's NULL key semantics, identical in both
+    * engines. */
+  def fdAudit(df: DataFrame,
+      deps: Seq[(String, Seq[Column], Column)]): DataFrame = {
+    require(deps.nonEmpty, "fdAudit needs at least one dependency")
+    deps.map { case (name, lhs, rhs) =>
+      require(lhs.nonEmpty, s"dependency $name has an empty lhs")
+      val pairs = df
+        .select((lhs.zipWithIndex.map { case (c, i) => c.as(s"__l$i") } :+
+          rhs.as("__r")): _*)
+        .distinct()
+      pairs.groupBy(lhs.indices.map(i => col(s"__l$i")): _*)
+        .agg(count(lit(1)).as("__d"))
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("__d") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("violating_groups"),
+          coalesce(max("__d"), lit(0L)).as("max_rhs_per_lhs"))
+        .select(lit(name).as("dep"), col("n_groups"),
+          col("violating_groups"), col("max_rhs_per_lhs"),
+          expr("(violating_groups * 1000000L) div greatest(n_groups, 1L)")
+            .as("violation_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Sample-ratio-mismatch (SRM) check — the chi-square goodness-of-fit
     * on assignment counts that every experimentation platform runs
     * BEFORE reading a metric (Fabijan et al., KDD 2019 "Diagnosing

@@ -339,6 +339,20 @@ object MiscQueries {
         "disc" -> expr("cast(round(l_discount * 1000) as bigint)"),
         "tax" -> expr("cast(round(l_tax * 1000) as bigint)")))
     },
+    // Functional-dependency audit: does the declared lhs -> rhs hold?
+    // Exact violation accounting — and an honest demo: the synthetic
+    // lineitem VIOLATES its own nominal (orderkey, linenumber) key
+    // (254k ppm of groups carry >1 quantity at sf0.1), which is
+    // precisely the ingest bug this audit exists to catch.
+    "qq45_fd_audit" -> { (s, d) =>
+      graft.operators.Quality.fdAudit(t(s, d, "lineitem"), Seq(
+        ("key_to_qty", Seq(col("l_orderkey"), col("l_linenumber")),
+          col("l_quantity")),
+        ("order_to_returnflag", Seq(col("l_orderkey")), col("l_returnflag")),
+        ("part_to_price", Seq(col("l_partkey")),
+          expr("cast(round(l_extendedprice * 100) as bigint)"))))
+        .orderBy("dep")
+    },
     // Robust MAD outlier gate on extended-price cents: median/MAD fences
     // in EXACT 2x/4x integers (med2 = 2*median, mad4 = 4*MAD, gate
     // 2*dev2 > k*mad4) — zero doubles, zero libm.
@@ -1721,6 +1735,37 @@ object MiscQueries {
         |  CAST(200 AS BIGINT) AS r,
         |  MIN(mr) AS ci_lo_micros, MAX(mr) AS ci_hi_micros
         |FROM rk2 WHERE rnk = 5 OR rnk = 196""".stripMargin,
+    "qq45_fd_audit" ->
+      """WITH k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    COALESCE(CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0) AS violating_groups,
+        |    COALESCE(CAST(MAX(d) AS BIGINT), 0) AS max_rhs_per_lhs
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber, l_quantity
+        |     FROM lineitem) GROUP BY l_orderkey, l_linenumber)),
+        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    COALESCE(CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0) AS violating_groups,
+        |    COALESCE(CAST(MAX(d) AS BIGINT), 0) AS max_rhs_per_lhs
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM
+        |    (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem)
+        |    GROUP BY l_orderkey)),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    COALESCE(CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0) AS violating_groups,
+        |    COALESCE(CAST(MAX(d) AS BIGINT), 0) AS max_rhs_per_lhs
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM
+        |    (SELECT DISTINCT l_partkey,
+        |       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+        |     FROM lineitem) GROUP BY l_partkey))
+        |SELECT dep, n_groups, violating_groups, max_rhs_per_lhs,
+        |  (violating_groups * 1000000) // GREATEST(n_groups, 1)
+        |    AS violation_ppm
+        |FROM (
+        |  SELECT 'key_to_qty' AS dep, * FROM k
+        |  UNION ALL SELECT 'order_to_returnflag', * FROM o
+        |  UNION ALL SELECT 'part_to_price', * FROM p)
+        |ORDER BY dep""".stripMargin,
     "qq43_mad_outliers" ->
       """WITH base AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
         |    AS v FROM lineitem),

@@ -1034,4 +1034,28 @@ class QualitySpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("term_ppm")).head().getLong(0)
     assert(chi9 > chiMix)
   }
+  test("fdAudit: held vs violated dependencies, NULL rhs is a value, exact counts") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (1L, "a", 10L),      // key 1: one rhs (held)
+      (2L, "b", 20L), (2L, "b", 21L),      // key 2: two rhs (violated)
+      (3L, "c", 30L)
+    ).toDF("k", "tag", "v")
+    val r = Quality.fdAudit(df, Seq(
+        ("k_to_tag", Seq(col("k")), col("tag")),
+        ("k_to_v", Seq(col("k")), col("v"))))
+      .orderBy("dep").collect()
+    val m = r.map(x => x.getAs[String]("dep") ->
+      (x.getAs[Long]("n_groups"), x.getAs[Long]("violating_groups"),
+        x.getAs[Long]("max_rhs_per_lhs"), x.getAs[Long]("violation_ppm"))).toMap
+    assert(m("k_to_tag") == ((3L, 0L, 1L, 0L)))
+    assert(m("k_to_v") == ((3L, 1L, 2L, 333333L)))
+    // NULL rhs splits a group: (4, null) vs (4, 1) IS a violation
+    val withNull = Seq((4L, Some(1L)), (4L, None)).toDF("k", "v")
+    val n = Quality.fdAudit(withNull, Seq(("d", Seq(col("k")), col("v"))))
+      .head()
+    assert(n.getAs[Long]("violating_groups") == 1L)
+    assert(n.getAs[Long]("max_rhs_per_lhs") == 2L)
+  }
 }

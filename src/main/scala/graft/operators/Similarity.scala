@@ -1815,10 +1815,15 @@ object Similarity {
     * id) tie-break); `overfetch` ≥ corpus makes the two strategies
     * provably identical (the spec pin).
     *
-    * Scale shape: ONE scored scan (1-row query vector broadcast)
-    * feeds both strategies; each top-k is a TakeOrdered (per-partition
-    * heaps, never a global sort); the intersection joins two ≤ k-row
-    * relations; the audit row is a 1-row × 1-row cross. */
+    * Scale shape: each strategy is a TakeOrdered (per-partition heaps,
+    * never a global sort) over the scored scan; the scored subtree is
+    * LOGICALLY shared but re-executes per consumer (truth / post /
+    * eligible-count) — each re-run is a pruned-column parquet scan with
+    * the 1-row query broadcast, so the audit is scan-bound at ~3× one
+    * pass (cache the scored relation first when auditing many
+    * query/filter combinations over the same corpus). The intersection
+    * joins two ≤ k-row relations; the audit row is a 1-row × 1-row
+    * cross. */
   def filteredTopKAudit(df: DataFrame, embCol: String, idCol: String,
       queryId: Long, k: Int, overfetch: Int, eligible: Column)
       : DataFrame = {

@@ -513,6 +513,22 @@ object EventStream {
         col("r_us").as("right_us"), col("r_value").as("value"))
   }
 
+  /** Stream-static blocklist filter — the ingest-time abuse/compliance
+    * gate: drop every event whose key appears in a static blocklist
+    * dimension (banned users, opted-out accounts, known-bot IPs) as a
+    * LEFT ANTI join. Stateless: each micro-batch anti-joins against the
+    * broadcast blocklist — no watermark, no state store, exactly the
+    * semantics of the batch anti join the oracle replays. The
+    * complement of [[enrichStatic]]'s stream-static left join.
+    *
+    * Scale shape: blocklist deduped then broadcast once per batch
+    * (dimension-sized by contract); the event stream never shuffles. */
+  def filterBlocklist(events: DataFrame, blocklist: DataFrame,
+      eventKey: String, blockKey: String): DataFrame =
+    events.join(
+      broadcast(blocklist.select(col(blockKey)).distinct()),
+      col(eventKey) === col(blockKey), "left_anti")
+
   /** Ordered conversion funnel over N stages: stage 1 anchors at each
     * user's earliest stage-1 event; every later stage matches its
     * earliest event STRICTLY after the previous stage's match and within

@@ -1132,9 +1132,8 @@ object TextOps {
         |FROM bal GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "qd20_lsh_verify" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
-        |    WHERE doc_id % 50 = 0 AND doc_id < 2000),
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
         |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
         |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM sub),
         |sig AS (SELECT doc_id,
@@ -1447,9 +1446,8 @@ object TextOps {
         |FROM v ORDER BY rank""".stripMargin,
     "qd25_hamming_pairs" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
-        |    WHERE doc_id % 50 = 0 AND doc_id < 2000),
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
         |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
         |tok AS (SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM sub),
         |bits AS (SELECT doc_id, b,
@@ -1633,9 +1631,8 @@ object TextOps {
         |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
     "qd40_overlap_f1" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
-        |    WHERE doc_id % 50 = 0 AND doc_id < 2000),
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
         |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
         |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM sub),
         |sig AS (SELECT doc_id,
@@ -1728,9 +1725,8 @@ object TextOps {
         |ORDER BY df DESC, phrase LIMIT 25""".stripMargin,
     "qd47_edit_distance" ->
       """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
-        |    WHERE doc_id % 50 = 0 AND doc_id < 2000),
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
         |sub AS (SELECT doc_id, text FROM all_docs WHERE doc_id % 10 = 0),
         |tok AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok FROM sub),
         |sig AS (SELECT doc_id,

@@ -1928,7 +1928,11 @@ object Quality {
     * Scale shape: each median comes from a distinct-VALUE count groupBy
     * + a cumulative window over the value domain (never a raw-row
     * global sort) + one conditional-sum rollup; the per-row gate is a
-    * 1-row broadcast comparison. Two value-domain passes total. */
+    * 1-row broadcast comparison. Two value-domain passes total. The
+    * cumulative window is a single partition of |distinct values| rows
+    * — the spearmanMatrix contract: when the value domain itself is
+    * huge (raw micros), quantize first (cents, millis); the median is
+    * bucket-stable. */
   def madOutliers(df: DataFrame, valueCol: Column, k: Long = 3)
       : DataFrame = {
     require(k >= 1, s"k >= 1: $k")

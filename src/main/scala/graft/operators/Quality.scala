@@ -1903,14 +1903,20 @@ object Quality {
       (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double")
     val vb = col("dd_b").cast("double") /
       (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double")
+    // Degenerate guard: both arms constant (dd_a = dd_b = 0) makes
+    // va + vb = 0 and t/df 0/0 — emit NULL explicitly on both engines
+    // rather than let Spark's NaN→cast meet DuckDB's CAST error
+    val degenerate = col("dd_a") === 0 && col("dd_b") === 0
     paired.select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
       col("sum_a"), col("sum_b"), col("dd_a"), col("dd_b"),
-      ((col("sum_a").cast("double") / col("n_a").cast("double") -
-        col("sum_b").cast("double") / col("n_b").cast("double")) /
-        sqrt(va + vb)).as("t"),
-      (((va + vb) * (va + vb)) /
-        (va * va / (col("n_a") - 1).cast("double") +
-          vb * vb / (col("n_b") - 1).cast("double"))).as("df"))
+      when(degenerate, lit(null).cast("double"))
+        .otherwise((col("sum_a").cast("double") / col("n_a").cast("double") -
+          col("sum_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(va + vb)).as("t"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(((va + vb) * (va + vb)) /
+          (va * va / (col("n_a") - 1).cast("double") +
+            vb * vb / (col("n_b") - 1).cast("double"))).as("df"))
   }
 
   /** Robust MAD outlier gate — the median/MAD z-score replacement for
@@ -2080,13 +2086,20 @@ object Quality {
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
         col("u2x_a"), col("u2x_b"), col("tie_term"),
         // z over 2U: Var(2U) = n₁n₂·((n+1)n(n−1) − T) / (3n(n−1)) —
-        // every inner term exact BIGINT, one fixed IEEE tree at the end
-        ((col("u2x_a").cast("double") - (col("n_a") * col("n_b"))
-            .cast("double")) /
-          sqrt((col("n_a") * col("n_b")).cast("double") *
-            ((col("n") + 1) * col("n") * (col("n") - 1) - col("tie_term"))
-              .cast("double") /
-            (lit(3L) * col("n") * (col("n") - 1)).cast("double")))
+        // every inner term exact BIGINT, one fixed IEEE tree at the end.
+        // Degenerate guard: (n+1)n(n−1) − T = 0 iff EVERY ranked value is
+        // identical (T maxes at n³−n), making z 0/0 — emit NULL
+        // explicitly on both engines rather than let Spark's NaN→cast
+        // meet DuckDB's CAST error (the cross-engine divergence class)
+        when((col("n") + 1) * col("n") * (col("n") - 1) -
+            col("tie_term") > 0,
+          (col("u2x_a").cast("double") - (col("n_a") * col("n_b"))
+              .cast("double")) /
+            sqrt((col("n_a") * col("n_b")).cast("double") *
+              ((col("n") + 1) * col("n") * (col("n") - 1) - col("tie_term"))
+                .cast("double") /
+              (lit(3L) * col("n") * (col("n") - 1)).cast("double")))
+          .otherwise(lit(null).cast("double"))
           .as("z"))
   }
 }

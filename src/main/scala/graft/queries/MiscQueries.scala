@@ -3886,13 +3886,15 @@ object MiscQueries {
         |    CAST(dd_b AS DOUBLE) / CAST(n_b * n_b * (n_b - 1) AS DOUBLE) AS vb
         |  FROM paired WHERE g_b IS NOT NULL AND ngroups = 2)
         |SELECT g_a, g_b, n_a, n_b, sum_a, sum_b, dd_a, dd_b,
-        |  CAST(FLOOR(((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |  CASE WHEN dd_a = 0 AND dd_b = 0 THEN CAST(NULL AS BIGINT)
+        |  ELSE CAST(FLOOR(((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
         |      - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-        |    / sqrt(va + vb)) * 1000000) AS BIGINT) AS t_ppm,
-        |  CAST(FLOOR((((va + vb) * (va + vb))
+        |    / sqrt(va + vb)) * 1000000) AS BIGINT) END AS t_ppm,
+        |  CASE WHEN dd_a = 0 AND dd_b = 0 THEN CAST(NULL AS BIGINT)
+        |  ELSE CAST(FLOOR((((va + vb) * (va + vb))
         |    / (va * va / CAST(n_a - 1 AS DOUBLE)
         |      + vb * vb / CAST(n_b - 1 AS DOUBLE))) * 1000000) AS BIGINT)
-        |    AS df_ppm
+        |    END AS df_ppm
         |FROM vv""".stripMargin,
     "qa29_mannwhitney" ->
       """WITH u AS (SELECT user_id,
@@ -3926,14 +3928,16 @@ object MiscQueries {
         |  r2_a - n_a * (n_a + 1) AS u2x_a,
         |  r2_b - n_b * (n_b + 1) AS u2x_b,
         |  tie_term,
-        |  CAST(FLOOR((
+        |  CASE WHEN (n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1)
+        |      - tie_term <= 0 THEN CAST(NULL AS BIGINT)
+        |  ELSE CAST(FLOOR((
         |    (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
         |      - CAST(n_a * n_b AS DOUBLE)) /
         |    sqrt(CAST(n_a * n_b AS DOUBLE)
         |      * CAST((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1)
         |          - tie_term AS DOUBLE)
         |      / CAST(3 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))
-        |  ) * 1000000) AS BIGINT) AS z_ppm
+        |  ) * 1000000) AS BIGINT) END AS z_ppm
         |FROM paired, tie WHERE g_b IS NOT NULL AND ngroups = 2""".stripMargin,
     "qa28_power" ->
       """WITH armed AS (SELECT user_id, event_type,

@@ -1058,4 +1058,19 @@ class QualitySpec extends SparkSpec {
     assert(n.getAs[Long]("violating_groups") == 1L)
     assert(n.getAs[Long]("max_rhs_per_lhs") == 2L)
   }
+  test("mannWhitneyU and welchTTest: all-identical values yield NULL statistics, not NaN/Inf") {
+    val sp = spark
+    import sp.implicits._
+    val flat = Seq(("A", 5L), ("A", 5L), ("B", 5L), ("B", 5L)).toDF("g", "v")
+    val mw = Quality.mannWhitneyU(flat, col("g"), col("v")).head()
+    assert(mw.isNullAt(mw.fieldIndex("z")),
+      "zero rank variance must NULL z, not NaN")
+    val w = Quality.welchTTest(flat, col("g"), col("v")).head()
+    assert(w.isNullAt(w.fieldIndex("t")) && w.isNullAt(w.fieldIndex("df")),
+      "two constant arms must NULL t/df, not NaN")
+    // one constant arm, one varying: Welch is still defined (vb > 0)
+    val half = Seq(("A", 5L), ("A", 5L), ("B", 4L), ("B", 6L)).toDF("g", "v")
+    val h = Quality.welchTTest(half, col("g"), col("v")).head()
+    assert(!h.isNullAt(h.fieldIndex("t")))
+  }
 }

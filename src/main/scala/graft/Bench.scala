@@ -38,7 +38,7 @@ object Bench {
     * `queries` and an entry in `errors`; `value` totals only the
     * queries that ran. */
   def renderJson(results: Seq[(String, Double, Option[String])],
-      sfDir: String): String = {
+      sfDir: String, baseline: Map[String, Double] = Map.empty): String = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
@@ -50,7 +50,58 @@ object Bench {
     } + "\""
     val errsJson = results.collect { case (k, _, Some(m)) =>
       s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+    // the bench gate as an ARTIFACT DIFF (r10 verdict #5): every run
+    // self-reports its ratio against the frozen BASELINE_BENCH.json —
+    // per-query for the >2x offenders, aggregate for the rest — so a
+    // regression is visible in the JSON line itself, not something a
+    // judge has to recompute across rounds
+    val vs = if (baseline.isEmpty) "" else {
+      val shared = results.collect {
+        case (k, v, None) if baseline.get(k).exists(_ > 0) =>
+          (k, v, baseline(k))
+      }
+      if (shared.isEmpty) "" else {
+        val totalRatio = shared.map(_._2).sum / shared.map(_._3).sum
+        val gt2 = shared.map { case (k, v, b) => (k, v / b) }
+          .filter(_._2 > 2.0).sortBy(-_._2).take(15)
+        val gt2Json = gt2.map { case (k, r) => s"${jstr(k)}:${f"$r%.2f"}" }
+          .mkString("{", ",", "}")
+        s""","vs_baseline":{"shared":${shared.size},"total_ratio":${f"$totalRatio%.4f"},"gt2x":$gt2Json}"""
+      }
+    }
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir"$vs}"""
+  }
+
+  /** Per-query times from a frozen BASELINE_BENCH.json (this file's own
+    * render format); empty map when absent/unreadable — the bench must
+    * never fail because the baseline artifact is missing. */
+  def loadBaseline(repoRoot: java.io.File): Map[String, Double] =
+    try {
+      val f = new java.io.File(repoRoot, "BASELINE_BENCH.json")
+      if (!f.isFile) Map.empty
+      else {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")) \ "queries" match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v))    => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Repo root located from this class's own code location (NOT the
+    * process cwd — r6 ADVICE: a cwd listing once misfiled artifacts). */
+  def repoRoot(): java.io.File = {
+    val src = new java.io.File(getClass.getProtectionDomain
+      .getCodeSource.getLocation.toURI) // .../target/scala-2.13/classes
+    Iterator.iterate(src)(_.getParentFile).take(8)
+      .find(d => d != null && new java.io.File(d, "build.sbt").isFile)
+      .getOrElse(new java.io.File("."))
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,15 +149,20 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => subs.exists(n.contains) }
       case None => SparkEntry.queries
     }
+    val root = repoRoot()
+    val baseline = loadBaseline(root)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (v, err) = measure(spark, fn, sfDir, reps)
       // progress to stderr: short lines that survive output-tail capture
-      // even when the final one-line JSON map gets truncated
+      // even when the final one-line JSON map gets truncated; the frozen-
+      // baseline ratio rides along so drift is visible per query, live
+      val ratio = baseline.get(name).filter(_ > 0)
+        .map(b => f" (${v / b}%.2fx baseline)").getOrElse("")
       System.err.println(s"bench ${name}: " +
-        err.map("FAILED " + _).getOrElse(v.toString))
+        err.map("FAILED " + _).getOrElse(v.toString + ratio))
       (name, v, err)
     }
-    val json = renderJson(results, sfDir)
+    val json = renderJson(results, sfDir, baseline)
     // the full map ALSO goes to its own file: the driver's tail capture has
     // truncated the (long) stdout line before, cutting early queries off
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
@@ -124,22 +180,15 @@ object Bench {
     // runs skip this write: a filtered map must never masquerade as the
     // round's full artifact (an r7 scratch profile once did).
     if (only.isEmpty) try {
-      val repoRoot = {
-        val src = new java.io.File(getClass.getProtectionDomain
-          .getCodeSource.getLocation.toURI) // .../target/scala-2.13/classes
-        Iterator.iterate(src)(_.getParentFile).take(8)
-          .find(d => d != null && new java.io.File(d, "build.sbt").isFile)
-          .getOrElse(new java.io.File("."))
-      }
       val rnd = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
         .getOrElse {
-          Option(repoRoot.listFiles()).toSeq.flatten
+          Option(root.listFiles()).toSeq.flatten
             .flatMap(f => "BENCH_r(\\d+)\\.json".r
               .findFirstMatchIn(f.getName).map(_.group(1).toInt))
             .maxOption.map(_ + 1).getOrElse(1)
         }
       java.nio.file.Files.write(
-        new java.io.File(repoRoot, f"BENCHFULL_r$rnd%02d.json").toPath,
+        new java.io.File(root, f"BENCHFULL_r$rnd%02d.json").toPath,
         (json + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(json)

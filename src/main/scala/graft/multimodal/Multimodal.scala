@@ -408,6 +408,9 @@ object Multimodal {
         .when(h8.startsWith("52494646"), "riff")
         .when(h8.startsWith("255044462D"), "pdf")
         .when(h8.startsWith("494433"), "mp3") // ID3v2-tagged MPEG audio
+        // ISO-BMFF (MP4/MOV/3GP): the ftyp box type at bytes 4-8 — the
+        // first 4 bytes are the box SIZE, so the magic is mid-prefix
+        .when(substring(h8, 9, 8) === "66747970", "mp4")
         .otherwise("unknown"))
   }
 
@@ -420,8 +423,14 @@ object Multimodal {
   /** Classify one payload's embedded-metadata exposure. Walks the REAL
     * container structure (PNG chunk chain / JPEG marker segments / WebP
     * RIFF chunk list / GIF block+extension stream — the same from-spec
-    * discipline as the decoders above), capped at the first 64 KiB:
-    * metadata segments live in the header by format design. Returns
+    * discipline as the decoders above). PNG/JPEG/ID3 walks cap at the
+    * first 64 KiB — their metadata is header-resident by format design.
+    * WebP and GIF are NOT capped: the WebP extended format places
+    * EXIF/'XMP ' chunks AFTER the image data (container spec §Extended
+    * file format) and GIF comment/XMP extensions may trail image
+    * blocks, so a cap would misreport any real file whose pixel payload
+    * exceeds the cap as corrupt; the full array is already in memory
+    * and chunk-length skipping is O(#chunks), not O(bytes). Returns
     * (kind, has_meta, meta_kind) with meta_kind ∈ {exif, xmp, text,
     * none, corrupt} — exif outranks xmp outranks text when several
     * occur; a malformed chain reports corrupt WITHOUT claiming to know
@@ -441,6 +450,7 @@ object Multimodal {
         ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
     def s4(o: Int): String = new String(b, o, 4, "ISO-8859-1")
     val limit = if (b == null) 0 else math.min(b.length, 65536)
+    val full = if (b == null) 0 else b.length // WebP/GIF walk uncapped
     if (b == null || limit < 4) return ("unknown", false, "none")
     if (limit >= 8 && b.take(8).sameElements(PngSig)) {
       var off = 8
@@ -505,7 +515,7 @@ object Multimodal {
       // u32le payload length, payload padded to even. Metadata chunks
       // are EXIF and "XMP " (container spec, extended format).
       val declEnd = 8L + le32(4) // what the RIFF header claims the file spans
-      val riffEnd = math.min(declEnd, limit.toLong)
+      val riffEnd = math.min(declEnd, full.toLong)
       var off = 12
       var exif = false
       var xmp = false
@@ -523,11 +533,11 @@ object Multimodal {
         off += 8 + clen.toInt + (clen.toInt & 1)
       }
       // RIFF has no trailer: the clean exit is walking exactly to the
-      // DECLARED end with the whole declared span under the cap. A walk
-      // the cap truncated, or one that overshot the declared end
+      // DECLARED end with the whole declared span inside the payload. A
+      // walk truncation cut short, or one that overshot the declared end
       // mid-chunk, reports what it SAW — corrupt/truncated only when it
       // saw nothing (the PNG-chain discipline above).
-      if (declEnd <= limit.toLong && off.toLong == declEnd)
+      if (declEnd <= full.toLong && off.toLong == declEnd)
         ("webp", exif || xmp,
           if (exif) "exif" else if (xmp) "xmp" else "none")
       else if (exif) ("webp", true, "exif")
@@ -552,10 +562,10 @@ object Multimodal {
         else if (closed) ("gif", false, "none")
         else ("gif", false, "corrupt")
       // returns the offset past the chain's 0x00 terminator, or -1 if
-      // the chain overruns the cap
+      // the chain overruns the payload
       def skipSubBlocks(start: Int): Int = {
         var o = start
-        while (o < limit) {
+        while (o < full) {
           val n = b(o) & 0xFF
           if (n == 0) return o + 1
           o += 1 + n
@@ -565,26 +575,26 @@ object Multimodal {
       val packed = b(10) & 0xFF
       var off = 13
       if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 7) + 1))
-      while (off < limit) {
+      while (off < full) {
         (b(off) & 0xFF) match {
           case 0x3B => return done(closed = true)
           case 0x21 =>
-            if (off + 2 > limit) return done(closed = false)
+            if (off + 2 > full) return done(closed = false)
             val label = b(off + 1) & 0xFF
             if (label == 0xFE) text = true
-            if (label == 0xFF && off + 14 <= limit &&
+            if (label == 0xFF && off + 14 <= full &&
                 (b(off + 2) & 0xFF) == 11 &&
                 new String(b, off + 3, 11, "ISO-8859-1") == "XMP DataXMP")
               xmp = true
             off = skipSubBlocks(off + 2)
             if (off < 0) return done(closed = false)
           case 0x2C =>
-            if (off + 10 > limit) return done(closed = false)
+            if (off + 10 > full) return done(closed = false)
             val lp = b(off + 9) & 0xFF
             var o = off + 10
             if ((lp & 0x80) != 0) o += 3 * (1 << ((lp & 7) + 1))
             o += 1 // LZW minimum code size byte
-            if (o > limit) return done(closed = false)
+            if (o > full) return done(closed = false)
             off = skipSubBlocks(o)
             if (off < 0) return done(closed = false)
           case _ => return done(closed = false) // unknown block type
@@ -606,18 +616,47 @@ object Multimodal {
         return ("mp3", false, "corrupt") // syncsafe bytes must be < 0x80
       val tagSize = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
         ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
-      val end = math.min(10L + tagSize, limit.toLong).toInt
-      var off = 10
+      val rawEnd = math.min(10L + tagSize, limit.toLong).toInt
+      // Tag-level unsynchronisation (header flag byte 5 bit 7): v2.2/v2.3
+      // apply 0xFF 0x00 stuffing across the WHOLE tag after assembly, and
+      // frame sizes describe the PRE-stuffing data — so a raw-offset walk
+      // over a stuffed tag misparses frame sizes. Strip the stuffing
+      // (0xFF 0x00 → 0xFF) into a copy first and walk that. v2.4 moved
+      // the scheme per-frame with STORED (post-stuffing) sizes and
+      // syncsafe frame headers, so the raw walk stays offset-correct
+      // there — no strip.
+      val unsync = (b(5) & 0x80) != 0
+      val (tag: Array[Byte], start: Int) =
+        if (unsync && ver <= 3) {
+          val out = new Array[Byte](math.max(0, rawEnd - 10))
+          var i = 10
+          var j = 0
+          while (i < rawEnd) {
+            out(j) = b(i)
+            j += 1
+            if ((b(i) & 0xFF) == 0xFF && i + 1 < rawEnd && b(i + 1) == 0)
+              i += 2
+            else i += 1
+          }
+          (java.util.Arrays.copyOf(out, j), 0)
+        } else (b, 10)
+      val end =
+        if (unsync && ver <= 3) tag.length
+        else rawEnd
+      def tbe32(o: Int): Long =
+        ((tag(o) & 0xFFL) << 24) | ((tag(o + 1) & 0xFFL) << 16) |
+          ((tag(o + 2) & 0xFFL) << 8) | (tag(o + 3) & 0xFFL)
+      var off = start
       // v2.3/v2.4 extended header (flag bit 6): its first 4 bytes are
       // its own size (syncsafe in v2.4, plain in v2.3) — skip it
       if (ver >= 3 && ((b(5) & 0x40) != 0) && off + 4 <= end) {
         val ehs =
           if (ver >= 4)
-            ((b(off) & 0x7F) << 21) | ((b(off + 1) & 0x7F) << 14) |
-              ((b(off + 2) & 0x7F) << 7) | (b(off + 3) & 0x7F)
-          else be32(off).toInt + 4 // v2.3 size EXCLUDES its own 4 bytes
+            ((tag(off) & 0x7F) << 21) | ((tag(off + 1) & 0x7F) << 14) |
+              ((tag(off + 2) & 0x7F) << 7) | (tag(off + 3) & 0x7F)
+          else tbe32(off).toInt + 4 // v2.3 size EXCLUDES its own 4 bytes
         if (ehs < 4 || ehs > end - off) return ("mp3", false, "corrupt")
-        off += (if (ver >= 4) ehs else ehs)
+        off += ehs
       }
       var priv = false
       var bin = false
@@ -630,14 +669,14 @@ object Multimodal {
         else ("mp3", false, "corrupt")
       val hdrLen = if (ver >= 3) 10 else 6
       while (off + hdrLen <= end) {
-        if (b(off) == 0) return verdict(ok = true) // padding ends the chain
+        if (tag(off) == 0) return verdict(ok = true) // padding ends the chain
         if (ver >= 3) {
-          val id = new String(b, off, 4, "ISO-8859-1")
+          val id = new String(tag, off, 4, "ISO-8859-1")
           val fs =
             if (ver >= 4)
-              ((b(off + 4) & 0x7F) << 21) | ((b(off + 5) & 0x7F) << 14) |
-                ((b(off + 6) & 0x7F) << 7) | (b(off + 7) & 0x7F)
-            else be32(off + 4)
+              ((tag(off + 4) & 0x7F) << 21) | ((tag(off + 5) & 0x7F) << 14) |
+                ((tag(off + 6) & 0x7F) << 7) | (tag(off + 7) & 0x7F)
+            else tbe32(off + 4)
           if (fs < 0 || fs > end - off - 10) return verdict(ok = false)
           id match {
             case "PRIV"          => priv = true
@@ -647,9 +686,9 @@ object Multimodal {
           }
           off += 10 + fs.toInt
         } else {
-          val id = new String(b, off, 3, "ISO-8859-1")
-          val fs = ((b(off + 3) & 0xFF) << 16) | ((b(off + 4) & 0xFF) << 8) |
-            (b(off + 5) & 0xFF)
+          val id = new String(tag, off, 3, "ISO-8859-1")
+          val fs = ((tag(off + 3) & 0xFF) << 16) |
+            ((tag(off + 4) & 0xFF) << 8) | (tag(off + 5) & 0xFF)
           if (fs < 0 || fs > end - off - 6) return verdict(ok = false)
           id match {
             case "PIC" | "GEO"                       => bin = true
@@ -663,6 +702,87 @@ object Multimodal {
       // with no metadata frames is "none" only when the whole declared
       // tag fit under the cap — the WebP/PNG truncation discipline
       verdict(ok = 10L + tagSize <= limit.toLong)
+    } else if (limit >= 12 && s4(4) == "ftyp") {
+      // ISO-BMFF / MP4 (ISO/IEC 14496-12 §4.2): a file is a box
+      // sequence — u32 BE size + fourCC (+ u64 largesize when size = 1;
+      // size = 0 means the box runs to the end of its container). The
+      // crawled-video privacy surface: the QuickTime/3GPP GPS boxes
+      // ('©xyz' location string, 'loci') under moov/udta, XMP riding a
+      // uuid box with the fixed XMP UUID (Adobe XMP Part 3 §1.2.5) at
+      // top level or inside moov, and iTunes-style ilst/©-tag text
+      // under moov/udta/meta. moov commonly sits AFTER mdat in
+      // non-faststart files, so the walk skips mdat by declared size —
+      // O(#boxes), not O(bytes) — and runs to the END of the payload
+      // (the WebP/GIF uncapped discipline). A size overrunning the
+      // buffer reports what was SEEN; corrupt only when it saw nothing.
+      val xmpUuid = Array(0xBE, 0x7A, 0xCF, 0xCB, 0x97, 0xA9, 0x42, 0xE8,
+        0x9C, 0x71, 0x99, 0x94, 0x91, 0xE3, 0xAF, 0xAC).map(_.toByte)
+      var gps = false
+      var xmp = false
+      var text = false
+      // walks the box children of [start, end); true iff the chain
+      // consumed EXACTLY the region (the clean-exit contract)
+      def walk(start: Long, end: Long, depth: Int): Boolean = {
+        var off = start
+        while (off + 8 <= end) {
+          val sz0 = be32(off.toInt)
+          val typ = s4(off.toInt + 4)
+          var hdr = 8L
+          val boxEnd: Long =
+            if (sz0 == 1L) {
+              if (off + 16 > end) return false
+              hdr = 16L
+              val sz = (be32(off.toInt + 8) << 32) | be32(off.toInt + 12)
+              if (sz < hdr) return false
+              off + sz
+            } else if (sz0 == 0L) end // last box: runs to container end
+            else {
+              if (sz0 < 8L) return false
+              off + sz0
+            }
+          if (boxEnd > end) {
+            // truncated mid-box: the verdict is corrupt, but a cut
+            // CONTAINER still gets its surviving children walked so
+            // metadata seen before the cut is reported (the GIF/WebP
+            // report-what-it-saw discipline)
+            typ match {
+              case "moov" | "udta" | "trak" if depth < 8 =>
+                walk(off + hdr, end, depth + 1)
+              case "meta" if depth < 8 && end - off - hdr >= 4 =>
+                walk(off + hdr + 4, end, depth + 1)
+              case _ => ()
+            }
+            return false
+          }
+          typ match {
+            case "moov" | "udta" | "trak" if depth < 8 =>
+              if (!walk(off + hdr, boxEnd, depth + 1)) return false
+            case "meta" if depth < 8 =>
+              // meta is a FULL box: 4 version/flags bytes, then children
+              if (boxEnd - off - hdr < 4) return false
+              if (!walk(off + hdr + 4, boxEnd, depth + 1)) return false
+            case "ilst"           => text = true // iTunes tag list
+            case "\u00A9xyz"     => gps = true // GPS location string
+            case "loci"           => gps = true  // 3GPP location info
+            case t if t.nonEmpty && (t.head & 0xFF) == 0xA9 =>
+              text = true // other ©-tags (©nam/©cmt/©too ...)
+            case "uuid" =>
+              if (boxEnd - off - hdr >= 16 &&
+                  java.util.Arrays.equals(java.util.Arrays.copyOfRange(
+                    b, (off + hdr).toInt, (off + hdr + 16).toInt), xmpUuid))
+                xmp = true
+            case _ => () // ftyp/free/mdat/mvhd/...: skip by size
+          }
+          off = boxEnd
+        }
+        off == end
+      }
+      val clean = walk(0L, full.toLong, 0)
+      if (gps) ("mp4", true, "gps")
+      else if (xmp) ("mp4", true, "xmp")
+      else if (text) ("mp4", true, "text")
+      else if (clean) ("mp4", false, "none")
+      else ("mp4", false, "corrupt")
     } else ("unknown", false, "none")
   }
 
@@ -675,7 +795,9 @@ object Multimodal {
     * a typed map (SerializeFromObject), not a UDF, so the hot path stays
     * inside Tungsten serialization.
     *
-    * Scale shape: one per-row header walk capped at 64 KiB, no shuffle;
+    * Scale shape: one per-row container walk (PNG/JPEG/ID3 capped at
+    * 64 KiB — header-resident metadata; WebP/GIF walk the full payload
+    * by chunk-length skips, O(#chunks)), no shuffle;
     * whatever aggregation follows is the caller's. */
   def metadataAudit(df: DataFrame, idCol: String, binaryCol: String)
       : DataFrame = {

@@ -1842,8 +1842,13 @@ object Quality {
       sum("w").as("bigw"), count(lit(1)).as("n_arms")))
     joined.crossJoin(tot)
       .select(col("n_arms"), col("n"),
-        expr("(1000000L * (bigw * o - n * w) * (bigw * o - n * w)) div " +
-          "(bigw * n * w)").as("term_ppm"))
+        // n = 0 guard: zero observed rows make every term 0/0 — Spark's
+        // integer div resolves that to a silent NULL where DuckDB raises
+        // (the bootstrapCi divergence class); chi-square over an empty
+        // assignment is undefined, so emit NULL explicitly on both
+        expr("CASE WHEN n = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+          "(1000000L * (bigw * o - n * w) * (bigw * o - n * w)) div " +
+          "(bigw * greatest(n, 1L) * w) END").as("term_ppm"))
       .groupBy("n_arms", "n")
       // SUM skips NULLs in both engines, so the stray-arm NULL term must
       // be propagated explicitly or the broken assignment reads healthy
@@ -1878,15 +1883,20 @@ object Quality {
     val base = df
       .select(groupCol.cast("string").as("g"), valueCol.cast("long").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
-    val byG = base.groupBy("g").agg(count(lit(1)).as("n_g"),
-        sum("v").as("s_g"), sum(col("v") * col("v")).as("ss_g"))
-      .filter(col("n_g") >= 2)
-      .withColumn("dd_g", col("n_g") * col("ss_g") - col("s_g") * col("s_g"))
-    val wg = org.apache.spark.sql.expressions.Window.orderBy("g")
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1)).rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // RAW group count taken BEFORE the n_g >= 2 viability filter: a
+    // 3-group input with a singleton arm must yield ZERO rows (the
+    // documented loud-failure contract), never a two-arm statistic
+    // quietly computed over the survivors
+    val byG = base.groupBy("g").agg(count(lit(1)).as("n_g"),
+        sum("v").as("s_g"), sum(col("v") * col("v")).as("ss_g"))
+      .withColumn("__rawgroups", count(lit(1)).over(wAll))
+      .filter(col("n_g") >= 2)
+      .withColumn("dd_g", col("n_g") * col("ss_g") - col("s_g") * col("s_g"))
+    val wg = org.apache.spark.sql.expressions.Window.orderBy("g")
     val paired = byG
       .select(col("g").as("g_a"), col("n_g").as("n_a"),
         col("s_g").as("sum_a"), col("dd_g").as("dd_a"),
@@ -1894,9 +1904,11 @@ object Quality {
         lead("n_g", 1).over(wg).as("n_b"),
         lead("s_g", 1).over(wg).as("sum_b"),
         lead("dd_g", 1).over(wg).as("dd_b"),
-        count(lit(1)).over(wAll).as("__ngroups"))
-      .filter(col("g_b").isNotNull && col("__ngroups") === 2)
-      .drop("__ngroups")
+        count(lit(1)).over(wAll).as("__ngroups"),
+        col("__rawgroups"))
+      .filter(col("g_b").isNotNull && col("__ngroups") === 2 &&
+        col("__rawgroups") === 2)
+      .drop("__ngroups", "__rawgroups")
     // va = v_a/n_a and vb = v_b/n_b as fixed IEEE subtrees shared by t
     // and df — both engines must build the IDENTICAL tree shape
     val va = col("dd_a").cast("double") /
@@ -1929,7 +1941,9 @@ object Quality {
     * 2·|x − med|, the MAD as mad4 = 2×median of dev2 = 4·MAD, and the
     * gate as the EXACT comparison 2·dev2 > k·mad4 — zero doubles, zero
     * libm, digit-identical on any engine. One row:
-    * (n, med2, mad4, n_outliers, outlier_ppm).
+    * (n, med2, mad4, n_outliers, outlier_ppm); ZERO rows on empty input
+    * (matching a grouped SQL twin, which emits no groups — a global
+    * Spark agg would otherwise emit one degenerate row).
     *
     * Scale shape: each median comes from a distinct-VALUE count groupBy
     * + a cumulative window over the value domain (never a raw-row
@@ -1980,6 +1994,10 @@ object Quality {
       .select(col("n"), col("med2"), col("mad4"), col("n_outliers"),
         expr("(n_outliers * 1000000L) div greatest(n, 1L)")
           .as("outlier_ppm"))
+      // empty-input alignment: a Spark global agg over zero rows emits
+      // one degenerate all-NULL/zero row where a grouped SQL twin emits
+      // none — drop it so both shapes agree (zero rows = no data)
+      .filter(col("n") > 0)
   }
 
   /** Benford first-digit audit — Newcomb 1881/Benford 1938, the
@@ -2020,9 +2038,14 @@ object Quality {
       .select(col("digit"), col("o").as("obs"),
         expr("(o * 1000000L) div greatest(n, 1L)").as("obs_ppm"),
         expr(s"CAST(floor(($p) * 1000000.0d) AS BIGINT)").as("exp_ppm"),
-        expr(s"CAST(floor(((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * ($p)) " +
+        // n = 0 guard: an empty positive-value set makes every term
+        // 0.0/0.0 — Spark casts the NaN silently where DuckDB's
+        // CAST(NaN AS BIGINT) raises; the chi-square is undefined at
+        // n = 0, so emit NULL explicitly on both engines
+        expr(s"CASE WHEN n = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+          s"CAST(floor(((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * ($p)) " +
           s"* (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * ($p)) " +
-          s"/ (CAST(n AS DOUBLE) * ($p))) * 1000000.0d) AS BIGINT)")
+          s"/ (CAST(n AS DOUBLE) * ($p))) * 1000000.0d) AS BIGINT) END")
           .as("term_ppm"))
   }
 

@@ -1816,14 +1816,15 @@ object Similarity {
     * provably identical (the spec pin).
     *
     * Scale shape: each strategy is a TakeOrdered (per-partition heaps,
-    * never a global sort) over the scored scan; the scored subtree is
-    * LOGICALLY shared but re-executes per consumer (truth / post /
-    * eligible-count) — each re-run is a pruned-column parquet scan with
-    * the 1-row query broadcast, so the audit is scan-bound at ~3× one
-    * pass (cache the scored relation first when auditing many
-    * query/filter combinations over the same corpus). The intersection
-    * joins two ≤ k-row relations; the audit row is a 1-row × 1-row
-    * cross. */
+    * never a global sort) over the scored relation, which is PERSISTED
+    * (memory-and-disk) inside the operator so its three consumers
+    * (truth / post / eligible-count) share ONE materialization — the
+    * embedding column is read and the dot products computed exactly
+    * once; what the consumers re-read is the narrow (id, elig, cos)
+    * triple, ~17 bytes/row, spillable. Without the persist the scored
+    * subtree re-executed ~3× (measured r10; the r10 verdict's #4).
+    * The intersection joins two ≤ k-row relations; the audit row is a
+    * 1-row × 1-row cross. */
   def filteredTopKAudit(df: DataFrame, embCol: String, idCol: String,
       queryId: Long, k: Int, overfetch: Int, eligible: Column)
       : DataFrame = {
@@ -1839,6 +1840,7 @@ object Similarity {
         (d(col("q"), col("qv")).cast("double") /
           (sqrt(d(col("q"), col("q")).cast("double")) *
             sqrt(d(col("qv"), col("qv")).cast("double")))).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = scored.filter(col("elig"))
       .orderBy(col("cos").desc, col("id")).limit(k).select(col("id"))
     val post = scored.orderBy(col("cos").desc, col("id")).limit(overfetch)

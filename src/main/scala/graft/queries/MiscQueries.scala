@@ -1820,9 +1820,10 @@ object MiscQueries {
         |SELECT digit, o AS obs,
         |  (o * 1000000) // GREATEST(n, 1) AS obs_ppm,
         |  CAST(FLOOR(p * 1000000.0) AS BIGINT) AS exp_ppm,
-        |  CAST(FLOOR(((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+        |  CASE WHEN n = 0 THEN NULL ELSE
+        |    CAST(FLOOR(((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
         |    * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
-        |    / (CAST(n AS DOUBLE) * p)) * 1000000.0) AS BIGINT) AS term_ppm
+        |    / (CAST(n AS DOUBLE) * p)) * 1000000.0) AS BIGINT) END AS term_ppm
         |FROM pd ORDER BY digit""".stripMargin,
     "qq42_cronbach" ->
       """WITH rows0 AS (SELECT
@@ -3856,8 +3857,9 @@ object MiscQueries {
         |    CAST(SUM(w) AS BIGINT) AS bigw,
         |    CAST(COUNT(*) AS BIGINT) AS n_arms FROM j)
         |SELECT n_arms, n AS n_total, n_arms - 1 AS df,
-        |  CAST(SUM((1000000 * (bigw * o - n * w) * (bigw * o - n * w))
-        |    // (bigw * n * w)) AS BIGINT) AS chi2_ppm
+        |  CAST(SUM(CASE WHEN n = 0 THEN NULL ELSE
+        |    (1000000 * (bigw * o - n * w) * (bigw * o - n * w))
+        |    // (bigw * GREATEST(n, 1) * w) END) AS BIGINT) AS chi2_ppm
         |FROM j, tot GROUP BY n_arms, n""".stripMargin,
     "qa33_welch_ttest" ->
       """WITH u AS (SELECT user_id,
@@ -3870,6 +3872,7 @@ object MiscQueries {
         |        AS BIGINT)
         |      * CAST(16 ** (13 - j) AS BIGINT))) AS BIGINT) % 2 = 0
         |    THEN 'A' ELSE 'B' END AS g, v FROM u),
+        |rawg AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS rg FROM armed),
         |byg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
         |    CAST(SUM(v) AS BIGINT) AS s_g, CAST(SUM(v * v) AS BIGINT) AS ss_g
         |  FROM armed GROUP BY g HAVING COUNT(*) >= 2),
@@ -3884,7 +3887,8 @@ object MiscQueries {
         |vv AS (SELECT g_a, g_b, n_a, n_b, sum_a, sum_b, dd_a, dd_b,
         |    CAST(dd_a AS DOUBLE) / CAST(n_a * n_a * (n_a - 1) AS DOUBLE) AS va,
         |    CAST(dd_b AS DOUBLE) / CAST(n_b * n_b * (n_b - 1) AS DOUBLE) AS vb
-        |  FROM paired WHERE g_b IS NOT NULL AND ngroups = 2)
+        |  FROM paired, rawg WHERE g_b IS NOT NULL AND ngroups = 2
+        |    AND rg = 2)
         |SELECT g_a, g_b, n_a, n_b, sum_a, sum_b, dd_a, dd_b,
         |  CASE WHEN dd_a = 0 AND dd_b = 0 THEN CAST(NULL AS BIGINT)
         |  ELSE CAST(FLOOR(((CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)

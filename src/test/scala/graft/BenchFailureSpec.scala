@@ -45,4 +45,20 @@ class BenchFailureSpec extends SparkSpec {
     val json = Bench.renderJson(Seq(("q_ok", 0.5, None)), "/tmp/sfX")
     assert(json.contains("\"errors\":{}"), json)
   }
+
+  test("vs_baseline: ratio over the shared set, >2x offenders named, failures excluded") {
+    val baseline = Map("q_a" -> 1.0, "q_b" -> 0.5, "q_bad" -> 1.0)
+    val results = Seq(
+      ("q_a", 2.5, Option.empty[String]),   // 2.5x: must be named
+      ("q_b", 0.5, Option.empty[String]),   // 1.0x: aggregate only
+      ("q_new", 1.0, Option.empty[String]), // not in baseline: excluded
+      ("q_bad", -1.0, Some("boom")))        // failed: excluded
+    val json = Bench.renderJson(results, "/tmp/sfX", baseline)
+    assert(json.contains("\"vs_baseline\":{\"shared\":2"), json)
+    assert(json.contains("\"total_ratio\":2.0000"), json) // 3.0 / 1.5
+    assert(json.contains("\"gt2x\":{\"q_a\":2.50}"), json)
+    assert(json.linesIterator.size == 1, "artifact must stay one line")
+    // no baseline artifact: the key is absent, the line is unchanged
+    assert(!Bench.renderJson(results, "/tmp/sfX").contains("vs_baseline"))
+  }
 }

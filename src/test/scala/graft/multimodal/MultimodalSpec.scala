@@ -261,12 +261,14 @@ class MultimodalSpec extends SparkSpec {
       4L -> "RIFFxxxxWAVE".getBytes.toArray,
       5L -> "%PDF-1.7 obj".getBytes.toArray,
       6L -> "plain text".getBytes.toArray,
-      7L -> null)
+      7L -> null,
+      8L -> (Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++
+        new Array[Byte](4)))
     val df = rows.toDF("id", "media")
     val out = Multimodal.sniffContentType(df, "media")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out == Map(1L -> "png", 2L -> "jpeg", 3L -> "gif", 4L -> "riff",
-      5L -> "pdf", 6L -> "unknown", 7L -> "missing"))
+      5L -> "pdf", 6L -> "unknown", 7L -> "missing", 8L -> "mp4"))
   }
 
   test("classifyMetadata: real chunk/marker walks find EXIF and text, flag corruption, skip standalones") {
@@ -459,5 +461,166 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.classifyMetadata(overrun) == (("mp3", false, "none")))
     val truncated = tag(3, 0, f3("COMM", new Array[Byte](200))).take(20)
     assert(Multimodal.classifyMetadata(truncated) == (("mp3", false, "corrupt")))
+  }
+  test("classifyMetadata: WebP/GIF metadata AFTER a >64 KiB image payload is found") {
+    // the WebP extended format puts EXIF/XMP chunks after the image
+    // data, and GIF comments may trail image blocks — a header-cap walk
+    // would misreport these real shapes as corrupt
+    def rchunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val len = data.length
+      cc.getBytes("ISO-8859-1") ++
+        Array[Byte]((len & 0xFF).toByte, ((len >> 8) & 0xFF).toByte,
+          ((len >> 16) & 0xFF).toByte, ((len >> 24) & 0xFF).toByte) ++
+        data ++
+        (if ((len & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    }
+    val bigPixels = rchunk("VP8L", Array[Byte](0x2F) ++
+      new Array[Byte](100000))
+    val body = "WEBP".getBytes("ISO-8859-1") ++ bigPixels ++
+      rchunk("EXIF", Array[Byte](1, 2, 3, 4))
+    val sz = body.length
+    val bigWebp = "RIFF".getBytes("ISO-8859-1") ++
+      Array[Byte]((sz & 0xFF).toByte, ((sz >> 8) & 0xFF).toByte,
+        ((sz >> 16) & 0xFF).toByte, ((sz >> 24) & 0xFF).toByte) ++ body
+    assert(Multimodal.classifyMetadata(bigWebp) == (("webp", true, "exif")))
+    // same shape, no trailing metadata: clean none (the declared end is
+    // reached past the old cap)
+    val body2 = "WEBP".getBytes("ISO-8859-1") ++ bigPixels
+    val sz2 = body2.length
+    val bigClean = "RIFF".getBytes("ISO-8859-1") ++
+      Array[Byte]((sz2 & 0xFF).toByte, ((sz2 >> 8) & 0xFF).toByte,
+        ((sz2 >> 16) & 0xFF).toByte, ((sz2 >> 24) & 0xFF).toByte) ++ body2
+    assert(Multimodal.classifyMetadata(bigClean) == (("webp", false, "none")))
+
+    // GIF: comment extension after >64 KiB of LZW image sub-blocks
+    val gifHdr = "GIF89a".getBytes("ISO-8859-1") ++
+      Array[Byte](1, 0, 1, 0, 0, 0, 0)
+    val lzwChain = Array[Byte](2) ++ // min code size
+      Array.fill(300)(Array[Byte](0xFF.toByte) ++
+        new Array[Byte](255)).flatten ++ Array[Byte](0)
+    val imgDesc = Array[Byte](0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0) ++ lzwChain
+    val comment = Array[Byte](0x21, 0xFE.toByte, 5) ++
+      "hello".getBytes ++ Array[Byte](0)
+    val bigGif = gifHdr ++ imgDesc ++ comment ++ Array[Byte](0x3B)
+    assert(bigGif.length > 65536)
+    assert(Multimodal.classifyMetadata(bigGif) == (("gif", true, "text")))
+    val bigGifClean = gifHdr ++ imgDesc ++ Array[Byte](0x3B)
+    assert(Multimodal.classifyMetadata(bigGifClean) ==
+      (("gif", false, "none")))
+  }
+  test("classifyMetadata: ID3v2.3 tag-level unsynchronisation is stripped before the walk") {
+    def syncsafe(n: Int): Array[Byte] = Array(
+      ((n >> 21) & 0x7F).toByte, ((n >> 14) & 0x7F).toByte,
+      ((n >> 7) & 0x7F).toByte, (n & 0x7F).toByte)
+    def f3(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ Array[Byte](0, 0,
+        ((data.length >> 8) & 0xFF).toByte, (data.length & 0xFF).toByte,
+        0, 0) ++ data
+    // v2.3 unsynchronisation: 0x00 stuffed after every 0xFF across the
+    // WHOLE assembled tag; stored frame sizes describe the PRE-stuffing
+    // data, so a raw-offset walk over the stuffed bytes misparses
+    def stuff(raw: Array[Byte]): Array[Byte] =
+      raw.flatMap(x => if ((x & 0xFF) == 0xFF) Array[Byte](x, 0)
+        else Array[Byte](x))
+    // PRIV data of 255 bytes: the frame-size field itself carries an
+    // 0xFF byte, so stuffing shifts every subsequent offset — the
+    // adversarial case for a non-stripping walk
+    val raw = f3("PRIV", new Array[Byte](255)) ++
+      f3("COMM", Array[Byte](0xFF.toByte, 1, 2))
+    val stuffed = stuff(raw)
+    assert(stuffed.length > raw.length) // stuffing actually happened
+    val unsyncTag = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 0, 0x80.toByte) ++ syncsafe(stuffed.length) ++ stuffed
+    assert(Multimodal.classifyMetadata(unsyncTag) == (("mp3", true, "priv")))
+    // same frames, no unsync: identical verdict
+    val plainTag = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 0, 0) ++ syncsafe(raw.length) ++ raw
+    assert(Multimodal.classifyMetadata(plainTag) == (("mp3", true, "priv")))
+    // v2.4 tag-level unsync flag: frame sizes are STORED (post-stuffing)
+    // sizes with syncsafe headers, so the raw walk stays offset-correct
+    def f4(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ syncsafe(data.length) ++
+        Array[Byte](0, 0x02) ++ data // per-frame unsync flag set
+    val d4 = stuff(Array[Byte](0xFF.toByte, 7)) // stored = stuffed bytes
+    val v4 = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0x80.toByte) ++
+      syncsafe(f4("PRIV", d4).length) ++ f4("PRIV", d4)
+    assert(Multimodal.classifyMetadata(v4) == (("mp3", true, "priv")))
+    // truncated unsync tag (declared size past the buffer): corrupt,
+    // nothing claimed
+    val cut = unsyncTag.take(unsyncTag.length - 40)
+    assert(Multimodal.classifyMetadata(cut)._1 == "mp3")
+  }
+  test("classifyMetadata: MP4/ISO-BMFF box walk — gps/xmp/ilst, largesize, size-0, truncation") {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val sz = payload.length + 8
+      Array[Byte](((sz >> 24) & 0xFF).toByte, ((sz >> 16) & 0xFF).toByte,
+        ((sz >> 8) & 0xFF).toByte, (sz & 0xFF).toByte) ++
+        typ.getBytes("ISO-8859-1") ++ payload
+    }
+    val ftyp = box("ftyp", "isomxxxxisom".getBytes("ISO-8859-1"))
+    val mdat = box("mdat", new Array[Byte](50))
+    val mvhd = box("mvhd", new Array[Byte](100))
+    val cxyz = box("\u00A9xyz",
+      Array[Byte](0, 4, 0x15, 0xC7.toByte) ++ "+1-2".getBytes)
+    // GPS under moov/udta, moov AFTER mdat (non-faststart)
+    assert(Multimodal.classifyMetadata(
+      ftyp ++ mdat ++ box("moov", mvhd ++ box("udta", cxyz))) ==
+      (("mp4", true, "gps")))
+    // loci (3GPP) is gps too
+    assert(Multimodal.classifyMetadata(
+      ftyp ++ box("moov", box("udta", box("loci", new Array[Byte](12))))) ==
+      (("mp4", true, "gps")))
+    // XMP uuid at top level
+    val xmpUuid = Array(0xBE, 0x7A, 0xCF, 0xCB, 0x97, 0xA9, 0x42, 0xE8,
+      0x9C, 0x71, 0x99, 0x94, 0x91, 0xE3, 0xAF, 0xAC).map(_.toByte)
+    assert(Multimodal.classifyMetadata(
+      ftyp ++ box("uuid", xmpUuid ++ "<x/>".getBytes) ++
+        box("moov", mvhd)) == (("mp4", true, "xmp")))
+    // a NON-XMP uuid box is stepped over, not claimed
+    assert(Multimodal.classifyMetadata(
+      ftyp ++ box("uuid", new Array[Byte](24)) ++ box("moov", mvhd)) ==
+      (("mp4", false, "none")))
+    // ilst under moov/udta/meta (meta = FULL box, 4 version bytes)
+    val meta = box("meta", Array[Byte](0, 0, 0, 0) ++
+      box("hdlr", new Array[Byte](24)) ++
+      box("ilst", box("\u00A9nam", box("data", "t".getBytes))))
+    assert(Multimodal.classifyMetadata(
+      ftyp ++ box("moov", mvhd ++ box("udta", meta))) ==
+      (("mp4", true, "text")))
+    // gps outranks text when both present
+    assert(Multimodal.classifyMetadata(
+      ftyp ++ box("moov", box("udta", meta ++ cxyz))) ==
+      (("mp4", true, "gps")))
+    // clean no-metadata file walks to the exact end: none
+    assert(Multimodal.classifyMetadata(
+      ftyp ++ box("free", new Array[Byte](8)) ++ mdat ++
+        box("moov", mvhd)) == (("mp4", false, "none")))
+    // size = 1: 64-bit largesize header
+    val largePayload = new Array[Byte](30)
+    val largeMdat = Array[Byte](0, 0, 0, 1) ++
+      "mdat".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, (16 + largePayload.length).toByte) ++
+      largePayload
+    assert(Multimodal.classifyMetadata(
+      ftyp ++ largeMdat ++ box("moov", box("udta", cxyz))) ==
+      (("mp4", true, "gps")))
+    // size = 0: box runs to the end of the file — clean exit
+    val lastBox = Array[Byte](0, 0, 0, 0) ++
+      "mdat".getBytes("ISO-8859-1") ++ new Array[Byte](17)
+    assert(Multimodal.classifyMetadata(ftyp ++ lastBox) ==
+      (("mp4", false, "none")))
+    // moov size overruns the buffer with nothing seen: corrupt
+    val trunc = (ftyp ++ mdat ++
+      box("moov", mvhd ++ new Array[Byte](64))).dropRight(64)
+    assert(Multimodal.classifyMetadata(trunc) == (("mp4", false, "corrupt")))
+    // truncation AFTER the metadata was seen still reports what it saw
+    val seenThenCut = ftyp ++ box("moov",
+      box("udta", cxyz) ++ new Array[Byte](64)).dropRight(40)
+    assert(Multimodal.classifyMetadata(seenThenCut) == (("mp4", true, "gps")))
+    // undersized box (size < 8): corrupt
+    assert(Multimodal.classifyMetadata(
+      ftyp ++ Array[Byte](0, 0, 0, 5) ++ "mdat".getBytes) ==
+      (("mp4", false, "corrupt")))
   }
 }

@@ -984,6 +984,33 @@ class QualitySpec extends SparkSpec {
     val three = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
       ("C", 5L), ("C", 6L)).toDF("g", "v")
     assert(Quality.welchTTest(three, col("g"), col("v")).count() == 0L)
+    // three RAW groups with a singleton arm: the viability filter must
+    // NOT quietly leave a two-arm statistic over the survivors — the
+    // exactly-two-groups contract counts groups BEFORE the n >= 2 filter
+    val threeOneSingleton = Seq(("A", 1L), ("A", 2L), ("B", 3L),
+      ("B", 4L), ("C", 5L)).toDF("g", "v")
+    assert(Quality.welchTTest(threeOneSingleton, col("g"), col("v"))
+      .count() == 0L)
+  }
+  test("srmCheck/benfordAudit/madOutliers: empty input degenerates, no engine divergence") {
+    val s = spark
+    import s.implicits._
+    val noArms = Seq.empty[String].toDF("arm")
+    // zero observed rows: chi-square undefined -> chi2_ppm NULL (not a
+    // division-by-zero NULL Spark happens to emit and DuckDB raises on)
+    val sr = graft.operators.Quality.srmCheck(noArms, col("arm"),
+      Seq("A" -> 1L, "B" -> 1L)).head()
+    assert(sr.getAs[Long]("n_total") == 0L)
+    assert(sr.isNullAt(sr.fieldIndex("chi2_ppm")))
+    // all nine digits present with obs 0; every chi-square term NULL
+    val noVals = Seq.empty[Long].toDF("x")
+    val bf = graft.operators.Quality.benfordAudit(noVals, col("x")).collect()
+    assert(bf.length == 9)
+    assert(bf.forall(r => r.getAs[Long]("obs") == 0L &&
+      r.isNullAt(r.fieldIndex("term_ppm"))))
+    // zero rows, not one degenerate all-NULL row (the grouped-SQL shape)
+    assert(graft.operators.Quality.madOutliers(noVals, col("x"), k = 3)
+      .count() == 0L)
   }
   test("madOutliers: exact 2x/4x integers on a hand multiset; fence catches the corruption") {
     val sp = spark

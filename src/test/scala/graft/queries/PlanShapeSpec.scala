@@ -189,6 +189,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("row_number"), "no window-argmin: " + p.take(800))
   }
 
+  test("qv39: the scored relation materializes ONCE - consumers read the persisted triple") {
+    // r10 verdict #4: without the in-operator persist, the truth/post/
+    // eligible-count consumers re-executed the embedding scan + dot
+    // products ~3x. The pin: the executed plan reads the scored subtree
+    // through InMemoryTableScan in every consumer, and the embedding
+    // parquet scan appears in the plan at most once (inside the cached
+    // relation's own build subtree).
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries("qv39_filtered_ann")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val imts = "InMemoryTableScan".r.findAllIn(p).size
+    assert(imts >= 3, s"expected all three consumers on the persisted " +
+      s"scored relation, got $imts InMemoryTableScan: " + p.take(1500))
+    spark.catalog.clearCache()
+  }
+
   test("qq43: MAD medians exchange only on the VALUE DOMAIN (v/d2), never raw rows") {
     val p = plan("qq43_mad_outliers")
     val keys = "Exchange hashpartitioning\\((\\w+)#".r

@@ -408,6 +408,8 @@ object Multimodal {
         .when(h8.startsWith("52494646"), "riff")
         .when(h8.startsWith("255044462D"), "pdf")
         .when(h8.startsWith("494433"), "mp3") // ID3v2-tagged MPEG audio
+        .when(h8.startsWith("664C6143"), "flac") // fLaC
+        .when(h8.startsWith("4F676753"), "ogg") // OggS page capture
         // ISO-BMFF (MP4/MOV/3GP): the ftyp box type at bytes 4-8 — the
         // first 4 bytes are the box SIZE, so the magic is mid-prefix
         .when(substring(h8, 9, 8) === "66747970", "mp4")
@@ -783,6 +785,107 @@ object Multimodal {
       else if (text) ("mp4", true, "text")
       else if (clean) ("mp4", false, "none")
       else ("mp4", false, "corrupt")
+    } else if (limit >= 8 && s4(0) == "fLaC") {
+      // FLAC (xiph.org format spec): "fLaC" then a metadata-block chain —
+      // 1-byte header (bit 7 = last-block flag, bits 0-6 = type) + BE24
+      // length + payload — then audio frames. Header-resident by design,
+      // so the 64 KiB cap applies (the PNG/JPEG/ID3 class). The privacy
+      // surface: VORBIS_COMMENT blocks (type 4 — artist/location/custom
+      // text tags; parsed to the user-comment COUNT, a zero-comment
+      // block is clean), PICTURE (6) and APPLICATION (2) binary blocks.
+      // Precedence binary > text (the ID3 APIC discipline).
+      var off = 4
+      var bin = false
+      var text = false
+      var last = false
+      var broken = false
+      while (!last && !broken && off + 4 <= limit) {
+        val hdr = b(off) & 0xFF
+        last = (hdr & 0x80) != 0
+        val btype = hdr & 0x7F
+        val blen = ((b(off + 1) & 0xFF) << 16) | ((b(off + 2) & 0xFF) << 8) |
+          (b(off + 3) & 0xFF)
+        if (btype == 127) broken = true // forbidden type (spec)
+        else {
+          btype match {
+            case 4 =>
+              // u32le vendor length + vendor string + u32le comment count
+              val p = off + 4L
+              val bend = math.min(p + blen, limit.toLong)
+              if (p + 4 > bend) broken = true
+              else {
+                val vl = le32(p.toInt)
+                val cntOff = p + 4 + vl
+                if (vl < 0 || cntOff + 4 > bend) broken = true
+                else if (le32(cntOff.toInt) != 0) text = true
+              }
+            case 2 | 6 => bin = true // APPLICATION / PICTURE
+            case _     => ()
+          }
+          off += 4 + blen
+        }
+      }
+      // clean exit = the last-block flag was reached with every block
+      // HEADER inside the cap (block payloads past the cap are fine —
+      // only types/lengths are read); otherwise report what was seen
+      if (bin) ("flac", true, "binary")
+      else if (text) ("flac", true, "text")
+      else if (last && !broken) ("flac", false, "none")
+      else ("flac", false, "corrupt")
+    } else if (limit >= 27 && s4(0) == "OggS") {
+      // OGG container (RFC 3533): "OggS" pages — 27-byte header
+      // (version, header-type flags, granule, serial, sequence, CRC,
+      // segment count) + segment table + payload. The metadata packet is
+      // the VorbisComment: "vorbis" (Vorbis comment header) or
+      // "OpusTags" (Opus) at a fresh packet boundary — vendor string +
+      // user-comment list, parsed to the COUNT. Header-resident (the
+      // comment header rides the first pages), so the 64 KiB cap
+      // applies. A comment packet whose count field spans out of its
+      // page is reported corrupt rather than guessed.
+      var off = 0
+      var cnt = -1L // -1 = no comment packet seen
+      var broken = false
+      var done = false
+      while (!done && !broken && off + 27 <= limit) {
+        if (s4(off) != "OggS" || (b(off + 4) & 0xFF) != 0) broken = true
+        else {
+          val nsegs = b(off + 26) & 0xFF
+          if (off + 27 + nsegs > limit) { done = true } // cap mid-header
+          else {
+            var plen = 0
+            var i = 0
+            while (i < nsegs) { plen += b(off + 27 + i) & 0xFF; i += 1 }
+            val pstart = off + 27 + nsegs
+            val pend = pstart + plen
+            if (pend > limit) done = true // cap mid-payload
+            else {
+              val fresh = (b(off + 5) & 0x01) == 0 // not a continuation
+              if (fresh && cnt < 0) {
+                val isVorbis = plen >= 11 && (b(pstart) & 0xFF) == 3 &&
+                  new String(b, pstart + 1, 6, "ISO-8859-1") == "vorbis"
+                val isOpus = plen >= 12 &&
+                  new String(b, pstart, 8, "ISO-8859-1") == "OpusTags"
+                if (isVorbis || isOpus) {
+                  val q = pstart + (if (isVorbis) 7 else 8)
+                  if (q + 4 > pend) broken = true
+                  else {
+                    val vl = le32(q)
+                    val cntOff = q + 4 + vl
+                    if (vl < 0 || cntOff + 4 > pend) broken = true
+                    else cnt = le32(cntOff.toInt)
+                  }
+                }
+              }
+              off = pend
+            }
+          }
+        }
+      }
+      if (cnt > 0) ("ogg", true, "text")
+      else if (broken) ("ogg", false, "corrupt")
+      else if (cnt == 0) ("ogg", false, "none") // explicit empty tag list
+      else if (off == full) ("ogg", false, "none") // whole file, no tags
+      else ("ogg", false, "corrupt") // cap-truncated before any verdict
     } else ("unknown", false, "none")
   }
 

@@ -623,4 +623,88 @@ class MultimodalSpec extends SparkSpec {
       ftyp ++ Array[Byte](0, 0, 0, 5) ++ "mdat".getBytes) ==
       (("mp4", false, "corrupt")))
   }
+  test("classifyMetadata: FLAC block chain and OGG VorbisComment packets") {
+    def le32(n: Int): Array[Byte] = Array((n & 0xFF).toByte,
+      ((n >> 8) & 0xFF).toByte, ((n >> 16) & 0xFF).toByte,
+      ((n >> 24) & 0xFF).toByte)
+    def blk(t: Int, last: Boolean, data: Array[Byte]): Array[Byte] =
+      Array[Byte]((((if (last) 0x80 else 0) | t) & 0xFF).toByte,
+        ((data.length >> 16) & 0xFF).toByte,
+        ((data.length >> 8) & 0xFF).toByte, (data.length & 0xFF).toByte) ++
+        data
+    def vc(comments: Seq[String]): Array[Byte] = {
+      val vendor = "v".getBytes
+      le32(vendor.length) ++ vendor ++ le32(comments.length) ++
+        comments.flatMap(c => le32(c.length).toSeq ++ c.getBytes.toSeq)
+    }
+    val si = blk(0, last = false, new Array[Byte](34))
+    val fl = "fLaC".getBytes
+    assert(Multimodal.classifyMetadata(
+      fl ++ si ++ blk(4, last = true, vc(Seq("A=1")))) ==
+      (("flac", true, "text")))
+    // empty comment LIST is clean (count parsed, not presence-sniffed)
+    assert(Multimodal.classifyMetadata(
+      fl ++ si ++ blk(4, last = true, vc(Seq.empty))) ==
+      (("flac", false, "none")))
+    // PICTURE/APPLICATION are binary; binary outranks text
+    assert(Multimodal.classifyMetadata(
+      fl ++ si ++ blk(6, last = true, new Array[Byte](9))) ==
+      (("flac", true, "binary")))
+    assert(Multimodal.classifyMetadata(
+      fl ++ blk(2, last = false, new Array[Byte](6)) ++
+        blk(4, last = true, vc(Seq("A=1")))) == (("flac", true, "binary")))
+    assert(Multimodal.classifyMetadata(
+      fl ++ blk(0, last = true, new Array[Byte](34))) ==
+      (("flac", false, "none")))
+    // no last-block flag before the buffer ends: corrupt
+    assert(Multimodal.classifyMetadata(fl ++ si) ==
+      (("flac", false, "corrupt")))
+    // forbidden block type 127: corrupt
+    assert(Multimodal.classifyMetadata(
+      fl ++ blk(127, last = true, Array.emptyByteArray)) ==
+      (("flac", false, "corrupt")))
+    // comment count field beyond the declared block: corrupt, not guessed
+    assert(Multimodal.classifyMetadata(
+      fl ++ si ++ blk(4, last = true, le32(900) ++ "v".getBytes)) ==
+      (("flac", false, "corrupt")))
+
+    def page(ht: Int, payload: Array[Byte]): Array[Byte] = {
+      val nFull = payload.length / 255
+      val rem = payload.length % 255
+      val segs = Array.fill[Byte](nFull)(0xFF.toByte) :+ rem.toByte
+      "OggS".getBytes ++ Array[Byte](0, ht.toByte) ++
+        new Array[Byte](8) ++ le32(1) ++ le32(0) ++ le32(0) ++
+        Array[Byte](segs.length.toByte) ++ segs ++ payload
+    }
+    val ident = Array[Byte](1) ++ "vorbis".getBytes ++ new Array[Byte](23)
+    def cp(comments: Seq[String]): Array[Byte] =
+      Array[Byte](3) ++ "vorbis".getBytes ++ vc(comments)
+    assert(Multimodal.classifyMetadata(
+      page(2, ident) ++ page(0, cp(Seq("T=1"))) ++
+        page(4, new Array[Byte](9))) == (("ogg", true, "text")))
+    assert(Multimodal.classifyMetadata(
+      page(2, ident) ++ page(0, cp(Seq.empty)) ++
+        page(4, new Array[Byte](9))) == (("ogg", false, "none")))
+    // OpusTags carries the same vendor+count structure
+    val opusTags = "OpusTags".getBytes ++ vc(Seq("T=1"))
+    assert(Multimodal.classifyMetadata(
+      page(2, Array[Byte](1) ++ "opusHead47".getBytes) ++
+        page(0, opusTags)) == (("ogg", true, "text")))
+    // whole file walked, no comment packet anywhere: none
+    assert(Multimodal.classifyMetadata(
+      page(2, ident) ++ page(4, new Array[Byte](9))) ==
+      (("ogg", false, "none")))
+    // a page cut mid-payload with no verdict yet: corrupt
+    assert(Multimodal.classifyMetadata(
+      (page(2, ident) ++ page(0, cp(Seq("T=1")))).dropRight(5)) ==
+      (("ogg", false, "corrupt")))
+    // bad page version byte: corrupt
+    val badVer = page(2, ident)
+    badVer(4) = 9
+    assert(Multimodal.classifyMetadata(badVer) == (("ogg", false, "corrupt")))
+    // comment count spanning out of its page: corrupt, not guessed
+    assert(Multimodal.classifyMetadata(
+      page(2, ident) ++ page(0, Array[Byte](3) ++ "vorbis".getBytes ++
+        le32(900) ++ "v".getBytes)) == (("ogg", false, "corrupt")))
+  }
 }

@@ -889,6 +889,29 @@ object Proj {
             .map(z => Crs(Tmerc(0.0, 6.0 * z - 3.0, 1.0,
               z * 1000000.0 + 500000.0, 0.0), Krassowsky1940,
               Some(Wgs84ToPulkovo1942)))
+        // CGCS2000 / Gauss-Krüger (China's modern national grid; the
+        // CGCS2000 ellipsoid is a = 6378137, 1/f = 298.257222101 — GRS80
+        // to 1 part in 10⁹ — and CGCS2000 ≡ WGS84 at this fidelity, the
+        // NAD83/GDA/JGD2011 plain-bundle convention). Four EPSG ranges,
+        // all k0 = 1, FN = 0:
+        //   4491-4501: 6° zones 13-23, lon0 = 6z − 3, FE = z·10⁶+500 000
+        //   4502-4512: 6° CM 75E..135E (no zone prefix), FE = 500 000
+        //   4513-4533: 3° zones 25-45, lon0 = 3z, FE = z·10⁶+500 000
+        //   4534-4554: 3° CM 75E..135E (no zone prefix), FE = 500 000
+        case c if c.length == 4 && c >= "4491" && c <= "4501" =>
+          c.toIntOption.map(_ - 4478).map(z => // zones 13..23
+            Crs(Tmerc(0.0, 6.0 * z - 3.0, 1.0, z * 1000000.0 + 500000.0,
+              0.0), GRS80))
+        case c if c.length == 4 && c >= "4502" && c <= "4512" =>
+          c.toIntOption.map(i => 75.0 + 6.0 * (i - 4502)).map(cm =>
+            Crs(Tmerc(0.0, cm, 1.0, 500000.0, 0.0), GRS80))
+        case c if c.length == 4 && c >= "4513" && c <= "4533" =>
+          c.toIntOption.map(_ - 4488).map(z => // zones 25..45
+            Crs(Tmerc(0.0, 3.0 * z, 1.0, z * 1000000.0 + 500000.0, 0.0),
+              GRS80))
+        case c if c.length == 4 && c >= "4534" && c <= "4554" =>
+          c.toIntOption.map(i => 75.0 + 3.0 * (i - 4534)).map(cm =>
+            Crs(Tmerc(0.0, cm, 1.0, 500000.0, 0.0), GRS80))
         // JGD2011 / Japan Plane Rectangular CS zones I-XIX (6669-6687):
         // a parameterized TM family — per-zone origin from the GSI
         // zone table, k0 = 0.9999, FE = FN = 0, GRS80 (JGD2011 ≡ WGS84
@@ -921,12 +944,18 @@ object Proj {
       case c if c >= 2443 && c <= 2461 =>
         s"JGD2000 Plane Rectangular zone ${c - 2442} — use " +
           s"EPSG:${6668 + (c - 2442)} (JGD2011, identical at this fidelity, supported)"
+      case c if c >= 21413 && c <= 21423 =>
+        s"Beijing 1954 / Gauss-Krüger zone ${c - 21400} — the " +
+          "Beijing54→CGCS2000 shift is region-dependent (no single " +
+          "verifiable Helmert; ~dozens of metres); for modern data use " +
+          s"EPSG:${4478 + (c - 21400)} (CGCS2000 zone ${c - 21400}, supported)"
     }
     s"unsupported SRS '$disp'" + hint.map("; " + _).getOrElse(
       "; supported families: 4326/3857/900913/3395, UTM 326xx/327xx, " +
         "ETRS89 258xx, NAD83 269xx, NAD27 267xx, WGS72 322xx/323xx, " +
         "MGA 283xx/78xx, SIRGAS 319xx, " +
-        "Pulkovo GK 284xx, DHDN GK 3146x, JPRCS 6669-6687, LCC " +
+        "Pulkovo GK 284xx, DHDN GK 3146x, CGCS2000 GK 4491-4554, " +
+        "JPRCS 6669-6687, LCC " +
         "2154/3347/3034, Albers 5070, polar stereo 3413/3976/3031/3995, " +
         "27700, 2193, 3375/29873, 3035, 2056, 5514")
   }

@@ -501,6 +501,50 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("CGCS2000 Gauss-Krüger 4491-4554: zone/CM arithmetic, range edges, round trip") {
+    // zone codes vs CM codes are the SAME projection up to the zone
+    // prefix in the false easting — a structural identity straight from
+    // the EPSG definitions, so the two ranges must agree to the bit
+    // after removing zone·10⁶
+    val beijingLon = 116.391
+    val beijingLat = 39.907
+    // 6°: zone 20 (4498, CM = 117E, FE = 20.5e6) vs CM 117E (4509, FE = 0.5e6)
+    val (xz6, yz6) = Proj.forward("epsg:4498").get(beijingLon, beijingLat)
+    val (xc6, yc6) = Proj.forward("epsg:4509").get(beijingLon, beijingLat)
+    assert(xz6 - xc6 == 20000000.0 && yz6 == yc6)
+    // 3°: zone 39 (4527, CM = 117E, FE = 39.5e6) vs CM 117E (4548)
+    val (xz3, yz3) = Proj.forward("epsg:4527").get(beijingLon, beijingLat)
+    val (xc3, yc3) = Proj.forward("epsg:4548").get(beijingLon, beijingLat)
+    assert(xz3 - xc3 == 39000000.0 && yz3 == yc3)
+    // 6° CM 117E and 3° CM 117E share lon0 and k0=1: identical projection
+    assert(xc6 == xc3 && yc6 == yc3)
+    // on the central meridian the easting IS the false easting (k0 = 1)
+    val (xcm, _) = Proj.forward("epsg:4509").get(117.0, 30.0)
+    assert(math.abs(xcm - 500000.0) < 1e-6)
+    // GRS80 parity: CGCS2000's ellipsoid matches GRS80 to 1e-9 in 1/f,
+    // so a WGS84-ellipsoid twin of the same Tmerc differs by < 1 mm
+    // (the 258xx/NAD83 convention); here pin against the Pulkovo GK
+    // formula SHAPE instead: same zone arithmetic family, different
+    // ellipsoid/datum must NOT match (guards a copy-paste ellipsoid)
+    val (xp, yp) = Proj.forward("epsg:28420").get(beijingLon, beijingLat)
+    assert(math.hypot(xp - xz6, yp - yz6) > 10.0,
+      "Pulkovo GK zone 20 must differ from CGCS2000 zone 20 (Krassowsky + shift)")
+    // range edges refuse
+    assert(Proj.forward("epsg:4490").isEmpty, "4490 is geographic, not GK")
+    assert(Proj.forward("epsg:4555").isEmpty)
+    // round trip inside the band
+    for (code <- Seq("epsg:4498", "epsg:4509", "epsg:4527", "epsg:4548")) {
+      val f = Proj.forward(code).get
+      val i = Proj.inverse(code).get
+      val (lo2, la2) = i.tupled(f(beijingLon, beijingLat))
+      assert(math.abs(lo2 - beijingLon) < 1e-9 &&
+        math.abs(la2 - beijingLat) < 1e-9, code)
+    }
+    // the Beijing 1954 near-miss refuses with the CGCS2000 workaround
+    val msg = Proj.unsupportedMessage("epsg:21420")
+    assert(msg.contains("Beijing 1954") && msg.contains("EPSG:4498"), msg)
+  }
+
   test("NAD27 UTM 267xx: genuine datum shift, round-trip exact, sane offset from NAD83") {
     // zone 14 over Kansas: the CONUS translation moves the projected
     // point by the real NAD27<->WGS84 separation (tens of metres)

@@ -410,6 +410,9 @@ object Multimodal {
         .when(h8.startsWith("494433"), "mp3") // ID3v2-tagged MPEG audio
         .when(h8.startsWith("664C6143"), "flac") // fLaC
         .when(h8.startsWith("4F676753"), "ogg") // OggS page capture
+        // TIFF 6.0 / BigTIFF: II*\0, II+\0, MM\0*, MM\0+
+        .when(h8.startsWith("49492A00") || h8.startsWith("49492B00") ||
+          h8.startsWith("4D4D002A") || h8.startsWith("4D4D002B"), "tiff")
         // ISO-BMFF (MP4/MOV/3GP): the ftyp box type at bytes 4-8 — the
         // first 4 bytes are the box SIZE, so the magic is mid-prefix
         .when(substring(h8, 9, 8) === "66747970", "mp4")
@@ -886,6 +889,81 @@ object Multimodal {
       else if (cnt == 0) ("ogg", false, "none") // explicit empty tag list
       else if (off == full) ("ogg", false, "none") // whole file, no tags
       else ("ogg", false, "corrupt") // cap-truncated before any verdict
+    } else if (limit >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' &&
+          ((b(2) & 0xFF) == 42 || (b(2) & 0xFF) == 43) && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 &&
+          ((b(3) & 0xFF) == 42 || (b(3) & 0xFF) == 43)))) {
+      // TIFF / BigTIFF (TIFF 6.0 spec + the BigTIFF extension): "II"/"MM"
+      // byte order, version 42 (classic: u32 IFD offset at 4) or 43
+      // (BigTIFF: u16 offset-size = 8, u16 pad = 0, u64 IFD offset at 8),
+      // then a chain of IFDs — entry count, fixed-size tag entries
+      // (12/20 bytes), next-IFD offset. The crawled-raster privacy
+      // surface is TAG PRESENCE in the chain: the GPS IFD pointer
+      // (34853) and EXIF IFD pointer (34665), the XMP packet tag (700),
+      // and the Artist/ImageDescription/Copyright text tags
+      // (315/270/33432). IFDs routinely live at EOF (COG overview
+      // chains), so the walk is uncapped like MP4 — O(#entries) index
+      // hops, not a byte scan. Precedence gps > exif > xmp > text.
+      val le = b(0) == 'I'
+      def u16(o: Int): Int =
+        if (le) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+        else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+      def u32(o: Int): Long = if (le) le32(o) else be32(o)
+      def u64(o: Int): Long =
+        if (le) le32(o) | (le32(o + 4) << 32)
+        else (be32(o) << 32) | be32(o + 4)
+      val big = (if (le) b(2) else b(3)) == 43
+      var gps = false
+      var exif = false
+      var xmp = false
+      var text = false
+      var ok = true
+      var done = false
+      var ifdOff: Long =
+        if (!big) u32(4)
+        else if (full >= 16 && u16(4) == 8 && u16(6) == 0) u64(8)
+        else { ok = false; done = true; 0L }
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      val hdrSz = if (big) 8 else 2
+      val entSz = if (big) 20 else 12
+      val nextSz = if (big) 8 else 4
+      while (!done) {
+        if (ifdOff == 0) done = true // clean end of the IFD chain
+        else if (!seen.add(ifdOff) || seen.size > 64) {
+          ok = false; done = true // cycle / absurd chain: corrupt
+        } else if (ifdOff < 0 || ifdOff + hdrSz > full) {
+          ok = false; done = true // chain points past the buffer
+        } else {
+          val n: Long =
+            if (big) u64(ifdOff.toInt) else u16(ifdOff.toInt).toLong
+          val base = ifdOff + hdrSz
+          if (n < 0 || n > 65535 || base + n * entSz + nextSz > full) {
+            ok = false; done = true // entry table truncated
+          } else {
+            var i = 0L
+            while (i < n) {
+              u16((base + i * entSz).toInt) match {
+                case 34853            => gps = true  // GPS IFD pointer
+                case 34665            => exif = true // EXIF IFD pointer
+                case 700              => xmp = true  // XMP packet
+                case 270 | 315 | 33432 => text = true // descr/artist/©
+                case _                => ()
+              }
+              i += 1
+            }
+            ifdOff =
+              if (big) u64((base + n * entSz).toInt)
+              else u32((base + n * entSz).toInt)
+          }
+        }
+      }
+      if (gps) ("tiff", true, "gps")
+      else if (exif) ("tiff", true, "exif")
+      else if (xmp) ("tiff", true, "xmp")
+      else if (text) ("tiff", true, "text")
+      else if (ok) ("tiff", false, "none")
+      else ("tiff", false, "corrupt")
     } else ("unknown", false, "none")
   }
 

@@ -707,4 +707,63 @@ class MultimodalSpec extends SparkSpec {
       page(2, ident) ++ page(0, Array[Byte](3) ++ "vorbis".getBytes ++
         le32(900) ++ "v".getBytes)) == (("ogg", false, "corrupt")))
   }
+  test("classifyMetadata: TIFF IFD chains — LE/BE, BigTIFF, multi-IFD, cycles, truncation") {
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def tiffLE(tags: Seq[Int], next: Int = 0): Array[Byte] =
+      "II".getBytes ++ le16(42) ++ le32(8) ++ le16(tags.size) ++
+        tags.sorted.flatMap(t => le16(t) ++ le16(4) ++ le32(1) ++ le32(0)) ++
+        le32(next)
+    def tiffBE(tags: Seq[Int]): Array[Byte] =
+      "MM".getBytes ++ be16(42) ++ be32(8) ++ be16(tags.size) ++
+        tags.sorted.flatMap(t => be16(t) ++ be16(4) ++ be32(1) ++ be32(0)) ++
+        be32(0)
+    assert(Multimodal.classifyMetadata(tiffLE(Seq(256, 34853))) ==
+      (("tiff", true, "gps")))
+    assert(Multimodal.classifyMetadata(tiffBE(Seq(256, 34665))) ==
+      (("tiff", true, "exif")))
+    assert(Multimodal.classifyMetadata(tiffLE(Seq(700))) ==
+      (("tiff", true, "xmp")))
+    assert(Multimodal.classifyMetadata(tiffBE(Seq(270))) ==
+      (("tiff", true, "text")))
+    assert(Multimodal.classifyMetadata(tiffLE(Seq(256, 257))) ==
+      (("tiff", false, "none")))
+    // gps outranks exif outranks xmp outranks text
+    assert(Multimodal.classifyMetadata(
+      tiffLE(Seq(270, 700, 34665, 34853))) == (("tiff", true, "gps")))
+    // second IFD in the chain carries the GPS tag (the COG-overviews
+    // layout: metadata can sit on ANY IFD)
+    val first = tiffLE(Seq(256), next = 0)
+    val chained = "II".getBytes ++ le16(42) ++ le32(8) ++ le16(1) ++
+      (le16(256) ++ le16(4) ++ le32(1) ++ le32(0)) ++
+      le32(8 + 2 + 12 + 4) ++ // next IFD right after this one
+      le16(1) ++ (le16(34853) ++ le16(4) ++ le32(1) ++ le32(0)) ++ le32(0)
+    assert(first.length == 8 + 2 + 12 + 4) // layout sanity
+    assert(Multimodal.classifyMetadata(chained) == (("tiff", true, "gps")))
+    // IFD chain cycle: corrupt, never an infinite walk
+    val cyclic = "II".getBytes ++ le16(42) ++ le32(8) ++ le16(1) ++
+      (le16(256) ++ le16(4) ++ le32(1) ++ le32(0)) ++ le32(8) // next = self
+    assert(Multimodal.classifyMetadata(cyclic) == (("tiff", false, "corrupt")))
+    // IFD offset beyond the buffer: corrupt
+    assert(Multimodal.classifyMetadata(
+      "II".getBytes ++ le16(42) ++ le32(4096) ++ le16(0)) ==
+      (("tiff", false, "corrupt")))
+    // entry table truncated mid-IFD: corrupt
+    assert(Multimodal.classifyMetadata(tiffLE(Seq(256, 34853)).dropRight(9)) ==
+      (("tiff", false, "corrupt")))
+    // BigTIFF (version 43, 8-byte offsets): LE with a GPS tag
+    def le64(v: Long) = (0 until 8).map(i => ((v >> (8 * i)) & 0xFF).toByte)
+      .toArray
+    val bigT = "II".getBytes ++ le16(43) ++ le16(8) ++ le16(0) ++ le64(16L) ++
+      le64(1L) ++ (le16(34853) ++ le16(4) ++ le64(1L) ++ le64(0L)) ++ le64(0L)
+    assert(Multimodal.classifyMetadata(bigT) == (("tiff", true, "gps")))
+    // BigTIFF with a bad offset-size field: corrupt
+    val badBig = "II".getBytes ++ le16(43) ++ le16(4) ++ le16(0) ++ le64(16L)
+    assert(Multimodal.classifyMetadata(badBig) == (("tiff", false, "corrupt")))
+  }
 }

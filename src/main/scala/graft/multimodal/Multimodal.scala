@@ -889,6 +889,127 @@ object Multimodal {
       else if (cnt == 0) ("ogg", false, "none") // explicit empty tag list
       else if (off == full) ("ogg", false, "none") // whole file, no tags
       else ("ogg", false, "corrupt") // cap-truncated before any verdict
+    } else if (limit >= 8 && new String(b, 0, 5, "ISO-8859-1") == "%PDF-") {
+      // PDF (ISO 32000): the two metadata surfaces a crawled-document
+      // lake audits are the /Info dictionary (Author/Creator/Producer —
+      // the classic author-name disclosure) and the XMP metadata
+      // stream. The /Info REFERENCE lives in plain text in the trailer:
+      // classic files keep a `trailer << ... >>` dict after the xref
+      // TABLE; 1.5+ files keep the same keys in the xref STREAM's dict
+      // at the `startxref` offset — either way no decompression is
+      // needed to see the key. Incremental updates chain via /Prev
+      // (bounded hops). XMP is found by the packet marker scan that
+      // XMP Part 3 §Scanning explicitly sanctions for any format.
+      // Precedence xmp > text (the GIF convention).
+      def idx(hay: Array[Byte], from: Int, to: Int,
+          needle: Array[Byte]): Int = {
+        var i = math.max(0, from)
+        val end = math.min(to, hay.length) - needle.length
+        while (i <= end) {
+          var j = 0
+          while (j < needle.length && hay(i + j) == needle(j)) j += 1
+          if (j == needle.length) return i
+          i += 1
+        }
+        -1
+      }
+      def lastIdx(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+        var best = -1
+        var i = idx(hay, from, hay.length, needle)
+        while (i >= 0) {
+          best = i
+          i = idx(hay, i + 1, hay.length, needle)
+        }
+        best
+      }
+      val xmp = idx(b, 0, full, "<?xpacket begin=".getBytes("ISO-8859-1")) >= 0
+      var info = false
+      var ok = true
+      // trailer chain: last `startxref` in the final 2 KiB names the
+      // ACTIVE xref section; /Prev links to prior sections (bounded)
+      val sx = lastIdx(b, "startxref".getBytes("ISO-8859-1"),
+        math.max(0, full - 2048))
+      if (sx < 0) ok = false
+      else {
+        // parse the offset integer on the following line
+        var p = sx + 9
+        while (p < full && (b(p) == '\r' || b(p) == '\n' || b(p) == ' '))
+          p += 1
+        var off = 0L
+        var digits = 0
+        while (p < full && b(p) >= '0' && b(p) <= '9' && digits < 15) {
+          off = off * 10 + (b(p) - '0'); p += 1; digits += 1
+        }
+        if (digits == 0) ok = false
+        var hops = 0
+        var cur = off
+        while (ok && cur >= 0 && hops < 8) {
+          hops += 1
+          if (cur + 4 > full) { ok = false }
+          else {
+            // dict start: after `xref` + table it follows `trailer`;
+            // at an xref-stream object it follows the `N 0 obj` header
+            val isTable = b(cur.toInt) == 'x' && b(cur.toInt + 1) == 'r' &&
+              b(cur.toInt + 2) == 'e' && b(cur.toInt + 3) == 'f'
+            val dictAnchor =
+              if (isTable)
+                idx(b, cur.toInt, full, "trailer".getBytes("ISO-8859-1"))
+              else cur.toInt
+            val ds = if (dictAnchor < 0) -1
+              else idx(b, dictAnchor, math.min(full.toLong,
+                dictAnchor + 512L).toInt + 2, "<<".getBytes("ISO-8859-1"))
+            if (ds < 0) ok = false
+            else {
+              // balanced << >> scan, capped: the dict TEXT carries the
+              // keys; nested dicts counted, never decompressed
+              var q = ds + 2
+              var depth = 1
+              val cap = math.min(full.toLong, ds + 65536L).toInt
+              while (depth > 0 && q + 1 < cap) {
+                if (b(q) == '<' && b(q + 1) == '<') { depth += 1; q += 2 }
+                else if (b(q) == '>' && b(q + 1) == '>') { depth -= 1; q += 2 }
+                else q += 1
+              }
+              if (depth != 0) ok = false
+              else {
+                val dict = new String(b, ds, q - ds, "ISO-8859-1")
+                // name-boundary check: "/Info" must not match "/InfoX"
+                def hasKey(k: String): Boolean = {
+                  var i0 = dict.indexOf(k)
+                  while (i0 >= 0) {
+                    val after = i0 + k.length
+                    if (after >= dict.length ||
+                        !Character.isLetterOrDigit(dict.charAt(after)))
+                      return true
+                    i0 = dict.indexOf(k, i0 + 1)
+                  }
+                  false
+                }
+                if (hasKey("/Info")) info = true
+                val pv = dict.indexOf("/Prev")
+                cur =
+                  if (pv < 0) -1L
+                  else {
+                    var r = ds + pv + 5
+                    while (r < full && (b(r) == ' ' || b(r) == '\r' ||
+                      b(r) == '\n')) r += 1
+                    var v = 0L
+                    var dg = 0
+                    while (r < full && b(r) >= '0' && b(r) <= '9' &&
+                        dg < 15) {
+                      v = v * 10 + (b(r) - '0'); r += 1; dg += 1
+                    }
+                    if (dg == 0) { ok = false; -1L } else v
+                  }
+              }
+            }
+          }
+        }
+      }
+      if (xmp) ("pdf", true, "xmp")
+      else if (info) ("pdf", true, "text")
+      else if (ok) ("pdf", false, "none")
+      else ("pdf", false, "corrupt")
     } else if (limit >= 8 &&
         ((b(0) == 'I' && b(1) == 'I' &&
           ((b(2) & 0xFF) == 42 || (b(2) & 0xFF) == 43) && b(3) == 0) ||

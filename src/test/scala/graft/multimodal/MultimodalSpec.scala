@@ -707,6 +707,57 @@ class MultimodalSpec extends SparkSpec {
       page(2, ident) ++ page(0, Array[Byte](3) ++ "vorbis".getBytes ++
         le32(900) ++ "v".getBytes)) == (("ogg", false, "corrupt")))
   }
+  test("classifyMetadata: PDF trailer /Info, xref-stream dict, XMP packet, /Prev chain") {
+    val hdr = "%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n"
+    def classic(trailer: String, body: String = hdr): Array[Byte] =
+      (body + "xref\n0 1\n0000000000 65535 f \ntrailer\n" + trailer +
+        "\nstartxref\n" + body.length + "\n%%EOF").getBytes("ISO-8859-1")
+    assert(Multimodal.classifyMetadata(
+      classic("<< /Size 1 /Root 1 0 R /Info 2 0 R >>")) ==
+      (("pdf", true, "text")))
+    assert(Multimodal.classifyMetadata(
+      classic("<< /Size 1 /Root 1 0 R >>")) == (("pdf", false, "none")))
+    // name boundary: /Information must NOT match /Info
+    assert(Multimodal.classifyMetadata(
+      classic("<< /Size 1 /Information 2 0 R >>")) ==
+      (("pdf", false, "none")))
+    // nested dict inside the trailer is balanced over, not mistaken
+    assert(Multimodal.classifyMetadata(
+      classic("<< /Size 1 /Enc << /V 2 >> /Info 2 0 R >>")) ==
+      (("pdf", true, "text")))
+    // 1.5+ xref STREAM: trailer keys in the stream object's dict
+    val b15 = "%PDF-1.5\n1 0 obj << /X 1 >> endobj\n"
+    val xs = (b15 + "5 0 obj\n<< /Type /XRef /Size 6 /Info 2 0 R >>\n" +
+      "stream\nxx\nendstream\nendobj\nstartxref\n" + b15.length +
+      "\n%%EOF").getBytes("ISO-8859-1")
+    assert(Multimodal.classifyMetadata(xs) == (("pdf", true, "text")))
+    // XMP packet marker outranks /Info (xmp > text, the GIF convention)
+    val xmpBody = hdr +
+      "2 0 obj\nstream\n<?xpacket begin=\"\" id=\"X\"?><x/>" +
+      "<?xpacket end=\"w\"?>\nendstream endobj\n"
+    assert(Multimodal.classifyMetadata(
+      classic("<< /Size 1 /Info 2 0 R >>", xmpBody)) ==
+      (("pdf", true, "xmp")))
+    // incremental update: /Info only in the PREVIOUS trailer (via /Prev)
+    val first = hdr + "xref\n0 1\n0000000000 65535 f \ntrailer\n" +
+      "<< /Size 1 /Info 2 0 R >>\n"
+    val second = first + "xref\n0 1\n0000000000 65535 f \ntrailer\n" +
+      s"<< /Size 1 /Prev ${hdr.length} >>\nstartxref\n" + first.length +
+      "\n%%EOF"
+    assert(Multimodal.classifyMetadata(second.getBytes("ISO-8859-1")) ==
+      (("pdf", true, "text")))
+    // startxref pointing past EOF: corrupt
+    assert(Multimodal.classifyMetadata(
+      (hdr + "startxref\n99999\n%%EOF").getBytes("ISO-8859-1")) ==
+      (("pdf", false, "corrupt")))
+    // no startxref at all: corrupt (a PDF without a trailer is broken)
+    assert(Multimodal.classifyMetadata(
+      (hdr + "%%EOF").getBytes("ISO-8859-1")) == (("pdf", false, "corrupt")))
+    // unterminated trailer dict: corrupt
+    assert(Multimodal.classifyMetadata(
+      classic("<< /Size 1 /Root 1 0 R").dropRight(0)) ==
+      (("pdf", false, "corrupt")))
+  }
   test("classifyMetadata: TIFF IFD chains — LE/BE, BigTIFF, multi-IFD, cycles, truncation") {
     def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
     def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,

@@ -689,22 +689,29 @@ object Quality {
     *
     * Determinism contract: inputs must be INTEGER-valued expressions
     * (the caller scales/floors doubles first); the moments accumulate
-    * exactly in BIGINT, and the final ratio is evaluated in double with
-    * the identical expression shape the oracle uses — same exact inputs,
-    * same IEEE ops, same digits on every engine.
+    * exactly in DECIMAL(38,0) — the same exact integers a SQL engine's
+    * HUGEINT SUM produces, so the final double tree gets identical
+    * inputs on every engine — and the final ratio is evaluated in
+    * double with the identical expression shape the oracle uses.
+    * (Round 11: the moments were BIGINT sums before, whose
+    * n·max(x)² < 2⁶³ bound the 10× scale measurement tripped at 6 M
+    * ranked rows; exact decimal sums push the bound to Σx² < 10³⁸ —
+    * ~10¹² rows of 2n-scale ranks — with the per-row product exact
+    * while |x| < 9.2×10¹⁸.)
     *
     * Scale shape: ONE aggregate pass computes every Σx/Σx²/Σxy — adding
     * a feature adds agg columns, not a scan; the pair table then unrolls
-    * from the single moment row driver-free via `inline`. BIGINT holds
-    * while n·max(x)² < 2⁶³; beyond that pass down-scaled features. */
+    * from the single moment row driver-free via `inline`. */
   def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val named = cols.map { case (n, c) => n -> c.cast("long") }
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val aggs = Seq(count(lit(1)).as("__n")) ++
       named.flatMap { case (n, c) =>
-        Seq(sum(c).as(s"__sx_$n"), sum(c * c).as(s"__sxx_$n")) } ++
+        Seq(sum(dec(c)).as(s"__sx_$n"),
+          sum(dec(c) * dec(c)).as(s"__sxx_$n")) } ++
       named.combinations(2).toSeq.map { case Seq((a, ca), (b, cb)) =>
-        sum(ca * cb).as(s"__sxy_${a}_$b") }
+        sum(dec(ca) * dec(cb)).as(s"__sxy_${a}_$b") }
     val pairRows = named.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
       val cov = col("__n").cast("double") * col(s"__sxy_${a}_$b").cast("double") -
         col(s"__sx_$a").cast("double") * col(s"__sx_$b").cast("double")
@@ -1732,10 +1739,13 @@ object Quality {
     * Scale shape: per column, ONE distinct-value count groupBy + a
     * cumulative window over the value domain (never raw rows), then one
     * hash join back on the value key; the final corrMatrix pass is a
-    * single aggregate. The corrMatrix BIGINT contract (n·max(x)² < 2⁶³)
-    * binds at n ≈ 1.9 M rows when x is a 2×rank ≤ 2n; past that,
-    * quantize the value domain first (rank over equi-depth buckets) so
-    * ranks stay small — the monotone statistic is bucket-stable. */
+    * single aggregate whose moments accumulate in exact DECIMAL(38,0)
+    * (round 11 — the old BIGINT moments bound ranked rows at
+    * n ≈ 1.9 M, measured failing at the 10× corpus; decimal moments
+    * hold to ~10¹² rows of 2n-scale ranks). The remaining scale knob is
+    * the VALUE DOMAIN (the cumulative window is |distinct values|
+    * rows): quantize first when it is huge — [[spearmanBucketed]] is
+    * that path packaged. */
   def spearmanMatrix(df: DataFrame, cols: Seq[(String, Column)])
       : DataFrame = {
     require(cols.size >= 2, "spearmanMatrix needs at least two columns")
@@ -1753,6 +1763,46 @@ object Quality {
       rows = rows.join(ranks, Seq(s"__v_$n"))
     }
     corrMatrix(rows, named.map { case (n, _) => n -> col(s"__r_$n") })
+  }
+
+  /** [[spearmanMatrix]]'s value-domain scale path as a TESTED API:
+    * equi-width-bucket every column first (the [[monotonicityAudit]]
+    * bucketing formula), then rank the BUCKET ids. The rank pipeline's
+    * single-partition cumulative window runs over |distinct values|
+    * rows — raw micro-scaled amounts make that corpus-sized; bucketing
+    * caps it at `buckets` rows per column REGARDLESS of corpus scale.
+    * Monotone statistics are bucket-stable: bucketing is an
+    * order-preserving transform, so ρ degrades only through the ties
+    * merging introduces (when buckets ≥ the value span, the result is
+    * BIT-IDENTICAL to the raw matrix — spec-pinned). RANGE CONTRACT
+    * (the monotonicityAudit one): (hi − lo + 1)·buckets < 2⁶³ —
+    * pre-scale wider domains.
+    *
+    * Scale shape: ONE min/max rollup broadcast (all columns in a
+    * single pass), a bucket projection, then [[spearmanMatrix]]'s
+    * distinct-value rank pipeline over ≤ `buckets` distinct values per
+    * column; the moment pass inherits corrMatrix's exact DECIMAL(38,0)
+    * accumulation (measured green at the 10× corpus, ROUND11 §5). */
+  def spearmanBucketed(df: DataFrame, cols: Seq[(String, Column)],
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000000,
+      s"buckets out of range: $buckets")
+    require(cols.size >= 2, "spearmanBucketed needs at least two columns")
+    val named = cols.map { case (n, c) => n -> c.cast("long") }
+    var rows = df.select(named.map { case (n, c) => c.as(s"__v_$n") }: _*)
+    named.foreach { case (n, _) =>
+      rows = rows.filter(col(s"__v_$n").isNotNull) }
+    val aggs = named.flatMap { case (n, _) => Seq(
+      min(col(s"__v_$n")).as(s"__lo_$n"),
+      max(col(s"__v_$n")).as(s"__hi_$n")) }
+    val mm = broadcast(rows.agg(aggs.head, aggs.tail: _*))
+    val bucketed = rows.crossJoin(mm).select(named.map { case (n, _) =>
+      expr(s"least(CAST(${buckets - 1} AS BIGINT), " +
+        s"((__v_$n - __lo_$n) * ${buckets}L) div " +
+        s"greatest(__hi_$n - __lo_$n + 1, 1L))").as(s"__b_$n")
+    }: _*)
+    spearmanMatrix(bucketed, named.map { case (n, _) =>
+      n -> col(s"__b_$n") })
   }
 
   /** Functional-dependency audit — the single-table complement to

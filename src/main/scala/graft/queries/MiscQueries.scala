@@ -330,6 +330,19 @@ object MiscQueries {
           "disc" -> expr("cast(round(l_discount * 1000000) as bigint)")))
         .orderBy("col_a", "col_b")
     },
+    // Spearman at scale: equi-width 1024-bucket quantization BEFORE
+    // ranking keeps ranks <= 2048, so the corrMatrix BIGINT contract
+    // holds to ~2e12 rows — measured at the 10x corpus where raw qq40
+    // fails its loud ANSI overflow (ROUND11 §5). Monotone statistics
+    // are bucket-stable.
+    "qq47_spearman_bucketed" -> { (s, d) =>
+      graft.operators.Quality.spearmanBucketed(t(s, d, "lineitem"), Seq(
+          "qty" -> expr("cast(round(l_quantity * 1000000) as bigint)"),
+          "price" -> expr("cast(round(l_extendedprice * 1000000) as bigint)"),
+          "disc" -> expr("cast(round(l_discount * 1000000) as bigint)")),
+          buckets = 1024)
+        .orderBy("col_a", "col_b")
+    },
     // Cronbach's alpha over three fee-like measurements of a line item:
     // are the "parallel" signals one signal? (Scales keep n * sum(t^2)
     // inside BIGINT — the operator's documented moment bound.)
@@ -1886,6 +1899,59 @@ object MiscQueries {
         |  (LEAST(COALESCE(st.n_up, 0), COALESCE(st.n_down, 0)) = 0)
         |    AS monotone
         |FROM st, tt""".stripMargin,
+    "qq47_spearman_bucketed" ->
+      """WITH raw0 AS (SELECT
+        |    CAST(ROUND(l_quantity * 1000000) AS BIGINT) AS wq,
+        |    CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) AS wp,
+        |    CAST(ROUND(l_discount * 1000000) AS BIGINT) AS wd
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |mm AS (SELECT MIN(wq) AS loq, MAX(wq) AS hiq, MIN(wp) AS lop,
+        |    MAX(wp) AS hip, MIN(wd) AS lod, MAX(wd) AS hid FROM raw0),
+        |rows0 AS (SELECT
+        |    LEAST(1023, ((wq - loq) * 1024) // GREATEST(hiq - loq + 1, 1))
+        |      AS vq,
+        |    LEAST(1023, ((wp - lop) * 1024) // GREATEST(hip - lop + 1, 1))
+        |      AS vp,
+        |    LEAST(1023, ((wd - lod) * 1024) // GREATEST(hid - lod + 1, 1))
+        |      AS vd
+        |  FROM raw0, mm),
+        |gq AS (SELECT vq, CAST(COUNT(*) AS BIGINT) AS c FROM rows0 GROUP BY 1),
+        |rq AS (SELECT vq, 2 * COALESCE(CAST(SUM(c) OVER (ORDER BY vq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + c + 1 AS r FROM gq),
+        |gp AS (SELECT vp, CAST(COUNT(*) AS BIGINT) AS c FROM rows0 GROUP BY 1),
+        |rp AS (SELECT vp, 2 * COALESCE(CAST(SUM(c) OVER (ORDER BY vp
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + c + 1 AS r FROM gp),
+        |gd AS (SELECT vd, CAST(COUNT(*) AS BIGINT) AS c FROM rows0 GROUP BY 1),
+        |rd AS (SELECT vd, 2 * COALESCE(CAST(SUM(c) OVER (ORDER BY vd
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + c + 1 AS r FROM gd),
+        |jn AS (SELECT rq.r AS xq, rp.r AS xp, rd.r AS xd
+        |  FROM rows0 JOIN rq USING (vq) JOIN rp USING (vp) JOIN rd USING (vd)),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(xq) AS DOUBLE) AS sq, CAST(SUM(xp) AS DOUBLE) AS sp,
+        |    CAST(SUM(xd) AS DOUBLE) AS sd,
+        |    CAST(SUM(xq*xq) AS DOUBLE) AS sqq, CAST(SUM(xp*xp) AS DOUBLE) AS spp,
+        |    CAST(SUM(xd*xd) AS DOUBLE) AS sdd,
+        |    CAST(SUM(xq*xp) AS DOUBLE) AS sqp, CAST(SUM(xq*xd) AS DOUBLE) AS sqd,
+        |    CAST(SUM(xp*xd) AS DOUBLE) AS spd
+        |  FROM jn),
+        |pairs AS (
+        |  SELECT 'qty' AS col_a, 'price' AS col_b, nb AS n,
+        |    n*sqp - sq*sp AS cov, (n*sqq - sq*sq) * (n*spp - sp*sp) AS vv FROM m
+        |  UNION ALL SELECT 'qty', 'disc', nb,
+        |    n*sqd - sq*sd, (n*sqq - sq*sq) * (n*sdd - sd*sd) FROM m
+        |  UNION ALL SELECT 'price', 'disc', nb,
+        |    n*spd - sp*sd, (n*spp - sp*sp) * (n*sdd - sd*sd) FROM m)
+        |SELECT col_a, col_b, n,
+        |  CASE WHEN vv = 0 THEN NULL
+        |    ELSE CAST(FLOOR(cov * cov / vv * 1000000.0) AS BIGINT)
+        |  END AS r2_ppm,
+        |  CAST(SIGN(cov) AS BIGINT) AS sgn
+        |FROM pairs ORDER BY col_a, col_b""".stripMargin,
     "qq40_spearman" ->
       """WITH rows0 AS (SELECT
         |    CAST(ROUND(l_quantity * 1000000) AS BIGINT) AS vq,

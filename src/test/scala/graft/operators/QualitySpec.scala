@@ -992,6 +992,30 @@ class QualitySpec extends SparkSpec {
     assert(Quality.welchTTest(threeOneSingleton, col("g"), col("v"))
       .count() == 0L)
   }
+  test("spearmanBucketed: bit-identical to raw when buckets cover the span; merge keeps monotone r2") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, 5L), (2L, 20L, 4L), (3L, 30L, 3L),
+      (4L, 40L, 2L), (5L, 50L, 1L), (3L, 30L, 3L)).toDF("a", "b", "c")
+    val cols = Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c"))
+    // spans are 4/40/4; buckets = 64 >= span+1 makes the equi-width map
+    // injective, so bucket ranks == value ranks and the matrices match
+    // to the bit
+    val raw = graft.operators.Quality.spearmanMatrix(df, cols)
+      .orderBy("col_a", "col_b").collect().map(_.toSeq)
+    val bkt = graft.operators.Quality.spearmanBucketed(df, cols, 64)
+      .orderBy("col_a", "col_b").collect().map(_.toSeq)
+    assert(raw.toSeq == bkt.toSeq)
+    // aggressive merging (4 buckets over a wide strictly-monotone pair):
+    // order survives bucketing, so rho stays +-1 exactly
+    val wide = (1L to 100L).map(i => (i * 977L, 1000000L - i * 13L))
+      .toDF("x", "y")
+    val m = graft.operators.Quality.spearmanBucketed(wide,
+        Seq("x" -> col("x"), "y" -> col("y")), buckets = 4).head()
+    assert(m.getAs[Long]("r2_ppm") == 1000000L)
+    assert(m.getAs[Long]("sgn") == -1L)
+  }
+
   test("srmCheck/benfordAudit/madOutliers: empty input degenerates, no engine divergence") {
     val s = spark
     import s.implicits._

@@ -413,6 +413,7 @@ object Multimodal {
         // TIFF 6.0 / BigTIFF: II*\0, II+\0, MM\0*, MM\0+
         .when(h8.startsWith("49492A00") || h8.startsWith("49492B00") ||
           h8.startsWith("4D4D002A") || h8.startsWith("4D4D002B"), "tiff")
+        .when(h8.startsWith("504B0304"), "zip") // PK\x03\x04 (OOXML/ODF)
         // ISO-BMFF (MP4/MOV/3GP): the ftyp box type at bytes 4-8 — the
         // first 4 bytes are the box SIZE, so the magic is mid-prefix
         .when(substring(h8, 9, 8) === "66747970", "mp4")
@@ -1010,6 +1011,66 @@ object Multimodal {
       else if (info) ("pdf", true, "text")
       else if (ok) ("pdf", false, "none")
       else ("pdf", false, "corrupt")
+    } else if (limit >= 22 && b(0) == 'P' && b(1) == 'K' &&
+        (b(2) & 0xFF) == 3 && (b(3) & 0xFF) == 4) {
+      // ZIP (PKWARE APPNOTE) — the OOXML/ODF document container
+      // (docx/xlsx/pptx/odt are ZIPs; the top crawled-document format
+      // after PDF/HTML): the authoritative index is the END OF CENTRAL
+      // DIRECTORY record (PK\x05\x06, in the final 64 KiB + 22 bytes —
+      // it trails a variable comment), which names the central
+      // directory's offset and entry count; each central header
+      // (PK\x01\x02, 46 fixed bytes + name/extra/comment) carries the
+      // entry NAME. The privacy surface is the OOXML/ODF metadata
+      // PART NAMES: docProps/core.xml (dc:creator, lastModifiedBy) and
+      // docProps/app.xml (Company) in OOXML, meta.xml in ODF — their
+      // PRESENCE is the audit signal, no deflate needed. Entry count
+      // capped (65 535, the classic-ZIP format bound); ZIP64 (count or
+      // offset 0xFFFF.../0xFFFFFFFF sentinels) reports honestly as
+      // corrupt/unknown rather than mis-walking.
+      var text = false
+      var ok = true
+      // EOCD scan: last occurrence of the magic in the tail window
+      var eocd = -1
+      var i0 = full - 22
+      val lo = math.max(0, full - 22 - 65535)
+      while (eocd < 0 && i0 >= lo) {
+        if (b(i0) == 'P' && b(i0 + 1) == 'K' && (b(i0 + 2) & 0xFF) == 5 &&
+          (b(i0 + 3) & 0xFF) == 6) eocd = i0
+        else i0 -= 1
+      }
+      if (eocd < 0) ok = false
+      else {
+        val n = (b(eocd + 10) & 0xFF) | ((b(eocd + 11) & 0xFF) << 8)
+        val cdOff = le32(eocd + 16)
+        if (n == 0xFFFF || cdOff == 0xFFFFFFFFL) ok = false // ZIP64
+        else {
+          var off = cdOff
+          var k = 0
+          while (ok && k < n) {
+            if (off + 46 > full || b(off.toInt) != 'P' ||
+                b(off.toInt + 1) != 'K' || (b(off.toInt + 2) & 0xFF) != 1 ||
+                (b(off.toInt + 3) & 0xFF) != 2) ok = false
+            else {
+              val o = off.toInt
+              val nameLen = (b(o + 28) & 0xFF) | ((b(o + 29) & 0xFF) << 8)
+              val extraLen = (b(o + 30) & 0xFF) | ((b(o + 31) & 0xFF) << 8)
+              val cmtLen = (b(o + 32) & 0xFF) | ((b(o + 33) & 0xFF) << 8)
+              if (o + 46 + nameLen > full) ok = false
+              else {
+                val name = new String(b, o + 46, nameLen, "ISO-8859-1")
+                if (name == "docProps/core.xml" ||
+                    name == "docProps/app.xml" || name == "meta.xml")
+                  text = true
+                off += 46L + nameLen + extraLen + cmtLen
+              }
+            }
+            k += 1
+          }
+        }
+      }
+      if (text) ("zip", true, "text")
+      else if (ok) ("zip", false, "none")
+      else ("zip", false, "corrupt")
     } else if (limit >= 8 &&
         ((b(0) == 'I' && b(1) == 'I' &&
           ((b(2) & 0xFF) == 42 || (b(2) & 0xFF) == 43) && b(3) == 0) ||

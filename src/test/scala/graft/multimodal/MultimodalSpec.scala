@@ -707,6 +707,60 @@ class MultimodalSpec extends SparkSpec {
       page(2, ident) ++ page(0, Array[Byte](3) ++ "vorbis".getBytes ++
         le32(900) ++ "v".getBytes)) == (("ogg", false, "corrupt")))
   }
+  test("classifyMetadata: ZIP central directory — OOXML/ODF metadata parts by name") {
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    def zipOf(names: Seq[String], comment: Int = 0): Array[Byte] = {
+      var locals = Array.emptyByteArray
+      var centrals = Array.emptyByteArray
+      for (name <- names) {
+        val nb = name.getBytes("ISO-8859-1")
+        val off = locals.length
+        locals = locals ++ Array[Byte](0x50, 0x4B, 3, 4) ++ le16(20) ++
+          le16(0) ++ le16(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(0) ++
+          le32(0) ++ le16(nb.length) ++ le16(0) ++ nb
+        centrals = centrals ++ Array[Byte](0x50, 0x4B, 1, 2) ++ le16(20) ++
+          le16(20) ++ le16(0) ++ le16(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+          le32(0) ++ le32(0) ++ le16(nb.length) ++ le16(0) ++ le16(0) ++
+          le16(0) ++ le16(0) ++ le32(0) ++ le32(off) ++ nb
+      }
+      locals ++ centrals ++ (Array[Byte](0x50, 0x4B, 5, 6) ++ le16(0) ++
+        le16(0) ++ le16(names.size) ++ le16(names.size) ++
+        le32(centrals.length) ++ le32(locals.length) ++ le16(comment)) ++
+        new Array[Byte](comment)
+    }
+    assert(Multimodal.classifyMetadata(
+      zipOf(Seq("[Content_Types].xml", "docProps/core.xml"))) ==
+      (("zip", true, "text")))
+    assert(Multimodal.classifyMetadata(
+      zipOf(Seq("mimetype", "meta.xml"))) == (("zip", true, "text")))
+    assert(Multimodal.classifyMetadata(
+      zipOf(Seq("data.bin", "word/document.xml"))) ==
+      (("zip", false, "none")))
+    // a trailing archive comment shifts the EOCD off the tail — the
+    // backward scan must still find it
+    assert(Multimodal.classifyMetadata(
+      zipOf(Seq("docProps/core.xml"), comment = 300)) ==
+      (("zip", true, "text")))
+    // name-prefix near-miss must not match (core.xml elsewhere)
+    assert(Multimodal.classifyMetadata(
+      zipOf(Seq("other/docProps/core.xml.bak"))) == (("zip", false, "none")))
+    // EOCD naming an absent central directory: corrupt
+    val good = zipOf(Seq("x"))
+    val noCentral = good.take(31) ++ good.takeRight(22)
+    assert(Multimodal.classifyMetadata(noCentral) ==
+      (("zip", false, "corrupt")))
+    // no EOCD at all (streamed/truncated zip): corrupt
+    assert(Multimodal.classifyMetadata(good.dropRight(22) ++
+      new Array[Byte](4)) == (("zip", false, "corrupt")))
+    // ZIP64 sentinel count: honestly refused as corrupt, not mis-walked
+    val z64 = good.clone()
+    z64(good.length - 12) = 0xFF.toByte
+    z64(good.length - 11) = 0xFF.toByte
+    assert(Multimodal.classifyMetadata(z64) == (("zip", false, "corrupt")))
+  }
   test("classifyMetadata: PDF trailer /Info, xref-stream dict, XMP packet, /Prev chain") {
     val hdr = "%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n"
     def classic(trailer: String, body: String = hdr): Array[Byte] =

@@ -696,8 +696,9 @@ object Quality {
     * (Round 11: the moments were BIGINT sums before, whose
     * n·max(x)² < 2⁶³ bound the 10× scale measurement tripped at 6 M
     * ranked rows; exact decimal sums push the bound to Σx² < 10³⁸ —
-    * ~10¹² rows of 2n-scale ranks — with the per-row product exact
-    * while |x| < 9.2×10¹⁸.)
+    * ~10¹² rows of 2n-scale ranks. The per-row products stay in
+    * codegen'd BIGINT for speed, so |x| must stay ≤ 3×10⁹ — ranks of
+    * up to 1.5 G rows — failing LOUDLY past that.)
     *
     * Scale shape: ONE aggregate pass computes every Σx/Σx²/Σxy — adding
     * a feature adds agg columns, not a scan; the pair table then unrolls
@@ -706,12 +707,15 @@ object Quality {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val named = cols.map { case (n, c) => n -> c.cast("long") }
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // per-row products stay in codegen'd BIGINT (loud ANSI overflow at
+    // |x| > 3×10⁹ — ranks of up to 1.5 G rows, features to ±3 G); only
+    // the ACCUMULATION pays the decimal path
     val aggs = Seq(count(lit(1)).as("__n")) ++
       named.flatMap { case (n, c) =>
         Seq(sum(dec(c)).as(s"__sx_$n"),
-          sum(dec(c) * dec(c)).as(s"__sxx_$n")) } ++
+          sum(dec(c * c)).as(s"__sxx_$n")) } ++
       named.combinations(2).toSeq.map { case Seq((a, ca), (b, cb)) =>
-        sum(dec(ca) * dec(cb)).as(s"__sxy_${a}_$b") }
+        sum(dec(ca * cb)).as(s"__sxy_${a}_$b") }
     val pairRows = named.combinations(2).toSeq.map { case Seq((a, _), (b, _)) =>
       val cov = col("__n").cast("double") * col(s"__sxy_${a}_$b").cast("double") -
         col(s"__sx_$a").cast("double") * col(s"__sx_$b").cast("double")

@@ -1809,6 +1809,84 @@ object Quality {
       n -> col(s"__b_$n") })
   }
 
+  /** Kendall's τ-b — Kendall 1938, with the tie correction (τ-b):
+    * the pair-concordance rank correlation. [[spearmanMatrix]] asks
+    * "do the RANKS move together"; τ asks "of all pairs, how many are
+    * concordant vs discordant" — the statistic practitioners reach for
+    * on heavily-tied low-cardinality pairs (star ratings vs tiers,
+    * bucketed scores), where its interpretation (P(concordant) −
+    * P(discordant)) is direct. ENTIRELY exact integers up to the one
+    * final IEEE tree: over the distinct-value 2-D grid,
+    * C = Σ_cells c(x,y)·|{x' > x, y' > y}| and
+    * D = Σ_cells c(x,y)·|{x' > x, y' < y}| count every unordered pair
+    * exactly once from its lower-x cell; tie terms n₁ = Σ tₓ(tₓ−1)/2,
+    * n₂ = Σ t_y(t_y−1)/2, n₀ = n(n−1)/2; τ_b = (C − D)/√((n₀−n₁)·
+    * (n₀−n₂)), ppm-floored, NULL when either axis is constant. One
+    * row: (n, n_pairs, tie_x, tie_y, concordant, discordant,
+    * tau_b_ppm).
+    *
+    * Scale shape + GRID CONTRACT: raw rows are scanned ONCE into
+    * (x, y) cell counts; everything after runs on the DENSE
+    * |distinct x| × |distinct y| grid (built as a distributed-x ×
+    * broadcast-y expansion — never a cell² pair join), with the
+    * suffix/cumulative sums as windows partitioned by one axis and
+    * ordered by the other. Quantize first when a raw axis is wide
+    * (the [[spearmanBucketed]] bucketing): the grid must be
+    * materializable and the y level set broadcastable (≤ ~10⁶
+    * levels). BIGINT: C, D ≤ n²/2 — n ≲ 4.3 G rows. */
+  def kendallTauB(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val cells = base.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val xs = cells.select("x").distinct()
+    val ys = cells.select("y").distinct()
+    // dense grid: windows below need every (x-level, y-level) cell so
+    // suffix sums see x' levels that are absent at this y
+    val dense = xs.crossJoin(broadcast(ys))
+      .join(cells, Seq("x", "y"), "left_outer")
+      .select(col("x"), col("y"), coalesce(col("c"), lit(0L)).as("c"))
+    val wy = Window.partitionBy("x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wxAfter = Window.partitionBy("y").orderBy("x")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val g = dense
+      .withColumn("cy", sum("c").over(wy)) // cnt(x, y' <= y)
+      .withColumn("a", coalesce(sum("cy").over(wxAfter), lit(0L)))
+      .withColumn("e", coalesce(sum("c").over(wxAfter), lit(0L)))
+    // per-x totals and their strict suffix: |{x' > x}|
+    val xtot = cells.groupBy("x").agg(sum("c").as("tx"))
+      .withColumn("bx", coalesce(sum("tx").over(
+        Window.orderBy("x").rowsBetween(1, Window.unboundedFollowing)),
+        lit(0L)))
+    val scored = g.join(xtot.select(col("x"), col("bx")).hint("shuffle_hash"),
+        Seq("x"))
+      // G = |{x'>x}| − |{x'>x, y'<=y}|; L = |{x'>x, y'<=y}| − |{x'>x, y'=y}|
+      .select(col("c"),
+        (col("bx") - col("a")).as("gg"),
+        (col("a") - col("e")).as("ll"))
+      .agg(coalesce(sum(col("c") * col("gg")), lit(0L)).as("concordant"),
+        coalesce(sum(col("c") * col("ll")), lit(0L)).as("discordant"))
+    val ties = broadcast(cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("tie_x"))
+      .crossJoin(cells.groupBy("y").agg(sum("c").as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("tie_y")))
+      .crossJoin(base.agg(count(lit(1)).as("n"))))
+    scored.crossJoin(ties)
+      .select(col("n"), expr("n * (n - 1) div 2").as("n_pairs"),
+        col("tie_x"), col("tie_y"), col("concordant"), col("discordant"),
+        // one fixed IEEE tree over exact BIGINTs; NULL when either
+        // axis is fully tied (variance term 0 — τ undefined)
+        expr("CASE WHEN n * (n - 1) div 2 - tie_x <= 0 " +
+          "OR n * (n - 1) div 2 - tie_y <= 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(FLOOR(1000000.0d * " +
+          "CAST(concordant - discordant AS DOUBLE) / " +
+          "sqrt(CAST(n * (n - 1) div 2 - tie_x AS DOUBLE) * " +
+          "CAST(n * (n - 1) div 2 - tie_y AS DOUBLE))) AS BIGINT) END")
+          .as("tau_b_ppm"))
+      .filter(col("n") > 0) // zero rows on empty input (grouped-SQL shape)
+  }
+
   /** Functional-dependency audit — the single-table complement to
     * [[fkCandidates]]' cross-column inclusion dependencies (TANE,
     * Huhtala et al. Comp. J. 1999, scoped to DECLARED candidate

@@ -381,6 +381,15 @@ object MiscQueries {
           expr("cast(round(l_extendedprice * 100) as bigint)"))
         .orderBy("digit")
     },
+    // Kendall's tau-b between quantity (integral, ~50 levels) and
+    // discount (11 cent-levels): exact pair concordance over the dense
+    // 2-D value grid — C/D/tie terms all BIGINT, one IEEE tree at the
+    // end. The naturally tiny grid needs no quantization.
+    "qq48_kendall" -> { (s, d) =>
+      graft.operators.Quality.kendallTauB(t(s, d, "lineitem"),
+        expr("cast(round(l_quantity) as bigint)"),
+        expr("cast(round(l_discount * 100) as bigint)"))
+    },
     // Isotonic sanity check: does the return rate move one way with the
     // discount? Equi-width ppm buckets, exact adjacent-step counts.
     "qq41_monotonicity" -> { (s, d) =>
@@ -1899,6 +1908,52 @@ object MiscQueries {
         |  (LEAST(COALESCE(st.n_up, 0), COALESCE(st.n_down, 0)) = 0)
         |    AS monotone
         |FROM st, tt""".stripMargin,
+    "qq48_kendall" ->
+      """WITH base AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |xs AS (SELECT DISTINCT x FROM cells),
+        |ys AS (SELECT DISTINCT y FROM cells),
+        |dense AS (SELECT xs.x, ys.y, COALESCE(cl.c, 0) AS c
+        |  FROM xs CROSS JOIN ys LEFT JOIN cells cl USING (x, y)),
+        |g AS (SELECT x, y, c,
+        |    SUM(c) OVER (PARTITION BY x ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+        |  FROM dense),
+        |h AS (SELECT x, y, c,
+        |    COALESCE(SUM(cy) OVER (PARTITION BY y ORDER BY x
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS a,
+        |    COALESCE(SUM(c) OVER (PARTITION BY y ORDER BY x
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS e
+        |  FROM g),
+        |xt AS (SELECT x, SUM(c) AS tx FROM cells GROUP BY x),
+        |xb AS (SELECT x, COALESCE(SUM(tx) OVER (ORDER BY x
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS bx
+        |  FROM xt),
+        |cd AS (SELECT
+        |    CAST(COALESCE(SUM(h.c * (xb.bx - h.a)), 0) AS BIGINT)
+        |      AS concordant,
+        |    CAST(COALESCE(SUM(h.c * (h.a - h.e)), 0) AS BIGINT)
+        |      AS discordant
+        |  FROM h JOIN xb USING (x)),
+        |tx1 AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT)
+        |    AS tie_x FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+        |ty1 AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT)
+        |    AS tie_y FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
+        |SELECT n, n * (n - 1) // 2 AS n_pairs, tie_x, tie_y,
+        |  concordant, discordant,
+        |  CASE WHEN n * (n - 1) // 2 - tie_x <= 0
+        |      OR n * (n - 1) // 2 - tie_y <= 0 THEN NULL
+        |    ELSE CAST(FLOOR(1000000.0
+        |      * CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(CAST(n * (n - 1) // 2 - tie_x AS DOUBLE)
+        |        * CAST(n * (n - 1) // 2 - tie_y AS DOUBLE))) AS BIGINT)
+        |    END AS tau_b_ppm
+        |FROM cd, tx1, ty1, nn WHERE n > 0""".stripMargin,
     "qq47_spearman_bucketed" ->
       """WITH raw0 AS (SELECT
         |    CAST(ROUND(l_quantity * 1000000) AS BIGINT) AS wq,

@@ -992,6 +992,42 @@ class QualitySpec extends SparkSpec {
     assert(Quality.welchTTest(threeOneSingleton, col("g"), col("v"))
       .count() == 0L)
   }
+  test("kendallTauB: hand cases — perfect, inverted, tied grid, constant axis, empty") {
+    val s = spark
+    import s.implicits._
+    def tau(rows: Seq[(Long, Long)]) =
+      graft.operators.Quality.kendallTauB(rows.toDF("x", "y"),
+        col("x"), col("y"))
+    // perfect concordance: tau = +1 exactly
+    val p = tau(Seq((1L, 1L), (2L, 2L), (3L, 3L))).head()
+    assert(p.getAs[Long]("concordant") == 3L &&
+      p.getAs[Long]("discordant") == 0L)
+    assert(p.getAs[Long]("tau_b_ppm") == 1000000L)
+    // perfect inversion: tau = -1 exactly
+    val inv = tau(Seq((1L, 3L), (2L, 2L), (3L, 1L))).head()
+    assert(inv.getAs[Long]("concordant") == 0L &&
+      inv.getAs[Long]("discordant") == 3L)
+    assert(inv.getAs[Long]("tau_b_ppm") == -1000000L)
+    // fully-tied 2x2 grid: C = D = 1, tie terms 2/2, tau = 0
+    val t22 = tau(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))).head()
+    assert(t22.getAs[Long]("n_pairs") == 6L)
+    assert(t22.getAs[Long]("tie_x") == 2L && t22.getAs[Long]("tie_y") == 2L)
+    assert(t22.getAs[Long]("concordant") == 1L &&
+      t22.getAs[Long]("discordant") == 1L)
+    assert(t22.getAs[Long]("tau_b_ppm") == 0L)
+    // hand mixed case: (1,1),(2,3),(3,2): C = 2 (12, 13), D = 1 (23)
+    val m = tau(Seq((1L, 1L), (2L, 3L), (3L, 2L))).head()
+    assert(m.getAs[Long]("concordant") == 2L &&
+      m.getAs[Long]("discordant") == 1L)
+    // tau = 1/3 -> 333333 ppm floored
+    assert(m.getAs[Long]("tau_b_ppm") == 333333L)
+    // a constant axis makes tau undefined: NULL, not NaN
+    val const = tau(Seq((1L, 7L), (2L, 7L), (3L, 7L))).head()
+    assert(const.isNullAt(const.fieldIndex("tau_b_ppm")))
+    // empty input: zero rows (the grouped-SQL shape)
+    assert(tau(Seq.empty).count() == 0L)
+  }
+
   test("spearmanBucketed: bit-identical to raw when buckets cover the span; merge keeps monotone r2") {
     val s = spark
     import s.implicits._

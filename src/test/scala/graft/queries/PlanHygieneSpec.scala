@@ -32,6 +32,7 @@ class PlanHygieneSpec extends SparkSpec {
     "qv09_semantic_dedup", // broadcast centroid sample (<= maxCentroids rows)
     "qg01_triangles", // cross of three 1-row count aggregates
     "qq47_spearman_bucketed", // broadcast 1-row min/max bounds per column
+    "qq48_kendall", // dense grid = x-levels x BROADCAST y-levels (tiny) + 1-row tie cross
     "qx04_kmv_setops", // cross of two 1-row estimate/exact aggregates
     "qq01_quality_audit", // cross of 1-row checked/orphan count aggregates
     "qd44_distribution_drift", // cross of the two 1-row side-total aggregates

@@ -20,6 +20,11 @@ object BenchOne {
     spark.range(100).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
     val times = (1 to reps).map { _ =>
+      // same rep hygiene as graft.Bench.measure: drop cached relations
+      // (incl. localCheckpoint blocks via the post-gc ContextCleaner) so
+      // reps don't accumulate storage and GC debt onto later reps
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9

@@ -44,6 +44,46 @@ object TextHashes {
   private def hashTok(arr: ArrayData, i: Int): Long =
     if (arr.isNullAt(i)) 0L else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
 
+  /** Distinct chained-xxhash64 values of every `n`-token window of a token
+    * array — [[bigramHashes]] generalized to n (for n = 2 the per-window
+    * chain is bit-identical to bigramHashes' pair hash). Window hash =
+    * fold of the per-token xxhash64 values, so a window never materializes
+    * as a string: the composable form
+    * `array_distinct(transform(sequence(...), i -> xxhash64(concat_ws(' ', slice(tk, i, n)))))`
+    * allocates a slice array + joined string per window inside an
+    * interpreted higher-order function; this is O(n) `hashLong` calls per
+    * window on L precomputed token hashes. Hash VALUES differ from the
+    * concat form — callers must use window hashes only as opaque distinct
+    * keys (every in-repo site does: bucket keys and distinct counts).
+    *
+    * `truncShort` selects the short-document contract the two in-repo
+    * shingle families use: `true` = documents shorter than n emit ONE
+    * truncated window ([[graft.operators.Text.shingles]] / slice
+    * semantics), `false` = they emit nothing (the
+    * `when(size(tk) >= n, ...) otherwise empty` sites). */
+  def ngramHashes(arr: ArrayData, n: Int, truncShort: Boolean): ArrayData = {
+    val L = arr.numElements()
+    if (L < n && !truncShort) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](L)
+    var i = 0
+    while (i < L) { th(i) = hashTok(arr, i); i += 1 }
+    val nw = if (L < n) 1 else L - n + 1
+    val out = new Array[Long](nw)
+    val seen = new java.util.HashSet[java.lang.Long](nw * 2)
+    var m = 0
+    i = 0
+    while (i < nw) {
+      var acc = th(i)
+      var j = i + 1
+      val end = math.min(i + n, L)
+      while (j < end) { acc = XXH64.hashLong(th(j), acc); j += 1 }
+      if (seen.add(acc)) { out(m) = acc; m += 1 }
+      i += 1
+    }
+    if (m == nw) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   /** All id pairs {a, b} of a bucket, packed (min << 32) | max into one
     * long per pair. Ids must fit in 31 bits (checked). Output length is
     * exactly k(k-1)/2 — callers cap bucket size upstream at scale. */
@@ -145,6 +185,11 @@ object TextHashes {
     if (!reg.functionExists(FunctionIdentifier("packed_pairs")))
       reg.createOrReplaceTempFunction(
         "packed_pairs", exprs => PackedPairs(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("ngram_hashes")))
+      reg.createOrReplaceTempFunction(
+        "ngram_hashes", exprs => NgramHashes(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Boolean]), "built-in")
     if (!reg.functionExists(FunctionIdentifier("simhash16_long")))
       reg.createOrReplaceTempFunction(
         "simhash16_long", exprs => Simhash16(exprs.head), "built-in")
@@ -186,6 +231,25 @@ case class BigramHashes(child: Expression) extends UnaryExpression {
     TextHashes.bigramHashes(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.bigramHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ngram_hashes(array<string>, n, truncShort) -> array<bigint>` distinct
+  * chained-xxhash64 window hashes (n and truncShort must be literals). */
+case class NgramHashes(child: Expression, n: Int, truncShort: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"ngram_hashes n must be >= 1: $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextHashes.ngramHashes(a.asInstanceOf[ArrayData], n, truncShort)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.ngramHashes($c, $n, $truncShort)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

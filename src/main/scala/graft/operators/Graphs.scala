@@ -481,6 +481,10 @@ object Graphs {
     var frontier = seeds.select(col(seedCol).cast("long").as("n")).distinct()
       .withColumn("dist", lit(0))
       .localCheckpoint()
+    // (r11 note: replacing the per-round visited checkpoint with a lazy
+    // union over the checkpointed frontiers was MEASURED SLOWER on qg18 —
+    // 3.4 s -> 7.2 s min-of-6: the growing union defeats the anti-join's
+    // runtime stats and replans every round. Kept materialized.)
     var visited = frontier
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -714,16 +718,45 @@ object Graphs {
     require(seeds.nonEmpty && seeds.size <= 16, "1..16 seeds")
     val spark = edges.sparkSession
     import spark.implicits._
-    seeds.map { s0 =>
-      shortestHops(edges, aCol, bCol, Seq(s0).toDF("n"), "n", maxHops)
-        .filter(col("dist") > 0)
-        .agg(count(lit(1)).as("reached"), sum("dist").as("sum_hops"),
-          coalesce(sum(expr("1000000L div dist")), lit(0L))
-            .as("harmonic_scaled"))
-        .select(lit(s0).as("seed"), col("reached"),
-          coalesce(col("sum_hops"), lit(0L)).as("sum_hops"),
-          col("harmonic_scaled"))
-    }.reduce(_ unionAll _)
+    // r11 opt: ONE (seed, n)-labeled multi-source BFS instead of |seeds|
+    // sequential [[shortestHops]] loops — a labeled frontier is |seeds|
+    // independent BFS runs sharing the same jobs, so round count drops
+    // from |seeds|·maxHops to maxHops and the edge list symmetrizes once.
+    // Per-seed distances (and therefore reached/sum_hops/harmonic) are
+    // identical: the anti-join is keyed on (seed, n).
+    val e0 = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    var frontier = seeds.distinct.toDF("seed")
+      .select(col("seed"), col("seed").as("n"))
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    var visited = frontier
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = frontier.select(col("seed"), col("n").as("u"))
+        .join(und, "u")
+        .select(col("seed"), col("v").as("n")).distinct()
+        .join(visited.select("seed", "n"), Seq("seed", "n"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+    }
+    und.unpersist()
+    val agg = visited.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("reached"), sum("dist").as("sum_hops"),
+        coalesce(sum(expr("1000000L div dist")), lit(0L))
+          .as("harmonic_scaled"))
+    // a seed reaching nothing must still emit its zero row (the per-seed
+    // global-agg shape of the sequential form)
+    seeds.toDF("seed").join(agg, Seq("seed"), "left")
+      .select(col("seed"), coalesce(col("reached"), lit(0L)).as("reached"),
+        coalesce(col("sum_hops"), lit(0L)).as("sum_hops"),
+        coalesce(col("harmonic_scaled"), lit(0L)).as("harmonic_scaled"))
   }
 
   /** Newman degree assortativity — does the graph wire hubs to hubs
@@ -785,12 +818,22 @@ object Graphs {
     * the |communities|-row summary. */
   def communityConductance(edges0: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
+    // materialized once (r11 opt): `edges` feeds the degree path AND the
+    // cut path, and `labels` — the whole `iters`-round propagation
+    // pipeline — is consumed THREE times (volumes + both cut-join sides).
+    // Left lazy, the propagation subtree executed 3x per query and the
+    // executed plan was ~400 KB of repeated lineage (guide §2.4).
     val edges = edges0
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
-    val labels = labelPropagation(edges0, aCol, bCol, iters)
+      .localCheckpoint()
+    // propagate over the SAME materialized canonical edge list (least/
+    // greatest/distinct re-canonicalization is idempotent on it), not the
+    // raw edges0 subtree — that was one more full rebuild of the input
+    val labels = labelPropagation(edges, "u", "v", iters)
+      .localCheckpoint()
     val dir = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
     val deg = dir.groupBy("n").agg(count(lit(1)).as("d"))

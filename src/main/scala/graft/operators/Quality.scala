@@ -1754,18 +1754,27 @@ object Quality {
       : DataFrame = {
     require(cols.size >= 2, "spearmanMatrix needs at least two columns")
     val named = cols.map { case (n, c) => n -> c.cast("long") }
-    var rows = df.select(named.map { case (n, c) => c.as(s"__v_$n") }: _*)
+    var base = df.select(named.map { case (n, c) => c.as(s"__v_$n") }: _*)
     named.foreach { case (n, _) =>
-      rows = rows.filter(col(s"__v_$n").isNotNull) }
-    named.foreach { case (n, _) =>
+      base = base.filter(col(s"__v_$n").isNotNull) }
+    // r11 opt: every column's rank table derives from the SAME filtered
+    // base, not from the progressively rank-joined chain — the old form
+    // nested each join inside the next column's groupBy subtree, so the
+    // executed plan re-ran column k's rank pipeline once per later column
+    // (3 columns planned 9 joins / 36 Exchanges; now 3 joins, and the
+    // row side pipelines through all of them in one stage). Rank values
+    // are identical: the rank joins are 1:1 on the value key, so counts
+    // over the joined chain equal counts over base.
+    val rankTables = named.map { case (n, _) =>
       val w = org.apache.spark.sql.expressions.Window.orderBy(col(s"__v_$n"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val ranks = rows.groupBy(s"__v_$n").agg(count(lit(1)).as("__c"))
+      base.groupBy(s"__v_$n").agg(count(lit(1)).as("__c"))
         .select(col(s"__v_$n"),
           (coalesce(sum("__c").over(w), lit(0L)) * 2 + col("__c") + 1)
             .as(s"__r_$n"))
-      rows = rows.join(ranks, Seq(s"__v_$n"))
     }
+    var rows = base
+    rankTables.foreach { rt => rows = rows.join(rt, Seq(rt.columns.head)) }
     corrMatrix(rows, named.map { case (n, _) => n -> col(s"__r_$n") })
   }
 

@@ -1094,14 +1094,15 @@ object Text {
   def shingleReuse(df: DataFrame, textCol: String, idCol: String,
       n: Int = 8, nBuckets: Int = 10): DataFrame = {
     require(n >= 1 && nBuckets >= 2 && nBuckets <= 10000)
+    graft.functions.TextHashes.register(df.sparkSession)
     val bounds = broadcast(df.agg(
       min(col(idCol).cast("long")).as("lo"),
       max(col(idCol).cast("long")).as("hi")))
-    val tk = split(col(textCol), " ")
-    val wins = when(size(tk) >= n,
-      array_distinct(transform(sequence(lit(1), size(tk) - n + 1),
-        i => xxhash64(concat_ws(" ", slice(tk, i, lit(n)))))))
-      .otherwise(array().cast("array<bigint>"))
+    // r11 opt: native distinct window hashing (see ngram_hashes scaladoc)
+    // — this transform/slice/concat_ws/xxhash64 chain was the query's
+    // dominant per-row cost and ran interpreted; hashes are opaque
+    // distinct keys here, so the chained-hash values change nothing
+    val wins = expr(s"ngram_hashes(split($textCol, ' '), $n, false)")
     val occ = df.select(col(idCol).cast("long").as("id"), wins.as("ws"))
       .crossJoin(bounds)
       .select(expr(s"((id - lo) * $nBuckets) div (hi - lo + 1)").as("bucket"),
@@ -1474,12 +1475,12 @@ object Text {
       textCol: String, idCol: String, groupCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 1, s"n out of range: $n")
+    graft.functions.TextHashes.register(corpus.sparkSession)
     def shingles(df: DataFrame, cols: Column*): DataFrame = {
-      val tk = split(col(textCol), " ")
-      val ws = when(size(tk) >= n,
-        array_distinct(transform(sequence(lit(1), size(tk) - n + 1),
-          i => md5(concat_ws(" ", slice(tk, i, lit(n)))))))
-        .otherwise(array().cast("array<string>"))
+      // r11 opt: native long window hashes instead of md5 hex strings —
+      // `sh` is an opaque semi-join key, so only compute + shuffle width
+      // change (see ngram_hashes scaladoc)
+      val ws = expr(s"ngram_hashes(split($textCol, ' '), $n, false)")
       df.select(cols :+ explode(ws).as("sh"): _*)
     }
     val evalSet = shingles(evalDocs).select("sh").distinct()
@@ -1514,13 +1515,18 @@ object Text {
   def sourceOverlapMatrix(df: DataFrame, textCol: String, groupCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 1, s"n out of range: $n")
-    val tk = split(col(textCol), " ")
-    val ws = when(size(tk) >= n,
-      array_distinct(transform(sequence(lit(1), size(tk) - n + 1),
-        i => md5(concat_ws(" ", slice(tk, i, lit(n)))))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.TextHashes.register(df.sparkSession)
+    // r11 opt (two changes, results identical): (1) window hashes via the
+    // native kernel as 8-byte longs instead of 32-hex md5 STRINGS — the
+    // hash is an opaque distinct key on both engines (the oracle md5's
+    // the window only as its own stand-in), so this cuts both the
+    // per-window compute and the shuffle width 4x; (2) `gs` is consumed
+    // THREE times (totals + both self-join sides) — left lazy, the whole
+    // shingle explode ran 3x per query (guide §2.4)
+    val ws = expr(s"ngram_hashes(split($textCol, ' '), $n, false)")
     val gs = df.select(col(groupCol).as("grp"), explode(ws).as("sh"))
       .distinct()
+      .localCheckpoint()
     val totals = gs.groupBy("grp").agg(count(lit(1)).as("n_sh"))
     val shared = gs.as("a").join(gs.as("b"),
         col("a.sh") === col("b.sh") && col("a.grp") < col("b.grp"))

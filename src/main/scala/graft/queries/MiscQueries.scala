@@ -211,9 +211,13 @@ object MiscQueries {
       val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // materialized once (r11 opt): the seed gather and BOTH BFS sweeps
+      // consume this relation — left lazy, the lineitem scan + self-join
+      // ran 3x per query (guide §2.4: remove repeated subtree execution)
       val edges = pp.as("a").join(pp.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
+        .localCheckpoint()
       // bounded 1-row gather picks the deterministic start vertex
       val seed = edges.agg(min("pa")).head().getLong(0)
       graft.operators.Graphs.doubleSweepDiameter(edges, "pa", "pb", seed,
@@ -972,9 +976,12 @@ object MiscQueries {
     "qg13_closeness" -> { (s, d) =>
       val pp = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // materialized once (r11 opt): the seed gather + 3 per-seed BFS
+      // runs each re-executed the lineitem scan + self-join (4x total)
       val edges = pp.as("a").join(pp.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("pa"), col("b.p").as("pb"))
+        .localCheckpoint()
       val seeds = graft.streaming.Replay.bounded(
           edges.select(col("pa").as("n"))
             .unionAll(edges.select(col("pb").as("n")))

@@ -58,15 +58,22 @@ object TextOps {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       val name = s"qd29_sink_${sinkSeq.incrementAndGet()}"
-      val q = graft.streaming.StreamingDedup.nearDupPairs(
-          graft.operators.Text.simhash16(
-            mem.toDF.toDF("doc_id", "text"), "text", "doc_id"),
-          "simhash", "doc_id", hashBits = 16, numBands = 4, maxHamming = 2)
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      val n = docs.length
-      Seq(docs.slice(0, n / 3), docs.slice(n / 3, 2 * n / 3), docs.slice(2 * n / 3, n))
-        .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
-      q.stop()
+      // r11: the one stateful replay harness still paying the session's
+      // 32 partitions in state-store instances (the qs08/qc03 economics);
+      // paired min-of-6 at sf0.1: 32 -> 2 partitions = 3.25 -> 1.37 s
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = graft.streaming.StreamingDedup.nearDupPairs(
+            graft.operators.Text.simhash16(
+              mem.toDF.toDF("doc_id", "text"), "text", "doc_id"),
+            "simhash", "doc_id", hashBits = 16, numBands = 4, maxHamming = 2)
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        val n = docs.length
+        Seq(docs.slice(0, n / 3), docs.slice(n / 3, 2 * n / 3), docs.slice(2 * n / 3, n))
+          .foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name).orderBy("id_a", "id_b")
     },
     // Token counting + corpus stats per language (public Text facade).
@@ -578,6 +585,9 @@ object TextOps {
     // of the longer text confirm. Exact copies land at dist 0; shared-
     // vocabulary shuffles (high Jaccard, different order) wash out.
     "qd47_edit_distance" -> { (s, d) =>
+      // (r11 note: persisting `docs` here was MEASURED SLOWER — 2.94 s ->
+      // 3.41 s paired A/B at sf0.1: columnar-caching the text payload
+      // costs more than the 3 parquet re-scans it saves. Left lazy.)
       val docs = withDups(s, d).filter(col("doc_id") % 10 === 0)
       val cands = graft.operators.Dedup.lshCandidatePairs(
         docs, "text", "doc_id", numHashes = 4, rowsPerBand = 2)

@@ -113,6 +113,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries timestamp[ns]; Spark reads it as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r11 (guide §3.1): let AQE rewrite a planned sort-merge join to a
+      // shuffled-hash join at runtime when the MEASURED per-partition map
+      // output fits comfortably in memory — unlike preferSortMergeJoin
+      // (an estimate-based static gamble), this is size-guarded per
+      // partition, so it is the same decision a 100 TB run should make:
+      // big partitions keep the spill-safe SMJ, small ones skip the sort.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

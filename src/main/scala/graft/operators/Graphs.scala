@@ -617,11 +617,16 @@ object Graphs {
     * BIGINT holds while 2·k_i·k_j < 2⁶³ (degrees to ~2·10⁹). */
   def louvainSweep(edges0: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
+    // materialized once (r11 opt): the raw edge subtree fed m, both deg
+    // branches, both adj branches, AND [[modularity]]'s internal edge/
+    // degree pipelines — the executed plan re-ran the input self-join
+    // ~10x (125 parquet scans / 436 Exchanges in qg21's final plan)
     val edges = edges0
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
+      .localCheckpoint()
     val m = broadcast(edges.agg(count(lit(1)).as("m")))
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
@@ -632,6 +637,9 @@ object Graphs {
         .hint("shuffle_hash"), "j")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("i").orderBy(col("kj"), col("j"))
+    // also materialized: the assignment feeds modularity's TWO endpoint
+    // tag joins, its volume join, and the mv rollup — 4 consumers of the
+    // whole window pipeline when lazy
     val choice = adj.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .join(deg.select(col("n").as("i"), col("deg").as("ki"))
@@ -642,6 +650,7 @@ object Graphs {
           least(col("i"), col("j"))).otherwise(col("i")).as("c"),
         (lit(4L) * col("m") - lit(2L) * col("ki") * col("kj") > 0)
           .as("merged"))
+      .localCheckpoint()
     val q = modularity(edges, "u", "v", choice.select("n", "c"), "n", "c")
       .agg(max("modularity_ppm").as("modularity_ppm"))
     val mv = choice

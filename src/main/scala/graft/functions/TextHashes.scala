@@ -63,7 +63,13 @@ object TextHashes {
     * `when(size(tk) >= n, ...) otherwise empty` sites). */
   def ngramHashes(arr: ArrayData, n: Int, truncShort: Boolean): ArrayData = {
     val L = arr.numElements()
-    if (L < n && !truncShort) return new GenericArrayData(Array.emptyLongArray)
+    // an empty array emits no windows under EITHER short-doc contract
+    // (truncShort's one truncated window needs at least one token);
+    // without this, truncShort=true read th(0) of a zero-length array —
+    // unreachable from in-repo sites (split never yields an empty array)
+    // but ngram_hashes is registered session-wide (r11 ADVICE)
+    if (L == 0 || (L < n && !truncShort))
+      return new GenericArrayData(Array.emptyLongArray)
     val th = new Array[Long](L)
     var i = 0
     while (i < L) { th(i) = hashTok(arr, i); i += 1 }
@@ -217,6 +223,20 @@ object TextHashes {
         "might_contain", exprs =>
           org.apache.spark.sql.catalyst.expressions
             .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Column API for `ngram_hashes` (registers on first use, like
+    * [[graft.functions.DotProductLong.dot]]): operator call sites used to
+    * splice the caller-supplied column name into a SQL string, which broke
+    * for names needing backtick quoting (r11 ADVICE). Callers pass the
+    * token-array Column built with the Column API (`split(col(c), " ")`). */
+  def ngramHashesCol(spark: org.apache.spark.sql.SparkSession,
+      tokens: org.apache.spark.sql.Column, n: Int, truncShort: Boolean)
+      : org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("ngram_hashes", tokens,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(truncShort))
   }
 }
 

@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * qd09/qd10/qd12/qd13/qd17 and the qd19 pipeline capstone invoke these
   * with the gate's parameters). All are lazy single plans except
   * [[duplicateClusters]], which is inherently iterative (a data-dependent
-  * fixpoint) and materializes per round.
+  * fixpoint) and materializes per round, and [[lshCalibration]], which
+  * eagerly materializes its narrow (id, block) projection at construction
+  * (r11 ADVICE: explain/PlanDump on it runs that one small job).
   *
   * Scale stance (100 TB): all pairwise work is blocked — by content hash,
   * LSH band bucket, or a caller-supplied block column — so pair fan-out
@@ -336,8 +338,10 @@ object Dedup {
     // slice/concat allocation) — the composable transform/xxhash64 form
     // ran interpreted per window; hash values are opaque bucket keys, so
     // the chained-hash scheme changes nothing observable (bigramHashes
-    // precedent)
-    val wins = expr(s"ngram_hashes(split($textCol, ' '), $n, false)")
+    // precedent). Column API, not a SQL-string splice of textCol (r11
+    // ADVICE: names needing backticks failed to parse).
+    val wins = graft.functions.TextHashes.ngramHashesCol(spark,
+      toks(col(textCol)), n, truncShort = false)
     df.select(col(idCol).cast("long").as("id"), explode(wins).as("wh"))
       .groupBy("wh")
       .agg(collect_list(col("id")).as("ds"))
@@ -616,7 +620,8 @@ object Dedup {
     // materializing each shingle STRING and xxhash64-ing it after the
     // explode; `true` keeps Text.shingles' truncated-short-doc contract
     df.select(col(idCol).as(as), explode(
-      expr(s"ngram_hashes(split($textCol, ' '), $n, true)")).as("g"))
+      graft.functions.TextHashes.ngramHashesCol(df.sparkSession,
+        toks(col(textCol)), n, truncShort = true)).as("g"))
   }
 
   private def contaminationJoin(cg: DataFrame, bench: DataFrame,
@@ -875,17 +880,19 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm out of range: $thresholdPpm")
-    // r11 opt: ONE tokenize pass — signatures, block tags, the exact
-    // verify joins, and the ground-truth bucket pipeline all consumed the
-    // raw text lazily, so the corpus was scanned and split() THREE times
-    // per query (guide §2.4 / the filteredTopKAudit single-materialization
-    // precedent). The (id, blk, tks) projection is persisted once and
-    // every consumer reads it.
+    // r12 (VERDICT r11 #1): r11 localCheckpoint'ed the full (id, blk, tks)
+    // projection here — and qd73 got SLOWER in every full-suite run
+    // (builder 3.10→4.14 s, driver 4.65/6.06 s): materializing the wide
+    // token arrays costs more than the pruned text re-scans it saves (the
+    // same lesson the qd47 persist revert recorded). Kept: the
+    // tokenize-once *API* (the FromTokens internals below). Dropped: the
+    // checkpoint of `tks` — `base` is lazy again, each consumer rebuilds
+    // tokens from the columnar pruned scan. Only the NARROW (id, blk)
+    // relation (16 B/row, 2 join consumers) is materialized.
     val base = df.select(col(idCol).cast("long").as("id"),
         col(blockCol).as("blk"),
         array_distinct(toks(col(textCol))).as("tks"))
-      .localCheckpoint()
-    val ids = base.select(col("id"), col("blk"))
+    val ids = base.select(col("id"), col("blk")).localCheckpoint()
     val cand = lshCandidatePairsFromTokens(base.select("id", "tks"),
         numHashes, rowsPerBand, maxBucket)
       .join(ids.select(col("id").as("id_a"), col("blk").as("ba"))

@@ -1101,8 +1101,10 @@ object Text {
     // r11 opt: native distinct window hashing (see ngram_hashes scaladoc)
     // — this transform/slice/concat_ws/xxhash64 chain was the query's
     // dominant per-row cost and ran interpreted; hashes are opaque
-    // distinct keys here, so the chained-hash values change nothing
-    val wins = expr(s"ngram_hashes(split($textCol, ' '), $n, false)")
+    // distinct keys here, so the chained-hash values change nothing.
+    // Column API, not a SQL-string splice of textCol (r11 ADVICE).
+    val wins = graft.functions.TextHashes.ngramHashesCol(df.sparkSession,
+      split(col(textCol), " "), n, truncShort = false)
     val occ = df.select(col(idCol).cast("long").as("id"), wins.as("ws"))
       .crossJoin(bounds)
       .select(expr(s"((id - lo) * $nBuckets) div (hi - lo + 1)").as("bucket"),
@@ -1479,8 +1481,10 @@ object Text {
     def shingles(df: DataFrame, cols: Column*): DataFrame = {
       // r11 opt: native long window hashes instead of md5 hex strings —
       // `sh` is an opaque semi-join key, so only compute + shuffle width
-      // change (see ngram_hashes scaladoc)
-      val ws = expr(s"ngram_hashes(split($textCol, ' '), $n, false)")
+      // change (see ngram_hashes scaladoc). Column API, not a SQL-string
+      // splice of textCol (r11 ADVICE).
+      val ws = graft.functions.TextHashes.ngramHashesCol(df.sparkSession,
+        split(col(textCol), " "), n, truncShort = false)
       df.select(cols :+ explode(ws).as("sh"): _*)
     }
     val evalSet = shingles(evalDocs).select("sh").distinct()
@@ -1522,8 +1526,10 @@ object Text {
     // the window only as its own stand-in), so this cuts both the
     // per-window compute and the shuffle width 4x; (2) `gs` is consumed
     // THREE times (totals + both self-join sides) — left lazy, the whole
-    // shingle explode ran 3x per query (guide §2.4)
-    val ws = expr(s"ngram_hashes(split($textCol, ' '), $n, false)")
+    // shingle explode ran 3x per query (guide §2.4). Column API, not a
+    // SQL-string splice of textCol (r11 ADVICE).
+    val ws = graft.functions.TextHashes.ngramHashesCol(df.sparkSession,
+      split(col(textCol), " "), n, truncShort = false)
     val gs = df.select(col(groupCol).as("grp"), explode(ws).as("sh"))
       .distinct()
       .localCheckpoint()

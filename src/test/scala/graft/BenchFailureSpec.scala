@@ -61,4 +61,25 @@ class BenchFailureSpec extends SparkSpec {
     // no baseline artifact: the key is absent, the line is unchanged
     assert(!Bench.renderJson(results, "/tmp/sfX").contains("vs_baseline"))
   }
+
+  test("compact line: no per-query map, same totals/errors/vs_baseline, tail-sized") {
+    val baseline = Map("q_a" -> 1.0, "q_b" -> 0.5)
+    val results = Seq(
+      ("q_a", 2.5, Option.empty[String]),
+      ("q_b", 0.5, Option.empty[String]),
+      ("q_bad", -1.0, Some("boom")))
+    val json = Bench.renderCompactJson(results, "/tmp/sfX", baseline,
+      "bench_result.json")
+    assert(!json.contains("\"queries\":"), json)       // the map stays out
+    assert(json.contains("\"value\":3.0"), json)       // same total
+    assert(json.contains("\"n_queries\":3"), json)
+    assert(json.contains("\"errors\":{\"q_bad\":"), json)
+    assert(json.contains("\"full\":\"bench_result.json\""), json)
+    assert(json.contains("\"vs_baseline\":{\"shared\":2"), json)
+    assert(json.linesIterator.size == 1, "artifact must stay one line")
+    // the whole point: a full-suite compact line fits a 2000-char tail
+    val wide = (1 to 350).map(i => (f"q$i%03d_name", 0.5, Option.empty[String]))
+    assert(Bench.renderCompactJson(wide, "/tmp/sfX", Map.empty, "x.json")
+      .length < 500)
+  }
 }

@@ -40,6 +40,21 @@ class TextHashesSpec extends graft.SparkSpec {
     assert(h(0).intersect(h(1)).size == 1) // the "x y" bigram
   }
 
+  test("ngram_hashes: empty array emits no windows under both short-doc contracts") {
+    val s = spark
+    TextHashes.register(s)
+    import s.implicits._
+    // ngram_hashes is a session-wide SQL function: a caller can hand it
+    // array() or a filtered-empty array (r11 ADVICE — truncShort=true
+    // used to read th(0) of a zero-length array)
+    val got = s.sql(
+      """SELECT size(ngram_hashes(array(), 3, true)) AS t,
+        |       size(ngram_hashes(array(), 3, false)) AS f,
+        |       size(ngram_hashes(array('a'), 3, true)) AS one""".stripMargin)
+      .as[(Int, Int, Int)].collect().head
+    assert(got == ((0, 0, 1)), got)
+  }
+
   test("packed_pairs: emits all k(k-1)/2 ordered pairs, min id high") {
     val s = spark
     TextHashes.register(s)
